@@ -1,0 +1,369 @@
+"""Deduplication family: exact, deterministic keyed, and near-duplicate.
+
+The reference needs only keyed dedup-keep-first (reference
+airflow/dags/nws_dag.py:106-111, uscrn_dag.py:198-203, via pandas
+``drop_duplicates``). A training-data pipeline at 100 TB needs the whole
+family; everything here is built from native Catalyst expressions —
+``xxhash64`` for hashing, array higher-order functions for signatures —
+so the hot path never leaves the JVM.
+
+Scale notes:
+- exact dedup: one shuffle on the group keys; with AQE skew handling on.
+- MinHash-LSH: cost is (docs × bands) exploded rows shuffled by band
+  hash — the standard join-on-bucket plan; candidate verification is a
+  self-join only on bucket-colliding pairs, never a cross join.
+- SimHash: 64-bit fingerprints, banded into 16-bit chunks for hamming
+  ≤ 3 blocking (pigeonhole: any pair within distance 3 shares a chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact / keyed
+# ---------------------------------------------------------------------------
+
+
+def duplicate_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A4: duplicate-key detection (reference uscrn_dag.py:198-202 warns
+    with the duplicate count before dropping). Returns one row per
+    duplicated key with its multiplicity."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str | Column]) -> DataFrame:
+    """A5 made deterministic: keep exactly one row per key, the first
+    under an explicit order (reference pandas ``drop_duplicates``
+    keep='first' is input-order-dependent; SURVEY §7.4 decision).
+
+    One shuffle on ``keys``; at scale prefer keys that include the table's
+    partition column so the window runs partition-local.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact full-row (or column-subset) distinct — hash-aggregate with
+    map-side partial aggregation; the Spark form of hash-groupBy dedup."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# shingling / tokenization helpers (shared by the near-dup family)
+# ---------------------------------------------------------------------------
+
+
+def word_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as array<string>.
+
+    Built with sequence + transform (JVM-side); documents shorter than
+    ``n`` tokens contribute their full token string as a single shingle.
+    """
+    toks = word_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # 2^31-1, prime; keeps a*h+b < 2^63 (ANSI-safe)
+_MASK31 = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic 31-bit (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p — derived from a seeded LCG so runs
+    are reproducible without RNG state. 31-bit params × 31-bit reduced
+    shingle hashes never overflow a signed 64-bit long."""
+    params = []
+    state = seed & _MASK31
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) & _MASK31 or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) & _MASK31
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint> of length ``num_hashes``) over a
+    shingle array, entirely in Catalyst: xxhash64 per shingle, then an
+    array_min per hash function. Empty shingle sets get the max hash."""
+    def _hash_fn(a: int, b: int):
+        # closure, NOT default-arg capture: PySpark maps lambda arity to
+        # the HOF's argument count, so `lambda s, a=a, b=b` would bind as
+        # a 3-argument transform and fail analysis
+        return lambda s: (
+            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(1 << 31)) + F.lit(b)
+        ) % F.lit(_MERSENNE)
+
+    sigs = []
+    for a, b in _hash_params(num_hashes, seed):
+        hashed = F.transform(shingle_col, _hash_fn(a, b))
+        sigs.append(F.coalesce(F.array_min(hashed), F.lit(_MERSENNE)))
+    return F.array(*sigs)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Plan: shingle → signature → explode into ``bands`` band-hashes →
+    self-join on (band, band_hash) → distinct candidate pairs →
+    (optional) exact shingle-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The only shuffles
+    are the band-hash join and the final distinct — no cross join at any
+    scale. ``bands`` must divide ``num_hashes``.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+
+    # bands is a plain Python int → unroll the band structs driver-side
+    # (also avoids PySpark's nested-HOF lambda-capture limitation)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("_sig").getItem(b * rows_per_band + i).cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        "_id", "_sh", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", "_sh", "_b.band", "_b.bh")
+
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "bh"
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ).alias("jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if jaccard_threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= jaccard_threshold)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / bounded candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    threshold: float = 0.5,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over all pairs of a *bounded* subset
+    (``id < max_id``). This is the O(k²) verifier / oracle companion to
+    the LSH path — at scale use :func:`minhash_near_dup_pairs` to
+    generate candidates and this metric only on collisions."""
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    if max_id is not None:
+        base = base.filter(F.col("_id") < max_id)
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, *, bits: int = 64) -> Column:
+    """64-bit SimHash fingerprint of a text column, pure Catalyst.
+
+    Per token: xxhash64 → ±1 vote per bit; fingerprint bit b is set when
+    the summed vote is positive. Implemented as one F.aggregate
+    accumulating a 64-long vote array, then folded into a single BIGINT
+    (bitwise, so bit 63 wrapping negative is fine).
+    """
+    toks = word_tokens(col)
+    # per-token bit votes unrolled driver-side (bits is a Python int;
+    # a nested HOF lambda capturing the outer token variable won't bind)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("bigint"),
+                    ).otherwise(F.lit(-1).cast("bigint"))
+                    for b in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    def _fold(v):
+        # v is the bound votes array (bound ONCE via the single-element
+        # transform below — referencing `votes` 64× would duplicate the
+        # whole aggregate subtree); bit 63 is the long sign bit.
+        terms = [
+            F.when(
+                v.getItem(b) > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            for b in range(bits)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.bitwiseOR(t)
+        return out
+
+    return F.get(F.transform(F.array(votes), _fold), 0)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
+    chunks; by pigeonhole any qualifying pair agrees on ≥1 whole chunk,
+    so the join runs on (chunk_idx, chunk_value) — never a cross join.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+
+    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sim"))
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("_sim"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    banded = sig.select(
+        "_id", "_sim", F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select("_id", "_sim", "_c.chunk", "_c.cv")
+
+    left = banded.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sa"), "chunk", "cv")
+    right = banded.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sb"), "chunk", "cv")
+    return (
+        left.join(right, ["chunk", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a bounded subset
+    (exact; the LSH-bucketed scale path lives in operators.similarity).
+
+    Cosine is computed with zip_with/aggregate — JVM-side, no UDF.
+    """
+    from alaska_etl_spark.operators.similarity import cosine_sim
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    if max_id is not None:
+        base = base.filter(F.col("_id") < max_id)
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (BASELINE north-star op).
+
+Two paths:
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, cosine via zip_with/aggregate (JVM-side,
+  no Python), per-query top-k via window row_number. The baseline and
+  the verifier for the approximate path.
+- :func:`ivf_topk` — IVF-style approximate search: k-means-ish coarse
+  quantizer (deterministic seeded sample as centroids), corpus bucketed
+  by nearest centroid, queries probe ``nprobe`` nearest buckets. The
+  100 TB path: the corpus shuffle is one repartition by bucket; each
+  query touches nprobe/ncells of the data.
+
+Vectors are ``array<float>`` columns cast to double for the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    include_self: bool = False,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). The query side is
+    broadcast (queries are the small side by contract); the corpus is
+    scanned once, cosine computed in codegen, and the per-query top-k is
+    a window — with AQE the shuffle for the window is sized at runtime.
+
+    ``round_digits`` rounds cosine *before* ranking so rank order is
+    reproducible across summation orders / engines (ties broken by
+    neighbor id).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    sim = cosine_sim(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    joined = c.join(F.broadcast(q), F.lit(True)).select(
+        "query_id", "neighbor_id", sim.alias("cosine")
+    )
+    if not include_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, ncells: int) -> DataFrame:
+    """Deterministic coarse quantizer: pick ``ncells`` corpus vectors by
+    hash order as centroids (cheap, reproducible; a k-means refinement
+    can replace this without changing the query plan)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+        .orderBy(F.xxhash64(F.col("centroid_id").cast("string")))
+        .limit(ncells)
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine).
+    Centroids are broadcast; assignment is a window top-1."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    scored = c.join(F.broadcast(centroids), F.lit(True)).select(
+        "_id",
+        "_v",
+        "centroid_id",
+        cosine_sim(F.col("_v"), F.col("centroid")).alias("_cs"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cs").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells nearest to
+    each query. Recall < 1 by design; the exact :func:`cosine_topk` is
+    the oracle. At 100 TB, bucket assignment is computed once and
+    persisted (partitioned by centroid_id) so queries shuffle nothing."""
+    cents = _centroids(corpus, id_col, vec_col, ncells)
+    bucketed = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
+    q_assigned = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .join(F.broadcast(cents), F.lit(True))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_cs"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("centroid_id").asc())
+    probes = (
+        q_assigned.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    sim = cosine_sim(F.col("_qv"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    cand = probes.join(bucketed, "centroid_id").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (BASELINE
+north-star): language ID, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions — these run inside
+whole-stage codegen over the documents table at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (no model download): the point is the
+# *operator shape* — replace the lexicon to upgrade quality.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "avec"],
+    "es": ["el", "los", "las", "es", "en", "una", "por", "para", "con"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token count: words, numbers, and punctuation runs
+    counted separately (a cheap proxy for subword tokenizers — the regex
+    splits the same boundaries a byte-level BPE would never merge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def _count_in_lexicon(toks: Column, words: list[str]) -> Column:
+    # NOTE: Column.isin inside a higher-order-function lambda miscoerces
+    # the lambda variable (Spark 4.1 casts the IN list to BIGINT);
+    # array_contains against a literal array types correctly.
+    lex = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return _count_in_lexicon(toks, sw) / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + word-length band +
+    low punctuation + stopword presence. A heuristic filter of the
+    Gopher/C4-rule family — each term is a documented rule, not a model."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(c) >= 0.01, 1.0).otherwise(0.0)
+    return (len_ok + mwl_ok + punct_ok + sw_ok) / 4.0
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-lexicon language ID: argmax over per-language stopword hit
+    counts; 'und' when nothing matches. Deterministic tie-break by
+    language code order."""
+    c = F.col(col) if isinstance(col, str) else col
+    mk = markers or LANG_MARKERS
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    # struct(-hits, lang) sorted ascending → highest hit count first,
+    # ties broken by language code ascending
+    scored = F.array(
+        *[
+            F.struct(
+                (-_count_in_lexicon(toks, words)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(mk.items())
+        ]
+    )
+    # F.get (not getItem) → NULL on empty array under ANSI mode
+    best = F.get(F.sort_array(F.filter(scored, lambda s: s.getField("neg_hits") < 0)), 0)
+    return F.when(best.isNull(), F.lit("und")).otherwise(best.getField("lang"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """64-bit content fingerprint of whitespace-normalized lowercase
+    text (xxhash64). The exact-dedup key: identical normalized content
+    → identical fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set to a documents DataFrame."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_length(text_col), 6))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", doc_fingerprint(text_col))
+    )

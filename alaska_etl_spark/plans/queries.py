@@ -1,0 +1,992 @@
+"""Driver-contract query registry: every operator from SURVEY §2 plus
+the training-data-pipeline extensions, each as a (Spark plan, DuckDB
+oracle SQL) pair over the /root/testdata tables.
+
+Conventions (the driver compares row count + schema + order-insensitive
+value hash, with columns sorted by name):
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (2-3 dp) in BOTH engines so summation
+  order can't flip a hash;
+- similarity scores are ranked on *rounded* values with id tie-breaks so
+  rank order is engine-independent;
+- queries without an oracle entry (approximate/LSH ops whose exact
+  result is engine-defined) get the driver's rows-only check, and their
+  exact companions (brute-force cosine, exact Jaccard) ARE oracled.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators import text as T
+from alaska_etl_spark.operators.asof import asof_join
+from alaska_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_report,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from alaska_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table. The events table stores TIMESTAMP(NANOS)
+    parquet, which Spark only reads as raw int64 nanos
+    (spark.sql.legacy.parquet.nanosAsLong); we convert to micros
+    timestamp_ntz by *truncation* — integer `div`, matching DuckDB's
+    nanos→micros narrowing, so oracle timestamps compare equal."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer representation of a 2-decimal double.
+
+    Float sums depend on partition/summation order; at 32 shuffle
+    partitions vs DuckDB's single thread the last ulp differs and can
+    flip a rounded digit. All testdata money/value columns carry exactly
+    2 decimals, so summing BIGINT cents is exact, order-independent, and
+    engine-independent. (The matching oracle SQL applies the identical
+    transformation.)
+
+    Rounding of the final ratio is ALSO done in integer space
+    (`(2p + q) div (2q)` = round-half-up of p/q for positive ints, via
+    F.expr since PySpark has no integer-division operator) because
+    Spark's round(double) is decimal-string-faithful (BigDecimal) while
+    DuckDB's multiplies-and-rounds — they disagree on exact .5-boundary
+    quotients like 26127/400 = 65.3175."""
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# relational core (reference operator inventory, SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A6: grouped aggregate with partial (map-side) aggregation —
+    the TPC-H Q1 shape of the reference's hourly downsample
+    (uscrn_wind_dag.py:184-189)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact integer units: qty/price in cents, disc_price in 1e-4 units
+    # (price_cents * (100 - disc_cents)) — see _cents for why
+    li = (
+        li.withColumn("qty_c", _cents(F.col("l_quantity")))
+        .withColumn("price_c", _cents(F.col("l_extendedprice")))
+        .withColumn("disc_c", _cents(F.col("l_discount")))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("_sq"),
+            F.sum("price_c").alias("_sp"),
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_c"))).alias("_sdp"),
+            F.sum("disc_c").alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("_sq") / F.lit(100.0)).alias("sum_qty"),
+            (F.col("_sp") / F.lit(100.0)).alias("sum_base_price"),
+            (F.expr("(2 * _sdp + 100) div 200") / F.lit(100.0)).alias("sum_disc_price"),
+            (F.expr("(2 * _sq + count_order) div (2 * count_order)") / F.lit(100.0)).alias("avg_qty"),
+            (F.expr("(200 * _sd + count_order) div (2 * count_order)") / F.lit(10000.0)).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+Q01_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty_c) AS sq, sum(price_c) AS sp,
+         sum(price_c * (100 - disc_c)) AS sdp, sum(disc_c) AS sd,
+         count(*) AS count_order
+  FROM li GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus,
+       sq / 100.0                                        AS sum_qty,
+       sp / 100.0                                        AS sum_base_price,
+       ((2 * sdp + 100) // 200) / 100.0                  AS sum_disc_price,
+       ((2 * sq + count_order) // (2 * count_order)) / 100.0    AS avg_qty,
+       ((200 * sd + count_order) // (2 * count_order)) / 10000.0 AS avg_disc,
+       count_order
+FROM a
+"""
+
+
+def q02_region_revenue(spark, sf_dir):
+    """J1 chain: fact → broadcast dim joins (lineitem⋈orders⋈customer⋈
+    nation⋈region) with revenue aggregate. Catalyst broadcasts every dim
+    (all under the 64 MiB threshold) — the 100 TB plan is one shuffle,
+    for the final group-by."""
+    li, o, c, n, r = (_t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer", "nation", "region"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            (F.expr("(2 * _s + 100) div 200") / F.lit(100.0)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+Q02_SQL = """
+WITH a AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, ((2 * s + 100) // 200) / 100.0 AS revenue, n_items FROM a
+"""
+
+
+def q03_top_orders(spark, sf_dir):
+    """O1/O2: top-10 orders by revenue for one segment (sort + limit —
+    Catalyst plans TakeOrderedAndProject, no full sort at scale)."""
+    li, o, c = (_t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_s")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.expr("(2 * _s + 100) div 200") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+WITH a AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+SELECT o_orderkey, o_orderdate, o_orderpriority, ((2 * s + 100) // 200) / 100.0 AS revenue
+FROM a ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q04_filtered_sum(spark, sf_dir):
+    """P5/P6 predicate filters feeding a global aggregate (TPC-H Q6
+    shape; the scan-level predicate pushdown case — PushedFilters must
+    show the range predicates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))).alias("_s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            (F.expr("(2 * _s + 100) div 200") / F.lit(100.0)).alias("promo_revenue"),
+            "n_rows",
+        )
+    )
+
+
+Q04_SQL = """
+WITH a AS (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS s,
+         count(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24)
+SELECT ((2 * s + 100) // 200) / 100.0 AS promo_revenue, n_rows FROM a
+"""
+
+
+def q05_watermark_max(spark, sf_dir):
+    """A2: watermark lookup — the reference's ORDER BY … DESC LIMIT 1
+    (uscrn_dag.py:99-103) expressed as the max() Catalyst rewrites it
+    to anyway."""
+    return _t(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("watermark"))
+
+
+Q05_SQL = "SELECT max(o_orderdate) AS watermark FROM orders"
+
+
+def q06_distinct_dims(spark, sf_dir):
+    """A3: dim build by full-row distinct (reference locations dim,
+    1_uscrn_scrape.ipynb:482-487)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+Q06_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def q07_duplicate_report(spark, sf_dir):
+    """A4: duplicate-key detection with multiplicity (reference
+    uscrn_dag.py:198-202)."""
+    ev = _t(spark, sf_dir, "events")
+    return duplicate_report(ev, ["user_id", "event_type"])
+
+
+Q07_SQL = """
+SELECT user_id, event_type, count(*) AS dup_count
+FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+"""
+
+
+def q08_dedup_keep_first(spark, sf_dir):
+    """A5 deterministic: one row per (user, event_type), earliest
+    (ts, event_id) — the engine's replacement for pandas
+    drop_duplicates keep='first' (SURVEY §7.4)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_first(ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+Q08_SQL = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q09_semi_join(spark, sf_dir):
+    """J3: membership filter as a left-semi join (reference line-prefix
+    ∈ wbanno set, uscrn_dag.py:137-145)."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        o.join(hot, o.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q09_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_anti_join(spark, sf_dir):
+    """Anti-join: customers with no orders (the idempotent-append
+    primitive, SURVEY §7.1 step 5)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q11_topk_per_group(spark, sf_dir):
+    """W2 per-group variant: top-3 orders by totalprice per priority via
+    row_number window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q12_forward_fill(spark, sf_dir):
+    """W1 forward fill: carry the last non-error reading per user over
+    event time (the reference's sparse-Date fill, utils/utils.py:144-149,
+    as a window over an explicit order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(
+            F.last(F.when(F.col("event_type") != "error", F.col("value")), ignorenulls=True).over(w), 2
+        ).alias("filled_value"),
+    )
+
+
+Q12_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value
+FROM events
+"""
+
+
+def q13_pivot(spark, sf_dir):
+    """U3: long→wide pivot with explicit values (the reference's
+    landscape-table transpose, utils/utils.py:213-231).
+
+    Averages are computed from exact integer cents (values carry 2
+    decimals) so the result is independent of float summation order —
+    the property that makes the hash reproducible across engines AND
+    across partition counts (same reason the reference feared chunked
+    means, 1_uscrn_scrape.ipynb:540)."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    # two-phase: exact integer-rounded avg per (user, type), then pivot
+    # carries the single value with first()
+    per_key = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum("cents").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            "event_type",
+            (F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(100.0)).alias("avg_v"),
+        )
+    )
+    return (
+        per_key.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.first("avg_v"))
+        .withColumnsRenamed(
+            {t: f"avg_{t}" for t in ["click", "view", "purchase", "signup", "error"]}
+        )
+    )
+
+
+def _pivot_avg_sql(t: str) -> str:
+    return f"max(CASE WHEN event_type = '{t}' THEN avg_v END) AS avg_{t}"
+
+
+Q13_SQL = (
+    "WITH e AS (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),\n"
+    "k AS (SELECT user_id, event_type, ((2 * sum(cents) + count(*)) // (2 * count(*))) / 100.0 AS avg_v\n"
+    "      FROM e GROUP BY user_id, event_type)\n"
+    "SELECT user_id, "
+    + ", ".join(_pivot_avg_sql(t) for t in ["click", "view", "purchase", "signup", "error"])
+    + " FROM k GROUP BY user_id"
+)
+
+
+def q14_union_all(spark, sf_dir):
+    """U1: vertical concat of two filtered projections (reference
+    per-file/page row extension, uscrn_dag.py:146)."""
+    ev = _t(spark, sf_dir, "events")
+    big_purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "event_id", "user_id", F.lit("big_purchase").alias("bucket")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.lit("signup").alias("bucket")
+    )
+    return big_purchases.unionByName(signups).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
+Q14_SQL = """
+SELECT bucket, count(*) AS n, count(DISTINCT user_id) AS n_users FROM (
+  SELECT event_id, user_id, 'big_purchase' AS bucket FROM events
+   WHERE event_type = 'purchase' AND value > 100
+  UNION ALL
+  SELECT event_id, user_id, 'signup' AS bucket FROM events WHERE event_type = 'signup'
+) GROUP BY bucket
+"""
+
+
+def q15_sentinel_conversion(spark, sf_dir):
+    """F2: sentinel-guarded unit conversion — the reference's
+    celsius→fahrenheit with the -9999 guard (uscrn_dag.py:181), applied
+    to the events value stream (values ≤ -90 treated as missing).
+    Converted values are carried as exact integer milli-units
+    (18*cents + 32000 == (v*9/5+32)*1000) so the mean is summation-
+    order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    conv_milli = F.when(
+        F.col("value") > -90, F.lit(18) * _cents(F.col("value")) + F.lit(32000)
+    )
+    ev = ev.withColumn("cm", conv_milli)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum("cm").alias("_s"),
+            F.count("cm").alias("_n"),
+            F.max("cm").alias("_mx"),
+            F.sum(F.when(F.col("cm").isNull(), 1).otherwise(0)).alias("n_sentinel"),
+        )
+        .select(
+            "event_type",
+            F.when(
+                F.col("_n") > 0,
+                F.expr("(2 * _s + 10 * _n) div (20 * _n)") / F.lit(100.0),
+            ).alias("avg_converted"),
+            (F.expr("(2 * _mx + 10) div 20") / F.lit(100.0)).alias("max_converted"),
+            "n_sentinel",
+        )
+    )
+
+
+Q15_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN value > -90 THEN 18 * CAST(round(value * 100) AS BIGINT) + 32000 END AS cm
+  FROM events),
+a AS (
+  SELECT event_type, sum(cm) AS s, count(cm) AS n, max(cm) AS mx,
+         CAST(sum(CASE WHEN cm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinel
+  FROM e GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n > 0 THEN ((2 * s + 10 * n) // (20 * n)) / 100.0 END AS avg_converted,
+       ((2 * mx + 10) // 20) / 100.0 AS max_converted,
+       n_sentinel
+FROM a
+"""
+
+
+def q16_hourly_rollup(spark, sf_dir):
+    """F4 + A1: timestamp floor to hour + grouped mean — the wind
+    downsample (uscrn_wind_dag.py:184-189) on the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
+        .withColumn("cents", _cents(F.col("value")))
+        .groupBy("hour", "event_type")
+        .agg(F.sum("cents").alias("_s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "hour",
+            "event_type",
+            (F.expr("(20 * _s + n) div (2 * n)") / F.lit(1000.0)).alias("value_hr_avg"),
+            "n",
+        )
+    )
+
+
+Q16_SQL = """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT hour, event_type, ((20 * s + n) // (2 * n)) / 1000.0 AS value_hr_avg, n FROM a
+"""
+
+
+def q17_asof_join(spark, sf_dir):
+    """J5 as-of join: each purchase matched to the user's latest signup
+    at or before it (the forecast-vs-actual primitive, SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.round(F.max("value"), 2).alias("signup_value"))
+    )
+    return asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="signup_ts"
+    ).select("event_id", "user_id", "ts", "signup_ts", "signup_value")
+
+
+Q17_SQL = """
+SELECT a.event_id, a.user_id, a.ts, b.signup_ts, b.signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (
+  SELECT user_id AS b_user_id, ts AS signup_ts, round(max(value), 2) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2) b
+ON a.user_id = b.b_user_id AND a.ts >= b.signup_ts
+"""
+
+
+def q18_running_total(spark, sf_dir):
+    """Cumulative window: running purchase total per user over event
+    time (rows frame, explicit deterministic order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("cents", _cents(F.col("value")))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("cents").over(w) / F.lit(100.0), 2).alias("running_value"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q19_rollup(spark, sf_dir):
+    """Grouping-set rollup: revenue by (region, nation) with subtotals —
+    beyond the reference's surface, standard warehouse capability."""
+    li, o, c, n, r = (_t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer", "nation", "region"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0), 2).alias("gross"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gross",
+        )
+    )
+
+
+Q19_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS gross
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q20_json_extract(spark, sf_dir):
+    """§2.10 JSON surface: extract a typed field from the events props
+    JSON column (the api.weather.gov probe shape,
+    2_nws_update.ipynb:563-570)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("_s"),
+            F.count("k").alias("_n"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            (F.expr("(2000 * _s + _n) div (2 * _n)") / F.lit(1000.0)).alias("avg_k"),
+            "max_k",
+            "n",
+        )
+    )
+
+
+Q20_SQL = """
+WITH a AS (
+  SELECT event_type, sum(k) AS s, count(k) AS cn, max(k) AS max_k, count(*) AS n
+  FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+  GROUP BY event_type)
+SELECT event_type, ((2000 * s + cn) // (2 * cn)) / 1000.0 AS avg_k, max_k, n FROM a
+"""
+
+
+def q21_regex_extract(spark, sf_dir):
+    """F8/F14 regex suite: structured extraction from a text column."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("brand_num", F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("bigint"))
+        .groupBy("p_type")
+        .agg(
+            F.max("brand_num").alias("max_brand"),
+            F.count_distinct("brand_num").alias("n_brands"),
+            F.sum(_cents(F.col("p_retailprice"))).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "p_type",
+            "max_brand",
+            "n_brands",
+            (F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(100.0)).alias("avg_price"),
+        )
+    )
+
+
+Q21_SQL = """
+WITH a AS (
+  SELECT p_type, max(brand_num) AS max_brand, count(DISTINCT brand_num) AS n_brands,
+         sum(price_c) AS s, count(*) AS n
+  FROM (SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+               CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num FROM part)
+  GROUP BY p_type)
+SELECT p_type, max_brand, n_brands, ((2 * s + n) // (2 * n)) / 100.0 AS avg_price FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q22_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex classes) per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+Q22_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q23_quality_score(spark, sf_dir):
+    """Gopher/C4-style rule-based quality scoring; score is discrete
+    (quarters) so the hash compare is exact."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+# The oracle replicates each rule; quality = mean of 4 indicator terms.
+Q23_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(tk) AS n_tok,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)), 'sum') / greatest(len(tk), 1)
+         END AS mwl,
+         (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / greatest(length(text), 1) AS pr,
+         len(list_filter(list_transform(tk, x -> lower(x)),
+             x -> x IN ('the','and','of','to','is','in','that','for','with'))) * 1.0 / greatest(len(tk), 1) AS swr
+  FROM toks
+)
+SELECT doc_id,
+       ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+FROM feat
+"""
+
+
+def q24_lang_id(spark, sf_dir):
+    """Marker-lexicon language ID (argmax of stopword hits,
+    deterministic tie-break by language code)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tk, x -> x IN ({in_list}))) AS h_{lang}"
+
+
+from alaska_etl_spark.operators.text import LANG_MARKERS as _LM
+
+Q24_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, """
+    + ", ".join(_lang_hits_sql(k, v) for k, v in sorted(_LM.items()))
+    + r"""
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+)
+
+
+def q25_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: one surviving doc_id per normalized
+    text (md5 — identical hex in Spark and DuckDB), plus multiplicity."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        d.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+Q25_SQL = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q26_ngram_jaccard(spark, sf_dir):
+    """Exact unigram-set Jaccard near-dup pairs over a bounded subset —
+    the oracled verifier for the MinHash-LSH scale path (q29). Both the
+    threshold (5·|∩| ≥ 4·|∪|) and the 4-dp rounding are integer
+    arithmetic so the hash is engine-exact."""
+    from alaska_etl_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("_id"), shingles("text", 1).alias("_sh")
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint").alias("_p"),
+            F.size(F.array_union("_sh_a", "_sh_b")).cast("bigint").alias("_q"),
+        )
+        .filter(F.lit(5) * F.col("_p") >= F.lit(4) * F.col("_q"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.expr("(20000 * _p + _q) div (2 * _q)") / F.lit(10000.0)).alias("jaccard"),
+        )
+    )
+
+
+Q26_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
+  FROM documents WHERE doc_id < 60
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS np,
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS nq
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ((20000 * np + nq) // (2 * nq)) / 10000.0 AS jaccard
+FROM p WHERE 5 * np >= 4 * nq
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search + near-dup (embedding)
+# ---------------------------------------------------------------------------
+
+
+def q27_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (k=5) for the first 10 vectors —
+    ranked on round-3 scores with id tie-breaks so the ordering is
+    engine-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5, round_digits=3)
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+Q27_SQL = """
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+WHERE rank <= 5
+"""
+
+
+def q28_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus distribution) over a bounded subset — id pairs only, so the
+    hash is float-precision-proof."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.30, max_id=100).select(
+        "id_a", "id_b"
+    )
+
+
+Q28_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE b.vec_id < 100 AND a.vec_id < 100
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (approximate / engine-defined results — no oracle;
+# their exact companions above are the oracled verifiers)
+# ---------------------------------------------------------------------------
+
+
+def q29_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (scale path; verified exactly by
+    q26's Jaccard on the same corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", n=1, num_hashes=64, bands=16, jaccard_threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q30_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, hamming ≤ 3 with chunk blocking."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q31_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors (nprobe=4 of 16 cells; exact
+    recall oracle is q27)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, ncells=16, nprobe=4).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_region_revenue": q02_region_revenue,
+    "q03_top_orders": q03_top_orders,
+    "q04_filtered_sum": q04_filtered_sum,
+    "q05_watermark_max": q05_watermark_max,
+    "q06_distinct_dims": q06_distinct_dims,
+    "q07_duplicate_report": q07_duplicate_report,
+    "q08_dedup_keep_first": q08_dedup_keep_first,
+    "q09_semi_join": q09_semi_join,
+    "q10_anti_join": q10_anti_join,
+    "q11_topk_per_group": q11_topk_per_group,
+    "q12_forward_fill": q12_forward_fill,
+    "q13_pivot": q13_pivot,
+    "q14_union_all": q14_union_all,
+    "q15_sentinel_conversion": q15_sentinel_conversion,
+    "q16_hourly_rollup": q16_hourly_rollup,
+    "q17_asof_join": q17_asof_join,
+    "q18_running_total": q18_running_total,
+    "q19_rollup": q19_rollup,
+    "q20_json_extract": q20_json_extract,
+    "q21_regex_extract": q21_regex_extract,
+    "q22_token_stats": q22_token_stats,
+    "q23_quality_score": q23_quality_score,
+    "q24_lang_id": q24_lang_id,
+    "q25_exact_dedup": q25_exact_dedup,
+    "q26_ngram_jaccard": q26_ngram_jaccard,
+    "q27_cosine_topk": q27_cosine_topk,
+    "q28_embedding_near_dup": q28_embedding_near_dup,
+    "q29_minhash_lsh": q29_minhash_lsh,
+    "q30_simhash": q30_simhash,
+    "q31_ivf_ann": q31_ivf_ann,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_region_revenue": Q02_SQL,
+    "q03_top_orders": Q03_SQL,
+    "q04_filtered_sum": Q04_SQL,
+    "q05_watermark_max": Q05_SQL,
+    "q06_distinct_dims": Q06_SQL,
+    "q07_duplicate_report": Q07_SQL,
+    "q08_dedup_keep_first": Q08_SQL,
+    "q09_semi_join": Q09_SQL,
+    "q10_anti_join": Q10_SQL,
+    "q11_topk_per_group": Q11_SQL,
+    "q12_forward_fill": Q12_SQL,
+    "q13_pivot": Q13_SQL,
+    "q14_union_all": Q14_SQL,
+    "q15_sentinel_conversion": Q15_SQL,
+    "q16_hourly_rollup": Q16_SQL,
+    "q17_asof_join": Q17_SQL,
+    "q18_running_total": Q18_SQL,
+    "q19_rollup": Q19_SQL,
+    "q20_json_extract": Q20_SQL,
+    "q21_regex_extract": Q21_SQL,
+    "q22_token_stats": Q22_SQL,
+    "q23_quality_score": Q23_SQL,
+    "q24_lang_id": Q24_SQL,
+    "q25_exact_dedup": Q25_SQL,
+    "q26_ngram_jaccard": Q26_SQL,
+    "q27_cosine_topk": Q27_SQL,
+    "q28_embedding_near_dup": Q28_SQL,
+    # q29-q31: approximate ops — rows-only check by design
+}

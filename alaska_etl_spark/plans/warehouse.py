@@ -1,0 +1,121 @@
+"""Warehouse load protocol: staging overwrite → audit-timestamped,
+idempotent append (SURVEY §2.2 K2/K4/K5, §7.1 step 5).
+
+The reference's protocol is: truncate-load a ``*_staging`` BigQuery
+table, then ``INSERT INTO main SELECT *, CURRENT_TIMESTAMP() AS
+date_added_utc FROM main_staging``, creating main on NotFound (reference
+airflow/dags/utils/utils.py:44-66). That protocol double-inserts on
+retry (the reference actually loads staging twice in one task,
+nws_dag.py:175+187 — a latent duplication bug tolerated by dedup-on-read).
+
+We keep the two-phase shape (staging is the retry/inspection point) and
+make the append *idempotent*: rows are keyed by a content hash
+(``sha2`` over the key columns — the reference's vestigial ``hash_id``
+column, 2_nws_update.ipynb:1114, attempted exactly this) and
+anti-joined against the existing main table before appending.
+
+Scale: main tables are written partitioned (by ``utc_date`` for the
+weather star) so the anti-join's main-side scan prunes to the partitions
+the staging batch can touch — the incremental batch is small, so Spark
+broadcasts the *staging* side of the anti-join; main is never shuffled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AUDIT_COL = "date_added_utc"
+
+
+def row_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Stable content hash over key columns (NULL-safe, \\x1f-separated)."""
+    return df.withColumn(
+        "_row_hash",
+        F.sha2(
+            F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]),
+            256,
+        ),
+    )
+
+
+class Warehouse:
+    """Parquet-backed warehouse with the staging→main protocol.
+
+    The BigQuery sink of the reference maps to the spark-bigquery
+    connector (``df.write.format("bigquery")``) with identical protocol
+    semantics; this class keeps the sink behind ``_write``/``_read`` so
+    that swap is configuration, not code (SURVEY §7.1 step 8).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def table_exists(self, table: str) -> bool:
+        path = self._path(table)
+        try:
+            self.spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    # -- K2: staging truncate-load ---------------------------------------
+
+    def write_staging(self, df: DataFrame, table: str) -> str:
+        """Overwrite the staging area for ``table`` (reference
+        WRITE_TRUNCATE, uscrn_dag.py:244-261)."""
+        path = self._path(f"{table}_staging")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read_staging(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(f"{table}_staging"))
+
+    # -- K4/K5: audit-timestamped append, create-if-missing --------------
+
+    def append_main(
+        self,
+        table: str,
+        *,
+        key_cols: list[str],
+        partition_col: str | None = None,
+        staging_df: DataFrame | None = None,
+    ) -> None:
+        """staging → main with ``date_added_utc`` audit column and
+        hash-anti-join idempotence (FIXTURES §5 invariant 5: re-running a
+        load must not duplicate rows)."""
+        staged = staging_df if staging_df is not None else self.read_staging(table)
+        staged = row_hash(staged, key_cols)
+
+        if self.table_exists(table):
+            existing = row_hash(self.read(table), key_cols).select("_row_hash")
+            # staging batch is the small side → broadcast it; main-side
+            # scan reads only the hash column (column pruning).
+            staged = staged.join(existing, "_row_hash", "left_anti")
+
+        out = staged.drop("_row_hash").withColumn(AUDIT_COL, F.current_timestamp())
+        writer = out.write.mode("append")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(self._path(table))
+
+    def load(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> None:
+        """Full protocol: staging overwrite then idempotent append."""
+        self.write_staging(df, table)
+        self.append_main(table, key_cols=key_cols, partition_col=partition_col)

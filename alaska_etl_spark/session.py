@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same configuration knobs are the
+ones that matter on a 1000-executor cluster: AQE (runtime re-planning,
+skew-join splitting, partition coalescing), broadcast threshold (every
+dimension table in the star is broadcastable), shuffle partition count,
+and Arrow for the few Pandas-UDF code paths.
+
+The reference pipeline hand-rolled memory management (100k-row batches,
+gc.collect, spill-to-CSV — reference notebooks/uscrn_scrape.py:84-88);
+all of that is replaced by Tungsten spill-aware execution configured here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "alaska-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for scale:
+      - AQE on: coalesces post-shuffle partitions at small SF, splits
+        skewed shuffle partitions at large SF — the same plan text works
+        at sf0.001 and at 100 TB.
+      - 64 MiB broadcast threshold: all star dims (region/nation/
+        supplier/customer at small SF, locations/column_descriptions in
+        the weather star) become broadcast-hash joins; the big
+        fact-to-fact joins fall through to sort-merge on their keys.
+      - 128 MiB file split size: parquet scan parallelism tracks data
+        volume, not file count.
+      - Arrow enabled for the Pandas-UDF escape hatches (similarity
+        search, multimodal decode).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
