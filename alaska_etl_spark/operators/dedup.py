@@ -111,21 +111,109 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature (array<bigint> of length ``num_hashes``) over a
-    shingle array, entirely in Catalyst: xxhash64 per shingle, then an
-    array_min per hash function. Empty shingle sets get the max hash."""
-    def _hash_fn(a: int, b: int):
+    shingle array, entirely in Catalyst: xxhash64 once per shingle, then
+    an array_min per hash function over the pre-hashed values. Empty
+    shingle sets get the max hash.
+
+    Expression form (array HOFs) — fine for bounded arrays; the
+    distributed form used by :func:`minhash_near_dup_pairs` is
+    :func:`minhash_signatures_grouped` (explode + hash-aggregate), which
+    gets map-side partial aggregation and whole-stage codegen."""
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+
+    def _affine(a: int, b: int):
         # closure, NOT default-arg capture: PySpark maps lambda arity to
-        # the HOF's argument count, so `lambda s, a=a, b=b` would bind as
+        # the HOF's argument count, so `lambda h, a=a, b=b` would bind as
         # a 3-argument transform and fail analysis
-        return lambda s: (
-            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(1 << 31)) + F.lit(b)
-        ) % F.lit(_MERSENNE)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
 
     sigs = []
     for a, b in _hash_params(num_hashes, seed):
-        hashed = F.transform(shingle_col, _hash_fn(a, b))
-        sigs.append(F.coalesce(F.array_min(hashed), F.lit(_MERSENNE)))
+        sigs.append(
+            F.coalesce(F.array_min(F.transform(hashed, _affine(a, b))), F.lit(_MERSENNE))
+        )
     return F.array(*sigs)
+
+
+def minhash_signatures_grouped(
+    shingle_tbl: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(_id, _sh array) → (_id, _sig array): the distributed MinHash
+    formulation — explode shingles to (id, hash) rows, one 31-bit
+    xxhash64 per shingle, then a single hash-aggregate with
+    ``num_hashes`` min() columns.
+
+    Why this beats per-row array HOFs: the aggregate is whole-stage
+    codegen'd with map-side partial mins (each partition emits one
+    ``num_hashes``-vector per doc), so at 100 TB the shuffle carries
+    |docs| × num_hashes longs, independent of shingle count."""
+    # explode_outer, NOT explode: for an inner explode Catalyst infers a
+    # size(_sh) > 0 filter and pushes it below any exchange, substituting
+    # the full shingle expression — which re-tokenizes every document a
+    # second time on the pre-shuffle side (measured 6× slower at sf0.1).
+    # Our shingle arrays are never empty, so outer semantics are
+    # identical and the inferred filter never exists.
+    exploded = shingle_tbl.select(
+        "_id", F.explode_outer("_sh").alias("_s")
+    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(1 << 31)).alias("_h"))
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return (
+        exploded.groupBy("_id")
+        .agg(*mins)
+        .select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig"))
+    )
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, text) → (_id, _sh array<bigint>): distinct word-n-gram
+    shingles as 31-bit hashes, with the token array materialized ONCE.
+
+    Why the repartition barrier: a naive
+    ``transform(sequence(...), i -> slice(tokens_expr, i+1, n))`` inlines
+    ``tokens_expr`` into the lambda, so Catalyst re-tokenizes the text
+    per shingle *index* (plus once more in the size>0 filter the
+    optimizer infers under an explode) — O(tokens²) regex splits per
+    document. Materializing the per-token hashes behind an exchange
+    makes every later reference a cheap column read, and the n-gram
+    combine is pure modular arithmetic (each step stays < 2^52, ANSI-
+    safe). The shuffle moves one int array per doc — negligible against
+    the CPU it saves, at any scale."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            word_tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31))
+        ).alias("_th"),
+    )
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tok = tok.repartition(nparts, "_id")
+
+    def _gram(i: Column) -> Column:
+        h = F.element_at("_th", i + 1)
+        for j in range(1, n):
+            h = F.pmod(h * F.lit(1_000_003) + F.element_at("_th", i + 1 + j), F.lit(1 << 31))
+        return h
+
+    k = F.greatest(F.size("_th") - F.lit(n - 1), F.lit(1))
+    # short docs (< n tokens): element_at past the end is null → pmod
+    # propagates null → the single shingle degrades to the partial gram
+    sh = F.array_distinct(
+        F.filter(F.transform(F.sequence(F.lit(0), k - 1), _gram), lambda x: x.isNotNull())
+    )
+    short = F.coalesce(
+        F.aggregate(
+            "_th",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: F.pmod(acc * F.lit(1_000_003) + h, F.lit(1 << 31)),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return tok.select(
+        "_id",
+        F.when(F.size("_th") >= n, sh).otherwise(F.array(short)).alias("_sh"),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -142,20 +230,24 @@ def minhash_near_dup_pairs(
     """MinHash + banded LSH near-duplicate pairs.
 
     Plan: shingle → signature → explode into ``bands`` band-hashes →
-    self-join on (band, band_hash) → distinct candidate pairs →
-    (optional) exact shingle-Jaccard verification.
+    self-join on (band, band_hash) carrying ONLY ids → distinct candidate
+    pairs → re-join shingle sets by id → exact Jaccard verification.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b. The only shuffles
-    are the band-hash join and the final distinct — no cross join at any
+    The id-only band join is the load-bearing scale decision: the
+    exploded rows that shuffle are (id, band, bh) — 24 bytes — and the
+    distinct collapses multi-band collisions *before* any array touches
+    a shuffle. Carrying the shingle arrays through the explode (the
+    naive plan) multiplies shuffle volume by bands × |shingles| and
+    re-verifies every colliding band of the same pair.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. No cross join at any
     scale. ``bands`` must divide ``num_hashes``.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(text_col, n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    shingle_tbl = hashed_shingles(df, id_col, text_col, n)
+    base = minhash_signatures_grouped(shingle_tbl, num_hashes, seed)
 
     # bands is a plain Python int → unroll the band structs driver-side
     # (also avoids PySpark's nested-HOF lambda-capture limitation)
@@ -175,18 +267,25 @@ def minhash_near_dup_pairs(
         for b in range(bands)
     ]
     banded = base.select(
-        "_id", "_sh", F.explode(F.array(*band_structs)).alias("_b")
-    ).select("_id", "_sh", "_b.band", "_b.bh")
+        "_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_id", "_b.band", "_b.bh")
 
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "bh"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "bh"
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
     pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(
+            shingle_tbl.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
+            "id_a",
+        )
+        .join(
+            shingle_tbl.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -195,7 +294,6 @@ def minhash_near_dup_pairs(
                 / F.size(F.array_union("_sh_a", "_sh_b"))
             ).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is not None:
         pairs = pairs.filter(F.col("jaccard") >= jaccard_threshold)
@@ -292,6 +390,47 @@ def simhash(col: Column | str, *, bits: int = 64) -> Column:
     return F.get(F.transform(F.array(votes), _fold), 0)
 
 
+def simhash_fingerprints_grouped(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64
+) -> DataFrame:
+    """(id, text) → (_id, _sim BIGINT): distributed SimHash — explode
+    tokens to (id, hash) rows, then ONE hash-aggregate with ``bits``
+    bit-count sums. Fingerprint bit b is set when a strict majority of
+    token hashes have bit b set (2·count > n, identical to the ±1-vote
+    sum > 0 of the classic formulation).
+
+    Same scale rationale as :func:`minhash_signatures_grouped`: partial
+    map-side aggregation means the shuffle carries |docs| fixed-width
+    vectors regardless of document length. Documents with zero tokens
+    have no fingerprint (dropped by the explode) — empty-text identity
+    is exact dedup's job, not SimHash's."""
+    toks = word_tokens(text_col)
+    # explode_outer to suppress the inferred size>0 filter (which would
+    # re-tokenize every doc a second time — see minhash_signatures_grouped);
+    # null tokens from genuinely empty docs are dropped right after.
+    exploded = (
+        df.select(F.col(id_col).alias("_id"), F.explode_outer(toks).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("_id", F.xxhash64("_t").alias("_h"))
+    )
+    sums = [
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(bits)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    counted = exploded.groupBy("_id").agg(*sums)
+    terms = [
+        F.when(
+            F.lit(2) * F.col(f"_c{b}") > F.col("_n"),
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp.bitwiseOR(t)
+    return counted.select("_id", fp.alias("_sim"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -308,7 +447,7 @@ def simhash_near_dup_pairs(
     chunks = max_hamming + 1
     width = 64 // chunks
 
-    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sim"))
+    sig = simhash_fingerprints_grouped(df, id_col, text_col)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),

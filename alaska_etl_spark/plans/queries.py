@@ -898,10 +898,13 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 
 def q29_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (scale path; verified exactly by
-    q26's Jaccard on the same corpus)."""
+    q26's Jaccard on the same corpus). 3-gram shingles: unigrams on the
+    synthetic corpus's tiny shared vocabulary collide in every band and
+    degenerate to an all-pairs join — word 3-grams are the standard
+    discriminative choice."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
-        d, "doc_id", "text", n=1, num_hashes=64, bands=16, jaccard_threshold=0.8
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16, jaccard_threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

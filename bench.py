@@ -1,0 +1,85 @@
+"""Headline benchmark for the driver's per-round BENCH_r{N}.json.
+
+Runs a representative subset of the driver-contract queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers every execution shape the engine must be fast
+at: wide-scan aggregate (q01), multi-join star (q02), top-k (q03),
+pushdown-filtered scan (q04), hourly rollup (q16), as-of join (q17),
+exact dedup (q25), text stats (q22), brute-force cosine top-k (q27),
+MinHash-LSH (q29), and IVF ANN (q31).
+
+Timing is end-to-end per query (plan + execute + collect-count): the
+same thing DuckDB pays for the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_region_revenue",
+    "q03_top_orders",
+    "q04_filtered_sum",
+    "q16_hourly_rollup",
+    "q17_asof_join",
+    "q22_token_stats",
+    "q25_exact_dedup",
+    "q27_cosine_topk",
+    "q29_minhash_lsh",
+    "q31_ivf_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from alaska_etl_spark.plans.queries import QUERIES
+    from alaska_etl_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT
+    QUERIES["q05_watermark_max"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows[name] = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
