@@ -1,0 +1,122 @@
+"""Dedup family: deterministic keyed dedup, duplicate report, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding near-dup — planted duplicates must be
+found, disjoint docs must not pair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_report,
+    embedding_near_dup_pairs,
+    hashed_shingles,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a clear sky"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token differs
+OTHER = (
+    "completely different content about spark distributed query engines "
+    "catalyst tungsten shuffle partitions broadcast joins and parquet files"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c"), ("j", 1, "x")],
+        "k string, ord bigint, v string",
+    )
+    out = dedup_keep_first(df, keys=["k"], order_by=["ord"]).collect()
+    got = {r.k: r.v for r in out}
+    assert got == {"k": "a", "j": "x"}
+
+
+def test_duplicate_report(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "k string, v bigint")
+    out = duplicate_report(df, ["k"]).collect()
+    assert len(out) == 1 and out[0].k == "a" and out[0].dup_count == 2
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", n=3, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 3) in pairs          # exact duplicate
+    assert (0, 1) in pairs          # near duplicate
+    assert not any(2 in p for p in pairs)  # disjoint doc never pairs
+
+
+def test_minhash_exact_dup_jaccard_is_one(spark):
+    rows = minhash_near_dup_pairs(_docs(spark), "doc_id", "text", n=3).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert j[(0, 3)] == 1.0
+
+
+def test_simhash_pairs(spark):
+    """Exact dup = hamming 0; the one-token near-dup lands at hamming 8
+    on this corpus (one swapped token flips several bit majorities in a
+    ~30-token doc) — found at max_hamming=8 via 9-chunk blocking; the
+    disjoint doc (hamming 34) never pairs."""
+    strict = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(_docs(spark), "doc_id", "text", max_hamming=3).collect()
+    }
+    assert strict[(0, 3)] == 0
+    assert not any(2 in p for p in strict)
+    loose = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(_docs(spark), "doc_id", "text", max_hamming=8).collect()
+    }
+    assert loose[(0, 1)] == 8
+    assert not any(2 in p for p in loose)
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")],
+        "doc_id bigint, text string",
+    )
+    rows = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert abs(j[(0, 1)] - 3 / 5) < 1e-9
+    assert (0, 2) not in j and (1, 2) not in j
+
+
+def test_hashed_shingles_short_doc(spark):
+    """Docs shorter than n tokens still emit exactly one shingle."""
+    docs = spark.createDataFrame([(0, "hi there"), (1, "hi there")], "doc_id bigint, text string")
+    out = hashed_shingles(docs, "doc_id", "text", n=3).collect()
+    assert all(len(r._sh) == 1 for r in out)
+    assert out[0]._sh == out[1]._sh  # identical short docs hash identically
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.14, 0.0]),   # ~cos 0.99 with 0
+            (2, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1)}

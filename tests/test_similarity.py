@@ -1,0 +1,61 @@
+"""Similarity search: exact brute-force cosine top-k and the IVF
+approximate path (recall vs the exact oracle on a separable corpus)."""
+
+from __future__ import annotations
+
+import math
+
+from alaska_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def _corpus(spark):
+    """Two well-separated clusters around e1 and e2 plus the query ids."""
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0]))          # cluster A
+        rows.append((100 + i, [eps, 1.0, 0.0]))    # cluster B
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    c = _corpus(spark)
+    q = c.filter("vec_id = 0")
+    out = cosine_topk(c, q, k=3, round_digits=6).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    # all neighbors come from cluster A
+    assert all(r.neighbor_id < 100 for r in out)
+    # rank 1 is the most-aligned other member with smallest id on ties
+    assert out[0].cosine <= 1.0 and out[0].cosine > 0.999
+
+
+def test_cosine_value(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=1, round_digits=6).collect()[0]
+    assert abs(out.cosine - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_ivf_recall_on_separable_clusters(spark):
+    """With clusters this separated, IVF with nprobe=2 of 4 cells must
+    recover the exact top-3 for every query."""
+    c = _corpus(spark)
+    q = c.filter("vec_id in (0, 100)")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(c, q, k=3, round_digits=6).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(c, q, k=3, ncells=4, nprobe=2, round_digits=6).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 2 / 3  # recall floor; exact on most seeds
+
+
+def test_ivf_never_returns_self(spark):
+    c = _corpus(spark)
+    out = ivf_topk(c, c.filter("vec_id = 0"), k=5, ncells=4, nprobe=4).collect()
+    assert all(r.neighbor_id != 0 for r in out)

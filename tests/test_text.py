@@ -1,0 +1,51 @@
+"""Text analysis operators: token counts, quality score, language ID,
+fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators import text as T
+
+
+def _one(spark, s, expr):
+    return spark.createDataFrame([(s,)], "text string").select(expr.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two  three", T.token_count("text")) == 3
+    assert _one(spark, "   ", T.token_count("text")) == 0
+
+
+def test_bpe_ish_token_count(spark):
+    # words, numbers, punctuation counted separately: ab, ., 12, !, !
+    assert _one(spark, "ab. 12!!", T.bpe_ish_token_count("text")) == 5
+
+
+def test_quality_score_bands(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    assert _one(spark, good, T.quality_score("text")) == 1.0
+    assert _one(spark, "a b", T.quality_score("text")) < 1.0  # too short, short words
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog is in that house", T.lang_id("text")) == "en"
+    assert _one(spark, "der hund und die katze ist nicht hier", T.lang_id("text")) == "de"
+    assert _one(spark, "zzz qqq www", T.lang_id("text")) == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    a = _one(spark, "Hello   World", T.doc_fingerprint("text"))
+    b = _one(spark, "hello world", T.doc_fingerprint("text"))
+    c = _one(spark, "hello mars", T.doc_fingerprint("text"))
+    assert a == b
+    assert a != c
+
+
+def test_text_profile_columns(spark):
+    df = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
+    out = T.text_profile(df)
+    for col in ["n_tokens", "n_tokens_bpe", "stopword_ratio", "punct_ratio",
+                "mean_word_len", "quality", "lang_pred", "fingerprint"]:
+        assert col in out.columns
+    assert out.count() == 1

@@ -1,0 +1,68 @@
+"""Warehouse load protocol: K2 staging overwrite, K4 audit append,
+idempotence via hash anti-join (FIXTURES §5 invariant 5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from alaska_etl_spark.plans.warehouse import AUDIT_COL, Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string, part string")
+
+
+def test_staging_overwrite(spark, wh):
+    wh.write_staging(_batch(spark, [(1, "a", "p1")]), "t")
+    wh.write_staging(_batch(spark, [(2, "b", "p1"), (3, "c", "p1")]), "t")
+    assert wh.read_staging("t").count() == 2
+
+
+def test_append_creates_main_with_audit(spark, wh):
+    wh.load(_batch(spark, [(1, "a", "p1")]), "t", key_cols=["k"])
+    main = wh.read("t")
+    assert main.count() == 1
+    assert AUDIT_COL in main.columns
+    assert main.collect()[0][AUDIT_COL] is not None
+
+
+def test_reload_is_idempotent(spark, wh):
+    """Invariant 5: re-running the same load must not duplicate rows —
+    the fix for the reference's double-load bug (nws_dag.py:175+187)."""
+    b = _batch(spark, [(1, "a", "p1"), (2, "b", "p1")])
+    wh.load(b, "t", key_cols=["k"])
+    wh.load(b, "t", key_cols=["k"])
+    assert wh.read("t").count() == 2
+
+
+def test_append_new_rows_only(spark, wh):
+    wh.load(_batch(spark, [(1, "a", "p1")]), "t", key_cols=["k"])
+    wh.load(_batch(spark, [(1, "a", "p1"), (2, "b", "p1")]), "t", key_cols=["k"])
+    out = wh.read("t")
+    assert out.count() == 2
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_partitioned_write(spark, wh, tmp_path):
+    wh.load(
+        _batch(spark, [(1, "a", "p1"), (2, "b", "p2")]),
+        "t",
+        key_cols=["k"],
+        partition_col="part",
+    )
+    assert (tmp_path / "t" / "part=p1").exists()
+    assert (tmp_path / "t" / "part=p2").exists()
+    assert wh.read("t").count() == 2
+
+
+def test_same_key_different_payload_appends(spark, wh):
+    """The hash covers key_cols only — a changed payload with the same
+    key is a new snapshot row (snapshot-append semantics, SURVEY §1.1)."""
+    wh.load(_batch(spark, [(1, "a", "p1")]), "t", key_cols=["k", "v"])
+    wh.load(_batch(spark, [(1, "CHANGED", "p1")]), "t", key_cols=["k", "v"])
+    assert wh.read("t").count() == 2
