@@ -39,7 +39,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for zero-norm vectors (undefined cosine) rather than an ANSI
+    divide-by-zero — zero vectors happen (e.g. features of empty media
+    content) and must not kill a 100 TB job; NULL sorts last under the
+    descending rank windows here."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def cosine_topk(

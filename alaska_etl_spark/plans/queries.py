@@ -891,6 +891,51 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: multimodal columns (mapInPandas plumbing; the
+# decode internals are a deterministic stand-in — operators.multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q32_media_decode(spark, sf_dir):
+    """Multimodal decode path THROUGH mapInPandas (Arrow batches): the
+    byte count the pandas workers compute is oracled against DuckDB's
+    octet_length — verifying the batch plumbing end-to-end, not the
+    (stubbed) codec."""
+    from alaska_etl_spark.operators.multimodal import decode_stats, media_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d, kind="image")
+    return decode_stats(media, n_stats=4).select("media_id", "kind", "n_bytes")
+
+
+Q32_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q33_frame_sample(spark, sf_dir):
+    """Frame-sampling explosion (video → one row per sampled frame),
+    executor-side inside the batch iterator; the explosion *shape*
+    (media_id, frame_idx, ts_ms) is exact and oracled, the per-frame
+    stats are the deterministic stub."""
+    from alaska_etl_spark.operators.multimodal import media_from_documents, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d, kind="video")
+    return sample_frames(media, every_ms=1000).select("media_id", "frame_idx", "ts_ms")
+
+
+Q33_SQL = """
+SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms FROM (
+  SELECT doc_id AS media_id,
+         unnest(generate_series(0, greatest(length(text) // 10, 1) - 1)) AS frame_idx
+  FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (approximate / engine-defined results — no oracle;
 # their exact companions above are the oracled verifiers)
 # ---------------------------------------------------------------------------
@@ -960,6 +1005,8 @@ QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_ivf_ann": q31_ivf_ann,
+    "q32_media_decode": q32_media_decode,
+    "q33_frame_sample": q33_frame_sample,
 }
 
 ORACLES = {
@@ -991,5 +1038,7 @@ ORACLES = {
     "q26_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
     "q28_embedding_near_dup": Q28_SQL,
+    "q32_media_decode": Q32_SQL,
+    "q33_frame_sample": Q33_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }
