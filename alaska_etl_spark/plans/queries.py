@@ -890,6 +890,38 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 """
 
 
+def q34_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream: 30-min inactivity
+    gap, per-session stats (the lag + running-sum two-window plan)."""
+    from alaska_etl_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+
+
+Q34_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: multimodal columns (mapInPandas plumbing; the
 # decode internals are a deterministic stand-in — operators.multimodal)
@@ -1007,6 +1039,7 @@ QUERIES = {
     "q31_ivf_ann": q31_ivf_ann,
     "q32_media_decode": q32_media_decode,
     "q33_frame_sample": q33_frame_sample,
+    "q34_sessionize": q34_sessionize,
 }
 
 ORACLES = {
@@ -1040,5 +1073,6 @@ ORACLES = {
     "q28_embedding_near_dup": Q28_SQL,
     "q32_media_decode": Q32_SQL,
     "q33_frame_sample": Q33_SQL,
+    "q34_sessionize": Q34_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }
