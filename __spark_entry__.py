@@ -28,7 +28,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (approximate/LSH ops
-    q29-q31 are rows-only by design; their exact companions q26/q27 are
-    oracled)."""
+    """DuckDB-runnable ANSI SQL oracle per query. Approximate/LSH ops
+    q29-q31 are rows-only by design — their exact companions (q26 exact
+    Jaccard, q27 brute-force cosine) are oracled; everything else,
+    including the multimodal mapInPandas path (q32/q33) and
+    sessionization (q34), hash-matches."""
     return dict(ORACLES)
