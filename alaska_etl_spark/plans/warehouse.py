@@ -119,3 +119,32 @@ class Warehouse:
         """Full protocol: staging overwrite then idempotent append."""
         self.write_staging(df, table)
         self.append_main(table, key_cols=key_cols, partition_col=partition_col)
+
+    # -- bucketed catalog tables (the co-located-join path, SURVEY §4) ---
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write ``table`` bucketed (and optionally sorted) by the join
+        key into the session catalog. Two tables bucketed the same way
+        join with NO exchange on either side — the shuffle is paid once
+        at write time instead of on every query, which is the right
+        trade for the repeatedly-joined 100 TB facts (forecast ⋈ actual
+        on (location, utc_datetime); embeddings ⋈ buckets on cell id).
+        """
+        writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self._path(table)).saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a catalog (bucketed) table — bucket metadata only
+        survives through the catalog, not raw parquet paths."""
+        return self.spark.table(table)
