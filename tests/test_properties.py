@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): the distributed operators agree
+with straightforward single-process reference implementations on
+arbitrary inputs — the strongest form of SURVEY §5's oracle strategy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from alaska_etl_spark.operators.asof import asof_join
+from alaska_etl_spark.operators.dedup import dedup_keep_first
+from alaska_etl_spark.operators.sessions import sessionize
+
+_SETTINGS = dict(
+    max_examples=12,  # each example spins Spark jobs; keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_ts = st.integers(min_value=0, max_value=500).map(
+    lambda m: dt.datetime(2023, 1, 1) + dt.timedelta(minutes=m)
+)
+_key = st.sampled_from(["a", "b", "c"])
+
+
+@given(
+    rows=st.lists(st.tuples(_key, _ts, st.integers(0, 10_000)), min_size=1, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_dedup_keep_first_matches_sorted_first(spark, rows):
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(rows)],
+        "k string, ts timestamp_ntz, uid bigint",
+    )
+    got = {
+        r.k: (r.ts, r.uid)
+        for r in dedup_keep_first(df, keys=["k"], order_by=["ts", "uid"]).collect()
+    }
+    want = {}
+    for uid, (k, t, _) in enumerate(rows):
+        if k not in want or (t, uid) < want[k]:
+            want[k] = (t, uid)
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 99)), min_size=0, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_asof_backward_matches_bruteforce(spark, left, right):
+    # deduplicate right on (key, ts): the as-of contract assumes one
+    # payload per (key, ts); ties there are a separate dedup concern
+    rmap = {}
+    for k, t, p in right:
+        rmap[(k, t)] = p
+    right_rows = [(k, t, p) for (k, t), p in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, lts timestamp_ntz, uid bigint"
+    )
+    rdf = spark.createDataFrame(right_rows or [], "k string, rts timestamp_ntz, payload bigint")
+    out = asof_join(ldf, rdf, on=["k"], left_ts="lts", right_ts="rts")
+    got = {r.uid: r.payload for r in out.collect()}
+
+    for uid, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right_rows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[uid] == want, (uid, k, t)
+
+
+@given(
+    rows=st.lists(st.tuples(_key, _ts), min_size=1, max_size=30),
+    gap_minutes=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_linear_scan(spark, rows, gap_minutes):
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)],
+        "k string, ts timestamp_ntz, uid bigint",
+    )
+    out = sessionize(
+        df, key_cols=["k"], ts_col="ts", gap=f"{gap_minutes} minutes", order_tiebreak=["uid"]
+    )
+    got = {r.uid: r.session_id for r in out.collect()}
+
+    by_key: dict[str, list] = {}
+    for uid, (k, t) in enumerate(rows):
+        by_key.setdefault(k, []).append((t, uid))
+    want = {}
+    for k, evs in by_key.items():
+        sid, prev = 0, None
+        for t, uid in sorted(evs):
+            if prev is None or (t - prev) > dt.timedelta(minutes=gap_minutes):
+                sid += 1
+            want[uid] = sid
+            prev = t
+    assert got == want
