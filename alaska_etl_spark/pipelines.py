@@ -23,7 +23,7 @@ there is nothing to orchestrate inside one lazy plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.plans.analytics import forecast_vs_actual, lead_time_error
@@ -50,17 +50,24 @@ def run_uscrn(
     *,
     watermark=None,
     convert_to_f: bool = True,
-) -> None:
-    """Raw hourly lines → uscrn main table (reference uscrn_dag §3.1)."""
+) -> dict:
+    """Raw hourly lines → uscrn main table (reference uscrn_dag §3.1).
+    Returns load metrics ({n_rows})."""
     df = parse_uscrn_lines(lines, locations, convert_to_f=convert_to_f)
     if watermark is not None:
         df = df.filter(F.col("utc_datetime") > F.lit(watermark))
+    # A6/C4: in-plan metrics (reference logged row counts task-side,
+    # uscrn_dag.py:264); observe() rides the write action, costing no
+    # extra pass at any scale.
+    obs = Observation("uscrn_load")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     warehouse.load(
         _with_partition(df),
         "uscrn",
         key_cols=["wbanno", "utc_datetime"],
         partition_col=PARTITION_COL,
     )
+    return dict(obs.get)
 
 
 def run_wind(
@@ -70,11 +77,18 @@ def run_wind(
     locations: DataFrame,
     *,
     watermark=None,
-) -> None:
+) -> dict:
     """Raw 5-min wind lines → hourly uscrn_wind table (reference
     uscrn_wind_dag §3.3: watermark → filter → project → group-agg →
     append, literally)."""
     parsed = parse_wind_lines(lines, locations, watermark=watermark)
+    # bad-row ratio metric (the reference's QC log, uscrn_wind_dag.py:162)
+    obs = Observation("wind_qc")
+    parsed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum(F.col("bad_row").cast("long")).alias("n_bad"),
+    )
     hourly = hourly_wind_avg(parsed)
     warehouse.load(
         _with_partition(hourly),
@@ -82,6 +96,9 @@ def run_wind(
         key_cols=["wbanno", "utc_datetime"],
         partition_col=PARTITION_COL,
     )
+    m = dict(obs.get)
+    m["bad_ratio"] = (m["n_bad"] or 0) / m["n_readings"] if m["n_readings"] else 0.0
+    return m
 
 
 def run_nws(

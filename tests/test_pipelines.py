@@ -25,7 +25,8 @@ def _lines(spark, rows):
 
 def test_uscrn_pipeline_end_to_end(spark, wh, locations, tmp_path):
     rows = [uscrn_line(utc_time=1100), uscrn_line(utc_time=1200), uscrn_line(wbanno="99999")]
-    run_uscrn(spark, wh, _lines(spark, rows), locations)
+    metrics = run_uscrn(spark, wh, _lines(spark, rows), locations)
+    assert metrics["n_rows"] == 2
     main = wh.read("uscrn")
     assert main.count() == 2  # unknown wbanno filtered
     assert "utc_date" in main.columns and "date_added_utc" in main.columns
@@ -41,12 +42,17 @@ def test_wind_pipeline_with_watermark(spark, wh, locations):
         wind_line(utc_time=1105, wind=2.0),
         wind_line(utc_time=1205, wind=4.0),
         wind_line(utc_time=1210, wind=6.0),
+        wind_line(utc_time=1215, wind=8.0, flag="3"),  # QC-bad, metric only
     ]
-    run_wind(spark, wh, _lines(spark, rows), locations,
-             watermark=dt.datetime(2023, 1, 15, 12, 0))
+    metrics = run_wind(spark, wh, _lines(spark, rows), locations,
+                       watermark=dt.datetime(2023, 1, 15, 12, 0))
     out = wh.read("uscrn_wind").collect()
     assert len(out) == 1  # 11:xx pruned by watermark
     assert out[0].wind_hr_avg == 5.0
+    # observe() metrics ride the write action (A6/C4)
+    assert metrics["n_readings"] == 3  # post-watermark readings
+    assert metrics["n_bad"] == 1
+    assert abs(metrics["bad_ratio"] - 1 / 3) < 1e-9
 
 
 def test_nws_snapshot_semantics(spark, wh):
