@@ -890,6 +890,40 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 """
 
 
+def q35_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase aggregate (salted on 16 buckets) — must be
+    value-identical to the plain GROUP BY the oracle runs; integer-cents
+    mean as in q13/q16 so the equality is exact."""
+    from alaska_etl_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "cents"),
+            "_s": ("sum", "cents"),
+            "max_v_c": ("max", "cents"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.expr("(2 * _s + n) div (2 * n)") / F.lit(100.0)).alias("avg_v"),
+        (F.col("max_v_c") / F.lit(100.0)).alias("max_v"),
+    )
+
+
+Q35_SQL = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type, count(cents) AS n,
+       ((2 * sum(cents) + count(cents)) // (2 * count(cents))) / 100.0 AS avg_v,
+       max(cents) / 100.0 AS max_v
+FROM e GROUP BY event_type
+"""
+
+
 def q34_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream: 30-min inactivity
     gap, per-session stats (the lag + running-sum two-window plan)."""
@@ -1040,6 +1074,7 @@ QUERIES = {
     "q32_media_decode": q32_media_decode,
     "q33_frame_sample": q33_frame_sample,
     "q34_sessionize": q34_sessionize,
+    "q35_salted_agg": q35_salted_agg,
 }
 
 ORACLES = {
@@ -1074,5 +1109,6 @@ ORACLES = {
     "q32_media_decode": Q32_SQL,
     "q33_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
+    "q35_salted_agg": Q35_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }
