@@ -216,6 +216,50 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, text) → (_id, _g) rows: hashed word-n-gram shingles as ROWS,
+    not arrays — the codegen-friendly formulation.
+
+    Array higher-order functions (transform/aggregate lambdas) run
+    interpreted in Spark, and building shingle arrays that way measured
+    ~10 interpreted ops per shingle — the hot-path cost at any scale.
+    Here the only HOF is the one-pass tokenizer; everything after is
+    whole-stage-codegen relational ops: posexplode tokens → window
+    ``lead`` over (id, pos) to form the n-gram → modular hash in a
+    projection. Docs shorter than ``n`` tokens contribute one fold-hash
+    of all their tokens (same value as :func:`hashed_shingles`).
+    """
+    toks = word_tokens(text_col)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("_id", "pos", F.pmod(F.xxhash64("_t"), F.lit(1 << 31)).alias("_h"))
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    g = F.col("_h")
+    for j in range(1, n):
+        g = F.pmod(g * F.lit(1_000_003) + F.lead("_h", j).over(w), F.lit(1 << 31))
+    with_n = ex.withColumn("_n", cnt).withColumn("_g", g)
+    full = with_n.filter(F.col("pos") + F.lit(n - 1) < F.col("_n")).select("_id", "_g")
+    shorts = (
+        with_n.filter(F.col("_n") < n)
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_h"))).alias("_ph"))
+        .select(
+            "_id",
+            F.aggregate(
+                "_ph",
+                F.lit(0).cast("bigint"),
+                lambda acc, s: F.pmod(
+                    acc * F.lit(1_000_003) + s.getField("_h"), F.lit(1 << 31)
+                ),
+            ).alias("_g"),
+        )
+    )
+    return full.unionByName(shorts)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -229,9 +273,10 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
-    Plan: shingle → signature → explode into ``bands`` band-hashes →
-    self-join on (band, band_hash) carrying ONLY ids → distinct candidate
-    pairs → re-join shingle sets by id → exact Jaccard verification.
+    Plan: gram rows → signature (one hash-aggregate) → explode into
+    ``bands`` band-hashes → self-join on (band, band_hash) carrying ONLY
+    ids → distinct candidate pairs → re-join shingle sets by id → exact
+    Jaccard verification over the hashed shingle sets.
 
     The id-only band join is the load-bearing scale decision: the
     exploded rows that shuffle are (id, band, bh) — 24 bytes — and the
@@ -246,8 +291,20 @@ def minhash_near_dup_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
-    shingle_tbl = hashed_shingles(df, id_col, text_col, n)
-    base = minhash_signatures_grouped(shingle_tbl, num_hashes, seed)
+    grams = gram_rows(df, id_col, text_col, n)
+    # signature: ONE hash-aggregate with num_hashes min() columns — and
+    # because the window already partitioned by _id, both this aggregate
+    # and the shingle-set aggregate below are shuffle-free.
+    mins = [
+        F.min((F.lit(a) * F.col("_g") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    base = (
+        grams.groupBy("_id")
+        .agg(*mins)
+        .select("_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig"))
+    )
+    shingle_tbl = grams.groupBy("_id").agg(F.collect_set("_g").alias("_sh"))
 
     # bands is a plain Python int → unroll the band structs driver-side
     # (also avoids PySpark's nested-HOF lambda-capture limitation)

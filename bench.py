@@ -38,6 +38,9 @@ HEADLINE = [
     "q27_cosine_topk",
     "q29_minhash_lsh",
     "q31_ivf_ann",
+    "q32_media_decode",
+    "q34_sessionize",
+    "q35_salted_agg",
 ]
 
 
