@@ -890,6 +890,69 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 """
 
 
+def q36_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with an anti-join exclusion list (distinct aggregate after a
+    join — the shuffle-heavy reporting shape)."""
+    p, ps = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    excluded = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        ps.join(excluded, ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q36_SQL = """
+SELECT p_type, p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_brand
+"""
+
+
+def q37_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — revenue from
+    lineitems below 50% of their part's average quantity. Spark plans
+    the correlation as an aggregate + equi-join (no per-row subquery
+    execution), same as any warehouse engine should."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    li_c = li.withColumn("qty_c", _cents(F.col("l_quantity"))).withColumn(
+        "price_c", _cents(F.col("l_extendedprice"))
+    )
+    avg_qty = li_c.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty_c").alias("_sq"), F.count(F.lit(1)).alias("_nq")
+    )
+    return (
+        li_c.join(avg_qty, li_c.l_partkey == avg_qty._pk)
+        .join(p.filter(F.col("p_size") >= 40), li_c.l_partkey == p.p_partkey)
+        .filter(F.lit(2) * F.col("qty_c") * F.col("_nq") < F.col("_sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.coalesce(F.sum("price_c"), F.lit(0)).alias("_s"),
+        )
+        .select("n_small", (F.col("_s") / F.lit(100.0)).alias("small_revenue"))
+    )
+
+
+Q37_SQL = """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem),
+a AS (SELECT l_partkey AS pk, sum(qty_c) AS sq, count(*) AS nq FROM li GROUP BY 1)
+SELECT count(*) AS n_small, coalesce(sum(price_c), 0) / 100.0 AS small_revenue
+FROM li
+JOIN a ON li.l_partkey = a.pk
+JOIN part ON li.l_partkey = p_partkey
+WHERE p_size >= 40 AND 2 * qty_c * nq < sq
+"""
+
+
 def q35_salted_agg(spark, sf_dir):
     """Skew-proof two-phase aggregate (salted on 16 buckets) — must be
     value-identical to the plain GROUP BY the oracle runs; integer-cents
@@ -1075,6 +1138,8 @@ QUERIES = {
     "q33_frame_sample": q33_frame_sample,
     "q34_sessionize": q34_sessionize,
     "q35_salted_agg": q35_salted_agg,
+    "q36_supplier_counts": q36_supplier_counts,
+    "q37_small_quantity_revenue": q37_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -1110,5 +1175,7 @@ ORACLES = {
     "q33_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
     "q35_salted_agg": Q35_SQL,
+    "q36_supplier_counts": Q36_SQL,
+    "q37_small_quantity_revenue": Q37_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }

@@ -106,6 +106,35 @@ def stream_hourly_wind(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization via ``F.session_window`` — the
+    incremental twin of ``operators.sessions.session_stats``: for every
+    closed session, (keys, session_start, session_end, n_events,
+    duration_s). State is one row per OPEN session per key, bounded by
+    the watermark; a session closes (and emits exactly once, append
+    mode) when event time passes its end + gap + delay."""
+    evt = events.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+    agg = (
+        evt.withWatermark("_evt", watermark_delay)
+        .groupBy(F.session_window("_evt", gap).alias("_w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("_w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        (F.col("_w.end").cast("long") - F.col("_w.start").cast("long")).alias("window_s"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,

@@ -10,6 +10,7 @@ from alaska_etl_spark.sources.wind import hourly_wind_avg, parse_wind_lines
 from alaska_etl_spark.streaming.incremental import (
     run_available_now,
     stream_hourly_wind,
+    stream_sessionize,
     stream_uscrn,
     stream_wind_readings,
 )
@@ -85,3 +86,46 @@ def test_windowed_hourly_matches_batch(spark, locations, tmp_path):
     }
     assert streamed == batch  # closed windows agree; 16:00 window still open
     assert streamed[("26494", dt.datetime(2023, 1, 15, 12, 0))] == 3.0
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessions == batch gap-sessionization for closed
+    sessions: same session_start and n_events; the streaming session_end
+    is last-event + gap by definition."""
+    from alaska_etl_spark.operators.sessions import session_stats
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    base = dt.datetime(2023, 6, 1, 10, 0)
+    evs = [
+        ("u1", base), ("u1", base + dt.timedelta(minutes=10)),
+        ("u1", base + dt.timedelta(minutes=90)),   # new session (80min gap)
+        ("u2", base + dt.timedelta(minutes=5)),
+    ]
+    (src / "e1.json").write_text(
+        "\n".join(f'{{"user_id": "{u}", "ts": "{t:%Y-%m-%d %H:%M:%S}"}}' for u, t in evs)
+    )
+    stream = spark.readStream.schema("user_id string, ts timestamp").json(str(src))
+    run_available_now(
+        stream_sessionize(stream, key_cols=["user_id"], ts_col="ts", gap="30 minutes"),
+        str(out), str(ckpt),
+    )
+    # advance the watermark far enough to close every session above
+    (src / "e2.json").write_text('{"user_id": "zz", "ts": "2023-06-02 00:00:00"}')
+    run_available_now(
+        stream_sessionize(stream, key_cols=["user_id"], ts_col="ts", gap="30 minutes"),
+        str(out), str(ckpt),
+    )
+    streamed = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    bdf = spark.createDataFrame(evs, "user_id string, ts timestamp_ntz")
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_stats(bdf, key_cols=["user_id"], ts_col="ts", gap="30 minutes").collect()
+    }
+    assert batch.items() <= streamed.items()  # every closed batch session present
+    assert streamed[("u1", base)] == 2
+    assert streamed[("u1", base + dt.timedelta(minutes=90))] == 1
