@@ -136,6 +136,75 @@ def assign_buckets(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 16,
+):
+    """One-time IVF build: (centroids, corpus-with-centroid_id). Persist
+    the assignment partitioned by ``centroid_id`` (see
+    :func:`write_ivf_index`) and searches prune to nprobe/ncells of the
+    data at the *file* level — the 100 TB serving path."""
+    cents = _centroids(corpus, id_col, vec_col, ncells)
+    assigned = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
+    return cents, assigned
+
+
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist the bucket assignment partitioned by centroid_id: each
+    cell is its own partition directory, so a probe of k cells reads
+    exactly k directories (partition pruning, visible as PartitionFilters
+    in the scan)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_search(
+    spark,
+    centroids: DataFrame,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Search a persisted IVF index. Probe cells are computed from the
+    (broadcast-sized) centroid set and collected to the driver — a few
+    ints — so the cell predicate is a literal ``isin`` that prunes
+    parquet partitions before any row is read."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = q.join(F.broadcast(centroids), F.lit(True)).select(
+        "query_id", "_qv", "centroid_id",
+        cosine_sim(F.col("_qv"), F.col("centroid")).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("centroid_id").asc())
+    probes = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    cells = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+
+    index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(cells))
+    sim = cosine_sim(F.col("_qv"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    cand = (
+        index.join(probes, "centroid_id")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -59,3 +59,33 @@ def test_ivf_never_returns_self(spark):
     c = _corpus(spark)
     out = ivf_topk(c, c.filter("vec_id = 0"), k=5, ncells=4, nprobe=4).collect()
     assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
+    """The serving path: build once, persist partitioned by cell, and a
+    search's scan carries a centroid_id partition filter — only probed
+    cell directories are read."""
+    from alaska_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        write_ivf_index,
+    )
+
+    c = _corpus(spark)
+    cents, assigned = build_ivf_index(c, ncells=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+    assert len(list((tmp_path / "ivf").glob("centroid_id=*"))) == 4
+
+    q = c.filter("vec_id = 0")
+    out = ivf_search(spark, cents, path, q, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]  # pruned scan
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.neighbor_id < 100 for r in rows)  # cluster-A neighbors
+
+    # parity with the inline ivf_topk at same params
+    inline = {(r.rank, r.neighbor_id) for r in ivf_topk(c, q, k=3, ncells=4, nprobe=2).collect()}
+    persisted = {(r.rank, r.neighbor_id) for r in rows}
+    assert persisted == inline
