@@ -30,6 +30,35 @@ from pyspark.sql import functions as F
 AUDIT_COL = "date_added_utc"
 
 
+class SchemaViolation(ValueError):
+    """Raised by :func:`assert_schema` with per-column null counts."""
+
+
+def assert_schema(df: DataFrame, schema, *, sample_action: bool = True) -> None:
+    """K7 made pre-flight: the reference parsed BigQuery's 'Required
+    column value for column index N' load error and rewrote it with the
+    column *name* (reference nws_dag.py:174-185). We check non-nullable
+    columns BEFORE the write — one aggregate pass — and raise with every
+    offending column and its null count at once, instead of one opaque
+    index per failed load attempt.
+
+    Also verifies every schema column exists (missing columns are a
+    plan-time error with the full missing list).
+    """
+    missing = [f.name for f in schema.fields if f.name not in df.columns and f.name != AUDIT_COL]
+    if missing:
+        raise SchemaViolation(f"missing columns: {missing}")
+    required = [f.name for f in schema.fields if not f.nullable and f.name in df.columns]
+    if not required or not sample_action:
+        return
+    counts = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in required]
+    ).collect()[0]
+    bad = {c: counts[c] for c in required if counts[c]}
+    if bad:
+        raise SchemaViolation(f"nulls in REQUIRED columns: {bad}")
+
+
 def row_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Stable content hash over key columns (NULL-safe, \\x1f-separated)."""
     return df.withColumn(

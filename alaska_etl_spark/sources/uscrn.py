@@ -126,8 +126,23 @@ def parse_uscrn_lines(
     return df
 
 
-def read_uscrn(spark, paths, locations: DataFrame, **kwargs) -> DataFrame:
+def read_uscrn(
+    spark, paths, locations: DataFrame, *, modified_after=None, **kwargs
+) -> DataFrame:
     """``spark.read.text`` over raw USCRN files → typed rows. At scale
     the scan splits by file block; `input_file_name()` is available for
-    provenance if callers need it."""
-    return parse_uscrn_lines(spark.read.text(paths), locations, **kwargs)
+    provenance if callers need it.
+
+    ``modified_after`` (datetime or 'YYYY-MM-DDTHH:MM:SS' string) maps
+    the reference's updates-page watermark scan (S3, uscrn_dag.py:114-131)
+    onto the file source's own mtime filter — unselected files are never
+    opened."""
+    reader = spark.read
+    if modified_after is not None:
+        stamp = (
+            modified_after
+            if isinstance(modified_after, str)
+            else modified_after.strftime("%Y-%m-%dT%H:%M:%S")
+        )
+        reader = reader.option("modifiedAfter", stamp)
+    return parse_uscrn_lines(reader.text(paths), locations, **kwargs)

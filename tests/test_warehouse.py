@@ -60,6 +60,53 @@ def test_partitioned_write(spark, wh, tmp_path):
     assert wh.read("t").count() == 2
 
 
+def test_assert_schema_reports_all_violations(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from alaska_etl_spark.plans.warehouse import SchemaViolation, assert_schema
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("name", StringType(), False),
+            StructField("opt", StringType(), True),
+        ]
+    )
+    ok = spark.createDataFrame([(1, "a", None)], "k bigint, name string, opt string")
+    assert_schema(ok, schema)  # no raise
+
+    bad = spark.createDataFrame(
+        [(1, None, None), (None, None, "x")], "k bigint, name string, opt string"
+    )
+    with pytest.raises(SchemaViolation) as e:
+        assert_schema(bad, schema)
+    msg = str(e.value)
+    assert "'k': 1" in msg and "'name': 2" in msg and "opt" not in msg
+
+    with pytest.raises(SchemaViolation, match="missing columns"):
+        assert_schema(ok.drop("name"), schema)
+
+
+def test_read_uscrn_modified_after(spark, locations, tmp_path):
+    """S3 watermark scan via the file source's mtime filter: older files
+    are never opened."""
+    import os
+
+    from alaska_etl_spark.sources.uscrn import read_uscrn
+    from tests.conftest import uscrn_line
+
+    old, new = tmp_path / "old.txt", tmp_path / "new.txt"
+    old.write_text(uscrn_line(utc_time=1100) + "\n")
+    new.write_text(uscrn_line(utc_time=1200) + "\n")
+    os.utime(old, (1500000000, 1500000000))  # 2017
+    os.utime(new, (1700000000, 1700000000))  # 2023
+
+    got = read_uscrn(spark, str(tmp_path), locations, modified_after="2020-01-01T00:00:00")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0].utc_datetime.hour == 12
+
+
 def test_same_key_different_payload_appends(spark, wh):
     """The hash covers key_cols only — a changed payload with the same
     key is a new snapshot row (snapshot-append semantics, SURVEY §1.1)."""
