@@ -125,6 +125,13 @@ class Warehouse:
         staged = staging_df if staging_df is not None else self.read_staging(table)
         staged = row_hash(staged, key_cols)
 
+        # Empty batches are a no-op: a 0-row partitioned parquet write
+        # produces no data files (an unreadable "table"), and appending
+        # nothing needs no audit row. The main table appears on the
+        # first non-empty load.
+        if staged.isEmpty():
+            return
+
         if self.table_exists(table):
             existing = row_hash(self.read(table), key_cols).select("_row_hash")
             # staging batch is the small side → broadcast it; main-side
