@@ -890,6 +890,110 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 """
 
 
+def q38_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90) per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition; inputs are exact cents so both engines
+    interpolate the same doubles (rounded 4dp for the hash)."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(cents, 0.5)") / 100.0, 4).alias("p50"),
+            F.round(F.expr("percentile(cents, 0.9)") / 100.0, 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+Q38_SQL = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5) / 100.0, 4) AS p50,
+       round(quantile_cont(cents, 0.9) / 100.0, 4) AS p90,
+       count(*) AS n
+FROM e GROUP BY event_type
+"""
+
+
+def q39_ranking_suite(spark, sf_dir):
+    """The full ranking-function family over one window: row_number,
+    rank, dense_rank, ntile, and integer-exact percent_rank (scaled by
+    1e6 into a bigint so float formatting can't flip the hash)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w) * 1000000).cast("bigint").alias("pr_ppm"),
+    )
+
+
+Q39_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       ntile(4) OVER w AS quartile,
+       CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm
+FROM orders WHERE o_totalprice > 490000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q40_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics: nations with BUILDING-segment
+    customers vs nations with negative-balance suppliers."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    negsup = s.filter(F.col("s_acctbal") < 0).select(F.col("s_nationkey").alias("c_nationkey")).distinct()
+    both = building.intersect(negsup).select("c_nationkey", F.lit("both").alias("bucket"))
+    only_b = building.exceptAll(negsup).select("c_nationkey", F.lit("building_only").alias("bucket"))
+    return both.unionByName(only_b)
+
+
+Q40_SQL = """
+WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     n AS (SELECT DISTINCT s_nationkey AS c_nationkey FROM supplier WHERE s_acctbal < 0)
+SELECT c_nationkey, 'both' AS bucket FROM (SELECT * FROM b INTERSECT SELECT * FROM n)
+UNION ALL
+SELECT c_nationkey, 'building_only' AS bucket FROM (SELECT * FROM b EXCEPT SELECT * FROM n)
+"""
+
+
+def q41_cube(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) — all four
+    grouping combinations in one pass (beyond the reference's surface;
+    standard warehouse capability next to q19's ROLLUP)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("qty_c", _cents(F.col("l_quantity")))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("qty_c").alias("_s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            (F.col("_s") / F.lit(100.0)).alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+Q41_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q36_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier counts per part attribute
     group, with an anti-join exclusion list (distinct aggregate after a
@@ -1140,6 +1244,10 @@ QUERIES = {
     "q35_salted_agg": q35_salted_agg,
     "q36_supplier_counts": q36_supplier_counts,
     "q37_small_quantity_revenue": q37_small_quantity_revenue,
+    "q38_percentiles": q38_percentiles,
+    "q39_ranking_suite": q39_ranking_suite,
+    "q40_set_ops": q40_set_ops,
+    "q41_cube": q41_cube,
 }
 
 ORACLES = {
@@ -1177,5 +1285,9 @@ ORACLES = {
     "q35_salted_agg": Q35_SQL,
     "q36_supplier_counts": Q36_SQL,
     "q37_small_quantity_revenue": Q37_SQL,
+    "q38_percentiles": Q38_SQL,
+    "q39_ranking_suite": Q39_SQL,
+    "q40_set_ops": Q40_SQL,
+    "q41_cube": Q41_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }
