@@ -534,6 +534,70 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate groups (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, *, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """(id_a, id_b) edges → (id, component) where component is the
+    minimum id reachable from ``id`` — turning near-dup PAIRS into dup
+    GROUPS (pick min(id) per component as the canonical survivor).
+
+    Iterative min-label propagation: each round joins every node's
+    current label against its neighbors' labels and keeps the min;
+    converges in O(diameter) rounds (dup clusters are near-cliques from
+    LSH, so diameter is tiny — 2-4 rounds in practice). Each round is
+    two shuffles over (node, label) pairs; at 100 TB checkpoint every
+    few rounds to cut lineage. Driver-side work is ONE boolean
+    (converged?) per round, not data.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("new_component"),
+                "component",
+            )
+        )
+        changed = updated.filter(F.col("new_component") < F.col("component")).limit(1).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_groups(
+    pairs: DataFrame, *, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → one row per duplicate group:
+    (component, member_count, keep_id) with keep_id = min member (the
+    deterministic survivor; drop everything else)."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.min("id").alias("keep_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

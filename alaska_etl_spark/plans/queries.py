@@ -890,6 +890,63 @@ WHERE b.vec_id < 100 AND a.vec_id < 100
 """
 
 
+def q42_dup_groups(spark, sf_dir):
+    """Near-dup pairs → duplicate GROUPS via distributed connected
+    components (iterative min-label propagation). Edges are q26's exact
+    Jaccard pairs; the oracle computes the same components with a
+    recursive CTE — the iterative-algorithm category, still hash-checked.
+    """
+    from alaska_etl_spark.operators.dedup import dup_groups, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_id=200).select(
+        "id_a", "id_b"
+    )
+    return dup_groups(pairs)
+
+
+# Edge set: exact word-3-gram Jaccard >= 0.5 over doc_id < 200 (3-gram
+# shingles as in operators.dedup.shingles: k = max(tokens-2, 1) slices).
+_Q42_PAIRS_SQL = r"""
+  WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+    FROM documents WHERE doc_id < 200
+  ), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 2, 1)),
+             i -> array_to_string(tk[i:i+2], ' '))) AS s
+    FROM toks
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.s, b.s))
+        >= len(list_distinct(list_concat(a.s, b.s)))
+"""
+
+# The recursive CTE reaches min-reachable-id per node: component(id) =
+# min over the closure of neighbors; DuckDB evaluates it to fixpoint.
+Q42_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _Q42_PAIRS_SQL
+    + "), edges AS (\n"
+    + """
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component, CAST(count(*) AS BIGINT) AS member_count, min(id) AS keep_id
+FROM comp GROUP BY component
+"""
+)
+
+
 def q38_percentiles(spark, sf_dir):
     """Exact percentiles (median / p90) per event type — Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
@@ -1248,6 +1305,7 @@ QUERIES = {
     "q39_ranking_suite": q39_ranking_suite,
     "q40_set_ops": q40_set_ops,
     "q41_cube": q41_cube,
+    "q42_dup_groups": q42_dup_groups,
 }
 
 ORACLES = {
@@ -1289,5 +1347,6 @@ ORACLES = {
     "q39_ranking_suite": Q39_SQL,
     "q40_set_ops": Q40_SQL,
     "q41_cube": Q41_SQL,
+    "q42_dup_groups": Q42_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }

@@ -106,6 +106,20 @@ def test_hashed_shingles_short_doc(spark):
     assert out[0]._sh == out[1]._sh  # identical short docs hash identically
 
 
+def test_connected_components_groups(spark):
+    """Chain 1-2-3, pair 10-11, chain 20-21-22 (via separate edges) —
+    min-label propagation finds min-id components."""
+    from alaska_etl_spark.operators.dedup import connected_components, dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (21, 22)], "id_a bigint, id_b bigint"
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    groups = {r.component: (r.member_count, r.keep_id) for r in dup_groups(pairs).collect()}
+    assert groups == {1: (3, 1), 10: (2, 10), 20: (3, 20)}
+
+
 def test_embedding_near_dup(spark):
     df = spark.createDataFrame(
         [
