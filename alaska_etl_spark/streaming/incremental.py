@@ -106,6 +106,28 @@ def stream_hourly_wind(
     )
 
 
+def stream_dedup_keyed(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming A5: keep the first arrival per key, with state bounded
+    by the event-time watermark (``dropDuplicatesWithinWatermark`` —
+    duplicates arriving within the delay are dropped; state for keys
+    older than the watermark is evicted, so this runs forever at 100 TB
+    where an unbounded dropDuplicates would OOM). Cross-batch dedup
+    beyond the watermark horizon is the sink protocol's hash anti-join,
+    same as batch."""
+    evt = events.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+    return (
+        evt.withWatermark("_evt", watermark_delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("_evt")
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     *,

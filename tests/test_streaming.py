@@ -88,6 +88,26 @@ def test_windowed_hourly_matches_batch(spark, locations, tmp_path):
     assert streamed[("26494", dt.datetime(2023, 1, 15, 12, 0))] == 3.0
 
 
+def test_stream_dedup_keyed(spark, tmp_path):
+    """Duplicate keys within the watermark horizon are dropped; first
+    arrival survives."""
+    from alaska_etl_spark.streaming.incremental import stream_dedup_keyed
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "e1.json").write_text(
+        '{"k": "a", "ts": "2023-06-01 10:00:00", "v": 1}\n'
+        '{"k": "a", "ts": "2023-06-01 10:05:00", "v": 2}\n'
+        '{"k": "b", "ts": "2023-06-01 10:01:00", "v": 3}\n'
+    )
+    stream = spark.readStream.schema("k string, ts timestamp, v bigint").json(str(src))
+    run_available_now(
+        stream_dedup_keyed(stream, key_cols=["k"], ts_col="ts"), str(out), str(ckpt)
+    )
+    got = {r.k: r.v for r in spark.read.parquet(str(out)).collect()}
+    assert got == {"a": 1, "b": 3}
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_path):
     """session_window sessions == batch gap-sessionization for closed
     sessions: same session_start and n_events; the streaming session_end
