@@ -113,6 +113,77 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.xxhash64(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    w: int = 5,
+    base: int = 31,
+    modulus: int = 2_147_483_647,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm).
+
+    Polynomial rolling hash over token ``k``-grams, then the minimum
+    hash of every ``w``-gram window is selected; the distinct selected
+    hashes per document are its fingerprint set. Two documents sharing a
+    run of ≥ ``k + w - 1`` tokens are guaranteed to share a fingerprint,
+    which makes the output directly joinable for partial-overlap /
+    containment detection (a different axis than MinHash's whole-doc
+    resemblance).
+
+    Execution shape (100 TB story): tokenize + posexplode are
+    narrow/local; the only shuffle is hash-partitioning by ``id_col``
+    for the per-document windows, after which lead/min/row_number all
+    share ONE sort within the same partitioning (single Window exchange,
+    whole-stage codegen throughout — no interpreted array HOFs in the
+    hot path, per the gram-row formulation notes in dedup.gram_rows).
+
+    Arithmetic is engine-portable on purpose: token hash = first 8 hex
+    chars of md5 reduced mod ``modulus`` (31-bit), so the k-gram
+    polynomial stays < 2^48 — exact under ANSI mode and identical in the
+    DuckDB oracle.
+
+    Returns distinct ``(id_col, fp)`` rows.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "tok")
+    ).filter(F.col("pos").isNotNull())
+    th = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"), F.lit(modulus)
+    )
+    rows = rows.select("_id", "pos", th.alias("th"))
+
+    w_ord = Window.partitionBy("_id").orderBy("pos")
+    gram = F.lit(0).cast("bigint")
+    for i in range(k):
+        term = F.col("th") if i == 0 else F.lead("th", i).over(w_ord)
+        gram = gram + term * (base ** (k - 1 - i))
+    grams = (
+        rows.select("_id", "pos", F.pmod(gram, F.lit(modulus)).alias("gh"))
+        .filter(F.col("gh").isNotNull())  # drop ragged tail (< k tokens left)
+    )
+
+    w_min = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    wins = grams.select(
+        "_id",
+        F.min("gh").over(w_min).alias("fp"),
+        F.row_number().over(Window.partitionBy("_id").orderBy("pos")).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    return (
+        wins.filter(F.col("_rn") <= F.col("_n") - (w - 1))  # full windows only
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents DataFrame."""
     return (

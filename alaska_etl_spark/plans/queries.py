@@ -1259,6 +1259,49 @@ def q31_ivf_ann(spark, sf_dir):
     )
 
 
+def q43_winnow_fingerprint(spark, sf_dir):
+    """Document fingerprinting via rolling hash + winnowing (the MOSS
+    scheme): distinct selected k-gram hashes per document, joinable for
+    partial-overlap detection. Complements q25 (whole-content hash) and
+    q29 (whole-doc resemblance)."""
+    d = _t(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(d, "doc_id", "text", k=4, w=5)
+
+
+# Same arithmetic, DuckDB dialect: hex→int via list_reduce (DuckDB has no
+# conv()), zipped unnest+generate_subscripts for posexplode, QUALIFY for
+# the ragged-tail filter. Constants: base 31 (31^3=29791, 31^2=961),
+# modulus 2^31-1.
+Q43_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id,
+         generate_subscripts(tk, 1) AS pos,
+         list_reduce(list_transform(string_split(substr(md5(unnest(tk)), 1, 8), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)
+           % 2147483647 AS th
+  FROM toks
+), grams AS (
+  SELECT doc_id, pos,
+         (th * 29791 + lead(th,1) OVER w * 961 + lead(th,2) OVER w * 31 + lead(th,3) OVER w)
+           % 2147483647 AS gh
+  FROM tok_rows
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(th,3) OVER w IS NOT NULL
+), wins AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= n_grams - 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1306,6 +1349,7 @@ QUERIES = {
     "q40_set_ops": q40_set_ops,
     "q41_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
+    "q43_winnow_fingerprint": q43_winnow_fingerprint,
 }
 
 ORACLES = {
@@ -1348,5 +1392,6 @@ ORACLES = {
     "q40_set_ops": Q40_SQL,
     "q41_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
+    "q43_winnow_fingerprint": Q43_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }

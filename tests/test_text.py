@@ -42,6 +42,34 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert a != c
 
 
+def test_winnowing_guarantee_and_sensitivity(spark):
+    # winnowing guarantee: a shared token run of >= k+w-1 (=8) tokens
+    # must produce at least one shared fingerprint; disjoint texts none.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing bits here"),
+            (2, f"{shared} completely different ending tokens"),
+            (3, "nothing in common with the others at all whatsoever today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = T.winnowing_fingerprints(df, "doc_id", "text", k=4, w=5)
+    sets = {
+        r.doc_id: set(r.s)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("s")).collect()
+    }
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+
+def test_winnowing_short_doc_empty(spark):
+    # fewer than k+w-1 tokens -> no full window -> no fingerprints
+    df = spark.createDataFrame([(1, "only five words right here")], "doc_id bigint, text string")
+    assert T.winnowing_fingerprints(df, "doc_id", "text", k=4, w=5).count() == 0
+
+
 def test_text_profile_columns(spark):
     df = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
     out = T.text_profile(df)
