@@ -1302,6 +1302,380 @@ SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= n_grams - 4
 """
 
 
+def q44_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: large-large join (lineitem⋈orders, both sides
+    shuffle on orderkey) feeding conditional counts. The testdata schema
+    has no l_shipmode, so the critical/non-critical split uses
+    o_orderpriority — the operator shape (join + CASE-WHEN pivot counts)
+    is identical. At 100 TB both sides bucket by orderkey (see
+    plans/catalog.py) and the join is exchange-free."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q44_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q45_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a predicate inside the join
+    condition (not a post-filter — customers with zero qualifying orders
+    must survive with count 0), then a second aggregation over the first
+    aggregate's result. The classic skew case: the two-level group-by
+    means the second shuffle is tiny (distinct counts ≤ max orders per
+    customer)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != F.lit("5-LOW")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q45_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q46_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    for one month). The part join is AQE-broadcast at test scale and a
+    shuffled hash join at 100 TB (part ≪ lineitem always). Ratio is
+    computed in integer space — round-half-up (2·10⁴·p + t) div 2t —
+    so both engines agree on the boundary digit."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+        .select(
+            (F.expr("(2 * 10000 * _p + _t) div (2 * _t)") / F.lit(100.0)).alias("promo_pct")
+        )
+    )
+
+
+Q46_SQL = """
+WITH a AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS p,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS t
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT ((2 * 10000 * p + t) // (2 * t)) / 100.0 AS promo_pct FROM a
+"""
+
+
+def q47_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common conjuncts per side (p_brand ∈ {...} to
+    the part scan, l_quantity range to the lineitem scan) as pushed
+    filters BELOW the join, then re-applies the full disjunction above —
+    the textbook predicate-decomposition case."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.filter(clause)
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            (F.expr("(2 * _s + 100) div 200") / F.lit(100.0)).alias("revenue"), "n_rows"
+        )
+    )
+
+
+Q47_SQL = """
+WITH a AS (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s,
+         count(*) AS n_rows
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+SELECT ((2 * s + 100) // 200) / 100.0 AS revenue, n_rows FROM a
+"""
+
+
+def q48_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension (nation) joined in TWO roles —
+    supplier nation and customer nation — with a symmetric pair filter
+    and a per-year rollup. Both nation copies broadcast; the only
+    shuffles are the fact joins and the final small group-by."""
+    li, o, c, s, n = (
+        _t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer", "supplier", "nation"]
+    )
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(2 * _s + 100) div 200") / F.lit(100.0)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+Q48_SQL = """
+WITH a AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  GROUP BY 1, 2, 3)
+SELECT supp_nation, cust_nation, l_year,
+       ((2 * s + 100) // 200) / 100.0 AS revenue, n_items
+FROM a
+"""
+
+
+def q49_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+    Customers in a code bucket (custkey mod 10 — the schema has no phone
+    column) with above-average positive balance and no orders since
+    2000-01-01 (dormant; the synthetic data gives every customer at
+    least one lifetime order, so "no orders ever" would be vacuous).
+    The average comparison is exact integer cross-multiplication
+    (bal·n > Σbal), so no engine disagrees on boundary customers; the
+    anti-join is a broadcast of the distinct custkey set at test scale
+    and a shuffled left-anti at 100 TB."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    codes = [1, 3, 5, 7]
+    pool = c.filter(F.pmod(F.col("c_custkey"), F.lit(10)).isin(codes)).withColumn(
+        "bal_c", _cents(F.col("c_acctbal"))
+    )
+    thresh = pool.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("bal_c").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pool.join(F.broadcast(thresh))
+        .filter(F.col("bal_c") * F.col("_n") > F.col("_sum"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")),
+            pool.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.pmod(F.col("c_custkey"), F.lit(10)).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+Q49_SQL = """
+WITH pool AS (
+  SELECT c_custkey, c_custkey % 10 AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c, c_acctbal
+  FROM customer WHERE c_custkey % 10 IN (1, 3, 5, 7)),
+thresh AS (
+  SELECT sum(bal_c) AS s, count(*) AS n FROM pool WHERE c_acctbal > 0)
+SELECT cntrycode, count(*) AS numcust, sum(bal_c) / 100.0 AS totacctbal
+FROM pool, thresh
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+"""
+
+
+def q50_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate → scalar MAX over the aggregate →
+    equality filter back against it (ties all returned). The max is a
+    one-row broadcast, not a window over an unpartitioned frame — the
+    window form would funnel every supplier row through one task at
+    scale. Comparison happens on exact integer revenue units."""
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_r")
+        )
+    )
+    best = rev.agg(F.max("_r").alias("_m"))
+    return (
+        rev.join(F.broadcast(best), F.col("_r") == F.col("_m"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.expr("(2 * _r + 100) div 200") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+Q50_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ((2 * r + 100) // 200) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+
+def q51_sole_blame_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the
+    fact table. Suppliers whose item was returned ('R') on a finished
+    multi-supplier order where NO other supplier's item was returned —
+    i.e. uniquely at fault. Spark: left-semi (exists) then left-anti
+    (not exists) on (orderkey, suppkey≠), both plain shuffle joins on
+    l_orderkey sharing one exchange of the probe side. Top-10 with
+    unique s_name tie-break keeps the limit deterministic."""
+    li, o, s = (_t(spark, sf_dir, t) for t in ["lineitem", "orders", "supplier"])
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+Q51_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1350,6 +1724,14 @@ QUERIES = {
     "q41_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
     "q43_winnow_fingerprint": q43_winnow_fingerprint,
+    "q44_priority_shipping": q44_priority_shipping,
+    "q45_order_count_distribution": q45_order_count_distribution,
+    "q46_promo_revenue": q46_promo_revenue,
+    "q47_disjunctive_predicates": q47_disjunctive_predicates,
+    "q48_volume_shipping": q48_volume_shipping,
+    "q49_idle_customers": q49_idle_customers,
+    "q50_top_supplier": q50_top_supplier,
+    "q51_sole_blame_supplier": q51_sole_blame_supplier,
 }
 
 ORACLES = {
@@ -1393,5 +1775,13 @@ ORACLES = {
     "q41_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
     "q43_winnow_fingerprint": Q43_SQL,
+    "q44_priority_shipping": Q44_SQL,
+    "q45_order_count_distribution": Q45_SQL,
+    "q46_promo_revenue": Q46_SQL,
+    "q47_disjunctive_predicates": Q47_SQL,
+    "q48_volume_shipping": Q48_SQL,
+    "q49_idle_customers": Q49_SQL,
+    "q50_top_supplier": Q50_SQL,
+    "q51_sole_blame_supplier": Q51_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }

@@ -1,0 +1,66 @@
+"""Plan-shape pins for the TPC-H-shaped queries q44-q51: the point is
+not the answer (the DuckDB oracle gate covers that) but that Catalyst
+produces the plan we'd want at 100 TB — predicate decomposition, scalar
+broadcast instead of unpartitioned windows, semi/anti join strategies,
+and partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from alaska_etl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q47_disjunction_decomposed_to_both_scans(spark):
+    plan = _plan(spark, "q47_disjunctive_predicates")
+    # OR-of-ANDs must yield pushable per-side conjuncts BELOW the join:
+    # quantity range on the lineitem scan, brand/size on the part scan.
+    li_scan = next(l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l)
+    p_scan = next(l for l in plan.splitlines() if "FileScan" in l and "p_brand" in l)
+    assert "l_quantity" in li_scan and "DataFilters" in li_scan
+    assert "Brand#" in p_scan
+
+
+def test_q50_scalar_max_is_broadcast_not_window(spark):
+    plan = _plan(spark, "q50_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # window-over-everything would serialize
+
+
+def test_q51_exists_shapes_plan_as_semi_and_anti(spark):
+    plan = _plan(spark, "q51_sole_blame_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the returnflag filter must be pushed into the probe/build scans
+    assert plan.count("(l_returnflag") >= 2
+
+
+def test_q45_left_outer_with_partial_agg(spark):
+    plan = _plan(spark, "q45_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan  # map-side combine before each shuffle
+
+
+def test_q45_distribution_accounts_for_every_customer(spark):
+    out = QUERIES["q45_order_count_distribution"](spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.custdist for r in out) == n_cust
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q44_priority_shipping", "q46_promo_revenue", "q48_volume_shipping", "q49_idle_customers"],
+)
+def test_smoke_runs_and_returns(spark, name):
+    rows = QUERIES[name](spark, SF).collect()
+    assert rows is not None
+    if name == "q46_promo_revenue":
+        assert 0.0 <= rows[0].promo_pct <= 100.0
