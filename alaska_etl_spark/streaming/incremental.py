@@ -157,6 +157,77 @@ def stream_sessionize(
     )
 
 
+def stream_running_stats(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    ttl: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    cumulative (count, sum, last event time) maintained ACROSS batches —
+    the stateful-rollup shape none of the built-in windowed aggregates
+    express (they bound state by window; this keeps one running row per
+    key for the key's lifetime).
+
+    Each micro-batch emits one row per active key with the cumulative
+    values as of that batch (``is_final=false``); with ``ttl`` set, a
+    key idle longer than the TTL (processing time) is evicted and emits
+    a terminal ``is_final=true`` row, so state stays bounded on
+    unbounded key domains — the 100 TB requirement. State lives in the
+    checkpointed state store (RocksDB-able via
+    ``spark.sql.streaming.stateStore.providerClass`` with no code
+    change), partitioned by key hash across executors; batches arrive
+    as Arrow-backed pandas frames, so per-row Python cost is amortized.
+
+    The reference's analog is the watermark bookkeeping it rebuilds per
+    run from the sink (uscrn_dag.py:96-112) — here the engine owns it.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (
+        f"{key_fields}, n_events bigint, total double, "
+        "last_event_us bigint, is_final boolean"
+    )
+    state_schema = "n bigint, total double, last_us bigint"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, total, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[*key, n, total, last_us, True]],
+                columns=[*key_cols, "n_events", "total", "last_event_us", "is_final"],
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            if pd.notna(batch_max):
+                last_us = max(last_us, int(batch_max.value // 1_000))
+        state.update((n, total, last_us))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            [[*key, n, total, last_us, False]],
+            columns=[*key_cols, "n_events", "total", "last_event_us", "is_final"],
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,

@@ -108,6 +108,40 @@ def test_stream_dedup_keyed(spark, tmp_path):
     assert got == {"a": 1, "b": 3}
 
 
+def test_stream_running_stats_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key cumulative state across
+    micro-batches via the checkpointed state store: the second drain's
+    emission continues from the first drain's totals."""
+    from alaska_etl_spark.streaming.incremental import stream_running_stats
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"k": "a", "ts": "2023-06-01 10:00:00", "v": 1.5}\n'
+        '{"k": "a", "ts": "2023-06-01 10:05:00", "v": 2.5}\n'
+        '{"k": "b", "ts": "2023-06-01 10:01:00", "v": 10.0}\n'
+    )
+    stream = spark.readStream.schema("k string, ts timestamp, v double").json(str(src))
+    stats = lambda: stream_running_stats(  # noqa: E731
+        stream, key_cols=["k"], ts_col="ts", value_col="v"
+    )
+    run_available_now(stats(), str(out), str(ckpt))
+
+    (src / "b2.json").write_text('{"k": "a", "ts": "2023-06-01 11:00:00", "v": 4.0}\n')
+    run_available_now(stats(), str(out), str(ckpt))
+
+    rows = spark.read.parquet(str(out)).collect()
+    by_key = {}
+    for r in rows:  # keep the row with the highest n_events per key
+        if r.k not in by_key or r.n_events > by_key[r.k].n_events:
+            by_key[r.k] = r
+    assert by_key["a"].n_events == 3 and by_key["a"].total == 8.0  # cross-batch
+    assert by_key["b"].n_events == 1 and by_key["b"].total == 10.0
+    assert not by_key["a"].is_final
+    # first drain emitted the batch-1 cumulative row for 'a' too
+    assert any(r.k == "a" and r.n_events == 2 for r in rows)
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_path):
     """session_window sessions == batch gap-sessionization for closed
     sessions: same session_start and n_events; the streaming session_end
