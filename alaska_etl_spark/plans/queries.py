@@ -1676,6 +1676,52 @@ LIMIT 10
 """
 
 
+def q52_range_join(spark, sf_dir):
+    """Range (interval) join: every lineitem lands in the quantity band
+    whose [lo, hi) interval contains it — a non-equi join Spark executes
+    as BroadcastNestedLoopJoin against the tiny interval dim. That is
+    the correct 100 TB plan when the interval table is small (each fact
+    row tests a handful of intervals in memory, no shuffle); for LARGE
+    interval tables the scale path is binning both sides to an equi-join
+    key first (see operators/asof.py for the time-range variant of the
+    same idea). Revenue per (band, returnflag) proves the join fed an
+    aggregate, not just a filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("B1", 0.0, 10.0), ("B2", 10.0, 20.0), ("B3", 20.0, 30.0),
+         ("B4", 30.0, 40.0), ("B5", 40.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_s"),
+        )
+        .select(
+            "band",
+            "l_returnflag",
+            "n_items",
+            (F.col("_s") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+Q52_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('B1', 0.0, 10.0), ('B2', 10.0, 20.0), ('B3', 20.0, 30.0),
+         ('B4', 30.0, 40.0), ('B5', 40.0, 51.0))
+SELECT band, l_returnflag, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band, l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1732,6 +1778,7 @@ QUERIES = {
     "q49_idle_customers": q49_idle_customers,
     "q50_top_supplier": q50_top_supplier,
     "q51_sole_blame_supplier": q51_sole_blame_supplier,
+    "q52_range_join": q52_range_join,
 }
 
 ORACLES = {
@@ -1783,5 +1830,6 @@ ORACLES = {
     "q49_idle_customers": Q49_SQL,
     "q50_top_supplier": Q50_SQL,
     "q51_sole_blame_supplier": Q51_SQL,
+    "q52_range_join": Q52_SQL,
     # q29-q31: approximate ops — rows-only check by design
 }

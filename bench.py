@@ -10,7 +10,9 @@ The headline set covers every execution shape the engine must be fast
 at: wide-scan aggregate (q01), multi-join star (q02), top-k (q03),
 pushdown-filtered scan (q04), hourly rollup (q16), as-of join (q17),
 exact dedup (q25), text stats (q22), brute-force cosine top-k (q27),
-MinHash-LSH (q29), and IVF ANN (q31).
+MinHash-LSH (q29), IVF ANN (q31), winnowing fingerprints (q43),
+left-outer count distribution (q45), dual-role dim join (q48),
+semi/anti self-joins (q51), and broadcast range join (q52).
 
 Timing is end-to-end per query (plan + execute + collect-count): the
 same thing DuckDB pays for the oracle.
@@ -41,6 +43,11 @@ HEADLINE = [
     "q32_media_decode",
     "q34_sessionize",
     "q35_salted_agg",
+    "q43_winnow_fingerprint",
+    "q45_order_count_distribution",
+    "q48_volume_shipping",
+    "q51_sole_blame_supplier",
+    "q52_range_join",
 ]
 
 
