@@ -1,0 +1,64 @@
+"""Spark 4 Python DataSource ('uscrn' format): batch partition-per-file
+reads, integration with the Catalyst parse pipeline, and the streaming
+mtime-offset source (the reference's updates-page watermark as a
+checkpointed offset)."""
+
+from __future__ import annotations
+
+import os
+
+from alaska_etl_spark.sources.uscrn import parse_uscrn_lines
+from alaska_etl_spark.sources.uscrn_datasource import register
+from alaska_etl_spark.streaming.incremental import run_available_now
+from tests.conftest import uscrn_line
+
+
+def test_batch_read_partition_per_file(spark, tmp_path):
+    register(spark)
+    (tmp_path / "a.txt").write_text(uscrn_line(utc_time=1100) + "\n")
+    (tmp_path / "b.txt").write_text(
+        uscrn_line(utc_time=1200) + "\n" + uscrn_line(utc_time=1300) + "\n"
+    )
+    (tmp_path / "ignored.csv").write_text("nope\n")
+
+    df = spark.read.format("uscrn").load(str(tmp_path))
+    assert df.columns == ["value", "src_file"]
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.src_file for r in rows} == {"a.txt", "b.txt"}
+    assert df.rdd.getNumPartitions() == 2  # one per file
+
+
+def test_batch_feeds_catalyst_parse(spark, tmp_path, locations):
+    register(spark)
+    (tmp_path / "a.txt").write_text(uscrn_line(utc_time=1100) + "\n")
+    raw = spark.read.format("uscrn").load(str(tmp_path))
+    out = parse_uscrn_lines(raw, locations).collect()
+    assert len(out) == 1
+    assert out[0].station_location == "Fairbanks_11_NE"
+
+
+def test_stream_mtime_offset_no_reprocessing(spark, tmp_path):
+    """Second drain ingests only files newer than the checkpointed
+    mtime offset — the reference's last_added filter, engine-owned."""
+    register(spark)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    f1 = src / "f1.txt"
+    f1.write_text("line-one x\n")
+    os.utime(f1, ns=(1_000_000_000_000_000_000, 1_000_000_000_000_000_000))
+
+    stream = spark.readStream.format("uscrn").load(str(src))
+    run_available_now(stream, str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == 1
+
+    f2 = src / "f2.txt"
+    f2.write_text("line-two x\nline-three x\n")
+    os.utime(f2, ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    run_available_now(
+        spark.readStream.format("uscrn").load(str(src)), str(out), str(ckpt)
+    )
+
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 3  # f1 NOT re-ingested
+    assert sorted(r.value for r in got) == ["line-one x", "line-three x", "line-two x"]
