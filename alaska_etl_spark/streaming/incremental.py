@@ -228,6 +228,40 @@ def stream_running_stats(
     )
 
 
+def stream_to_warehouse(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Streaming form of the K2→K4 load protocol: every micro-batch runs
+    the SAME staging-overwrite + hash-anti-join append the batch path
+    uses (``Warehouse.load``), via ``foreachBatch``.
+
+    End-to-end exactly-once without transactional sinks: the source is
+    at-least-once (checkpointed offsets; a batch may replay after a
+    crash between sink write and commit), and the sink is idempotent
+    (content-hash anti-join drops every already-landed row), so replays
+    are no-ops. This is the principled version of the reference's
+    tolerated double-load bug (nws_dag.py:175+187 loads staging twice;
+    SURVEY §2.11) — here a double delivery cannot double-insert.
+    """
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        warehouse.load(batch_df, table, key_cols=key_cols, partition_col=partition_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,

@@ -108,6 +108,41 @@ def test_stream_dedup_keyed(spark, tmp_path):
     assert got == {"a": 1, "b": 3}
 
 
+def test_stream_to_warehouse_exactly_once(spark, locations, tmp_path):
+    """foreachBatch + hash-anti-join sink: duplicates across batches do
+    not double-insert, and a full REPLAY (checkpoint wiped) is a no-op —
+    exactly-once from an at-least-once source + idempotent sink."""
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_to_warehouse
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    line = uscrn_line(utc_time=1100)
+    (src / "f1.txt").write_text(line + "\n")
+
+    def drain():
+        stream_to_warehouse(
+            stream_uscrn(spark, str(src), locations),
+            wh, "uscrn", str(ckpt), key_cols=["wbanno", "utc_datetime"],
+        )
+
+    drain()
+    assert wh.read("uscrn").count() == 1
+
+    # same line again in a new file: delivered again, not re-inserted
+    (src / "f2.txt").write_text(line + "\n" + uscrn_line(utc_time=1200) + "\n")
+    drain()
+    assert wh.read("uscrn").count() == 2
+
+    # wipe the checkpoint → the whole source replays → still 2 rows
+    import shutil
+
+    shutil.rmtree(ckpt)
+    drain()
+    assert wh.read("uscrn").count() == 2
+
+
 def test_stream_running_stats_state_survives_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-key cumulative state across
     micro-batches via the checkpointed state store: the second drain's
