@@ -95,6 +95,90 @@ def cosine_topk(
     )
 
 
+_LCG_A, _LCG_C = 6364136223846793005, 1442695040888963407
+
+
+def sign_planes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes in [-1, 1]^dim from a seeded LCG
+    — no RNG state, reproducible in any engine. Weights are rounded to
+    6 dp so their decimal literals parse to the identical double in
+    Spark and the DuckDB oracle."""
+    state = seed & ((1 << 63) - 1)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * _LCG_A + _LCG_C) % (1 << 63)
+            row.append(round(((state >> 20) % 2_000_001) / 1_000_000.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (sign) LSH bucket id (Charikar'02): bit j is
+    sign(vec · plane_j). Vectors with small angle agree on each bit with
+    probability 1 - θ/π, so near neighbors collide in the same bucket."""
+    b = F.lit(0).cast("bigint")
+    for j, row in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(w) for w in row]))
+        b = b + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Sign-LSH-bucketed approximate nearest neighbors: both sides are
+    hashed to ``n_planes``-bit buckets and ONLY same-bucket pairs get an
+    exact cosine — the cross join of :func:`cosine_topk` becomes an
+    equi-join on bucket id.
+
+    The scale shape: corpus bucket assignment is a narrow projection
+    (no shuffle), the bucket join replaces |corpus|×|queries| cosine
+    evaluations with |corpus|×|queries|/2^n_planes expected, and recall
+    is tunable by n_planes (fewer bits → bigger buckets → higher
+    recall). Unlike IVF (:func:`ivf_topk`, centroid assignment needs a
+    trained quantizer) this is data-independent, so it composes with
+    streaming ingest — a new vector's bucket never changes.
+
+    Deterministic end-to-end (seeded planes, rounded ranking) — the
+    DuckDB oracle reproduces it exactly; q27 is the recall reference.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = sign_planes(dim, n_planes, seed)
+    qid = id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("bucket", sign_bucket(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("bucket", sign_bucket(F.col("_qv"), planes))
+    sim = cosine_sim(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    joined = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, ncells: int) -> DataFrame:
     """Deterministic coarse quantizer: pick ``ncells`` corpus vectors by
     hash order as centroids (cheap, reproducible; a k-means refinement
