@@ -1172,7 +1172,7 @@ WITH marked AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
@@ -1327,8 +1327,8 @@ def q44_priority_shipping(spark, sf_dir):
 
 Q44_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_linestatus

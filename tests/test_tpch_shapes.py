@@ -27,7 +27,11 @@ def test_q47_disjunction_decomposed_to_both_scans(spark):
     li_scan = next(l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l)
     p_scan = next(l for l in plan.splitlines() if "FileScan" in l and "p_brand" in l)
     assert "l_quantity" in li_scan and "DataFilters" in li_scan
-    assert "Brand#" in p_scan
+    # NOTE: don't assert on the literal value ("Brand#...") — Spark truncates
+    # the FileScan toString, which can cut the string mid-literal. The
+    # decomposition is proven by p_brand appearing in the part-side scan's
+    # DataFilters at all (the conjunct was extracted below the join).
+    assert "DataFilters" in p_scan and "p_brand" in p_scan.split("DataFilters")[1]
 
 
 def test_q50_scalar_max_is_broadcast_not_window(spark):

@@ -2,30 +2,82 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
 same sf, compare row count + column set + order-insensitive values.
 
+Round-1 lesson (VERDICT.md "What's wrong" #1-2): the driver fetches
+both result sets through pandas/Arrow, where DuckDB's HUGEINT (any
+integer SUM) becomes float64 while Spark emits int64 — str()-based
+canonicalization over fetchall() masked exactly that class of bug
+(q34 session_id, q44 CASE-sums). This replica therefore:
+
+- fetches DuckDB via ``.df()`` and Spark via ``.toPandas()`` (the
+  pandas/Arrow path, same family as the driver), and
+- canonicalizes values WITH a type tag (``i:``/``f:``/``t:``/...), so
+  int64 9943 != float64 9943.0 and micros != nanos timestamps.
+
+Strictly stronger than the driver as far as we can observe it: a local
+pass may still be a driver fail in principle, but every divergence the
+driver has flagged so far is caught here.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import math
 import sys
+
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def canon(v):
+    """Type-tagged canonical string for one cell value."""
+    # missing first: None, NaN, NaT (pd.isna on arrays returns arrays — guard)
     if v is None:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # driver-style value canonicalization: floats to a stable repr
-        return f"{v:.9g}"
-    return str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"
+        return f"f:{f!r}"
+    if isinstance(v, _decimal.Decimal):
+        return f"dec:{v.normalize()}"
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, _dt.datetime):
+        return f"t:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return f"o:{v!r}"
 
 
-def row_key(row, cols_order):
-    return tuple(canon(row[i]) for i in cols_order)
+def frame_keys(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(canon(v) for v in row))
+    out.sort()
+    return out
 
 
 def main():
@@ -50,43 +102,40 @@ def main():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sorted(sdf.columns)
-        sidx = [sdf.columns.index(c) for c in scols]
+        spdf = sdf.toPandas()
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows")
+            print(f"{name:28s} rows-only: {len(spdf)} rows")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name:28s} ORACLE ERROR: {e}")
             failures.append(name)
             continue
-        ocols = sorted(ocols_raw)
-        oidx = [ocols_raw.index(c) for c in ocols]
         ok = True
-        if scols != ocols:
-            print(f"{name:28s} COLUMN MISMATCH spark={scols} oracle={ocols}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            print(
+                f"{name:28s} COLUMN MISMATCH spark={sorted(spdf.columns)} "
+                f"oracle={sorted(opdf.columns)}"
+            )
             ok = False
-        elif len(srows) != len(orows):
-            print(f"{name:28s} ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}")
+        elif len(spdf) != len(opdf):
+            print(f"{name:28s} ROWCOUNT MISMATCH spark={len(spdf)} oracle={len(opdf)}")
             ok = False
         else:
-            sset = sorted(row_key(r, sidx) for r in srows)
-            oset = sorted(row_key(r, oidx) for r in orows)
-            if sset != oset:
-                ndiff = sum(1 for a, b in zip(sset, oset) if a != b)
-                print(f"{name:28s} VALUE MISMATCH ({ndiff}/{len(sset)} rows differ)")
-                for a, b in list(zip(sset, oset))[:50]:
+            skeys = frame_keys(spdf)
+            okeys = frame_keys(opdf)
+            if skeys != okeys:
+                ndiff = sum(1 for a, b in zip(skeys, okeys) if a != b)
+                print(f"{name:28s} VALUE MISMATCH ({ndiff}/{len(skeys)} rows differ)")
+                for a, b in zip(skeys, okeys):
                     if a != b:
                         print(f"    spark : {a}")
                         print(f"    oracle: {b}")
                         break
                 ok = False
         if ok:
-            print(f"{name:28s} OK ({len(srows)} rows)")
+            print(f"{name:28s} OK ({len(spdf)} rows)")
         else:
             failures.append(name)
 
