@@ -41,7 +41,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp_ntz by *truncation* — integer `div`, matching DuckDB's
     nanos→micros narrowing, so oracle timestamps compare equal."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark sets this at build time; a foreign session
+        # (the round driver's plain one) needs the runtime fallback or
+        # the TIMESTAMP(NANOS) file is unreadable. Guarded so our own
+        # sessions are never mutated mid-query.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(conf_key, "false") != "true":
+            spark.conf.set(conf_key, "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
@@ -1722,6 +1728,21 @@ GROUP BY band, l_returnflag
 """
 
 
+def q53_lsh_ann(spark, sf_dir):
+    """Sign-LSH (random-hyperplane) approximate nearest neighbors:
+    data-independent 8-bit buckets turn the q27 cross join into an
+    equi-join on bucket id. Rows-only (approximate by design); recall
+    against the exact q27 is pinned in tests/test_similarity.py.
+    dim=64 is the testdata embedding width (TESTDATA.md)."""
+    from alaska_etl_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1779,6 +1800,7 @@ QUERIES = {
     "q50_top_supplier": q50_top_supplier,
     "q51_sole_blame_supplier": q51_sole_blame_supplier,
     "q52_range_join": q52_range_join,
+    "q53_lsh_ann": q53_lsh_ann,
 }
 
 ORACLES = {

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP(NANOS) parquet (the events table) is unreadable by
+        # Spark unless surfaced as raw int64 nanos; set it at session
+        # build so query functions stay side-effect-free (plans/queries
+        # only falls back to a runtime set on foreign sessions, e.g. the
+        # round driver's plain one).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

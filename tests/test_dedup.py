@@ -134,3 +134,21 @@ def test_embedding_near_dup(spark):
         for r in embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95).collect()
     }
     assert pairs == {(0, 1)}
+
+
+def test_connected_components_bounded_lineage(spark):
+    """Scale pin (VERDICT r1 #5): each iteration localCheckpoints its
+    labels, so the returned plan must NOT contain the k-deep join chain
+    of the propagation rounds — a long chain (1-2-...-8 needs several
+    rounds) must still come back as a shallow scan over checkpointed
+    blocks."""
+    from alaska_etl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    cc = connected_components(pairs)
+    plan = cc._jdf.queryExecution().optimizedPlan().toString()
+    # lineage was truncated: no Join survives into the final plan
+    assert "Join" not in plan
+    assert plan.count("\n") < 12  # shallow: project over a checkpointed scan
+    assert {r.component for r in cc.collect()} == {1}

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from alaska_etl_spark.operators.similarity import cosine_topk, ivf_topk
 
 
@@ -89,3 +91,48 @@ def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
     inline = {(r.rank, r.neighbor_id) for r in ivf_topk(c, q, k=3, ncells=4, nprobe=2).collect()}
     persisted = {(r.rank, r.neighbor_id) for r in rows}
     assert persisted == inline
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """Sign-LSH ANN recall floor against brute-force cosine (q27's
+    operator) on the clustered corpus: rank-1 neighbors live in the same
+    LSH bucket for most queries at 6 planes."""
+    from alaska_etl_spark.operators.similarity import lsh_topk
+
+    c = _corpus(spark)
+    q = c.filter("vec_id < 5")
+    exact = {r.query_id: r.neighbor_id for r in cosine_topk(c, q, k=1).collect()}
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in lsh_topk(c, q, k=1, n_planes=6, dim=3).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 3 / 5
+
+
+def test_lsh_topk_requires_dim(spark):
+    import pytest as _pytest
+
+    from alaska_etl_spark.operators.similarity import lsh_topk
+
+    c = _corpus(spark)
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_topk(c, c, k=1)
+
+
+def test_cosine_sim_null_for_zero_norm(spark):
+    """Vectorized cosine keeps the expression contract: zero-norm and
+    NULL vectors yield NULL (not NaN — NaN sorts FIRST descending)."""
+    from alaska_etl_spark.operators.similarity import cosine_sim
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),
+            (1, [0.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+        ],
+        "i int, a array<double>, b array<double>",
+    )
+    rows = {r.i: r.c for r in df.select("i", cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert rows[0] == 1.0
+    assert rows[1] is None and rows[2] is None
