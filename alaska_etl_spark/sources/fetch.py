@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 
 Fetch = Callable[[str], str]
 
+
+def rate_limited(fetch: Fetch, delay: float, *, sleep: Callable[[float], None] | None = None) -> Fetch:
+    """S1 politeness wrapper: a fetcher that sleeps ``delay`` seconds
+    before every request (reference get_soup's ``delay`` param,
+    utils/utils.py:14-25). ``sleep`` is injectable so tests don't wait."""
+    if sleep is None:
+        import time
+
+        sleep = time.sleep
+
+    def _fetch(url: str) -> str:
+        sleep(delay)
+        return fetch(url)
+
+    return _fetch
+
 #: domains the reference allows (utils/utils.py:27-42 check_connection)
 DEFAULT_ALLOWED_DOMAINS = ("ncei.noaa.gov", "forecast.weather.gov")
 

@@ -71,3 +71,13 @@ def test_nws_url_column(spark):
         "https://forecast.weather.gov/MapClick.php?lat=64.9000&lon=-147.5000"
         "&lg=english&&FcstType=digital"
     )
+
+
+def test_rate_limited_sleeps_before_every_request():
+    from alaska_etl_spark.sources.fetch import rate_limited
+
+    slept, fetched = [], []
+    f = rate_limited(lambda u: fetched.append(u) or "<html/>", 1.5, sleep=slept.append)
+    assert f("http://a") == "<html/>" and f("http://b") == "<html/>"
+    assert slept == [1.5, 1.5]
+    assert fetched == ["http://a", "http://b"]

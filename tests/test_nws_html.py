@@ -1,0 +1,144 @@
+"""Real-HTML NWS ingestion (S7/S8/S9): checked-in MapClick digital
+fixtures (tools/make_nws_fixture.py mirrors the live page layout the
+reference scraper depends on) flow fixture → parse → grid → pivot →
+warehouse with no hand-built dicts anywhere."""
+
+from __future__ import annotations
+
+import pathlib
+import re
+from datetime import datetime
+
+import pytest
+
+from alaska_etl_spark.pipelines import run_nws
+from alaska_etl_spark.plans.warehouse import Warehouse
+from alaska_etl_spark.sources.nws import NWS_ATTRS, forecast_long_df, pivot_forecast
+from alaska_etl_spark.sources.nws_html import (
+    digital_forecast_url,
+    extract_forecast_rows,
+    fetch_forecast_tables,
+    get_last_update,
+    parse_page,
+)
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _page(hr: int) -> str:
+    return (FIXTURES / f"nws_digital_ahead{hr}.html").read_text(encoding="utf-8")
+
+
+def _fake_fetch(url: str) -> str:
+    assert url.startswith("https://forecast.weather.gov/MapClick.php?")
+    hr = int(re.search(r"&AheadHour=(\d+)$", url).group(1))
+    return _page(hr)
+
+
+# -- S7: table extraction ----------------------------------------------------
+
+
+def test_forecast_table_is_document_order_index_5():
+    """The fixture nests table 1 inside table 0 — document-order
+    indexing (BS4 find_all semantics) must still land on the forecast
+    table at index 5."""
+    p = parse_page(_page(0))
+    assert len(p.tables) == 6
+    assert p.tables[5].rows  # the forecast table, not a nav table
+
+
+def test_extract_rows_shape_and_attrs():
+    rows = extract_forecast_rows(_page(0))
+    assert [r[0] for r in rows] == NWS_ATTRS
+    assert all(len(r) == 49 for r in rows)  # attr + 2×24 hour cells
+
+
+def test_divider_rows_removed_and_halves_concatenated():
+    """Hour row must run 16..23,0..23,0..15 across the two halves —
+    divider rows (identical colspan markup) never surface as cells."""
+    rows = {r[0]: r[1:] for r in extract_forecast_rows(_page(0))}
+    hours = [int(h) for h in rows["Hour (AKST)"]]
+    assert hours[:8] == [16, 17, 18, 19, 20, 21, 22, 23]
+    assert hours[8:32] == list(range(24))
+
+
+def test_sparse_date_row_preserved():
+    rows = {r[0]: r[1:] for r in extract_forecast_rows(_page(0))}
+    dates = rows["Date"]
+    assert dates[0] == "12/30"
+    assert "12/31" in dates and "" in dates  # sparse until forward fill
+
+
+# -- S8: page metadata -------------------------------------------------------
+
+
+def test_last_update_parses_akst_format():
+    assert get_last_update(_page(0)) == datetime(2023, 12, 30, 15, 3)
+
+
+def test_last_update_missing_raises():
+    with pytest.raises(ValueError, match="Last Update"):
+        get_last_update("<html><table><tr><td>x</td></tr></table></html>")
+
+
+# -- S9: the fetch grid ------------------------------------------------------
+
+
+def test_grid_fetches_location_by_ahead_hour():
+    seen = []
+
+    def spy(url):
+        seen.append(url)
+        return _fake_fetch(url)
+
+    tables = fetch_forecast_tables(spy, [("Fairbanks", 64.8378, -147.7164)])
+    assert [u[-len("AheadHour=XX") :] for u in seen] == [
+        "&AheadHour=0",
+        "AheadHour=48",
+        "AheadHour=96",
+    ]
+    t = tables[0]
+    assert t["location"] == "Fairbanks"
+    assert t["last_update"] == "12/30/2023 15:03"
+    assert len(t["pages"]) == 3 and all(len(p["rows"]) == 17 for p in t["pages"])
+
+
+def test_digital_url_carries_all_attribute_params():
+    url = digital_forecast_url(64.8378, -147.7164)
+    for p in ("w0=t", "w12=fog", "FcstType=digital", "textField1=64.8378", "textField2=-147.7164"):
+        assert p in url
+
+
+# -- end to end: fixture → parse → pivot → warehouse -------------------------
+
+
+def test_fixture_to_warehouse_end_to_end(spark, tmp_path):
+    tables = fetch_forecast_tables(_fake_fetch, [("Fairbanks", 64.8378, -147.7164)])
+    wh = Warehouse(spark, str(tmp_path))
+    run_nws(spark, wh, tables, year=2023)
+    out = wh.read("nws")
+
+    # 3 pages × 48 hours, no overlaps in the AheadHour grid
+    assert out.count() == 144
+
+    rows = {r.lst_datetime: r for r in out.collect()}
+    first = min(rows)
+    assert first == datetime(2023, 12, 30, 16)
+    # Dec→Jan rollover lands in the NEXT year even though year=2023
+    jan = [t for t in rows if t.month == 1]
+    assert jan and all(t.year == 2024 for t in jan)
+    # typed columns + page-advertised snapshot timestamp
+    r0 = rows[first]
+    assert isinstance(r0.temperature_f, int)
+    assert r0.last_update_nws == datetime(2023, 12, 30, 15, 3)
+
+
+def test_grid_reload_is_idempotent(spark, tmp_path):
+    """Same snapshot re-scraped → no duplicate rows (the reference's
+    double-load bug, nws_dag.py:175+187, stays fixed through the real
+    HTML path)."""
+    tables = fetch_forecast_tables(_fake_fetch, [("Fairbanks", 64.8378, -147.7164)])
+    wh = Warehouse(spark, str(tmp_path))
+    run_nws(spark, wh, tables, year=2023)
+    run_nws(spark, wh, tables, year=2023)
+    assert wh.read("nws").count() == 144
