@@ -70,44 +70,103 @@ def row_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-class Warehouse:
-    """Parquet-backed warehouse with the staging→main protocol.
+#: formats addressed by filesystem path (local, gs://, s3a://, hdfs://);
+#: everything else is a named-table connector.
+PATH_FORMATS = ("parquet", "orc", "csv", "json")
 
-    The BigQuery sink of the reference maps to the spark-bigquery
-    connector (``df.write.format("bigquery")``) with identical protocol
-    semantics; this class keeps the sink behind ``_write``/``_read`` so
-    that swap is configuration, not code (SURVEY §7.1 step 8).
+
+def sink_spec(fmt: str, root: str, table: str, options: dict[str, str] | None = None) -> dict:
+    """Resolve (format, root, table) to a concrete read/write target —
+    the ONE place that knows how each backend is addressed, pure and
+    unit-testable without the connector jars on the classpath.
+
+    - path formats: ``root`` is a directory URI (``/data/wh``,
+      ``gs://bucket/wh``) and the target is ``root/table``;
+    - ``bigquery``: ``root`` is ``<project>.<dataset>`` and the target
+      is the fully-qualified table name passed via the spark-bigquery
+      connector's ``table`` option (reference loads the same tables via
+      the BigQuery client, uscrn_dag.py:244-261, nws_dag.py:160-188).
+      ``writeMethod`` defaults to ``direct`` (Storage Write API — no
+      temporaryGcsBucket needed; set ``writeMethod=indirect`` +
+      ``temporaryGcsBucket`` to stage through GCS instead).
+    """
+    opts = dict(options or {})
+    if fmt in PATH_FORMATS:
+        return {"format": fmt, "kind": "path", "target": os.path.join(root, table), "options": opts}
+    if fmt == "bigquery":
+        opts.setdefault("writeMethod", "direct")
+        return {"format": fmt, "kind": "table", "target": f"{root}.{table}", "options": opts}
+    raise ValueError(f"unknown warehouse format {fmt!r} (path formats: {PATH_FORMATS}, or 'bigquery')")
+
+
+class Warehouse:
+    """Format-pluggable warehouse with the staging→main protocol.
+
+    ``fmt`` picks the sink/source backend: any path format (parquet is
+    the default; the protocol tests also run against orc to prove the
+    seam carries) or ``bigquery`` for the reference's actual sink via
+    the spark-bigquery connector. Protocol semantics (staging
+    truncate-load, audit append, hash-anti-join idempotence) are
+    identical across backends — the swap is configuration, not code
+    (SURVEY §7.1 step 8).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.fmt = fmt
+        self.options = dict(options or {})
+        sink_spec(fmt, root, "_probe_", self.options)  # validate fmt eagerly
+
+    def _spec(self, table: str) -> dict:
+        return sink_spec(self.fmt, self.root, table, self.options)
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return self._spec(table)["target"]
+
+    def _read_spec(self, spec: dict) -> DataFrame:
+        reader = self.spark.read.format(spec["format"]).options(**spec["options"])
+        if spec["kind"] == "path":
+            return reader.load(spec["target"])
+        return reader.option("table", spec["target"]).load()
+
+    def _write_spec(self, df: DataFrame, spec: dict, mode: str, partition_col: str | None = None):
+        writer = df.write.format(spec["format"]).mode(mode).options(**spec["options"])
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        if spec["kind"] == "path":
+            writer.save(spec["target"])
+        else:
+            writer.option("table", spec["target"]).save()
 
     def table_exists(self, table: str) -> bool:
-        path = self._path(table)
         try:
-            self.spark.read.parquet(path).schema
+            self._read_spec(self._spec(table)).schema
             return True
         except Exception:
             return False
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        return self._read_spec(self._spec(table))
 
     # -- K2: staging truncate-load ---------------------------------------
 
     def write_staging(self, df: DataFrame, table: str) -> str:
         """Overwrite the staging area for ``table`` (reference
         WRITE_TRUNCATE, uscrn_dag.py:244-261)."""
-        path = self._path(f"{table}_staging")
-        df.write.mode("overwrite").parquet(path)
-        return path
+        spec = self._spec(f"{table}_staging")
+        self._write_spec(df, spec, "overwrite")
+        return spec["target"]
 
     def read_staging(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(f"{table}_staging"))
+        return self._read_spec(self._spec(f"{table}_staging"))
 
     # -- K4/K5: audit-timestamped append, create-if-missing --------------
 
@@ -139,10 +198,7 @@ class Warehouse:
             staged = staged.join(existing, "_row_hash", "left_anti")
 
         out = staged.drop("_row_hash").withColumn(AUDIT_COL, F.current_timestamp())
-        writer = out.write.mode("append")
-        if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(self._path(table))
+        self._write_spec(out, self._spec(table), "append", partition_col=partition_col)
 
     def load(
         self,
@@ -175,7 +231,9 @@ class Warehouse:
         trade for the repeatedly-joined 100 TB facts (forecast ⋈ actual
         on (location, utc_datetime); embeddings ⋈ buckets on cell id).
         """
-        writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if self.fmt not in PATH_FORMATS:
+            raise ValueError(f"bucketed catalog tables need a path format, not {self.fmt!r}")
+        writer = df.write.format(self.fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.option("path", self._path(table)).saveAsTable(table)

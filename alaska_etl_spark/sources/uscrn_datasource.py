@@ -45,13 +45,21 @@ def _list_files(path: str) -> list[str]:
     return [path]
 
 
-def _read_lines(fname: str) -> Iterator[tuple[str, str]]:
+def _read_lines(
+    fname: str, *, start_byte: int = 0, end_byte: int | None = None
+) -> Iterator[tuple[str, str]]:
+    """Line rows from a byte range. The range bounds make streaming
+    replay deterministic: a micro-batch records each file's size at
+    read time, and replay re-reads exactly those bytes even if the file
+    has since grown (USCRN files are append-only whole lines)."""
     base = os.path.basename(fname)
-    with open(fname, encoding="utf-8", errors="replace") as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line:
-                yield (line, base)
+    with open(fname, "rb") as fh:
+        if start_byte:
+            fh.seek(start_byte)
+        data = fh.read(None if end_byte is None else end_byte - start_byte)
+    for line in data.decode("utf-8", errors="replace").splitlines():
+        if line:
+            yield (line, base)
 
 
 class UscrnBatchReader(DataSourceReader):
@@ -68,10 +76,20 @@ class UscrnBatchReader(DataSourceReader):
 
 
 class UscrnStreamReader(SimpleDataSourceStreamReader):
-    """Offset = max file mtime (ns) ingested so far. A micro-batch is
-    "every file with mtime > start" — the reference's updates-page
-    watermark filter (uscrn_dag.py:127) with the bookkeeping moved into
-    the checkpointed commit log. State is one integer."""
+    """Offset = per-file ``{name: [mtime_ns, size]}`` state — the
+    reference's updates-page watermark filter (uscrn_dag.py:127) with
+    the bookkeeping moved into the checkpointed commit log.
+
+    Per-file state (not a single max-mtime watermark) because a
+    watermark misses two real cases: a file *delivered with a preserved
+    old mtime* (rsync/scp -p) would never be ingested, and a file
+    *appended after commit* would replay with different contents. Here
+    any (mtime, size) change makes a file (re-)visible, each batch
+    records the byte range it read, and replay re-reads exactly that
+    range (`_read_lines` bounds). Appends are ingested incrementally
+    from the previous size; a rewrite (shrink or same-size mtime touch)
+    re-reads from zero — the warehouse's hash anti-join makes that a
+    no-op downstream."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -79,32 +97,56 @@ class UscrnStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("uscrn source requires a path: .load(<dir or file>)")
 
     def initialOffset(self) -> dict:
-        return {"mtime_ns": 0}
+        return {"files": {}}
 
-    def _files_between(self, start_ns: int, end_ns: int | None) -> list[str]:
-        out = []
+    @staticmethod
+    def _seen(offset: dict) -> dict[str, list[int]]:
+        return dict(offset.get("files") or {})
+
+    def _snapshot(self) -> dict[str, list[int]]:
+        out = {}
         for f in _list_files(self.path):
-            m = os.stat(f).st_mtime_ns
-            if m > start_ns and (end_ns is None or m <= end_ns):
-                out.append(f)
+            st = os.stat(f)
+            out[f] = [st.st_mtime_ns, st.st_size]
+        return out
+
+    @staticmethod
+    def _ranges(
+        seen: dict[str, list[int]], target: dict[str, list[int]]
+    ) -> list[tuple[str, int, int]]:
+        """(file, start_byte, end_byte) for every file whose recorded
+        state changed between ``seen`` and ``target``."""
+        out = []
+        for f in sorted(target):
+            cur = target[f]
+            prev = seen.get(f)
+            if prev == cur:
+                continue
+            start = prev[1] if prev is not None and prev[1] < cur[1] else 0
+            out.append((f, start, cur[1]))
         return out
 
     def read(self, start: dict):
-        start_ns = start["mtime_ns"]
-        files = self._files_between(start_ns, None)
-        end_ns = max([os.stat(f).st_mtime_ns for f in files], default=start_ns)
+        seen = self._seen(start)
+        snap = self._snapshot()
         # materialized, not a generator: the engine prefetches simple-
         # reader batches on the driver and copies the iterator into its
         # cache, which a generator can't survive. Batches here are one
         # poll's worth of new files — the same driver-memory envelope
         # the reference's per-run fetch had.
-        rows = [r for f in files for r in _read_lines(f)]
-        return rows, {"mtime_ns": end_ns}
+        rows = [
+            r
+            for f, lo, hi in self._ranges(seen, snap)
+            for r in _read_lines(f, start_byte=lo, end_byte=hi)
+        ]
+        return rows, {"files": {**seen, **snap}}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # replay after restart: deterministic because mtimes are stable
-        for f in self._files_between(start["mtime_ns"], end["mtime_ns"]):
-            yield from _read_lines(f)
+        # crash replay: re-read exactly the byte ranges the committed
+        # offsets recorded, regardless of the files' current size
+        for f, lo, hi in self._ranges(self._seen(start), self._seen(end)):
+            if os.path.exists(f):
+                yield from _read_lines(f, start_byte=lo, end_byte=hi)
 
 
 class UscrnDataSource(DataSource):

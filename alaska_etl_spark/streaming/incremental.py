@@ -248,10 +248,21 @@ def stream_to_warehouse(
     are no-ops. This is the principled version of the reference's
     tolerated double-load bug (nws_dag.py:175+187 loads staging twice;
     SURVEY §2.11) — here a double delivery cannot double-insert.
+
+    The anti-join only drops rows already IN main, so duplicate-key rows
+    arriving within one micro-batch must be collapsed first —
+    ``dropDuplicates(key_cols)`` inside the sink closes that gap (the
+    batch path reaches the same invariant via its upstream
+    dedup_keep_first).
     """
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        warehouse.load(batch_df, table, key_cols=key_cols, partition_col=partition_col)
+        warehouse.load(
+            batch_df.dropDuplicates(key_cols),
+            table,
+            key_cols=key_cols,
+            partition_col=partition_col,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -62,3 +62,58 @@ def test_stream_mtime_offset_no_reprocessing(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     assert len(got) == 3  # f1 NOT re-ingested
     assert sorted(r.value for r in got) == ["line-one x", "line-three x", "line-two x"]
+
+
+def test_stream_preserved_mtime_file_still_ingested(spark, tmp_path):
+    """A file delivered with an OLD mtime (rsync -p style) must still be
+    ingested — per-file offset state, not a single mtime watermark."""
+    register(spark)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    f1 = src / "f1.txt"
+    f1.write_text("line-one x\n")
+    os.utime(f1, ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    run_available_now(spark.readStream.format("uscrn").load(str(src)), str(out), str(ckpt))
+
+    f0 = src / "f0.txt"  # arrives later, mtime BEFORE f1's
+    f0.write_text("line-zero x\n")
+    os.utime(f0, ns=(1_000_000_000_000_000_000, 1_000_000_000_000_000_000))
+    run_available_now(spark.readStream.format("uscrn").load(str(src)), str(out), str(ckpt))
+
+    got = sorted(r.value for r in spark.read.parquet(str(out)).collect())
+    assert got == ["line-one x", "line-zero x"]
+
+
+def test_stream_append_ingested_incrementally(spark, tmp_path):
+    """Appending to an already-ingested file ingests ONLY the new bytes
+    (the recorded size is the resume point)."""
+    register(spark)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    f1 = src / "f1.txt"
+    f1.write_text("line-one x\n")
+    run_available_now(spark.readStream.format("uscrn").load(str(src)), str(out), str(ckpt))
+
+    with f1.open("a") as fh:
+        fh.write("line-two x\n")
+    run_available_now(spark.readStream.format("uscrn").load(str(src)), str(out), str(ckpt))
+
+    got = [r.value for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(got) == ["line-one x", "line-two x"]  # no duplicated prefix
+
+
+def test_offset_ranges_replay_exact_bytes(tmp_path):
+    """readBetweenOffsets re-reads exactly the committed byte range even
+    after the file grows post-commit (deterministic crash replay)."""
+    from alaska_etl_spark.sources.uscrn_datasource import UscrnStreamReader
+
+    f = tmp_path / "f1.txt"
+    f.write_text("line-one x\n")
+    r = UscrnStreamReader({"path": str(tmp_path)})
+    rows, end = r.read(r.initialOffset())
+    assert [v for v, _ in rows] == ["line-one x"]
+
+    with f.open("a") as fh:
+        fh.write("line-two x\n")  # grows AFTER the offset committed
+    replay = list(r.readBetweenOffsets(r.initialOffset(), end))
+    assert [v for v, _ in replay] == ["line-one x"]  # not the appended line

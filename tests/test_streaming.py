@@ -143,6 +143,27 @@ def test_stream_to_warehouse_exactly_once(spark, locations, tmp_path):
     assert wh.read("uscrn").count() == 2
 
 
+def test_stream_to_warehouse_dedups_within_batch(spark, locations, tmp_path):
+    """Duplicate-key rows arriving in the SAME micro-batch collapse to
+    one — the anti-join alone only guards against rows already in main
+    (ADVICE r1: the in-batch gap)."""
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_to_warehouse
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    line = uscrn_line(utc_time=1100)
+    # same key twice in one batch (two files, one micro-batch)
+    (src / "f1.txt").write_text(line + "\n")
+    (src / "f2.txt").write_text(line + "\n")
+    stream_to_warehouse(
+        stream_uscrn(spark, str(src), locations),
+        wh, "uscrn", str(ckpt), key_cols=["wbanno", "utc_datetime"],
+    )
+    assert wh.read("uscrn").count() == 1
+
+
 def test_stream_running_stats_state_survives_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-key cumulative state across
     micro-batches via the checkpointed state store: the second drain's

@@ -5,12 +5,15 @@ from __future__ import annotations
 
 import pytest
 
-from alaska_etl_spark.plans.warehouse import AUDIT_COL, Warehouse
+from alaska_etl_spark.plans.warehouse import AUDIT_COL, Warehouse, sink_spec
 
 
-@pytest.fixture()
-def wh(spark, tmp_path):
-    return Warehouse(spark, str(tmp_path))
+@pytest.fixture(params=["parquet", "orc"])
+def wh(spark, tmp_path, request):
+    """The whole protocol suite runs against TWO path formats — proving
+    the sink seam is real, not a parquet special case (the same seam
+    carries the bigquery connector, unit-tested in test_sink_spec_*)."""
+    return Warehouse(spark, str(tmp_path), fmt=request.param)
 
 
 def _batch(spark, rows):
@@ -113,3 +116,40 @@ def test_same_key_different_payload_appends(spark, wh):
     wh.load(_batch(spark, [(1, "a", "p1")]), "t", key_cols=["k", "v"])
     wh.load(_batch(spark, [(1, "CHANGED", "p1")]), "t", key_cols=["k", "v"])
     assert wh.read("t").count() == 2
+
+
+# -- sink-format seam ---------------------------------------------------------
+
+
+def test_sink_spec_path_formats(tmp_path):
+    s = sink_spec("parquet", "/wh", "nws")
+    assert s == {"format": "parquet", "kind": "path", "target": "/wh/nws", "options": {}}
+    s = sink_spec("orc", "gs://bucket/wh", "nws", {"compression": "zlib"})
+    assert s["target"] == "gs://bucket/wh/nws" and s["options"] == {"compression": "zlib"}
+
+
+def test_sink_spec_bigquery_option_plumbing():
+    """The reference's actual sink (uscrn_dag.py:244-261): root is
+    project.dataset, target is the fully-qualified table via the
+    connector's table option, direct Storage-Write by default,
+    indirect+GCS staging when configured."""
+    s = sink_spec("bigquery", "myproj.alaska", "nws")
+    assert s["format"] == "bigquery" and s["kind"] == "table"
+    assert s["target"] == "myproj.alaska.nws"
+    assert s["options"] == {"writeMethod": "direct"}
+
+    s = sink_spec(
+        "bigquery", "myproj.alaska", "uscrn_staging",
+        {"writeMethod": "indirect", "temporaryGcsBucket": "myproj-bucket"},
+    )
+    assert s["options"]["writeMethod"] == "indirect"
+    assert s["options"]["temporaryGcsBucket"] == "myproj-bucket"
+
+
+def test_unknown_format_rejected_eagerly(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown warehouse format"):
+        Warehouse(spark, str(tmp_path), fmt="avro3")
+    with pytest.raises(ValueError, match="path format"):
+        Warehouse(spark, "p.d", fmt="bigquery").save_bucketed(
+            None, "t", bucket_cols=["k"], n_buckets=4
+        )
