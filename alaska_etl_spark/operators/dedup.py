@@ -260,6 +260,59 @@ def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
     return full.unionByName(shorts)
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact token-``n``-gram span dedup report: every span of ``n``
+    consecutive tokens that occurs in at least ``min_docs`` *distinct*
+    documents, with its document and occurrence counts — the
+    cross-document repeated-substring detector of the "deduplicating
+    training data" family (exact substring dedup à la Lee et al. '22),
+    complementing whole-document resemblance (MinHash q29) and
+    containment sampling (winnowing q43).
+
+    Returns (span, n_docs, n_occurrences). ``hashed=True`` replaces the
+    span text with ``xxhash64(span)`` — at 100 TB carry 8-byte hashes
+    through the shuffle, not strings; the report join back to text is a
+    second pass over only the surviving spans.
+
+    Plan: posexplode tokens (narrow) → one window over (id, pos) builds
+    the span via ``lead`` (single shuffle on id) → hash-aggregate on the
+    span with a partial (map-side) distinct-ish combine → count filter.
+    Two shuffles total, both keyed, no driver work.
+    """
+    toks = word_tokens(text_col)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
+        .filter(F.col("_t").isNotNull())
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
+    span = F.concat_ws(" ", *parts)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    spans = (
+        ex.withColumn("_n", cnt)
+        .filter(F.col("pos") + F.lit(n - 1) < F.col("_n"))
+        .select("_id", span.alias("span"))
+    )
+    if hashed:
+        spans = spans.select("_id", F.xxhash64("span").alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,67 @@
+"""PII detection/redaction for training-data pipelines: emails, phone
+numbers, IPv4 addresses, SSN-shaped ids → typed placeholder tokens,
+plus per-kind match counts for corpus auditing.
+
+Pure ``regexp_replace``/``regexp_extract_all`` expressions — the whole
+scrub runs inside whole-stage codegen, no Python in the hot path, and
+the patterns are RE2-compatible (no lookaround) so the same rules run
+identically in other engines (the DuckDB oracle runs them verbatim).
+
+This extends the reference's cleaning surface (regex column hygiene,
+nws_dag.py:88-92 / SURVEY §2.9 F10-F14) from column *names* to content
+scrubbing — the op every LLM-data pipeline runs before training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ordered — earlier patterns must not leave fragments later ones match.
+#: RE2-safe (no lookaround/backrefs): portable across Spark (Java regex)
+#: and RE2 engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{0,2}[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def redact_pii(
+    col: Column | str,
+    *,
+    patterns: dict[str, str] | None = None,
+    token: str = "[{kind}]",
+) -> Column:
+    """Replace every PII match with its kind token (``[EMAIL]`` etc.),
+    applying patterns in declaration order."""
+    out = _c(col)
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, token.format(kind=kind.upper()))
+    return out
+
+
+def pii_counts(col: Column | str, *, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-kind match-count columns (audit metrics). NOTE: counts are
+    per-pattern on the ORIGINAL text, so overlapping kinds (an SSN also
+    shaped like a phone fragment) may count twice — redaction order, not
+    the counts, decides what the output text shows."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(_c(col), F.lit(pat), F.lit(0)))
+        for kind, pat in (patterns or PII_PATTERNS).items()
+    }
+
+
+def scrub_documents(
+    df: DataFrame, text_col: str = "text", *, out_col: str = "text_clean"
+) -> DataFrame:
+    """Attach the redacted text and the per-kind counts."""
+    out = df.withColumn(out_col, redact_pii(text_col))
+    for name, expr in pii_counts(text_col).items():
+        out = out.withColumn(name, expr)
+    return out
