@@ -286,6 +286,13 @@ def duplicated_spans(
     the span via ``lead`` (single shuffle on id) → hash-aggregate on the
     span with a partial (map-side) distinct-ish combine → count filter.
     Two shuffles total, both keyed, no driver work.
+
+    The span column MUST be computed before tail positions are dropped:
+    ``lead`` only sees rows inside its window partition, so filtering
+    first removes exactly the tokens the trailing spans need (the same
+    ordering :func:`gram_rows` uses). We therefore build every span and
+    keep the complete ones by requiring the last lead to be non-null —
+    one window spec for both expressions, one sort.
     """
     toks = word_tokens(text_col)
     ex = (
@@ -295,11 +302,11 @@ def duplicated_spans(
     w = Window.partitionBy("_id").orderBy("pos")
     parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
     span = F.concat_ws(" ", *parts)
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    last = F.lead("_t", n - 1).over(w) if n > 1 else F.col("_t")
     spans = (
-        ex.withColumn("_n", cnt)
-        .filter(F.col("pos") + F.lit(n - 1) < F.col("_n"))
-        .select("_id", span.alias("span"))
+        ex.select("_id", span.alias("span"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("_id", "span")
     )
     if hashed:
         spans = spans.select("_id", F.xxhash64("span").alias("span"))

@@ -65,7 +65,11 @@ def parse_landscape_tables(tables: Iterable[dict[str, Any]]) -> list[tuple]:
     [[attr, v1, ... v24], ...]} , ...]}`` — ``pages`` in AheadHour order
     (0, 48, 96), each page's rows covering its half-tables already
     concatenated (the reference merges the two 24 h halves the same way,
-    utils/utils.py:194-195).
+    utils/utils.py:194-195). A page dict may carry its own
+    ``last_update`` (the per-page ``Last Update:`` stamp, as
+    :func:`~alaska_etl_spark.sources.nws_html.fetch_forecast_tables`
+    emits) which overrides the table-level one for that page's rows —
+    mirroring the reference's per-soup stamping.
 
     Output tuples: (location, last_update, seq, attr, value) where seq
     is the global forecast-hour position across pages — the explicit
@@ -74,9 +78,10 @@ def parse_landscape_tables(tables: Iterable[dict[str, Any]]) -> list[tuple]:
     out: list[tuple] = []
     for tbl in tables:
         loc = tbl["location"]
-        last_update = tbl["last_update"]
+        tbl_update = tbl["last_update"]
         seq_base = 0
         for page in tbl["pages"]:
+            last_update = page.get("last_update", tbl_update)
             width = 0
             for row in page["rows"]:
                 attr, values = row[0], row[1:]

@@ -78,6 +78,11 @@ class _PageParser(HTMLParser):
         self.tables: list[_Table] = []
         self._table_stack: list[_Table] = []
         self._row_stack: list[_Row] = []
+        # per open table: _row_stack depth when it opened — a <tr> may only
+        # implicitly close rows opened by the *innermost* table, so a nested
+        # table's first <tr> doesn't pop the enclosing outer row (BS4 keeps
+        # the outer row open across nested tables; MapClick headers nest).
+        self._row_marks: list[int] = []
         self._font_depth = 0
         self._td_texts: list[str] = []
         self._td_buf: list[str] | None = None
@@ -93,13 +98,17 @@ class _PageParser(HTMLParser):
             t = _Table()
             self.tables.append(t)
             self._table_stack.append(t)
+            self._row_marks.append(len(self._row_stack))
         elif tag == "tr":
-            if self._row_stack:  # implicit close of a dangling row
-                self._close_row()
             if self._table_stack:
+                if len(self._row_stack) > self._row_marks[-1]:
+                    # implicit close of a dangling row in THIS table only
+                    self._close_row()
                 row = _Row(self._pos())
                 self._table_stack[-1].rows.append(row)
                 self._row_stack.append(row)
+            elif self._row_stack:  # <tr> outside any table: old tolerant path
+                self._close_row()
         elif tag == "font":
             self._font_depth += 1
             if self._row_stack:
@@ -109,12 +118,17 @@ class _PageParser(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "table":
-            if self._row_stack:
-                self._close_row()
             if self._table_stack:
+                mark = self._row_marks.pop()
+                while len(self._row_stack) > mark:
+                    self._close_row()
                 self._table_stack.pop()
         elif tag == "tr":
-            if self._row_stack:
+            # a stray </tr> in a table with no open row must not close an
+            # outer table's row
+            if self._row_stack and (
+                not self._row_marks or len(self._row_stack) > self._row_marks[-1]
+            ):
                 # raw span ends after the closing tag text
                 self._row_stack[-1].raw_end = self._pos() + len("</tr>")
                 self._row_stack.pop()
@@ -248,28 +262,39 @@ def fetch_forecast_tables(
     (reference get_forecast_dict, nws_dag.py:62-77: the same loop with
     ``url + f"&AheadHour={hr}"``).
 
-    The page's own ``Last Update:`` timestamp becomes ``last_update``
-    ('M/D/YYYY H:mm'), so every snapshot row is stamped with the
-    page-advertised version, not the fetch wall clock."""
+    Each page's own ``Last Update:`` timestamp becomes that page's
+    ``last_update`` ('M/D/YYYY H:mm') — the reference stamps per page
+    (extract_table_data calls get_last_update_nws per soup), so if the
+    forecast refreshes mid-grid the later pages carry the newer version
+    stamp rather than inheriting page 0's. The table-level
+    ``last_update`` is page 0's, kept for callers that want one snapshot
+    id per location."""
+
+    def _stamp(dt: datetime) -> str:
+        return f"{dt.month}/{dt.day}/{dt.year} {dt.hour}:{dt.minute:02d}"
+
     tables: list[dict[str, Any]] = []
     for location, lat, lon in locations:
         url = digital_forecast_url(lat, lon)
         pages = []
-        last_update: datetime | None = None
+        first_update: datetime | None = None
         for hr in ahead_hours:
             html = fetch(url + f"&AheadHour={hr}")
             page = parse_page(html)
-            if last_update is None:
-                last_update = get_last_update(html, page=page)
-            pages.append({"rows": extract_forecast_rows(html, table_index=table_index)})
-        assert last_update is not None
+            page_update = get_last_update(html, page=page)
+            if first_update is None:
+                first_update = page_update
+            pages.append(
+                {
+                    "rows": extract_forecast_rows(html, table_index=table_index),
+                    "last_update": _stamp(page_update),
+                }
+            )
+        assert first_update is not None
         tables.append(
             {
                 "location": location,
-                "last_update": (
-                    f"{last_update.month}/{last_update.day}/{last_update.year} "
-                    f"{last_update.hour}:{last_update.minute:02d}"
-                ),
+                "last_update": _stamp(first_update),
                 "pages": pages,
             }
         )

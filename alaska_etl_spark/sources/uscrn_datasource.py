@@ -76,9 +76,10 @@ class UscrnBatchReader(DataSourceReader):
 
 
 class UscrnStreamReader(SimpleDataSourceStreamReader):
-    """Offset = per-file ``{name: [mtime_ns, size]}`` state — the
-    reference's updates-page watermark filter (uscrn_dag.py:127) with
-    the bookkeeping moved into the checkpointed commit log.
+    """Offset = per-file ``{name: [mtime_ns, committed_size,
+    raw_size]}`` state — the reference's updates-page watermark filter
+    (uscrn_dag.py:127) with the bookkeeping moved into the checkpointed
+    commit log.
 
     Per-file state (not a single max-mtime watermark) because a
     watermark misses two real cases: a file *delivered with a preserved
@@ -87,9 +88,19 @@ class UscrnStreamReader(SimpleDataSourceStreamReader):
     any (mtime, size) change makes a file (re-)visible, each batch
     records the byte range it read, and replay re-reads exactly that
     range (`_read_lines` bounds). Appends are ingested incrementally
-    from the previous size; a rewrite (shrink or same-size mtime touch)
-    re-reads from zero — the warehouse's hash anti-join makes that a
-    no-op downstream."""
+    from the previous committed offset; a rewrite (shrink or same-size
+    mtime touch) re-reads from zero — the warehouse's hash anti-join
+    makes that a no-op downstream.
+
+    Torn-line safety: a non-atomic writer can be mid-append at stat
+    time, so ``committed_size`` is trimmed back to the last ``b'\\n'``
+    inside the read range — the partial tail line is NOT emitted and the
+    remainder is picked up from ``committed_size`` next batch instead of
+    surfacing as two half-lines. ``raw_size`` remembers the stat-time
+    size so a file whose raw state has not moved between two polls (the
+    writer is done, the file just ends without a trailing newline) gets
+    its tail flushed on the following poll. Legacy two-element offsets
+    ``[mtime_ns, size]`` are read as ``committed == raw``."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -101,7 +112,10 @@ class UscrnStreamReader(SimpleDataSourceStreamReader):
 
     @staticmethod
     def _seen(offset: dict) -> dict[str, list[int]]:
-        return dict(offset.get("files") or {})
+        out = {}
+        for f, e in (offset.get("files") or {}).items():
+            out[f] = [e[0], e[1], e[1]] if len(e) == 2 else list(e)
+        return out
 
     def _snapshot(self) -> dict[str, list[int]]:
         out = {}
@@ -111,42 +125,55 @@ class UscrnStreamReader(SimpleDataSourceStreamReader):
         return out
 
     @staticmethod
-    def _ranges(
-        seen: dict[str, list[int]], target: dict[str, list[int]]
-    ) -> list[tuple[str, int, int]]:
-        """(file, start_byte, end_byte) for every file whose recorded
-        state changed between ``seen`` and ``target``."""
-        out = []
-        for f in sorted(target):
-            cur = target[f]
-            prev = seen.get(f)
-            if prev == cur:
-                continue
-            start = prev[1] if prev is not None and prev[1] < cur[1] else 0
-            out.append((f, start, cur[1]))
-        return out
+    def _complete_range(fname: str, lo: int, hi: int) -> int:
+        """End offset of the last complete line in ``[lo, hi)``: ``lo``
+        + one past the rightmost newline, or ``lo`` when the range holds
+        no newline at all (nothing safe to emit yet)."""
+        if hi <= lo:
+            return lo
+        with open(fname, "rb") as fh:
+            fh.seek(lo)
+            data = fh.read(hi - lo)
+        cut = data.rfind(b"\n")
+        return lo if cut < 0 else lo + cut + 1
 
     def read(self, start: dict):
         seen = self._seen(start)
         snap = self._snapshot()
-        # materialized, not a generator: the engine prefetches simple-
-        # reader batches on the driver and copies the iterator into its
-        # cache, which a generator can't survive. Batches here are one
-        # poll's worth of new files — the same driver-memory envelope
-        # the reference's per-run fetch had.
-        rows = [
-            r
-            for f, lo, hi in self._ranges(seen, snap)
-            for r in _read_lines(f, start_byte=lo, end_byte=hi)
-        ]
-        return rows, {"files": {**seen, **snap}}
+        # rows are materialized, not a generator: the engine prefetches
+        # simple-reader batches on the driver and copies the iterator
+        # into its cache, which a generator can't survive. Batches here
+        # are one poll's worth of new files — the same driver-memory
+        # envelope the reference's per-run fetch had.
+        rows: list[tuple[str, str]] = []
+        new: dict[str, list[int]] = {}
+        for f in sorted(snap):
+            mtime, size = snap[f]
+            prev = seen.get(f)
+            if prev is not None and prev[0] == mtime and prev[2] == size:
+                if prev[1] == size:  # unchanged, fully committed
+                    continue
+                # raw state idle since the last poll: the writer is done
+                # and the file ends without a newline — flush the tail.
+                rows.extend(_read_lines(f, start_byte=prev[1], end_byte=size))
+                new[f] = [mtime, size, size]
+                continue
+            lo = prev[1] if prev is not None and prev[1] < size else 0
+            committed = self._complete_range(f, lo, size)
+            rows.extend(_read_lines(f, start_byte=lo, end_byte=committed))
+            new[f] = [mtime, committed, size]
+        return rows, {"files": {**seen, **new}}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # crash replay: re-read exactly the byte ranges the committed
+        # crash replay: re-read exactly the committed byte ranges the
         # offsets recorded, regardless of the files' current size
-        for f, lo, hi in self._ranges(self._seen(start), self._seen(end)):
-            if os.path.exists(f):
-                yield from _read_lines(f, start_byte=lo, end_byte=hi)
+        seen = self._seen(start)
+        for f, cur in sorted(self._seen(end).items()):
+            prev = seen.get(f)
+            if prev == cur or not os.path.exists(f):
+                continue
+            lo = prev[1] if prev is not None and prev[1] < cur[1] else 0
+            yield from _read_lines(f, start_byte=lo, end_byte=cur[1])
 
 
 class UscrnDataSource(DataSource):

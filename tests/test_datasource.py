@@ -102,6 +102,48 @@ def test_stream_append_ingested_incrementally(spark, tmp_path):
     assert sorted(got) == ["line-one x", "line-two x"]  # no duplicated prefix
 
 
+def test_stream_torn_append_never_splits_a_line(tmp_path):
+    """Regression (ADVICE r2): stat during a non-atomic append must not
+    emit the torn prefix as its own line — the committed offset trims to
+    the last newline and the remainder rides the next batch."""
+    from alaska_etl_spark.sources.uscrn_datasource import UscrnStreamReader
+
+    f = tmp_path / "f1.txt"
+    f.write_text("line-one x\nline-two")  # writer caught mid-line
+    r = UscrnStreamReader({"path": str(tmp_path)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert [v for v, _ in rows1] == ["line-one x"]  # no torn prefix
+
+    with f.open("a") as fh:
+        fh.write(" continued\n")  # writer finishes the line
+    rows2, off2 = r.read(off1)
+    assert [v for v, _ in rows2] == ["line-two continued"]  # whole line, once
+
+    # crash replay over the same offsets reproduces the same rows
+    replay1 = [v for v, _ in r.readBetweenOffsets(r.initialOffset(), off1)]
+    replay2 = [v for v, _ in r.readBetweenOffsets(off1, off2)]
+    assert replay1 == ["line-one x"]
+    assert replay2 == ["line-two continued"]
+
+
+def test_stream_flushes_final_line_without_trailing_newline(tmp_path):
+    """A file that genuinely ends without a trailing newline delivers
+    its last line on the next poll (raw state idle ⇒ writer done), not
+    never."""
+    from alaska_etl_spark.sources.uscrn_datasource import UscrnStreamReader
+
+    f = tmp_path / "f1.txt"
+    f.write_text("a x\nb x")
+    r = UscrnStreamReader({"path": str(tmp_path)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert [v for v, _ in rows1] == ["a x"]
+    rows2, off2 = r.read(off1)
+    assert [v for v, _ in rows2] == ["b x"]  # tail flushed once idle
+    rows3, off3 = r.read(off2)
+    assert rows3 == []  # and only once
+    assert [v for v, _ in r.readBetweenOffsets(off1, off2)] == ["b x"]
+
+
 def test_offset_ranges_replay_exact_bytes(tmp_path):
     """readBetweenOffsets re-reads exactly the committed byte range even
     after the file grows post-commit (deterministic crash replay)."""

@@ -136,6 +136,37 @@ def test_embedding_near_dup(spark):
     assert pairs == {(0, 1)}
 
 
+def test_duplicated_spans_includes_tail_spans(spark):
+    """Regression (ADVICE r2, high): spans must be built BEFORE tail
+    positions are filtered — lead() over the filtered partition silently
+    truncated trailing tokens. A 7-token doc with n=5 has exactly three
+    5-token spans, all complete."""
+    from alaska_etl_spark.operators.dedup import duplicated_spans
+
+    doc = "a b c d e f g"
+    docs = spark.createDataFrame([(0, doc), (1, doc)], "doc_id bigint, text string")
+    got = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in duplicated_spans(docs, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    assert got == {
+        "a b c d e": (2, 2),
+        "b c d e f": (2, 2),
+        "c d e f g": (2, 2),
+    }
+
+    hashed = duplicated_spans(docs, "doc_id", "text", n=5, min_docs=2, hashed=True)
+    expected_hashes = {
+        r.h
+        for r in spark.createDataFrame([(s,) for s in got], "s string")
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    hrows = hashed.collect()
+    assert {r.span for r in hrows} == expected_hashes
+    assert all((r.n_docs, r.n_occurrences) == (2, 2) for r in hrows)
+
+
 def test_connected_components_bounded_lineage(spark):
     """Scale pin (VERDICT r1 #5): each iteration localCheckpoints its
     labels, so the returned plan must NOT contain the k-deep join chain

@@ -69,6 +69,28 @@ def test_sparse_date_row_preserved():
     assert "12/31" in dates and "" in dates  # sparse until forward fill
 
 
+def test_nested_table_does_not_steal_outer_row_cells():
+    """Regression (ADVICE r2): a nested table's <tr> must not implicitly
+    close the enclosing outer row — cells after the nested table belong
+    to the outer row (BS4 semantics on real MapClick headers)."""
+    html = (
+        "<table>"
+        "<tr><td><font>before</font></td>"
+        "<td><table><tr><td><font>inner</font></td></tr></table></td>"
+        "<td><font>after</font></td></tr>"
+        "<tr><td><font>second</font></td></tr>"
+        "</table>"
+    )
+    p = parse_page(html)
+    assert len(p.tables) == 2
+    outer, inner = p.tables
+    assert [r.fonts for r in inner.rows] == [["inner"]]
+    assert len(outer.rows) == 2
+    # the outer row kept the cell that follows the nested table
+    assert outer.rows[0].fonts == ["before", "after"]
+    assert outer.rows[1].fonts == ["second"]
+
+
 # -- S8: page metadata -------------------------------------------------------
 
 
@@ -101,6 +123,32 @@ def test_grid_fetches_location_by_ahead_hour():
     assert t["location"] == "Fairbanks"
     assert t["last_update"] == "12/30/2023 15:03"
     assert len(t["pages"]) == 3 and all(len(p["rows"]) == 17 for p in t["pages"])
+
+
+def test_mid_grid_refresh_stamps_pages_individually(spark):
+    """Regression (ADVICE r2): each AheadHour page carries its own
+    ``Last Update:`` stamp (the reference calls get_last_update_nws per
+    soup) — a forecast refresh between page fetches must not inherit
+    page 0's version stamp."""
+
+    def refresh_fetch(url):
+        html = _fake_fetch(url)
+        if url.endswith("AheadHour=96"):
+            html = html.replace("3:03 pm AKST Dec 30", "4:07 pm AKST Dec 30")
+        return html
+
+    tables = fetch_forecast_tables(refresh_fetch, [("Fairbanks", 64.8378, -147.7164)])
+    t = tables[0]
+    assert t["last_update"] == "12/30/2023 15:03"  # table-level = page 0
+    assert [p["last_update"] for p in t["pages"]] == [
+        "12/30/2023 15:03",
+        "12/30/2023 15:03",
+        "12/30/2023 16:07",
+    ]
+    # the per-page stamp flows through to the long rows
+    long_df = forecast_long_df(spark, tables)
+    stamps = {r.last_update for r in long_df.select("last_update").distinct().collect()}
+    assert stamps == {"12/30/2023 15:03", "12/30/2023 16:07"}
 
 
 def test_digital_url_carries_all_attribute_params():
