@@ -90,6 +90,48 @@ def _require_real_codecs() -> None:
     )
 
 
+def _pil_image_module():
+    """Codec loader seam: PIL.Image when installed, else None. Callers
+    capture the result at PLAN time (driver) so whatever this returns —
+    the real module on a provisioned image, a monkeypatched fake in
+    tests — rides the mapInPandas closure to executors; executor-side
+    re-imports are never needed."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _av_module():
+    """Video codec loader seam (PyAV), same contract as
+    :func:`_pil_image_module`."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
+def _real_image_stats(image_mod, content: bytes | None, k: int) -> list[float]:
+    """Decoded-pixel statistics via the (possibly injected) PIL-like
+    module: overall mean + per-channel means in [0, 1], cycled to ``k``
+    features. Anything without content decodes to zeros, matching the
+    fake's contract."""
+    if not content:
+        return [0.0] * k
+    import io
+
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(content)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    feats = [float(arr.mean())] + [float(m) for m in arr.reshape(-1, arr.shape[-1]).mean(axis=0)]
+    return (feats * ((k // len(feats)) + 1))[:k]
+
+
 DECODE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -102,21 +144,35 @@ DECODE_SCHEMA = StructType(
 
 def decode_stats(df: DataFrame, *, n_stats: int = 4, real: bool = False) -> DataFrame:
     """Decode each media row to summary statistics (fake: byte-derived;
-    real: per-pixel/sample means). One Arrow batch in, one out; bytes
-    never leave the executor."""
+    real: per-pixel means via PIL for image rows, byte-stats fallback
+    for other kinds until their codecs are provisioned). One Arrow batch
+    in, one out; bytes never leave the executor. ``real=True`` without
+    an installed/injected codec raises at plan time, not mid-job."""
+    image_mod = None
     if real:
-        _require_real_codecs()
+        image_mod = _pil_image_module()
+        if image_mod is None:
+            _require_real_codecs()
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for b in batches:
+            if image_mod is not None:
+                stats = [
+                    _real_image_stats(image_mod, c, n_stats)
+                    if k == "image"
+                    else _byte_stats(c, n_stats)
+                    for k, c in zip(b["kind"], b["content"])
+                ]
+            else:
+                stats = [_byte_stats(c, n_stats) for c in b["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "kind": b["kind"],
                     "n_bytes": [len(c) if c is not None else 0 for c in b["content"]],
-                    "stats": [_byte_stats(c, n_stats) for c in b["content"]],
+                    "stats": stats,
                 }
             )
 
@@ -160,13 +216,31 @@ def resize_images(
 ) -> DataFrame:
     """Image resize. The fake keeps bytes opaque (identity content) and
     rewrites the metadata — exercising exactly the schema/partition flow
-    the real resize uses; ``real=True`` demands codecs."""
+    the real resize uses; ``real=True`` decodes, resizes, and re-encodes
+    through the PIL seam (raises at plan time when no codec is
+    installed/injected)."""
+    image_mod = None
     if real:
-        _require_real_codecs()
+        image_mod = _pil_image_module()
+        if image_mod is None:
+            _require_real_codecs()
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
             out = b.copy()
+            if image_mod is not None:
+                import io
+
+                resized = []
+                for c, fmt in zip(b["content"], b["format"]):
+                    if c is None:
+                        resized.append(None)
+                        continue
+                    img = image_mod.open(io.BytesIO(c)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format=(fmt or "png").upper())
+                    resized.append(buf.getvalue())
+                out["content"] = resized
             out["width"] = width
             out["height"] = height
             yield out
@@ -190,7 +264,10 @@ def sample_frames(
     """Video → one row per sampled frame at ``every_ms`` spacing (fake:
     frame stats are byte stats salted by frame index; real: actual frame
     grabs). The row explosion happens executor-side inside the batch
-    iterator — the driver never sees frames."""
+    iterator — the driver never sees frames. Real frame grabs are not
+    implemented yet (no video codec to build against — the loader seam
+    is :func:`_av_module`); ``real=True`` always raises rather than
+    silently emitting fake stats."""
     if real:
         _require_real_codecs()
 

@@ -9,9 +9,11 @@ partials combine like any sum), and trades a configured relative error.
 Same story for exact percentiles (full sort / large state) vs
 Greenwald-Khanna (``percentile_approx``, bounded state).
 
-Sketch outputs are engine-defined → rows-only in the driver gate; the
-exact companions are the oracles, and the error-bound contract is
-pinned in tests (|approx - exact| / exact within tolerance).
+Sketch outputs are engine-defined → rows-only in the driver gate
+(q55_approx_distinct, q57_approx_quantiles); the exact companions are
+the oracles (q56_distinct_counts, q38_percentiles), and the error-bound
+contract — |approx − exact| / exact within tolerance — is pinned in
+tests/test_sketches.py.
 """
 
 from __future__ import annotations

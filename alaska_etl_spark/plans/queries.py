@@ -1743,6 +1743,135 @@ def q53_lsh_ann(spark, sf_dir):
     )
 
 
+def _salted_documents(spark, sf_dir):
+    """documents with one deterministic PII instance of each kind
+    appended per row — both engines build the identical salted text, so
+    the q54 hash proves the redaction itself, not a no-op pass over
+    PII-free synthetic text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (907) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789."),
+        ).alias("text"),
+    )
+
+
+def q54_pii_scrub(spark, sf_dir):
+    """PII redaction + per-kind audit counts (operators/redact.py) over
+    PII-salted documents. The patterns are RE2-safe by construction, so
+    DuckDB runs them verbatim (with the 'g' flag to match Spark's
+    replace-all) and the redacted text hash-matches exactly — the whole
+    scrub is regexp_replace/regexp_extract_all in whole-stage codegen,
+    nothing but a scan + projection at any scale."""
+    from alaska_etl_spark.operators.redact import scrub_documents
+
+    return scrub_documents(_salted_documents(spark, sf_dir)).select(
+        "doc_id", "text_clean", "n_email", "n_ssn", "n_phone", "n_ipv4"
+    )
+
+
+def _q54_sql() -> str:
+    from alaska_etl_spark.operators.redact import PII_PATTERNS
+
+    expr = "text"
+    for kind, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or +1 (907) 555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ip 10.0.',
+                CAST(doc_id % 256 AS VARCHAR), '.7 ssn 123-45-6789.') AS text
+  FROM documents)
+SELECT doc_id, {expr} AS text_clean,
+       {counts}
+FROM salted
+"""
+
+
+Q54_SQL = _q54_sql()
+
+
+def q55_approx_distinct(spark, sf_dir):
+    """HLL++ per-group distinct counts (operators/sketches.py) — the
+    100 TB replacement for COUNT(DISTINCT) whose state would otherwise
+    BE the distinct set. Rows-only: sketch estimates are engine-defined;
+    the exact companion q56 is the oracle and the relative-error
+    contract is pinned in tests/test_sketches.py."""
+    from alaska_etl_spark.operators.sketches import approx_distinct_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return approx_distinct_counts(o, ["o_orderpriority"], "o_custkey", rsd=0.02)
+
+
+def q56_distinct_counts(spark, sf_dir):
+    """Exact per-group distinct counts — q55's oracle companion (the
+    q26/q29 exact-vs-approximate pairing, sketch edition)."""
+    from alaska_etl_spark.operators.sketches import distinct_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return distinct_counts(o, ["o_orderpriority"], "o_custkey")
+
+
+Q56_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q57_approx_quantiles(spark, sf_dir):
+    """Greenwald-Khanna approximate quantiles (operators/sketches.py)
+    per event type — bounded O(accuracy) state vs the exact sort. Rows-
+    only: GK outputs are engine-defined; the exact companion is q38
+    (same groups, same cents input) and the error contract is pinned in
+    tests/test_sketches.py."""
+    from alaska_etl_spark.operators.sketches import approx_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    return approx_quantiles(ev, ["event_type"], "cents", [0.5, 0.9])
+
+
+def q58_duplicated_spans(spark, sf_dir):
+    """Cross-document repeated token-5-gram report
+    (operators/dedup.py:duplicated_spans — exact substring dedup à la
+    Lee et al. '22). Oracled exactly: DuckDB rebuilds the same spans
+    via list slicing over the same whitespace tokenization."""
+    from alaska_etl_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", n=5, min_docs=2)
+
+
+Q58_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks
+), spans AS (
+  SELECT doc_id, array_to_string(t[i : i+4], ' ') AS span FROM idx
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1801,6 +1930,11 @@ QUERIES = {
     "q51_sole_blame_supplier": q51_sole_blame_supplier,
     "q52_range_join": q52_range_join,
     "q53_lsh_ann": q53_lsh_ann,
+    "q54_pii_scrub": q54_pii_scrub,
+    "q55_approx_distinct": q55_approx_distinct,
+    "q56_distinct_counts": q56_distinct_counts,
+    "q57_approx_quantiles": q57_approx_quantiles,
+    "q58_duplicated_spans": q58_duplicated_spans,
 }
 
 ORACLES = {
@@ -1853,5 +1987,9 @@ ORACLES = {
     "q50_top_supplier": Q50_SQL,
     "q51_sole_blame_supplier": Q51_SQL,
     "q52_range_join": Q52_SQL,
-    # q29-q31: approximate ops — rows-only check by design
+    "q54_pii_scrub": Q54_SQL,
+    "q56_distinct_counts": Q56_SQL,
+    "q58_duplicated_spans": Q58_SQL,
+    # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
+    # has an oracled exact companion (q27, q26, q27, q27, q56, q38).
 }

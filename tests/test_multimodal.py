@@ -66,13 +66,96 @@ def test_sample_frames_explosion(spark, media):
     assert sorted(map(str, frames)) == sorted(map(str, again))
 
 
-def test_real_codec_gate(spark, media):
+def test_real_codec_gate(spark, media, monkeypatch):
+    from alaska_etl_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: None)
     with pytest.raises(NotImplementedError, match="codec"):
         decode_stats(media, real=True)
     with pytest.raises(NotImplementedError, match="codec"):
         resize_images(media, width=1, height=1, real=True)
     with pytest.raises(NotImplementedError, match="codec"):
         sample_frames(media, real=True)
+
+
+# executors can't import the pytest-loaded test module by name, so ship
+# FakePIL (captured in the decode closure) by VALUE instead of by ref
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+class FakePIL:
+    """Minimal PIL.Image-like module for codec-seam injection: content
+    is ``b'<w>,<h>:'`` + w*h*3 raw RGB bytes."""
+
+    class _Img:
+        def __init__(self, data: bytes):
+            head, _, body = bytes(data).partition(b":")
+            w, h = (int(x) for x in head.split(b","))
+            self.size = (w, h)
+            self._body = body
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            import numpy as np
+
+            w, h = self.size
+            arr = np.frombuffer(self._body, dtype=np.uint8).reshape(h, w, 3)
+            return arr.astype(dtype) if dtype is not None else arr
+
+        def resize(self, size):
+            w, h = size
+            need = w * h * 3
+            body = (self._body * (need // max(len(self._body), 1) + 1))[:need]
+            return FakePIL._Img(f"{w},{h}:".encode() + body)
+
+        def save(self, buf, format=None):
+            w, h = self.size
+            buf.write(f"{w},{h}:".encode() + self._body)
+
+    @staticmethod
+    def open(bio):
+        return FakePIL._Img(bio.read())
+
+
+def _img_bytes(w: int, h: int, val: int) -> bytes:
+    return f"{w},{h}:".encode() + bytes([val]) * (w * h * 3)
+
+
+def test_real_decode_via_injected_codec(spark, monkeypatch):
+    """The real=True dispatch path end-to-end with an injected codec:
+    image rows get decoded-pixel means, other kinds keep the byte-stats
+    fallback, and the captured codec survives the trip to executors."""
+    from alaska_etl_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: FakePIL)
+    rows = [
+        (0, "image", _img_bytes(4, 2, 255), "png", 4, 2, 3, None, None),
+        (1, "image", _img_bytes(2, 2, 0), "png", 2, 2, 3, None, None),
+        (3, "audio", b"RIFFwavfake", "wav", None, None, 1, 16000, 2000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r.stats for r in mm.decode_stats(media, n_stats=4, real=True).collect()}
+    assert out[0] == [1.0, 1.0, 1.0, 1.0]  # all-255 pixels
+    assert out[1] == [0.0, 0.0, 0.0, 0.0]  # all-0 pixels
+    fake = {r.media_id: r.stats for r in mm.decode_stats(media, n_stats=4).collect()}
+    assert out[3] == fake[3]  # audio: byte-stats fallback
+
+
+def test_real_resize_via_injected_codec(spark, monkeypatch):
+    from alaska_etl_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: FakePIL)
+    rows = [(0, "image", _img_bytes(4, 2, 9), "png", 4, 2, 3, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    [r] = mm.resize_images(media, width=2, height=1, real=True).collect()
+    assert (r.width, r.height) == (2, 1)
+    assert bytes(r.content) == _img_bytes(2, 1, 9)  # re-encoded at new size
 
 
 def test_media_from_documents_adapter(spark):

@@ -181,6 +181,44 @@ def test_fixture_to_warehouse_end_to_end(spark, tmp_path):
     assert r0.last_update_nws == datetime(2023, 12, 30, 15, 3)
 
 
+def test_fixture_to_asof_analytics_end_to_end(spark, tmp_path):
+    """The whole reference lifecycle in ONE chain (VERDICT r2 #8):
+    real-HTML fixture → parse → AheadHour grid → pivot/forward-fill →
+    warehouse → J5 forecast-vs-actual join → lead-time error buckets →
+    as-of snapshot attachment. Actuals are forecast−2 °F, so every error
+    aggregate is exactly 2 if and only if the join aligned every one of
+    the 144 scraped forecast hours."""
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.plans.analytics import (
+        asof_forecast_for_observations,
+        forecast_vs_actual,
+        lead_time_error,
+    )
+
+    tables = fetch_forecast_tables(_fake_fetch, [("Fairbanks", 64.8378, -147.7164)])
+    wh = Warehouse(spark, str(tmp_path))
+    run_nws(spark, wh, tables, year=2023)
+    nws = wh.read("nws")
+
+    actuals = nws.select(
+        F.col("location").alias("station_location"),
+        "utc_datetime",
+        (F.col("temperature_f").cast("double") - 2.0).alias("t_hr_avg"),
+        F.lit(65.0).alias("rh_hr_avg"),
+    )
+    matched = forecast_vs_actual(nws, actuals)
+    assert matched.count() == 144  # every scraped forecast hour matched
+    err = {r.lead_bucket: r for r in lead_time_error(matched).collect()}
+    assert all(r.mae_temp_f == 2.0 and r.bias_temp_f == 2.0 for r in err.values())
+    assert sum(r.n_matched for r in err.values()) == 144
+    assert min(err) == 0 and max(err) == 144  # leads span the 3-page grid
+
+    asof = asof_forecast_for_observations(nws, actuals).collect()
+    assert len(asof) == 144  # every observation attached
+    assert all(r.snapshot_ts == datetime(2023, 12, 30, 15, 3) for r in asof)
+
+
 def test_grid_reload_is_idempotent(spark, tmp_path):
     """Same snapshot re-scraped → no duplicate rows (the reference's
     double-load bug, nws_dag.py:175+187, stays fixed through the real

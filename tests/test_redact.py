@@ -1,0 +1,56 @@
+"""PII redaction (operators/redact.py): every kind replaced with its
+typed token, declaration order respected (an SSN must surface as [SSN],
+never a phone fragment), counts audited on the original text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.redact import pii_counts, redact_pii, scrub_documents
+
+
+def _scrub_one(spark, text: str):
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return scrub_documents(df).collect()[0]
+
+
+def test_each_kind_redacted(spark):
+    r = _scrub_one(
+        spark,
+        "mail a.user+tag@sub.example.org call +1 (907) 555-0042 "
+        "from 192.168.10.7 ssn 123-45-6789 done",
+    )
+    assert r.text_clean == "mail [EMAIL] call [PHONE] from [IPV4] ssn [SSN] done"
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (1, 1, 1, 1)
+
+
+def test_ssn_wins_over_phone_shape(spark):
+    """Declaration order: the SSN pattern runs before phone, so a
+    123-45-6789 string lands as [SSN] even though digits-with-dashes is
+    phone-adjacent territory."""
+    r = _scrub_one(spark, "id 999-88-7777 end")
+    assert r.text_clean == "id [SSN] end"
+
+
+def test_clean_text_untouched_and_counts_zero(spark):
+    text = "no personal data here just words and numbers like 42"
+    r = _scrub_one(spark, text)
+    assert r.text_clean == text
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (0, 0, 0, 0)
+
+
+def test_multiple_matches_all_replaced_and_counted(spark):
+    r = _scrub_one(spark, "a@b.co then c@d.org then 10.0.0.1 and 10.0.0.2")
+    assert r.text_clean == "[EMAIL] then [EMAIL] then [IPV4] and [IPV4]"
+    assert r.n_email == 2 and r.n_ipv4 == 2
+
+
+def test_custom_patterns_and_token(spark):
+    df = spark.createDataFrame([("key sk-abcdef1234 here",)], "text string")
+    out = df.select(
+        redact_pii("text", patterns={"apikey": r"sk-[A-Za-z0-9]{10}"}, token="<{kind}>").alias("t")
+    ).collect()[0].t
+    assert out == "key <APIKEY> here"
+    counts = pii_counts("text", patterns={"apikey": r"sk-[A-Za-z0-9]{10}"})
+    [row] = df.select(*[c.alias(n) for n, c in counts.items()]).collect()
+    assert row.n_apikey == 1

@@ -93,6 +93,43 @@ def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
     assert persisted == inline
 
 
+def test_ivf_build_is_shuffle_free(spark):
+    """Scale pin (VERDICT r2 #3): the IVF build must not shuffle.
+    Centroid picking plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort) and bucket assignment is scan → project →
+    ArrowEvalPython argmax — no Exchange in either stage."""
+    from alaska_etl_spark.operators.similarity import _centroids, assign_buckets
+
+    c = _corpus(spark)
+    cents = _centroids(c, "vec_id", "embedding", 4)
+    cents_plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cents_plan
+    assert "Exchange" not in cents_plan
+
+    assigned = assign_buckets(c, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_assign_buckets_nearest_and_tiebreak(spark):
+    """Every vector lands in its max-cosine cell; NULL and zero-norm
+    vectors deterministically land in the smallest centroid_id."""
+    from alaska_etl_spark.operators.similarity import assign_buckets
+
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid_id bigint, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.1, 0.9]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.centroid_id for r in assign_buckets(vecs, cents).collect()}
+    assert got == {0: 10, 1: 2, 2: 2, 3: 2}  # 2 is the smallest centroid_id
+
+
 def test_lsh_topk_recall_vs_exact(spark):
     """Sign-LSH ANN recall floor against brute-force cosine (q27's
     operator) on the clustered corpus: rank-1 neighbors live in the same

@@ -1,0 +1,58 @@
+"""Sketch aggregates (operators/sketches.py): the error-bound contract
+the module promises — |approx − exact| / exact within tolerance — and
+the exact companions themselves."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.sketches import (
+    approx_distinct_counts,
+    approx_quantiles,
+    distinct_counts,
+)
+
+
+def _grouped(spark):
+    # 3 groups with known distinct cardinalities: g0→1000, g1→2000, g2→400
+    return (
+        spark.range(60_000)
+        .select(
+            (F.col("id") % 3).alias("g"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 1000)
+            .when(F.col("id") % 3 == 1, F.col("id") % 2000)
+            .otherwise(F.col("id") % 400)
+            .alias("v"),
+        )
+    )
+
+
+def test_exact_distinct_counts(spark):
+    got = {r.g: r.n_distinct for r in distinct_counts(_grouped(spark), ["g"], "v").collect()}
+    assert got == {0: 1000, 1: 2000, 2: 400}
+
+
+def test_approx_distinct_within_relative_error(spark):
+    """HLL++ at rsd=0.02: every group within 5·rsd of exact (a ≥5σ
+    excursion would be a broken sketch, not noise)."""
+    rsd = 0.02
+    exact = {r.g: r.n_distinct for r in distinct_counts(_grouped(spark), ["g"], "v").collect()}
+    approx = {
+        r.g: r.n_distinct_approx
+        for r in approx_distinct_counts(_grouped(spark), ["g"], "v", rsd=rsd).collect()
+    }
+    assert set(approx) == set(exact)
+    for g, ex in exact.items():
+        assert abs(approx[g] - ex) / ex <= 5 * rsd, (g, approx[g], ex)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """Greenwald-Khanna at accuracy a: returned value's rank is within
+    n/a of the target rank — on uniform 0..n-1 data that bounds the
+    VALUE error by n/a too."""
+    n, accuracy = 50_000, 1000
+    df = spark.range(n).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    [row] = approx_quantiles(df, ["g"], "v", [0.5, 0.9], accuracy=accuracy).collect()
+    p50, p90 = row.quantiles_approx
+    assert abs(p50 - 0.5 * (n - 1)) <= n / accuracy + 1
+    assert abs(p90 - 0.9 * (n - 1)) <= n / accuracy + 1
