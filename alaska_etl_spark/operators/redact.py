@@ -5,7 +5,7 @@ plus per-kind match counts for corpus auditing.
 Pure ``regexp_replace``/``regexp_extract_all`` expressions — the whole
 scrub runs inside whole-stage codegen, no Python in the hot path, and
 the patterns are RE2-compatible (no lookaround) so the same rules run
-identically in other engines (the q54_pii_scrub DuckDB oracle runs them
+identically in other engines (the q37_pii_scrub DuckDB oracle runs them
 verbatim and hash-matches the redacted text; unit coverage in
 tests/test_redact.py).
 

@@ -11,7 +11,7 @@ Greenwald-Khanna (``percentile_approx``, bounded state).
 
 Sketch outputs are engine-defined → rows-only in the driver gate
 (q55_approx_distinct, q57_approx_quantiles); the exact companions are
-the oracles (q56_distinct_counts, q38_percentiles), and the error-bound
+the oracles (q46_distinct_counts, q38_percentiles), and the error-bound
 contract — |approx − exact| / exact within tolerance — is pinned in
 tests/test_sketches.py.
 """

@@ -329,7 +329,7 @@ GROUP BY o_orderpriority
 """
 
 
-def q10_anti_join(spark, sf_dir):
+def q59_anti_join(spark, sf_dir):
     """Anti-join: customers with no orders (the idempotent-append
     primitive, SURVEY §7.1 step 5)."""
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
@@ -339,7 +339,7 @@ def q10_anti_join(spark, sf_dir):
     )
 
 
-Q10_SQL = """
+Q59_SQL = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
@@ -440,7 +440,7 @@ Q13_SQL = (
 )
 
 
-def q14_union_all(spark, sf_dir):
+def q60_union_all(spark, sf_dir):
     """U1: vertical concat of two filtered projections (reference
     per-file/page row extension, uscrn_dag.py:146)."""
     ev = _t(spark, sf_dir, "events")
@@ -455,7 +455,7 @@ def q14_union_all(spark, sf_dir):
     )
 
 
-Q14_SQL = """
+Q60_SQL = """
 SELECT bucket, count(*) AS n, count(DISTINCT user_id) AS n_users FROM (
   SELECT event_id, user_id, 'big_purchase' AS bucket FROM events
    WHERE event_type = 'purchase' AND value > 100
@@ -1082,7 +1082,7 @@ GROUP BY p_type, p_brand
 """
 
 
-def q37_small_quantity_revenue(spark, sf_dir):
+def q61_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery — revenue from
     lineitems below 50% of their part's average quantity. Spark plans
     the correlation as an aggregate + equi-join (no per-row subquery
@@ -1106,7 +1106,7 @@ def q37_small_quantity_revenue(spark, sf_dir):
     )
 
 
-Q37_SQL = """
+Q61_SQL = """
 WITH li AS (
   SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
@@ -1372,7 +1372,7 @@ GROUP BY c_count
 """
 
 
-def q46_promo_revenue(spark, sf_dir):
+def q62_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
     for one month). The part join is AQE-broadcast at test scale and a
     shuffled hash join at 100 TB (part ≪ lineitem always). Ratio is
@@ -1396,7 +1396,7 @@ def q46_promo_revenue(spark, sf_dir):
     )
 
 
-Q46_SQL = """
+Q62_SQL = """
 WITH a AS (
   SELECT sum(CASE WHEN p_type = 'PROMO'
                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1410,7 +1410,7 @@ SELECT ((2 * 10000 * p + t) // (2 * t)) / 100.0 AS promo_pct FROM a
 """
 
 
-def q47_disjunctive_predicates(spark, sf_dir):
+def q63_disjunctive_predicates(spark, sf_dir):
     """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
     Catalyst extracts the common conjuncts per side (p_brand ∈ {...} to
     the part scan, l_quantity range to the lineitem scan) as pushed
@@ -1449,7 +1449,7 @@ def q47_disjunctive_predicates(spark, sf_dir):
     )
 
 
-Q47_SQL = """
+Q63_SQL = """
 WITH a AS (
   SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s,
@@ -1626,7 +1626,7 @@ WHERE r = (SELECT max(r) FROM rev)
 """
 
 
-def q51_sole_blame_supplier(spark, sf_dir):
+def q10_sole_blame_supplier(spark, sf_dir):
     """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the
     fact table. Suppliers whose item was returned ('R') on a finished
     multi-supplier order where NO other supplier's item was returned —
@@ -1665,7 +1665,7 @@ def q51_sole_blame_supplier(spark, sf_dir):
     )
 
 
-Q51_SQL = """
+Q10_SQL = """
 SELECT s_name, count(*) AS numwait
 FROM lineitem l1
 JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
@@ -1682,7 +1682,7 @@ LIMIT 10
 """
 
 
-def q52_range_join(spark, sf_dir):
+def q14_range_join(spark, sf_dir):
     """Range (interval) join: every lineitem lands in the quantity band
     whose [lo, hi) interval contains it — a non-equi join Spark executes
     as BroadcastNestedLoopJoin against the tiny interval dim. That is
@@ -1717,7 +1717,7 @@ def q52_range_join(spark, sf_dir):
     )
 
 
-Q52_SQL = """
+Q14_SQL = """
 WITH bands(band, lo, hi) AS (
   VALUES ('B1', 0.0, 10.0), ('B2', 10.0, 20.0), ('B3', 20.0, 30.0),
          ('B4', 30.0, 40.0), ('B5', 40.0, 51.0))
@@ -1764,7 +1764,7 @@ def _salted_documents(spark, sf_dir):
     )
 
 
-def q54_pii_scrub(spark, sf_dir):
+def q37_pii_scrub(spark, sf_dir):
     """PII redaction + per-kind audit counts (operators/redact.py) over
     PII-salted documents. The patterns are RE2-safe by construction, so
     DuckDB runs them verbatim (with the 'g' flag to match Spark's
@@ -1802,7 +1802,7 @@ FROM salted
 """
 
 
-Q54_SQL = _q54_sql()
+Q37_SQL = _q54_sql()
 
 
 def q55_approx_distinct(spark, sf_dir):
@@ -1817,7 +1817,7 @@ def q55_approx_distinct(spark, sf_dir):
     return approx_distinct_counts(o, ["o_orderpriority"], "o_custkey", rsd=0.02)
 
 
-def q56_distinct_counts(spark, sf_dir):
+def q46_distinct_counts(spark, sf_dir):
     """Exact per-group distinct counts — q55's oracle companion (the
     q26/q29 exact-vs-approximate pairing, sketch edition)."""
     from alaska_etl_spark.operators.sketches import distinct_counts
@@ -1826,7 +1826,7 @@ def q56_distinct_counts(spark, sf_dir):
     return distinct_counts(o, ["o_orderpriority"], "o_custkey")
 
 
-Q56_SQL = """
+Q46_SQL = """
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
 FROM orders GROUP BY o_orderpriority
 """
@@ -1846,7 +1846,7 @@ def q57_approx_quantiles(spark, sf_dir):
     return approx_quantiles(ev, ["event_type"], "cents", [0.5, 0.9])
 
 
-def q58_duplicated_spans(spark, sf_dir):
+def q47_duplicated_spans(spark, sf_dir):
     """Cross-document repeated token-5-gram report
     (operators/dedup.py:duplicated_spans — exact substring dedup à la
     Lee et al. '22). Oracled exactly: DuckDB rebuilds the same spans
@@ -1857,7 +1857,7 @@ def q58_duplicated_spans(spark, sf_dir):
     return duplicated_spans(d, "doc_id", "text", n=5, min_docs=2)
 
 
-Q58_SQL = r"""
+Q47_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -1886,11 +1886,11 @@ QUERIES = {
     "q07_duplicate_report": q07_duplicate_report,
     "q08_dedup_keep_first": q08_dedup_keep_first,
     "q09_semi_join": q09_semi_join,
-    "q10_anti_join": q10_anti_join,
+    "q59_anti_join": q59_anti_join,
     "q11_topk_per_group": q11_topk_per_group,
     "q12_forward_fill": q12_forward_fill,
     "q13_pivot": q13_pivot,
-    "q14_union_all": q14_union_all,
+    "q60_union_all": q60_union_all,
     "q15_sentinel_conversion": q15_sentinel_conversion,
     "q16_hourly_rollup": q16_hourly_rollup,
     "q17_asof_join": q17_asof_join,
@@ -1913,7 +1913,7 @@ QUERIES = {
     "q34_sessionize": q34_sessionize,
     "q35_salted_agg": q35_salted_agg,
     "q36_supplier_counts": q36_supplier_counts,
-    "q37_small_quantity_revenue": q37_small_quantity_revenue,
+    "q61_small_quantity_revenue": q61_small_quantity_revenue,
     "q38_percentiles": q38_percentiles,
     "q39_ranking_suite": q39_ranking_suite,
     "q40_set_ops": q40_set_ops,
@@ -1922,19 +1922,19 @@ QUERIES = {
     "q43_winnow_fingerprint": q43_winnow_fingerprint,
     "q44_priority_shipping": q44_priority_shipping,
     "q45_order_count_distribution": q45_order_count_distribution,
-    "q46_promo_revenue": q46_promo_revenue,
-    "q47_disjunctive_predicates": q47_disjunctive_predicates,
+    "q62_promo_revenue": q62_promo_revenue,
+    "q63_disjunctive_predicates": q63_disjunctive_predicates,
     "q48_volume_shipping": q48_volume_shipping,
     "q49_idle_customers": q49_idle_customers,
     "q50_top_supplier": q50_top_supplier,
-    "q51_sole_blame_supplier": q51_sole_blame_supplier,
-    "q52_range_join": q52_range_join,
+    "q10_sole_blame_supplier": q10_sole_blame_supplier,
+    "q14_range_join": q14_range_join,
     "q53_lsh_ann": q53_lsh_ann,
-    "q54_pii_scrub": q54_pii_scrub,
+    "q37_pii_scrub": q37_pii_scrub,
     "q55_approx_distinct": q55_approx_distinct,
-    "q56_distinct_counts": q56_distinct_counts,
+    "q46_distinct_counts": q46_distinct_counts,
     "q57_approx_quantiles": q57_approx_quantiles,
-    "q58_duplicated_spans": q58_duplicated_spans,
+    "q47_duplicated_spans": q47_duplicated_spans,
 }
 
 ORACLES = {
@@ -1947,11 +1947,11 @@ ORACLES = {
     "q07_duplicate_report": Q07_SQL,
     "q08_dedup_keep_first": Q08_SQL,
     "q09_semi_join": Q09_SQL,
-    "q10_anti_join": Q10_SQL,
+    "q59_anti_join": Q59_SQL,
     "q11_topk_per_group": Q11_SQL,
     "q12_forward_fill": Q12_SQL,
     "q13_pivot": Q13_SQL,
-    "q14_union_all": Q14_SQL,
+    "q60_union_all": Q60_SQL,
     "q15_sentinel_conversion": Q15_SQL,
     "q16_hourly_rollup": Q16_SQL,
     "q17_asof_join": Q17_SQL,
@@ -1971,7 +1971,7 @@ ORACLES = {
     "q34_sessionize": Q34_SQL,
     "q35_salted_agg": Q35_SQL,
     "q36_supplier_counts": Q36_SQL,
-    "q37_small_quantity_revenue": Q37_SQL,
+    "q61_small_quantity_revenue": Q61_SQL,
     "q38_percentiles": Q38_SQL,
     "q39_ranking_suite": Q39_SQL,
     "q40_set_ops": Q40_SQL,
@@ -1980,16 +1980,16 @@ ORACLES = {
     "q43_winnow_fingerprint": Q43_SQL,
     "q44_priority_shipping": Q44_SQL,
     "q45_order_count_distribution": Q45_SQL,
-    "q46_promo_revenue": Q46_SQL,
-    "q47_disjunctive_predicates": Q47_SQL,
+    "q62_promo_revenue": Q62_SQL,
+    "q63_disjunctive_predicates": Q63_SQL,
     "q48_volume_shipping": Q48_SQL,
     "q49_idle_customers": Q49_SQL,
     "q50_top_supplier": Q50_SQL,
-    "q51_sole_blame_supplier": Q51_SQL,
-    "q52_range_join": Q52_SQL,
-    "q54_pii_scrub": Q54_SQL,
-    "q56_distinct_counts": Q56_SQL,
-    "q58_duplicated_spans": Q58_SQL,
+    "q10_sole_blame_supplier": Q10_SQL,
+    "q14_range_join": Q14_SQL,
+    "q37_pii_scrub": Q37_SQL,
+    "q46_distinct_counts": Q46_SQL,
+    "q47_duplicated_spans": Q47_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q56, q38).
 }

@@ -46,8 +46,8 @@ HEADLINE = [
     "q43_winnow_fingerprint",
     "q45_order_count_distribution",
     "q48_volume_shipping",
-    "q51_sole_blame_supplier",
-    "q52_range_join",
+    "q10_sole_blame_supplier",
+    "q14_range_join",
 ]
 
 

@@ -21,7 +21,7 @@ def _plan(spark, name: str) -> str:
 
 
 def test_q47_disjunction_decomposed_to_both_scans(spark):
-    plan = _plan(spark, "q47_disjunctive_predicates")
+    plan = _plan(spark, "q63_disjunctive_predicates")
     # OR-of-ANDs must yield pushable per-side conjuncts BELOW the join:
     # quantity range on the lineitem scan, brand/size on the part scan.
     li_scan = next(l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l)
@@ -41,7 +41,7 @@ def test_q50_scalar_max_is_broadcast_not_window(spark):
 
 
 def test_q51_exists_shapes_plan_as_semi_and_anti(spark):
-    plan = _plan(spark, "q51_sole_blame_supplier")
+    plan = _plan(spark, "q10_sole_blame_supplier")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     # the returnflag filter must be pushed into the probe/build scans
     assert plan.count("(l_returnflag") >= 2
@@ -61,10 +61,10 @@ def test_q45_distribution_accounts_for_every_customer(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q44_priority_shipping", "q46_promo_revenue", "q48_volume_shipping", "q49_idle_customers"],
+    ["q44_priority_shipping", "q62_promo_revenue", "q48_volume_shipping", "q49_idle_customers"],
 )
 def test_smoke_runs_and_returns(spark, name):
     rows = QUERIES[name](spark, SF).collect()
     assert rows is not None
-    if name == "q46_promo_revenue":
+    if name == "q62_promo_revenue":
         assert 0.0 <= rows[0].promo_pct <= 100.0
