@@ -744,3 +744,85 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    ncells: int = 8,
+    threshold: float = 0.95,
+    round_digits: int = 4,
+    assign_round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+    compare pairs ONLY within a cluster, and drop every row that has a
+    smaller-id near-duplicate (cosine >= threshold) in its cluster.
+    Returns the kept rows as (id, centroid_id).
+
+    Scale shape — the reason SemDeDup clusters first: similarity is
+    evaluated within a cluster only, so the pair count drops by ~ncells×
+    for balanced clusters. Centroid pick is ``TakeOrderedAndProject``
+    (per-partition heaps, no Exchange); assignment is a narrow Arrow
+    argmax over the broadcast centroid matrix
+    (:func:`~alaska_etl_spark.operators.similarity.assign_buckets` — no
+    join, no shuffle); domination is ``applyInPandas`` per cluster — the
+    ONLY shuffle moves each corpus row once (keyed by ``centroid_id``),
+    and the cluster-local cosine matrix is a chunked BLAS matmul that
+    never materializes the pair rows. (The obvious self-join-then-filter
+    formulation shuffles |pairs| rows each carrying two vectors — ~500 MB
+    at sf0.1 and catastrophic at 100 TB.) Cluster size is the memory
+    unit: size ``ncells`` so a cluster's vectors fit an executor, the
+    same contract as any grouped-map op; chunking keeps the similarity
+    scratch at O(chunk × cluster).
+
+    The survivor rule is "dominated by ANY smaller id" rather than
+    greedy-vs-kept-set: greedy has a sequential dependence (row k's fate
+    depends on the fates of all rows < k), while the dominated rule is
+    embarrassingly parallel and exactly replicable in ANSI SQL, so the
+    DuckDB oracle hash-checks the whole operator. Both similarity
+    decisions round first (argmax at ``assign_round_digits``, the
+    threshold compare at ``round_digits``) so cluster membership and the
+    drop set are reproducible across engines / summation orders.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from alaska_etl_spark.operators.similarity import assign_buckets, centroids_by_id
+
+    cents = centroids_by_id(df, id_col=id_col, vec_col=vec_col, ncells=ncells)
+    assigned = assign_buckets(
+        df, cents, id_col=id_col, vec_col=vec_col, round_digits=assign_round_digits
+    )
+
+    chunk = 1024
+
+    def _dominated(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64)})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vals = pdf[vec_col].to_numpy()[order]
+        dim = next((len(v) for v in vals if v is not None), 1)
+        zero = np.zeros(dim)
+        x = np.stack([zero if v is None else v for v in vals]).astype(np.float64, copy=False)
+        norm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        norm[norm == 0] = 1.0
+        dominated = np.zeros(m, dtype=bool)
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            sims = np.round((x[s:e] @ x.T) / np.outer(norm[s:e], norm), round_digits)
+            hit = sims >= threshold
+            for k in range(e - s):
+                i = s + k
+                dominated[i + 1 :] |= hit[k, i + 1 :]
+        return pd.DataFrame({id_col: ids[dominated]})
+
+    dominated = assigned.groupBy("centroid_id").applyInPandas(
+        _dominated, schema=f"{id_col} bigint"
+    )
+    return assigned.join(dominated, id_col, "left_anti").select(id_col, "centroid_id")

@@ -264,12 +264,35 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, ncells: int) -> Dat
     )
 
 
+def centroids_by_id(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+) -> DataFrame:
+    """Engine-replicable coarse quantizer: the ``ncells`` smallest-id
+    corpus vectors (``ORDER BY id LIMIT n`` in any engine). Same
+    ``TakeOrderedAndProject`` no-Exchange shape as :func:`_centroids`;
+    use this where an external oracle must reproduce the quantizer
+    (:func:`_centroids`' xxhash64 ordering is Spark-only)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+        .orderBy("centroid_id")
+        .limit(ncells)
+    )
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
     ties → smallest centroid_id) as ONE Arrow pandas_udf argmax against
@@ -286,7 +309,12 @@ def assign_buckets(
     driver envelope as :func:`ivf_search`'s probe-cell list, and the
     intended mechanism: the quantizer must be small enough to ship to
     every task anyway. NULL/zero-norm corpus vectors deterministically
-    land in the smallest centroid_id (the old NULL-cosine tie-break)."""
+    land in the smallest centroid_id (the old NULL-cosine tie-break).
+
+    ``round_digits`` rounds the similarity matrix before the argmax so
+    the winning cell is reproducible across summation orders / engines
+    (ties break to the smallest centroid_id on both sides) — required
+    when an external oracle replays the assignment."""
     rows = sorted(
         centroids.select("centroid_id", "centroid").collect(),
         key=lambda r: r.centroid_id,
@@ -311,6 +339,8 @@ def assign_buckets(
         xn = np.sqrt(np.einsum("ij,ij->i", x, x))
         xn[xn == 0] = 1.0
         sims = (x @ mat.T) / np.outer(xn, cnorm)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
         # argmax takes the FIRST max; ids are sorted, so ties (and the
         # all-zero rows, uniformly 0.0) pick the smallest centroid_id
         return pd.Series(ids[np.argmax(sims, axis=1)])

@@ -1872,6 +1872,45 @@ FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q64_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup):
+    coarse-quantize embeddings into ncells clusters, drop rows dominated
+    by a smaller-id near-duplicate within their cluster, return the kept
+    (vec_id, centroid_id) set. Oracled exactly: the quantizer is the
+    engine-replicable smallest-id rule and both similarity decisions are
+    rounded before comparison, so DuckDB replays assignment, domination,
+    and survivorship verbatim."""
+    from alaska_etl_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", ncells=8, threshold=0.30)
+
+
+Q64_SQL = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.30
+)
+SELECT vec_id, centroid_id FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1935,6 +1974,7 @@ QUERIES = {
     "q46_distinct_counts": q46_distinct_counts,
     "q57_approx_quantiles": q57_approx_quantiles,
     "q47_duplicated_spans": q47_duplicated_spans,
+    "q64_semantic_dedup": q64_semantic_dedup,
 }
 
 ORACLES = {
@@ -1990,6 +2030,7 @@ ORACLES = {
     "q37_pii_scrub": Q37_SQL,
     "q46_distinct_counts": Q46_SQL,
     "q47_duplicated_spans": Q47_SQL,
+    "q64_semantic_dedup": Q64_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
-    # has an oracled exact companion (q27, q26, q27, q27, q56, q38).
+    # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }

@@ -48,6 +48,7 @@ HEADLINE = [
     "q48_volume_shipping",
     "q10_sole_blame_supplier",
     "q14_range_join",
+    "q64_semantic_dedup",
 ]
 
 

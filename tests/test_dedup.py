@@ -209,3 +209,38 @@ def test_dup_groups_reliable_checkpoint_matches_local(spark, tmp_path):
         for r in dup_groups(pairs, checkpoint_dir=str(tmp_path / "ck")).collect()
     }
     assert local == reliable == {(1, 3, 1), (10, 2, 10), (20, 3, 20)}
+
+
+def test_semantic_dedup_constructed_clusters(spark):
+    """Two well-separated directions; within each, a near-identical pair.
+    The dominated (larger-id) member of each pair drops; cluster ids come
+    from the smallest-id quantizer rule."""
+    from alaska_etl_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),       # centroid of cluster 1 (and kept)
+        (2, [0.0, 1.0, 0.0]),       # centroid of cluster 2 (and kept)
+        (3, [0.99, 0.14, 0.0]),     # near id 1 -> dominated
+        (4, [0.0, 0.98, 0.2]),      # near id 2 -> dominated
+        (5, [0.7, -0.71, 0.0]),     # cluster 1 side, far from 1/3 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = semantic_dedup(df, "vec_id", "embedding", ncells=2, threshold=0.95)
+    got = {(r.vec_id, r.centroid_id) for r in kept.collect()}
+    assert got == {(1, 1), (2, 2), (5, 1)}
+
+
+def test_semantic_dedup_assignment_stage_has_no_exchange(spark):
+    """The quantizer-assignment subtree must stay a narrow projection:
+    scan -> ArrowEvalPython, no Exchange (same contract as the IVF build
+    pin in test_similarity.py)."""
+    from alaska_etl_spark.operators.similarity import assign_buckets, centroids_by_id
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 40)], "vec_id bigint, embedding array<double>"
+    )
+    cents = centroids_by_id(df, ncells=4)
+    assigned = assign_buckets(df, cents, round_digits=6)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
