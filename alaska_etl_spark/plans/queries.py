@@ -1911,6 +1911,32 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+def q65_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, event_id)
+    (operators/layout.py) — the layout primitive behind
+    multi-dimension file pruning. The Spark expression and the DuckDB
+    oracle SQL are emitted from ONE term generator, so the oracle checks
+    the key bit-for-bit over every event row."""
+    from alaska_etl_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        zorder_key(["user_id", "event_id"], bits=16).alias("zkey"),
+    )
+
+
+def _q65_sql() -> str:
+    from alaska_etl_spark.operators.layout import zorder_sql
+
+    key = zorder_sql(["user_id", "event_id"], bits=16)
+    return f"SELECT event_id, user_id, {key} AS zkey FROM events"
+
+
+Q65_SQL = _q65_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1975,6 +2001,7 @@ QUERIES = {
     "q57_approx_quantiles": q57_approx_quantiles,
     "q47_duplicated_spans": q47_duplicated_spans,
     "q64_semantic_dedup": q64_semantic_dedup,
+    "q65_zorder_key": q65_zorder_key,
 }
 
 ORACLES = {
@@ -2031,6 +2058,7 @@ ORACLES = {
     "q46_distinct_counts": Q46_SQL,
     "q47_duplicated_spans": Q47_SQL,
     "q64_semantic_dedup": Q64_SQL,
+    "q65_zorder_key": Q65_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }
