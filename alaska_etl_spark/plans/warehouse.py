@@ -242,3 +242,135 @@ class Warehouse:
         """Read a catalog (bucketed) table — bucket metadata only
         survives through the catalog, not raw parquet paths."""
         return self.spark.table(table)
+
+    # -- maintenance: compaction and key-merge ---------------------------
+
+    def _fs_and_path(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _data_bytes(self, path: str) -> int:
+        """Total data-file bytes under ``path`` via the Hadoop
+        FileSystem API (works for file://, gs://, s3a://, hdfs://)."""
+        fs, jpath = self._fs_and_path(path)
+        total = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                total += st.getLen()
+        return total
+
+    def _swap_in(self, tmp: str, live: str) -> None:
+        """Atomically-enough replace ``live`` with ``tmp``: rename live
+        aside, rename tmp in, drop the old copy. Readers never see a
+        half-written directory; a crash between the renames leaves the
+        ``__old`` copy to roll back from."""
+        fs, live_p = self._fs_and_path(live)
+        _, tmp_p = self._fs_and_path(tmp)
+        old_p = self._fs_and_path(live + "__old")[1]
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+        if not fs.rename(live_p, old_p):
+            raise IOError(f"could not move {live} aside")
+        if not fs.rename(tmp_p, live_p):
+            fs.rename(old_p, live_p)  # roll back
+            raise IOError(f"could not move {tmp} into place")
+        fs.delete(old_p, True)
+
+    def compact(
+        self,
+        table: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_col: str | None = None,
+    ) -> int:
+        """Small-file compaction: rewrite ``table`` into
+        ``ceil(data_bytes / target_file_bytes)`` write tasks and swap the
+        directory in atomically. Returns the task count.
+
+        The incremental append protocol necessarily accretes one file
+        set per batch; at 100 TB the resulting tiny files dominate query
+        cost (every file is an open + a footer read + a task). Sizing is
+        measured from the filesystem, not guessed from row counts. For
+        an unpartitioned table the rewrite is a ``coalesce`` — a narrow
+        dependency, NO shuffle: tasks read neighboring input files and
+        write merged ones. A partitioned table pays one hash exchange on
+        ``partition_col`` so each partition's scattered batch files
+        collapse into the few tasks that hold it, and the layout is
+        preserved by writing ``partitionBy`` again.
+        """
+        if self.fmt not in PATH_FORMATS:
+            raise ValueError(f"compaction needs a path format, not {self.fmt!r}")
+        spec = self._spec(table)
+        live = spec["target"]
+        n_files = max(1, -(-self._data_bytes(live) // target_file_bytes))
+        df = self._read_spec(spec)
+        tmp_spec = self._spec(f"{table}__compact_tmp")
+        if partition_col is not None:
+            self._write_spec(
+                df.repartition(n_files, partition_col), tmp_spec, "overwrite", partition_col
+            )
+        else:
+            self._write_spec(df.coalesce(n_files), tmp_spec, "overwrite")
+        self._swap_in(tmp_spec["target"], live)
+        return n_files
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> None:
+        """Key-based merge (UPDATE existing keys, INSERT new ones) —
+        the protocol step the reference never had (its append tolerates
+        duplicates; dimension corrections need a true upsert).
+
+        Scale shape: with ``partition_col`` the merge is PARTITION-
+        SCOPED — survivors are computed only over the partitions present
+        in the batch (partition-pruned scan), and the write uses dynamic
+        partition overwrite so ONLY those partitions are replaced; the
+        other 99.9% of a 100 TB table is never read or written. Without
+        a partition column the whole table is rewritten through a temp
+        directory + atomic swap (the honest no-table-format baseline —
+        avoiding exactly this rewrite is why merge-on-read formats
+        exist). The batch side is broadcast in the anti-join; existing
+        rows keep their audit stamp, merged rows get a fresh one.
+        """
+        staged = row_hash(df, key_cols)
+        incoming = staged.withColumn(AUDIT_COL, F.current_timestamp())
+        if not self.table_exists(table):
+            self._write_spec(
+                incoming.drop("_row_hash"), self._spec(table), "append", partition_col
+            )
+            return
+        main = row_hash(self.read(table), key_cols)
+        if partition_col is not None:
+            parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+            main = main.filter(F.col(partition_col).isin(parts))
+        survivors = main.join(
+            F.broadcast(incoming.select("_row_hash")), "_row_hash", "left_anti"
+        )
+        merged = survivors.unionByName(incoming).drop("_row_hash")
+        spec = self._spec(table)
+        if partition_col is not None:
+            writer = (
+                merged.write.format(spec["format"])
+                .mode("overwrite")
+                .options(**spec["options"])
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+            )
+            if spec["kind"] == "path":
+                writer.save(spec["target"])
+            else:
+                writer.option("table", spec["target"]).save()
+            return
+        tmp_spec = self._spec(f"{table}__merge_tmp")
+        self._write_spec(merged, tmp_spec, "overwrite")
+        self._swap_in(tmp_spec["target"], spec["target"])
