@@ -1937,6 +1937,62 @@ def _q65_sql() -> str:
 Q65_SQL = _q65_sql()
 
 
+def q66_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization
+    (operators/embeddings.py:quantize_int8) — floor(x*scale+0.5)
+    convention precisely so the oracle reproduces every code point;
+    scale rounded to 6dp only in the OUTPUT column."""
+    from alaska_etl_spark.operators.embeddings import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qs.getField("scale"), 6).alias("scale"),
+        qs.getField("q").alias("qvec"),
+    )
+
+
+Q66_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS amax
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS s FROM base
+)
+SELECT vec_id, round(s, 6) AS scale,
+       list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x * s + 0.5))) AS TINYINT)) AS qvec
+FROM scaled
+"""
+
+
+def q67_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka prefix truncation to 16 dims with re-normalization
+    (operators/embeddings.py:truncate_dims) — pure slice + fold
+    expressions; components rounded to 6dp for the cross-engine hash."""
+    from alaska_etl_spark.operators.embeddings import truncate_dims
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t = truncate_dims(F.col("embedding"), 16)
+    return emb.select(
+        "vec_id", F.transform(t, lambda x: F.round(x, 6)).alias("prefix16")
+    )
+
+
+Q67_SQL = """
+WITH pre AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS p FROM embeddings
+), normed AS (
+  SELECT vec_id, p, sqrt(list_aggregate(list_transform(p, x -> x * x), 'sum')) AS n FROM pre
+)
+SELECT vec_id,
+       CASE WHEN n > 0 THEN list_transform(p, x -> round(x / n, 6))
+            ELSE list_transform(p, x -> round(x, 6)) END AS prefix16
+FROM normed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2002,6 +2058,8 @@ QUERIES = {
     "q47_duplicated_spans": q47_duplicated_spans,
     "q64_semantic_dedup": q64_semantic_dedup,
     "q65_zorder_key": q65_zorder_key,
+    "q66_quantize_int8": q66_quantize_int8,
+    "q67_matryoshka_truncate": q67_matryoshka_truncate,
 }
 
 ORACLES = {
@@ -2059,6 +2117,8 @@ ORACLES = {
     "q47_duplicated_spans": Q47_SQL,
     "q64_semantic_dedup": Q64_SQL,
     "q65_zorder_key": Q65_SQL,
+    "q66_quantize_int8": Q66_SQL,
+    "q67_matryoshka_truncate": Q67_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }

@@ -1,0 +1,60 @@
+"""Embedding preprocessing: normalization, int8 quantization round-trip
+error bound, matryoshka truncation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.embeddings import (
+    l2_normalize,
+    quantize_int8,
+    truncate_dims,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [0.0, 0.0]),
+        (3, [-1.5, 2.5]),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_l2_normalize(spark):
+    got = {r.vec_id: r.n for r in _df(spark).select("vec_id", l2_normalize(F.col("embedding")).alias("n")).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero vector passes through
+    assert got[4] is None
+    assert math.isclose(sum(x * x for x in got[3]), 1.0, rel_tol=1e-12)
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    rows = [(i, [((i * j * 2654435761) % 2000 - 1000) / 250.0 for j in range(1, 33)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = df.select("vec_id", "embedding", quantize_int8(F.col("embedding")).alias("qs")).collect()
+    for r in out:
+        scale = r.qs.scale
+        assert all(-127 <= q <= 127 for q in r.qs.q)
+        # dequantization error is at most half a quantization step
+        for x, q in zip(r.embedding, r.qs.q):
+            assert abs(q / scale - x) <= 0.5 / scale + 1e-12
+
+
+def test_quantize_handles_zero_and_null(spark):
+    got = {r.vec_id: r.qs for r in _df(spark).select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).collect()}
+    assert got[2].scale == 0.0 and got[2].q == [0, 0]
+    assert got[4] is None or (got[4].q is None and got[4].scale is None)
+    assert got[1].q == [95, 127]  # 3/4 of full scale then full scale
+
+
+def test_truncate_dims_renormalizes(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 2.0, 9.0])], "vec_id bigint, embedding array<double>")
+    got = df.select(truncate_dims(F.col("embedding"), 3).alias("t")).collect()[0].t
+    assert len(got) == 3
+    assert math.isclose(sum(x * x for x in got), 1.0, rel_tol=1e-12)
+    raw = df.select(truncate_dims(F.col("embedding"), 3, renormalize=False).alias("t")).collect()[0].t
+    assert raw == [1.0, 2.0, 2.0]
