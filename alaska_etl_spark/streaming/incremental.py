@@ -228,6 +228,57 @@ def stream_running_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str = "1 hour",
+    tolerance: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    the forecast ⋈ actual comparison (J5): while both sides flow, a left
+    row pairs with right rows that share the equality keys and whose
+    event time falls in ``[left_ts - tolerance, left_ts + tolerance]``.
+
+    The time-range predicate plus BOTH-side watermarks are what make
+    this runnable forever: each side's join state buffers only rows
+    younger than ``watermark + tolerance`` — Spark derives the state
+    eviction bound from the interval condition — so state is
+    O(arrival-rate × horizon), independent of stream length. Without the
+    range bound a stream-stream join must buffer everything (unbounded
+    state, the streaming analogue of a cross join). Outer variants emit
+    the unmatched row exactly once, when its match window expires.
+
+    Applied on batch DataFrames the same plan degrades gracefully
+    (``withWatermark`` is a no-op in batch), which is what the
+    stream-vs-batch equivalence test pins.
+    """
+    from functools import reduce
+
+    r = right
+    for k in on:
+        r = r.withColumnRenamed(k, f"_r_{k}")
+    lw = (
+        left.withColumn("_lts", F.col(left_ts).cast("timestamp"))
+        .withWatermark("_lts", watermark_delay)
+    )
+    rw = (
+        r.withColumn("_rts", F.col(right_ts).cast("timestamp"))
+        .withWatermark("_rts", watermark_delay)
+    )
+    tol = F.expr(f"INTERVAL {tolerance}")
+    conds = [F.col(k) == F.col(f"_r_{k}") for k in on] + [
+        F.col("_rts") >= F.col("_lts") - tol,
+        F.col("_rts") <= F.col("_lts") + tol,
+    ]
+    joined = lw.join(rw, reduce(lambda a, b: a & b, conds), how)
+    return joined.drop("_lts", "_rts", *[f"_r_{k}" for k in on])
+
+
 def stream_to_warehouse(
     stream_df: DataFrame,
     warehouse,

@@ -239,3 +239,41 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert batch.items() <= streamed.items()  # every closed batch session present
     assert streamed[("u1", base)] == 2
     assert streamed[("u1", base + dt.timedelta(minutes=90))] == 1
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream forecast ⋈ actual within ±1 hour: the streaming
+    interval join over file sources must produce exactly the rows the
+    batch join produces, and unmatched rows must not appear (inner)."""
+    from alaska_etl_spark.streaming.incremental import stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    fc = [("PAJN", base + dt.timedelta(hours=h), 10.0 + h) for h in range(6)]
+    ac = [
+        ("PAJN", base + dt.timedelta(hours=h, minutes=30), 11.0 + h) for h in range(4)
+    ] + [("PANC", base, 5.0)]  # different key: never matches
+    fdf = spark.createDataFrame(fc, "loc string, fts timestamp, predicted double")
+    adf = spark.createDataFrame(ac, "loc string, ats timestamp, actual double")
+    fdf.write.parquet(f"{tmp_path}/fc")
+    adf.write.parquet(f"{tmp_path}/ac")
+
+    fstream = spark.readStream.schema(fdf.schema).parquet(f"{tmp_path}/fc")
+    astream = spark.readStream.schema(adf.schema).parquet(f"{tmp_path}/ac")
+    joined = stream_interval_join(
+        fstream, astream, on=["loc"], left_ts="fts", right_ts="ats",
+        watermark_delay="10 minutes", tolerance="1 hour",
+    )
+    run_available_now(joined, f"{tmp_path}/out", f"{tmp_path}/ckpt")
+    got = {
+        (r.loc, r.fts, r.ats) for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    }
+
+    batch = stream_interval_join(
+        fdf, adf, on=["loc"], left_ts="fts", right_ts="ats", tolerance="1 hour"
+    )
+    want = {(r.loc, r.fts, r.ats) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
+    assert all(loc == "PAJN" for loc, *_ in want)
+    # every matched pair is within the hour
+    assert all(abs((f - a).total_seconds()) <= 3600 for _, f, a in want)
