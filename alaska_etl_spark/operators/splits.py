@@ -1,0 +1,137 @@
+"""Deterministic dataset splitting, sampling, and mixing.
+
+The tail of a training-data pipeline: after dedup and quality filtering,
+rows are assigned to train/val/test and sources are mixed by ratio. At
+100 TB both must be (a) driven by a hash of a stable key — never by
+position, partition, or RNG state, so any rerun, engine, or subset of
+the data reproduces the same assignment — and (b) pure narrow
+projections: no shuffle, no sample() with seeds that depend on
+partitioning, no driver-side coin flips.
+
+Assignment is an affine hash in the 2^61-1 Mersenne field (the same
+family as the MinHash parameters in ``operators.dedup``): integer
+arithmetic only, so the identical expression runs in any engine — each
+function has a ``*_sql`` twin emitted from the same spec (the
+:mod:`~alaska_etl_spark.operators.layout` pattern) and the DuckDB oracle
+replays assignments bit-for-bit.
+
+Keys must be integral (stable row/document ids). Splitting on a GROUP
+key (e.g. the ``keep_id``/component from dedup) keeps near-duplicate
+families on one side of the train/test boundary — assign the split to
+the group, then join it back to members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 31) - 1  # 31-bit prime: a*k+b stays < 2^63 (ANSI-safe)
+_MASK31 = (1 << 31) - 1
+_BUCKETS = 1_000_000
+
+
+def _affine(seed: int) -> tuple[int, int]:
+    """Deterministic 31-bit (a, b) for the bucket hash, derived from the
+    seed by splitmix-style integer mixing (engine-independent: evaluated
+    in Python at plan time; only the resulting literals reach the SQL).
+    31-bit params × 31-bit reduced keys never overflow int64 — the same
+    ANSI-mode contract as the MinHash family in ``operators.dedup``."""
+    x = (seed * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & ((1 << 63) - 1)
+    a = ((x >> 16) & _MASK31) or 1
+    b = ((x * 0x94D049BB133111EB) >> 16) & _MASK31
+    return a, b
+
+
+def hash_bucket(key: Column | str, *, seed: int = 0) -> Column:
+    """Uniform bucket in [0, 1e6) from a NON-NEGATIVE integral key
+    (stable ids): reduce to 31 bits, one multiply, add, two mods —
+    whole-stage codegen, no shuffle."""
+    a, b = _affine(seed)
+    k = (F.col(key) if isinstance(key, str) else key).cast("bigint") % F.lit(1 << 31)
+    return ((F.lit(a) * k + F.lit(b)) % F.lit(_MERSENNE)) % F.lit(_BUCKETS)
+
+
+def hash_bucket_sql(key: str, *, seed: int = 0) -> str:
+    """The identical bucket arithmetic as ANSI SQL."""
+    a, b = _affine(seed)
+    return f"((({a} * ({key} % {1 << 31}) + {b}) % {_MERSENNE}) % {_BUCKETS})"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with probabilities ``weights``
+    (must sum to 1). Same key + seed → same split, forever, on any
+    engine and any subset of the rows."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, seed=seed)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = bucket < int(round(hi * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(key: str, *, weights: dict[str, float], seed: int = 0) -> str:
+    """The identical split CASE expression as ANSI SQL."""
+    bucket = hash_bucket_sql(key, seed=seed)
+    names = list(weights)
+    parts = ["CASE"]
+    hi = 0.0
+    for name in names[:-1]:
+        hi += weights[name]
+        parts.append(f"WHEN {bucket} < {int(round(hi * _BUCKETS))} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, *, seed: int = 0) -> DataFrame:
+    """Deterministic ``rate``-fraction sample: keep rows whose bucket
+    falls under the threshold. Unlike ``DataFrame.sample`` the result is
+    a pure filter — partitioning-independent, rerun-stable, pushed into
+    the scan — and samples drawn with different seeds are independent;
+    with the SAME seed a 10% sample is a subset of a 20% one (nested
+    sampling, the property curriculum schedules rely on)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_bucket(key_col, seed=seed) < int(round(rate * _BUCKETS)))
+
+
+def hash_sample_sql(key: str, rate: float, *, seed: int = 0) -> str:
+    """The identical sample predicate as ANSI SQL."""
+    return f"({hash_bucket_sql(key, seed=seed)} < {int(round(rate * _BUCKETS))})"
+
+
+def mix_sources(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    *,
+    seed: int = 0,
+    source_col: str | None = "source_idx",
+) -> DataFrame:
+    """Mix corpora by per-source sampling rates (the data-mixture step:
+    e.g. 100% curated + 30% web). Each source is hash-sampled with a
+    source-specific seed offset, tagged, and unioned by name — all
+    narrow ops; the union is a plan-level concatenation, not a shuffle."""
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        part = hash_sample(df, key_col, rate, seed=seed + i)
+        if source_col is not None:
+            part = part.withColumn(source_col, F.lit(i))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1993,6 +1993,64 @@ FROM normed
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q68_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (operators/splits.py:hash_split): affine hash of doc_id in the
+    2^61-1 field → bucket → CASE thresholds. The Spark expression and
+    the oracle CASE are emitted from one spec, so DuckDB replays every
+    assignment bit-for-bit."""
+    from alaska_etl_spark.operators.splits import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", weights=_SPLIT_WEIGHTS, seed=7).select("doc_id", "split")
+
+
+def _q68_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    return (
+        "SELECT doc_id, "
+        + hash_split_sql("doc_id", weights=_SPLIT_WEIGHTS, seed=7)
+        + " AS split FROM documents"
+    )
+
+
+Q68_SQL = _q68_sql()
+
+
+def q69_data_mix(spark, sf_dir):
+    """Data mixture (operators/splits.py:mix_sources): 100% of short
+    documents + 30% of long ones, each hash-sampled deterministically
+    and tagged with its source index — the mixture step of a training
+    pipeline as narrow, rerun-stable filters."""
+    from alaska_etl_spark.operators.splits import mix_sources
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    short = d.filter(F.length("text") < 500)
+    long_ = d.filter(F.length("text") >= 500)
+    return mix_sources([(short, 1.0), (long_, 0.3)], "doc_id", seed=0).select(
+        "doc_id", "source_idx"
+    )
+
+
+def _q69_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_sample_sql
+
+    s0 = hash_sample_sql("doc_id", 1.0, seed=0)
+    s1 = hash_sample_sql("doc_id", 0.3, seed=1)
+    return f"""
+SELECT doc_id, 0 AS source_idx FROM documents WHERE length(text) < 500 AND {s0}
+UNION ALL
+SELECT doc_id, 1 AS source_idx FROM documents WHERE length(text) >= 500 AND {s1}
+"""
+
+
+Q69_SQL = _q69_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2060,6 +2118,8 @@ QUERIES = {
     "q65_zorder_key": q65_zorder_key,
     "q66_quantize_int8": q66_quantize_int8,
     "q67_matryoshka_truncate": q67_matryoshka_truncate,
+    "q68_hash_split": q68_hash_split,
+    "q69_data_mix": q69_data_mix,
 }
 
 ORACLES = {
@@ -2119,6 +2179,8 @@ ORACLES = {
     "q65_zorder_key": Q65_SQL,
     "q66_quantize_int8": Q66_SQL,
     "q67_matryoshka_truncate": Q67_SQL,
+    "q68_hash_split": Q68_SQL,
+    "q69_data_mix": Q69_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }

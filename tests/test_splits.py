@@ -1,0 +1,79 @@
+"""Deterministic split/sample/mix: stability, proportions, nesting,
+group consistency, and cross-engine parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.splits import (
+    hash_bucket,
+    hash_bucket_sql,
+    hash_sample,
+    hash_split,
+    mix_sources,
+)
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_deterministic_and_proportional(ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(ids, "doc_id", weights=w, seed=3)
+    s2 = hash_split(ids.repartition(7), "doc_id", weights=w, seed=3)
+    c1 = {r.split: r["count"] for r in s1.groupBy("split").count().collect()}
+    c2 = {r.split: r["count"] for r in s2.groupBy("split").count().collect()}
+    assert c1 == c2  # partitioning-independent
+    assert abs(c1["train"] / 20000 - 0.8) < 0.02
+    assert abs(c1["val"] / 20000 - 0.1) < 0.01
+    assert abs(c1["test"] / 20000 - 0.1) < 0.01
+
+
+def test_split_rejects_bad_weights(ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_sample_nested_and_independent(ids):
+    small = {r.doc_id for r in hash_sample(ids, "doc_id", 0.1, seed=5).collect()}
+    big = {r.doc_id for r in hash_sample(ids, "doc_id", 0.2, seed=5).collect()}
+    assert small <= big  # same seed: nested
+    assert abs(len(big) / 20000 - 0.2) < 0.02
+    other = {r.doc_id for r in hash_sample(ids, "doc_id", 0.1, seed=6).collect()}
+    overlap = len(small & other) / len(small)
+    assert abs(overlap - 0.1) < 0.05  # different seed: ~independent
+
+
+def test_bucket_sql_identical_in_duckdb(ids):
+    got = {(r.doc_id, r.b) for r in ids.select("doc_id", hash_bucket("doc_id", seed=11).alias("b")).limit(2000).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS doc_id FROM range(0, 20000)")
+    sql = f"SELECT doc_id, {hash_bucket_sql('doc_id', seed=11)} AS b FROM t WHERE doc_id < 2000"
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    got2k = {(d, b) for d, b in got if d < 2000}
+    assert got2k == want
+
+
+def test_group_consistent_split(spark):
+    """Assigning on a group key keeps whole dup-families on one side."""
+    members = spark.createDataFrame(
+        [(i, i // 4) for i in range(4000)], "doc_id bigint, group_id bigint"
+    )
+    groups = members.select("group_id").distinct()
+    gsplit = hash_split(groups, "group_id", weights={"train": 0.5, "test": 0.5}, seed=1)
+    joined = members.join(gsplit, "group_id")
+    per_group = joined.groupBy("group_id").agg(F.countDistinct("split").alias("n"))
+    assert per_group.filter("n > 1").count() == 0
+
+
+def test_mix_sources_tags_and_rates(spark):
+    a = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    b = spark.range(10000, 20000).withColumnRenamed("id", "doc_id")
+    mixed = mix_sources([(a, 1.0), (b, 0.25)], "doc_id", seed=2)
+    counts = {r.source_idx: r["count"] for r in mixed.groupBy("source_idx").count().collect()}
+    assert counts[0] == 10000
+    assert abs(counts[1] / 10000 - 0.25) < 0.02
