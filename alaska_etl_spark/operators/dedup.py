@@ -260,6 +260,89 @@ def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
     return full.unionByName(shorts)
 
 
+def span_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    hashed: bool = False,
+) -> DataFrame:
+    """(id, text) → (_id, span) rows of ``n`` consecutive tokens.
+
+    The span column MUST be computed before tail positions are dropped:
+    ``lead`` only sees rows inside its window partition, so filtering
+    first removes exactly the tokens the trailing spans need (the same
+    ordering :func:`gram_rows` uses). We therefore build every span and
+    keep the complete ones by requiring the last lead to be non-null —
+    one window spec for both expressions, one sort.
+
+    ``hashed=True`` replaces span text with ``xxhash64(span)`` — at
+    100 TB carry 8-byte hashes through the shuffle, not strings.
+    """
+    toks = word_tokens(text_col)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
+        .filter(F.col("_t").isNotNull())
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
+    span = F.concat_ws(" ", *parts)
+    last = F.lead("_t", n - 1).over(w) if n > 1 else F.col("_t")
+    spans = (
+        ex.select("_id", span.alias("span"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("_id", "span")
+    )
+    if hashed:
+        spans = spans.select("_id", F.xxhash64("span").alias("span"))
+    return spans
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    hashed: bool = False,
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares ANY ``n``-token span with a benchmark/eval document — the
+    standard n-gram membership test (e.g. GPT-3's 13-gram rule) run as a
+    relational plan instead of a bloom-filter pass.
+
+    Returns ``docs``' ids with a boolean ``contaminated`` column.
+
+    Scale shape: the benchmark side is tiny next to the corpus — its
+    distinct span set is aggregated first and the membership test is a
+    LEFT SEMI join on the span key, which Spark turns into a broadcast
+    semi join when the benchmark fits (the common case: an eval suite is
+    MBs against a 100 TB corpus), so the corpus-side span stream never
+    shuffles. ``hashed=True`` joins on 8-byte xxhash64 keys instead of
+    span strings (pass ``hashed=False`` only when an external engine
+    must replay the join, e.g. the q71 oracle).
+    """
+    doc_spans = span_rows(docs, id_col, text_col, n=n, hashed=hashed)
+    bench_spans = span_rows(benchmark, id_col, text_col, n=n, hashed=hashed)
+    hits = (
+        doc_spans.join(bench_spans.select("span").distinct(), "span", "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_hit"), F.lit(False)).alias(flag_col),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -294,22 +377,7 @@ def duplicated_spans(
     keep the complete ones by requiring the last lead to be non-null —
     one window spec for both expressions, one sort.
     """
-    toks = word_tokens(text_col)
-    ex = (
-        df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
-        .filter(F.col("_t").isNotNull())
-    )
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, n)]
-    span = F.concat_ws(" ", *parts)
-    last = F.lead("_t", n - 1).over(w) if n > 1 else F.col("_t")
-    spans = (
-        ex.select("_id", span.alias("span"), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("_id", "span")
-    )
-    if hashed:
-        spans = spans.select("_id", F.xxhash64("span").alias("span"))
+    spans = span_rows(df, id_col, text_col, n=n, hashed=hashed)
     return (
         spans.groupBy("span")
         .agg(

@@ -248,3 +248,75 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", doc_fingerprint(text_col))
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules adapted to token n-grams): documents dominated by repeated
+    fragments are boilerplate/spam and get filtered before training.
+
+    Returns (id, n_tokens, dup_token_ratio, top_bigram_frac,
+    dup_trigram_frac), ratios rounded to 6dp:
+
+    - ``dup_token_ratio``   — 1 − distinct/total tokens;
+    - ``top_bigram_frac``   — occurrences of the most frequent bigram ÷
+      all bigram occurrences (ties don't matter: it's a max over counts);
+    - ``dup_trigram_frac``  — fraction of trigram occurrences whose
+      trigram appears ≥ 2 times in the document.
+
+    Documents with fewer than 2 (3) tokens yield NULL bigram (trigram)
+    metrics. One posexplode + one (id, pos)-sorted window produce all
+    gram streams; the per-gram and per-doc aggregations are hash
+    aggregates with map-side partials. Everything is exact integer
+    counting — the DuckDB oracle (q70) replays it verbatim.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
+        .filter(F.col("_t").isNotNull() & (F.col("_t") != ""))
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    rows = ex.select(
+        "_id",
+        "_t",
+        F.concat_ws(" ", "_t", F.lead("_t", 1).over(w)).alias("_b2"),
+        F.lead("_t", 1).over(w).isNotNull().alias("_has2"),
+        F.concat_ws(" ", "_t", F.lead("_t", 1).over(w), F.lead("_t", 2).over(w)).alias("_b3"),
+        F.lead("_t", 2).over(w).isNotNull().alias("_has3"),
+    )
+    tok_stats = rows.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_t").alias("_n_distinct"),
+    )
+    big = (
+        rows.filter("_has2")
+        .groupBy("_id", "_b2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id")
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
+    )
+    tri = (
+        rows.filter("_has3")
+        .groupBy("_id", "_b3")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0)).alias("_dup"),
+            F.sum("_c").alias("_tot"),
+        )
+    )
+    return (
+        tok_stats.join(big.withColumnRenamed("_tot", "_btot"), "_id", "left")
+        .join(tri.withColumnRenamed("_tot", "_ttot"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(1.0 - F.col("_n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(F.col("_mx") / F.col("_btot"), 6).alias("top_bigram_frac"),
+            F.round(F.col("_dup") / F.col("_ttot"), 6).alias("dup_trigram_frac"),
+        )
+    )

@@ -2051,6 +2051,85 @@ SELECT doc_id, 1 AS source_idx FROM documents WHERE length(text) >= 500 AND {s1}
 Q69_SQL = _q69_sql()
 
 
+def q70_repetition_signals(spark, sf_dir):
+    """Gopher-style per-document repetition signals
+    (operators/text.py:repetition_signals) — exact integer counting over
+    token/bigram/trigram streams, oracled verbatim."""
+    from alaska_etl_spark.operators.text import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
+
+
+Q70_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), tok_stats AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct
+  FROM toks
+), b2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), b2s AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), b3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), b3s AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, sum(c) AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       round(1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE), 6) AS dup_token_ratio,
+       round(b2s.mx / CAST(b2s.tot AS DOUBLE), 6) AS top_bigram_frac,
+       round(b3s.dup / CAST(b3s.tot AS DOUBLE), 6) AS dup_trigram_frac
+FROM tok_stats s
+LEFT JOIN b2s ON s.doc_id = b2s.doc_id
+LEFT JOIN b3s ON s.doc_id = b3s.doc_id
+"""
+
+
+def q71_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    flag corpus docs (doc_id >= 20) sharing any 8-token span with the
+    'benchmark' docs (doc_id < 20). Raw span strings here so the oracle
+    replays the join; hashed=True is the scale path."""
+    from alaska_etl_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 20)
+    bench = d.filter(F.col("doc_id") < 20)
+    return decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
+Q71_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(t[i : i+7], ' ') AS span
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+), bench AS (
+  SELECT DISTINCT span FROM spans WHERE doc_id < 20
+), hits AS (
+  SELECT DISTINCT s.doc_id FROM spans s JOIN bench b ON s.span = b.span
+  WHERE s.doc_id >= 20
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2120,6 +2199,8 @@ QUERIES = {
     "q67_matryoshka_truncate": q67_matryoshka_truncate,
     "q68_hash_split": q68_hash_split,
     "q69_data_mix": q69_data_mix,
+    "q70_repetition_signals": q70_repetition_signals,
+    "q71_decontaminate": q71_decontaminate,
 }
 
 ORACLES = {
@@ -2181,6 +2262,8 @@ ORACLES = {
     "q67_matryoshka_truncate": Q67_SQL,
     "q68_hash_split": Q68_SQL,
     "q69_data_mix": Q69_SQL,
+    "q70_repetition_signals": Q70_SQL,
+    "q71_decontaminate": Q71_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }

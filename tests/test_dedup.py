@@ -244,3 +244,28 @@ def test_semantic_dedup_assignment_stage_has_no_exchange(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_decontaminate_flags_span_overlap(spark):
+    from alaska_etl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog indeed"),
+            (2, "completely unrelated words with no benchmark overlap at all here"),
+            (3, "quick brown fox jumps over the lazy cat tail truncated"),  # only 7 shared in a row at best
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(docs, bench, "doc_id", "text", n=8).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # hashed variant agrees
+    got_h = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, "doc_id", "text", n=8, hashed=True).collect()
+    }
+    assert got_h == got

@@ -77,3 +77,22 @@ def test_text_profile_columns(spark):
                 "mean_word_len", "quality", "lang_pred", "fingerprint"]:
         assert col in out.columns
     assert out.count() == 1
+
+
+def test_repetition_signals_exact(spark):
+    from alaska_etl_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a"),      # tokens:5 distinct:2; bigrams: ab,ba,ab,ba -> top 2/4; trigrams: aba,bab,aba -> dup 2/3
+        (2, "x"),              # single token: no bigrams/trigrams
+        (3, "p q r"),          # all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 5
+    assert r1.dup_token_ratio == 0.6
+    assert r1.top_bigram_frac == 0.5
+    assert abs(r1.dup_trigram_frac - 2 / 3) < 1e-6
+    assert got[2].n_tokens == 1 and got[2].top_bigram_frac is None and got[2].dup_trigram_frac is None
+    assert got[3].dup_token_ratio == 0.0 and got[3].top_bigram_frac == 0.5
