@@ -49,6 +49,8 @@ HEADLINE = [
     "q10_sole_blame_supplier",
     "q14_range_join",
     "q64_semantic_dedup",
+    "q70_repetition_signals",
+    "q71_decontaminate",
 ]
 
 
