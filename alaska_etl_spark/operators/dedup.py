@@ -307,6 +307,7 @@ def decontaminate(
     *,
     n: int = 8,
     hashed: bool = False,
+    broadcast: bool = True,
     flag_col: str = "contaminated",
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document that
@@ -318,17 +319,24 @@ def decontaminate(
 
     Scale shape: the benchmark side is tiny next to the corpus — its
     distinct span set is aggregated first and the membership test is a
-    LEFT SEMI join on the span key, which Spark turns into a broadcast
-    semi join when the benchmark fits (the common case: an eval suite is
-    MBs against a 100 TB corpus), so the corpus-side span stream never
-    shuffles. ``hashed=True`` joins on 8-byte xxhash64 keys instead of
-    span strings (pass ``hashed=False`` only when an external engine
-    must replay the join, e.g. the q71 oracle).
+    BROADCAST left-semi join on the span key (by contract, like
+    cosine_topk's query side: an eval suite is MBs against a 100 TB
+    corpus, and the aggregated span set carries no size statistics for
+    Catalyst to decide this itself), so the corpus-side span stream
+    never shuffles — pinned by
+    tests/test_dedup.py:test_decontaminate_benchmark_side_broadcasts.
+    Pass ``broadcast=False`` for an abnormally large benchmark to fall
+    back to a shuffled semi join. ``hashed=True`` joins on 8-byte
+    xxhash64 keys instead of span strings (pass ``hashed=False`` only
+    when an external engine must replay the join, e.g. the q71 oracle).
     """
     doc_spans = span_rows(docs, id_col, text_col, n=n, hashed=hashed)
     bench_spans = span_rows(benchmark, id_col, text_col, n=n, hashed=hashed)
+    span_set = bench_spans.select("span").distinct()
+    if broadcast:
+        span_set = F.broadcast(span_set)
     hits = (
-        doc_spans.join(bench_spans.select("span").distinct(), "span", "left_semi")
+        doc_spans.join(span_set, "span", "left_semi")
         .select("_id")
         .distinct()
         .withColumn("_hit", F.lit(True))

@@ -8,8 +8,8 @@ the data reproduces the same assignment — and (b) pure narrow
 projections: no shuffle, no sample() with seeds that depend on
 partitioning, no driver-side coin flips.
 
-Assignment is an affine hash in the 2^61-1 Mersenne field (the same
-family as the MinHash parameters in ``operators.dedup``): integer
+Assignment is an affine hash in the 2^31-1 Mersenne field (the same
+ANSI-safe family as the MinHash parameters in ``operators.dedup``): integer
 arithmetic only, so the identical expression runs in any engine — each
 function has a ``*_sql`` twin emitted from the same spec (the
 :mod:`~alaska_etl_spark.operators.layout` pattern) and the DuckDB oracle
@@ -112,6 +112,82 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, *, seed: int = 0) -> D
 def hash_sample_sql(key: str, rate: float, *, seed: int = 0) -> str:
     """The identical sample predicate as ANSI SQL."""
     return f"({hash_bucket_sql(key, seed=seed)} < {int(round(rate * _BUCKETS))})"
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    len_col: str,
+    *,
+    budget: int,
+    n_shards: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence packing (concat-then-chunk): assign every document a
+    deterministic shard, a pseudo-random order within it, and a byte/
+    token OFFSET in the shard's concatenated stream; ``seq_idx =
+    start_offset div budget`` is the fixed-size training sequence its first
+    token lands in. Consumers lay documents end-to-end and cut every
+    ``budget`` tokens — the standard way to feed variable-length docs to
+    fixed-window training without per-example padding waste.
+
+    Returns (key, shard, start_offset, seq_idx).
+
+    Scale shape: sharding and ordering are hash projections (narrow);
+    the prefix sum is ONE window per shard — the only shuffle, keyed by
+    shard, each partition ~corpus/n_shards. The order inside a shard is
+    the hash, not arrival: reruns, subsets, and engines all reproduce
+    identical offsets (the :func:`hash_bucket` determinism contract),
+    which is what makes checkpoint-resume of a data loader possible.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+
+    shard = hash_bucket(key_col, seed=seed) % F.lit(n_shards)
+    order = hash_bucket(key_col, seed=seed + 1)
+    k = F.col(key_col)
+    base = df.select(
+        k,
+        F.col(len_col).cast("bigint").alias("_len"),
+        shard.alias("shard"),
+        order.alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_ord"), k)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        key_col,
+        "shard",
+        (F.sum("_len").over(w) - F.col("_len")).alias("start_offset"),
+        F.floor((F.sum("_len").over(w) - F.col("_len")) / F.lit(budget))
+        .cast("bigint")
+        .alias("seq_idx"),
+    )
+
+
+def pack_sequences_sql(
+    key: str, len_expr: str, *, budget: int, n_shards: int = 1024, seed: int = 0, table: str = "documents"
+) -> str:
+    """The identical packing computation as ANSI SQL (window prefix sum
+    over the same hash shard/order)."""
+    shard = f"({hash_bucket_sql(key, seed=seed)} % {n_shards})"
+    order = hash_bucket_sql(key, seed=seed + 1)
+    return f"""
+WITH base AS (
+  SELECT {key}, CAST({len_expr} AS BIGINT) AS _len,
+         {shard} AS shard, {order} AS _ord
+  FROM {table}
+), packed AS (
+  SELECT {key}, shard,
+         CAST(sum(_len) OVER (PARTITION BY shard ORDER BY _ord, {key}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _len AS BIGINT) AS start_offset
+  FROM base
+)
+SELECT {key}, shard, start_offset, CAST(floor(start_offset / {budget}) AS BIGINT) AS seq_idx FROM packed
+"""
 
 
 def mix_sources(

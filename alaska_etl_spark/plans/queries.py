@@ -2130,6 +2130,28 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q72_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/splits.py:pack_sequences): shard,
+    deterministic order, concat-stream offset and fixed-window sequence
+    index per document, sized by n_chars. One window per shard; the
+    oracle replays the identical hash order and prefix sum."""
+    from alaska_etl_spark.operators.splits import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "n_chars", budget=4096, n_shards=8, seed=5)
+
+
+def _q72_sql() -> str:
+    from alaska_etl_spark.operators.splits import pack_sequences_sql
+
+    return pack_sequences_sql(
+        "doc_id", "n_chars", budget=4096, n_shards=8, seed=5, table="documents"
+    )
+
+
+Q72_SQL = _q72_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2201,6 +2223,7 @@ QUERIES = {
     "q69_data_mix": q69_data_mix,
     "q70_repetition_signals": q70_repetition_signals,
     "q71_decontaminate": q71_decontaminate,
+    "q72_pack_sequences": q72_pack_sequences,
 }
 
 ORACLES = {
@@ -2264,6 +2287,7 @@ ORACLES = {
     "q69_data_mix": Q69_SQL,
     "q70_repetition_signals": Q70_SQL,
     "q71_decontaminate": Q71_SQL,
+    "q72_pack_sequences": Q72_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
 }

@@ -269,3 +269,20 @@ def test_decontaminate_flags_span_overlap(spark):
         for r in decontaminate(docs, bench, "doc_id", "text", n=8, hashed=True).collect()
     }
     assert got_h == got
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The corpus-side span stream must meet the benchmark span set in a
+    BROADCAST semi join (eval suites are MBs against a TB corpus) — no
+    sort-merge, no corpus shuffle for the membership test."""
+    from alaska_etl_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "w%d a b c d e f g h" % i) for i in range(200)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([(999, "a b c d e f g h")], "doc_id bigint, text string")
+    out = decontaminate(docs, bench, "doc_id", "text", n=8, hashed=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    sem = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert any("Broadcast" in ln for ln in sem), sem

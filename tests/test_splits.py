@@ -77,3 +77,38 @@ def test_mix_sources_tags_and_rates(spark):
     counts = {r.source_idx: r["count"] for r in mixed.groupBy("source_idx").count().collect()}
     assert counts[0] == 10000
     assert abs(counts[1] / 10000 - 0.25) < 0.02
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    """Within a shard, offsets are an exclusive prefix sum of lengths in
+    the deterministic hash order; seq_idx = offset div budget."""
+    from alaska_etl_spark.operators.splits import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(500)], "doc_id bigint, n bigint"
+    )
+    out = pack_sequences(df, "doc_id", "n", budget=1000, n_shards=4, seed=9)
+    rows = out.orderBy("shard", "start_offset").collect()
+    lens = {r.doc_id: 100 + (r.doc_id * 37) % 400 for r in df.collect()}
+    by_shard: dict[int, int] = {}
+    for r in rows:
+        expect = by_shard.get(r.shard, 0)
+        assert r.start_offset == expect, (r.doc_id, r.shard)
+        assert r.seq_idx == r.start_offset // 1000
+        by_shard[r.shard] = expect + lens[r.doc_id]
+    # deterministic under repartitioning
+    again = {
+        (r.doc_id, r.shard, r.start_offset)
+        for r in pack_sequences(df.repartition(13), "doc_id", "n", budget=1000, n_shards=4, seed=9).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.start_offset) for r in rows}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from alaska_etl_spark.operators.splits import pack_sequences
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id").withColumn("n", F.lit(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n", budget=0)
