@@ -1,22 +1,50 @@
 """Engine operators beyond vanilla DataFrame verbs.
 
 - dedup: exact + deterministic keep-first + MinHash-LSH / SimHash /
-  n-gram-Jaccard / embedding-cosine near-duplicate detection
+  n-gram-Jaccard / embedding-cosine / semantic (SemDeDup) near-duplicate
+  detection, repeated-span reports, benchmark decontamination
 - asof: as-of join (latest snapshot ≤ event time) via window functions
-- similarity: cosine top-k search (brute force + LSH-bucketed ANN)
-- text: language ID, quality scoring, token counts, fingerprints
+- similarity: cosine top-k search (brute force + LSH / IVF ANN)
+- text: language ID, quality scoring, token counts, fingerprints,
+  repetition signals
+- embeddings: L2-normalize, int8 quantize, matryoshka truncate
+- layout: z-order clustering keys + range-clustered writer
+- splits: deterministic train/val/test split, nested sampling, source
+  mixing, sequence packing
 - multimodal: binary-column plumbing for image/audio payloads
+- sessions / sketches / skew / redact: sessionization, approximate
+  aggregates, skew mitigation, PII scrubbing
 """
 
+from alaska_etl_spark.operators.asof import asof_join  # noqa: F401
 from alaska_etl_spark.operators.dedup import (  # noqa: F401
+    decontaminate,
     dedup_exact,
     dedup_keep_first,
     duplicate_report,
+    duplicated_spans,
+    embedding_near_dup_pairs,
     minhash_near_dup_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash,
     simhash_near_dup_pairs,
-    embedding_near_dup_pairs,
 )
-from alaska_etl_spark.operators.asof import asof_join  # noqa: F401
+from alaska_etl_spark.operators.embeddings import (  # noqa: F401
+    l2_normalize,
+    quantize_int8,
+    truncate_dims,
+)
+from alaska_etl_spark.operators.layout import (  # noqa: F401
+    zorder_key,
+    zorder_sql,
+    zorder_write,
+)
+from alaska_etl_spark.operators.splits import (  # noqa: F401
+    hash_sample,
+    hash_split,
+    mix_sources,
+    pack_sequences,
+)
+from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401
