@@ -164,10 +164,9 @@ def _files(root, table):
     return sorted(glob.glob(f"{root}/{table}/**/[!_.]*", recursive=True))
 
 
-def test_compact_shrinks_file_count_keeps_rows(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path))
+def test_compact_shrinks_file_count_keeps_rows(spark, wh, tmp_path):
     df = spark.range(10000).selectExpr("id AS k", "cast(id AS string) AS v")
-    df.repartition(40).write.parquet(f"{tmp_path}/t")
+    df.repartition(40).write.format(wh.fmt).save(f"{tmp_path}/t")
     import glob
 
     assert len(glob.glob(f"{tmp_path}/t/part-*")) == 40
@@ -199,8 +198,7 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     assert wh.read("t").count() == 1500
 
 
-def test_merge_upsert_updates_and_inserts(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path))
+def test_merge_upsert_updates_and_inserts(spark, wh):
     wh.merge_upsert(_batch(spark, [(1, "a", "p1"), (2, "b", "p1")]), "t", key_cols=["k"])
     wh.merge_upsert(_batch(spark, [(2, "B", "p1"), (3, "c", "p2")]), "t", key_cols=["k"])
     got = {(r.k, r.v) for r in wh.read("t").collect()}
