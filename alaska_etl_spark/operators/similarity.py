@@ -351,6 +351,62 @@ def assign_buckets(
     ).withColumn("centroid_id", _nearest(F.col(vec_col)))
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd iterations over the coarse quantizer: better centroids →
+    tighter cells → higher recall per probed cell. Returns refined
+    (centroid_id, centroid) with the original cell labels.
+
+    Per-iteration scale shape: assignment is the shuffle-free Arrow
+    argmax (:func:`assign_buckets`); the mean update is posexplode over
+    vector components into a hash aggregate — map-side partial sums
+    collapse the shuffle to ~ncells × dim rows regardless of corpus
+    size, and the driver collects only that (the same bounded envelope
+    as the assignment closure itself, which ships centroids to every
+    task anyway). Empty cells keep their previous centroid.
+
+    Means of floats are summation-order dependent in the last bits, so
+    refined centroids are NOT oracle-reproducible — use them where the
+    quantizer quality matters (IVF serving), not where an external
+    engine must replay assignment (semantic dedup keeps the unrefined
+    deterministic quantizer).
+    """
+    rows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cents = {r.centroid_id: list(r.centroid) for r in rows}
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(k, v) for k, v in sorted(cents.items())],
+            "centroid_id bigint, centroid array<double>",
+        )
+        assigned = assign_buckets(corpus, cdf, id_col=id_col, vec_col=vec_col)
+        sums = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("_d", "_v"))
+            .groupBy("centroid_id", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.centroid_id, {})[r._d] = r._s
+            counts[r.centroid_id] = r._n
+        for cid, dims in acc.items():
+            n = counts[cid]
+            cents[cid] = [dims[i] / n for i in range(len(dims))]
+    out = [(k, v) for k, v in sorted(cents.items())]
+    return spark.createDataFrame(out, "centroid_id bigint, centroid array<double>")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     *,

@@ -173,3 +173,42 @@ def test_cosine_sim_null_for_zero_norm(spark):
     rows = {r.i: r.c for r in df.select("i", cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()}
     assert rows[0] == 1.0
     assert rows[1] is None and rows[2] is None
+
+
+def test_kmeans_refine_moves_centroids_to_cluster_means(spark):
+    """Two tight planted clusters, seed centroids off-center: one Lloyd
+    round lands each centroid on its cluster mean and assignment recall
+    becomes perfect."""
+    import numpy as np
+
+    from alaska_etl_spark.operators.similarity import assign_buckets, kmeans_refine
+
+    a = [[10.0 + dx, 0.0] for dx in range(5)]          # cluster around (12, 0)
+    b = [[0.0, 20.0 + dy] for dy in range(5)]          # cluster around (0, 22)
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.1, 1.0])], "centroid_id bigint, centroid array<double>"
+    )
+    refined = kmeans_refine(corpus, seeds, iters=2)
+    got = {r.centroid_id: r.centroid for r in refined.collect()}
+    assert np.allclose(got[0], [12.0, 0.0])
+    assert np.allclose(got[1], [0.0, 22.0])
+    assigned = assign_buckets(corpus, refined)
+    labels = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert all(labels[i] == 0 for i in range(5))
+    assert all(labels[i] == 1 for i in range(5, 10))
+
+
+def test_kmeans_refine_keeps_empty_cells(spark):
+    from alaska_etl_spark.operators.similarity import kmeans_refine
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)], "vec_id bigint, embedding array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [-5.0, -5.0])], "centroid_id bigint, centroid array<double>"
+    )
+    refined = {r.centroid_id: r.centroid for r in kmeans_refine(corpus, seeds, iters=1).collect()}
+    assert refined[0] == [1.0, 0.0]
+    assert refined[7] == [-5.0, -5.0]  # empty cell unchanged
