@@ -413,12 +413,20 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ncells: int = 16,
+    refine_iters: int = 0,
 ):
     """One-time IVF build: (centroids, corpus-with-centroid_id). Persist
     the assignment partitioned by ``centroid_id`` (see
     :func:`write_ivf_index`) and searches prune to nprobe/ncells of the
-    data at the *file* level — the 100 TB serving path."""
+    data at the *file* level — the 100 TB serving path.
+    ``refine_iters`` > 0 runs :func:`kmeans_refine` Lloyd rounds on the
+    sampled seed centroids before the final assignment (build-time cost:
+    one narrow assign + one tiny-shuffle mean update per round)."""
     cents = _centroids(corpus, id_col, vec_col, ncells)
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            corpus, cents, id_col=id_col, vec_col=vec_col, iters=refine_iters
+        )
     assigned = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
     return cents, assigned
 

@@ -265,7 +265,8 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       trigram appears ≥ 2 times in the document.
 
     Documents with fewer than 2 (3) tokens yield NULL bigram (trigram)
-    metrics. One posexplode + one (id, pos)-sorted window produce all
+    metrics; documents with ZERO tokens are absent from the output (there
+    is no row to describe). One posexplode + one (id, pos)-sorted window produce all
     gram streams; the per-gram and per-doc aggregations are hash
     aggregates with map-side partials. Everything is exact integer
     counting — the DuckDB oracle (q70) replays it verbatim.

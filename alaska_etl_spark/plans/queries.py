@@ -2069,7 +2069,7 @@ WITH toks AS (
 ), tok_stats AS (
   SELECT doc_id, len(t) AS n_tokens,
          len(list_distinct(t)) AS n_distinct
-  FROM toks
+  FROM toks WHERE len(t) > 0
 ), b2 AS (
   SELECT doc_id, t[i] || ' ' || t[i+1] AS g
   FROM toks, unnest(range(1, len(t))) AS u(i)
