@@ -893,9 +893,11 @@ def semantic_dedup(
             e = min(s + chunk, m)
             sims = np.round((x[s:e] @ x.T) / np.outer(norm[s:e], norm), round_digits)
             hit = sims >= threshold
-            for k in range(e - s):
-                i = s + k
-                dominated[i + 1 :] |= hit[k, i + 1 :]
+            # rows s..e dominate every later column: block-triangular part
+            # for columns inside the chunk, full column-any beyond it
+            dominated[s:e] |= np.triu(hit[:, s:e], 1).any(axis=0)
+            if e < m:
+                dominated[e:] |= hit[:, e:].any(axis=0)
         return pd.DataFrame({id_col: ids[dominated]})
 
     dominated = assigned.groupBy("centroid_id").applyInPandas(

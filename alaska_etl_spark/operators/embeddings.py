@@ -34,18 +34,25 @@ from pyspark.sql.types import (
 
 @pandas_udf(ArrayType(DoubleType()))
 def _l2_normalize_batch(v: pd.Series) -> pd.Series:
-    if len(v) == 0:
+    """One stacked batch matmul per Arrow batch (uniform-width vectors
+    stack into a matrix; rows stay in numpy until the final unstack) —
+    NULL rows pass through as NULL."""
+    n = len(v)
+    if n == 0:
         return pd.Series([], dtype=object)
-    out = []
     vals = v.to_numpy()
-    for x in vals:
-        if x is None:
-            out.append(None)
-            continue
-        a = np.asarray(x, dtype=np.float64)
-        n = np.sqrt((a * a).sum())
-        out.append((a / n).tolist() if n > 0 else a.tolist())
-    return pd.Series(out)
+    mask = np.fromiter((x is None for x in vals), count=n, dtype=bool)
+    if mask.all():
+        return pd.Series([None] * n)
+    fill = next(x for x, m in zip(vals, mask) if not m)
+    x = np.stack([fill if m else val for val, m in zip(vals, mask)]).astype(
+        np.float64, copy=False
+    )
+    norm = np.sqrt(np.einsum("ij,ij->i", x, x))
+    norm[norm == 0] = 1.0  # zero vectors pass through unscaled
+    out = x / norm[:, None]
+    res = [None if m else row.tolist() for row, m in zip(out, mask)]
+    return pd.Series(res)
 
 
 def l2_normalize(vec: Column) -> Column:
@@ -64,19 +71,25 @@ _QUANT_SCHEMA = StructType(
 
 @pandas_udf(_QUANT_SCHEMA)
 def _quantize_batch(v: pd.Series) -> pd.DataFrame:
-    qs: list = []
-    scales: list = []
-    for x in v.to_numpy():
-        if x is None:
-            qs.append(None)
-            scales.append(None)
-            continue
-        a = np.asarray(x, dtype=np.float64)
-        amax = np.abs(a).max() if a.size else 0.0
-        scale = 127.0 / amax if amax > 0 else 0.0
-        q = np.clip(np.floor(a * scale + 0.5), -127, 127).astype(np.int8)
-        qs.append(q.tolist())
-        scales.append(scale)
+    """Vectorized over the whole Arrow batch: one stacked |batch|×dim
+    matrix, one abs-max reduction, one fused floor/clip — no per-row
+    Python in the arithmetic. NULL rows yield NULL struct fields."""
+    n = len(v)
+    if n == 0:
+        return pd.DataFrame({"q": [], "scale": []})
+    vals = v.to_numpy()
+    mask = np.fromiter((x is None for x in vals), count=n, dtype=bool)
+    if mask.all():
+        return pd.DataFrame({"q": [None] * n, "scale": [None] * n})
+    fill = next(x for x, m in zip(vals, mask) if not m)
+    x = np.stack([fill if m else val for val, m in zip(vals, mask)]).astype(
+        np.float64, copy=False
+    )
+    amax = np.abs(x).max(axis=1)
+    scale = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0), 0.0)
+    q = np.clip(np.floor(x * scale[:, None] + 0.5), -127, 127).astype(np.int8)
+    qs = [None if m else row.tolist() for row, m in zip(q, mask)]
+    scales = [None if m else s for s, m in zip(scale, mask)]
     return pd.DataFrame({"q": qs, "scale": scales})
 
 
