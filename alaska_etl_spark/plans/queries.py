@@ -2152,6 +2152,24 @@ def _q72_sql() -> str:
 Q72_SQL = _q72_sql()
 
 
+def q73_training_pipeline(spark, sf_dir):
+    """The composed end-to-end training-data pipeline
+    (pipelines.prepare_training_data): quality filter → exact dedup →
+    MinHash family survivor → decontaminate (docs < 20 as the fake
+    benchmark) → split → per-split packing. Rows-only by design — the
+    composition is eager (checkpoint barrier + the components loop) and
+    every stage is individually oracled (q70/q25/q29+q42/q71/q68/q72);
+    the integration test pins stage-by-stage effects."""
+    from alaska_etl_spark.pipelines import prepare_training_data
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 20)
+    bench = d.filter(F.col("doc_id") < 20)
+    return prepare_training_data(corpus, benchmark=bench, min_tokens=10).select(
+        "doc_id", "n_tokens", "split", "shard", "start_offset", "seq_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2224,6 +2242,7 @@ QUERIES = {
     "q70_repetition_signals": q70_repetition_signals,
     "q71_decontaminate": q71_decontaminate,
     "q72_pack_sequences": q72_pack_sequences,
+    "q73_training_pipeline": q73_training_pipeline,
 }
 
 ORACLES = {
@@ -2290,4 +2309,6 @@ ORACLES = {
     "q72_pack_sequences": Q72_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
+    # q73: eager composed pipeline — rows-only; every stage individually
+    # oracled (q70/q25/q29+q42/q71/q68/q72).
 }
