@@ -266,10 +266,20 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Documents with fewer than 2 (3) tokens yield NULL bigram (trigram)
     metrics; documents with ZERO tokens are absent from the output (there
-    is no row to describe). One posexplode + one (id, pos)-sorted window produce all
-    gram streams; the per-gram and per-doc aggregations are hash
-    aggregates with map-side partials. Everything is exact integer
-    counting — the DuckDB oracle (q70) replays it verbatim.
+    is no row to describe).
+
+    ONE exchange total (pinned by tests/test_text.py): the (id, pos)
+    lead-window hash-partitions by ``_id``, and every later step reuses
+    that partitioning — per-gram occurrence counts are count-windows over
+    (_id, gram), whose required clustering is satisfied by the ``_id``
+    hash (partition-key subset rule, the same shared-sort trick as
+    sessionization), and the final per-doc aggregate (including the
+    distinct-token count) is partition-local. Each gram row carries its
+    gram's occurrence count, so max(count) = top-gram occurrences and
+    count(rows with count ≥ 2) = duplicated-gram occurrences. Everything
+    is exact integer counting — the DuckDB oracle (q70) replays it
+    verbatim. (The first formulation re-aggregated each gram stream
+    separately and joined three per-doc tables: 6 exchanges.)
     """
     from pyspark.sql import Window
 
@@ -287,37 +297,32 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.concat_ws(" ", "_t", F.lead("_t", 1).over(w), F.lead("_t", 2).over(w)).alias("_b3"),
         F.lead("_t", 2).over(w).isNotNull().alias("_has3"),
     )
-    tok_stats = rows.groupBy("_id").agg(
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("_id", "_b2"))
+    c3 = F.count(F.lit(1)).over(Window.partitionBy("_id", "_b3"))
+    counted = rows.select(
+        "_id",
+        "_t",
+        "_has2",
+        "_has3",
+        F.when(F.col("_has2"), c2).alias("_c2"),
+        F.when(F.col("_has3"), c3).alias("_c3"),
+    )
+    agg = counted.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("_t").alias("_n_distinct"),
+        F.max("_c2").alias("_mx"),
+        F.sum(F.col("_has2").cast("long")).alias("_btot"),
+        F.sum(F.when(F.col("_has3") & (F.col("_c3") >= 2), 1).otherwise(0)).alias("_dup"),
+        F.sum(F.col("_has3").cast("long")).alias("_ttot"),
     )
-    big = (
-        rows.filter("_has2")
-        .groupBy("_id", "_b2")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("_id")
-        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
-    )
-    tri = (
-        rows.filter("_has3")
-        .groupBy("_id", "_b3")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("_id")
-        .agg(
-            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0)).alias("_dup"),
-            F.sum("_c").alias("_tot"),
-        )
-    )
-    return (
-        tok_stats.join(big.withColumnRenamed("_tot", "_btot"), "_id", "left")
-        .join(tri.withColumnRenamed("_tot", "_ttot"), "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_tokens",
-            F.round(1.0 - F.col("_n_distinct") / F.col("n_tokens"), 6).alias(
-                "dup_token_ratio"
-            ),
-            F.round(F.col("_mx") / F.col("_btot"), 6).alias("top_bigram_frac"),
-            F.round(F.col("_dup") / F.col("_ttot"), 6).alias("dup_trigram_frac"),
-        )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(1.0 - F.col("_n_distinct") / F.col("n_tokens"), 6).alias("dup_token_ratio"),
+        F.round(F.col("_mx") / F.when(F.col("_btot") > 0, F.col("_btot")), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("_dup") / F.when(F.col("_ttot") > 0, F.col("_ttot")), 6).alias(
+            "dup_trigram_frac"
+        ),
     )

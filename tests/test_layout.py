@@ -110,3 +110,14 @@ def test_zorder_pruning_touches_fewer_files(spark, tmp_path):
             .count()
         )
         assert touched <= 8, f"{col}: rows for a 1/8 slice spread over {touched}/16 files"
+
+
+def test_zorder_key_is_narrow_codegen(spark):
+    """The Morton key is one codegen'd projection: no Exchange, no
+    Python evaluation."""
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    out = df.select(zorder_key(["a", "b"]).alias("k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # the '*(n)' prefix marks a WholeStageCodegen span over the Project
+    assert plan.lstrip().startswith("*("), plan

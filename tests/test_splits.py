@@ -112,3 +112,32 @@ def test_pack_sequences_rejects_bad_budget(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n", budget=0)
+
+
+def test_split_sample_mix_are_narrow(spark):
+    """Split/sample/mix must be pure projections and filters: zero
+    Exchange anywhere in their plans."""
+    from alaska_etl_spark.operators.splits import hash_sample, hash_split, mix_sources
+
+    ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    for df in (
+        hash_split(ids, "doc_id", weights={"a": 0.5, "b": 0.5}),
+        hash_sample(ids, "doc_id", 0.3),
+        mix_sources([(ids, 1.0), (ids, 0.5)], "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing pays exactly one shuffle: the shard-keyed window."""
+    from alaska_etl_spark.operators.splits import pack_sequences
+
+    ids = spark.range(1000).selectExpr("id AS doc_id", "id % 7 + 1 AS n")
+    plan = (
+        pack_sequences(ids, "doc_id", "n", budget=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan

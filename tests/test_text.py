@@ -96,3 +96,13 @@ def test_repetition_signals_exact(spark):
     assert abs(r1.dup_trigram_frac - 2 / 3) < 1e-6
     assert got[2].n_tokens == 1 and got[2].top_bigram_frac is None and got[2].dup_trigram_frac is None
     assert got[3].dup_token_ratio == 0.0 and got[3].top_bigram_frac == 0.5
+
+
+def test_repetition_signals_single_exchange(spark):
+    """The gram windows and the per-doc aggregate all reuse the first
+    window's _id hash partitioning: exactly ONE Exchange in the plan."""
+    from alaska_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
+    plan = repetition_signals(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
