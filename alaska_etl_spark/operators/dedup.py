@@ -795,6 +795,55 @@ def dup_groups(
     )
 
 
+def dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    quality_col: str | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Full-corpus survivor selection: near-dup PAIRS → per-document
+    verdict ``(id, component, survivor)``. Documents outside every
+    duplicate cluster survive as their own singleton component; within a
+    cluster exactly one representative survives — highest
+    ``quality_col`` (length, score, ...), ties broken by smallest id —
+    or smallest id when no quality column is given.
+
+    Scale shape: the component labels cover only documents that appear
+    in ``pairs`` (the duplicate minority), so the corpus-sized side is
+    touched twice by id-equi-joins — an inner join to rank cluster
+    members and an anti join for the untouched majority — and the
+    ranking window runs over cluster members ONLY, never the corpus.
+    The full corpus is never shuffled by component; singletons pass
+    through with zero data movement beyond the joins, which AQE turns
+    into broadcasts whenever the label table fits.
+
+    Reference tie-in: the keep-first dedup at
+    ``airflow/dags/nws_dag.py:111`` keeps an arbitrary member per key;
+    this is the transitive-closure generalization with a declared,
+    deterministic keep rule."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir)
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col is not None
+        else [F.col(id_col).asc()]
+    )
+    members = df.join(cc, df[id_col] == cc.id, "inner").drop("id")
+    ranked = members.withColumn(
+        "survivor",
+        F.row_number().over(Window.partitionBy("component").orderBy(*order)) == 1,
+    )
+    singles = df.join(cc, df[id_col] == cc.id, "left_anti").select(
+        "*",
+        F.col(id_col).alias("component"),
+        F.lit(True).alias("survivor"),
+    )
+    return ranked.select(*singles.columns).unionByName(singles)
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

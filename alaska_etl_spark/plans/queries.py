@@ -2170,6 +2170,53 @@ def q73_training_pipeline(spark, sf_dir):
     )
 
 
+def q74_dedup_survivors(spark, sf_dir):
+    """Near-dup pairs → per-document survivor verdict over the whole
+    (bounded) corpus: singleton docs survive as their own component;
+    inside each connected component exactly one representative survives
+    (longest text wins, smallest doc_id breaks ties). The oracle
+    recomputes components with the q42 recursive CTE and the same
+    ranking — the complete dedup lifecycle (pairs → groups → kept
+    corpus) under one exact hash check."""
+    from alaska_etl_spark.operators.dedup import dedup_survivors, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return dedup_survivors(d, "doc_id", pairs, quality_col="n_chars").select(
+        "doc_id", "component", "survivor"
+    )
+
+
+Q74_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _Q42_PAIRS_SQL
+    + "), edges AS (\n"
+    + """
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CASE WHEN c.component IS NULL THEN true
+            ELSE row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+       END AS survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+WHERE d.doc_id < 200
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2243,6 +2290,7 @@ QUERIES = {
     "q71_decontaminate": q71_decontaminate,
     "q72_pack_sequences": q72_pack_sequences,
     "q73_training_pipeline": q73_training_pipeline,
+    "q74_dedup_survivors": q74_dedup_survivors,
 }
 
 ORACLES = {
@@ -2307,6 +2355,7 @@ ORACLES = {
     "q70_repetition_signals": Q70_SQL,
     "q71_decontaminate": Q71_SQL,
     "q72_pack_sequences": Q72_SQL,
+    "q74_dedup_survivors": Q74_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually

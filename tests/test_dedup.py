@@ -286,3 +286,32 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     assert "LeftSemi" in plan
     sem = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert any("Broadcast" in ln for ln in sem), sem
+
+
+def test_dedup_survivors_full_corpus(spark):
+    # docs 0/1/3 form one near-dup cluster; 2 is a singleton.
+    # quality = n_chars: doc 0 and 3 are identical BASE (longest), doc 1
+    # one token longer ("sleepy" vs "lazy") -> doc 1 wins on length.
+    from alaska_etl_spark.operators.dedup import dedup_survivors
+
+    df = _docs(spark).withColumn("n_chars", F.length("text"))
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    out = dedup_survivors(df, "doc_id", pairs, quality_col="n_chars")
+    got = {r["doc_id"]: (r["component"], r["survivor"]) for r in out.collect()}
+    assert got[2] == (2, True)  # singleton survives as own component
+    assert got[0][0] == got[1][0] == got[3][0] == 0  # one cluster, min-id label
+    assert [got[i][1] for i in (0, 1, 3)] == [False, True, False]  # longest wins
+    assert sum(v[1] for v in got.values()) == 2
+
+
+def test_dedup_survivors_min_id_without_quality(spark):
+    from alaska_etl_spark.operators.dedup import dedup_survivors
+
+    df = _docs(spark)
+    pairs = spark.createDataFrame([(3, 1)], "id_a bigint, id_b bigint")
+    out = dedup_survivors(df, "doc_id", pairs)
+    got = {r["doc_id"]: (r["component"], r["survivor"]) for r in out.collect()}
+    assert got[1] == (1, True) and got[3] == (1, False)
+    assert got[0] == (0, True) and got[2] == (2, True)
