@@ -326,3 +326,59 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "dup_trigram_frac"
         ),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(id, term, tfidf, rank)`` with tfidf = tf · ln((N+1)/(df+1)),
+    rounded, ranked by (tfidf desc, term asc).
+
+    Exchange budget (pinned in tests): ONE corpus-sized shuffle. Token
+    rows are repartitioned by document id once; the (id, term) aggregate
+    and the per-document ranking window both reuse that partitioning
+    (hash(id) clusters every finer key). The document-frequency side
+    aggregates from the already-reduced (id, term) table — an exchange
+    over |vocab| rows, not the corpus — and joins back WITHOUT a
+    broadcast hint: AQE broadcasts it while vocabulary fits (preserving
+    the id partitioning for the window) and degrades to a shuffle join
+    when it doesn't. N is a one-row aggregate cross-joined in, not a
+    driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = toks.repartition(nparts, "_id")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tfidf", "rank")
+    )

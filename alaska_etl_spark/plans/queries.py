@@ -2217,6 +2217,43 @@ WHERE d.doc_id < 200
 )
 
 
+def q75_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document over a bounded subset — the
+    classic two-level text-statistics pipeline (term frequency, document
+    frequency, corpus size) as one declarative plan with a single
+    corpus-sized shuffle. Scores rounded to 4dp so both engines rank the
+    same doubles; ties broken by term."""
+    from alaska_etl_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+Q75_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2291,6 +2328,7 @@ QUERIES = {
     "q72_pack_sequences": q72_pack_sequences,
     "q73_training_pipeline": q73_training_pipeline,
     "q74_dedup_survivors": q74_dedup_survivors,
+    "q75_tfidf": q75_tfidf,
 }
 
 ORACLES = {
@@ -2356,6 +2394,7 @@ ORACLES = {
     "q71_decontaminate": Q71_SQL,
     "q72_pack_sequences": Q72_SQL,
     "q74_dedup_survivors": Q74_SQL,
+    "q75_tfidf": Q75_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually

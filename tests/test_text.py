@@ -106,3 +106,48 @@ def test_repetition_signals_single_exchange(spark):
     df = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
     plan = repetition_signals(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_tfidf_top_terms_values(spark):
+    from alaska_etl_spark.operators.text import tfidf_top_terms
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry date")],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out.collect()}
+    # df: apple=1, banana=2, cherry=2, date=1; N=3
+    rare = math.log(4 / 2)    # df=1 terms
+    common = math.log(4 / 3)  # df=2 terms
+    assert got[(1, 1)] == ("apple", round(2 * rare, 4))
+    assert got[(1, 2)] == ("banana", round(common, 4))
+    # doc 2: banana and cherry tie (same tf, same df) -> term asc
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", round(3 * common, 4))
+    assert got[(3, 2)] == ("date", round(rare, 4))
+
+
+def test_tfidf_single_corpus_exchange(spark):
+    """One corpus-sized shuffle: the (id, term) aggregate and the
+    ranking window reuse the explicit repartition by id; the df-side
+    exchange carries |vocab| aggregated rows and N is a broadcast.
+    Corpus-partitioned operators in the plan: exactly one Exchange
+    hashpartitioning(_id...); everything else is vocab-sized."""
+    from alaska_etl_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id bigint, text string")
+    out = tfidf_top_terms(df, "doc_id", "text")
+    out.collect()  # let AQE finalize (broadcasts the vocab side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final adaptive plan only
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    corpus_exchanges = [ln for ln in exchanges if "(_id" in ln.split("Exchange", 1)[1]]
+    assert len(corpus_exchanges) == 1, plan
+    # the document-frequency branch must REUSE that shuffle, not re-run it
+    assert "ReusedExchange" in plan, plan
