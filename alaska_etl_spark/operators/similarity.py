@@ -530,3 +530,180 @@ def ivf_topk(
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN for the 100 TB shelf
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int | None = None,
+    iters: int = 2,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split each vector into ``m``
+    subvectors and k-means each subspace to ``k`` centroids. Returns the
+    codebooks as an (m, k, dim/m) ndarray — the quantizer artifact, a
+    few KB, that :func:`pq_encode` / :func:`pq_topk` carry in their UDF
+    closures (the same ship-to-every-task envelope as
+    :func:`assign_buckets`' centroids).
+
+    Scale shape per Lloyd round — ALL subspaces advance in ONE corpus
+    pass: a single Arrow pandas_udf computes the m per-subspace
+    assignments (narrow, no shuffle), and the mean update posexplodes
+    vector components keyed by (subspace, code, component) into a
+    partially-aggregated shuffle of ~m·k·(dim/m) = k·dim rows — corpus-
+    size-independent, like :func:`kmeans_refine`. Seeds are the ``k``
+    smallest-id corpus vectors sliced per subspace
+    (TakeOrderedAndProject — no Exchange), so training is reproducible
+    up to float summation order.
+    """
+    if dim is None:
+        raise ValueError(
+            "pq_train requires dim= (embedding width); inferring it would "
+            "run a hidden driver-side job on the corpus"
+        )
+    assert dim % m == 0, "m must divide the embedding dim"
+    dsub = dim // m
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    seeds = np.stack([np.asarray(r._v, dtype=np.float64) for r in seed_rows])
+    books = np.stack([seeds[:, j * dsub : (j + 1) * dsub] for j in range(m)])  # m×k×dsub
+
+    vec_rows = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(iters):
+        codes_udf = _pq_codes_udf(books)
+        coded = vec_rows.withColumn("_codes", codes_udf(F.col("_v")))
+        sums = (
+            coded.select(F.col("_codes"), F.posexplode("_v").alias("_i", "_x"))
+            .select(
+                (F.col("_i") / dsub).cast("int").alias("_j"),
+                F.element_at("_codes", (F.col("_i") / dsub).cast("int") + 1).alias("_c"),
+                (F.col("_i") % dsub).alias("_d"),
+                "_x",
+            )
+            .groupBy("_j", "_c", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_books = books.copy()
+        for r in sums:
+            new_books[r._j, r._c, r._d] = r._s / r._n
+        books = new_books
+    return books
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """Arrow pandas_udf assigning each vector its m-part PQ code word
+    (argmin squared-L2 per subspace). Narrow projection — zero shuffle."""
+    m, k, dsub = books.shape
+    flat = books  # closure copy
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64, copy=False)  # n × dim
+        xs = x.reshape(n, m, dsub)
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over k per subspace
+        cn = np.einsum("mkd,mkd->mk", flat, flat)  # m × k
+        dots = np.einsum("nmd,mkd->nmk", xs, flat)  # n × m × k
+        codes = np.argmin(cn[None, :, :] - 2.0 * dots, axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _codes
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector) → (id, pq_code array<int> of length m): the 100 TB
+    compression step — dim × 4 bytes becomes m small ints (m bytes once
+    stored as tinyint/byte), a 16-64× shrink that every downstream scan,
+    shuffle, and cache inherits. Zero-shuffle narrow projection (pinned
+    in tests)."""
+    return corpus.select(
+        F.col(id_col),
+        _pq_codes_udf(books)(F.col(vec_col).cast("array<double>")).alias("pq_code"),
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate top-k neighbors
+    from the COMPRESSED corpus — raw vectors never touch the scan.
+
+    Per query, the squared-L2 distance to any corpus vector decomposes
+    into m table lookups: table[j][c] = ||q_j − books[j][c]||², so each
+    candidate costs m adds instead of a dim-length dot product, against
+    a corpus that is 16-64× smaller on disk. The query set is collected
+    into the UDF closure (small by the same contract that broadcasts it
+    in :func:`cosine_topk`; the lookup tables are q × m × k doubles — a
+    few KB). The per-query top-k is the same rounded window as every
+    other search path; ``WindowGroupLimit`` keeps partial top-k
+    map-side, so the shuffle carries ~k rows per (partition, query).
+
+    Returns (query_id, neighbor_id, adist, rank) — adist ascending;
+    recall is judged against :func:`cosine_topk` (on L2-normalized
+    vectors squared-L2 order ≡ cosine order).
+    """
+    m, kk, dsub = books.shape
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+        ).collect(),
+        key=lambda r: r._qid,
+    )
+    qids = np.asarray([r._qid for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r._qv, dtype=np.float64) for r in q_rows])
+    qs = qmat.reshape(len(qids), m, dsub)
+    cn = np.einsum("mkd,mkd->mk", books, books)
+    qdots = np.einsum("qmd,mkd->qmk", qs, books)
+    qn = np.einsum("qmd,qmd->qm", qs, qs)
+    tables = qn[:, :, None] - 2.0 * qdots + cn[None, :, :]  # q × m × k
+
+    @pandas_udf("array<double>")
+    def _adists(codes: pd.Series) -> pd.Series:
+        n = len(codes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        cm = np.stack(codes.to_numpy()).astype(np.int64, copy=False)  # n × m
+        # gather per query: sum the m table entries this row's codes select
+        sub = np.arange(m)[None, :]
+        out = np.stack([t[sub, cm].sum(axis=1) for t in tables], axis=1)  # n × q
+        return pd.Series(list(np.round(out, round_digits)))
+
+    scored = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), _adists(F.col("pq_code")).alias("_ds")
+    ).select(
+        "neighbor_id", F.posexplode("_ds").alias("_qi", "adist")
+    ).select(
+        F.element_at(F.lit(qids.tolist()), F.col("_qi") + 1).alias("query_id"),
+        "neighbor_id",
+        "adist",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
