@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query. Approximate/LSH ops
-    (q29/q30/q31 and q53/q55/q57) are rows-only by design — each has an
+    (q29/q30/q31 and q53/q55/q57/q76) are rows-only by design — each has an
     exact oracled companion (q26 exact Jaccard, q27 brute-force cosine,
     q46 exact distinct counts, q38 exact percentiles); everything else,
     including the multimodal mapInPandas path (q32/q33) and

@@ -2254,6 +2254,24 @@ WHERE rank <= 3
 """
 
 
+def q76_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (asymmetric-distance search over the
+    compressed corpus): train m=8/k=16 codebooks on the 64-dim corpus,
+    encode every vector to an 8-int code word, search with per-query
+    lookup tables. Rows-only by design (quantized distances are
+    engine-defined); the exact companion is q27 on the same corpus, and
+    recall/shape are pinned in tests/test_similarity.py."""
+    from alaska_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, dim=64, iters=2)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(codes, queries, books, k=5).select(
+        "query_id", "neighbor_id", "adist", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2329,6 +2347,7 @@ QUERIES = {
     "q73_training_pipeline": q73_training_pipeline,
     "q74_dedup_survivors": q74_dedup_survivors,
     "q75_tfidf": q75_tfidf,
+    "q76_pq_ann": q76_pq_ann,
 }
 
 ORACLES = {

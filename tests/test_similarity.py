@@ -212,3 +212,121 @@ def test_kmeans_refine_keeps_empty_cells(spark):
     refined = {r.centroid_id: r.centroid for r in kmeans_refine(corpus, seeds, iters=1).collect()}
     assert refined[0] == [1.0, 0.0]
     assert refined[7] == [-5.0, -5.0]  # empty cell unchanged
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC search over the compressed corpus)
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark):
+    """Two well-separated 4-dim clusters (around e1 and e3) sized so
+    every subspace has structure for the m=2 codebooks to learn."""
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))          # cluster A
+        rows.append((100 + i, [0.0, 0.0, 1.0, eps]))    # cluster B
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_pq_train_requires_dim(spark):
+    import pytest as _pytest
+
+    from alaska_etl_spark.operators.similarity import pq_train
+
+    c = _pq_corpus(spark)
+    with _pytest.raises(ValueError, match="dim"):
+        pq_train(c, m=2, k=4)
+
+
+def test_pq_train_codebook_shape_and_determinism(spark):
+    import numpy as np
+
+    from alaska_etl_spark.operators.similarity import pq_train
+
+    c = _pq_corpus(spark)
+    b1 = pq_train(c, m=2, k=4, dim=4, iters=2)
+    b2 = pq_train(c, m=2, k=4, dim=4, iters=2)
+    assert b1.shape == (2, 4, 2)
+    assert np.array_equal(b1, b2)  # seeded from smallest ids → reproducible
+
+
+def test_pq_train_lloyd_reduces_quantization_error(spark):
+    """Trained codebooks must reconstruct the corpus at least as well as
+    the raw id-ordered seeds (Lloyd never increases total distortion)."""
+    import numpy as np
+
+    from alaska_etl_spark.operators.similarity import pq_train
+
+    c = _pq_corpus(spark)
+    vecs = np.stack(
+        [np.asarray(r.embedding) for r in c.orderBy("vec_id").collect()]
+    )
+
+    def distortion(books):
+        m, k, dsub = books.shape
+        xs = vecs.reshape(len(vecs), m, dsub)
+        total = 0.0
+        for j in range(m):
+            d2 = ((xs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).sum()
+        return total
+
+    seed_books = pq_train(c, m=2, k=4, dim=4, iters=0)
+    trained = pq_train(c, m=2, k=4, dim=4, iters=2)
+    assert distortion(trained) <= distortion(seed_books) + 1e-12
+
+
+def test_pq_encode_codes_and_narrow_plan(spark):
+    """Codes are m ints in [0, k); encoding is a zero-shuffle narrow
+    projection (scan → ArrowEvalPython, no Exchange/Join/Window) — the
+    same scale pin as the IVF build."""
+    from alaska_etl_spark.operators.similarity import pq_encode, pq_train
+
+    c = _pq_corpus(spark)
+    books = pq_train(c, m=2, k=4, dim=4, iters=1)
+    coded = pq_encode(c, books)
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Window" not in plan
+    rows = coded.collect()
+    assert len(rows) == 40
+    assert all(len(r.pq_code) == 2 for r in rows)
+    assert all(0 <= code < 4 for r in rows for code in r.pq_code)
+    # identical vectors quantize to identical code words
+    by_vec = {}
+    for r in c.collect():
+        by_vec.setdefault(tuple(r.embedding), set())
+    coded_by_id = {r.vec_id: tuple(r.pq_code) for r in rows}
+    for r in c.collect():
+        by_vec[tuple(r.embedding)].add(coded_by_id[r.vec_id])
+    assert all(len(codes) == 1 for codes in by_vec.values())
+
+
+def test_pq_topk_cluster_recall_and_shape(spark):
+    """ADC search from the compressed corpus keeps cluster structure:
+    every top-3 neighbor of a cluster-A query is a cluster-A member,
+    self is excluded, ranks are 1..k ascending by adist."""
+    from alaska_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    c = _pq_corpus(spark)
+    books = pq_train(c, m=2, k=4, dim=4, iters=2)
+    codes = pq_encode(c, books)
+    q = c.filter("vec_id in (0, 100)")
+    out = pq_topk(codes, q, books, k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(r.neighbor_id != qid for r in rows)
+        adists = [r.adist for r in rows]
+        assert adists == sorted(adists)
+        if qid == 0:
+            assert all(r.neighbor_id < 100 for r in rows)
+        else:
+            assert all(r.neighbor_id >= 100 for r in rows)
