@@ -498,36 +498,100 @@ def ivf_topk(
     """IVF approximate top-k: probe only the ``nprobe`` cells nearest to
     each query. Recall < 1 by design; the exact :func:`cosine_topk` is
     the oracle. At 100 TB, bucket assignment is computed once and
-    persisted (partitioned by centroid_id) so queries shuffle nothing."""
+    persisted (see :func:`build_ivf_index` / :func:`ivf_search`) so
+    repeated queries shuffle nothing.
+
+    This ad-hoc build+search path is ONE narrow mapInPandas pass over
+    the corpus: centroids (ncells rows) and the query set (small by the
+    same contract that broadcasts it in :func:`cosine_topk`) are
+    collected into the closure, probe cells are computed driver-side
+    from that few-KB matrix, and each corpus batch computes its own
+    cell argmax + candidate cosines in one Arrow round trip — no join,
+    no assignment shuffle; the only Exchange is the candidate top-k
+    window (the r3 formulation chained three separate ArrowEvalPython
+    stages plus a join and paid 3× this wall-clock at bench scale).
+
+    Tie/NULL contract matches the staged path: probe order is cosine
+    desc NULLS LAST then centroid_id asc; assignment argmax breaks ties
+    to the smallest centroid_id; zero-norm/NULL corpus vectors score
+    NULL cosine (sorting last under the descending rank window).
+    """
     cents = _centroids(corpus, id_col, vec_col, ncells)
-    bucketed = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
-    q_assigned = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
-        )
-        .join(F.broadcast(cents), F.lit(True))
-        .select(
-            "query_id",
-            "_qv",
-            "centroid_id",
-            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_cs"),
-        )
+    crows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    cids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
+    cmat = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    cnorm[cnorm == 0] = 1.0
+    dim = cmat.shape[1]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).collect()
+    zero = np.zeros(dim)
+    qids = [r._qid for r in q_rows]
+    qmat = np.stack(
+        [zero if r._qv is None else np.asarray(r._qv, dtype=np.float64) for r in q_rows]
+    ) if q_rows else np.zeros((0, dim))
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    safe_qnorm = np.where(qnorm == 0, 1.0, qnorm)
+
+    # Probe cells per query, driver-side: cosine desc (zero-norm → flat
+    # 0s, i.e. the NULLS-LAST degenerate ordering), centroid_id asc.
+    cell_to_q: dict[int, list[int]] = {}
+    qsims = (qmat @ cmat.T) / np.outer(safe_qnorm, cnorm)
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, -qsims[qi]))[: min(nprobe, len(cids))]
+        for ci in order:
+            cell_to_q.setdefault(int(cids[ci]), []).append(qi)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {q_id_type}, neighbor_id {id_type}, cosine double"
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("centroid_id").asc())
-    probes = (
-        q_assigned.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+
+    def _candidates(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vals = pdf[vec_col].to_numpy()
+            null_mask = np.fromiter((x is None for x in vals), count=n, dtype=bool)
+            x = np.stack(
+                [zero if m else np.asarray(v, dtype=np.float64) for v, m in zip(vals, null_mask)]
+            )
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            bad = null_mask | (xn == 0)
+            xn_safe = np.where(xn == 0, 1.0, xn)
+            sims = (x @ cmat.T) / np.outer(xn_safe, cnorm)
+            sims[bad] = 0.0  # degenerate rows tie across cells → smallest cid
+            cells = cids[np.argmax(sims, axis=1)]
+            nids = pdf[id_col].to_numpy()
+            for cell in np.unique(cells):
+                qidx = cell_to_q.get(int(cell))
+                if not qidx:
+                    continue
+                ridx = np.nonzero(cells == cell)[0]
+                qs = qmat[qidx]  # nq × dim
+                qn = safe_qnorm[qidx]
+                cos = (x[ridx] @ qs.T) / np.outer(xn_safe[ridx], qn)
+                if round_digits is not None:
+                    cos = np.round(cos, round_digits)
+                invalid = bad[ridx][:, None] | (qnorm[qidx] == 0)[None, :]
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.repeat([qids[q] for q in qidx], len(ridx)),
+                        "neighbor_id": np.tile(nids[ridx], len(qidx)),
+                        "cosine": cos.T.reshape(-1),
+                    }
+                )
+                if invalid.any():
+                    out.loc[invalid.T.reshape(-1), "cosine"] = None
+                yield out[out["query_id"] != out["neighbor_id"]]
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        _candidates, out_schema
     )
-    sim = cosine_sim(F.col("_qv"), F.col(vec_col))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    cand = probes.join(bucketed, "centroid_id").select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        sim.alias("cosine"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

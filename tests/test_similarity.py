@@ -330,3 +330,18 @@ def test_pq_topk_cluster_recall_and_shape(spark):
             assert all(r.neighbor_id < 100 for r in rows)
         else:
             assert all(r.neighbor_id >= 100 for r in rows)
+
+
+def test_ivf_topk_single_pass_plan(spark):
+    """Scale pin for the ad-hoc IVF path: ONE narrow MapInPandas over
+    the corpus and ONE Exchange (the candidate top-k window) — no join,
+    no assignment shuffle, no chained Python stages."""
+    c = _corpus(spark)
+    q = c.filter("vec_id in (0, 100)")
+    out = ivf_topk(c, q, k=3, ncells=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan  # partial top-k stays map-side
