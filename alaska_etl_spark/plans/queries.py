@@ -2273,6 +2273,451 @@ def q76_pq_ann(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 4: warehouse-reporting + data-quality shapes (q77+)
+# ---------------------------------------------------------------------------
+
+
+def q77_column_profile(spark, sf_dir):
+    """Data-quality column profiling (Deequ-style) in ONE scan: every
+    per-column stat (rows, nulls, distinct, min/max) is an aggregate in
+    a single pass, then ``stack`` unpivots the 1-row result to one row
+    per profiled column — the 100 TB shape (profiles must never be
+    per-column scans). Numeric min/max are reported in exact cents so
+    both engines print identical strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count("l_quantity").alias("_qn"),
+        F.count_distinct("l_quantity").alias("_qd"),
+        F.min(_cents(F.col("l_quantity"))).cast("string").alias("_qmin"),
+        F.max(_cents(F.col("l_quantity"))).cast("string").alias("_qmax"),
+        F.count("l_extendedprice").alias("_pn"),
+        F.count_distinct("l_extendedprice").alias("_pd"),
+        F.min(_cents(F.col("l_extendedprice"))).cast("string").alias("_pmin"),
+        F.max(_cents(F.col("l_extendedprice"))).cast("string").alias("_pmax"),
+        F.count("l_returnflag").alias("_rn"),
+        F.count_distinct("l_returnflag").alias("_rd"),
+        F.min("l_returnflag").alias("_rmin"),
+        F.max("l_returnflag").alias("_rmax"),
+        F.count("l_shipdate").alias("_sn"),
+        F.count_distinct("l_shipdate").alias("_sd"),
+        F.min("l_shipdate").cast("string").alias("_smin"),
+        F.max("l_shipdate").cast("string").alias("_smax"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'l_quantity', _n, _n - _qn, _qd, _qmin, _qmax, "
+            "'l_extendedprice', _n, _n - _pn, _pd, _pmin, _pmax, "
+            "'l_returnflag', _n, _n - _rn, _rd, _rmin, _rmax, "
+            "'l_shipdate', _n, _n - _sn, _sd, _smin, _smax) "
+            "AS (column_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+Q77_SQL = """
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS min_repr,
+       CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS max_repr
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR),
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+"""
+
+
+def q78_interpolate(spark, sf_dir):
+    """Time-series gap repair: linear interpolation of masked readings
+    by sequence position between the nearest non-null neighbors (the
+    W1 forward-fill generalized to two-sided). One sort per user
+    partition services all four IGNORE NULLS windows — a single
+    Exchange. Scalar IEEE arithmetic written identically in both
+    engines, so the unrounded doubles hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", v.alias("_v"), F.row_number().over(w).alias("_rn")
+    ).withColumn("_mrn", F.when(F.col("_v").isNotNull(), F.col("_rn")))
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    out = base.select(
+        "user_id",
+        "event_id",
+        F.col("_v").alias("value_masked"),
+        F.last("_v", ignorenulls=True).over(wp).alias("_pv"),
+        F.last("_mrn", ignorenulls=True).over(wp).alias("_prn"),
+        F.first("_v", ignorenulls=True).over(wn).alias("_nv"),
+        F.first("_mrn", ignorenulls=True).over(wn).alias("_nrn"),
+        "_rn",
+    )
+    filled = (
+        F.when(F.col("value_masked").isNotNull(), F.col("value_masked"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (F.col("_rn") - F.col("_prn"))
+            / (F.col("_nrn") - F.col("_prn"))
+        )
+    )
+    return out.select(
+        "user_id", "event_id", "value_masked", filled.alias("value_filled")
+    )
+
+
+Q78_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 7 <> 0 THEN value END AS v,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, ts, event_id, v, rn,
+         CASE WHEN v IS NOT NULL THEN rn END AS mrn
+  FROM base
+), ctx AS (
+  SELECT user_id, event_id, v, rn,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(mrn IGNORE NULLS) OVER wp AS prn,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(mrn IGNORE NULLS) OVER wn AS nrn
+  FROM marked
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, v AS value_masked,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn)
+       END AS value_filled
+FROM ctx
+"""
+
+
+def q79_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy-match join: candidate pairs share a block key (name
+    prefix — the same blocking idea as every LSH family here), verified
+    by Levenshtein distance <= 1 in codegen. The block equi-join is the
+    scale mechanism: no all-pairs comparison ever materializes."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.substring("c_name", 1, 16).alias("_blk"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(b, F.col("a._blk") == F.col("b._blk"))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+Q79_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q80_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer than q19's ROLLUP / q41's CUBE):
+    (priority × status), (priority), and grand total in one aggregate
+    pass — Catalyst expands to a single Expand + hash aggregate, the
+    same one-shuffle plan at any scale."""
+    o = _t(spark, sf_dir, "orders").withColumn("price_c", _cents(F.col("o_totalprice")))
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("_s"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            (F.col("_s") / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+Q80_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q81_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals ($50k buckets, top-coded at
+    bucket 9) — binning in exact integer cents so bucket edges are
+    engine-independent. One aggregate over a scan; the 100 TB plan."""
+    o = _t(spark, sf_dir, "orders").withColumn("price_c", _cents(F.col("o_totalprice")))
+    bucket = F.least(F.expr("price_c div 5000000"), F.lit(9)).alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("price_c") / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+Q81_SQL = """
+SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 9) AS bucket,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q82_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — nation market share by year: revenue fraction
+    supplied by one nation within a customer region's market. Dims
+    (nation twice, region) broadcast; the share ratio is rounded
+    half-up in integer space so both engines agree at 4dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    v = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "CHINA", v).otherwise(F.lit(0))).alias("_num"),
+            F.sum(v).alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.expr("(2 * 10000 * _num + _den) div (2 * _den)") / F.lit(10000.0)).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+Q82_SQL = """
+WITH a AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(CASE WHEN sn.n_name = 'CHINA'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS num,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS den
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1)
+SELECT o_year, ((2 * 10000 * num + den) // (2 * den)) / 10000.0 AS mkt_share FROM a
+"""
+
+
+def q83_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — profit by supplier nation × order year for a
+    part-name substring family. The LIKE filter prunes parts before the
+    join (pushed to the part scan); revenue in exact integer units."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    v = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(v).alias("_s"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "nation",
+            "o_year",
+            (F.expr("(2 * _s + 10000) div 20000") / F.lit(100.0)).alias("profit"),
+            "n_items",
+        )
+    )
+
+
+Q83_SQL = """
+WITH a AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, o_year, ((2 * s + 10000) // 20000) / 100.0 AS profit, n_items FROM a
+"""
+
+
+def q84_ntile_deciles(spark, sf_dir):
+    """Decile report over customer balances: ntile(10) with a
+    deterministic (balance, key) order, per-decile count/min/max/sum.
+    The global-order window is the textbook reporting form (fine for
+    dim-sized inputs); the fact-scale alternative is approximate
+    quantile boundaries (q57) + a broadcast range join (q14)."""
+    c = _t(spark, sf_dir, "customer").withColumn("bal_c", _cents(F.col("c_acctbal")))
+    w = Window.orderBy("bal_c", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("bal_c") / F.lit(100.0)).alias("min_bal"),
+            (F.max("bal_c") / F.lit(100.0)).alias("max_bal"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("sum_bal"),
+        )
+    )
+
+
+Q84_SQL = """
+WITH d AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         ntile(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS decile
+  FROM customer)
+SELECT decile, count(*) AS n,
+       min(bal_c) / 100.0 AS min_bal,
+       max(bal_c) / 100.0 AS max_bal,
+       sum(bal_c) / 100.0 AS sum_bal
+FROM d GROUP BY decile
+"""
+
+
+def q85_event_deltas(spark, sf_dir):
+    """Inter-event gap statistics: lag() per user stream, then gap
+    stats grouped by the later event's type. Seconds via the engine-
+    stable truncate-to-epoch-seconds convention (identical to the
+    sessionize duration contract). One sort shuffle services the lag;
+    the group-by is the second, key-changing exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    delta = (secs - F.lag(secs).over(w)).alias("_d")
+    return (
+        ev.select("user_id", "event_type", "ts", "event_id", delta)
+        .filter(F.col("_d").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("_d").alias("_s"),
+            F.max("_d").alias("max_gap_s"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            (F.expr("(2 * 100 * _s + n_gaps) div (2 * n_gaps)") / F.lit(100.0)).alias(
+                "avg_gap_s"
+            ),
+            "max_gap_s",
+        )
+    )
+
+
+Q85_SQL = """
+WITH d AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events)
+SELECT event_type, count(*) AS n_gaps,
+       ((2 * 100 * sum(gap_s) + count(*)) // (2 * count(*))) / 100.0 AS avg_gap_s,
+       max(gap_s) AS max_gap_s
+FROM d WHERE gap_s IS NOT NULL GROUP BY event_type
+"""
+
+
+def q86_type_pivot(spark, sf_dir):
+    """Daily activity matrix: pivot the event stream to one column pair
+    (count, summed value) per event type — conditional aggregation, the
+    single-pass pivot form (no per-type scans). Value sums in exact
+    cents."""
+    ev = _t(spark, sf_dir, "events").withColumn("val_c", _cents(F.col("value")))
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    aggs = []
+    for t in ["click", "view", "purchase", "signup", "error"]:
+        flag = F.col("event_type") == t
+        aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(f"n_{t}"))
+        aggs.append(
+            (F.sum(F.when(flag, F.col("val_c")).otherwise(0)) / F.lit(100.0)).alias(
+                f"sum_{t}"
+            )
+        )
+    return ev.groupBy(day).agg(*aggs)
+
+
+Q86_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click'), 0) / 100.0 AS sum_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view'), 0) / 100.0 AS sum_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'purchase'), 0) / 100.0 AS sum_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'signup'), 0) / 100.0 AS sum_signup,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'error'), 0) / 100.0 AS sum_error
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2348,6 +2793,16 @@ QUERIES = {
     "q74_dedup_survivors": q74_dedup_survivors,
     "q75_tfidf": q75_tfidf,
     "q76_pq_ann": q76_pq_ann,
+    "q77_column_profile": q77_column_profile,
+    "q78_interpolate": q78_interpolate,
+    "q79_fuzzy_pairs": q79_fuzzy_pairs,
+    "q80_grouping_sets": q80_grouping_sets,
+    "q81_histogram": q81_histogram,
+    "q82_market_share": q82_market_share,
+    "q83_product_profit": q83_product_profit,
+    "q84_ntile_deciles": q84_ntile_deciles,
+    "q85_event_deltas": q85_event_deltas,
+    "q86_type_pivot": q86_type_pivot,
 }
 
 ORACLES = {
@@ -2414,6 +2869,16 @@ ORACLES = {
     "q72_pack_sequences": Q72_SQL,
     "q74_dedup_survivors": Q74_SQL,
     "q75_tfidf": Q75_SQL,
+    "q77_column_profile": Q77_SQL,
+    "q78_interpolate": Q78_SQL,
+    "q79_fuzzy_pairs": Q79_SQL,
+    "q80_grouping_sets": Q80_SQL,
+    "q81_histogram": Q81_SQL,
+    "q82_market_share": Q82_SQL,
+    "q83_product_profit": Q83_SQL,
+    "q84_ntile_deciles": Q84_SQL,
+    "q85_event_deltas": Q85_SQL,
+    "q86_type_pivot": Q86_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually

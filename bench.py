@@ -51,6 +51,8 @@ HEADLINE = [
     "q64_semantic_dedup",
     "q70_repetition_signals",
     "q71_decontaminate",
+    "q78_interpolate",
+    "q79_fuzzy_pairs",
 ]
 
 
