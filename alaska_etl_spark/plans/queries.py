@@ -2717,6 +2717,56 @@ FROM events GROUP BY 1
 """
 
 
+def q87_continuous_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance (plans/rollup.py) proven
+    end-to-end: the event stream is split into three interleaved
+    batches (id mod 3 — every batch reopens hours other batches wrote),
+    folded into a persisted partial-aggregate rollup one batch at a
+    time, and the finalized result must hash-match DuckDB's ONE-SHOT
+    hourly rollup over all events. The refresh reads only affected day
+    partitions and rewrites only those directories (dynamic partition
+    overwrite) — the 100 TB late-data path the reference's finalized
+    append can't express."""
+    import tempfile
+
+    from alaska_etl_spark.plans.rollup import finalize, refresh_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="q87_rollup_") + "/rollup"
+    for i in range(3):
+        refresh_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == i),
+            path,
+            key_cols=["event_type"],
+            ts_col="ts",
+            val_col="value",
+        )
+    return finalize(spark.read.parquet(path)).select(
+        F.col("bucket").alias("hour"),
+        "event_type",
+        "n",
+        F.col("avg_val").alias("value_hr_avg"),
+        "min_val",
+        "max_val",
+        "sum_val",
+    )
+
+
+Q87_SQL = """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s, count(*) AS n,
+         min(CAST(round(value * 100) AS BIGINT)) AS mn,
+         max(CAST(round(value * 100) AS BIGINT)) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT hour, event_type, n,
+       ((20 * s + n) // (2 * n)) / 1000.0 AS value_hr_avg,
+       mn / 100.0 AS min_val, mx / 100.0 AS max_val, s / 100.0 AS sum_val
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2803,6 +2853,7 @@ QUERIES = {
     "q84_ntile_deciles": q84_ntile_deciles,
     "q85_event_deltas": q85_event_deltas,
     "q86_type_pivot": q86_type_pivot,
+    "q87_continuous_rollup": q87_continuous_rollup,
 }
 
 ORACLES = {
@@ -2879,6 +2930,7 @@ ORACLES = {
     "q84_ntile_deciles": Q84_SQL,
     "q85_event_deltas": Q85_SQL,
     "q86_type_pivot": Q86_SQL,
+    "q87_continuous_rollup": Q87_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually

@@ -324,6 +324,47 @@ def stream_to_warehouse(
     q.awaitTermination()
 
 
+def stream_to_rollup(
+    stream_df: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+) -> None:
+    """Streaming continuous-aggregate maintenance: every micro-batch is
+    folded into the persisted partial-aggregate rollup
+    (plans/rollup.refresh_rollup) via ``foreachBatch`` — the
+    Structured-Streaming form of the hypertable rollup.
+
+    Late data needs no watermark here because the rollup stores
+    MERGEABLE partials, not finalized results: an arbitrarily late row
+    simply reopens its (hour, key) bucket and the affected day
+    partition is rewritten. The trade is replay semantics: refresh is
+    additive, NOT idempotent per row, so a replayed batch would
+    double-count — the checkpoint's exactly-once batch tracking is the
+    guard (vs. the warehouse sink, which is idempotent by content hash
+    and tolerates replays; SCALE.md discusses the pairing)."""
+    from alaska_etl_spark.plans.rollup import refresh_rollup
+
+    spark = stream_df.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        refresh_rollup(
+            spark, batch_df, rollup_path,
+            key_cols=key_cols, ts_col=ts_col, val_col=val_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,
