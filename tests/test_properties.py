@@ -98,3 +98,55 @@ def test_sessionize_matches_linear_scan(spark, rows, gap_minutes):
             want[uid] = sid
             prev = t
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user key
+            st.integers(0, 72).map(
+                lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * h)
+            ),                                      # spans 3 days of hour buckets
+            st.integers(-5000, 5000).map(lambda c: c / 100.0),  # 2-dec value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), min_size=0, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_rollup_refresh_order_free(spark, tmp_path_factory, rows, cuts):
+    """ANY batching of ANY event stream folded through refresh_rollup
+    equals the one-shot rollup: partial-aggregate merge is associative
+    and day-partition rewrites lose nothing."""
+    from alaska_etl_spark.plans.rollup import finalize, hourly_partials, refresh_rollup
+
+    schema = "user_id bigint, ts timestamp_ntz, value double"
+    path = str(tmp_path_factory.mktemp("rollup_prop") / "r")
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, prev = [], 0
+    for b in bounds + [len(rows)]:
+        if b > prev:
+            pieces.append(rows[prev:b])
+            prev = b
+    if prev < len(rows):
+        pieces.append(rows[prev:])
+    for piece in pieces:
+        refresh_rollup(
+            spark, spark.createDataFrame(piece, schema), path,
+            key_cols=["user_id"], ts_col="ts", val_col="value",
+        )
+    got = sorted(
+        (r.bucket, r.user_id, r.n, r.avg_val, r.min_val, r.max_val, r.sum_val)
+        for r in finalize(spark.read.parquet(path)).collect()
+    )
+    want = sorted(
+        (r.bucket, r.user_id, r.n, r.avg_val, r.min_val, r.max_val, r.sum_val)
+        for r in finalize(
+            hourly_partials(
+                spark.createDataFrame(rows, schema),
+                key_cols=["user_id"], ts_col="ts", val_col="value",
+            )
+        ).collect()
+    )
+    assert got == want
