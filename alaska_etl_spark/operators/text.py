@@ -184,58 +184,6 @@ def winnowing_fingerprints(
     )
 
 
-def tfidf_top_terms(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    k: int = 3,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top-``k`` terms per document by smoothed TF-IDF
-    (``tf * (ln((N+1)/(df+1)) + 1)``), ties broken by term ascending.
-
-    Returns (id, term, tf, df, tfidf, rank). All counts are exact
-    integers; the only float is the final idf product, rounded *before*
-    ranking so rank order is reproducible across engines (the q27
-    discipline).
-
-    Plan: tokenize+explode (narrow) → (doc, term) hash-aggregate with
-    map-side partial counts → term-keyed aggregate for document
-    frequency → join back on term (at corpus scale the term-stats side
-    is vocabulary-sized: broadcast if it fits, sort-merge on term if
-    not — AQE decides at runtime) → corpus size N arrives via a 1-row
-    broadcast cross join, never a driver action → per-doc top-k window.
-    """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    rows = df.select(F.col(id_col).alias("_id"), F.explode_outer(toks).alias("term")).filter(
-        F.col("term").isNotNull()
-    )
-    tf = rows.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.select(F.count(F.lit(1)).alias("_N"))
-    scored = (
-        tf.join(docfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("_N") + 1).cast("double") / (F.col("df") + 1)) + F.lit(1.0)),
-                round_digits,
-            ),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("_id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
-    )
-
-
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents DataFrame."""
     return (
