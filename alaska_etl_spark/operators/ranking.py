@@ -1,0 +1,158 @@
+"""Distributed global ranking without the single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves every row to ONE
+partition (Spark even logs ``WindowExec: No Partition Defined``) — the
+textbook reporting form is a scale-killer on a fact table. These
+operators compute the identical global ``row_number`` / ``ntile``
+result with bounded per-partition state:
+
+1. ``repartitionByRange`` on the order key — each partition holds a
+   contiguous, disjoint key range (one exchange, the same one a global
+   sort pays; ascending partition ids hold ascending ranges).
+2. Per-partition local row numbers from ONE sequential Arrow pass
+   (``mapInPandas`` with a running counter — narrow, order-preserving,
+   no shuffle).
+3. A partition histogram aggregated from the SAME range exchange
+   (Spark's ReuseExchange/AQE stage reuse executes the shuffle once, so
+   both branches see identical range bounds — pinned in
+   tests/test_ranking.py), turned into cumulative offsets with a window
+   over ``n_partitions`` rows (dozens of rows, not the data), broadcast
+   back, and added to the local numbers.
+
+``global_ntile`` then maps ranks to buckets arithmetically with the
+exact ANSI semantics (first ``N mod k`` buckets get one extra row), so
+results are bit-identical to ``ntile(k) OVER (ORDER BY ...)`` and any
+SQL oracle can verify them.
+
+The order columns must form a total order (append a unique tiebreaker
+key — the caller knows which column is unique); otherwise rows that
+compare equal may land on either side of a partition boundary and the
+rank assignment, while still a valid permutation, is not reproducible.
+
+Reference parity: the reference's only global ordering is a pandas
+``sort_values`` on a single-machine frame (e.g.
+``notebooks/2_nws_update.ipynb`` analysis cells); this is the
+cluster-safe equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number", "global_ntile", "ntile_from_rank"]
+
+_PID = "_gr_pid"
+_LOCAL = "_gr_local"
+_OFFSET = "_gr_offset"
+_TOTAL = "_gr_total"
+
+
+def _numbered_with_offsets(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Rows + ``_gr_rank`` (global 1-based) + ``_gr_total`` columns."""
+    nparts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(nparts, *order_cols)
+    ordered = ranged.sortWithinPartitions(*order_cols)
+
+    fields = list(ordered.schema.fields)
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + f", {_PID} int, {_LOCAL} bigint"
+    )
+
+    def _number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batches arrive in partition order, so a running counter is the
+        # partition-local row_number.
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[_PID] = np.int32(pid)
+            pdf[_LOCAL] = np.arange(seen + 1, seen + n + 1, dtype=np.int64)
+            seen += n
+            yield pdf
+
+    numbered = ordered.mapInPandas(_number, out_schema)
+
+    # Histogram branch: same range exchange (no sort, no Arrow) — the
+    # shared Exchange subtree executes once (ReusedExchange), so the
+    # partition ids and bounds are identical across branches.
+    counts = (
+        ranged.select(F.spark_partition_id().alias(_PID))
+        .groupBy(_PID)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias(_OFFSET),
+        F.sum("_n").over(w_all).alias(_TOTAL),
+    )
+
+    return (
+        numbered.join(F.broadcast(offsets), _PID)
+        .withColumn("_gr_rank", (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` at fact scale: one
+    range exchange + one narrow Arrow pass; no single-partition window
+    over the data. ``order_cols`` must be a total order (include a
+    unique tiebreaker). Ascending, NULLS FIRST (Spark's default asc
+    ordering) — pre-compute a sort-key column for anything fancier."""
+    out = _numbered_with_offsets(df, order_cols, num_partitions)
+    return out.withColumnRenamed("_gr_rank", rank_col).drop(_TOTAL)
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """ANSI ntile from a 1-based global rank: the first ``total % k``
+    buckets take ``total div k + 1`` rows, the rest ``total div k``."""
+    q = (total / k).cast("long")  # floor div: total, k >= 0
+    r = total % k
+    big = r * (q + 1)  # rows covered by the wide buckets
+    return (
+        F.when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - big) / F.when(q > 0, q)))
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    *,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` without moving the data
+    to one partition; bit-identical to the window form (SQL-oracle
+    verifiable). Same total-order requirement as
+    :func:`global_row_number`."""
+    out = _numbered_with_offsets(df, order_cols, num_partitions)
+    return out.withColumn(
+        bucket_col, ntile_from_rank(F.col("_gr_rank"), F.col(_TOTAL), k)
+    ).drop("_gr_rank", _TOTAL)

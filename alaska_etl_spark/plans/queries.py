@@ -2611,15 +2611,17 @@ SELECT nation, o_year, ((2 * s + 10000) // 20000) / 100.0 AS profit, n_items FRO
 
 
 def q84_ntile_deciles(spark, sf_dir):
-    """Decile report over customer balances: ntile(10) with a
-    deterministic (balance, key) order, per-decile count/min/max/sum.
-    The global-order window is the textbook reporting form (fine for
-    dim-sized inputs); the fact-scale alternative is approximate
-    quantile boundaries (q57) + a broadcast range join (q14)."""
+    """Decile report over customer balances with a deterministic
+    (balance, key) order, per-decile count/min/max/sum. Uses the
+    distributed global-ntile (operators/ranking.py): range exchange +
+    narrow numbering + broadcast offsets — bit-identical to
+    ``ntile(10) OVER (ORDER BY ...)`` (the oracle runs that form) but
+    never funnels the rows through a single-partition window."""
+    from alaska_etl_spark.operators.ranking import global_ntile
+
     c = _t(spark, sf_dir, "customer").withColumn("bal_c", _cents(F.col("c_acctbal")))
-    w = Window.orderBy("bal_c", "c_custkey")
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(c, ["bal_c", "c_custkey"], 10, bucket_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
