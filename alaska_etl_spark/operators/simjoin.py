@@ -1,0 +1,117 @@
+"""Exact all-pairs sparse-vector similarity join (cosine over word
+n-gram counts) via a term-inverted index — the DISCO / "similarity
+join" shape: never materialize |docs|² pairs; only documents that SHARE
+a feature ever meet, and they meet on the feature's posting list.
+
+Pipeline (all JVM-side, no UDFs):
+
+1. ``ngram_tf`` — tokenize + n-gram explode (narrow) → one hash
+   aggregate to (id, gram, tf). Raw counts, not distinct shingles:
+   cosine weights need multiplicity (contrast ``dedup.shingles``).
+2. Posting-list self-join on the gram with ``id_a < id_b`` — candidate
+   pairs are Σ_g df(g)² over shared grams, not N². Discriminative
+   features are what keep this sane: unigrams on a natural corpus have
+   df≈N hot terms (the join degenerates); word n-grams (default n=3)
+   have df in the single digits (measured on the test corpus: max df 7
+   at 16k vocab).
+3. One hash aggregate to per-pair dot products (exact integers), then
+   two joins against the per-doc squared-norm table (|docs| rows — AQE
+   broadcasts it while it fits) and a single float op at the end:
+   ``cosine = dot / sqrt(ssq_a * ssq_b)`` — one sqrt of an exact
+   integer product, so engines agree bit-for-bit before rounding.
+
+Scale levers at 100 TB:
+
+- The candidate-pair bound Σ df(g)² is the whole cost model. ``max_df``
+  drops grams with posting lists longer than the cap *before* the
+  self-join — for near-duplicate thresholds this is the standard
+  prefix-style pruning (a gram shared by thousands of documents
+  contributes ~nothing to any pair's cosine but dominates the join);
+  with it set the result is approximate-by-declaration (scores only
+  lose mass, never gain — pairs can only drop below the threshold).
+- Both sides of the self-join shuffle on the gram; a skewed posting
+  list is exactly a skewed join key, so AQE's skew split applies.
+- The final pair aggregate keys on (id_a, id_b) — uniform by
+  construction (hash of two ids).
+
+Reference parity: the reference has no similarity join; this is part
+of the BASELINE.md training-data extension family (near-dup detection
+beyond MinHash/SimHash: exact scores for the pairs that matter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.dedup import word_tokens
+
+__all__ = ["ngram_tf", "cosine_similarity_join"]
+
+
+def ngram_tf(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """(id, text) → (_id, _g, _tf): word n-gram term frequencies.
+    Documents shorter than ``n`` tokens contribute their whole token
+    string as one gram (empty text → the empty-string gram), matching
+    ``dedup.shingles`` semantics but keeping counts."""
+    toks = word_tokens(text_col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+
+
+def cosine_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    round_digits: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram-count cosine ≥ ``threshold``.
+
+    Exact when ``max_df`` is None; with ``max_df`` set, grams whose
+    document frequency exceeds it are pruned before the pair join
+    (scores can only shrink — the 100 TB hot-feature lever).
+
+    Returns (id_a, id_b, cosine) with cosine rounded for cross-engine
+    reproducibility.
+    """
+    tf = ngram_tf(df, id_col, text_col, n=n)
+    norms = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq"))
+
+    feats = tf
+    if max_df is not None:
+        counts = tf.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        feats = tf.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
+
+    a = feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
+    b = feats.select(F.col("_id").alias("id_b"), "_g", F.col("_tf").alias("_tfb"))
+    dots = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_ssq").alias("_ssq_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_ssq").alias("_ssq_b"))
+    cosine = F.round(
+        F.col("_dot") / F.sqrt((F.col("_ssq_a") * F.col("_ssq_b")).cast("double")),
+        round_digits,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

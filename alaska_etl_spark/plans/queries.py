@@ -2774,6 +2774,44 @@ FROM a
 """
 
 
+def q88_cosine_simjoin(spark, sf_dir):
+    """Exact all-pairs sparse cosine similarity join
+    (operators/simjoin.py): word-3-gram count vectors, inverted-index
+    pair generation (only documents sharing a gram meet), exact integer
+    dot products, one rounded float at the end. The exact-score
+    companion to q29's MinHash estimate and q26's Jaccard."""
+    from alaska_etl_spark.operators.simjoin import cosine_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return cosine_similarity_join(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+Q88_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+  FROM toks
+), tf AS (
+  SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, sum(tf * tf) AS ssq FROM tf GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / sqrt(CAST(na.ssq * nb.ssq AS DOUBLE)), 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot / sqrt(CAST(na.ssq * nb.ssq AS DOUBLE)), 4) >= 0.2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2861,6 +2899,7 @@ QUERIES = {
     "q85_event_deltas": q85_event_deltas,
     "q86_type_pivot": q86_type_pivot,
     "q87_continuous_rollup": q87_continuous_rollup,
+    "q88_cosine_simjoin": q88_cosine_simjoin,
 }
 
 ORACLES = {
@@ -2938,6 +2977,7 @@ ORACLES = {
     "q85_event_deltas": Q85_SQL,
     "q86_type_pivot": Q86_SQL,
     "q87_continuous_rollup": Q87_SQL,
+    "q88_cosine_simjoin": Q88_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually
