@@ -1,0 +1,151 @@
+"""Count-based bigram language-model scoring — the CCNet/KenLM-shaped
+quality signal for training-data pipelines: score each document by how
+surprising its token sequence is under a reference LM; outlier
+perplexity (both tails) marks boilerplate, spam, and non-language.
+
+Spark-first formulation, no UDFs anywhere:
+
+- **Train** (:func:`train_bigram_lm`): token bigrams via one
+  ``transform`` over the token array (narrow) → two hash aggregates
+  (bigram counts, unigram-context counts). The model IS a pair of
+  DataFrames — at 100 TB the counts tables are vocabulary-sized, get
+  written like any other table, and scoring joins against them.
+- **Score** (:func:`score_bigram_lm`): explode each scored document's
+  bigrams, left-join the counts (unseen bigram → 0, unseen context →
+  0), per-bigram add-one-smoothed negative log likelihood
+  ``-ln((c12 + 1) / (c1 + V))`` entirely in codegen, one aggregate
+  back to document grain. Perplexity = ``exp(avg_nll)``.
+
+Join strategy: the counts tables are |vocab| and |vocab²∩corpus| rows;
+AQE broadcasts them while they fit and degrades to a shuffle join on
+the token key when they don't (a web-scale bigram table outgrows a
+broadcast — that join shuffles scored bigrams ON the bigram, which is
+exactly the key both sides already aggregate on).
+
+Determinism contract: every count is an exact integer; the only float
+work is ``ln`` per bigram and one average per document, rounded before
+emit (and perplexity computed from the *rounded* average), so a SQL
+oracle reproduces results bit-for-bit at the emitted precision.
+
+Smoothing is add-one (Laplace) over the TRAINING vocabulary size V —
+deliberately the simplest standard scheme: the operator contract
+(counts + smoothed join + aggregate) is identical for Kneser-Ney etc.,
+which only change the per-bigram probability expression.
+
+Reference parity: no LM in the reference; BASELINE.md training-data
+extension ("quality scoring" family, the model-based tier above
+q23's surface heuristics).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.dedup import word_tokens
+
+__all__ = ["BigramLM", "train_bigram_lm", "score_bigram_lm", "bigram_lm_scores"]
+
+
+class BigramLM(NamedTuple):
+    """A trained model: two counts tables + the vocabulary size (a
+    1-row DataFrame, kept lazy so nothing collects at train time)."""
+
+    bigrams: DataFrame  # (_w1, _w2, _c12)
+    contexts: DataFrame  # (_w1, _c1)
+    vocab: DataFrame  # (_V)
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) → (_id, _w1, _w2): one row per adjacent token pair.
+    Documents with < 2 tokens contribute no rows (handled by the
+    scorer's left join back to the document set)."""
+    toks = word_tokens(text_col)
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("_w1"), F.get(toks, i + 1).alias("_w2")
+            ),
+        ),
+        lambda s: s.getField("_w2").isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(pairs).alias("_p")
+    ).select("_id", F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+
+
+def train_bigram_lm(df: DataFrame, id_col: str, text_col: str) -> BigramLM:
+    """Count tables from a training corpus. Two shuffles, both keyed on
+    tokens (uniform-ish; the hot-token reduce side is one row per
+    distinct key after map-side partial aggregation)."""
+    rows = _bigram_rows(df, id_col, text_col)
+    bigrams = rows.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    contexts = bigrams.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = (
+        df.select(F.explode(word_tokens(text_col)).alias("_w"))
+        .agg(F.countDistinct("_w").alias("_V"))
+    )
+    return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab)
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: BigramLM,
+    *,
+    round_digits: int = 6,
+    ppl_digits: int = 4,
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram NLL and perplexity:
+    (id, n_bigrams, avg_nll, ppl). Documents with < 2 tokens score
+    n_bigrams=0 with NULL avg_nll/ppl (no evidence, not zero
+    surprise)."""
+    rows = _bigram_rows(df, id_col, text_col)
+    scored = (
+        rows.join(lm.bigrams, ["_w1", "_w2"], "left")
+        .join(lm.contexts, "_w1", "left")
+        .join(F.broadcast(lm.vocab))
+        .select(
+            "_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("_c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_V"))
+                )
+            ).alias("_nll"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_nll"), round_digits).alias("avg_nll"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+            F.round(F.exp(F.col("avg_nll")), ppl_digits).alias("ppl"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    round_digits: int = 6,
+    ppl_digits: int = 4,
+) -> DataFrame:
+    """Self-scoring convenience: train on ``df`` and score ``df`` —
+    the in-corpus outlier-detection form."""
+    lm = train_bigram_lm(df, id_col, text_col)
+    return score_bigram_lm(
+        df, id_col, text_col, lm, round_digits=round_digits, ppl_digits=ppl_digits
+    )

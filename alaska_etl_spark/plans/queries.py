@@ -2812,6 +2812,53 @@ WHERE round(dot / sqrt(CAST(na.ssq * nb.ssq AS DOUBLE)), 4) >= 0.2
 """
 
 
+def q89_lm_perplexity(spark, sf_dir):
+    """Bigram language-model quality scoring (operators/lm.py): train
+    add-one-smoothed bigram counts on the corpus, score every document
+    by average NLL / perplexity. The model-based tier above q23's
+    surface quality heuristics (the CCNet signal)."""
+    from alaska_etl_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text")
+
+
+Q89_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos FROM toks
+), bigr AS (
+  SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok_rows
+  QUALIFY w2 IS NOT NULL
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigr GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT t) AS V FROM tok_rows
+), nll AS (
+  SELECT doc_id,
+         -ln((coalesce(c12.c12, 0) + 1) / (coalesce(c1.c1, 0) + v.V)) AS nll
+  FROM bigr
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+  FROM nll GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_nll,
+       round(exp(p.avg_nll), 4) AS ppl
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2900,6 +2947,7 @@ QUERIES = {
     "q86_type_pivot": q86_type_pivot,
     "q87_continuous_rollup": q87_continuous_rollup,
     "q88_cosine_simjoin": q88_cosine_simjoin,
+    "q89_lm_perplexity": q89_lm_perplexity,
 }
 
 ORACLES = {
@@ -2978,6 +3026,7 @@ ORACLES = {
     "q86_type_pivot": Q86_SQL,
     "q87_continuous_rollup": Q87_SQL,
     "q88_cosine_simjoin": Q88_SQL,
+    "q89_lm_perplexity": Q89_SQL,
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually
