@@ -114,6 +114,53 @@ def hash_sample_sql(key: str, rate: float, *, seed: int = 0) -> str:
     return f"({hash_bucket_sql(key, seed=seed)} < {int(round(rate * _BUCKETS))})"
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact per-stratum quota sample: the ``n_per_stratum`` rows with
+    the smallest (hash_bucket(key), key) in every stratum — uniform
+    within the stratum because the hash is uniform, EXACT in count
+    (unlike rate-based sampling, which only hits quotas in
+    expectation), and deterministic: same keys + seed → same sample on
+    any engine (``*_sql`` twin replays it), any partitioning, any
+    subset ordering. Strata smaller than the quota keep all rows.
+
+    Plan: one shuffle on the strata columns; the quota is a per-group
+    top-n (rank + filter), so map-side partial sort + AQE handle a
+    skewed stratum the same way any top-n does. For quotas ≪ stratum
+    size, pre-filtering with ``hash_sample`` at a safely-oversized rate
+    bounds the sort input (two narrow passes; same result because both
+    phases order by the same hash).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(key_col, seed=seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_ss_rn", F.row_number().over(w))
+        .filter(F.col("_ss_rn") <= n_per_stratum)
+        .drop("_ss_rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str, strata_cols: list[str], key: str, n_per_stratum: int, *, seed: int = 0
+) -> str:
+    """The identical quota sample as ANSI SQL (QUALIFY form)."""
+    strata = ", ".join(strata_cols)
+    return (
+        f"SELECT * FROM {table} QUALIFY row_number() OVER ("
+        f"PARTITION BY {strata} ORDER BY {hash_bucket_sql(key, seed=seed)}, {key}"
+        f") <= {n_per_stratum}"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

@@ -2859,6 +2859,26 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q90_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sample (operators/splits.py): 5 documents
+    per (lang, source) stratum, chosen by deterministic hash order —
+    exact counts per stratum (rate-based sampling only hits quotas in
+    expectation), reproducible on any engine/partitioning."""
+    from alaska_etl_spark.operators.splits import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang", "source"], "doc_id", 5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q90_sql() -> str:
+    from alaska_etl_spark.operators.splits import stratified_sample_sql
+
+    inner = stratified_sample_sql("documents", ["lang", "source"], "doc_id", 5)
+    return f"SELECT doc_id, lang, source FROM ({inner})"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2948,6 +2968,7 @@ QUERIES = {
     "q87_continuous_rollup": q87_continuous_rollup,
     "q88_cosine_simjoin": q88_cosine_simjoin,
     "q89_lm_perplexity": q89_lm_perplexity,
+    "q90_stratified_sample": q90_stratified_sample,
 }
 
 ORACLES = {
@@ -3027,6 +3048,7 @@ ORACLES = {
     "q87_continuous_rollup": Q87_SQL,
     "q88_cosine_simjoin": Q88_SQL,
     "q89_lm_perplexity": Q89_SQL,
+    "q90_stratified_sample": _q90_sql(),
     # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
     # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
     # q73: eager composed pipeline — rows-only; every stage individually

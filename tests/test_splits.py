@@ -141,3 +141,32 @@ def test_pack_sequences_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_sample_exact_quotas(spark):
+    from alaska_etl_spark.operators.splits import stratified_sample
+
+    df = spark.range(1000).selectExpr(
+        "id AS key", "CAST(id % 3 AS STRING) AS grp"
+    )
+    out = stratified_sample(df, ["grp"], "key", 25)
+    counts = {r.grp: r.n for r in out.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"0": 25, "1": 25, "2": 25}
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    from alaska_etl_spark.operators.splits import stratified_sample
+
+    df = spark.range(10).selectExpr("id AS key", "'only' AS grp")
+    assert stratified_sample(df, ["grp"], "key", 25).count() == 10
+
+
+def test_stratified_sample_deterministic_and_seed_sensitive(spark):
+    from alaska_etl_spark.operators.splits import stratified_sample
+
+    df = spark.range(500).selectExpr("id AS key", "CAST(id % 2 AS STRING) AS grp")
+    a = {r.key for r in stratified_sample(df, ["grp"], "key", 50).collect()}
+    b = {r.key for r in stratified_sample(df.repartition(7), ["grp"], "key", 50).collect()}
+    c = {r.key for r in stratified_sample(df, ["grp"], "key", 50, seed=9).collect()}
+    assert a == b          # partitioning-independent
+    assert a != c          # seed changes the draw
