@@ -771,3 +771,137 @@ def pq_topk(
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kcode: int = 16,
+    dim: int | None = None,
+    iters: int = 1,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse-quantize the corpus into ``ncells``
+    inverted lists, product-quantize each vector's RESIDUAL
+    (vector − its centroid), and answer queries by scanning only the
+    ``nprobe`` nearest cells with per-(query, cell) ADC lookup tables —
+    the FAISS-style composition both approximations were built for:
+    IVF prunes which rows are scored, PQ shrinks what scoring reads.
+
+    Build: :func:`assign_buckets` (narrow argmax), residuals via a
+    broadcast join + ``zip_with`` (JVM-side), :func:`pq_train` /
+    :func:`pq_encode` on the residual column. Search: probe cells are
+    chosen driver-side from the (few-KB) centroid matrix, the
+    compressed corpus is filtered to probed cells, and one Arrow pass
+    sums m table lookups per (row, probing query); squared-L2
+    ascending, ties to the smaller neighbor id. The only Exchange is
+    the final per-query top-k window.
+
+    At 100 TB the encoded corpus persists partitioned by
+    ``centroid_id`` (:func:`write_ivf_index` applies unchanged — the
+    code column is just smaller), so a probe reads nprobe/ncells of an
+    already-16-64×-compressed table. Approximate by design → rows-only
+    query (q91); recall is judged against :func:`cosine_topk` in
+    tests/test_similarity.py.
+    """
+    if dim is None:
+        raise ValueError("ivfpq_topk requires dim= (no hidden driver job)")
+    cents = _centroids(corpus, id_col, vec_col, ncells)
+    crows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    cids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
+    cmat = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    cnorm[cnorm == 0] = 1.0
+
+    assigned = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
+    cdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(cids, cmat)],
+            "centroid_id bigint, _cent array<double>",
+        )
+    )
+    resid = assigned.join(cdf, "centroid_id").select(
+        F.col(id_col),
+        "centroid_id",
+        F.zip_with(F.col(vec_col), F.col("_cent"), lambda a, b: a - b).alias("_resid"),
+    )
+    books = pq_train(resid, id_col=id_col, vec_col="_resid", m=m, k=kcode, dim=dim, iters=iters)
+    codes = pq_encode(resid, books, id_col=id_col, vec_col="_resid").join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")
+        ).collect(),
+        key=lambda r: r._qid,
+    )
+    qids = np.asarray([r._qid for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r._qv, dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    qn[qn == 0] = 1.0
+    qsims = (qmat @ cmat.T) / np.outer(qn, cnorm)
+
+    nq = len(qids)
+    dsub = dim // m
+    # probe map cell-index -> query indices, and per-(query, cell) ADC
+    # tables over the RESIDUAL codebooks: t[j, code] = ||qr_j - b_jk||^2
+    cell_probers: dict[int, list[int]] = {}
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    bn = np.einsum("mkd,mkd->mk", books, books)
+    for qi in range(nq):
+        order = np.lexsort((cids, -qsims[qi]))[: min(nprobe, len(cids))]
+        for ci in order:
+            cell_probers.setdefault(int(ci), []).append(qi)
+            qr = (qmat[qi] - cmat[ci]).reshape(m, dsub)
+            qrd = np.einsum("md,mkd->mk", qr, books)
+            qrn = np.einsum("md,md->m", qr, qr)
+            tables[(qi, int(ci))] = qrn[:, None] - 2.0 * qrd + bn  # m × kcode
+    probed_cells = [int(cids[ci]) for ci in cell_probers]
+    cid_to_idx = {int(c): i for i, c in enumerate(cids)}
+
+    @pandas_udf("array<double>")
+    def _adists(cell: pd.Series, code: pd.Series) -> pd.Series:
+        n = len(cell)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        cm = np.stack(code.to_numpy()).astype(np.int64, copy=False)  # n × m
+        cells = cell.to_numpy()
+        sub = np.arange(m)
+        out = np.full((n, nq), np.nan)
+        for ci, qlist in cell_probers.items():
+            mask = cells == cids[ci]
+            if not mask.any():
+                continue
+            rows = cm[mask]
+            for qi in qlist:
+                out[mask, qi] = tables[(qi, ci)][sub, rows].sum(axis=1)
+        out = np.round(out, round_digits)
+        return pd.Series([[None if np.isnan(x) else float(x) for x in r] for r in out])
+
+    scored = (
+        codes.filter(F.col("centroid_id").isin(probed_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _adists(
+                F.col("centroid_id").cast("bigint"), F.col("pq_code")
+            ).alias("_ds"),
+        )
+        .select("neighbor_id", F.posexplode("_ds").alias("_qi", "adist"))
+        .filter(F.col("adist").isNotNull())
+        .select(
+            F.element_at(F.lit(qids.tolist()), F.col("_qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "adist",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

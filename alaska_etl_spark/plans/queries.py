@@ -2879,6 +2879,21 @@ def _q90_sql() -> str:
     return f"SELECT doc_id, lang, source FROM ({inner})"
 
 
+def q91_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ (IVFADC) approximate nearest neighbors: inverted-list
+    pruning (nprobe=4 of 16 cells) over a residual-product-quantized
+    corpus (m=8, 16 codes). Rows-only by design (quantized distances
+    are engine-defined); exact companion q27, recall/shape pinned in
+    tests/test_similarity.py."""
+    from alaska_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, ncells=16, nprobe=4, m=8, kcode=16, dim=64, iters=1, k=5
+    ).select("query_id", "neighbor_id", "adist", "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2969,6 +2984,7 @@ QUERIES = {
     "q88_cosine_simjoin": q88_cosine_simjoin,
     "q89_lm_perplexity": q89_lm_perplexity,
     "q90_stratified_sample": q90_stratified_sample,
+    "q91_ivfpq_ann": q91_ivfpq_ann,
 }
 
 ORACLES = {
@@ -3049,8 +3065,9 @@ ORACLES = {
     "q88_cosine_simjoin": Q88_SQL,
     "q89_lm_perplexity": Q89_SQL,
     "q90_stratified_sample": _q90_sql(),
-    # q29-q31, q53, q55, q57: approximate ops — rows-only by design; each
-    # has an oracled exact companion (q27, q26, q27, q27, q46, q38).
+    # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
+    # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
+    # q38, q27, q27).
     # q73: eager composed pipeline — rows-only; every stage individually
     # oracled (q70/q25/q29+q42/q71/q68/q72).
 }

@@ -345,3 +345,33 @@ def test_ivf_topk_single_pass_plan(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert "WindowGroupLimit" in plan  # partial top-k stays map-side
+
+
+def test_ivfpq_cluster_recall_shape_and_plan(spark):
+    """IVF-PQ composition: probed-cell candidates only, ADC order kept
+    within clusters (same purity contract as pq_topk — positional
+    parity with the exact path is not promised under residual
+    quantization), one Exchange for the top-k window."""
+    from alaska_etl_spark.operators.similarity import ivfpq_topk
+
+    c = _pq_corpus(spark)
+    q = c.filter("vec_id in (0, 100)")
+    out_df = ivfpq_topk(c, q, ncells=4, nprobe=2, m=2, kcode=4, dim=4, iters=1, k=3)
+    out = out_df.collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        assert all(r.neighbor_id != qid for r in rows)
+        adists = [r.adist for r in rows]
+        assert adists == sorted(adists)
+        if qid == 0:
+            assert all(r.neighbor_id < 100 for r in rows)
+        else:
+            assert all(r.neighbor_id >= 100 for r in rows)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # partial top-k stays map-side
