@@ -385,3 +385,58 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_documents_gate(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    max_dup_token_ratio: float = 0.6,
+) -> None:
+    """Streaming document ingest through the quality gate
+    (``operators.gate.gate_documents``): every micro-batch is scored,
+    repetition-screened, PII-scrubbed, fingerprinted, then landed via
+    the idempotent warehouse append KEYED ON THE CONTENT FINGERPRINT —
+    so exact duplicates are dropped across batches, restarts, and
+    replays without any in-stream state (a streaming dropDuplicates
+    would hold every fingerprint ever seen in the state store; the
+    warehouse main table already IS that set, so the sink's hash
+    anti-join does it with zero streaming state — the same
+    at-least-once-source + idempotent-sink contract as
+    :func:`stream_to_warehouse`).
+
+    Within-batch duplicate fingerprints collapse deterministically to
+    the smallest document id (dedup-keep-first, not dropDuplicates'
+    arrival-order roulette)."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.gate import gate_documents
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        gated = gate_documents(
+            batch_df,
+            id_col,
+            text_col,
+            min_quality=min_quality,
+            max_dup_token_ratio=max_dup_token_ratio,
+        )
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        first = (
+            gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        warehouse.load(first, table, key_cols=["fingerprint"])
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

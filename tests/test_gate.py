@@ -1,0 +1,98 @@
+"""Document quality gate (operators/gate.py) and its streaming form:
+batch/stream parity, PII scrubbed from survivors, cross-batch
+fingerprint dedup with zero streaming state."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.gate import gate_documents
+from alaska_etl_spark.plans.warehouse import Warehouse
+
+GOOD = (
+    "The quarterly report shows steady improvement across all regional "
+    "offices, with customer satisfaction rising for the third consecutive "
+    "period and operational costs holding flat despite expansion."
+)
+SPAM = "buy buy buy buy buy buy buy buy buy buy buy buy buy buy buy buy"
+PII = (
+    "Please contact our support analyst at jane.doe@example.com or call "
+    "907-555-1234 to review the findings of the infrastructure audit "
+    "conducted across the northern monitoring stations last winter."
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gate_filters_and_scrubs(spark):
+    df = _docs(spark, [(1, GOOD), (2, SPAM), (3, PII), (4, "")])
+    out = {r.doc_id: r for r in gate_documents(df).collect()}
+    assert 1 in out and 3 in out
+    assert 2 not in out  # repetition screen
+    assert 4 not in out  # empty text fails quality
+    assert "[EMAIL]" in out[3].text_clean and "@" not in out[3].text_clean
+    assert "[PHONE]" in out[3].text_clean
+
+
+def test_gate_fingerprint_is_over_scrubbed_text(spark):
+    # same text, different email: scrubbed forms are identical
+    a = PII
+    b = PII.replace("jane.doe@example.com", "bob@other.org")
+    df = _docs(spark, [(1, a), (2, b)])
+    fps = {r.fingerprint for r in gate_documents(df).collect()}
+    assert len(fps) == 1
+
+
+def _write_doc_file(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_gate_matches_batch_and_dedups_across_batches(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_documents_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_doc_file(src / "b1.json", [(1, GOOD), (2, SPAM)])
+    schema = "doc_id bigint, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_documents_gate(stream, wh, "docs", ckpt)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1}
+
+    # second file: one new doc, one exact duplicate of doc 1's content
+    _write_doc_file(src / "b2.json", [(3, PII), (4, GOOD)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_documents_gate(stream, wh, "docs", ckpt)
+    landed = {r.doc_id for r in wh.read("docs").collect()}
+    assert landed == {1, 3}  # doc 4 deduped against doc 1 cross-batch
+
+    # batch parity for the surviving set (same gate, same plan)
+    batch = gate_documents(
+        _docs(spark, [(1, GOOD), (2, SPAM), (3, PII), (4, GOOD)])
+    )
+    batch_first = {
+        r.fingerprint: r.doc_id
+        for r in batch.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert set(batch_first.values()) == landed
+
+
+def test_stream_gate_within_batch_keeps_smallest_id(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_documents_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_doc_file(src / "b1.json", [(9, GOOD), (2, GOOD), (5, GOOD)])
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    stream_documents_gate(stream, wh, "docs", str(tmp_path / "ckpt"))
+    assert [r.doc_id for r in wh.read("docs").collect()] == [2]
