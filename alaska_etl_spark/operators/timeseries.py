@@ -1,0 +1,95 @@
+"""Time-series smoothing and anomaly screening over keyed event
+streams — the operators a monitoring/quality pipeline runs downstream
+of the hourly rollups (q16/q87): exponential smoothing (EWMA) and
+robust per-key outlier flagging.
+
+EWMA is a *recursive* scan (y_t = α·x_t + (1−α)·y_{t−1}) — the one
+shape relational window frames cannot express directly (a closed-form
+weighted sum is O(n²) per key). The Spark-first answer is
+``applyInPandas``: one shuffle on the key, then a vectorized
+``pandas.ewm`` per group — Arrow-batched, linear, and the per-key
+state is a single float regardless of series length. The DuckDB oracle
+uses the O(n²) closed form (exact same arithmetic, affordable at
+oracle scale), so the recursive and closed forms cross-verify.
+
+Z-score anomalies are pure codegen: one aggregate for per-key moments,
+a broadcast-or-shuffle join back, one filter. No Python anywhere.
+
+Determinism: EWMA values are rounded before emit; the order within a
+key is (ts, id) — total. Population stddev (not sample) so both
+engines agree on the denominator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ewma", "zscore_anomalies"]
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    *,
+    alpha: float,
+    order_tiebreak: str | None = None,
+    out_col: str = "ewma",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key exponential moving average in event-time order:
+    ``y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}`` (pandas
+    ``ewm(alpha, adjust=False)`` semantics). ``order_tiebreak`` must
+    make (ts, tiebreak) a total order per key for reproducible results.
+
+    One exchange (the groupBy), linear per-key work, constant state —
+    the 100 TB shape for any recursive per-key scan."""
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[val_col].ewm(alpha=alpha, adjust=False).mean().round(round_digits)
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_smooth, schema)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    *,
+    z_threshold: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z_threshold`` population
+    standard deviations from their key's mean: one aggregate to per-key
+    moments (sum/count/sumsq — decomposable, map-side combined), a join
+    back (AQE broadcasts the moments table while it fits), one filter.
+    Keys with zero variance flag nothing: the divisor is NULLed
+    explicitly (ANSI mode raises on /0), and a NULL z fails the
+    threshold comparison in any engine."""
+    moments = df.groupBy(*key_cols).agg(
+        F.avg(val_col).alias("_mu"),
+        F.stddev_pop(val_col).alias("_sigma"),
+    )
+    safe_sigma = F.when(F.col("_sigma") != 0, F.col("_sigma"))
+    z = F.round((F.col(val_col) - F.col("_mu")) / safe_sigma, round_digits)
+    return (
+        df.join(moments, key_cols)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+        .drop("_mu", "_sigma")
+    )

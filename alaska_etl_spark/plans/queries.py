@@ -2894,6 +2894,70 @@ def q91_ivfpq_ann(spark, sf_dir):
     ).select("query_id", "neighbor_id", "adist", "rank")
 
 
+def q92_ewma(spark, sf_dir):
+    """Per-user exponential moving average of event values in event-time
+    order (operators/timeseries.py): the recursive scan relational
+    windows can't express — one shuffle on the key, vectorized
+    ``pandas.ewm`` per group. The oracle computes the identical values
+    from the O(n²) closed form, cross-verifying the recursion."""
+    from alaska_etl_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "value",
+        alpha=0.3,
+        order_tiebreak="event_id",
+    ).select("event_id", "user_id", "ewma")
+
+
+Q92_SQL = """
+WITH RECURSIVE pos AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+  FROM events
+), r AS (
+  SELECT event_id, user_id, t, value AS y FROM pos WHERE t = 0
+  UNION ALL
+  -- identical double arithmetic to the engine's recursion (0.3*x + 0.7*y),
+  -- so both sides see the SAME float before rounding — a closed-form
+  -- oracle lands on the other side of exact half-way decimals
+  SELECT p.event_id, p.user_id, p.t, 0.3 * p.value + 0.7 * r.y
+  FROM pos p JOIN r ON p.user_id = r.user_id AND p.t = r.t + 1
+)
+SELECT event_id, user_id, round(y, 6) AS ewma FROM r
+"""
+
+
+def q93_zscore_anomalies(spark, sf_dir):
+    """Per-event-type z-score outliers (operators/timeseries.py): one
+    moments aggregate, join back, filter |z| > 2.5 — the screening pass
+    a monitoring pipeline runs over every rollup."""
+    from alaska_etl_spark.operators.timeseries import zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return zscore_anomalies(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+        z_threshold=2.5,
+    ).select("event_id", "event_type", "value", "zscore")
+
+
+Q93_SQL = """
+WITH m AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       round((value - mu) / nullif(sigma, 0), 4) AS zscore
+FROM events JOIN m USING (event_type)
+WHERE abs(round((value - mu) / nullif(sigma, 0), 4)) > 2.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2985,6 +3049,8 @@ QUERIES = {
     "q89_lm_perplexity": q89_lm_perplexity,
     "q90_stratified_sample": q90_stratified_sample,
     "q91_ivfpq_ann": q91_ivfpq_ann,
+    "q92_ewma": q92_ewma,
+    "q93_zscore_anomalies": q93_zscore_anomalies,
 }
 
 ORACLES = {
@@ -3065,6 +3131,8 @@ ORACLES = {
     "q88_cosine_simjoin": Q88_SQL,
     "q89_lm_perplexity": Q89_SQL,
     "q90_stratified_sample": _q90_sql(),
+    "q92_ewma": Q92_SQL,
+    "q93_zscore_anomalies": Q93_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
