@@ -37,9 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query. Approximate/LSH ops
-    (q29/q30/q31 and q53/q55/q57/q76) are rows-only by design — each has an
-    exact oracled companion (q26 exact Jaccard, q27 brute-force cosine,
-    q46 exact distinct counts, q38 exact percentiles); everything else,
-    including the multimodal mapInPandas path (q32/q33) and
-    sessionization (q34), hash-matches."""
+    (q29/q30/q31, q53/q55/q57, q76/q91) are rows-only by design — each
+    has an exact oracled companion (q26 exact Jaccard, q27 brute-force
+    cosine, q46 exact distinct counts, q38 exact percentiles, q88 exact
+    sparse cosine), as is the composed pipeline q73 (its stages are
+    oracled individually); everything else, including the multimodal
+    mapInPandas path (q32/q33), sessionization (q34), the EWMA
+    recursion (q92, oracle replays the recursion in a recursive CTE),
+    and the distributed global ntile (q84), hash-matches."""
     return dict(sorted(ORACLES.items()))

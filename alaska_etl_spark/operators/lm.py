@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 
 from alaska_etl_spark.operators.dedup import word_tokens
 
-__all__ = ["BigramLM", "train_bigram_lm", "score_bigram_lm", "bigram_lm_scores"]
+__all__ = [
+    "BigramLM",
+    "train_bigram_lm",
+    "score_bigram_lm",
+    "bigram_lm_scores",
+    "domain_relevance_weights",
+]
 
 
 class BigramLM(NamedTuple):
@@ -148,4 +154,39 @@ def bigram_lm_scores(
     lm = train_bigram_lm(df, id_col, text_col)
     return score_bigram_lm(
         df, id_col, text_col, lm, round_digits=round_digits, ppl_digits=ppl_digits
+    )
+
+
+def domain_relevance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-shaped importance weighting: score every document under a
+    TARGET-domain bigram LM and under the SOURCE (full-corpus) LM;
+    ``weight = source_nll − target_nll`` — positive means the document
+    looks more like the target domain than like the corpus average, the
+    signal importance-resampling mixes by. Pure composition of
+    :func:`train_bigram_lm` + :func:`score_bigram_lm` (two count-table
+    joins; the LM tables are vocabulary-sized).
+
+    Returns (id, n_bigrams, target_nll, source_nll, weight); documents
+    with < 2 tokens carry NULL scores."""
+    lm_t = train_bigram_lm(target, id_col, text_col)
+    lm_s = train_bigram_lm(df, id_col, text_col)
+    st = score_bigram_lm(df, id_col, text_col, lm_t, round_digits=round_digits).select(
+        F.col(id_col), F.col("n_bigrams"), F.col("avg_nll").alias("target_nll")
+    )
+    ss = score_bigram_lm(df, id_col, text_col, lm_s, round_digits=round_digits).select(
+        F.col(id_col), F.col("avg_nll").alias("source_nll")
+    )
+    return st.join(ss, id_col).select(
+        id_col,
+        "n_bigrams",
+        "target_nll",
+        "source_nll",
+        F.round(F.col("source_nll") - F.col("target_nll"), round_digits).alias("weight"),
     )

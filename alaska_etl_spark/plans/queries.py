@@ -2958,6 +2958,73 @@ WHERE abs(round((value - mu) / nullif(sigma, 0), 4)) > 2.5
 """
 
 
+def q94_domain_weights(spark, sf_dir):
+    """DSIR-shaped importance weights (operators/lm.py): score every
+    document under an en-domain bigram LM and the full-corpus LM;
+    weight = source_nll − target_nll. The cross-corpus (train ≠ score)
+    LM path with OOV smoothing, which the self-scored q89 never
+    exercises."""
+    from alaska_etl_spark.operators.lm import domain_relevance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_relevance_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+
+
+def _lm_score_cte(prefix: str, train_where: str) -> str:
+    """Q89's train+score CTE chain, parameterized by training filter —
+    the SQL twin of train_bigram_lm/score_bigram_lm composition."""
+    return f"""
+{prefix}_bigr AS (
+  SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok_rows
+  QUALIFY w2 IS NOT NULL
+), {prefix}_c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM {prefix}_bigr
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {train_where})
+  GROUP BY 1, 2
+), {prefix}_c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM {prefix}_c12 GROUP BY 1
+), {prefix}_v AS (
+  SELECT count(DISTINCT t) AS V FROM tok_rows
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {train_where})
+), {prefix}_score AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((coalesce(c.c12, 0) + 1) / (coalesce(x.c1, 0) + v.V))), 6)
+           AS avg_nll
+  FROM {prefix}_bigr b
+  LEFT JOIN {prefix}_c12 c USING (w1, w2)
+  LEFT JOIN {prefix}_c1 x USING (w1)
+  CROSS JOIN {prefix}_v v
+  GROUP BY b.doc_id
+)"""
+
+
+Q94_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos FROM toks
+),"""
+    + _lm_score_cte("tgt", "lang = 'en'")
+    + ","
+    + _lm_score_cte("src", "1 = 1")
+    + """
+SELECT d.doc_id,
+       coalesce(t.n_bigrams, 0) AS n_bigrams,
+       t.avg_nll AS target_nll,
+       s.avg_nll AS source_nll,
+       round(s.avg_nll - t.avg_nll, 6) AS weight
+FROM documents d
+LEFT JOIN tgt_score t USING (doc_id)
+LEFT JOIN src_score s USING (doc_id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3051,6 +3118,7 @@ QUERIES = {
     "q91_ivfpq_ann": q91_ivfpq_ann,
     "q92_ewma": q92_ewma,
     "q93_zscore_anomalies": q93_zscore_anomalies,
+    "q94_domain_weights": q94_domain_weights,
 }
 
 ORACLES = {
@@ -3133,6 +3201,7 @@ ORACLES = {
     "q90_stratified_sample": _q90_sql(),
     "q92_ewma": Q92_SQL,
     "q93_zscore_anomalies": Q93_SQL,
+    "q94_domain_weights": Q94_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

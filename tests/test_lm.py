@@ -70,3 +70,19 @@ def test_plan_is_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_domain_relevance_weights_separate_domains(spark):
+    from alaska_etl_spark.operators.lm import domain_relevance_weights
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)] + [
+        (10 + i, "uno dos tres cuatro cinco seis") for i in range(5)
+    ] + [(99, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = df.filter("doc_id < 5")  # the 'alpha' domain
+    out = {r.doc_id: r for r in domain_relevance_weights(df, target, "doc_id", "text").collect()}
+    # target-domain text scores better under the target LM than the mixed LM
+    assert out[99].weight > 0
+    # off-domain text scores worse under the target LM
+    assert out[10].weight < 0
+    assert out[99].target_nll < out[10].target_nll
