@@ -3025,6 +3025,94 @@ LEFT JOIN src_score s USING (doc_id)
 )
 
 
+def q95_moving_avg(spark, sf_dir):
+    """Event-time RANGE-frame moving aggregate: per-user trailing-1-hour
+    mean of event values — the range window (frame bounded by a VALUE
+    interval, variable row count) that the rows-frame suite (q18
+    running total, q85 lag deltas) doesn't exercise. Integer-cents sum
+    over the frame / exact count keeps it engine-reproducible. One
+    (user_id)-keyed sort shuffle, same as any per-key window."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = _cents(F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(cents).over(w).alias("_s"),
+    ).select(
+        "event_id",
+        "user_id",
+        "n_window",
+        (F.expr("(2 * _s + n_window) div (2 * n_window)") / F.lit(100.0)).alias(
+            "avg_1h"
+        ),
+    )
+
+
+Q95_SQL = """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS secs,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), wins AS (
+  SELECT event_id, user_id,
+         count(*) OVER w AS n_window,
+         sum(cents) OVER w AS s
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY secs
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_window,
+       ((2 * s + n_window) // (2 * n_window)) / 100.0 AS avg_1h
+FROM wins
+"""
+
+
+def q96_top_terms(spark, sf_dir):
+    """Corpus vocabulary statistics: the 25 most frequent tokens with
+    document frequency — the canonical wordcount every corpus audit
+    starts from. Explode → two hash aggregates (term total + doc
+    frequency via count-distinct) → TakeOrderedAndProject (per-
+    partition heaps, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
+Q96_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3119,6 +3207,8 @@ QUERIES = {
     "q92_ewma": q92_ewma,
     "q93_zscore_anomalies": q93_zscore_anomalies,
     "q94_domain_weights": q94_domain_weights,
+    "q95_moving_avg": q95_moving_avg,
+    "q96_top_terms": q96_top_terms,
 }
 
 ORACLES = {
@@ -3202,6 +3292,8 @@ ORACLES = {
     "q92_ewma": Q92_SQL,
     "q93_zscore_anomalies": Q93_SQL,
     "q94_domain_weights": Q94_SQL,
+    "q95_moving_avg": Q95_SQL,
+    "q96_top_terms": Q96_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
