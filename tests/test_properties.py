@@ -150,3 +150,90 @@ def test_rollup_refresh_order_free(spark, tmp_path_factory, rows, cuts):
         ).collect()
     )
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    k=st.integers(min_value=1, max_value=12),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_global_ntile_matches_window_any_shape(spark, n, k, parts):
+    """Distributed ntile == single-partition window ntile for arbitrary
+    (N, k, partition-count) — including k > N and one-partition
+    degenerate layouts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.ranking import global_ntile
+
+    df = spark.range(n).select(
+        F.col("id").alias("key"), (F.col("id") * 131 % 17).alias("v")
+    )
+    got = {
+        r.key: r.bucket
+        for r in global_ntile(df, ["v", "key"], k, num_partitions=parts).collect()
+    }
+    w = Window.orderBy("v", "key")
+    want = {
+        r.key: r.b for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(0, 1 << 40)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    ),
+    quota=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=1 << 20),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_quota_exact_and_subset(spark, rows, quota, seed):
+    """Counts are min(quota, |stratum|) exactly, and a larger quota's
+    sample contains the smaller one (nested under the same seed)."""
+    from alaska_etl_spark.operators.splits import stratified_sample
+
+    df = spark.createDataFrame(rows, "grp string, key bigint")
+    small = {
+        r.key for r in stratified_sample(df, ["grp"], "key", quota, seed=seed).collect()
+    }
+    big = {
+        r.key
+        for r in stratified_sample(df, ["grp"], "key", quota + 3, seed=seed).collect()
+    }
+    sizes = {}
+    for g, _ in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    got_sizes = {}
+    for r in stratified_sample(df, ["grp"], "key", quota, seed=seed).collect():
+        got_sizes[r.grp] = got_sizes.get(r.grp, 0) + 1
+    assert got_sizes == {g: min(quota, c) for g, c in sizes.items() if min(quota, c) > 0}
+    assert small <= big
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=2, max_size=10
+    )
+)
+@settings(**_SETTINGS)
+def test_cosine_simjoin_bounds_and_symmetric_ids(spark, texts):
+    """Every emitted cosine is in (0, 1] and id_a < id_b; identical
+    texts always score 1.0."""
+    from alaska_etl_spark.operators.simjoin import cosine_similarity_join
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = cosine_similarity_join(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    for r in out:
+        assert r.id_a < r.id_b
+        assert 0.0 < r.cosine <= 1.0
+    got = {(r.id_a, r.id_b): r.cosine for r in out}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i < j and a.split() == b.split() and a.split():
+                assert got[(i, j)] == 1.0
