@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.operators.dedup import word_tokens
+from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
 __all__ = [
     "BigramLM",
@@ -67,7 +68,11 @@ class BigramLM(NamedTuple):
 def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, text) → (_id, _w1, _w2): one row per adjacent token pair.
     Documents with < 2 tokens contribute no rows (handled by the
-    scorer's left join back to the document set)."""
+    scorer's left join back to the document set). Narrow inputs are
+    repartitioned first: compact corpus files would otherwise run the
+    explode → ln-scoring pipeline on one core (no-op at scale — see
+    operators/parallelism.py)."""
+    df = ensure_min_parallelism(df, id_col)
     toks = word_tokens(text_col)
     pairs = F.filter(
         F.transform(

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.operators.dedup import word_tokens
+from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
 __all__ = ["ngram_tf", "cosine_similarity_join"]
 
@@ -53,7 +54,10 @@ def ngram_tf(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFr
     """(id, text) → (_id, _g, _tf): word n-gram term frequencies.
     Documents shorter than ``n`` tokens contribute their whole token
     string as one gram (empty text → the empty-string gram), matching
-    ``dedup.shingles`` semantics but keeping counts."""
+    ``dedup.shingles`` semantics but keeping counts. Narrow inputs are
+    repartitioned so gram generation parallelizes
+    (operators/parallelism.py; no-op at scale)."""
+    df = ensure_min_parallelism(df, id_col)
     toks = word_tokens(text_col)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     grams = F.transform(

@@ -49,7 +49,14 @@ def ewma(
     make (ts, tiebreak) a total order per key for reproducible results.
 
     One exchange (the groupBy), linear per-key work, constant state —
-    the 100 TB shape for any recursive per-key scan."""
+    the 100 TB shape for any recursive per-key scan. The exchange is an
+    EXPLICIT repartition on the key: ``REPARTITION_BY_NUM`` both feeds
+    ``applyInPandas``'s required hash partitioning and is exempt from
+    AQE's byte-based coalescing, which would otherwise shrink this
+    Python-CPU-heavy stage to a couple of tasks because its shuffle
+    BYTES are small (measured 2 tasks on 32 cores at sf0.1)."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartition(nparts, *key_cols)
     order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
