@@ -343,6 +343,9 @@ def decontaminate(
     xxhash64 keys instead of span strings (pass ``hashed=False`` only
     when an external engine must replay the join, e.g. the q71 oracle).
     """
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
     doc_spans = span_rows(docs, id_col, text_col, n=n, hashed=hashed)
     bench_spans = span_rows(benchmark, id_col, text_col, n=n, hashed=hashed)
     span_set = bench_spans.select("span").distinct()

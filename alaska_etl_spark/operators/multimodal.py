@@ -176,7 +176,9 @@ def decode_stats(df: DataFrame, *, n_stats: int = 4, real: bool = False) -> Data
                 }
             )
 
-    return df.mapInPandas(fn, DECODE_SCHEMA)
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(df, "media_id").mapInPandas(fn, DECODE_SCHEMA)
 
 
 def extract_features(
@@ -208,7 +210,9 @@ def extract_features(
                 }
             )
 
-    return df.mapInPandas(fn, out_schema)
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(df, id_col).mapInPandas(fn, out_schema)
 
 
 def resize_images(
@@ -245,7 +249,11 @@ def resize_images(
             out["height"] = height
             yield out
 
-    return df.filter(F.col("kind") == "image").mapInPandas(fn, df.schema)
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        df.filter(F.col("kind") == "image"), "media_id"
+    ).mapInPandas(fn, df.schema)
 
 
 FRAME_SCHEMA = StructType(
@@ -288,7 +296,11 @@ def sample_frames(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_stats": stats}
             )
 
-    return df.filter(F.col("kind") == "video").mapInPandas(fn, FRAME_SCHEMA)
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        df.filter(F.col("kind") == "video"), "media_id"
+    ).mapInPandas(fn, FRAME_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, *, kind: str = "image") -> DataFrame:

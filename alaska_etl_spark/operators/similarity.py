@@ -118,11 +118,16 @@ def cosine_topk(
     reproducible across summation orders / engines (ties broken by
     neighbor id).
     """
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
+    # compact embedding files scan as one split; the batch-matmul
+    # scoring stage must be wider than that (no-op at scale)
+    corpus = ensure_min_parallelism(corpus, id_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -589,9 +594,14 @@ def ivf_topk(
                     out.loc[invalid.T.reshape(-1), "cosine"] = None
                 yield out[out["query_id"] != out["neighbor_id"]]
 
-    cand = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
-        _candidates, out_schema
-    )
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    cand = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        id_col,
+    ).mapInPandas(_candidates, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

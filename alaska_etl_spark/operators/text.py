@@ -150,6 +150,12 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window
 
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    # compact corpus files scan as one split; hashing by _id up front
+    # both widens the explode and pre-satisfies the window's clustering
+    # (REPARTITION_BY_NUM is AQE-coalesce-exempt; no-op at scale)
+    df = ensure_min_parallelism(df, id_col)
     c = F.col(text_col)
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
     rows = df.select(
@@ -231,6 +237,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     ex = (
         df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
