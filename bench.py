@@ -12,7 +12,9 @@ pushdown-filtered scan (q04), hourly rollup (q16), as-of join (q17),
 exact dedup (q25), text stats (q22), brute-force cosine top-k (q27),
 MinHash-LSH (q29), IVF ANN (q31), winnowing fingerprints (q43),
 left-outer count distribution (q45), dual-role dim join (q48),
-semi/anti self-joins (q51), and broadcast range join (q52).
+semi/anti self-joins (q51), broadcast range join (q52), and the
+round-4 compute-dense trio: inverted-index cosine similarity join
+(q88), bigram-LM scoring (q89), and stateful per-key EWMA (q92).
 
 Timing is end-to-end per query (plan + execute + collect-count): the
 same thing DuckDB pays for the oracle.
@@ -53,6 +55,9 @@ HEADLINE = [
     "q71_decontaminate",
     "q78_interpolate",
     "q79_fuzzy_pairs",
+    "q88_cosine_simjoin",
+    "q89_lm_perplexity",
+    "q92_ewma",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Time the DuckDB oracle SQL for every ORACLED bench-headline query at
+the same sf — the honest single-node comparison point the reference
+repo never published (BASELINE.md: no numbers).
+
+Interpretation notes, so nobody over-reads the table:
+
+- DuckDB is an embedded OLAP engine with zero per-query distribution
+  overhead; at sf0.1 (tens of MB) it SHOULD win — the comparison bounds
+  our constant factors, it does not measure scale-out behavior (Spark's
+  plans shuffle/broadcast exactly so they still work when the same
+  query runs on 100 TB across 1000 executors; DuckDB's stop at one
+  node).
+- Rows-only queries (q29/q31/q92-style approximations without exact
+  SQL twins in the headline) are skipped — no oracle to time.
+- Timing is end-to-end per statement (parse + plan + execute + fetch),
+  matching bench.py's collect-inclusive timing.
+
+Usage: python tools/bench_oracle.py [sf_dir]   # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from bench import HEADLINE
+    from alaska_etl_spark.plans.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    skipped = []
+    for name in HEADLINE:
+        sql = ORACLES.get(name)
+        if sql is None:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        rows[name] = len(con.execute(sql).fetchall())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_headline_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "skipped_no_oracle": skipped,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
