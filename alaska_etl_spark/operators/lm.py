@@ -179,19 +179,56 @@ def domain_relevance_weights(
     joins; the LM tables are vocabulary-sized).
 
     Returns (id, n_bigrams, target_nll, source_nll, weight); documents
-    with < 2 tokens carry NULL scores."""
+    with < 2 tokens carry NULL scores.
+
+    Fused scoring: the scored corpus's bigram rows are exploded ONCE
+    and joined against both models' count tables in one chain (four
+    vocabulary-sized build sides), then a single aggregate computes
+    both NLL averages — half the explode/shuffle work of running
+    :func:`score_bigram_lm` twice."""
     lm_t = train_bigram_lm(target, id_col, text_col)
     lm_s = train_bigram_lm(df, id_col, text_col)
-    st = score_bigram_lm(df, id_col, text_col, lm_t, round_digits=round_digits).select(
-        F.col(id_col), F.col("n_bigrams"), F.col("avg_nll").alias("target_nll")
+
+    rows = _bigram_rows(df, id_col, text_col)
+
+    def _nll(c12: str, c1: str, v: str):
+        return -F.log(
+            (F.coalesce(F.col(c12), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col(c1), F.lit(0)) + F.col(v))
+        )
+
+    scored = (
+        rows.join(
+            lm_t.bigrams.withColumnRenamed("_c12", "_tc12"), ["_w1", "_w2"], "left"
+        )
+        .join(lm_t.contexts.withColumnRenamed("_c1", "_tc1"), "_w1", "left")
+        .join(F.broadcast(lm_t.vocab.withColumnRenamed("_V", "_tV")))
+        .join(
+            lm_s.bigrams.withColumnRenamed("_c12", "_sc12"), ["_w1", "_w2"], "left"
+        )
+        .join(lm_s.contexts.withColumnRenamed("_c1", "_sc1"), "_w1", "left")
+        .join(F.broadcast(lm_s.vocab.withColumnRenamed("_V", "_sV")))
+        .select(
+            "_id",
+            _nll("_tc12", "_tc1", "_tV").alias("_tn"),
+            _nll("_sc12", "_sc1", "_sV").alias("_sn"),
+        )
     )
-    ss = score_bigram_lm(df, id_col, text_col, lm_s, round_digits=round_digits).select(
-        F.col(id_col), F.col("avg_nll").alias("source_nll")
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_tn"), round_digits).alias("target_nll"),
+        F.round(F.avg("_sn"), round_digits).alias("source_nll"),
     )
-    return st.join(ss, id_col).select(
-        id_col,
-        "n_bigrams",
-        "target_nll",
-        "source_nll",
-        F.round(F.col("source_nll") - F.col("target_nll"), round_digits).alias("weight"),
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "target_nll",
+            "source_nll",
+            F.round(F.col("source_nll") - F.col("target_nll"), round_digits).alias(
+                "weight"
+            ),
+        )
     )
