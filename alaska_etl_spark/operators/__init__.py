@@ -14,6 +14,14 @@
 - multimodal: binary-column plumbing for image/audio payloads
 - sessions / sketches / skew / redact: sessionization, approximate
   aggregates, skew mitigation, PII scrubbing
+- simjoin: exact all-pairs sparse cosine via inverted index
+- lm: bigram language-model scoring + DSIR domain weights
+- timeseries: per-key EWMA (recursive scan), z-score anomaly screen
+- ranking: distributed global row_number / ntile (no single-partition
+  window)
+- gate: the composed document quality gate (score, screen, scrub,
+  fingerprint) shared by batch and streaming ingest
+- parallelism: input-width guard for compute-dense narrow pipelines
 """
 
 from alaska_etl_spark.operators.asof import asof_join  # noqa: F401
@@ -47,4 +55,19 @@ from alaska_etl_spark.operators.splits import (  # noqa: F401
     mix_sources,
     pack_sequences,
 )
+from alaska_etl_spark.operators.gate import gate_documents  # noqa: F401
+from alaska_etl_spark.operators.lm import (  # noqa: F401
+    bigram_lm_scores,
+    domain_relevance_weights,
+    score_bigram_lm,
+    train_bigram_lm,
+)
+from alaska_etl_spark.operators.parallelism import ensure_min_parallelism  # noqa: F401
+from alaska_etl_spark.operators.ranking import (  # noqa: F401
+    global_ntile,
+    global_row_number,
+)
+from alaska_etl_spark.operators.simjoin import cosine_similarity_join  # noqa: F401
+from alaska_etl_spark.operators.splits import stratified_sample  # noqa: F401
 from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401
+from alaska_etl_spark.operators.timeseries import ewma, zscore_anomalies  # noqa: F401
