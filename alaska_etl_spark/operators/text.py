@@ -339,3 +339,53 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap: (id, chunk_id, chunk_text, n_tokens) — the preprocessing
+    step between raw documents and fixed-window training/embedding
+    (RAG chunking, long-doc splitting before ``splits.pack_sequences``).
+
+    Chunks start every ``chunk_tokens − overlap`` tokens; the last
+    chunk may be short; empty documents produce no chunks. Entirely
+    codegen: one tokenize, a ``sequence`` of chunk starts, slice +
+    rejoin per chunk, one explode — no shuffle at all (narrow,
+    partition-preserving; the DuckDB oracle replays it with
+    list_slice/array_to_string).
+
+    Token-boundary chunking re-spaces runs of whitespace (chunks join
+    with single spaces) — the standard normalization, same as
+    ``doc_fingerprint``'s.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

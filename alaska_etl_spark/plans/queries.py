@@ -3113,6 +3113,33 @@ LIMIT 25
 """
 
 
+def q97_chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking with overlap (operators/text.py):
+    64-token chunks starting every 48 tokens — the RAG/long-doc
+    preprocessing step upstream of embedding and packing. Pure narrow
+    codegen; no shuffle."""
+    from alaska_etl_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+Q97_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, 48)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       s // 48 AS chunk_id,
+       array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text,
+       least(len(tk) - s, 64) AS n_tokens
+FROM st
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3209,6 +3236,7 @@ QUERIES = {
     "q94_domain_weights": q94_domain_weights,
     "q95_moving_avg": q95_moving_avg,
     "q96_top_terms": q96_top_terms,
+    "q97_chunk_documents": q97_chunk_documents,
 }
 
 ORACLES = {
@@ -3294,6 +3322,7 @@ ORACLES = {
     "q94_domain_weights": Q94_SQL,
     "q95_moving_avg": Q95_SQL,
     "q96_top_terms": Q96_SQL,
+    "q97_chunk_documents": Q97_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

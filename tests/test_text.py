@@ -151,3 +151,46 @@ def test_tfidf_single_corpus_exchange(spark):
     assert len(corpus_exchanges) == 1, plan
     # the document-frequency branch must REUSE that shuffle, not re-run it
     assert "ReusedExchange" in plan, plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from alaska_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # starts at 0, 3, 6, 9 (step = 4 - 1)
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from alaska_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_overlap_validation(spark):
+    import pytest as _pytest
+
+    from alaska_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
