@@ -153,8 +153,21 @@ class Warehouse:
         except Exception:
             return False
 
-    def read(self, table: str) -> DataFrame:
-        return self._read_spec(self._spec(table))
+    def read(self, table: str, *, merge_schema: bool = False) -> DataFrame:
+        """Read a table; ``merge_schema=True`` unions the schemas of
+        every data file (additive evolution: a batch appended with a new
+        nullable column widens the table — pre-evolution rows read the
+        column as NULL). Off by default: schema union reads every file
+        footer, which at 100 TB is a real listing cost — pay it on the
+        evolved tables, not every scan (or re-register the widened
+        schema in the catalog once and go back to single-footer reads).
+        The reference's BigQuery tables did this with manual
+        ALTER-style schema updates; parquet-on-path gets it from footer
+        union."""
+        spec = self._spec(table)
+        if merge_schema and spec["format"] in ("parquet", "orc"):
+            spec = dict(spec, options=dict(spec["options"], mergeSchema="true"))
+        return self._read_spec(spec)
 
     # -- K2: staging truncate-load ---------------------------------------
 

@@ -243,3 +243,24 @@ def test_merge_upsert_full_rewrite_roundtrip(spark, tmp_path):
     assert rows.count() == 100
     assert rows.filter("k = 50").collect()[0].v == "y"
     assert not glob.glob(f"{tmp_path}/t__*")
+
+
+def test_append_with_new_nullable_column_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: a later batch carries a new nullable
+    column; merge_schema reads the union, pre-evolution rows NULL."""
+    from alaska_etl_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    wh.load(v1, "dim", key_cols=["id"])
+    v2 = spark.createDataFrame(
+        [(2, "b", "AKST")], "id bigint, name string, tz string"
+    )
+    wh.load(v2, "dim", key_cols=["id"])
+
+    evolved = wh.read("dim", merge_schema=True)
+    assert "tz" in evolved.columns
+    rows = {r.id: r.tz for r in evolved.collect()}
+    assert rows == {1: None, 2: "AKST"}
+    # default read still works (no merge cost) and sees both rows
+    assert wh.read("dim").count() == 2
