@@ -25,7 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Returned in q-number order. The driver records CORRECTNESS rows for
+    Returned in q-number order (lexicographic — keep numbers two-digit,
+    q99 max, or q100 would sort between q10 and q11 and scramble the
+    curated first-50 window). The driver records CORRECTNESS rows for
     at most 50 queries (observed rounds 1-2: 52/53 registered, exactly
     50 rows both times), so slots q01-q50 are curated to give every
     operator family a driver row; q51+ remain fully registered and are

@@ -3140,6 +3140,51 @@ FROM st
 """
 
 
+def q98_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (aggregate → HAVING → join back to orders ⋈ customer).
+    The having-aggregate is the semi-join driver: at 100 TB the
+    qualifying-order set is small, so the join back to the fact is a
+    broadcast of qualified keys; here Catalyst/AQE pick from runtime
+    sizes (no hint — the aggregate carries no stats at plan time)."""
+    li, o, c = (
+        _t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer"]
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_q"))
+        .filter(F.col("_q") > 200 * 100)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("_q") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q98_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, q / 100.0 AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3237,6 +3282,7 @@ QUERIES = {
     "q95_moving_avg": q95_moving_avg,
     "q96_top_terms": q96_top_terms,
     "q97_chunk_documents": q97_chunk_documents,
+    "q98_large_orders": q98_large_orders,
 }
 
 ORACLES = {
@@ -3323,6 +3369,7 @@ ORACLES = {
     "q95_moving_avg": Q95_SQL,
     "q96_top_terms": Q96_SQL,
     "q97_chunk_documents": Q97_SQL,
+    "q98_large_orders": Q98_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
