@@ -3185,6 +3185,43 @@ LIMIT 100
 """
 
 
+def q99_join_view(spark, sf_dir):
+    """Incremental join-view maintenance (plans/ivm.py) proven
+    end-to-end, the q87 pattern for JOINS: orders and customers arrive
+    as interleaved delta batches (id mod splits), each refresh
+    propagates ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, and the accumulated view
+    must hash-match DuckDB's ONE-SHOT join of everything."""
+    import tempfile
+
+    from alaska_etl_spark.plans.ivm import read_view, refresh_join_view
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="q99_view_")
+    refresh_join_view(spark, root, on=["k"], delta_a=o.filter(F.col("o_orderkey") % 3 == 0))
+    refresh_join_view(spark, root, on=["k"], delta_b=c.filter(F.col("k") % 2 == 0))
+    refresh_join_view(
+        spark,
+        root,
+        on=["k"],
+        delta_a=o.filter(F.col("o_orderkey") % 3 != 0),
+        delta_b=c.filter(F.col("k") % 2 != 0),
+    )
+    return read_view(spark, root).select(
+        "k", "o_orderkey", "o_orderdate", "c_name", "c_mktsegment"
+    )
+
+
+Q99_SQL = """
+SELECT o_custkey AS k, o_orderkey, o_orderdate, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3283,6 +3320,7 @@ QUERIES = {
     "q96_top_terms": q96_top_terms,
     "q97_chunk_documents": q97_chunk_documents,
     "q98_large_orders": q98_large_orders,
+    "q99_join_view": q99_join_view,
 }
 
 ORACLES = {
@@ -3370,6 +3408,7 @@ ORACLES = {
     "q96_top_terms": Q96_SQL,
     "q97_chunk_documents": Q97_SQL,
     "q98_large_orders": Q98_SQL,
+    "q99_join_view": Q99_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
