@@ -3222,6 +3222,324 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def qa0_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery — for each qualifying
+    part, the European supplier(s) offering the minimum unit cost, where
+    the part-supplier catalog is derived from lineitem (the testdata has
+    no partsupp table): cost(part, supp) = MIN cents(l_extendedprice)
+    over their lineitems. The correlated subquery decorrelates to a
+    per-part MIN **window over the aggregated catalog**, not an
+    aggregate + join-back: the join-back form re-scans lineitem and
+    re-joins the dims for the inner aggregate (DataFrames don't
+    materialize shared subtrees), while the window touches only the
+    (part, supplier) catalog — orders of magnitude smaller than the
+    fact — partitioned by l_partkey, so it stays parallel (contrast
+    q50's scalar max, where a window would mean one unpartitioned
+    frame). Dims (supplier⋈nation⋈region) broadcast."""
+    li, p, s, n, r = (
+        _t(spark, sf_dir, t)
+        for t in ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    catalog = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("_cost"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    pq = p.filter(F.col("p_type") == "LARGE")
+    w = Window.partitionBy("l_partkey")
+    return (
+        catalog.withColumn("_min_cost", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min_cost"))
+        .join(pq, F.col("l_partkey") == pq.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("_cost") / F.lit(100.0)).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+QA0_SQL = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), catalog AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost
+  FROM lineitem GROUP BY 1, 2
+), eu_catalog AS (
+  SELECT c.*, s.s_name, s.s_acctbal, s.n_name
+  FROM catalog c JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost / 100.0 AS min_cost
+FROM eu_catalog c
+JOIN part ON c.l_partkey = p_partkey
+WHERE p_type = 'LARGE'
+  AND cost = (SELECT min(cost) FROM eu_catalog i WHERE i.l_partkey = c.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def qa1_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS semi-join feeding a grouped
+    count — orders placed in 1997Q1 with at least one line shipped more
+    than 90 days after the order date (the testdata lineitem has no
+    commitdate/receiptdate; ship-lag supplies the same cross-table
+    EXISTS predicate), counted per priority. Spark: LEFT SEMI join on
+    l_orderkey with the lag predicate folded into the join condition —
+    the semi short-circuits on first match, and only the date columns
+    of the probe side survive pruning into the exchange."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    oq = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    late = oq.join(
+        li,
+        (oq.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QA1_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def qa2_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the co-location predicate c_nationkey =
+    s_nationkey threaded through a 6-table join — revenue kept only
+    where customer and supplier share a nation, summed per nation for
+    one region-year. Spark: lineitem⋈orders is the one fact-fact
+    sort-merge; customer, supplier, nation, region broadcast; the
+    nation-equality predicate rides the supplier join condition so no
+    post-join filter materializes mismatched rows."""
+    li, o, c, s, n, r = (
+        _t(spark, sf_dir, t)
+        for t in ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    )
+    oy = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    asia_n = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(oy, li.l_orderkey == oy.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_r")
+        )
+        .select("n_name", (F.col("_r") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+QA2_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def qa3_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter — lineitem filtered to returnflag 'R' joined through orders
+    to customer⋈nation, grouped on the full customer tuple. The group-by
+    carries every output column (standard Q10) so the aggregate and the
+    top-k share one exchange on c_custkey; customer and nation
+    broadcast."""
+    li, o, c, n = (
+        _t(spark, sf_dir, t) for t in ["lineitem", "orders", "customer", "nation"]
+    )
+    oq = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(oq, li.l_orderkey == oq.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("_r")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_r") / F.lit(10000.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+QA3_SQL = """
+SELECT c_custkey, c_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def qa4_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: grouped value vs a global scalar share — parts
+    whose traded value through suppliers of one nation exceeds 0.1% of
+    that nation's total traded value (the testdata has no partsupp;
+    lineitem extendedprice stands in for availqty × supplycost). The
+    scalar total re-aggregates the per-part partials (one extra one-row
+    stage, no second scan) and broadcasts into the HAVING compare —
+    never a window over an unpartitioned frame."""
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    nat = s.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_v") * 1000 > F.col("_tot"))
+        .select("l_partkey", (F.col("_v") / F.lit(100.0)).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+QA4_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)
+  GROUP BY 1)
+SELECT l_partkey, v / 100.0 AS value
+FROM per_part
+WHERE v * 1000 > (SELECT sum(v) FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def qa5_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — suppliers in one nation
+    who, for some PROMO-type part, shipped more than 30% of that part's
+    total 1997 quantity (the partsupp availqty > ½·shipped predicate of
+    stock Q20, recast over the lineitem-derived catalog: a dominant-
+    supplier screen). Chain: part filter → per-(part,supplier) quantity
+    vs per-part total (two aggregates sharing the l_partkey exchange) →
+    qualifying suppkeys → LEFT SEMI into supplier⋈nation. Quantities
+    compare in integer cents, scaled ×10 vs ×3 for the 30% threshold."""
+    li, p, s, n = (
+        _t(spark, sf_dir, t) for t in ["lineitem", "part", "supplier", "nation"]
+    )
+    promo = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi")
+    per_ps = li97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("_q")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("_q").alias("_qt"))
+    dominant = (
+        per_ps.join(per_p, ["l_partkey"])
+        .filter(F.col("_q") * 10 > F.col("_qt") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n.filter(F.col("n_nationkey") == 7)), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+QA5_SQL = """
+WITH li97 AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(qc) AS q FROM li97 GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey, sum(q) AS qt FROM per_ps GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+                    WHERE q * 10 > qt * 3)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey = 7)
+ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3321,6 +3639,12 @@ QUERIES = {
     "q97_chunk_documents": q97_chunk_documents,
     "q98_large_orders": q98_large_orders,
     "q99_join_view": q99_join_view,
+    "qa0_min_cost_supplier": qa0_min_cost_supplier,
+    "qa1_order_priority": qa1_order_priority,
+    "qa2_local_supplier_volume": qa2_local_supplier_volume,
+    "qa3_returned_items": qa3_returned_items,
+    "qa4_important_parts": qa4_important_parts,
+    "qa5_part_promotion": qa5_part_promotion,
 }
 
 ORACLES = {
@@ -3409,6 +3733,12 @@ ORACLES = {
     "q97_chunk_documents": Q97_SQL,
     "q98_large_orders": Q98_SQL,
     "q99_join_view": Q99_SQL,
+    "qa0_min_cost_supplier": QA0_SQL,
+    "qa1_order_priority": QA1_SQL,
+    "qa2_local_supplier_volume": QA2_SQL,
+    "qa3_returned_items": QA3_SQL,
+    "qa4_important_parts": QA4_SQL,
+    "qa5_part_promotion": QA5_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

@@ -68,3 +68,87 @@ def test_smoke_runs_and_returns(spark, name):
     assert rows is not None
     if name == "q62_promo_revenue":
         assert 0.0 <= rows[0].promo_pct <= 100.0
+
+
+# --- qa0-qa5: the final six TPC-H shapes (Q2, Q4, Q5, Q10, Q11, Q20) ------
+
+
+def test_qa0_min_cost_single_fact_scan_windowed_min(spark):
+    # Q2's correlated MIN decorrelates to a per-part window over the
+    # aggregated (part, supplier) catalog — lineitem is scanned ONCE
+    # (join-back would rescan it), the window is partitioned (parallel),
+    # and the dims broadcast.
+    plan = _plan(spark, "qa0_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    # AQE's toString prints the Initial Plan after the Final Plan —
+    # count scans in the final section only.
+    final = plan.split("== Initial Plan ==")[0]
+    li_scans = [
+        l for l in final.splitlines() if "FileScan" in l and "l_extendedprice" in l
+    ]
+    assert len(li_scans) == 1
+    assert "Window" in final
+
+
+def test_qa1_exists_is_left_semi_with_pushed_quarter_filter(spark):
+    plan = _plan(spark, "qa1_order_priority")
+    assert "LeftSemi" in plan
+    # the quarter predicate must reach the orders scan, not sit above the join
+    o_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "o_orderdate" in l
+    )
+    assert "DataFilters" in o_scan and "o_orderdate" in o_scan.split("DataFilters")[1]
+
+
+def test_qa2_colocation_predicate_rides_join_no_cartesian(spark):
+    plan = _plan(spark, "qa2_local_supplier_volume")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_sum" in plan  # map-side combine under the nation rollup
+
+
+def test_qa3_single_exchange_for_agg_and_topk(spark):
+    plan = _plan(spark, "qa3_returned_items")
+    assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
+    assert "(l_returnflag" in plan  # pushed to the lineitem scan
+
+
+def test_qa4_scalar_total_broadcast_not_window(spark):
+    plan = _plan(spark, "qa4_important_parts")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_qa5_semi_join_chain(spark):
+    plan = _plan(spark, "qa5_part_promotion")
+    assert plan.count("LeftSemi") >= 2  # promo-part screen + supplier screen
+
+
+def test_qa5_dominant_supplier_threshold_holds(spark):
+    # every returned supplier really does dominate some promo part's 1997
+    # volume: recompute the per-(part,supplier) shares and check >30%.
+    import pyspark.sql.functions as F
+
+    out = {r.s_suppkey for r in QUERIES["qa5_part_promotion"](spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    li97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(
+            p.filter(F.col("p_type") == "PROMO").select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    rows = li97.collect()
+    tot = {}
+    for r in rows:
+        tot[r.l_partkey] = tot.get(r.l_partkey, 0.0) + r.q
+    dominant = {r.l_suppkey for r in rows if r.q > 0.3 * tot[r.l_partkey]}
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    nation7 = {r.s_suppkey for r in s.filter(F.col("s_nationkey") == 7).collect()}
+    assert out == (dominant & nation7)
