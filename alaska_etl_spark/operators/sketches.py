@@ -14,6 +14,11 @@ Sketch outputs are engine-defined → rows-only in the driver gate
 the oracles (q46_distinct_counts, q38_percentiles), and the error-bound
 contract — |approx − exact| / exact within tolerance — is pinned in
 tests/test_sketches.py.
+
+:func:`heavy_hitters` is different: the Misra-Gries pass only proposes
+CANDIDATES and a verify pass makes the final answer exact, so it is
+exactly oracled (qa6) despite bounded state — the sketch buys scale,
+not approximation.
 """
 
 from __future__ import annotations
@@ -49,4 +54,75 @@ def approx_quantiles(
     O(accuracy), not O(rows)."""
     return df.groupBy(*group_cols).agg(
         F.percentile_approx(col, probs, accuracy).alias("quantiles_approx")
+    )
+
+
+def misra_gries_candidates(df: DataFrame, col: str, *, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: every value whose
+    GLOBAL frequency exceeds n/(k+1) is guaranteed to appear (if an item
+    has global count > n/(k+1) = Σnₚ/(k+1), some partition has local
+    count > nₚ/(k+1), and MG with k counters never evicts such an item).
+    State is k counters per partition — independent of cardinality,
+    which is the point: the exact per-value count's aggregate state IS
+    the distinct-value set, and at 100 TB that state is the data.
+
+    Arrow-batched: each batch collapses to ``value_counts`` (vectorized)
+    before touching the counter dict, and the dict is trimmed with the
+    mergeable-summaries rule (subtract the (k+1)-largest count, drop
+    ≤ 0 — Agarwal et al., "Mergeable Summaries", PODS'12), so per-batch
+    work is O(unique-per-batch · log k), never per-row Python."""
+    import pandas as pd
+
+    item_t = df.schema[col].dataType.simpleString()
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts(dropna=True).items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({"item": list(counters), "lb": list(counters.values())}) \
+            if counters else pd.DataFrame({"item": [], "lb": []})
+
+    return df.select(col).mapInPandas(summarize, f"item {item_t}, lb bigint")
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, *, phi: float, k: int | None = None
+) -> DataFrame:
+    """EXACT φ-heavy hitters (values with count > φ·n) in two bounded
+    passes — never a full distinct aggregate:
+
+    1. Misra-Gries per partition with k = ⌈1/φ⌉ counters → a small
+       candidate superset (≤ k · partitions rows).
+    2. One re-scan that counts ONLY candidates: non-candidates collapse
+       into a single NULL group (map-side partial aggregation reduces
+       every partition to ≤ |candidates|+1 rows), so the same pass
+       yields both the per-candidate counts and the exact total n.
+
+    The answer is exact, so the DuckDB oracle is plain
+    ``HAVING count(*) > φ·(SELECT count(*) …)`` (qa6)."""
+    if k is None:
+        k = int(1.0 / phi) + 1
+    cand = misra_gries_candidates(df, col, k=k).select(
+        F.col("item").alias(col)
+    ).distinct().withColumn("_cand", F.lit(1))
+    tagged = df.select(col).join(F.broadcast(cand), [col], "left")
+    counted = (
+        tagged.groupBy(
+            F.when(F.col("_cand") == 1, F.col(col)).alias("item")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counted.agg(F.sum("cnt").alias("_n"))
+    return (
+        counted.filter(F.col("item").isNotNull())
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(phi) * F.col("_n"))
+        .select("item", "cnt")
+        .orderBy(F.col("cnt").desc(), "item")
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.operators import sketches as S
 from alaska_etl_spark.operators import text as T
 from alaska_etl_spark.operators.asof import asof_join
 from alaska_etl_spark.operators.dedup import (
@@ -3540,6 +3541,40 @@ ORDER BY s_suppkey
 """
 
 
+def qa6_heavy_hitters(spark, sf_dir):
+    """EXACT φ-heavy hitters over the token stream
+    (operators/sketches.py:heavy_hitters): tokens occurring in more than
+    0.2% of all token positions, found with bounded state — Misra-Gries
+    candidates per partition (k = ⌈1/φ⌉ counters, cardinality-
+    independent) then one verify pass where non-candidates collapse into
+    a single NULL group. Contrast q96, whose count-distinct state grows
+    with the vocabulary: at web scale the vocabulary IS the data, the
+    MG summary stays 501 counters. The answer is exact, so DuckDB
+    oracles it with a plain HAVING."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("term")
+    )
+    return S.heavy_hitters(toks, "term", phi=0.002).select(
+        F.col("item").alias("term"), F.col("cnt").alias("n_occurrences")
+    )
+
+
+QA6_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_occurrences
+FROM toks
+GROUP BY term
+HAVING count(*) > 0.002 * (SELECT count(*) FROM toks)
+ORDER BY n_occurrences DESC, term
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3645,6 +3680,7 @@ QUERIES = {
     "qa3_returned_items": qa3_returned_items,
     "qa4_important_parts": qa4_important_parts,
     "qa5_part_promotion": qa5_part_promotion,
+    "qa6_heavy_hitters": qa6_heavy_hitters,
 }
 
 ORACLES = {
@@ -3739,6 +3775,7 @@ ORACLES = {
     "qa3_returned_items": QA3_SQL,
     "qa4_important_parts": QA4_SQL,
     "qa5_part_promotion": QA5_SQL,
+    "qa6_heavy_hitters": QA6_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

@@ -56,3 +56,67 @@ def test_approx_quantiles_within_rank_error(spark):
     p50, p90 = row.quantiles_approx
     assert abs(p50 - 0.5 * (n - 1)) <= n / accuracy + 1
     assert abs(p90 - 0.9 * (n - 1)) <= n / accuracy + 1
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+def _zipfish(spark, parts=8):
+    # value v appears ~60000/(v+1) times for v in 0..99: a hard Zipf head,
+    # shuffled into random partitions so no partition layout is friendly.
+    df = (
+        spark.range(60_000)
+        .select((F.floor(60_000 / (F.col("id") + 1)) % 100).alias("v"))
+        .repartition(parts, F.rand(seed=7) * 1000)
+    )
+    return df
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from alaska_etl_spark.operators.sketches import heavy_hitters
+
+    df = _zipfish(spark)
+    phi = 0.01
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "v", phi=phi).collect()}
+    n = df.count()
+    exact = {
+        (r.v, r.c)
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c > phi * n
+    }
+    assert got == exact and got  # identical, and non-trivial
+
+
+def test_misra_gries_candidates_superset_and_bounded(spark):
+    from alaska_etl_spark.operators.sketches import misra_gries_candidates
+
+    df = _zipfish(spark, parts=16)
+    phi = 0.01
+    k = int(1 / phi) + 1
+    cand = misra_gries_candidates(df, "v", k=k)
+    items = {r.item for r in cand.collect()}
+    # bounded: at most k rows per partition survive
+    per_part = (
+        cand.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    )
+    assert all(r["count"] <= k for r in per_part)
+    # superset: every true phi-hitter is a candidate
+    n = df.count()
+    hitters = {
+        r.v
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c > phi * n
+    }
+    assert hitters <= items
+
+
+def test_heavy_hitters_verify_pass_reuses_exchange(spark):
+    # total-count branch must reuse the candidate-count exchange, not
+    # rescan: the second pass is ONE scan + one bounded aggregate.
+    from alaska_etl_spark.operators.sketches import heavy_hitters
+
+    df = _zipfish(spark)
+    out = heavy_hitters(df, "v", phi=0.01)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan.split("== Initial Plan ==")[0]
