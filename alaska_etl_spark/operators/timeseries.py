@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "zscore_anomalies"]
+__all__ = ["ewma", "mad_anomalies", "zscore_anomalies"]
 
 
 def ewma(
@@ -99,4 +99,56 @@ def zscore_anomalies(
         .withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > z_threshold)
         .drop("_mu", "_sigma")
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    *,
+    z_threshold: float = 3.5,
+    round_digits: int = 4,
+    approx_accuracy: int | None = None,
+) -> DataFrame:
+    """Robust per-key outliers via the modified z-score
+    0.6745·(x − median)/MAD > ``z_threshold`` (Iglewicz-Hoaglin): the
+    mean/stddev screen (:func:`zscore_anomalies`) is itself dragged by
+    the outliers it hunts — one fat tail inflates σ and masks the rest —
+    while median and MAD (median absolute deviation) have a 50%
+    breakdown point.
+
+    Two aggregate→join-back rounds (median, then MAD of residuals),
+    both exchanges hashing the same keys so AQE reuses the
+    partitioning; moments tables broadcast while small.
+
+    State honesty: EXACT per-key percentiles buffer the group's values
+    in the aggregate (unlike sum/count moments) — that is inherent to
+    order statistics, not to this plan. At 100 TB pass
+    ``approx_accuracy`` to switch both medians to Greenwald-Khanna
+    ``percentile_approx`` (bounded state, rank error ≤ n/accuracy; the
+    flagged set can differ only for rows within the rank-error band of
+    the threshold). Default exact → DuckDB oracles it bit-for-bit (qa7).
+
+    MAD = 0 (≥ half the key's values identical) flags nothing: the
+    divisor is NULLed explicitly, and a NULL robust-z fails any
+    threshold compare — same contract as :func:`zscore_anomalies`."""
+    if approx_accuracy is None:
+        med_of = lambda c: F.percentile(c, F.lit(0.5))  # noqa: E731
+    else:
+        med_of = lambda c: F.percentile_approx(  # noqa: E731
+            c, F.lit(0.5), F.lit(approx_accuracy)
+        )
+    med = df.groupBy(*key_cols).agg(med_of(F.col(val_col)).alias("_med"))
+    resid = df.join(med, key_cols).withColumn(
+        "_absdev", F.abs(F.col(val_col) - F.col("_med"))
+    )
+    mad = resid.groupBy(*key_cols).agg(med_of(F.col("_absdev")).alias("_mad"))
+    safe_mad = F.when(F.col("_mad") != 0, F.col("_mad"))
+    rz = F.round(F.lit(0.6745) * (F.col(val_col) - F.col("_med")) / safe_mad, round_digits)
+    return (
+        resid.join(mad, key_cols)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > z_threshold)
+        .drop("_med", "_absdev", "_mad")
     )

@@ -3575,6 +3575,42 @@ ORDER BY n_occurrences DESC, term
 """
 
 
+def qa7_mad_anomalies(spark, sf_dir):
+    """Robust per-type outliers (operators/timeseries.py:mad_anomalies):
+    modified z-score on median/MAD instead of q93's mean/stddev — the
+    moment screen is dragged by the very outliers it hunts (one fat tail
+    inflates σ and masks the rest); median and MAD have a 50% breakdown
+    point. Exact medians here (DuckDB replays them bit-for-bit); at
+    100 TB the ``approx_accuracy`` knob swaps in bounded-state
+    Greenwald-Khanna medians."""
+    from alaska_etl_spark.operators.timeseries import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_anomalies(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+        z_threshold=3.5,
+    ).select("event_id", "event_type", "value", "robust_z")
+
+
+QA7_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), resid AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(absdev) AS mad FROM resid GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       round(0.6745 * (value - med) / nullif(mad, 0), 4) AS robust_z
+FROM resid JOIN mad USING (event_type)
+WHERE abs(round(0.6745 * (value - med) / nullif(mad, 0), 4)) > 3.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3681,6 +3717,7 @@ QUERIES = {
     "qa4_important_parts": qa4_important_parts,
     "qa5_part_promotion": qa5_part_promotion,
     "qa6_heavy_hitters": qa6_heavy_hitters,
+    "qa7_mad_anomalies": qa7_mad_anomalies,
 }
 
 ORACLES = {
@@ -3776,6 +3813,7 @@ ORACLES = {
     "qa4_important_parts": QA4_SQL,
     "qa5_part_promotion": QA5_SQL,
     "qa6_heavy_hitters": QA6_SQL,
+    "qa7_mad_anomalies": QA7_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

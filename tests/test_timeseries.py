@@ -61,3 +61,50 @@ def test_zscore_plan_is_codegen(spark):
     plan = zscore_anomalies(df, ["k"], "x")._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert bad not in plan
+
+
+# --- MAD robust anomalies ---------------------------------------------------
+
+
+def test_mad_flags_all_planted_outliers_where_zscore_masks(spark):
+    from alaska_etl_spark.operators.timeseries import mad_anomalies, zscore_anomalies
+
+    # one huge and one modest outlier: the huge one inflates sigma enough
+    # to mask the modest one from the moment screen; MAD catches both.
+    rows = [(i, "a", 10.0 + (i % 5) * 0.01) for i in range(200)]
+    rows += [(900, "a", 1e6), (901, "a", 25.0)]
+    df = spark.createDataFrame(rows, "id bigint, k string, x double")
+    mad_ids = {r.id for r in mad_anomalies(df, ["k"], "x", z_threshold=3.5).collect()}
+    z_ids = {r.id for r in zscore_anomalies(df, ["k"], "x", z_threshold=3.5).collect()}
+    assert mad_ids == {900, 901}
+    assert z_ids == {900}  # the masking failure mode, demonstrated
+
+
+def test_mad_zero_mad_flags_nothing(spark):
+    from alaska_etl_spark.operators.timeseries import mad_anomalies
+
+    # >half identical values => MAD = 0 => no flags, no division error
+    rows = [(i, "a", 5.0) for i in range(10)] + [(99, "a", 1e9)]
+    df = spark.createDataFrame(rows, "id bigint, k string, x double")
+    assert mad_anomalies(df, ["k"], "x").count() == 0
+
+
+def test_mad_approx_matches_exact_away_from_threshold(spark):
+    from alaska_etl_spark.operators.timeseries import mad_anomalies
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    exact = {r.id for r in mad_anomalies(df, ["k"], "x", z_threshold=2.0).collect()}
+    approx = {
+        r.id
+        for r in mad_anomalies(
+            df, ["k"], "x", z_threshold=2.0, approx_accuracy=10_000
+        ).collect()
+    }
+    # GK at accuracy 1e4 on 5e3 rows is exact: the flag sets must agree
+    assert exact == approx
