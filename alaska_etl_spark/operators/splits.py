@@ -258,3 +258,54 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _es_key(key: Column | str, weight: Column | str, *, seed: int) -> Column:
+    """Efraimidis-Spirakis priority u^(1/w): u is the deterministic
+    uniform (hash_bucket + 0.5)/1e6 — never an RNG, so the sample is
+    rerun/engine/partitioning-stable like every assignment here."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, seed=seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    return F.pow(u, F.lit(1.0) / w)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Fixed-size weight-proportional sample WITHOUT replacement: the
+    ``n`` rows with the largest Efraimidis-Spirakis priority u^(1/w)
+    (Efraimidis & Spirakis 2006 — inclusion probability proportional to
+    weight, exactly the A-Res scheme), with u derived from
+    :func:`hash_bucket`, so the same keys + weights + seed reproduce
+    the same sample on any engine, partitioning, or subset order.
+
+    Plan shape: a narrow priority projection + ``TakeOrderedAndProject``
+    (per-partition top-n heaps merged on one reducer — n rows, not a
+    global sort). Rows with weight ≤ 0 or NULL are excluded, as in the
+    paper. Ties (identical hash AND weight) break on the key.
+
+    The priority is IEEE double pow: engines may differ in the last
+    ulp, which can only permute rows whose priorities are within an
+    ulp — keys carry ~1e6 distinct uniforms, so in practice never; the
+    DuckDB twin (:func:`weighted_sample_order_sql`) replays the exact
+    sample (qa8)."""
+    w = F.col(weight_col)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(_es_key(key_col, weight_col, seed=seed).desc(), F.col(key_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_order_sql(key: str, weight: str, *, seed: int = 0) -> str:
+    """The identical priority expression as ANSI SQL (use in
+    ``ORDER BY ... DESC, <key> LIMIT n`` with a ``WHERE {weight} > 0``
+    guard)."""
+    return f"pow(({hash_bucket_sql(key, seed=seed)} + 0.5) / {float(_BUCKETS)}, 1.0 / {weight})"

@@ -3611,6 +3611,34 @@ WHERE abs(round(0.6745 * (value - med) / nullif(mad, 0), 4)) > 3.5
 """
 
 
+def qa8_weighted_sample(spark, sf_dir):
+    """Length-proportional document sample
+    (operators/splits.py:weighted_sample): 100 docs without replacement,
+    inclusion odds ∝ n_chars, via Efraimidis-Spirakis priorities
+    u^(1/w) on the deterministic hash uniform — the standard way a
+    curriculum samples long documents more often while staying
+    rerun/engine-stable. TakeOrderedAndProject, never a global sort."""
+    from alaska_etl_spark.operators.splits import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", 100, seed=11).select(
+        "doc_id", "n_chars"
+    )
+
+
+def _qa8_sql() -> str:
+    from alaska_etl_spark.operators.splits import weighted_sample_order_sql
+
+    pri = weighted_sample_order_sql("doc_id", "n_chars", seed=11)
+    return (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
+        f"ORDER BY {pri} DESC, doc_id LIMIT 100"
+    )
+
+
+QA8_SQL = _qa8_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3718,6 +3746,7 @@ QUERIES = {
     "qa5_part_promotion": qa5_part_promotion,
     "qa6_heavy_hitters": qa6_heavy_hitters,
     "qa7_mad_anomalies": qa7_mad_anomalies,
+    "qa8_weighted_sample": qa8_weighted_sample,
 }
 
 ORACLES = {
@@ -3814,6 +3843,7 @@ ORACLES = {
     "qa5_part_promotion": QA5_SQL,
     "qa6_heavy_hitters": QA6_SQL,
     "qa7_mad_anomalies": QA7_SQL,
+    "qa8_weighted_sample": QA8_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

@@ -170,3 +170,56 @@ def test_stratified_sample_deterministic_and_seed_sensitive(spark):
     c = {r.key for r in stratified_sample(df, ["grp"], "key", 50, seed=9).collect()}
     assert a == b          # partitioning-independent
     assert a != c          # seed changes the draw
+
+
+# --- Efraimidis-Spirakis weighted sampling ----------------------------------
+
+
+def test_weighted_sample_deterministic_and_partition_independent(spark):
+    from alaska_etl_spark.operators.splits import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = {r.id for r in weighted_sample(df, "id", "w", 50, seed=3).collect()}
+    b = {
+        r.id
+        for r in weighted_sample(df.repartition(13), "id", "w", 50, seed=3).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from alaska_etl_spark.operators.splits import weighted_sample
+
+    # half the keys carry 20x the weight; across seeds they must win the
+    # large majority of the sample slots.
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 20.0).otherwise(1.0).alias("w"),
+    )
+    heavy_share = []
+    for seed in range(5):
+        got = weighted_sample(df, "id", "w", 200, seed=seed).collect()
+        heavy_share.append(sum(1 for r in got if r.id % 2 == 0) / len(got))
+    assert sum(heavy_share) / len(heavy_share) > 0.85
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    from alaska_etl_spark.operators.splits import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)], "id bigint, w double"
+    )
+    got = {r.id for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    from alaska_etl_spark.operators.splits import weighted_sample
+
+    df = spark.range(10_000).select(F.col("id"), F.lit(1.0).alias("w"))
+    out = weighted_sample(df, "id", "w", 10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
