@@ -3639,6 +3639,45 @@ def _qa8_sql() -> str:
 QA8_SQL = _qa8_sql()
 
 
+def qa9_bloom_pruned_join(spark, sf_dir):
+    """Bloom-filter join pruning (operators/pruning.py): lineitem
+    semi-joined to rich suppliers with a Bloom pre-filter on the fact
+    side — the fact's exchange carries only rows that might match, no
+    false negatives, so the result is IDENTICAL to the plain semi join
+    and DuckDB oracles it exactly. The per-supplier rollup after the
+    join proves the pruned stream still aggregates correctly."""
+    from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join
+
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    rich = s.filter(F.col("s_acctbal") > 8000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        bloom_pruned_semi_join(li, rich, "l_suppkey", fpp=0.01)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_r"),
+        )
+        .select(
+            "l_suppkey",
+            "n_items",
+            (F.col("_r") / F.lit(100.0)).alias("gross_revenue"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+QA9_SQL = """
+SELECT l_suppkey, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS gross_revenue
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 8000)
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3747,6 +3786,7 @@ QUERIES = {
     "qa6_heavy_hitters": qa6_heavy_hitters,
     "qa7_mad_anomalies": qa7_mad_anomalies,
     "qa8_weighted_sample": qa8_weighted_sample,
+    "qa9_bloom_pruned_join": qa9_bloom_pruned_join,
 }
 
 ORACLES = {
@@ -3844,6 +3884,7 @@ ORACLES = {
     "qa6_heavy_hitters": QA6_SQL,
     "qa7_mad_anomalies": QA7_SQL,
     "qa8_weighted_sample": QA8_SQL,
+    "qa9_bloom_pruned_join": QA9_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
