@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from alaska_etl_spark.operators.dedup import word_tokens
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
-__all__ = ["ngram_tf", "cosine_similarity_join"]
+__all__ = ["ngram_tf", "cosine_similarity_join", "jaccard_similarity_join"]
 
 
 def ngram_tf(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
@@ -99,8 +99,8 @@ def cosine_similarity_join(
     # merge two grams and be caught by the string-keyed SQL oracle.
     feats = tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf")
     if max_df is not None:
-        counts = tf.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-        feats = tf.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
+        counts = feats.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        feats = feats.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
 
     a = feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
     b = feats.select(F.col("_id").alias("id_b"), "_g", F.col("_tf").alias("_tfb"))
@@ -122,4 +122,113 @@ def cosine_similarity_join(
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """EXACT all-pairs shingle-set Jaccard ≥ num/den join with PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs): the
+    posting-list self-join runs over each document's PREFIX — its
+    p = |d| − ⌈τ·|d|⌉ + 1 rarest shingles (global document-frequency
+    order) — instead of all of them.
+
+    Why that is sound: J(a,b) ≥ τ ⇒ |a∩b| ≥ τ·|a∪b| ≥ τ·max(|a|,|b|),
+    and two sets overlapping in ≥ t elements must collide within their
+    (|·|−t+1)-prefixes of ANY shared total order. So prefix-colliding
+    pairs are a candidate SUPERSET, and the exact verify (intersection
+    count + integer threshold) makes the answer exact — the same
+    sketch-proposes/verify-decides contract as
+    :func:`~alaska_etl_spark.operators.sketches.heavy_hitters`.
+
+    Why it scales: the candidate bound drops from Σ_g df(g)² over every
+    shingle to the same sum over prefix occurrences only — at τ=0.8
+    each document contributes ~20% of its shingles, and because the
+    prefix keeps the RAREST shingles first, the hot posting lists (the
+    df² blow-up) are exactly what falls out. The rarity order is
+    computed per document (window on the doc id), never as a global
+    rank — any consistent total order is correct, so (df, shingle-hash)
+    serves and no unpartitioned sort exists anywhere.
+
+    Size filter: candidates with den·min(|a|,|b|) < num·max(|a|,|b|)
+    cannot reach τ and drop before verification.
+
+    All set arithmetic is integer (threshold num/den, round-half-up
+    rounding in integer space) so DuckDB replays the result exactly
+    (qb0) — with string shingles, which also cross-checks the 64-bit
+    shingle-hash compaction used for the joins here.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.dedup import shingles
+
+    num, den = threshold_num, threshold_den
+    tok = (
+        ensure_min_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(text_col, n)).alias("_t"),
+        )
+        .select("_id", F.xxhash64("_t").alias("_t"))
+    )
+    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # prefix length p = n - ceil(tau*n) + 1, in exact integers:
+    # ceil(num*n/den) = (num*n + den - 1) div den
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    pref = (
+        tok.join(dfreq, "_t")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
+        )
+        .select("_id", "_t", "_n")
+    )
+    a = pref.select(F.col("_id").alias("id_a"), "_t", F.col("_n").alias("_na"))
+    b = pref.select(F.col("_id").alias("id_b"), "_t", F.col("_n").alias("_nb"))
+    cand = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(den) * F.least("_na", "_nb") >= F.lit(num) * F.greatest("_na", "_nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("_id").alias("id_a"), "_t")
+    tb = tok.select(F.col("_id").alias("id_b"), "_t")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_nq", F.col("_na") + F.col("_nb") - F.col("_np"))
+        .filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_nq"))
+    )
+    scale = 10**round_digits
+    return scored.select(
+        "id_a",
+        "id_b",
+        (
+            F.expr(f"(2 * {scale} * _np + _nq) div (2 * _nq)")
+            / F.lit(float(scale))
+        ).alias("jaccard"),
     )

@@ -3678,6 +3678,56 @@ ORDER BY l_suppkey
 """
 
 
+def qb0_jaccard_simjoin(spark, sf_dir):
+    """Corpus-wide EXACT Jaccard ≥ 0.5 similarity join with prefix
+    filtering (operators/simjoin.py:jaccard_similarity_join) — the
+    candidate join runs over each document's rarest-shingle prefix, the
+    verify pass restores exactness. Closes the triangle with q26 (exact
+    but bounded to 60 docs) and q29 (corpus-wide but approximate
+    MinHash): corpus-wide AND exact. DuckDB replays it brute-force over
+    string shingles, which also cross-checks the 64-bit shingle-hash
+    compaction."""
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_similarity_join(
+        d, "doc_id", "text", n=3, threshold_num=1, threshold_den=2
+    )
+
+
+QB0_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         )) AS s
+  FROM toks
+), t AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM t GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS np
+  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ((20000 * np + nq) // (2 * nq)) / 10000.0 AS jaccard
+FROM (
+  SELECT ia, ib, np, sa.n + sb.n - np AS nq
+  FROM inter
+  JOIN sz sa ON ia = sa.doc_id
+  JOIN sz sb ON ib = sb.doc_id
+)
+WHERE 2 * np >= nq
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3787,6 +3837,7 @@ QUERIES = {
     "qa7_mad_anomalies": qa7_mad_anomalies,
     "qa8_weighted_sample": qa8_weighted_sample,
     "qa9_bloom_pruned_join": qa9_bloom_pruned_join,
+    "qb0_jaccard_simjoin": qb0_jaccard_simjoin,
 }
 
 ORACLES = {
@@ -3885,6 +3936,7 @@ ORACLES = {
     "qa7_mad_anomalies": QA7_SQL,
     "qa8_weighted_sample": QA8_SQL,
     "qa9_bloom_pruned_join": QA9_SQL,
+    "qb0_jaccard_simjoin": QB0_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).

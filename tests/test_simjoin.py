@@ -88,3 +88,82 @@ def test_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- prefix-filtered exact Jaccard join -------------------------------------
+
+
+def _brute_jaccard(rows, n=1, tau=0.5):
+    def sh(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            np_, nq = len(a & b), len(a | b)
+            if nq and np_ / nq >= tau:
+                lo, hi = sorted([ia, ib])
+                out[(lo, hi)] = (20000 * np_ + nq) // (2 * nq) / 10000.0
+    return out
+
+
+def test_jaccard_join_matches_brute_force(spark):
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy cat"),
+        ("c", "a completely different sentence entirely here now"),
+        ("d", "the quick brown fox jumps over the lazy dog"),  # exact dup of a
+        ("e", "quick brown fox"),
+        ("f", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similarity_join(
+            df, "doc_id", "text", n=1, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == _brute_jaccard(rows, n=1, tau=0.5)
+    assert got[("a", "d")] == 1.0  # exact duplicates score exactly 1
+
+
+def test_jaccard_join_high_threshold_and_trigram(spark):
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    # tau=0.7 (num=7, den=10): a/b differ in the LAST token only, so of
+    # the 8 distinct 3-grams they share 7 (J = 7/9 ≈ 0.778); c is disjoint
+    rows = [
+        ("a", "one two three four five six seven eight nine ten"),
+        ("b", "one two three four five six seven eight nine zen"),
+        ("c", "eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_similarity_join(
+            df, "doc_id", "text", n=3, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    want = set(_brute_jaccard(rows, n=3, tau=0.7))
+    assert got == want and got == {("a", "b")}
+
+
+def test_jaccard_join_no_unpartitioned_window_no_cartesian(spark):
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    rows = [("a", "x y z"), ("b", "x y w"), ("c", "p q r")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = jaccard_similarity_join(df, "doc_id", "text", n=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Window in the plan is partitioned (per-doc rarity rank)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_id#" in line  # partition spec present
