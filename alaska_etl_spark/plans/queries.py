@@ -3728,6 +3728,54 @@ WHERE 2 * np >= nq
 """
 
 
+def qb1_geo_knn_join(spark, sf_dir):
+    """Grid-blocked haversine kNN join (operators/geo.py): every
+    customer's 3 nearest suppliers within 150 km — the distance join
+    behind "which station covers this point" (the reference bakes
+    lat/lon into its MapClick fetch), done as a cell equi-join +
+    bounded neighbor explode instead of a cartesian product. The
+    blocked result equals brute force (pinned in tests/test_geo.py), so
+    DuckDB oracles it with the cartesian form at oracle scale.
+    Coordinates are integer-derived from the keys (the testdata has no
+    lat/lon columns) so both engines replay identical geometry."""
+    from alaska_etl_spark.operators.geo import knn_join, pseudo_coords
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    clat, clon = pseudo_coords("c_custkey")
+    slat, slon = pseudo_coords("s_suppkey")
+    left = c.select("c_custkey", clat.alias("lat"), clon.alias("lon"))
+    right = s.select("s_suppkey", slat.alias("lat"), slon.alias("lon"))
+    return knn_join(
+        left,
+        right,
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        k=3,
+        radius_km=150.0,
+    )
+
+
+def _qb1_sql() -> str:
+    from alaska_etl_spark.operators.geo import haversine_km_sql, pseudo_coords_sql
+
+    clat, clon = pseudo_coords_sql("c_custkey")
+    slat, slon = pseudo_coords_sql("s_suppkey")
+    d = haversine_km_sql(clat, clon, slat, slon)
+    return f"""
+SELECT c_custkey, s_suppkey, round({d}, 3) AS distance_km,
+       CAST(row_number() OVER (
+         PARTITION BY c_custkey ORDER BY round({d}, 3), s_suppkey
+       ) AS INT) AS rank
+FROM customer, supplier
+WHERE round({d}, 3) <= 150.0
+QUALIFY rank <= 3
+"""
+
+
+QB1_SQL = _qb1_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3838,6 +3886,7 @@ QUERIES = {
     "qa8_weighted_sample": qa8_weighted_sample,
     "qa9_bloom_pruned_join": qa9_bloom_pruned_join,
     "qb0_jaccard_simjoin": qb0_jaccard_simjoin,
+    "qb1_geo_knn_join": qb1_geo_knn_join,
 }
 
 ORACLES = {
@@ -3937,6 +3986,7 @@ ORACLES = {
     "qa8_weighted_sample": QA8_SQL,
     "qa9_bloom_pruned_join": QA9_SQL,
     "qb0_jaccard_simjoin": QB0_SQL,
+    "qb1_geo_knn_join": QB1_SQL,
     # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
     # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
     # q38, q27, q27).
