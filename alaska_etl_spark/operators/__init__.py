@@ -13,8 +13,13 @@
   mixing, sequence packing
 - multimodal: binary-column plumbing for image/audio payloads
 - sessions / sketches / skew / redact: sessionization, approximate
-  aggregates, skew mitigation, PII scrubbing
-- simjoin: exact all-pairs sparse cosine via inverted index
+  aggregates + exact bounded-state heavy hitters, skew mitigation,
+  PII scrubbing
+- simjoin: exact all-pairs sparse cosine via inverted index + exact
+  Jaccard-threshold join via prefix filtering
+- pruning: Bloom-filter join pruning (drop non-matching fact rows
+  before the shuffle)
+- geo: grid-blocked haversine radius/kNN join
 - lm: bigram language-model scoring + DSIR domain weights
 - timeseries: per-key EWMA (recursive scan), z-score anomaly screen
 - ranking: distributed global row_number / ntile (no single-partition
@@ -67,7 +72,20 @@ from alaska_etl_spark.operators.ranking import (  # noqa: F401
     global_ntile,
     global_row_number,
 )
-from alaska_etl_spark.operators.simjoin import cosine_similarity_join  # noqa: F401
-from alaska_etl_spark.operators.splits import stratified_sample  # noqa: F401
+from alaska_etl_spark.operators.geo import knn_join  # noqa: F401
+from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join  # noqa: F401
+from alaska_etl_spark.operators.simjoin import (  # noqa: F401
+    cosine_similarity_join,
+    jaccard_similarity_join,
+)
+from alaska_etl_spark.operators.sketches import heavy_hitters  # noqa: F401
+from alaska_etl_spark.operators.splits import (  # noqa: F401
+    stratified_sample,
+    weighted_sample,
+)
 from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401
-from alaska_etl_spark.operators.timeseries import ewma, zscore_anomalies  # noqa: F401
+from alaska_etl_spark.operators.timeseries import (  # noqa: F401
+    ewma,
+    mad_anomalies,
+    zscore_anomalies,
+)
