@@ -173,6 +173,11 @@ def jaccard_similarity_join(
     from alaska_etl_spark.operators.dedup import shingles
 
     num, den = threshold_num, threshold_den
+    # four consumers read the shingle table (sizes, document
+    # frequencies, and both verify sides) — persist it once instead of
+    # re-running tokenize+explode per branch (the minhash signature
+    # table in operators/dedup.py follows the same rule). ~16 bytes/row
+    # after the hash compaction.
     tok = (
         ensure_min_parallelism(df, id_col)
         .select(
@@ -180,6 +185,7 @@ def jaccard_similarity_join(
             F.explode(shingles(text_col, n)).alias("_t"),
         )
         .select("_id", F.xxhash64("_t").alias("_t"))
+        .persist()
     )
     sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
