@@ -39,10 +39,12 @@ from alaska_etl_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     minhash_near_dup_pairs,
     minhash_signature,
+    probe_lsh_index,
     ngram_jaccard_pairs,
     semantic_dedup,
     simhash,
     simhash_near_dup_pairs,
+    write_lsh_index,
 )
 from alaska_etl_spark.operators.embeddings import (  # noqa: F401
     l2_normalize,

@@ -412,6 +412,58 @@ def duplicated_spans(
     )
 
 
+def minhash_doc_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The two per-document MinHash relations every LSH consumer needs:
+    ``per_doc`` (_id, _sig, _sh) — signature array + shingle set from
+    ONE fused hash-aggregate (shuffle-free after gram_rows' window) —
+    and ``banded`` (_id, band, bh), its banded projection.
+
+    ``per_doc`` is persisted: multiple consumers read it (the band
+    explode, verification joins, index writes), and without
+    materialization each re-runs the tokenize→shingle→aggregate
+    subtree — measured 5× the warm runtime at sf0.1. Materialized
+    signatures are the standard MinHash practice at any scale (the
+    table is |docs| × ~(num_hashes·8 B + shingle set), tiny next to the
+    corpus); blocks are reclaimed by the ContextCleaner once the result
+    becomes unreachable."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    grams = gram_rows(df, id_col, text_col, n)
+    per_doc = (
+        grams.groupBy("_id")
+        .agg(
+            F.expr(_signature_sql(num_hashes, seed, "_g")).alias("_sig"),
+            F.collect_set("_g").alias("_sh"),
+        )
+        .persist()
+    )
+    # bands is a plain Python int → unroll the band structs driver-side,
+    # as ONE SQL expression (single Py4J call; see _signature_sql for why)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {items})))".format(
+            b=b,
+            items=", ".join(
+                f"cast(_sig[{b * rows_per_band + i}] as string)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = per_doc.select(
+        "_id", F.explode(F.expr(f"array({band_structs})")).alias("_b")
+    ).select("_id", "_b.band", "_b.bh")
+    return per_doc, banded
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -440,47 +492,10 @@ def minhash_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b. No cross join at any
     scale. ``bands`` must divide ``num_hashes``.
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
-
-    grams = gram_rows(df, id_col, text_col, n)
-    # ONE fused hash-aggregate produces BOTH the minhash signature (64
-    # min() columns) and the shingle set — and because the window in
-    # gram_rows already partitioned by _id, it is shuffle-free. The
-    # per-doc table is persisted: three consumers read it (the band
-    # explode and both sides of the verification join), and without
-    # materialization each one re-runs the tokenize→shingle→aggregate
-    # subtree — measured 5× the warm runtime at sf0.1. Materialized
-    # signatures are the standard MinHash practice at any scale (the
-    # table is |docs| × ~(num_hashes·8 B + shingle set), tiny next to
-    # the corpus); blocks are reclaimed by the ContextCleaner once the
-    # result DataFrame becomes unreachable.
-    per_doc = (
-        grams.groupBy("_id")
-        .agg(
-            F.expr(_signature_sql(num_hashes, seed, "_g")).alias("_sig"),
-            F.collect_set("_g").alias("_sh"),
-        )
-        .persist()
+    per_doc, banded = minhash_doc_tables(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
     )
-    base = per_doc.select("_id", "_sig")
     shingle_tbl = per_doc.select("_id", "_sh")
-
-    # bands is a plain Python int → unroll the band structs driver-side,
-    # as ONE SQL expression (single Py4J call; see _signature_sql for why)
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {items})))".format(
-            b=b,
-            items=", ".join(
-                f"cast(_sig[{b * rows_per_band + i}] as string)"
-                for i in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = base.select(
-        "_id", F.explode(F.expr(f"array({band_structs})")).alias("_b")
-    ).select("_id", "_b.band", "_b.bh")
 
     cands = (
         banded.alias("l")
@@ -961,3 +976,102 @@ def semantic_dedup(
         _dominated, schema=f"{id_col} bigint"
     )
     return assigned.join(dominated, id_col, "left_anti").select(id_col, "centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persisted LSH index (build once, probe per batch)
+# ---------------------------------------------------------------------------
+
+
+def write_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the MinHash-LSH index of a corpus: ``{path}/bands``
+    (_id, bh; partitioned by band) and ``{path}/docs`` (_id, _sh — the
+    hashed shingle sets for exact verification).
+
+    This is what makes near-dup INCREMENTAL at 100 TB: the corpus pays
+    tokenize→shingle→signature exactly once; every future batch probes
+    parquet (:func:`probe_lsh_index`) instead of recomputing a growing
+    corpus — the same build/serve split as the IVF index
+    (operators/similarity.py:write_ivf_index), applied to dedup. Call
+    with ``mode="append"`` to grow the index with a batch that has just
+    been probed and admitted (the daily-crawl loop).
+
+    Band partitioning keeps each probe-join task's input to one band's
+    buckets and lets a band-subset probe (cheaper, lower recall) prune
+    at the file level; registering the bands table bucketed by ``bh``
+    (saveAsTable) would additionally remove the index-side shuffle —
+    kept as plain parquet here for path portability."""
+    per_doc, banded = minhash_doc_tables(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    banded.write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
+    per_doc.select("_id", "_sh").write.mode(mode).parquet(f"{path}/docs")
+    per_doc.unpersist()
+
+
+def probe_lsh_index(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an indexed corpus, without
+    touching the corpus text: band the batch (same parameters as the
+    index build — they are part of the index's identity), equi-join its
+    band hashes against ``{path}/bands``, then verify candidates
+    exactly against the stored shingle sets.
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold). Ids present on
+    both sides (a batch probed after being appended) never self-pair.
+    Cost: |batch|·bands exploded rows + the colliding buckets of the
+    index + one verification join over candidates — independent of
+    corpus text size; LSH recall caveats are q29's (approximate by
+    design; the exact corpus-wide companion is the prefix-filtered
+    Jaccard join, qb0)."""
+    spark = new_df.sparkSession
+    per_doc, banded = minhash_doc_tables(
+        new_df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cands = (
+        banded.join(idx_bands.withColumnRenamed("_id", "corpus_id"), ["band", "bh"])
+        .select(F.col("_id").alias("new_id"), "corpus_id")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )
+    idx_docs = spark.read.parquet(f"{path}/docs").withColumnRenamed(
+        "_id", "corpus_id"
+    )
+    return (
+        cands.join(
+            per_doc.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n")),
+            "new_id",
+        )
+        .join(idx_docs.withColumnRenamed("_sh", "_sh_c"), "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sh_n", "_sh_c"))
+                / F.size(F.array_union("_sh_n", "_sh_c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

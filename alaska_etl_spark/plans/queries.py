@@ -3776,6 +3776,30 @@ QUALIFY rank <= 3
 QB1_SQL = _qb1_sql()
 
 
+def qb2_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup via the persisted LSH index
+    (operators/dedup.py:write_lsh_index / probe_lsh_index): the even-id
+    half of the corpus is indexed once (bands + shingle sets as
+    parquet), then the odd-id half probes it — the daily-crawl dedup
+    loop where the corpus text is never re-read. Rows-only by design
+    (the banding is Spark-hash-specific, exactly like q29); the exact
+    corpus-wide companion is qb0, and
+    tests/test_dedup.py:test_lsh_index_probe_equals_full_corpus_cross_pairs
+    pins probe ≡ one-shot-minhash-restricted-to-cross-pairs."""
+    import tempfile
+
+    from alaska_etl_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="qb2_lsh_")
+    write_lsh_index(corpus, "doc_id", "text", root)
+    return probe_lsh_index(batch, "doc_id", "text", root).select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3887,6 +3911,7 @@ QUERIES = {
     "qa9_bloom_pruned_join": qa9_bloom_pruned_join,
     "qb0_jaccard_simjoin": qb0_jaccard_simjoin,
     "qb1_geo_knn_join": qb1_geo_knn_join,
+    "qb2_incremental_dedup": qb2_incremental_dedup,
 }
 
 ORACLES = {
@@ -3987,9 +4012,9 @@ ORACLES = {
     "qa9_bloom_pruned_join": QA9_SQL,
     "qb0_jaccard_simjoin": QB0_SQL,
     "qb1_geo_knn_join": QB1_SQL,
-    # q29-q31, q53, q55, q57, q76, q91: approximate ops — rows-only by
-    # design; each has an oracled exact companion (q27, q26, q27, q27, q46,
-    # q38, q27, q27).
+    # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
+    # by design; each has an oracled exact companion (q27, q26, q27, q27,
+    # q46, q38, q27, q27, qb0).
     # q73: eager composed pipeline — rows-only; every stage individually
     # oracled (q70/q25/q29+q42/q71/q68/q72).
 }

@@ -315,3 +315,87 @@ def test_dedup_survivors_min_id_without_quality(spark):
     got = {r["doc_id"]: (r["component"], r["survivor"]) for r in out.collect()}
     assert got[1] == (1, True) and got[3] == (1, False)
     assert got[0] == (0, True) and got[2] == (2, True)
+
+
+# --- persisted LSH index: incremental near-dup ------------------------------
+
+
+def _dup_corpus(spark):
+    # two "days" of a crawl: day-2 re-crawls half of day-1's pages with
+    # one token changed, plus fresh pages. ids: day1 = 0..19, day2 = 100..119
+    base = [
+        f"alpha beta gamma delta epsilon zeta eta theta iota kappa doc{i} "
+        f"lambda mu nu xi omicron pi rho sigma tau upsilon"
+        for i in range(20)
+    ]
+    day1 = [(i, base[i]) for i in range(20)]
+    day2 = [(100 + i, base[i].replace("sigma", "sigmb")) for i in range(10)] + [
+        (110 + i, f"totally fresh page number {i} with its own unique words "
+                  f"zero one two three four five six seven eight nine")
+        for i in range(10)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")  # noqa: E731
+    return mk(day1), mk(day2)
+
+
+def test_lsh_index_probe_equals_full_corpus_cross_pairs(spark, tmp_path):
+    from alaska_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    day1, day2 = _dup_corpus(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(day1, "doc_id", "text", path)
+    probed = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 6))
+        for r in probe_lsh_index(day2, "doc_id", "text", path).collect()
+    }
+    # ground truth: run the one-shot corpus-wide op on the union and keep
+    # only cross pairs (one id per day)
+    full = minhash_near_dup_pairs(day1.union(day2), "doc_id", "text")
+    cross = {
+        (r.id_b, r.id_a, round(r.jaccard, 6))
+        for r in full.collect()
+        if (r.id_a < 100) != (r.id_b < 100)
+    }
+    assert probed == cross and len(probed) >= 10  # every re-crawl found
+
+
+def test_lsh_index_append_then_probe_sees_both_generations(spark, tmp_path):
+    from alaska_etl_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    day1, day2 = _dup_corpus(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(day1, "doc_id", "text", path)
+    write_lsh_index(day2, "doc_id", "text", path, mode="append")
+    # day-3 re-crawls one day-1 page and one day-2-only page
+    day3 = spark.createDataFrame(
+        [
+            (200, day1.collect()[3].text),
+            (201, [r for r in day2.collect() if r.doc_id == 115][0].text),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in probe_lsh_index(day3, "doc_id", "text", path).collect()
+    }
+    assert (200, 3) in got  # found in generation 1
+    assert (201, 115) in got  # found in generation 2
+    # the day-1 page was re-crawled into day 2 as id 103 — also caught
+    assert (200, 103) in got
+
+
+def test_lsh_probe_never_rescans_corpus_text(spark, tmp_path):
+    from alaska_etl_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    day1, day2 = _dup_corpus(spark)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(day1, "doc_id", "text", path)
+    out = probe_lsh_index(day2, "doc_id", "text", path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only file scans are the index's parquet (bands + docs)
+    scans = [l for l in plan.split("== Initial Plan ==")[0].splitlines() if "FileScan" in l]
+    assert scans and all("lsh" in l for l in scans)
