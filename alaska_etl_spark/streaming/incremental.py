@@ -440,3 +440,119 @@ def stream_documents_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def _hdfs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works for any
+    scheme Spark can read (file://, hdfs://, gs://), unlike os.path."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+
+def stream_near_dup_gate(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Streaming NEAR-duplicate gate: every micro-batch is deduplicated
+    within itself (MinHash pairs → survivor selection), probed against
+    the persisted LSH index of everything ever admitted
+    (operators/dedup.py:probe_lsh_index — the corpus text is never
+    re-read), and only then landed; admitted documents are appended to
+    the index, so the next batch dedups against them too.
+
+    This finishes the dedup story :func:`stream_documents_gate` starts:
+    that gate drops EXACT re-deliveries via the content-fingerprint
+    anti-join with zero streaming state; near-duplicates (one token
+    edited, boilerplate re-crawls) need resemblance, and holding
+    MinHash state in the state store would grow without bound. The
+    parquet index IS the unbounded state, where it belongs — on
+    storage, shared by batch and streaming, restart-safe for free.
+
+    Replay safety (at-least-once source + non-transactional index):
+    the batch is anti-joined against MAIN before anything is written,
+    so a replayed micro-batch computes admitted = ∅ and neither the
+    warehouse nor the index double-appends. Within one batch,
+    survivor selection keeps one representative per near-dup cluster
+    (highest quality by text length lives in dedup_survivors' default:
+    smallest id).
+    """
+    from alaska_etl_spark.operators.dedup import (
+        dedup_survivors,
+        minhash_near_dup_pairs,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = minhash_near_dup_pairs(
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            seed=seed,
+            jaccard_threshold=jaccard_threshold,
+        ).select("id_a", "id_b")
+        verdicts = dedup_survivors(batch_df, id_col, pairs)
+        kept = batch_df.join(
+            verdicts.filter(F.col("survivor")).select(F.col(id_col)), [id_col]
+        )
+        if _hdfs_exists(spark, f"{index_path}/bands"):
+            dup_new = (
+                probe_lsh_index(
+                    kept,
+                    id_col,
+                    text_col,
+                    index_path,
+                    n=n,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    seed=seed,
+                    jaccard_threshold=jaccard_threshold,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            kept = kept.join(dup_new, [id_col], "left_anti")
+        spec = warehouse._spec(table)
+        if _hdfs_exists(spark, spec["target"]):
+            seen = warehouse.read(table).select(id_col)
+            kept = kept.join(seen, [id_col], "left_anti")
+        admitted = kept.persist()
+        if admitted.count() > 0:
+            warehouse.load(admitted, table, key_cols=[id_col])
+            write_lsh_index(
+                admitted,
+                id_col,
+                text_col,
+                index_path,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                seed=seed,
+                mode="append",
+            )
+        admitted.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -96,3 +96,73 @@ def test_stream_gate_within_batch_keeps_smallest_id(spark, tmp_path):
     stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
     stream_documents_gate(stream, wh, "docs", str(tmp_path / "ckpt"))
     assert [r.doc_id for r in wh.read("docs").collect()] == [2]
+
+
+# --- streaming NEAR-dup gate (persisted LSH index as the only state) --------
+
+_PAGE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega end"
+)
+_PAGE_EDIT = _PAGE.replace("sigma", "sigmb")  # near-dup: one token changed
+_FRESH = (
+    "completely unrelated page about harbor tide schedules and ferry "
+    "crossing times for the southern island routes in early spring season"
+)
+
+
+def test_stream_near_dup_gate_dedups_within_and_across_batches(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_near_dup_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = str(tmp_path / "lsh_idx")
+    schema = "doc_id bigint, text string"
+
+    # batch 1: original + its in-batch near-dup + a fresh page
+    _write_doc_file(src / "b1.json", [(1, _PAGE), (2, _PAGE_EDIT), (3, _FRESH)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck1"), idx)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 3}
+
+    # batch 2: re-crawl of the page (near-dups doc 1 via the INDEX,
+    # though doc 1's text is long gone from the stream) + one new page
+    _write_doc_file(
+        src / "b2.json",
+        [
+            (10, _PAGE_EDIT),
+            (
+                11,
+                "weather balloon telemetry archive covering stratospheric "
+                "pressure readings logged by the interior research array",
+            ),
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck1"), idx)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 3, 11}
+
+
+def test_stream_near_dup_gate_replay_is_idempotent(spark, tmp_path):
+    from alaska_etl_spark.operators.dedup import probe_lsh_index
+    from alaska_etl_spark.streaming.incremental import stream_near_dup_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = str(tmp_path / "lsh_idx")
+    schema = "doc_id bigint, text string"
+    _write_doc_file(src / "b1.json", [(1, _PAGE), (3, _FRESH)])
+
+    # deliver the SAME batch twice via two fresh checkpoints — the
+    # at-least-once replay a crash between sink and commit produces
+    for ck in ("ck_a", "ck_b"):
+        stream = spark.readStream.schema(schema).json(str(src))
+        stream_near_dup_gate(stream, wh, "docs", str(tmp_path / ck), idx)
+
+    assert sorted(r.doc_id for r in wh.read("docs").collect()) == [1, 3]
+    # index holds each doc once: probing an edit of _PAGE yields ONE row
+    probe_batch = spark.createDataFrame([(99, _PAGE_EDIT)], schema)
+    hits = probe_lsh_index(probe_batch, "doc_id", "text", idx).collect()
+    assert [(r.new_id, r.corpus_id) for r in hits] == [(99, 1)]
