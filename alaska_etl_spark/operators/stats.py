@@ -1,0 +1,101 @@
+"""Single-pass multivariate statistics from EXACT integer moments.
+
+Pearson correlation (and anything else built from sums/sums-of-products)
+is normally summation-order-dependent in floating point — Spark's 32
+partitions and DuckDB's single thread add in different orders and
+disagree in the last ulps, which is why the q93-style screens round
+before comparing. This module removes the problem at the source: the
+testdata's numerics carry exactly 2 decimals, so every moment —
+n, Σx, Σx², Σxy — is accumulated as an exact integer (cents,
+decimal(38,0) so 100 TB of cent-products cannot overflow), and the
+float arithmetic happens ONCE, on the driver-visible one-row aggregate:
+
+    corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+
+Deterministic double ops on exact operands are bit-identical in any
+IEEE engine, so DuckDB replays the whole matrix exactly (qb3).
+
+Plan shape: ONE hash aggregate over the fact (map-side partials — the
+moments are classic decomposable sums), producing a single row of
+d + d·(d+1)/2 + 1 columns; the matrix unfolds from it with a constant
+explode. d is the column count (small); rows are never touched twice.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations_with_replacement
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corr_matrix", "corr_matrix_sql"]
+
+
+def _c(col: str):
+    # exact cents as decimal(18,0): the pairwise product is then
+    # decimal(37,0) and its sum decimal(38,0) — inside Spark's decimal
+    # cap with no precision loss, while int64 cent-products would
+    # overflow around 10^18 (a few TB of rows). Columns must be
+    # NULL-free (count(*) is the shared n); filter first otherwise.
+    return F.round(F.col(col) * 100).cast("decimal(18,0)")
+
+
+def corr_matrix(df: DataFrame, cols: list[str], *, round_digits: int = 4) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols``
+    (2-decimal numerics), as (col_a, col_b, corr) rows — col_a < col_b
+    alphabetically, self-pairs excluded."""
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_c(c)).alias(f"_s_{c}"))
+    for a, b in combinations_with_replacement(cols, 2):
+        aggs.append(F.sum(_c(a) * _c(b)).alias(f"_p_{a}_{b}"))
+    m = df.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        denom = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.round((n * sab - sa * sb) / F.when(denom != 0, denom), round_digits)
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    _corr(a, b).alias("corr"),
+                )
+                for a, b in combinations_with_replacement(cols, 2)
+                if a != b
+            ]
+        )
+    ).alias("_p")
+    return m.select(pairs).select("_p.col_a", "_p.col_b", "_p.corr")
+
+
+def corr_matrix_sql(table: str, cols: list[str], *, round_digits: int = 4) -> str:
+    """The identical matrix as ANSI SQL (DuckDB dialect: HUGEINT for the
+    exact moment sums), emitted from the same spec."""
+    c = {col: f"CAST(round({col} * 100) AS HUGEINT)" for col in cols}
+    sums = [f"CAST(count(*) AS HUGEINT) AS n"]
+    for col in cols:
+        sums.append(f"sum({c[col]}) AS s_{col}")
+    for a, b in combinations_with_replacement(cols, 2):
+        sums.append(f"sum({c[a]} * {c[b]}) AS p_{a}_{b}")
+    rows = []
+    for a, b in combinations_with_replacement(cols, 2):
+        if a == b:
+            continue
+        expr = (
+            f"round((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / nullif(sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)), 0), {round_digits})"
+        )
+        rows.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b, {expr} AS corr FROM m")
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM {table}) " + " UNION ALL ".join(rows)

@@ -3800,6 +3800,32 @@ def qb2_incremental_dedup(spark, sf_dir):
     )
 
 
+def qb3_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of the lineitem numerics in ONE
+    pass over the fact (operators/stats.py:corr_matrix): every moment
+    accumulates as an exact integer (order-independent), the float
+    division happens once on the one-row aggregate, so DuckDB replays
+    the matrix bit-for-bit — no tolerance needed where corr() built-ins
+    would disagree in the last ulps."""
+    from alaska_etl_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    )
+
+
+def _qb3_sql() -> str:
+    from alaska_etl_spark.operators.stats import corr_matrix_sql
+
+    return corr_matrix_sql(
+        "lineitem", ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    )
+
+
+QB3_SQL = _qb3_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3912,6 +3938,7 @@ QUERIES = {
     "qb0_jaccard_simjoin": qb0_jaccard_simjoin,
     "qb1_geo_knn_join": qb1_geo_knn_join,
     "qb2_incremental_dedup": qb2_incremental_dedup,
+    "qb3_corr_matrix": qb3_corr_matrix,
 }
 
 ORACLES = {
@@ -4012,6 +4039,7 @@ ORACLES = {
     "qa9_bloom_pruned_join": QA9_SQL,
     "qb0_jaccard_simjoin": QB0_SQL,
     "qb1_geo_knn_join": QB1_SQL,
+    "qb3_corr_matrix": QB3_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).
