@@ -28,7 +28,7 @@ from itertools import combinations_with_replacement
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "corr_matrix_sql"]
+__all__ = ["corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
 
 
 def _c(col: str):
@@ -99,3 +99,87 @@ def corr_matrix_sql(table: str, cols: list[str], *, round_digits: int = 4) -> st
         )
         rows.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b, {expr} AS corr FROM m")
     return f"WITH m AS (SELECT {', '.join(sums)} FROM {table}) " + " UNION ALL ".join(rows)
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression y = a·x + b by the normal
+    equations, from the same exact integer moments as
+    :func:`corr_matrix` — one hash aggregate per group, closed-form
+    slope/intercept/R², float arithmetic only on the exact per-group
+    moment row (so any engine reproduces it; qb4):
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n        [in cents]
+        R² = corr(x, y)²
+
+    Groups with zero x-variance yield NULL slope/intercept/R². This is
+    the million-models shape — one regression per key in a single
+    shuffle — not MLlib's one-big-model shape."""
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(_c(x_col)).alias("_sx"),
+        F.sum(_c(y_col)).alias("_sy"),
+        F.sum(_c(x_col) * _c(x_col)).alias("_sxx"),
+        F.sum(_c(x_col) * _c(y_col)).alias("_sxy"),
+        F.sum(_c(y_col) * _c(y_col)).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("_sxx").cast("double"),
+        F.col("_sxy").cast("double"),
+        F.col("_syy").cast("double"),
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / F.when(vx != 0, vx)
+    # slope is cents-per-cent (dimensionless); intercept converts back
+    # to the y column's natural units
+    intercept = (sy - slope * sx) / n / F.lit(100.0)
+    r2 = (cov * cov) / F.when(vx * vy != 0, vx * vy)
+    return m.select(
+        *group_cols,
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )
+
+
+def grouped_linreg_sql(
+    table: str,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    round_digits: int = 6,
+) -> str:
+    """The identical per-group regression as ANSI SQL."""
+    cx = f"CAST(round({x_col} * 100) AS HUGEINT)"
+    cy = f"CAST(round({y_col} * 100) AS HUGEINT)"
+    g = ", ".join(group_cols)
+    return f"""
+WITH m AS (
+  SELECT {g},
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum({cx}) AS DOUBLE) AS sx,
+         CAST(sum({cy}) AS DOUBLE) AS sy,
+         CAST(sum({cx} * {cx}) AS DOUBLE) AS sxx,
+         CAST(sum({cx} * {cy}) AS DOUBLE) AS sxy,
+         CAST(sum({cy} * {cy}) AS DOUBLE) AS syy
+  FROM {table} GROUP BY {g}
+)
+SELECT {g},
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), {round_digits}) AS slope,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n / 100.0, {round_digits}) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), {round_digits}) AS r2
+FROM m
+"""

@@ -3826,6 +3826,31 @@ def _qb3_sql() -> str:
 QB3_SQL = _qb3_sql()
 
 
+def qb4_grouped_regression(spark, sf_dir):
+    """Per-group OLS (operators/stats.py:grouped_linreg): price ~
+    quantity fitted independently for every (returnflag, linestatus)
+    segment — the million-models shape (one regression per key in one
+    shuffle, closed-form normal equations over exact integer moments),
+    not MLlib's one-big-model shape. Engine-exact like qb3."""
+    from alaska_etl_spark.operators.stats import grouped_linreg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_linreg(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def _qb4_sql() -> str:
+    from alaska_etl_spark.operators.stats import grouped_linreg_sql
+
+    return grouped_linreg_sql(
+        "lineitem", ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    )
+
+
+QB4_SQL = _qb4_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3939,6 +3964,7 @@ QUERIES = {
     "qb1_geo_knn_join": qb1_geo_knn_join,
     "qb2_incremental_dedup": qb2_incremental_dedup,
     "qb3_corr_matrix": qb3_corr_matrix,
+    "qb4_grouped_regression": qb4_grouped_regression,
 }
 
 ORACLES = {
@@ -4040,6 +4066,7 @@ ORACLES = {
     "qb0_jaccard_simjoin": QB0_SQL,
     "qb1_geo_knn_join": QB1_SQL,
     "qb3_corr_matrix": QB3_SQL,
+    "qb4_grouped_regression": QB4_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

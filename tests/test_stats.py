@@ -45,3 +45,41 @@ def test_single_pass_with_partial_aggregation(spark):
     assert "partial_count" in final or "partial_sum" in final
     # the input is aggregated exactly once: one partial/final pair
     assert final.count("HashAggregate") <= 2 or final.count("SortAggregate") <= 2
+
+
+# --- grouped OLS ------------------------------------------------------------
+
+
+def test_linreg_recovers_known_line(spark):
+    from alaska_etl_spark.operators.stats import grouped_linreg
+
+    # y = 2.5x + 7 exactly, two groups with different lines
+    rows = [("a", float(i), round(2.5 * i + 7, 2)) for i in range(1, 40)]
+    rows += [("b", float(i), round(-1.25 * i + 3, 2)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert got["a"].slope == 2.5 and got["a"].intercept == 7.0 and got["a"].r2 == 1.0
+    assert got["b"].slope == -1.25 and got["b"].intercept == 3.0 and got["b"].r2 == 1.0
+
+
+def test_linreg_matches_numpy_polyfit(spark):
+    from alaska_etl_spark.operators.stats import grouped_linreg
+
+    xs = [round((i * 13 % 41) / 4 + 1, 2) for i in range(300)]
+    ys = [round(0.8 * x + 2 + ((i * 7) % 11 - 5) / 10, 2) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double"
+    )
+    [r] = grouped_linreg(df, ["g"], "x", "y").collect()
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r.slope - slope) < 1e-4 and abs(r.intercept - intercept) < 1e-4
+
+
+def test_linreg_zero_x_variance_is_null(spark):
+    from alaska_etl_spark.operators.stats import grouped_linreg
+
+    df = spark.createDataFrame(
+        [("g", 2.0, 1.0), ("g", 2.0, 9.0)], "g string, x double, y double"
+    )
+    [r] = grouped_linreg(df, ["g"], "x", "y").collect()
+    assert r.slope is None and r.intercept is None and r.r2 is None
