@@ -126,3 +126,61 @@ def heavy_hitters(
         .select("item", "cnt")
         .orderBy(F.col("cnt").desc(), "item")
     )
+
+
+def decimal_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    probs: list[float],
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """EXACT type-1 (lower) quantiles whose aggregate state is bounded
+    by the VALUE DOMAIN, not the row count — the third point in the
+    quantile trade-off triangle: exact ``percentile`` buffers every row
+    of the group (q38), Greenwald-Khanna bounds state but approximates
+    (:func:`approx_quantiles`), and for FIXED-PRECISION data (money,
+    sensor readings: ``scale`` decimal steps per unit) counting by
+    distinct value is exact AND bounded — a 2-decimal column spanning
+    ±1e6 has ≤ 2e8 possible values however many petabytes of rows
+    carry them.
+
+    Plan: one hash aggregate to (group, value, count) — map-side
+    partials collapse each task to its distinct values — then a
+    cumulative-count window per group over the (tiny) counts table, and
+    the p-quantile is the first value whose cumulative count reaches
+    ⌈p·n⌉. Returns (group…, prob, value) rows; integer arithmetic until
+    the final ``/scale``, so any engine replays it exactly (qb5)."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(col) * scale).cast("bigint")
+    # NULLs are excluded, as every SQL quantile does (and Spark/DuckDB
+    # disagree on NULL sort position, so letting them through would
+    # also break engine parity)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*group_cols, cents.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        counts.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_n", F.sum("_c").over(wall))
+    )
+    per_prob = [
+        cum.filter(
+            (F.col("_cum") >= F.ceil(F.lit(p) * F.col("_n")))
+            & (F.col("_cum") - F.col("_c") < F.ceil(F.lit(p) * F.col("_n")))
+        ).select(
+            *group_cols,
+            F.lit(p).alias("prob"),
+            (F.col("_v") / F.lit(float(scale))).alias("value"),
+        )
+        for p in probs
+    ]
+    out = per_prob[0]
+    for q in per_prob[1:]:
+        out = out.unionAll(q)
+    return out

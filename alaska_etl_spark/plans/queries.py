@@ -3851,6 +3851,38 @@ def _qb4_sql() -> str:
 QB4_SQL = _qb4_sql()
 
 
+def qb5_decimal_quantiles(spark, sf_dir):
+    """Bounded-state EXACT quantiles
+    (operators/sketches.py:decimal_quantiles): p50/p90/p99 of the event
+    values per type by counting the fixed-precision value domain —
+    exact like q38 but with aggregate state bounded by distinct cents,
+    not rows (q38's ``percentile`` buffers the group; GK approximates).
+    Integer arithmetic to the end, so DuckDB replays it exactly."""
+    from alaska_etl_spark.operators.sketches import decimal_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return decimal_quantiles(
+        ev.select("event_type", "value"), ["event_type"], "value", [0.5, 0.9, 0.99]
+    ).orderBy("event_type", "prob")
+
+
+QB5_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type, CAST(p AS DOUBLE) AS prob, v / 100.0 AS value
+FROM cum, (VALUES (0.5), (0.9), (0.99)) probs(p)
+WHERE cum >= ceil(p * n) AND cum - c < ceil(p * n)
+ORDER BY event_type, prob
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3965,6 +3997,7 @@ QUERIES = {
     "qb2_incremental_dedup": qb2_incremental_dedup,
     "qb3_corr_matrix": qb3_corr_matrix,
     "qb4_grouped_regression": qb4_grouped_regression,
+    "qb5_decimal_quantiles": qb5_decimal_quantiles,
 }
 
 ORACLES = {
@@ -4067,6 +4100,7 @@ ORACLES = {
     "qb1_geo_knn_join": QB1_SQL,
     "qb3_corr_matrix": QB3_SQL,
     "qb4_grouped_regression": QB4_SQL,
+    "qb5_decimal_quantiles": QB5_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

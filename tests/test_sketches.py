@@ -120,3 +120,42 @@ def test_heavy_hitters_verify_pass_reuses_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan.split("== Initial Plan ==")[0]
+
+
+# --- bounded-state exact quantiles (value-domain counting) ------------------
+
+
+def test_decimal_quantiles_match_exact_percentile_lower(spark):
+    from alaska_etl_spark.operators.sketches import decimal_quantiles
+
+    # 2-decimal values with duplicates and two groups
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") % 177).cast("double") / 4).alias("x"),  # .00/.25/.50/.75
+    ).select("g", F.round(F.col("x"), 2).alias("x"))
+    got = {
+        (r.g, r.prob): r.value
+        for r in decimal_quantiles(df, ["g"], "x", [0.5, 0.9], scale=100).collect()
+    }
+    # type-1 (lower) quantile ground truth in python
+    import math
+
+    rows = df.collect()
+    for g in ("0", "1"):
+        xs = sorted(round(r.x, 2) for r in rows if r.g == g)
+        for p in (0.5, 0.9):
+            want = xs[max(0, math.ceil(p * len(xs)) - 1)]
+            assert abs(got[(g, p)] - want) < 1e-9, (g, p, got[(g, p)], want)
+
+
+def test_decimal_quantiles_state_is_value_domain_not_rows(spark):
+    from alaska_etl_spark.operators.sketches import decimal_quantiles
+
+    # a million-row column with only 10 distinct values: the counts
+    # relation (the only state) has 10 rows
+    df = spark.range(1_000_000).select((F.col("id") % 10).cast("double").alias("x"))
+    out = decimal_quantiles(df, [], "x", [0.5])
+    [r] = out.collect()
+    assert r.value == 4.0  # ceil(0.5*1e6)=500000 -> 5th of 10 equal buckets
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan  # map-side collapse to distinct values
