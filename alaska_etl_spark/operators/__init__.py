@@ -13,8 +13,10 @@
   mixing, sequence packing
 - multimodal: binary-column plumbing for image/audio payloads
 - sessions / sketches / skew / redact: sessionization, approximate
-  aggregates + exact bounded-state heavy hitters, skew mitigation,
-  PII scrubbing
+  aggregates + exact bounded-state heavy hitters + value-domain exact
+  quantiles, skew mitigation, PII scrubbing
+- stats: exact-moment correlation matrix + per-group OLS (engine-exact
+  floats from integer moments)
 - simjoin: exact all-pairs sparse cosine via inverted index + exact
   Jaccard-threshold join via prefix filtering
 - pruning: Bloom-filter join pruning (drop non-matching fact rows
@@ -80,7 +82,14 @@ from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     cosine_similarity_join,
     jaccard_similarity_join,
 )
-from alaska_etl_spark.operators.sketches import heavy_hitters  # noqa: F401
+from alaska_etl_spark.operators.sketches import (  # noqa: F401
+    decimal_quantiles,
+    heavy_hitters,
+)
+from alaska_etl_spark.operators.stats import (  # noqa: F401
+    corr_matrix,
+    grouped_linreg,
+)
 from alaska_etl_spark.operators.splits import (  # noqa: F401
     stratified_sample,
     weighted_sample,
