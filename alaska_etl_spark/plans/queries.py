@@ -3883,6 +3883,48 @@ ORDER BY event_type, prob
 """
 
 
+def qb6_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py) over the undirected
+    customer⇄supplier trade graph (nodes encoded 2·custkey / 2·suppkey+1
+    so the key spaces can't collide), 5 power iterations — an ITERATIVE
+    graph algorithm made engine-exact: integer fixed-point arithmetic is
+    summation-order-independent, so DuckDB replays the loop exactly via
+    an unrolled CTE chain emitted from the same spec."""
+    from alaska_etl_spark.operators.graph import pagerank
+
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    trade = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = trade.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        trade.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=5)
+
+
+def _qb6_sql() -> str:
+    from alaska_etl_spark.operators.graph import pagerank_sql
+
+    edges = (
+        "SELECT c AS src, s AS dst FROM ("
+        "SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey) "
+        "UNION ALL "
+        "SELECT s, c FROM ("
+        "SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+    )
+    return pagerank_sql(edges, iters=5)
+
+
+QB6_SQL = _qb6_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3998,6 +4040,7 @@ QUERIES = {
     "qb3_corr_matrix": qb3_corr_matrix,
     "qb4_grouped_regression": qb4_grouped_regression,
     "qb5_decimal_quantiles": qb5_decimal_quantiles,
+    "qb6_pagerank": qb6_pagerank,
 }
 
 ORACLES = {
@@ -4101,6 +4144,7 @@ ORACLES = {
     "qb3_corr_matrix": QB3_SQL,
     "qb4_grouped_regression": QB4_SQL,
     "qb5_decimal_quantiles": QB5_SQL,
+    "qb6_pagerank": QB6_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).
