@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_sql"]
+__all__ = ["pagerank", "pagerank_sql", "triangle_counts"]
 
 
 def pagerank(
@@ -118,3 +118,78 @@ def pagerank_sql(
             f") c ON n.node = c.dst)"
         )
     return "WITH " + ", ".join(parts) + f" SELECT node, rank_ppm FROM r{iters}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts on an undirected simple graph, via
+    DEGREE-ORDERED ORIENTATION (the standard scale trick): orient every
+    edge from the (degree, id)-smaller endpoint to the larger, build
+    wedges only from each node's OUT-neighbors, and close them against
+    oriented edges. Every triangle is then found exactly once, and the
+    wedge count is Σ outdeg(v)² where orientation provably caps outdeg
+    at O(√|E|) — a skewed hub with a million neighbors contributes
+    almost no wedges because nearly all its edges point IN. The naive
+    edge³ self-join blows up on exactly those hubs.
+
+    Input edges may be directed/duplicated; they are normalized to
+    distinct undirected pairs first. Returns (node, n_triangles) for
+    every node with ≥ 1 edge. Three shuffles total: degree count, the
+    wedge build (self-join on the wedge apex), the closing semi-join —
+    plus the final explode + count. DuckDB oracles it with the brute
+    a<b<c triple join (qb7)."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("_deg").alias("_db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .persist()
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # close the wedge against the normalized undirected table: x < y
+    # matches und's a < b normalization directly
+    tris = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_semi"
+    )
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

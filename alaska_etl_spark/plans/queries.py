@@ -3925,6 +3925,52 @@ def _qb6_sql() -> str:
 QB6_SQL = _qb6_sql()
 
 
+def qb7_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_counts)
+    over the supplier co-occurrence graph (suppliers sharing an order),
+    via degree-ordered orientation — wedges build only from
+    out-neighbors, so hub degree is capped at O(√|E|) and the naive
+    edge³ blow-up never happens. DuckDB oracles it with the brute
+    a<b<c triple join, which is exactly what the orientation avoids."""
+    from alaska_etl_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+QB7_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+), per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+), nodes AS (
+  SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e
+)
+SELECT n.node, coalesce(p.n_triangles, 0) AS n_triangles
+FROM nodes n LEFT JOIN per_node p ON n.node = p.node
+ORDER BY n.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4041,6 +4087,7 @@ QUERIES = {
     "qb4_grouped_regression": qb4_grouped_regression,
     "qb5_decimal_quantiles": qb5_decimal_quantiles,
     "qb6_pagerank": qb6_pagerank,
+    "qb7_triangle_counts": qb7_triangle_counts,
 }
 
 ORACLES = {
@@ -4145,6 +4192,7 @@ ORACLES = {
     "qb4_grouped_regression": QB4_SQL,
     "qb5_decimal_quantiles": QB5_SQL,
     "qb6_pagerank": QB6_SQL,
+    "qb7_triangle_counts": QB7_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

@@ -56,3 +56,46 @@ def test_lineage_is_truncated_per_iteration(spark):
     # join+aggregate rounds (q42's connected-components discipline)
     assert "ExistingRDD" in plan
     assert plan.count("HashAggregate") <= 4
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from alaska_etl_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_k4_and_path(spark):
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    got = _tri(spark, k4 + path)
+    assert {n: got[n] for n in range(4)} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert {n: got[n] for n in (10, 11, 12, 13)} == {10: 0, 11: 0, 12: 0, 13: 0}
+
+
+def test_normalizes_directed_and_duplicate_edges(spark):
+    # triangle given as a messy directed multigraph
+    messy = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (2, 2)]
+    got = _tri(spark, messy)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_matches_python_replica_with_hub(spark):
+    # a hub (node 0) connected to everyone + a pseudo-random sparse layer:
+    # exactly the degree-skew the orientation is built for
+    edges = [(0, i) for i in range(1, 30)]
+    edges += [(i, (i * 11 + 5) % 29 + 1) for i in range(1, 30)]
+    got = _tri(spark, edges)
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    count = {n: 0 for n in nodes}
+    for a, b in und:
+        for c in nodes:
+            if c > b and (a, c) in und and (b, c) in und:
+                for n in (a, b, c):
+                    count[n] += 1
+    assert got == count and sum(count.values()) > 0
