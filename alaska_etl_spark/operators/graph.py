@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_sql", "triangle_counts"]
+__all__ = ["bfs_distances", "bfs_sql", "pagerank", "pagerank_sql", "triangle_counts"]
 
 
 def pagerank(
@@ -193,3 +193,74 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_hops: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Hop distances from a source set over a DIRECTED edge list, up to
+    ``max_hops`` rounds of frontier relaxation: dist'(v) =
+    min(dist(v), min over in-neighbors u of dist(u)+1). Returns
+    (node, dist) for every node REACHED within the bound — integer
+    distances, so the result is engine-exact and DuckDB replays it as
+    an unrolled min-aggregate CTE chain (:func:`bfs_sql`, qb8).
+
+    The same loop discipline as :func:`pagerank` and the q42 connected
+    components: one join + one min-aggregate per round over the
+    REACHED set only (the frontier's closure, not the whole graph),
+    lineage truncated per round. Undirected graphs pass edges in both
+    directions."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    dist = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("bigint")
+    )
+    if checkpoint_dir is not None:
+        e.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    for _ in range(max_hops):
+        reached = (
+            e.join(dist, e.src == dist.node)
+            .select("dst", (F.col("dist") + 1).alias("_nd"))
+            .groupBy("dst")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        merged = (
+            dist.join(reached, dist.node == reached.dst, "full_outer")
+            .select(
+                F.coalesce("node", "dst").alias("node"),
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 60)),
+                    F.coalesce("_nd", F.lit(1 << 60)),
+                ).alias("dist"),
+            )
+        )
+        dist = (
+            merged.checkpoint() if checkpoint_dir is not None
+            else merged.localCheckpoint()
+        )
+    return dist
+
+
+def bfs_sql(edges_cte: str, sources_cte: str, *, max_hops: int = 5) -> str:
+    """The identical relaxation as ANSI SQL, unrolled (one
+    min-aggregate CTE level per hop)."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ({sources_cte}))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + 1 AS dist "
+            f"FROM edges e JOIN d{i - 1} d ON e.src = d.node"
+            f") GROUP BY node)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node, dist FROM d{max_hops}"

@@ -3971,6 +3971,45 @@ ORDER BY n.node
 """
 
 
+def qb8_bfs_distances(spark, sf_dir):
+    """Bounded-hop BFS (operators/graph.py:bfs_distances): co-occurrence
+    distance from nation-7's suppliers to every supplier reachable in
+    ≤ 3 hops of the shared-order graph — frontier relaxation with a
+    min-aggregate per round, integer distances, lineage truncated per
+    round; DuckDB replays the loop as an unrolled CTE chain from the
+    same spec."""
+    from alaska_etl_spark.operators.graph import bfs_distances
+
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    sources = s.filter(F.col("s_nationkey") == 7).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return bfs_distances(pairs, sources, max_hops=3).orderBy("node")
+
+
+def _qb8_sql() -> str:
+    from alaska_etl_spark.operators.graph import bfs_sql
+
+    edges = (
+        "SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_suppkey <> b.l_suppkey"
+    )
+    sources = "SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 7"
+    return bfs_sql(edges, sources, max_hops=3) + " ORDER BY node"
+
+
+QB8_SQL = _qb8_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4088,6 +4127,7 @@ QUERIES = {
     "qb5_decimal_quantiles": qb5_decimal_quantiles,
     "qb6_pagerank": qb6_pagerank,
     "qb7_triangle_counts": qb7_triangle_counts,
+    "qb8_bfs_distances": qb8_bfs_distances,
 }
 
 ORACLES = {
@@ -4193,6 +4233,7 @@ ORACLES = {
     "qb5_decimal_quantiles": QB5_SQL,
     "qb6_pagerank": QB6_SQL,
     "qb7_triangle_counts": QB7_SQL,
+    "qb8_bfs_distances": QB8_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

@@ -99,3 +99,36 @@ def test_matches_python_replica_with_hub(spark):
                 for n in (a, b, c):
                     count[n] += 1
     assert got == count and sum(count.values()) > 0
+
+
+# --- bounded-hop BFS --------------------------------------------------------
+
+
+def _bfs(spark, edges, sources, hops):
+    from alaska_etl_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    s = spark.createDataFrame([(x,) for x in sources], "node bigint")
+    return {r.node: r.dist for r in bfs_distances(e, s, max_hops=hops).collect()}
+
+
+def test_bfs_chain_distances_and_bound(spark):
+    # directed chain 0 -> 1 -> ... -> 9, source 0, 4 hops: nodes past
+    # the bound are NOT reported
+    chain = [(i, i + 1) for i in range(9)]
+    got = _bfs(spark, chain, [0], 4)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    chain = [(i, i + 1) for i in range(9)]
+    got = _bfs(spark, chain, [0, 6], 3)
+    assert got[7] == 1 and got[8] == 2 and got[9] == 3  # from source 6
+    assert got[3] == 3  # from source 0
+    assert got[6] == 0  # a source even though also reachable at dist 6
+
+
+def test_bfs_shortcut_wins_over_long_path(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    got = _bfs(spark, edges, [0], 4)
+    assert got[3] == 1
