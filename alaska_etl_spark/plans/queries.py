@@ -4010,6 +4010,114 @@ def _qb8_sql() -> str:
 QB8_SQL = _qb8_sql()
 
 
+def qb9_association_rules(spark, sf_dir):
+    """Market-basket pair rules over orders-as-baskets: support,
+    confidence and lift for part pairs co-ordered at least 3 times —
+    the A-priori first level as two hash aggregates and one
+    self-equi-join on the basket id (never an item×item cross join; the
+    pair space materializes only where baskets overlap, Σ_b |b|²).
+    Confidence/lift are single IEEE divisions of exact integer counts,
+    so both engines round identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("item")
+    ).distinct()
+    item_n = bi.groupBy("item").agg(F.count(F.lit(1)).alias("_ni"))
+    n_baskets = bi.select("b").distinct().count()
+    l = bi.select("b", F.col("item").alias("item_a"))
+    r = bi.select("b", F.col("item").alias("item_b"))
+    pair_n = (
+        l.join(r, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= 3)
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("_ni").alias("_na"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("_ni").alias("_nb"))
+    return (
+        pair_n.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            F.round(F.col("pair_support") / F.col("_na"), 4).alias("confidence"),
+            F.round(
+                (F.lit(n_baskets) * F.col("pair_support"))
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_support").desc(), "item_a", "item_b")
+    )
+
+
+QB9_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+), item_n AS (
+  SELECT item, count(*) AS ni FROM bi GROUP BY 1
+), nb AS (
+  SELECT count(DISTINCT b) AS n FROM bi
+), pair_n AS (
+  SELECT l.item AS item_a, r.item AS item_b, count(*) AS pair_support
+  FROM bi l JOIN bi r ON l.b = r.b AND l.item < r.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT item_a, item_b, pair_support,
+       round(pair_support / a.ni, 4) AS confidence,
+       round(((SELECT n FROM nb) * pair_support) / (a.ni * b.ni), 4) AS lift
+FROM pair_n
+JOIN item_n a ON item_a = a.item
+JOIN item_n b ON item_b = b.item
+ORDER BY pair_support DESC, item_a, item_b
+"""
+
+
+def qc0_snapshot_diff(spark, sf_dir):
+    """Snapshot audit diff (plans/warehouse.py:diff_snapshots): classify
+    every key as added/removed/changed between two table states — here
+    yesterday's orders (keys ≡ 0 mod 97 absent, totals ≡ 0 mod 13
+    stale) vs today's full table. The join carries (key, hash), never
+    row bodies; DuckDB replays the SEMANTICS column-wise."""
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_snapshots(old, o, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+QC0_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+              OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+            THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN orders n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed' END IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4128,6 +4236,8 @@ QUERIES = {
     "qb6_pagerank": qb6_pagerank,
     "qb7_triangle_counts": qb7_triangle_counts,
     "qb8_bfs_distances": qb8_bfs_distances,
+    "qb9_association_rules": qb9_association_rules,
+    "qc0_snapshot_diff": qc0_snapshot_diff,
 }
 
 ORACLES = {
@@ -4234,6 +4344,8 @@ ORACLES = {
     "qb6_pagerank": QB6_SQL,
     "qb7_triangle_counts": QB7_SQL,
     "qb8_bfs_distances": QB8_SQL,
+    "qb9_association_rules": QB9_SQL,
+    "qc0_snapshot_diff": QC0_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

@@ -522,3 +522,57 @@ def scd2_merge(
         .withColumn("is_current", F.lit(False))
     )
     return opened.unionByName(carried), closed
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Audit diff between two snapshots of the same table: one row per
+    key that was ``added`` (only in new), ``removed`` (only in old), or
+    ``changed`` (both sides, non-key content differs). Unchanged keys
+    produce nothing — at 100 TB the diff is proportional to churn, the
+    output never to the table.
+
+    The content compare is ONE 8-byte xxhash64 of the non-key columns
+    per side, computed before the join — the full-outer join carries
+    (key, hash), never the row bodies, so wide tables diff at
+    key-column shuffle cost (the same hash-not-rows decision as the
+    idempotent append's anti-join). A 64-bit collision would mask one
+    changed row per ~10¹⁹ — the same accepted envelope as every other
+    hash in the engine, and the engine-agnostic SEMANTICS (classify by
+    content equality) is what the oracle replays column-wise (qc0).
+
+    Non-key columns are hashed in sorted-name order so the verdict is
+    schema-order independent — and NULL-safely: Spark's multi-column
+    ``xxhash64`` folds NULL inputs as a no-op, so ``(NULL, 'a')`` and
+    ``('a', NULL)`` would hash EQUAL and mask a change. Hashing each
+    column with its position as the seed and XOR-combining keeps a
+    NULL's position visible (``xxhash64(lit(i))`` alone is a distinct
+    non-null value per slot) without ANSI-mode overflow."""
+    from functools import reduce
+
+    body = sorted(c for c in old.columns if c not in key_cols)
+    if body != sorted(c for c in new.columns if c not in key_cols):
+        raise ValueError("snapshots must share a schema")
+
+    def _row_hash(cols: list[str]):
+        return reduce(
+            lambda a, b: a.bitwiseXOR(b),
+            [F.xxhash64(F.lit(i), F.col(c)) for i, c in enumerate(cols)],
+        )
+
+    o = old.select(*key_cols, _row_hash(body).alias("_h_old"))
+    n = new.select(*key_cols, _row_hash(body).alias("_h_new"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -264,3 +264,49 @@ def test_append_with_new_nullable_column_schema_evolution(spark, tmp_path):
     assert rows == {1: None, 2: "AKST"}
     # default read still works (no merge cost) and sees both rows
     assert wh.read("dim").count() == 2
+
+
+# --- snapshot audit diff ----------------------------------------------------
+
+
+def test_diff_snapshots_classifies_all_three(spark):
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k bigint, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], "k bigint, s string, v double"
+    )
+    got = {r.k: r.change for r in diff_snapshots(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged, absent
+
+
+def test_diff_snapshots_null_position_is_a_change(spark):
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    # (NULL, 'a') vs ('a', NULL): multi-column xxhash64 folds NULLs as
+    # no-ops and would call these equal — the per-position hash must not
+    old = spark.createDataFrame([(1, None, "a")], "k bigint, s string, t string")
+    new = spark.createDataFrame([(1, "a", None)], "k bigint, s string, t string")
+    [r] = diff_snapshots(old, new, ["k"]).collect()
+    assert r.change == "changed"
+
+
+def test_diff_snapshots_schema_order_independent(spark):
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "k bigint, s string, v double")
+    new = spark.createDataFrame([(2.0, "a", 1)], "v double, s string, k bigint")
+    assert diff_snapshots(old, new, ["k"]).count() == 0
+
+
+def test_diff_snapshots_rejects_schema_drift(spark):
+    import pytest
+
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    old = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    new = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    with pytest.raises(ValueError):
+        diff_snapshots(old, new, ["k"])
