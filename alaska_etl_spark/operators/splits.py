@@ -309,3 +309,68 @@ def weighted_sample_order_sql(key: str, weight: str, *, seed: int = 0) -> str:
     ``ORDER BY ... DESC, <key> LIMIT n`` with a ``WHERE {weight} > 0``
     guard)."""
     return f"pow(({hash_bucket_sql(key, seed=seed)} + 0.5) / {float(_BUCKETS)}, 1.0 / {weight})"
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM mixing
+    rule: sample source i with probability ∝ nᵢ^α, α < 1 flattening the
+    head): keep each row of source i with rate
+
+        rᵢ = (nᵢ / n_min)^(α−1)
+
+    normalized by the SMALLEST source, which keeps 100% (n^(α−1) is
+    decreasing for α ≤ 1, so larger sources are down-sampled harder
+    and every rᵢ ≤ 1).
+
+    Everything is in-plan: per-source counts (one aggregate), the max
+    via a one-row broadcast join — never a window over an unpartitioned
+    frame — and the keep-decision is the :func:`hash_bucket` threshold
+    compare, so the sample is deterministic per (key, seed) and
+    engine-replayable: rates are pow() on exact integer counts
+    (bit-identical IEEE in any engine) and the threshold is
+    ``floor(rate·1e6 + 0.5)`` — floor, because SQL round() ties differ
+    by engine (half-up vs half-even) while floor does not (qc1).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_nmin"))
+    thresholds = counts.join(F.broadcast(mn)).select(
+        source_col,
+        F.floor(
+            F.pow(F.col("_n").cast("double") / F.col("_nmin").cast("double"), alpha - 1.0)
+            * F.lit(float(_BUCKETS))
+            + F.lit(0.5)
+        ).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(hash_bucket(key_col, seed=seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_sample_sql(
+    table: str, source_col: str, key_col: str, *, alpha: float = 0.5, seed: int = 0
+) -> str:
+    """The identical rebalancing as ANSI SQL, emitted from the same
+    spec."""
+    return f"""
+WITH counts AS (
+  SELECT {source_col}, count(*) AS n FROM {table} GROUP BY 1
+), thr AS (
+  SELECT {source_col},
+         floor(pow(CAST(n AS DOUBLE) / (SELECT CAST(min(n) AS DOUBLE) FROM counts), {alpha - 1.0})
+               * {float(_BUCKETS)} + 0.5) AS t
+  FROM counts
+)
+SELECT d.* FROM {table} d JOIN thr USING ({source_col})
+WHERE {hash_bucket_sql(key_col, seed=seed)} < thr.t
+"""

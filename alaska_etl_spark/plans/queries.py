@@ -4118,6 +4118,34 @@ ORDER BY o_orderkey
 """
 
 
+def qc1_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing
+    (operators/splits.py:temperature_sample): flatten the documents
+    corpus's LANGUAGE skew at α = 0.5 (en is 44% of the corpus; the
+    source column is uniform by construction) — the multilingual-LM
+    mixing rule (sample ∝ n^α). Rates derive from the data IN-PLAN (counts → min →
+    pow), thresholds are hash compares, so the kept set is
+    deterministic and engine-replayed from one spec."""
+    from alaska_etl_spark.operators.splits import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        d.select("doc_id", "lang"), "lang", "doc_id", alpha=0.5, seed=13
+    ).select("doc_id", "lang")
+
+
+def _qc1_sql() -> str:
+    from alaska_etl_spark.operators.splits import temperature_sample_sql
+
+    inner = temperature_sample_sql(
+        "(SELECT doc_id, lang FROM documents)", "lang", "doc_id", alpha=0.5, seed=13
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+QC1_SQL = _qc1_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4238,6 +4266,7 @@ QUERIES = {
     "qb8_bfs_distances": qb8_bfs_distances,
     "qb9_association_rules": qb9_association_rules,
     "qc0_snapshot_diff": qc0_snapshot_diff,
+    "qc1_temperature_mix": qc1_temperature_mix,
 }
 
 ORACLES = {
@@ -4346,6 +4375,7 @@ ORACLES = {
     "qb8_bfs_distances": QB8_SQL,
     "qb9_association_rules": QB9_SQL,
     "qc0_snapshot_diff": QC0_SQL,
+    "qc1_temperature_mix": QC1_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

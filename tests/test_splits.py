@@ -223,3 +223,46 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- temperature-based source rebalancing -----------------------------------
+
+
+def _skewed(spark):
+    # source a: 2500 rows, b: 400, c: 100
+    return spark.range(3000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2500, "a").when(F.col("id") < 2900, "b").otherwise("c").alias("src"),
+    )
+
+
+def test_temperature_flattens_toward_sqrt(spark):
+    from alaska_etl_spark.operators.splits import temperature_sample
+
+    out = temperature_sample(_skewed(spark), "src", "id", alpha=0.5, seed=1)
+    kept = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected kept_i = sqrt(n_min * n_i): a->500, b->200, c->100
+    assert kept["c"] == 100  # smallest source keeps everything
+    assert abs(kept["a"] - 500) < 60  # hash-uniform, ~binomial(2500, 0.2)
+    assert abs(kept["b"] - 200) < 40
+    # the 25x skew flattened to ~5x
+    assert 3.5 < kept["a"] / kept["c"] < 6.5
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    from alaska_etl_spark.operators.splits import temperature_sample
+
+    df = _skewed(spark)
+    assert temperature_sample(df, "src", "id", alpha=1.0).count() == df.count()
+
+
+def test_temperature_sample_is_deterministic_and_nested(spark):
+    from alaska_etl_spark.operators.splits import temperature_sample
+
+    df = _skewed(spark)
+    a = {r.id for r in temperature_sample(df, "src", "id", alpha=0.5, seed=9).collect()}
+    b = {
+        r.id
+        for r in temperature_sample(df.repartition(17), "src", "id", alpha=0.5, seed=9).collect()
+    }
+    assert a == b
