@@ -22,6 +22,8 @@
 - pruning: Bloom-filter join pruning (drop non-matching fact rows
   before the shuffle)
 - geo: grid-blocked haversine radius/kNN join
+- graph: fixed-point PageRank, degree-oriented triangle counting,
+  bounded-hop BFS (engine-exact integer iteration; CC lives in dedup)
 - lm: bigram language-model scoring + DSIR domain weights
 - timeseries: per-key EWMA (recursive scan), z-score anomaly screen
 - ranking: distributed global row_number / ntile (no single-partition
@@ -77,6 +79,11 @@ from alaska_etl_spark.operators.ranking import (  # noqa: F401
     global_row_number,
 )
 from alaska_etl_spark.operators.geo import knn_join  # noqa: F401
+from alaska_etl_spark.operators.graph import (  # noqa: F401
+    bfs_distances,
+    pagerank,
+    triangle_counts,
+)
 from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join  # noqa: F401
 from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     cosine_similarity_join,
@@ -92,6 +99,7 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401
     stratified_sample,
+    temperature_sample,
     weighted_sample,
 )
 from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401

@@ -4146,6 +4146,32 @@ def _qc1_sql() -> str:
 QC1_SQL = _qc1_sql()
 
 
+def qc2_unpivot(spark, sf_dir):
+    """U3's inverse — UNPIVOT/melt (``DataFrame.unpivot``): the four
+    lineitem measures to long (key, measure, value) form, the wide→long
+    reshape every metrics store ingests. Spark plans it as one Expand
+    (4 rows per input row, no shuffle, no join); DuckDB replays it as a
+    UNION ALL of per-measure projections."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+QC2_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4267,6 +4293,7 @@ QUERIES = {
     "qb9_association_rules": qb9_association_rules,
     "qc0_snapshot_diff": qc0_snapshot_diff,
     "qc1_temperature_mix": qc1_temperature_mix,
+    "qc2_unpivot": qc2_unpivot,
 }
 
 ORACLES = {
@@ -4376,6 +4403,7 @@ ORACLES = {
     "qb9_association_rules": QB9_SQL,
     "qc0_snapshot_diff": QC0_SQL,
     "qc1_temperature_mix": QC1_SQL,
+    "qc2_unpivot": QC2_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).
