@@ -1,0 +1,97 @@
+"""Empty-input robustness for the round-4b operator families: every
+operator must return an empty (correctly-typed) result, not throw —
+the daily-increment pipelines WILL eventually feed one an empty batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_heavy_hitters_empty(spark):
+    from alaska_etl_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([], "v bigint")
+    assert heavy_hitters(df, "v", phi=0.01).count() == 0
+
+
+def test_jaccard_simjoin_empty(spark):
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    assert jaccard_similarity_join(_empty_docs(spark), "doc_id", "text").count() == 0
+
+
+def test_knn_join_empty_sides(spark):
+    from alaska_etl_spark.operators.geo import knn_join
+
+    empty = spark.createDataFrame([], "lid bigint, lat double, lon double")
+    right = spark.createDataFrame([(1, 0.0, 0.0)], "rid bigint, lat double, lon double")
+    out = knn_join(empty, right, left_id="lid", right_id="rid", k=3, radius_km=10.0)
+    assert out.count() == 0
+
+
+def test_mad_anomalies_empty(spark):
+    from alaska_etl_spark.operators.timeseries import mad_anomalies
+
+    df = spark.createDataFrame([], "id bigint, k string, x double")
+    assert mad_anomalies(df, ["k"], "x").count() == 0
+
+
+def test_weighted_and_temperature_sample_empty(spark):
+    from alaska_etl_spark.operators.splits import temperature_sample, weighted_sample
+
+    df = spark.createDataFrame([], "id bigint, w double, src string")
+    assert weighted_sample(df, "id", "w", 5).count() == 0
+    assert temperature_sample(df, "src", "id").count() == 0
+
+
+def test_graph_ops_empty(spark):
+    from alaska_etl_spark.operators.graph import (
+        bfs_distances,
+        pagerank,
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    s = spark.createDataFrame([], "node bigint")
+    assert pagerank(e, iters=2).count() == 0
+    assert triangle_counts(e).count() == 0
+    assert bfs_distances(e, s, max_hops=2).count() == 0
+
+
+def test_corr_and_linreg_empty(spark):
+    from alaska_etl_spark.operators.stats import corr_matrix, grouped_linreg
+
+    df = spark.createDataFrame([], "g string, x double, y double")
+    rows = corr_matrix(df, ["x", "y"]).collect()
+    assert len(rows) == 1 and rows[0].corr is None  # 0-row moments: NULL corr
+    assert grouped_linreg(df, ["g"], "x", "y").count() == 0
+
+
+def test_decimal_quantiles_empty(spark):
+    from alaska_etl_spark.operators.sketches import decimal_quantiles
+
+    df = spark.createDataFrame([], "k string, x double")
+    assert decimal_quantiles(df, ["k"], "x", [0.5]).count() == 0
+
+
+def test_bloom_prune_empty_fact_and_empty_dim(spark):
+    from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join
+
+    fact = spark.createDataFrame([], "k bigint")
+    dim = spark.createDataFrame([(1,)], "k bigint")
+    assert bloom_pruned_semi_join(fact, dim, "k").count() == 0
+    fact2 = spark.createDataFrame([(1,)], "k bigint")
+    empty_dim = spark.createDataFrame([], "k bigint")
+    assert bloom_pruned_semi_join(fact2, empty_dim, "k", n_keys_hint=1).count() == 0
+
+
+def test_diff_snapshots_both_empty(spark):
+    from alaska_etl_spark.plans.warehouse import diff_snapshots
+
+    a = spark.createDataFrame([], "k bigint, v double")
+    b = spark.createDataFrame([], "k bigint, v double")
+    assert diff_snapshots(a, b, ["k"]).count() == 0
