@@ -4172,6 +4172,45 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def qc3_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the canonical product-analytics query:
+    users grouped by first-activity day, distinct-user counts at each
+    day offset since the cohort start (daily grain — the testdata's
+    event window is ~2 weeks). Two hash aggregates and one join
+    (first-seen table ⋈ daily-activity table, both already reduced to
+    |users| and |user-days| rows — the raw events are touched once
+    each); offsets are integer day-diffs, so the matrix is
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    act = ev.select(F.col("user_id"), day.alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.expr("datediff(d, cohort_day)").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+QC3_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), first AS (
+  SELECT user_id, min(d) AS cohort_day FROM act GROUP BY 1
+)
+SELECT cohort_day,
+       date_diff('day', cohort_day, d) AS day_offset,
+       count(DISTINCT act.user_id) AS n_users
+FROM act JOIN first ON act.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4294,6 +4333,7 @@ QUERIES = {
     "qc0_snapshot_diff": qc0_snapshot_diff,
     "qc1_temperature_mix": qc1_temperature_mix,
     "qc2_unpivot": qc2_unpivot,
+    "qc3_cohort_retention": qc3_cohort_retention,
 }
 
 ORACLES = {
@@ -4404,6 +4444,7 @@ ORACLES = {
     "qc0_snapshot_diff": QC0_SQL,
     "qc1_temperature_mix": QC1_SQL,
     "qc2_unpivot": QC2_SQL,
+    "qc3_cohort_retention": QC3_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).
