@@ -4211,6 +4211,78 @@ ORDER BY 1, 2
 """
 
 
+def qc4_funnel(spark, sf_dir):
+    """Ordered funnel analysis — the other canonical product-analytics
+    query: users progressing view → click → signup → purchase with
+    STRICTLY increasing timestamps AND a 12-hour per-step conversion
+    window (a later-step event only counts within 12 h of the user's
+    earliest qualifying prior step — without the window every heavy
+    user trivially converts and the funnel measures nothing). Each
+    step is one
+    conditional min-aggregate on user_id + a join back — funnel depth
+    many keyed aggregates, zero windows, zero Python; step counts and
+    conversion are exact integers and one IEEE division."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def step_time(prev, evt):
+        cond = F.col("event_type") == evt
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev)) & (
+                F.col("ts") <= F.col(prev) + F.expr("INTERVAL 12 HOURS")
+            )
+        base = ev.join(steps, "user_id") if prev is not None else ev
+        return base.filter(cond).groupBy("user_id").agg(
+            F.min("ts").alias(f"_t_{evt}")
+        )
+
+    steps = step_time(None, "view")
+    for prev, evt in [("_t_view", "click"), ("_t_click", "signup"), ("_t_signup", "purchase")]:
+        steps = steps.join(step_time(prev, evt), "user_id", "left")
+
+    n0 = ev.select("user_id").distinct().count()
+    counts = steps.agg(
+        F.count("_t_view").alias("view"),
+        F.count("_t_click").alias("click"),
+        F.count("_t_signup").alias("signup"),
+        F.count("_t_purchase").alias("purchase"),
+    )
+    rows = [("1_view", "view"), ("2_click", "click"), ("3_signup", "signup"), ("4_purchase", "purchase")]
+    out = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("step"),
+                    F.col(c).alias("n_users"),
+                    F.round(F.col(c) / F.lit(n0), 4).alias("conversion"),
+                )
+                for name, c in rows
+            ]
+        )
+    ).alias("_s")
+    return counts.select(out).select("_s.step", "_s.n_users", "_s.conversion")
+
+
+QC4_SQL = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT ev.user_id, min(ts) AS t FROM ev JOIN s1 ON ev.user_id = s1.user_id
+       WHERE event_type = 'click' AND ts > s1.t AND ts <= s1.t + INTERVAL 12 HOUR GROUP BY 1),
+s3 AS (SELECT ev.user_id, min(ts) AS t FROM ev JOIN s2 ON ev.user_id = s2.user_id
+       WHERE event_type = 'signup' AND ts > s2.t AND ts <= s2.t + INTERVAL 12 HOUR GROUP BY 1),
+s4 AS (SELECT ev.user_id, min(ts) AS t FROM ev JOIN s3 ON ev.user_id = s3.user_id
+       WHERE event_type = 'purchase' AND ts > s3.t AND ts <= s3.t + INTERVAL 12 HOUR GROUP BY 1),
+n AS (SELECT count(DISTINCT user_id) AS n0 FROM ev)
+SELECT '1_view' AS step, (SELECT count(*) FROM s1) AS n_users,
+       round((SELECT count(*) FROM s1) / n0, 4) AS conversion FROM n
+UNION ALL SELECT '2_click', (SELECT count(*) FROM s2),
+       round((SELECT count(*) FROM s2) / n0, 4) FROM n
+UNION ALL SELECT '3_signup', (SELECT count(*) FROM s3),
+       round((SELECT count(*) FROM s3) / n0, 4) FROM n
+UNION ALL SELECT '4_purchase', (SELECT count(*) FROM s4),
+       round((SELECT count(*) FROM s4) / n0, 4) FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4334,6 +4406,7 @@ QUERIES = {
     "qc1_temperature_mix": qc1_temperature_mix,
     "qc2_unpivot": qc2_unpivot,
     "qc3_cohort_retention": qc3_cohort_retention,
+    "qc4_funnel": qc4_funnel,
 }
 
 ORACLES = {
@@ -4445,6 +4518,7 @@ ORACLES = {
     "qc1_temperature_mix": QC1_SQL,
     "qc2_unpivot": QC2_SQL,
     "qc3_cohort_retention": QC3_SQL,
+    "qc4_funnel": QC4_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
     # by design; each has an oracled exact companion (q27, q26, q27, q27,
     # q46, q38, q27, q27, qb0).

@@ -152,3 +152,37 @@ def test_qa5_dominant_supplier_threshold_holds(spark):
     s = spark.read.parquet(f"{SF}/supplier.parquet")
     nation7 = {r.s_suppkey for r in s.filter(F.col("s_nationkey") == 7).collect()}
     assert out == (dominant & nation7)
+
+
+def test_qc4_funnel_order_and_window_semantics(spark, tmp_path):
+    # craft an events parquet: u1 completes in order within windows; u2
+    # has all types but clicks BEFORE viewing (order broken at step 2);
+    # u3 clicks 13h after the view (window broken).
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (u, typ, hours) in enumerate(
+        [
+            (1, "view", 0), (1, "click", 1), (1, "signup", 2), (1, "purchase", 3),
+            (2, "click", 0), (2, "view", 1), (2, "signup", 2), (2, "purchase", 3),
+            (3, "view", 0), (3, "click", 13), (3, "signup", 14), (3, "purchase", 15),
+        ]
+    ):
+        rows.append((i, base + dt.timedelta(hours=hours), u, typ, 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    import shutil
+
+    # the query reads {sf_dir}/events.parquet
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.move(p, str(sf / "events.parquet"))
+    got = {r.step: r.n_users for r in QUERIES["qc4_funnel"](spark, str(sf)).collect()}
+    # u2's view at +1h exists, and their signup(+2)/purchase(+3) follow it
+    # in-window — but no click AFTER the view, so u2 stops at view.
+    # u3's click misses the 12h window.
+    assert got == {"1_view": 3, "2_click": 1, "3_signup": 1, "4_purchase": 1}
