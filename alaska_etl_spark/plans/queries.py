@@ -4283,6 +4283,31 @@ UNION ALL SELECT '4_purchase', (SELECT count(*) FROM s4),
 """
 
 
+def qc5_sketch_rollup(spark, sf_dir):
+    """Persisted mergeable-sketch rollup (operators/sketch_store.py):
+    build one (HLL users, KLL values) sketch row per day of events,
+    then answer a distinct-count + quantile range query by MERGING the
+    stored sketches — q87's continuous-aggregate pattern for the two
+    aggregates with no exact bounded partial. Rows-only by design
+    (Datasketches estimates are engine-defined, like q55/q57); the
+    exact companions are q46/q38 and the tolerance contracts are
+    pinned in tests/test_sketch_store.py."""
+    import tempfile
+
+    from alaska_etl_spark.operators.sketch_store import (
+        merged_distinct_count,
+        merged_quantiles,
+        write_sketch_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="qc5_sketch_")
+    write_sketch_rollup(ev, root, ts_col="ts", id_col="user_id", val_col="value")
+    d = merged_distinct_count(spark, root)
+    q = merged_quantiles(spark, root, [0.5, 0.9])
+    return d.join(q)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4407,6 +4432,7 @@ QUERIES = {
     "qc2_unpivot": qc2_unpivot,
     "qc3_cohort_retention": qc3_cohort_retention,
     "qc4_funnel": qc4_funnel,
+    "qc5_sketch_rollup": qc5_sketch_rollup,
 }
 
 ORACLES = {
@@ -4519,9 +4545,9 @@ ORACLES = {
     "qc2_unpivot": QC2_SQL,
     "qc3_cohort_retention": QC3_SQL,
     "qc4_funnel": QC4_SQL,
-    # q29-q31, q53, q55, q57, q76, q91, qb2: approximate ops — rows-only
-    # by design; each has an oracled exact companion (q27, q26, q27, q27,
-    # q46, q38, q27, q27, qb0).
+    # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
+    # rows-only by design; each has an oracled exact companion (q27, q26,
+    # q27, q27, q46, q38, q27, q27, qb0, q46+q38).
     # q73: eager composed pipeline — rows-only; every stage individually
     # oracled (q70/q25/q29+q42/q71/q68/q72).
 }
