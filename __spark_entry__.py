@@ -25,26 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Returned in q-number order (lexicographic — keep numbers two-digit,
-    q99 max, or q100 would sort between q10 and q11 and scramble the
+    Returned in q-number order (lexicographic — keep slots two
+    characters: q00-q99, then qa0…qz9, which sort AFTER q99; a
+    three-digit q100 would sort between q10 and q11 and scramble the
     curated first-50 window). The driver records CORRECTNESS rows for
     at most 50 queries (observed rounds 1-2: 52/53 registered, exactly
     50 rows both times), so slots q01-q50 are curated to give every
-    operator family a driver row; q51+ remain fully registered and are
-    verified by the local replica (``tools/check_correctness.py``).
-    See README "Driver query slots" for the slot map.
+    operator family a driver row; q51+ and the qa/qb/qc series remain
+    fully registered and are verified by the local replica
+    (``tools/check_correctness.py``). See README "Driver query slots"
+    for the slot map.
     """
     return dict(sorted(QUERIES.items()))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query. Approximate/LSH ops
-    (q29/q30/q31, q53/q55/q57, q76/q91) are rows-only by design — each
-    has an exact oracled companion (q26 exact Jaccard, q27 brute-force
-    cosine, q46 exact distinct counts, q38 exact percentiles, q88 exact
-    sparse cosine), as is the composed pipeline q73 (its stages are
-    oracled individually); everything else, including the multimodal
-    mapInPandas path (q32/q33), sessionization (q34), the EWMA
-    recursion (q92, oracle replays the recursion in a recursive CTE),
-    and the distributed global ntile (q84), hash-matches."""
+    (q29/q30/q31, q53/q55/q57, q76/q91, qb2 incremental-LSH, qc5
+    sketch rollups) are rows-only by design — each has an exact oracled
+    companion (q26 exact Jaccard, q27 brute-force cosine, q46 exact
+    distinct counts, q38 exact percentiles, q88 exact sparse cosine,
+    qb0 prefix-filtered exact Jaccard), as is the composed pipeline q73
+    (its stages are oracled individually); everything else, including
+    the multimodal mapInPandas path (q32/q33), sessionization (q34),
+    the EWMA recursion (q92, oracle replays it in a recursive CTE),
+    the iterative graph loops (qb6/qb8, oracle replays them as
+    unrolled CTE chains), and the distributed global ntile (q84),
+    hash-matches."""
     return dict(sorted(ORACLES.items()))

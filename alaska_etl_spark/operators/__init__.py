@@ -89,6 +89,11 @@ from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     cosine_similarity_join,
     jaccard_similarity_join,
 )
+from alaska_etl_spark.operators.sketch_store import (  # noqa: F401
+    merged_distinct_count,
+    merged_quantiles,
+    write_sketch_rollup,
+)
 from alaska_etl_spark.operators.sketches import (  # noqa: F401
     decimal_quantiles,
     heavy_hitters,

@@ -15,8 +15,9 @@ left-outer count distribution (q45), dual-role dim join (q48),
 semi/anti self-joins (q51), broadcast range join (q52), and the
 round-4 compute-dense trio: inverted-index cosine similarity join
 (q88), bigram-LM scoring (q89), and stateful per-key EWMA (q92); plus
-the round-4b bounded-state heavy hitters (qa6) and the grid-blocked
-geo kNN join (qb1). The prefix-filtered Jaccard join (qb0) is
+the round-4b bounded-state heavy hitters (qa6), the grid-blocked
+geo kNN join (qb1), the hash-only snapshot diff (qc0), and the cohort
+retention matrix (qc3). The prefix-filtered Jaccard join (qb0) is
 registered+oracled but not headlined: at sf0.1 its ~12 small stages
 are fixed Spark overhead (~7 s vs DuckDB's 1.5 s single-node), while
 its prefix pruning only starts paying at corpus sizes where the
@@ -66,6 +67,8 @@ HEADLINE = [
     "q92_ewma",
     "qa6_heavy_hitters",
     "qb1_geo_knn_join",
+    "qc0_snapshot_diff",
+    "qc3_cohort_retention",
 ]
 
 
