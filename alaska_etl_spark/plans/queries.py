@@ -4308,6 +4308,60 @@ def qc5_sketch_rollup(spark, sf_dir):
     return d.join(q)
 
 
+def qc6_integrity_report(spark, sf_dir):
+    """Referential-integrity audit (plans/warehouse.py:fk_check): orphan
+    counts for every foreign key of the star, twice — against the real
+    parents (expected 0, proving the testdata's keys) and against a
+    degraded parent set (every 50th key dropped) so the probe's
+    non-zero path is exercised too. Each check is one anti-join against
+    the parent's distinct keys; n_child and n_orphans come from one
+    pass each."""
+    from alaska_etl_spark.plans.warehouse import fk_check
+
+    li, o, p, s, c = (
+        _t(spark, sf_dir, t)
+        for t in ["lineitem", "orders", "part", "supplier", "customer"]
+    )
+    checks = [
+        ("lineitem->orders", li, o, "l_orderkey", "o_orderkey"),
+        ("lineitem->part", li, p, "l_partkey", "p_partkey"),
+        ("lineitem->supplier", li, s, "l_suppkey", "s_suppkey"),
+        ("orders->customer", o, c, "o_custkey", "c_custkey"),
+    ]
+    out = None
+    for name, child, parent, ck, pk in checks:
+        ok = fk_check(child, parent, ck, pk).withColumn("relationship", F.lit(name))
+        degraded = fk_check(
+            child, parent.filter(F.col(pk) % 50 != 0), ck, pk
+        ).select(F.col("n_orphans").alias("n_orphans_degraded"))
+        row = ok.join(degraded).select(
+            "relationship", "n_child", "n_orphans", "n_orphans_degraded"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+QC6_SQL = """
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0)) AS n_orphans_degraded
+UNION ALL
+SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+       (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 50 <> 0))
+UNION ALL
+SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 50 <> 0))
+UNION ALL
+SELECT 'orders->customer', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0))
+ORDER BY relationship
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4433,6 +4487,7 @@ QUERIES = {
     "qc3_cohort_retention": qc3_cohort_retention,
     "qc4_funnel": qc4_funnel,
     "qc5_sketch_rollup": qc5_sketch_rollup,
+    "qc6_integrity_report": qc6_integrity_report,
 }
 
 ORACLES = {
@@ -4545,6 +4600,7 @@ ORACLES = {
     "qc2_unpivot": QC2_SQL,
     "qc3_cohort_retention": QC3_SQL,
     "qc4_funnel": QC4_SQL,
+    "qc6_integrity_report": QC6_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

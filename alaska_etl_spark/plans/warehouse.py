@@ -576,3 +576,23 @@ def diff_snapshots(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity probe: one row with the child's row count
+    and how many child rows reference a missing parent. The orphan scan
+    is a LEFT ANTI join on the key — parent side reduced to its
+    distinct keys first, so the join input is |parent keys|, not
+    |parent rows| — and both counts come from one pass each. NULL
+    foreign keys count as orphans (they reference nothing); relax
+    upstream if NULLs are a modeled "no parent"."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    orphans = child.select(child_key).join(keys, [child_key], "left_anti")
+    return child.agg(F.count(F.lit(1)).alias("n_child")).join(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )

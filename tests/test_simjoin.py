@@ -167,3 +167,33 @@ def test_jaccard_join_no_unpartitioned_window_no_cartesian(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_id#" in line  # partition spec present
+
+
+def test_jaccard_join_randomized_corpus_matches_brute_force(spark):
+    # 60 docs from a small vocabulary with planted near-dup clusters:
+    # deterministic pseudo-random construction, checked against brute
+    # force at two thresholds (including one where the size filter and
+    # prefix pruning both bite).
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    vocab = [f"w{k}" for k in range(30)]
+    rows = []
+    for i in range(60):
+        base = [(i * 7 + j * 11) % 30 for j in range(8 + i % 5)]
+        if i % 3 == 0 and i > 0:  # near-dup of doc i-1 with one swap
+            prev = rows[i - 1][1].split()
+            toks = prev[:-1] + [vocab[(i * 13) % 30]]
+        else:
+            toks = [vocab[k] for k in base]
+        rows.append((str(i), " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for num, den in [(1, 2), (4, 5)]:
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_similarity_join(
+                df, "doc_id", "text", n=1, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        want = _brute_jaccard(rows, n=1, tau=num / den)
+        assert got == want, (num, den)
+    assert want  # the harder threshold still finds the planted dups

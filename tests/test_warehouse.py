@@ -310,3 +310,15 @@ def test_diff_snapshots_rejects_schema_drift(spark):
     new = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
     with pytest.raises(ValueError):
         diff_snapshots(old, new, ["k"])
+
+
+def test_fk_check_counts_orphans_and_null_keys(spark):
+    from alaska_etl_spark.plans.warehouse import fk_check
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id bigint, fk bigint"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    [r] = fk_check(child, parent, "fk", "pk").collect()
+    assert r.n_child == 4
+    assert r.n_orphans == 2  # the missing 99 and the NULL fk
