@@ -10,9 +10,10 @@
 - embeddings: L2-normalize, int8 quantize, matryoshka truncate
 - layout: z-order clustering keys + range-clustered writer
 - splits: deterministic train/val/test split, nested sampling, source
-  mixing, sequence packing
+  mixing, sequence packing, mix entropy/KL diagnostics, top-p coverage
 - multimodal: binary-column plumbing for image/audio payloads
-- sessions / sketches / skew / redact: sessionization, approximate
+- sessions / sketches / skew / redact: sessionization + interval-sweep
+  concurrency, approximate
   aggregates + exact bounded-state heavy hitters + value-domain exact
   quantiles, skew mitigation, PII scrubbing
 - stats: exact-moment correlation matrix + per-group OLS (engine-exact
@@ -25,7 +26,8 @@
 - graph: fixed-point PageRank, degree-oriented triangle counting,
   bounded-hop BFS (engine-exact integer iteration; CC lives in dedup)
 - lm: bigram language-model scoring + DSIR domain weights
-- timeseries: per-key EWMA (recursive scan), z-score anomaly screen
+- timeseries: per-key EWMA (recursive scan), z-score anomaly screen,
+  per-month activity bitmasks
 - ranking: distributed global row_number / ntile (no single-partition
   window)
 - gate: the composed document quality gate (score, screen, scrub,
@@ -60,11 +62,18 @@ from alaska_etl_spark.operators.layout import (  # noqa: F401
     zorder_sql,
     zorder_write,
 )
+from alaska_etl_spark.operators.sessions import (  # noqa: F401
+    concurrency_by_day,
+    session_stats,
+    sessionize,
+)
 from alaska_etl_spark.operators.splits import (  # noqa: F401
     hash_sample,
     hash_split,
+    mix_entropy,
     mix_sources,
     pack_sequences,
+    top_p_coverage,
 )
 from alaska_etl_spark.operators.gate import gate_documents  # noqa: F401
 from alaska_etl_spark.operators.lm import (  # noqa: F401
@@ -109,6 +118,7 @@ from alaska_etl_spark.operators.splits import (  # noqa: F401
 )
 from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401
 from alaska_etl_spark.operators.timeseries import (  # noqa: F401
+    activity_bitmap,
     ewma,
     mad_anomalies,
     zscore_anomalies,

@@ -47,6 +47,69 @@ def sessionize(
     return out.withColumn("session_start", F.min(ts_col).over(wsess))
 
 
+def concurrency_by_day(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per UTC day — the
+    interval sweep (max concurrent sessions / connections / calls).
+
+    Intervals are CLOSED ``[start, end]``: one interval ending at t and
+    another starting at t count as overlapping (concurrency 2 at t).
+
+    Plan, sized for 100 TB of intervals:
+
+    1. Split multi-day intervals at midnight (``sequence`` + explode —
+       per-row fan-out is the number of days spanned, bounded and tiny
+       for session-like data) and clamp the boundaries into each day.
+    2. Reduce boundary events to per-(day, ts) counts FIRST: one hash
+       aggregate with map-side partial combine. The sweep's window then
+       runs over |distinct timestamps| rows, not 2×|intervals|.
+    3. One window partitioned by day, ordered by ts: with ``net =
+       starts - ends`` collapsed per timestamp, the within-ts peak is
+       ``cumsum(net) + ends`` (all starts at t apply before any end at
+       t under closed-interval semantics), so no per-event ordering or
+       tie-break column survives to the window.
+
+    The only shuffles are the (day, ts) aggregate and the by-day
+    window; day is the partition key, so a year of data is ~365 window
+    partitions — for extreme per-day volume the step-2 aggregate has
+    already collapsed the sweep input to distinct timestamps.
+    """
+    s, e = F.col(start_col).cast("timestamp"), F.col(end_col).cast("timestamp")
+    days = F.sequence(F.date_trunc("day", s), F.date_trunc("day", e), F.expr("INTERVAL 1 DAY"))
+    seg = intervals.select(
+        s.alias("_s"), e.alias("_e"), F.explode(days).alias("_day")
+    ).select(
+        "_day",
+        F.greatest(F.col("_s"), F.col("_day")).alias("_seg_start"),
+        F.least(F.col("_e"), F.col("_day") + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")).alias(
+            "_seg_end"
+        ),
+    )
+    deltas = (
+        seg.select("_day", F.col("_seg_start").alias("ts"), F.lit(1).alias("starts"), F.lit(0).alias("ends"))
+        .unionAll(
+            seg.select("_day", F.col("_seg_end").alias("ts"), F.lit(0).alias("starts"), F.lit(1).alias("ends"))
+        )
+        .groupBy("_day", "ts")
+        .agg(F.sum("starts").alias("n_starts"), F.sum("ends").alias("n_ends"))
+    )
+    w = Window.partitionBy("_day").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    peaks = deltas.withColumn(
+        "peak", F.sum(F.col("n_starts") - F.col("n_ends")).over(w) + F.col("n_ends")
+    )
+    # day stays a midnight TIMESTAMP (like every date_trunc grain here):
+    # pandas/Arrow turns engine DATEs into mismatched types across engines
+    return (
+        peaks.groupBy(F.col("_day").alias("utc_day"))
+        .agg(F.max("peak").alias("max_concurrent"))
+        .orderBy("utc_day")
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

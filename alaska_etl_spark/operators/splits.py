@@ -260,6 +260,100 @@ def mix_sources(
     return out
 
 
+def mix_entropy(
+    df: DataFrame,
+    group_col: str,
+    *,
+    weight_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Diversity diagnostics of a corpus mix: per-group share, Shannon
+    entropy contribution, and KL(actual ‖ uniform) contribution, plus
+    the totals every row carries — the number a data-mixture review
+    reads before/after reweighting (q69/qc1 change the mix; this
+    measures it).
+
+    ``weight_col=None`` weights by row count; otherwise by
+    ``sum(weight_col)`` (e.g. chars or tokens, the usual LLM-mix unit).
+
+    Plan: one hash aggregate to |groups| rows, then unpartitioned
+    window sums over those |groups| rows only (tens of sources — the
+    raw table is never in the window), all codegen arithmetic. Natural
+    log in both engines; rounded once at emit for hash-stable floats.
+    """
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(w.cast("double").alias("wt"))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    p = F.col("wt") / F.sum("wt").over(wall)
+    k = F.count(F.lit(1)).over(wall)
+    out = g.select(
+        F.col("grp").alias(group_col),
+        F.col("wt").cast("bigint").alias("weight"),
+        p.alias("_p"),
+        (-p * F.log(p)).alias("_h"),
+        (p * F.log(p * k)).alias("_kl"),
+    )
+    wtot = Window.partitionBy()
+    return out.select(
+        group_col,
+        "weight",
+        F.round("_p", round_digits).alias("share"),
+        F.round("_h", round_digits).alias("entropy_term"),
+        F.round(F.sum("_h").over(wtot), round_digits).alias("entropy_total"),
+        F.round(F.sum("_kl").over(wtot), round_digits).alias("kl_vs_uniform"),
+    ).orderBy(group_col)
+
+
+def top_p_coverage(
+    df: DataFrame,
+    *,
+    strata_cols: list[str],
+    group_col: str,
+    weight_col: str,
+    p: float,
+) -> DataFrame:
+    """Nucleus (top-p) coverage per stratum: the smallest prefix of
+    groups — ranked by weight descending, name ascending on ties — whose
+    cumulative share reaches ``p``, with each kept group's share and
+    running total. The "which sources make up 90% of the tokens per
+    language" cut that decides what a mix actually contains.
+
+    Plan: one hash aggregate to |strata × groups| rows, then two
+    frames over ONE per-stratum sort (cumulative sum + total — Spark
+    plans a single Exchange+Sort for both). The keep rule is
+    ``cum_share − share < p``: every group before the crossing point,
+    plus the group that crosses it.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*strata_cols, group_col).agg(
+        F.sum(weight_col).cast("double").alias("wt")
+    )
+    order = [F.col("wt").desc(), F.col(group_col).asc()]
+    wcum = Window.partitionBy(*strata_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy(*strata_cols)
+    ranked = g.select(
+        *strata_cols,
+        group_col,
+        F.col("wt"),
+        F.row_number().over(Window.partitionBy(*strata_cols).orderBy(*order)).alias("rank"),
+        (F.sum("wt").over(wcum) / F.sum("wt").over(wtot)).alias("_cum"),
+        (F.col("wt") / F.sum("wt").over(wtot)).alias("_share"),
+    )
+    return ranked.filter(F.col("_cum") - F.col("_share") < F.lit(p)).select(
+        *strata_cols,
+        group_col,
+        F.col("wt").cast("bigint").alias("weight"),
+        "rank",
+        F.round("_share", 6).alias("share"),
+        F.round("_cum", 6).alias("cum_share"),
+    )
+
+
 def _es_key(key: Column | str, weight: Column | str, *, seed: int) -> Column:
     """Efraimidis-Spirakis priority u^(1/w): u is the deterministic
     uniform (hash_bucket + 0.5)/1e6 — never an RNG, so the sample is

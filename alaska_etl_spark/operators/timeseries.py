@@ -29,7 +29,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma", "mad_anomalies", "zscore_anomalies"]
+__all__ = ["activity_bitmap", "ewma", "mad_anomalies", "zscore_anomalies"]
+
+
+def activity_bitmap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-(key, calendar month) activity as a day-of-month BITMASK —
+    the compressed presence encoding (roaring-bitmap style, scoped to
+    the 31 bits a month needs) that turns "which days was this user
+    active" from a (key, day) row set into one int64 per key-month.
+
+    ``mask`` has bit d−1 set iff the key has ≥1 event on day d of the
+    month; ``active_days`` is its popcount. Both are single hash
+    aggregates in whole-stage codegen — ``bit_or`` is mergeable, so
+    map-side partials collapse each partition's events to one long per
+    (key, month) before the shuffle: the shuffle volume is |keys ×
+    months| rows of 8 bytes regardless of event count, the same
+    downstream-join economics the HLL partials in qc5 buy for distinct
+    counts. Downstream set algebra (common active days of two users =
+    ``bit_count(a & b)``) never revisits the events.
+    """
+    month = F.date_trunc("month", F.col(ts_col))
+    # pyspark's F.shiftleft only accepts a literal int shift; the SQL
+    # form takes a column expression for the day-dependent bit position
+    day_bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), dayofmonth({ts_col}) - 1)")
+    return (
+        df.groupBy(F.col(key_col), month.alias("month"))
+        .agg(F.bit_or(day_bit).alias("mask"))
+        .withColumn("active_days", F.bit_count("mask").cast("int"))
+    )
 
 
 def ewma(

@@ -4362,6 +4362,143 @@ ORDER BY relationship
 """
 
 
+def qc7_max_concurrent(spark, sf_dir):
+    """Peak concurrent sessions per UTC day — the interval-sweep
+    pattern (operators/sessions.concurrency_by_day): q34's sessions
+    become closed [start, end] intervals, midnight-split, reduced to
+    per-(day, ts) boundary counts BEFORE the sweep window, so the
+    running sum sees distinct timestamps only. Touching sessions
+    (one ends exactly when another starts) count as overlapping."""
+    from alaska_etl_spark.operators.sessions import concurrency_by_day, session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_stats(
+        ev, key_cols=["user_id"], ts_col="ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+    return concurrency_by_day(sessions, start_col="session_start", end_col="session_end")
+
+
+QC7_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT min(ts) AS s, max(ts) AS e FROM numbered GROUP BY user_id, session_id
+), seg AS (
+  SELECT unnest(generate_series(date_trunc('day', s), date_trunc('day', e), INTERVAL 1 DAY)) AS d, s, e
+  FROM sessions
+), clamped AS (
+  SELECT d, greatest(s, d) AS seg_start,
+         least(e, d + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS seg_end
+  FROM seg
+), deltas AS (
+  SELECT d, ts, sum(starts) AS n_starts, sum(ends) AS n_ends FROM (
+    SELECT d, seg_start AS ts, 1 AS starts, 0 AS ends FROM clamped
+    UNION ALL
+    SELECT d, seg_end AS ts, 0 AS starts, 1 AS ends FROM clamped
+  ) GROUP BY d, ts
+), swept AS (
+  SELECT d, sum(n_starts - n_ends) OVER (PARTITION BY d ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_ends AS peak
+  FROM deltas
+)
+SELECT d AS utc_day, CAST(max(peak) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY 1 ORDER BY 1
+"""
+
+
+def qc8_activity_bitmap(spark, sf_dir):
+    """Per-(user, month) activity as a day-of-month bitmask
+    (operators/timeseries.activity_bitmap): ``bit_or`` of ``1 <<
+    (day-1)`` — a mergeable 8-byte presence summary per key-month (the
+    bitmap-index analogue of qc5's HLL partials) with popcount as the
+    active-day count. Both aggregates stay in whole-stage codegen."""
+    from alaska_etl_spark.operators.timeseries import activity_bitmap
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_bitmap(ev, "user_id", "ts").orderBy("user_id", "month")
+
+
+QC8_SQL = """
+SELECT user_id, date_trunc('month', ts) AS month,
+       bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS mask,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (day(ts) - 1))) AS INTEGER) AS active_days
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def qc9_mix_entropy(spark, sf_dir):
+    """Corpus-mix diversity report (operators/splits.mix_entropy):
+    char-weighted share per source with Shannon-entropy terms and
+    KL(actual ‖ uniform) — the before/after metric for every
+    reweighting step (q69 mix, qc1 temperature rebalance). One hash
+    aggregate to |sources| rows; windows run over those rows only."""
+    from alaska_etl_spark.operators.splits import mix_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_entropy(d, "source", weight_col="n_chars")
+
+
+QC9_SQL = """
+WITH g AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY 1
+), terms AS (
+  SELECT source, wt,
+         wt / sum(wt) OVER () AS p,
+         -(wt / sum(wt) OVER ()) * ln(wt / sum(wt) OVER ()) AS h,
+         (wt / sum(wt) OVER ()) * ln(wt / sum(wt) OVER () * count(*) OVER ()) AS kl
+  FROM g
+)
+SELECT source, CAST(wt AS BIGINT) AS weight,
+       round(p, 6) AS share,
+       round(h, 6) AS entropy_term,
+       round(sum(h) OVER (), 6) AS entropy_total,
+       round(sum(kl) OVER (), 6) AS kl_vs_uniform
+FROM terms ORDER BY source
+"""
+
+
+def qd0_top_p_coverage(spark, sf_dir):
+    """Nucleus (top-p) coverage per language
+    (operators/splits.top_p_coverage): the smallest weight-ranked
+    prefix of sources covering 90% of characters — cumulative-share
+    window over the |lang × source| aggregate, keep rule
+    ``cum − share < p`` (prefix plus the crossing group)."""
+    from alaska_etl_spark.operators.splits import top_p_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return top_p_coverage(
+        d, strata_cols=["lang"], group_col="source", weight_col="n_chars", p=0.9
+    ).orderBy("lang", "rank")
+
+
+QD0_SQL = """
+WITH g AS (
+  SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS wt
+  FROM documents GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, source, wt,
+         row_number() OVER (PARTITION BY lang ORDER BY wt DESC, source) AS rank,
+         sum(wt) OVER (PARTITION BY lang ORDER BY wt DESC, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(wt) OVER (PARTITION BY lang) AS cum,
+         wt / sum(wt) OVER (PARTITION BY lang) AS share
+  FROM g
+)
+SELECT lang, source, CAST(wt AS BIGINT) AS weight, rank,
+       round(share, 6) AS share, round(cum, 6) AS cum_share
+FROM ranked WHERE cum - share < 0.9 ORDER BY lang, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4488,6 +4625,10 @@ QUERIES = {
     "qc4_funnel": qc4_funnel,
     "qc5_sketch_rollup": qc5_sketch_rollup,
     "qc6_integrity_report": qc6_integrity_report,
+    "qc7_max_concurrent": qc7_max_concurrent,
+    "qc8_activity_bitmap": qc8_activity_bitmap,
+    "qc9_mix_entropy": qc9_mix_entropy,
+    "qd0_top_p_coverage": qd0_top_p_coverage,
 }
 
 ORACLES = {
@@ -4601,6 +4742,10 @@ ORACLES = {
     "qc3_cohort_retention": QC3_SQL,
     "qc4_funnel": QC4_SQL,
     "qc6_integrity_report": QC6_SQL,
+    "qc7_max_concurrent": QC7_SQL,
+    "qc8_activity_bitmap": QC8_SQL,
+    "qc9_mix_entropy": QC9_SQL,
+    "qd0_top_p_coverage": QD0_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

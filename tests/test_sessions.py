@@ -47,3 +47,55 @@ def test_gap_strictly_greater_splits(spark):
     )
     out = sessionize(df, key_cols=["user_id"], ts_col="ts", gap="30 minutes")
     assert sorted(r.session_id for r in out.collect()) == [1, 2]
+
+
+# --- interval concurrency (qc7) --------------------------------------------
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "s timestamp_ntz, e timestamp_ntz")
+
+
+def test_concurrency_touching_intervals_overlap(spark):
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+
+    b = dt.datetime(2023, 6, 1, 10, 0)
+    out = concurrency_by_day(
+        _iv(spark, [(b, b + dt.timedelta(hours=1)), (b + dt.timedelta(hours=1), b + dt.timedelta(hours=2))]),
+        start_col="s", end_col="e",
+    ).collect()
+    # closed intervals: one ends exactly when the other starts → both open at 11:00
+    assert [(r.utc_day, r.max_concurrent) for r in out] == [(dt.datetime(2023, 6, 1), 2)]
+
+
+def test_concurrency_disjoint_is_one(spark):
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+
+    b = dt.datetime(2023, 6, 1, 10, 0)
+    out = concurrency_by_day(
+        _iv(spark, [(b, b + dt.timedelta(minutes=5)), (b + dt.timedelta(hours=2), b + dt.timedelta(hours=3))]),
+        start_col="s", end_col="e",
+    ).collect()
+    assert out[0].max_concurrent == 1
+
+
+def test_concurrency_midnight_spanning_session_counts_on_both_days(spark):
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+
+    s = dt.datetime(2023, 6, 1, 23, 30)
+    e = dt.datetime(2023, 6, 2, 0, 30)
+    out = concurrency_by_day(_iv(spark, [(s, e)]), start_col="s", end_col="e").collect()
+    assert [(r.utc_day.day, r.max_concurrent) for r in out] == [(1, 1), (2, 1)]
+
+
+def test_concurrency_stacked_peak(spark):
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+
+    b = dt.datetime(2023, 6, 1, 10, 0)
+    m = dt.timedelta
+    # three overlap in [10:20, 10:30]; a fourth is disjoint later
+    out = concurrency_by_day(
+        _iv(spark, [(b, b + m(minutes=30)), (b + m(minutes=10), b + m(minutes=40)),
+                    (b + m(minutes=20), b + m(minutes=50)), (b + m(hours=5), b + m(hours=6))]),
+        start_col="s", end_col="e",
+    ).collect()
+    assert out[0].max_concurrent == 3

@@ -266,3 +266,85 @@ def test_temperature_sample_is_deterministic_and_nested(spark):
         for r in temperature_sample(df.repartition(17), "src", "id", alpha=0.5, seed=9).collect()
     }
     assert a == b
+
+
+# --- mix entropy / KL (qc9) ------------------------------------------------
+
+def test_mix_entropy_uniform_is_ln_k(spark):
+    import math
+
+    from alaska_etl_spark.operators.splits import mix_entropy
+
+    df = spark.createDataFrame(
+        [(s, i) for s in ("a", "b", "c", "d") for i in range(5)], "source string, x bigint"
+    )
+    rows = mix_entropy(df, "source").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.share == 0.25
+        assert r.entropy_total == round(math.log(4), 6)
+        assert r.kl_vs_uniform == 0.0
+
+
+def test_mix_entropy_degenerate_single_source(spark):
+    from alaska_etl_spark.operators.splits import mix_entropy
+
+    df = spark.createDataFrame([("only", 1)], "source string, x bigint")
+    r = mix_entropy(df, "source").collect()[0]
+    assert (r.share, r.entropy_total, r.kl_vs_uniform) == (1.0, 0.0, 0.0)
+
+
+def test_mix_entropy_weighted_matches_manual(spark):
+    import math
+
+    from alaska_etl_spark.operators.splits import mix_entropy
+
+    df = spark.createDataFrame([("a", 30), ("b", 10)], "source string, n bigint")
+    rows = {r.source: r for r in mix_entropy(df, "source", weight_col="n").collect()}
+    assert rows["a"].share == 0.75
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert rows["a"].entropy_total == round(h, 6)
+    kl = 0.75 * math.log(0.75 * 2) + 0.25 * math.log(0.25 * 2)
+    assert rows["b"].kl_vs_uniform == round(kl, 6)
+
+
+# --- top-p coverage (qd0) --------------------------------------------------
+
+def test_top_p_keeps_prefix_plus_crossing_group(spark):
+    from alaska_etl_spark.operators.splits import top_p_coverage
+
+    df = spark.createDataFrame(
+        [("en", "web", 50), ("en", "books", 30), ("en", "code", 15), ("en", "chat", 5)],
+        "lang string, source string, n bigint",
+    )
+    out = top_p_coverage(df, strata_cols=["lang"], group_col="source", weight_col="n", p=0.9)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # cum shares: .5, .8, .95 (crosses 0.9 → kept), chat would start at .95 ≥ .9 → cut
+    assert [r.source for r in rows] == ["web", "books", "code"]
+    assert rows[-1].cum_share == 0.95
+
+
+def test_top_p_tie_breaks_by_group_name(spark):
+    from alaska_etl_spark.operators.splits import top_p_coverage
+
+    df = spark.createDataFrame(
+        [("en", "zz", 10), ("en", "aa", 10)], "lang string, source string, n bigint"
+    )
+    rows = sorted(
+        top_p_coverage(df, strata_cols=["lang"], group_col="source", weight_col="n", p=0.6).collect(),
+        key=lambda r: r.rank,
+    )
+    # equal weights → name ascending; p=0.6 keeps aa (cum .5 < .6 starts) and zz crosses
+    assert [r.source for r in rows] == ["aa", "zz"]
+
+
+def test_top_p_strata_are_independent(spark):
+    from alaska_etl_spark.operators.splits import top_p_coverage
+
+    df = spark.createDataFrame(
+        [("en", "web", 99), ("en", "books", 1), ("de", "news", 1)],
+        "lang string, source string, n bigint",
+    )
+    out = top_p_coverage(df, strata_cols=["lang"], group_col="source", weight_col="n", p=0.5)
+    got = {(r.lang, r.source) for r in out.collect()}
+    assert got == {("en", "web"), ("de", "news")}

@@ -108,3 +108,45 @@ def test_mad_approx_matches_exact_away_from_threshold(spark):
     }
     # GK at accuracy 1e4 on 5e3 rows is exact: the flag sets must agree
     assert exact == approx
+
+
+# --- activity bitmap (qc8) -------------------------------------------------
+
+def test_activity_bitmap_mask_and_popcount(spark):
+    import datetime as dt
+
+    from alaska_etl_spark.operators.timeseries import activity_bitmap
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9)),
+        (1, dt.datetime(2024, 1, 1, 17)),   # same day → same bit
+        (1, dt.datetime(2024, 1, 3, 12)),
+        (1, dt.datetime(2024, 2, 1, 12)),   # new month → new row
+        (2, dt.datetime(2024, 1, 31, 23)),  # day 31 → top bit of the month
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    out = {(r.user_id, r.month.month): r for r in activity_bitmap(df, "user_id", "ts").collect()}
+    assert out[(1, 1)].mask == (1 << 0) | (1 << 2)
+    assert out[(1, 1)].active_days == 2
+    assert out[(1, 2)].mask == 1 << 0
+    assert out[(2, 1)].mask == 1 << 30
+    assert out[(2, 1)].active_days == 1
+
+
+def test_activity_bitmap_set_algebra_composes(spark):
+    """The point of the bitmask: common active days without re-reading events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.timeseries import activity_bitmap
+
+    rows = [(1, dt.datetime(2024, 1, d, 9)) for d in (1, 2, 3)] + [
+        (2, dt.datetime(2024, 1, d, 9)) for d in (2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    bm = activity_bitmap(df, "user_id", "ts")
+    a = bm.filter("user_id = 1").select(F.col("mask").alias("ma"))
+    b = bm.filter("user_id = 2").select(F.col("mask").alias("mb"))
+    common = a.crossJoin(b).select(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).alias("c"))
+    assert common.collect()[0].c == 2  # days 2 and 3
