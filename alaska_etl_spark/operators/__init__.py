@@ -121,5 +121,6 @@ from alaska_etl_spark.operators.timeseries import (  # noqa: F401
     activity_bitmap,
     ewma,
     mad_anomalies,
+    sliding_distinct,
     zscore_anomalies,
 )

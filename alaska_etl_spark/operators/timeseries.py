@@ -29,7 +29,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["activity_bitmap", "ewma", "mad_anomalies", "zscore_anomalies"]
+__all__ = [
+    "activity_bitmap",
+    "ewma",
+    "mad_anomalies",
+    "sliding_distinct",
+    "zscore_anomalies",
+]
 
 
 def activity_bitmap(
@@ -60,6 +66,51 @@ def activity_bitmap(
         df.groupBy(F.col(key_col), month.alias("month"))
         .agg(F.bit_or(day_bit).alias("mask"))
         .withColumn("active_days", F.bit_count("mask").cast("int"))
+    )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT distinct keys per trailing ``window_days``-day window, one
+    row per day in the data's range — the "7-day active users" metric,
+    computed without the quadratic self-join OR the approximation qc5's
+    HLL rollup accepts.
+
+    The trick is grain reduction before fan-out: events collapse to
+    distinct (key, day) rows first (one hash aggregate — at 100 TB this
+    is the |keys × days| presence table, O(millions), not the fact
+    table), and only THEN does each presence row replicate into the ≤
+    ``window_days`` window-end days it serves. The final distinct-count
+    aggregate therefore processes |keys × days × window| bounded rows.
+    Window ends outside the observed day range are dropped (every
+    reported window is fully inside the data).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    presence = df.select(F.col(key_col).alias("_k"), day.alias("_d")).distinct()
+    ends = presence.select(
+        "_k",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.col("_d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    )
+    bounds = presence.select(F.min("_d").alias("_min"), F.max("_d").alias("_max"))
+    complete = (F.col("window_end") <= F.col("_max")) & (
+        F.col("window_end") >= F.col("_min") + F.expr(f"INTERVAL {window_days - 1} DAYS")
+    )
+    return (
+        ends.join(F.broadcast(bounds), complete)
+        .groupBy("window_end")
+        .agg(F.countDistinct("_k").alias(f"distinct_{window_days}d"))
+        .orderBy("window_end")
     )
 
 

@@ -4499,6 +4499,228 @@ FROM ranked WHERE cum - share < 0.9 ORDER BY lang, rank
 """
 
 
+def qd1_cdc_apply(spark, sf_dir):
+    """CDC changelog apply (plans/warehouse.apply_changelog): a
+    deterministic feed derived from orders — seq1 updates every %7 key
+    (+10% price), seq2 deletes every %13 key, seq3 re-inserts every
+    %91 key at half price (probing the delete-then-reinsert path: the
+    LAST op wins, not the delete) — applied to the orders snapshot;
+    returns a per-status checksum of the resulting state."""
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_cents") + F.floor(F.col("price_cents") / 10)).alias("price_cents"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    reins = o.filter(F.col("o_orderkey") % 91 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.floor(F.col("price_cents") / 2).cast("bigint").alias("price_cents"),
+        F.lit("I").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    feed = upd.unionByName(dels).unionByName(reins)
+    final = apply_changelog(o, feed, ["o_orderkey"])
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_cents").alias("sum_cents"),
+            # per-row residue first: keys×cents products would pass 2^63
+            # near sf1 under ANSI overflow checking
+            F.sum((F.col("o_orderkey") * 31 + F.col("price_cents")) % 1000000007).alias(
+                "checksum"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QD1_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), feed AS (
+  SELECT o_orderkey, o_orderstatus,
+         price_cents + CAST(floor(price_cents / 10) AS BIGINT) AS price_cents,
+         'U' AS op, 1 AS seq
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 'D', 2 FROM o WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, 'R', CAST(floor(price_cents / 2) AS BIGINT), 'I', 3
+  FROM o WHERE o_orderkey % 91 = 0
+), unioned AS (
+  SELECT o_orderkey, o_orderstatus, price_cents, 'I' AS op, NULL AS seq FROM o
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price_cents, op, seq FROM feed
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC NULLS LAST) AS rn
+  FROM unioned
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+       CAST(sum((o_orderkey * 31 + price_cents) % 1000000007) AS BIGINT) AS checksum
+FROM latest WHERE rn = 1 AND op <> 'D'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qd2_sliding_distinct(spark, sf_dir):
+    """Exact trailing-7-day distinct users per day
+    (operators/timeseries.sliding_distinct): events collapse to the
+    (user, day) presence table FIRST, each presence row then serves ≤7
+    window ends — exact sliding distinct at |presence|×7 cost, the
+    exact companion to qc5's merged-HLL window."""
+    from alaska_etl_spark.operators.timeseries import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_distinct(ev, "user_id", "ts", window_days=7)
+
+
+QD2_SQL = """
+WITH presence AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), bounds AS (
+  SELECT min(d) AS mn, max(d) AS mx FROM presence
+), ends AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS window_end
+  FROM presence
+)
+SELECT window_end, count(DISTINCT user_id) AS distinct_7d
+FROM ends, bounds
+WHERE window_end <= mx AND window_end >= mn + INTERVAL 6 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qd3_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase joined as-of to
+    the user's latest view/click at-or-before it, within a 3-day
+    lookback (operators/asof.asof_join — the same operator as q17's
+    forecast⋈actual, on the product-analytics domain). Touches are
+    reduced to one row per (user, ts) by max event_id first, so the
+    as-of pick is total-order deterministic."""
+    from alaska_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+        )
+    )
+    out = asof_join(
+        purchases.withColumnRenamed("purchase_ts", "ts"),
+        touches.withColumnRenamed("touch_ts", "tts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="tts",
+        tolerance="3 days",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_id",
+        "touch_type",
+        F.col("tts").alias("touch_ts"),
+        F.expr("timestampdiff(SECOND, tts, ts)").alias("lag_s"),
+    )
+
+
+QD3_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       CASE WHEN t.ts >= p.ts - INTERVAL 3 DAY THEN t.event_id END AS touch_id,
+       CASE WHEN t.ts >= p.ts - INTERVAL 3 DAY THEN t.event_type END AS touch_type,
+       CASE WHEN t.ts >= p.ts - INTERVAL 3 DAY THEN t.ts END AS touch_ts,
+       -- elapsed FULL seconds (Spark timestampdiff truncation), not
+       -- DuckDB date_diff's second-boundary count
+       CASE WHEN t.ts >= p.ts - INTERVAL 3 DAY
+            THEN CAST(floor(date_diff('microsecond', t.ts, p.ts) / 1000000) AS BIGINT) END AS lag_s
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.event_type, e.ts
+  FROM events e
+  WHERE e.user_id = p.user_id AND e.event_type IN ('view', 'click') AND e.ts <= p.ts
+  ORDER BY e.ts DESC, e.event_id DESC
+  LIMIT 1
+) t ON TRUE
+WHERE p.event_type = 'purchase'
+"""
+
+
+def qd4_winsorize(spark, sf_dir):
+    """Winsorized (p01/p99-clipped) per-type value statistics — the
+    robust-mean companion to qa7's MAD screen. Bounds are exact
+    interpolated percentiles rounded to whole cents, so the clip, sum,
+    and count stay INTEGER until the single final division — no
+    float-summation-order hazard in either engine."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.01)")).cast("bigint").alias("lo"),
+        F.round(F.expr("percentile(cents, 0.99)")).cast("bigint").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "w", F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("w") != F.col("cents")).cast("int")).cast("bigint").alias("n_clipped"),
+            F.round(F.sum("w") / F.count(F.lit(1)) / 100.0, 4).alias("win_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QD4_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), b AS (
+  SELECT event_type,
+         CAST(round(quantile_cont(cents, 0.01)) AS BIGINT) AS lo,
+         CAST(round(quantile_cont(cents, 0.99)) AS BIGINT) AS hi
+  FROM e GROUP BY 1
+), c AS (
+  SELECT e.event_type, lo, hi, cents,
+         greatest(lo, least(hi, cents)) AS w
+  FROM e JOIN b USING (event_type)
+)
+SELECT event_type, max(lo) AS lo_cents, max(hi) AS hi_cents,
+       count(*) AS n,
+       CAST(sum(CASE WHEN w <> cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(sum(w) / count(*) / 100.0, 4) AS win_mean
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4629,6 +4851,10 @@ QUERIES = {
     "qc8_activity_bitmap": qc8_activity_bitmap,
     "qc9_mix_entropy": qc9_mix_entropy,
     "qd0_top_p_coverage": qd0_top_p_coverage,
+    "qd1_cdc_apply": qd1_cdc_apply,
+    "qd2_sliding_distinct": qd2_sliding_distinct,
+    "qd3_attribution": qd3_attribution,
+    "qd4_winsorize": qd4_winsorize,
 }
 
 ORACLES = {
@@ -4746,6 +4972,10 @@ ORACLES = {
     "qc8_activity_bitmap": QC8_SQL,
     "qc9_mix_entropy": QC9_SQL,
     "qd0_top_p_coverage": QD0_SQL,
+    "qd1_cdc_apply": QD1_SQL,
+    "qd2_sliding_distinct": QD2_SQL,
+    "qd3_attribution": QD3_SQL,
+    "qd4_winsorize": QD4_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -578,6 +578,59 @@ def diff_snapshots(
     )
 
 
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered CDC changelog (op ∈ I/U/D, monotone ``seq_col``
+    per key) to a snapshot and return the resulting snapshot — the
+    lakehouse "apply change data feed" op, complementing
+    :meth:`Warehouse.merge_upsert` (one unordered delta) and
+    :func:`scd2_merge` (history retention): here a key may be updated,
+    deleted, and re-inserted in ONE feed and the outcome is whatever
+    the LAST operation says.
+
+    Plan: base rows enter the union as (seq = −∞) pseudo-inserts, then
+    one window per key ordered by seq descending picks the latest
+    operation, and a filter drops keys whose last op is D. One shuffle
+    on the key; the window reads each row once. At 100 TB the base is
+    the large side — it arrives pre-partitioned if stored bucketed by
+    key (save_bucketed), leaving the changelog (churn-sized) as the
+    only moved data. Replaying the same feed is idempotent: the final
+    state depends only on (base, feed), not delivery count.
+
+    ``changes`` must carry base's columns plus ``op_col``/``seq_col``;
+    D rows only need the keys (payload columns are ignored).
+    """
+    data_cols = [c for c in base.columns if c not in key_cols]
+    b = base.select(
+        *key_cols,
+        *data_cols,
+        F.lit("I").alias("_op"),
+        F.lit(None).cast("bigint").alias("_seq"),
+    )
+    c = changes.select(
+        *key_cols,
+        *data_cols,
+        F.col(op_col).alias("_op"),
+        F.col(seq_col).cast("bigint").alias("_seq"),
+    )
+    from pyspark.sql import Window
+
+    # nulls_first: the base pseudo-insert sorts BELOW every feed seq
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc_nulls_last())
+    latest = (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return latest.filter(F.col("_op") != "D").select(*key_cols, *data_cols)
+
+
 def fk_check(
     child: DataFrame,
     parent: DataFrame,

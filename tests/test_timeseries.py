@@ -150,3 +150,37 @@ def test_activity_bitmap_set_algebra_composes(spark):
     b = bm.filter("user_id = 2").select(F.col("mask").alias("mb"))
     common = a.crossJoin(b).select(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))).alias("c"))
     assert common.collect()[0].c == 2  # days 2 and 3
+
+
+# --- sliding exact distinct (qd2) ------------------------------------------
+
+def test_sliding_distinct_window_and_completeness(spark):
+    import datetime as dt
+
+    from alaska_etl_spark.operators.timeseries import sliding_distinct
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9)),
+        (2, dt.datetime(2024, 1, 2, 9)),
+        (1, dt.datetime(2024, 1, 8, 9)),   # day 8: u1 again
+        (3, dt.datetime(2024, 1, 10, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    out = {r.window_end.day: r.distinct_3d for r in
+           sliding_distinct(df, "user_id", "ts", window_days=3).collect()}
+    # complete windows only (ends day 3 = min+2 … day 10 = max); windows
+    # with zero active users (5-7) emit no row — same absence both engines
+    assert out == {3: 2, 4: 1, 8: 1, 9: 1, 10: 2}
+    # day 3 window [1,3] covers u1@1+u2@2; day 10 window [8,10] u1@8+u3@10;
+    # incomplete windows 1-2 and beyond-data 11-12 are dropped
+
+
+def test_sliding_distinct_same_user_counts_once_per_window(spark):
+    import datetime as dt
+
+    from alaska_etl_spark.operators.timeseries import sliding_distinct
+
+    rows = [(7, dt.datetime(2024, 3, d, 12)) for d in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    out = sliding_distinct(df, "user_id", "ts", window_days=3).collect()
+    assert [(r.window_end.day, r.distinct_3d) for r in out] == [(3, 1)]

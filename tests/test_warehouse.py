@@ -322,3 +322,48 @@ def test_fk_check_counts_orphans_and_null_keys(spark):
     [r] = fk_check(child, parent, "fk", "pk").collect()
     assert r.n_child == 4
     assert r.n_orphans == 2  # the missing 99 and the NULL fk
+
+
+# --- CDC changelog apply (qd1) ---------------------------------------------
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_apply_changelog_last_op_wins(spark):
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    base = _snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+    feed = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),
+            (2, None, "D", 1),
+            (2, "b2", "I", 2),   # delete then re-insert: last op wins
+            (3, "c2", "U", 1),
+            (3, None, "D", 2),   # update then delete: gone
+            (4, "d", "I", 1),    # brand-new key
+        ],
+        "k bigint, v string, op string, seq bigint",
+    )
+    got = {r.k: r.v for r in apply_changelog(base, feed, ["k"]).collect()}
+    assert got == {1: "a2", 2: "b2", 4: "d"}
+
+
+def test_apply_changelog_is_idempotent_and_base_seqless(spark):
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    base = _snap(spark, [(1, "a")])
+    feed = spark.createDataFrame([(1, "a9", "U", 5)], "k bigint, v string, op string, seq bigint")
+    once = apply_changelog(base, feed, ["k"])
+    twice = apply_changelog(once, feed, ["k"])
+    assert [(r.k, r.v) for r in twice.collect()] == [(1, "a9")]
+
+
+def test_apply_changelog_empty_feed_is_identity(spark):
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    base = _snap(spark, [(1, "a"), (2, "b")])
+    feed = spark.createDataFrame([], "k bigint, v string, op string, seq bigint")
+    assert sorted((r.k, r.v) for r in apply_changelog(base, feed, ["k"]).collect()) == [
+        (1, "a"), (2, "b"),
+    ]
