@@ -89,11 +89,17 @@ def concurrency_by_day(
             "_seg_end"
         ),
     )
-    deltas = (
-        seg.select("_day", F.col("_seg_start").alias("ts"), F.lit(1).alias("starts"), F.lit(0).alias("ends"))
-        .unionAll(
-            seg.select("_day", F.col("_seg_end").alias("ts"), F.lit(0).alias("starts"), F.lit(1).alias("ends"))
+    # explode a 2-struct array rather than union two selects: a union
+    # would plan the (often expensive) interval-producing subtree twice
+    boundary = F.explode(
+        F.array(
+            F.struct(F.col("_seg_start").alias("ts"), F.lit(1).alias("starts"), F.lit(0).alias("ends")),
+            F.struct(F.col("_seg_end").alias("ts"), F.lit(0).alias("starts"), F.lit(1).alias("ends")),
         )
+    )
+    deltas = (
+        seg.select("_day", boundary.alias("_b"))
+        .select("_day", "_b.ts", "_b.starts", "_b.ends")
         .groupBy("_day", "ts")
         .agg(F.sum("starts").alias("n_starts"), F.sum("ends").alias("n_ends"))
     )

@@ -102,7 +102,9 @@ def sliding_distinct(
             )
         ).alias("window_end"),
     )
-    bounds = presence.select(F.min("_d").alias("_min"), F.max("_d").alias("_max"))
+    # min/max over the RAW input equal min/max over presence — skip the
+    # second distinct-aggregate subtree the presence-based form would plan
+    bounds = df.select(F.min(day).alias("_min"), F.max(day).alias("_max"))
     complete = (F.col("window_end") <= F.col("_max")) & (
         F.col("window_end") >= F.col("_min") + F.expr(f"INTERVAL {window_days - 1} DAYS")
     )

@@ -16,8 +16,10 @@ semi/anti self-joins (q51), broadcast range join (q52), and the
 round-4 compute-dense trio: inverted-index cosine similarity join
 (q88), bigram-LM scoring (q89), and stateful per-key EWMA (q92); plus
 the round-4b bounded-state heavy hitters (qa6), the grid-blocked
-geo kNN join (qb1), the hash-only snapshot diff (qc0), and the cohort
-retention matrix (qc3). The prefix-filtered Jaccard join (qb0) is
+geo kNN join (qb1), the hash-only snapshot diff (qc0), the cohort
+retention matrix (qc3), and the round-4c trio: interval-sweep
+concurrency (qc7), CDC changelog apply (qd1), and sliding exact
+distinct (qd2). The prefix-filtered Jaccard join (qb0) is
 registered+oracled but not headlined: at sf0.1 its ~12 small stages
 are fixed Spark overhead (~7 s vs DuckDB's 1.5 s single-node), while
 its prefix pruning only starts paying at corpus sizes where the
@@ -69,6 +71,9 @@ HEADLINE = [
     "qb1_geo_knn_join",
     "qc0_snapshot_diff",
     "qc3_cohort_retention",
+    "qc7_max_concurrent",
+    "qd1_cdc_apply",
+    "qd2_sliding_distinct",
 ]
 
 

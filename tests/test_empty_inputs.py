@@ -95,3 +95,29 @@ def test_diff_snapshots_both_empty(spark):
     a = spark.createDataFrame([], "k bigint, v double")
     b = spark.createDataFrame([], "k bigint, v double")
     assert diff_snapshots(a, b, ["k"]).count() == 0
+
+
+def test_round4c_presence_and_mix_ops_empty(spark):
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+    from alaska_etl_spark.operators.splits import mix_entropy, top_p_coverage
+    from alaska_etl_spark.operators.timeseries import activity_bitmap, sliding_distinct
+
+    iv = spark.createDataFrame([], "s timestamp_ntz, e timestamp_ntz")
+    assert concurrency_by_day(iv, start_col="s", end_col="e").count() == 0
+
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp_ntz")
+    assert activity_bitmap(ev, "user_id", "ts").count() == 0
+    assert sliding_distinct(ev, "user_id", "ts").count() == 0
+
+    docs = spark.createDataFrame([], "source string, lang string, n bigint")
+    assert mix_entropy(docs, "source", weight_col="n").count() == 0
+    assert top_p_coverage(docs, strata_cols=["lang"], group_col="source",
+                          weight_col="n", p=0.9).count() == 0
+
+
+def test_apply_changelog_empty_base(spark):
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    base = spark.createDataFrame([], "k bigint, v string")
+    feed = spark.createDataFrame([(1, "a", "I", 1)], "k bigint, v string, op string, seq bigint")
+    assert [(r.k, r.v) for r in apply_changelog(base, feed, ["k"]).collect()] == [(1, "a")]

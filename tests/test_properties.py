@@ -237,3 +237,80 @@ def test_cosine_simjoin_bounds_and_symmetric_ids(spark, texts):
         for j, b in enumerate(texts):
             if i < j and a.split() == b.split() and a.split():
                 assert got[(i, j)] == 1.0
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 600)), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_concurrency_matches_bruteforce(spark, intervals):
+    """concurrency_by_day == O(n·m) per-day closed-interval counting."""
+    from collections import defaultdict
+
+    from alaska_etl_spark.operators.sessions import concurrency_by_day
+
+    base = dt.datetime(2023, 5, 1)
+    rows = [
+        (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+        for s, d in intervals
+    ]
+    df = spark.createDataFrame(rows, "s timestamp_ntz, e timestamp_ntz")
+    got = {
+        r.utc_day.date(): r.max_concurrent
+        for r in concurrency_by_day(df, start_col="s", end_col="e").collect()
+    }
+
+    # reference: per day, evaluate concurrency at every boundary instant
+    want: dict = {}
+    by_day = defaultdict(list)
+    for s, e in rows:
+        d = s.date()
+        while d <= e.date():
+            day0 = dt.datetime(d.year, d.month, d.day)
+            day1 = day0 + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+            by_day[d].append((max(s, day0), min(e, day1)))
+            d += dt.timedelta(days=1)
+    for d, ivs in by_day.items():
+        instants = {t for iv in ivs for t in iv}
+        want[d] = max(sum(1 for a, b in ivs if a <= t <= b) for t in instants)
+    assert got == want
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=0, max_size=12),
+    feed=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 99), st.sampled_from(["I", "U", "D"])),
+        min_size=0,
+        max_size=15,
+    ),
+    cut=st.integers(0, 15),
+)
+@settings(**_SETTINGS)
+def test_apply_changelog_chunked_equals_whole(spark, base, feed, cut):
+    """Applying feed[:cut] then feed[cut:] == applying the whole feed —
+    the property that makes per-batch CDC ingestion correct; both equal
+    a dict replay."""
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    bmap = {}
+    for k, v in base:
+        bmap[k] = v
+    base_rows = list(bmap.items())
+    bdf = spark.createDataFrame(base_rows, "k bigint, v bigint")
+    fdf = [(k, v, op, i + 1) for i, (k, v, op) in enumerate(feed)]
+    schema = "k bigint, v bigint, op string, seq bigint"
+
+    whole = apply_changelog(bdf, spark.createDataFrame(fdf, schema), ["k"])
+    mid = apply_changelog(bdf, spark.createDataFrame(fdf[:cut], schema), ["k"])
+    chunked = apply_changelog(mid, spark.createDataFrame(fdf[cut:], schema), ["k"])
+
+    want = dict(bmap)
+    for k, v, op in feed:
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert {r.k: r.v for r in whole.collect()} == want
+    assert {r.k: r.v for r in chunked.collect()} == want
