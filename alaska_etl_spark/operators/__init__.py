@@ -116,7 +116,10 @@ from alaska_etl_spark.operators.splits import (  # noqa: F401
     temperature_sample,
     weighted_sample,
 )
-from alaska_etl_spark.operators.text import repetition_signals  # noqa: F401
+from alaska_etl_spark.operators.text import (  # noqa: F401
+    bm25_topk,
+    repetition_signals,
+)
 from alaska_etl_spark.operators.timeseries import (  # noqa: F401
     activity_bitmap,
     ewma,

@@ -389,3 +389,126 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-``k`` retrieval: score every document against every
+    query with Okapi BM25 and keep the ``k`` best per query —
+    ``(query_id, doc_id, score_micro, score, rank)``.
+
+    score(q,d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) /
+                 (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene/Okapi form
+    (always ≥ 0; query-term multiplicity ignored, as in Lucene).
+
+    Engine-exact protocol: the per-term contribution is rounded to
+    integer MICRO-units and summed as a BIGINT — integer addition is
+    associative, so the score is independent of Spark's partial-agg
+    summation order and an external engine replays it bit-for-bit
+    (the same fixed-point trick as the exact-moment statistics family).
+    ``score`` is derived from ``score_micro`` by one final division.
+
+    Scale shape: one corpus-sized shuffle builds (doc, term, tf); doc
+    length reuses that partitioning; df aggregates the already-reduced
+    (doc, term) table (|vocab| rows); (N, avgdl) is a one-row aggregate
+    cross-joined in. Query terms and their idf are a tiny broadcast —
+    the corpus tf table is pruned to query terms BY the broadcast join
+    before any scoring work, so the scored intermediate is
+    |matching postings|, not the corpus. The final top-k window
+    partitions by query (parallel across queries; k rows kept each).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tf = (
+        toks.repartition(nparts, "_id")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(query_text_col), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    qidf = (
+        dfreq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "_qid",
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+
+    contrib = (
+        tf.join(F.broadcast(qidf), "term")
+        .join(dl, "_id")
+        .select(
+            "_qid",
+            "_id",
+            F.round(
+                (
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("_micro"),
+        )
+    )
+    scores = contrib.groupBy("_qid", "_id").agg(F.sum("_micro").alias("score_micro"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score_micro").desc(), F.col("_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "score_micro",
+            F.round(F.col("score_micro") / 1000000.0, 6).alias("score"),
+            "rank",
+        )
+    )

@@ -4721,6 +4721,69 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+_BM25_QUERIES = [
+    (1, "hash join spark"),
+    (2, "window agg stream batch"),
+    (3, "vector scan filter fast"),
+]
+
+
+def qd5_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval over the documents table for three fixed
+    keyword queries — the lexical-retrieval primitive (data curation,
+    RAG candidate generation) completing the text-relevance family
+    (q75 TF-IDF characterizes documents; this RANKS them per query).
+    Engine-exact: per-term contributions are fixed-pointed to micro
+    units and summed as BIGINT, so the score is summation-order-free
+    (see operators.text.bm25_topk)."""
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return bm25_topk(d, qs, "doc_id", "text", k=10)
+
+
+QD5_SQL = r"""
+WITH q AS (
+  SELECT * FROM (VALUES (1, 'hash join spark'), (2, 'window agg stream batch'),
+                        (3, 'vector scan filter fast')) AS t(query_id, query_text)
+), qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query_text), '\s+'), x -> x <> '')) AS term
+  FROM q
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), qidf AS (
+  SELECT query_id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq JOIN qterms USING (term) CROSS JOIN stats
+), contrib AS (
+  SELECT query_id, tf.doc_id,
+         CAST(round((idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN qidf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+), scores AS (
+  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(micro) DESC, doc_id ASC) AS rank
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micro,
+       round(score_micro / 1000000.0, 6) AS score, rank
+FROM scores WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4855,6 +4918,7 @@ QUERIES = {
     "qd2_sliding_distinct": qd2_sliding_distinct,
     "qd3_attribution": qd3_attribution,
     "qd4_winsorize": qd4_winsorize,
+    "qd5_bm25": qd5_bm25,
 }
 
 ORACLES = {
@@ -4976,6 +5040,7 @@ ORACLES = {
     "qd2_sliding_distinct": QD2_SQL,
     "qd3_attribution": QD3_SQL,
     "qd4_winsorize": QD4_SQL,
+    "qd5_bm25": QD5_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -194,3 +194,66 @@ def test_chunk_documents_overlap_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_bm25_topk_values(spark):
+    """bm25_topk == a plain-Python Okapi BM25 over a handmade corpus,
+    including the micro-unit fixed-point protocol and tie-breaks."""
+    import math
+
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    corpus = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+        (4, "date apple"),
+    ]
+    queries = [(10, "apple cherry"), (20, "banana banana date")]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    qs = spark.createDataFrame(queries, "query_id int, query_text string")
+    out = bm25_topk(df, qs, "doc_id", "text", k=3).collect()
+
+    k1, b = 1.2, 0.75
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq: dict = {}
+    for t in docs.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+
+    def score_micro(qtext, d):
+        s = 0
+        for term in set(qtext.split()):
+            tf = docs[d].count(term)
+            if tf == 0 or term not in dfreq:
+                continue
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            c = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(docs[d]) / avgdl)
+            )
+            s += int(round(c * 1000000.0))
+        return s
+
+    want = {}
+    for qid, qtext in queries:
+        ranked = sorted(
+            ((score_micro(qtext, d), d) for d in docs if score_micro(qtext, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for r, (sm, d) in enumerate(ranked, 1):
+            want[(qid, r)] = (d, sm)
+
+    got = {(r.query_id, r.rank): (r.doc_id, r.score_micro) for r in out}
+    assert got == want
+    for r in out:
+        assert r.score == round(r.score_micro / 1000000.0, 6)
+
+
+def test_bm25_topk_empty_corpus(spark):
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    qs = spark.createDataFrame([(1, "apple")], "query_id int, query_text string")
+    assert bm25_topk(df, qs, "doc_id", "text").count() == 0
