@@ -915,3 +915,57 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the ``k`` most
+    cosine-similar corpus vectors whose ``label_col`` DIFFERS from the
+    query's — (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank).
+
+    The canonical curation step for embedding-model training data
+    (dense retrievers, SimCLR-style pipelines): negatives that are
+    nearly indistinguishable from positives carry the gradient signal.
+
+    Same scale contract as :func:`cosine_topk` — queries broadcast by
+    contract, one corpus scan, Arrow-vectorized cosine, per-query top-k
+    window — plus the label-mismatch filter applied BEFORE the window,
+    so excluded same-label pairs never reach the rank shuffle. Rounded
+    ranking keys + id tie-breaks keep it engine-exact (DuckDB oracle).
+    """
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    sim = cosine_sim(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    joined = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -4784,6 +4784,34 @@ FROM scores WHERE rank <= 10
 """
 
 
+def qd6_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most cosine-similar corpus vectors with a DIFFERENT label —
+    the highest-signal negatives for a dense retriever / embedding
+    model. Ranked on round-3 scores with id tie-breaks (engine-exact;
+    q27 is the unfiltered companion)."""
+    from alaska_etl_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_topk(emb, queries, k=5, round_digits=3)
+
+
+QD6_SQL = """
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+  WHERE q.vec_id < 10)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4919,6 +4947,7 @@ QUERIES = {
     "qd3_attribution": qd3_attribution,
     "qd4_winsorize": qd4_winsorize,
     "qd5_bm25": qd5_bm25,
+    "qd6_hard_negatives": qd6_hard_negatives,
 }
 
 ORACLES = {
@@ -5041,6 +5070,7 @@ ORACLES = {
     "qd3_attribution": QD3_SQL,
     "qd4_winsorize": QD4_SQL,
     "qd5_bm25": QD5_SQL,
+    "qd6_hard_negatives": QD6_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -375,3 +375,26 @@ def test_ivfpq_cluster_recall_shape_and_plan(spark):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # partial top-k stays map-side
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Nearest different-label vectors win; same-label candidates never
+    appear no matter how close."""
+    from alaska_etl_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        # label 0 cluster near (1, 0); label 1 cluster near (0, 1)
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),     # same label as query 0 — must be excluded
+        (2, [0.8, 0.6], 1),       # closest different-label
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = hard_negative_topk(
+        df, df.filter("vec_id = 0"), k=3, round_digits=4
+    ).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert all(r.query_label == 0 and r.neighbor_label == 1 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
