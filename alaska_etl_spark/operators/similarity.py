@@ -499,12 +499,21 @@ def ivf_topk(
     ncells: int = 16,
     nprobe: int = 4,
     round_digits: int | None = 4,
+    replicable: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` cells nearest to
     each query. Recall < 1 by design; the exact :func:`cosine_topk` is
     the oracle. At 100 TB, bucket assignment is computed once and
     persisted (see :func:`build_ivf_index` / :func:`ivf_search`) so
     repeated queries shuffle nothing.
+
+    ``replicable=True`` makes the WHOLE pipeline engine-exact so an
+    external oracle can replay it end-to-end: centroids come from
+    :func:`centroids_by_id` (ORDER BY id LIMIT ncells — any engine)
+    instead of the xxhash64 pick, and the assignment/probe similarities
+    are rounded to 6 dp before their argmax/top-nprobe (ties → smallest
+    centroid_id on both sides). Default False keeps the hash-spread
+    centroid pick (better cell balance; same plan shape).
 
     This ad-hoc build+search path is ONE narrow mapInPandas pass over
     the corpus: centroids (ncells rows) and the query set (small by the
@@ -521,7 +530,10 @@ def ivf_topk(
     to the smallest centroid_id; zero-norm/NULL corpus vectors score
     NULL cosine (sorting last under the descending rank window).
     """
-    cents = _centroids(corpus, id_col, vec_col, ncells)
+    if replicable:
+        cents = centroids_by_id(corpus, id_col=id_col, vec_col=vec_col, ncells=ncells)
+    else:
+        cents = _centroids(corpus, id_col, vec_col, ncells)
     crows = sorted(cents.collect(), key=lambda r: r.centroid_id)
     cids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
     cmat = np.asarray([r.centroid for r in crows], dtype=np.float64)
@@ -544,6 +556,8 @@ def ivf_topk(
     # 0s, i.e. the NULLS-LAST degenerate ordering), centroid_id asc.
     cell_to_q: dict[int, list[int]] = {}
     qsims = (qmat @ cmat.T) / np.outer(safe_qnorm, cnorm)
+    if replicable:
+        qsims = np.round(qsims, 6)
     for qi in range(len(qids)):
         order = np.lexsort((cids, -qsims[qi]))[: min(nprobe, len(cids))]
         for ci in order:
@@ -569,6 +583,8 @@ def ivf_topk(
             bad = null_mask | (xn == 0)
             xn_safe = np.where(xn == 0, 1.0, xn)
             sims = (x @ cmat.T) / np.outer(xn_safe, cnorm)
+            if replicable:
+                sims = np.round(sims, 6)
             sims[bad] = 0.0  # degenerate rows tie across cells → smallest cid
             cells = cids[np.argmax(sims, axis=1)]
             nids = pdf[id_col].to_numpy()

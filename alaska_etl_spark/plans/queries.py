@@ -1257,13 +1257,53 @@ def q30_simhash(spark, sf_dir):
 
 
 def q31_ivf_ann(spark, sf_dir):
-    """IVF approximate nearest neighbors (nprobe=4 of 16 cells; exact
-    recall oracle is q27)."""
+    """IVF approximate nearest neighbors (nprobe=4 of 16 cells), in the
+    engine-replicable mode: ORDER-BY-id centroids + 6dp-rounded
+    assignment/probe similarities, so DuckDB replays the ENTIRE
+    pipeline — quantizer, assignment, probe choice, candidate ranking —
+    and the driver hash-checks it exactly (was rows-only through r3;
+    q27 remains the recall reference)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, ncells=16, nprobe=4).select(
+    return ivf_topk(emb, queries, k=5, ncells=16, nprobe=4, replicable=True).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
+
+
+Q31_SQL = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= 5
+"""
 
 
 def q43_winnow_fingerprint(spark, sf_dir):
@@ -1732,8 +1772,10 @@ GROUP BY band, l_returnflag
 def q53_lsh_ann(spark, sf_dir):
     """Sign-LSH (random-hyperplane) approximate nearest neighbors:
     data-independent 8-bit buckets turn the q27 cross join into an
-    equi-join on bucket id. Rows-only (approximate by design); recall
-    against the exact q27 is pinned in tests/test_similarity.py.
+    equi-join on bucket id. The seeded-LCG planes are 6dp decimal
+    literals, so DuckDB rebuilds the identical hyperplanes and replays
+    bucketing + ranking exactly (was rows-only through r3; recall
+    against the exact q27 is pinned in tests/test_similarity.py).
     dim=64 is the testdata embedding width (TESTDATA.md)."""
     from alaska_etl_spark.operators.similarity import lsh_topk
 
@@ -1742,6 +1784,42 @@ def q53_lsh_ann(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=8, dim=64).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
+
+
+def _q53_sql() -> str:
+    """DuckDB replay of q53: the SAME sign_planes(64, 8, seed=7) weights
+    as decimal literals (they round-trip to identical doubles in both
+    engines), bucket = Σ 2^j·[v·plane_j ≥ 0], then the bucket equi-join
+    and rounded ranking of the Spark path."""
+    from alaska_etl_spark.operators.similarity import sign_planes
+
+    planes = sign_planes(64, 8, 7)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            w=", ".join(repr(x) for x in row), bit=1 << j
+        )
+        for j, row in enumerate(planes)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bits} AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, n.v), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.v, n.v), 4) DESC,
+                    n.vec_id ASC) AS rank
+  FROM c q JOIN c n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+  WHERE q.vec_id < 10)
+WHERE rank <= 5
+"""
+
+
+Q53_SQL = _q53_sql()
 
 
 def _salted_documents(spark, sf_dir):
@@ -4979,6 +5057,7 @@ ORACLES = {
     "q26_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
     "q28_embedding_near_dup": Q28_SQL,
+    "q31_ivf_ann": Q31_SQL,
     "q32_media_decode": Q32_SQL,
     "q33_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
@@ -4998,6 +5077,7 @@ ORACLES = {
     "q48_volume_shipping": Q48_SQL,
     "q49_idle_customers": Q49_SQL,
     "q50_top_supplier": Q50_SQL,
+    "q53_lsh_ann": Q53_SQL,
     "q10_sole_blame_supplier": Q10_SQL,
     "q14_range_join": Q14_SQL,
     "q37_pii_scrub": Q37_SQL,
