@@ -79,6 +79,7 @@ from alaska_etl_spark.operators.gate import gate_documents  # noqa: F401
 from alaska_etl_spark.operators.lm import (  # noqa: F401
     bigram_lm_scores,
     domain_relevance_weights,
+    perplexity_gate,
     score_bigram_lm,
     train_bigram_lm,
 )

@@ -232,3 +232,58 @@ def domain_relevance_weights(
             ),
         )
     )
+
+
+def perplexity_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    group_col: str | None = None,
+    head: float = 0.333333,
+    middle: float = 0.666667,
+) -> DataFrame:
+    """CCNet-style perplexity gate: score every document under the
+    corpus bigram LM and bucket it head / middle / tail within its
+    ``group_col`` (per-language in CCNet) by perplexity percentile —
+    (id, group, ppl, bucket). Lower perplexity = more fluent = head.
+
+    Engine-exact protocol: perplexity (already rounded to 4 dp by
+    :func:`score_bigram_lm`) is fixed-pointed to an INTEGER micro value
+    and the p33/p67 thresholds are exact interpolated percentiles over
+    those integers, rounded back to integers — every comparison happens
+    in the integer domain, so bucket assignment is reproducible across
+    engines and partitionings (the qd4 winsorize trick). Unscorable
+    documents (< 2 tokens → NULL ppl) are excluded, as in CCNet.
+
+    Scale shape: scoring is q89's chain (one corpus explode, two
+    vocabulary-sized count-table joins); thresholds are a per-group
+    aggregate over one integer per doc, broadcast back. The percentile
+    aggregate holds per-group value arrays — at extreme group
+    cardinality swap in approx_percentile with a tolerance; the gate's
+    decisions then need re-auditing, which is why the exact form is
+    the default.
+    """
+    scores = bigram_lm_scores(df, id_col, text_col)
+    cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    j = (
+        df.select(*cols)
+        .join(scores.select(id_col, "ppl"), id_col)
+        .filter(F.col("ppl").isNotNull())
+        .withColumn("_pm", F.round(F.col("ppl") * 10000.0, 0).cast("bigint"))
+    )
+    gb = [group_col] if group_col else []
+    th = j.groupBy(*gb).agg(
+        F.round(F.expr(f"percentile(_pm, {head})")).cast("bigint").alias("_h"),
+        F.round(F.expr(f"percentile(_pm, {middle})")).cast("bigint").alias("_m"),
+    )
+    out = j.join(F.broadcast(th), gb) if gb else j.join(F.broadcast(th))
+    return out.select(
+        id_col,
+        *gb,
+        "ppl",
+        F.when(F.col("_pm") <= F.col("_h"), "head")
+        .when(F.col("_pm") <= F.col("_m"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -4890,6 +4890,61 @@ WHERE rank <= 5
 """
 
 
+def qd7_perplexity_gate(spark, sf_dir):
+    """CCNet-style perplexity gate: per-language head/middle/tail
+    buckets by bigram-LM perplexity percentile (p33/p67). Thresholds
+    and comparisons run on integer micro-perplexities, so bucket
+    assignment is engine-exact (q89 is the underlying score)."""
+    from alaska_etl_spark.operators.lm import perplexity_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_gate(d, "doc_id", "text", group_col="lang")
+
+
+QD7_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos FROM toks
+), bigr AS (
+  SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok_rows
+  QUALIFY w2 IS NOT NULL
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigr GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT t) AS V FROM tok_rows
+), nll AS (
+  SELECT doc_id,
+         -ln((coalesce(c12.c12, 0) + 1) / (coalesce(c1.c1, 0) + v.V)) AS nll
+  FROM bigr
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, round(exp(round(avg(nll), 6)), 4) AS ppl
+  FROM nll GROUP BY 1
+), j AS (
+  SELECT d.doc_id, d.lang, p.ppl,
+         CAST(round(p.ppl * 10000.0) AS BIGINT) AS pm
+  FROM documents d JOIN per_doc p USING (doc_id)
+  WHERE p.ppl IS NOT NULL
+), th AS (
+  SELECT lang,
+         CAST(round(quantile_cont(pm, 0.333333)) AS BIGINT) AS h,
+         CAST(round(quantile_cont(pm, 0.666667)) AS BIGINT) AS m
+  FROM j GROUP BY 1
+)
+SELECT j.doc_id, j.lang, j.ppl,
+       CASE WHEN pm <= h THEN 'head' WHEN pm <= m THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN th USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5026,6 +5081,7 @@ QUERIES = {
     "qd4_winsorize": qd4_winsorize,
     "qd5_bm25": qd5_bm25,
     "qd6_hard_negatives": qd6_hard_negatives,
+    "qd7_perplexity_gate": qd7_perplexity_gate,
 }
 
 ORACLES = {
@@ -5151,6 +5207,7 @@ ORACLES = {
     "qd4_winsorize": QD4_SQL,
     "qd5_bm25": QD5_SQL,
     "qd6_hard_negatives": QD6_SQL,
+    "qd7_perplexity_gate": QD7_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -86,3 +86,32 @@ def test_domain_relevance_weights_separate_domains(spark):
     # off-domain text scores worse under the target LM
     assert out[10].weight < 0
     assert out[99].target_nll < out[10].target_nll
+
+
+def test_perplexity_gate_buckets_are_ordered_thirds(spark):
+    """Within each group: every head ppl <= every middle ppl <= every
+    tail ppl, all scorable docs bucketed, head is never empty."""
+    from alaska_etl_spark.operators.lm import perplexity_gate
+
+    rows = [
+        (i, " ".join(("alpha beta gamma delta " * 3).split()[: 4 + (i % 7)]), "en")
+        for i in range(12)
+    ] + [
+        (100 + i, "zig zag " + ("quux " * (i + 2)), "de") for i in range(6)
+    ] + [(999, "solo", "en")]  # 1 token -> unscorable, excluded
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = perplexity_gate(df, "doc_id", "text", group_col="lang").collect()
+
+    assert all(r.doc_id != 999 for r in out)
+    assert len(out) == 18
+    for lang in ("en", "de"):
+        by_bucket = {}
+        for r in out:
+            if r.lang == lang:
+                by_bucket.setdefault(r.bucket, []).append(r.ppl)
+        assert by_bucket.get("head"), lang
+        hi_head = max(by_bucket["head"])
+        if "middle" in by_bucket:
+            assert hi_head <= min(by_bucket["middle"])
+            if "tail" in by_bucket:
+                assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
