@@ -54,6 +54,7 @@ from alaska_etl_spark.operators.dedup import (  # noqa: F401
 )
 from alaska_etl_spark.operators.embeddings import (  # noqa: F401
     l2_normalize,
+    label_consistency,
     quantize_int8,
     truncate_dims,
 )

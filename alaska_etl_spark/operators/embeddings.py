@@ -115,3 +115,64 @@ def truncate_dims(vec: Column, dims: int, *, renormalize: bool = True) -> Column
         F.aggregate(F.transform(prefix, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     return F.when(norm > 0, F.transform(prefix, lambda x: x / norm)).otherwise(prefix)
+
+
+def label_consistency(
+    df,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 3,
+):
+    """kNN label-consistency screen (confident-learning-style mislabel
+    detection): for every vector, the fraction of its ``k`` nearest
+    neighbors (cosine) sharing its label — (id, label, agree_frac,
+    flagged). ``flagged`` marks rows where a MAJORITY of neighbors
+    disagree: the candidates a labeling audit reads first.
+
+    Self-kNN over the full set is quadratic; run it on a stratified
+    audit sample (operators.splits.stratified_sample) or swap the
+    brute-force neighbor stage for the LSH/IVF candidate generators —
+    the agreement aggregate is unchanged. Neighbor ranking uses rounded
+    cosine + id tie-breaks (engine-exact, the q27 contract).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.similarity import cosine_sim
+
+    a = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    b = df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(label_col).alias("_nlbl"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    sim = F.round(cosine_sim(F.col("_v"), F.col("_nv")), round_digits)
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_nid").asc())
+    pairs = (
+        a.join(F.broadcast(b), F.lit(True))
+        .filter(F.col("_id") != F.col("_nid"))
+        .select("_id", "_lbl", "_nid", "_nlbl", sim.alias("_cos"))
+    )
+    topk = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        topk.groupBy("_id", "_lbl")
+        .agg(
+            F.round(
+                F.sum((F.col("_nlbl") == F.col("_lbl")).cast("int")) / F.count(F.lit(1)),
+                4,
+            ).alias("agree_frac")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lbl").alias(label_col),
+            "agree_frac",
+            (F.col("agree_frac") < 0.5).alias("flagged"),
+        )
+    )

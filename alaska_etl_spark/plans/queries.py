@@ -4945,6 +4945,35 @@ FROM j JOIN th USING (lang)
 """
 
 
+def qd8_label_consistency(spark, sf_dir):
+    """kNN label-consistency mislabel screen on a bounded audit subset
+    (vec_id < 100): fraction of each vector's 5 nearest neighbors
+    sharing its label; majority-disagreement rows flagged. The
+    label-noise companion to qd6's hard negatives."""
+    from alaska_etl_spark.operators.embeddings import label_consistency
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return label_consistency(emb, k=5)
+
+
+QD8_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id, a.label AS lbl, b.label AS nlbl,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) DESC,
+                    b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+), agg AS (
+  SELECT id AS vec_id, lbl AS label,
+         round(sum(CASE WHEN nlbl = lbl THEN 1 ELSE 0 END) / count(*), 4) AS agree_frac
+  FROM pairs WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT vec_id, label, agree_frac, agree_frac < 0.5 AS flagged FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5082,6 +5111,7 @@ QUERIES = {
     "qd5_bm25": qd5_bm25,
     "qd6_hard_negatives": qd6_hard_negatives,
     "qd7_perplexity_gate": qd7_perplexity_gate,
+    "qd8_label_consistency": qd8_label_consistency,
 }
 
 ORACLES = {
@@ -5208,6 +5238,7 @@ ORACLES = {
     "qd5_bm25": QD5_SQL,
     "qd6_hard_negatives": QD6_SQL,
     "qd7_perplexity_gate": QD7_SQL,
+    "qd8_label_consistency": QD8_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

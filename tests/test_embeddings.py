@@ -58,3 +58,23 @@ def test_truncate_dims_renormalizes(spark):
     assert math.isclose(sum(x * x for x in got), 1.0, rel_tol=1e-12)
     raw = df.select(truncate_dims(F.col("embedding"), 3, renormalize=False).alias("t")).collect()[0].t
     assert raw == [1.0, 2.0, 2.0]
+
+
+def test_label_consistency_flags_planted_mislabel(spark):
+    """A vector whose neighbors all carry the other label is flagged;
+    members of a coherent cluster are not."""
+    from alaska_etl_spark.operators.embeddings import label_consistency
+
+    rows = (
+        # cluster A near (1, 0), label 0 — except id 3, mislabeled 1
+        [(0, [1.0, 0.0], 0), (1, [0.98, 0.2], 0), (2, [0.97, 0.24], 0),
+         (3, [0.99, 0.1], 1)]
+        # cluster B near (0, 1), label 1
+        + [(10, [0.0, 1.0], 1), (11, [0.2, 0.98], 1), (12, [0.24, 0.97], 1)]
+    )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    got = {r.vec_id: r for r in label_consistency(df, k=3).collect()}
+    assert len(got) == 7
+    assert got[3].flagged and got[3].agree_frac == 0.0
+    for i in (0, 1, 2, 10, 11, 12):
+        assert not got[i].flagged, i
