@@ -25,7 +25,10 @@
 - geo: grid-blocked haversine radius/kNN join
 - graph: fixed-point PageRank, degree-oriented triangle counting,
   bounded-hop BFS (engine-exact integer iteration; CC lives in dedup)
-- lm: bigram language-model scoring + DSIR domain weights
+- lm: bigram language-model scoring + DSIR domain weights + the
+  CCNet-style per-group perplexity gate
+- bpe: distributed BPE vocabulary training over the word-frequency
+  table (+ merge-list segmentation)
 - timeseries: per-key EWMA (recursive scan), z-score anomaly screen,
   per-month activity bitmasks
 - ranking: distributed global row_number / ntile (no single-partition
@@ -36,6 +39,10 @@
 """
 
 from alaska_etl_spark.operators.asof import asof_join  # noqa: F401
+from alaska_etl_spark.operators.bpe import (  # noqa: F401
+    bpe_segment,
+    train_bpe,
+)
 from alaska_etl_spark.operators.dedup import (  # noqa: F401
     decontaminate,
     dedup_exact,

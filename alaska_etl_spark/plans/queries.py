@@ -4974,6 +4974,20 @@ SELECT vec_id, label, agree_frac, agree_frac < 0.5 AS flagged FROM agg
 """
 
 
+def qd9_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training on the documents corpus: the first 20
+    learned merges (step, left, right, merged, pair_count). Fully
+    deterministic (integer pair counts, count-desc/lexicographic total
+    order) but rows-only by the same boundary as q29: an iterative
+    re-segmentation has no fixed-depth relational replay. The merge
+    list is pinned against a pure-Python Sennrich-BPE replica — on this
+    same documents fixture — in tests/test_bpe.py."""
+    from alaska_etl_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(d, "text", num_merges=20)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5112,6 +5126,7 @@ QUERIES = {
     "qd6_hard_negatives": qd6_hard_negatives,
     "qd7_perplexity_gate": qd7_perplexity_gate,
     "qd8_label_consistency": qd8_label_consistency,
+    "qd9_bpe_merges": qd9_bpe_merges,
 }
 
 ORACLES = {
