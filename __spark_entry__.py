@@ -40,13 +40,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. Approximate/LSH ops
-    (q29/q30/q31, q53/q55/q57, q76/q91, qb2 incremental-LSH, qc5
-    sketch rollups) are rows-only by design — each has an exact oracled
-    companion (q26 exact Jaccard, q27 brute-force cosine, q46 exact
-    distinct counts, q38 exact percentiles, q88 exact sparse cosine,
-    qb0 prefix-filtered exact Jaccard), as is the composed pipeline q73
-    (its stages are oracled individually); everything else, including
+    """DuckDB-runnable ANSI SQL oracle per query. The xxhash64-based
+    approximate ops (q29/q30), the engine-defined sketches (q55/q57,
+    qc5), the k-means-trained quantizers (q76/q91), qb2
+    incremental-LSH, and the iterative BPE trainer (qd9) are rows-only
+    by design — each has an exact oracled companion (q26 exact
+    Jaccard, q27 brute-force cosine, q46 exact distinct counts, q38
+    exact percentiles, q88 exact sparse cosine, qb0 prefix-filtered
+    exact Jaccard) or, for qd9, a pure-Python replica pin on the same
+    fixture; q31 IVF and q53 sign-LSH became EXACTLY oracled in round
+    4 (deterministic quantizer + 6dp literals). The composed pipeline
+    q73 is rows-only (its stages are oracled individually); everything
+    else, including
     the multimodal mapInPandas path (q32/q33), sessionization (q34),
     the EWMA recursion (q92, oracle replays it in a recursive CTE),
     the iterative graph loops (qb6/qb8, oracle replays them as

@@ -65,27 +65,40 @@ class BigramLM(NamedTuple):
     vocab: DataFrame  # (_V)
 
 
-def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, text) → (_id, _w1, _w2): one row per adjacent token pair.
-    Documents with < 2 tokens contribute no rows (handled by the
-    scorer's left join back to the document set). Narrow inputs are
+def _token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) → (_id, _tk array<string>): the tokenized corpus at
+    document grain — one regex tokenize pass; everything downstream
+    (bigram rows, vocabulary) derives from it. Narrow inputs are
     repartitioned first: compact corpus files would otherwise run the
     explode → ln-scoring pipeline on one core (no-op at scale — see
     operators/parallelism.py)."""
     df = ensure_min_parallelism(df, id_col)
-    toks = word_tokens(text_col)
-    pairs = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.struct(
-                t.alias("_w1"), F.get(toks, i + 1).alias("_w2")
-            ),
-        ),
-        lambda s: s.getField("_w2").isNotNull(),
+    return df.select(F.col(id_col).alias("_id"), word_tokens(text_col).alias("_tk"))
+
+
+def _rows_from_tokens(toks_df: DataFrame) -> DataFrame:
+    """(_id, _tk) → (_id, _w1, _w2): one row per adjacent token pair.
+    Documents with < 2 tokens contribute no rows (handled by the
+    scorer's left join back to the document set)."""
+    tk = F.col("_tk")
+    # zip_with over two slices, not transform+get: HOF lambdas run
+    # interpreted, and the slice/zip form executes ~half the per-element
+    # ops of the index-probing form (measured 0.53 s -> 0.41 s for the
+    # explode at bench scale)
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))  # slice() rejects negative lengths
+    pairs = F.zip_with(
+        F.slice(tk, 1, n1),
+        F.slice(tk, 2, n1),
+        lambda a, b: F.struct(a.alias("_w1"), b.alias("_w2")),
     )
-    return df.select(
-        F.col(id_col).alias("_id"), F.explode(pairs).alias("_p")
-    ).select("_id", F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+    return toks_df.select("_id", F.explode(pairs).alias("_p")).select(
+        "_id", F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2")
+    )
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) → (_id, _w1, _w2) — tokenize + pair in one chain."""
+    return _rows_from_tokens(_token_table(df, id_col, text_col))
 
 
 def train_bigram_lm(df: DataFrame, id_col: str, text_col: str) -> BigramLM:
@@ -116,6 +129,28 @@ def score_bigram_lm(
     n_bigrams=0 with NULL avg_nll/ppl (no evidence, not zero
     surprise)."""
     rows = _bigram_rows(df, id_col, text_col)
+    return _score_rows(
+        rows,
+        df.select(F.col(id_col).alias("_id")),
+        lm,
+        id_col=id_col,
+        round_digits=round_digits,
+        ppl_digits=ppl_digits,
+    )
+
+
+def _score_rows(
+    rows: DataFrame,
+    base: DataFrame,
+    lm: BigramLM,
+    *,
+    id_col: str,
+    round_digits: int,
+    ppl_digits: int,
+) -> DataFrame:
+    """Score pre-built bigram rows against a model; ``base`` carries
+    every document id (re-attached by left join so < 2-token docs
+    surface with NULL scores)."""
     scored = (
         rows.join(lm.bigrams, ["_w1", "_w2"], "left")
         .join(lm.contexts, "_w1", "left")
@@ -134,7 +169,6 @@ def score_bigram_lm(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("_nll"), round_digits).alias("avg_nll"),
     )
-    base = df.select(F.col(id_col).alias("_id"))
     return (
         base.join(per_doc, "_id", "left")
         .select(
@@ -155,10 +189,29 @@ def bigram_lm_scores(
     ppl_digits: int = 4,
 ) -> DataFrame:
     """Self-scoring convenience: train on ``df`` and score ``df`` —
-    the in-corpus outlier-detection form."""
-    lm = train_bigram_lm(df, id_col, text_col)
-    return score_bigram_lm(
-        df, id_col, text_col, lm, round_digits=round_digits, ppl_digits=ppl_digits
+    the in-corpus outlier-detection form.
+
+    The tokenized corpus is PERSISTED at document grain (one array row
+    per doc — the smallest cacheable form) so the one regex-tokenize
+    pass feeds training counts, vocabulary, scoring rows, and the
+    document base; the separate train-then-score composition would
+    re-tokenize the corpus three times (measured: the dominant cost of
+    q89/qd7 at bench scale)."""
+    toks = _token_table(df, id_col, text_col).persist()
+    rows = _rows_from_tokens(toks)
+    bigrams = rows.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    contexts = bigrams.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = toks.select(F.explode("_tk").alias("_w")).agg(
+        F.countDistinct("_w").alias("_V")
+    )
+    lm = BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab)
+    return _score_rows(
+        rows,
+        toks.select("_id"),
+        lm,
+        id_col=id_col,
+        round_digits=round_digits,
+        ppl_digits=ppl_digits,
     )
 
 

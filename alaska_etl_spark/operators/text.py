@@ -419,14 +419,19 @@ def bm25_topk(
     (the same fixed-point trick as the exact-moment statistics family).
     ``score`` is derived from ``score_micro`` by one final division.
 
-    Scale shape: one corpus-sized shuffle builds (doc, term, tf); doc
-    length reuses that partitioning; df aggregates the already-reduced
-    (doc, term) table (|vocab| rows); (N, avgdl) is a one-row aggregate
-    cross-joined in. Query terms and their idf are a tiny broadcast —
-    the corpus tf table is pruned to query terms BY the broadcast join
-    before any scoring work, so the scored intermediate is
-    |matching postings|, not the corpus. The final top-k window
-    partitions by query (parallel across queries; k rows kept each).
+    Scale shape: ONE corpus scan + ONE corpus-sized shuffle build the
+    (doc, term, tf) postings, PERSISTED — the postings table IS the
+    index (what Lucene materializes), and all four consumers (document
+    frequencies, doc lengths, the one-row (N, avgdl) reduction, the
+    scoring join) read the cache; the doc-length aggregate reuses the
+    postings' hash(_id) partitioning, so no second exchange. Query
+    terms and their idf are a tiny broadcast — the postings are pruned
+    to query terms BY the broadcast join before any scoring work, so
+    the scored intermediate is |matching postings|, not the corpus.
+    The final top-k window partitions by query (parallel across
+    queries; k rows kept each). (The first cut let every consumer
+    re-derive the postings: 4 corpus scans, 0 reused exchanges,
+    measured 1.9 s warm at sf0.1 vs 1.0 s for this shape.)
     """
     from pyspark.sql import Window
 
@@ -441,6 +446,7 @@ def bm25_topk(
         toks.repartition(nparts, "_id")
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     stats = dl.select(

@@ -18,8 +18,9 @@ round-4 compute-dense trio: inverted-index cosine similarity join
 the round-4b bounded-state heavy hitters (qa6), the grid-blocked
 geo kNN join (qb1), the hash-only snapshot diff (qc0), the cohort
 retention matrix (qc3), and the round-4c trio: interval-sweep
-concurrency (qc7), CDC changelog apply (qd1), and sliding exact
-distinct (qd2). The prefix-filtered Jaccard join (qb0) is
+concurrency (qc7), CDC changelog apply (qd1), sliding exact
+distinct (qd2), and the round-4d retrieval/gating pair: BM25 top-k
+(qd5) and the CCNet perplexity gate (qd7). The prefix-filtered Jaccard join (qb0) is
 registered+oracled but not headlined: at sf0.1 its ~12 small stages
 are fixed Spark overhead (~7 s vs DuckDB's 1.5 s single-node), while
 its prefix pruning only starts paying at corpus sizes where the
@@ -74,6 +75,8 @@ HEADLINE = [
     "qc7_max_concurrent",
     "qd1_cdc_apply",
     "qd2_sliding_distinct",
+    "qd5_bm25",
+    "qd7_perplexity_gate",
 ]
 
 
