@@ -556,3 +556,62 @@ def stream_near_dup_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_apply_changelog(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """Streaming form of the CDC apply (plans/warehouse.apply_changelog):
+    consume an ordered I/U/D change feed as a stream and maintain the
+    snapshot table, one ``foreachBatch`` apply + atomic directory swap
+    per micro-batch.
+
+    Exactly-once from at-least-once delivery WITHOUT a transactional
+    sink, by the algebra of the operator itself (pinned in
+    tests/test_properties.py): chunked application equals whole-feed
+    application (any batch boundary is safe), and re-applying an
+    already-applied feed is a no-op (base rows enter as seq −∞
+    pseudo-inserts, so replayed ops re-resolve to the same winners) —
+    a crash between snapshot swap and checkpoint commit replays the
+    batch onto the updated snapshot harmlessly.
+
+    At 100 TB the swap is the honest no-table-format baseline (same as
+    Warehouse.compact); a lakehouse table format would replace the
+    directory swap with a metadata commit, leaving the plan unchanged.
+    """
+    from alaska_etl_spark.plans.warehouse import apply_changelog
+
+    data_cols = [c for c in stream_df.columns if c not in (op_col, seq_col)]
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if warehouse.table_exists(table):
+            base = warehouse.read(table)
+        else:
+            base = spark.createDataFrame([], batch_df.select(*data_cols).schema)
+        snap = apply_changelog(
+            base, batch_df, key_cols, seq_col=seq_col, op_col=op_col
+        )
+        tmp = warehouse._spec(f"{table}__cdc_tmp")
+        warehouse._write_spec(snap, tmp, "overwrite")
+        if warehouse.table_exists(table):
+            warehouse._swap_in(tmp["target"], warehouse._path(table))
+        else:  # first batch: nothing live to move aside
+            fs, tmp_p = warehouse._fs_and_path(tmp["target"])
+            _, live_p = warehouse._fs_and_path(warehouse._path(table))
+            fs.rename(tmp_p, live_p)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

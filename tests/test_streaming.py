@@ -277,3 +277,54 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert all(loc == "PAJN" for loc, *_ in want)
     # every matched pair is within the hour
     assert all(abs((f - a).total_seconds()) <= 3600 for _, f, a in want)
+
+
+def test_stream_apply_changelog_maintains_snapshot(spark, tmp_path):
+    """CDC feed consumed as a stream maintains the snapshot across
+    micro-batches: insert/update/delete in one batch, then a later
+    batch updating + re-inserting — final state equals the whole-feed
+    batch apply; a full replay (checkpoint wiped) is a no-op."""
+    import shutil
+
+    from alaska_etl_spark.plans.warehouse import Warehouse, apply_changelog
+    from alaska_etl_spark.streaming.incremental import stream_apply_changelog
+
+    src, ckpt = tmp_path / "feed", tmp_path / "ckpt"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "k BIGINT, v STRING, op STRING, seq BIGINT"
+
+    def drain():
+        feed = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .csv(str(src))
+        )
+        stream_apply_changelog(feed, wh, "snap", str(ckpt), key_cols=["k"])
+
+    (src / "b1.csv").write_text(
+        "k,v,op,seq\n1,a,I,1\n2,b,I,2\n1,a2,U,3\n3,c,I,4\n2,,D,5\n"
+    )
+    drain()
+    got1 = {(r.k, r.v) for r in wh.read("snap").select("k", "v").collect()}
+    assert got1 == {(1, "a2"), (3, "c")}
+
+    (src / "b2.csv").write_text("k,v,op,seq\n3,c2,U,6\n2,b2,I,7\n1,,D,8\n")
+    drain()
+    got2 = {(r.k, r.v) for r in wh.read("snap").select("k", "v").collect()}
+    assert got2 == {(3, "c2"), (2, "b2")}
+
+    # equals the single-shot batch apply of the concatenated feed
+    base = spark.createDataFrame([], "k BIGINT, v STRING")
+    whole = spark.read.schema(schema).option("header", "true").csv(str(src))
+    want = {
+        (r.k, r.v)
+        for r in apply_changelog(base, whole, ["k"]).collect()
+    }
+    assert got2 == want
+
+    # wipe checkpoint: the entire feed replays onto the live snapshot — no-op
+    shutil.rmtree(ckpt)
+    drain()
+    got3 = {(r.k, r.v) for r in wh.read("snap").select("k", "v").collect()}
+    assert got3 == got2
