@@ -319,11 +319,16 @@ def perplexity_gate(
     """
     scores = bigram_lm_scores(df, id_col, text_col)
     cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    # persisted: both the threshold aggregate and the final bucket join
+    # consume it — unpersisted, the whole LM scoring chain (the
+    # expensive subtree) would execute twice. Doc-grain rows: the
+    # smallest cacheable form, same envelope as the scores themselves.
     j = (
         df.select(*cols)
         .join(scores.select(id_col, "ppl"), id_col)
         .filter(F.col("ppl").isNotNull())
         .withColumn("_pm", F.round(F.col("ppl") * 10000.0, 0).cast("bigint"))
+        .persist()
     )
     gb = [group_col] if group_col else []
     th = j.groupBy(*gb).agg(
