@@ -31,3 +31,50 @@ def test_no_cartesian_no_row_python_udf(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_bm25_postings_cached_and_joins_broadcast(spark):
+    """qd5: the postings table is persisted and read by multiple
+    consumers (InMemoryTableScan), the query-idf side broadcasts
+    (no sort-merge join anywhere), and the only nested-loop is the
+    1-row (N, avgdl) stats broadcast."""
+    from alaska_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["qd5_bm25"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_hard_negatives_broadcast_single_scan(spark):
+    """qd6: queries broadcast against one corpus scan (a single
+    BroadcastNestedLoopJoin), label filter below the rank window, and
+    no sort-merge join."""
+    from alaska_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["qd6_hard_negatives"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_perplexity_gate_single_scoring_chain(spark):
+    """qd7: the scored doc table is persisted — the threshold aggregate
+    and the bucket join read the cache instead of re-running the LM
+    scoring chain."""
+    from alaska_etl_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["qd7_perplexity_gate"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
