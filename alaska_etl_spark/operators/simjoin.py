@@ -91,13 +91,18 @@ def cosine_similarity_join(
     reproducibility.
     """
     tf = ngram_tf(df, id_col, text_col, n=n)
-    norms = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq"))
 
     # join/aggregate on 8-byte gram hashes, not ~20-byte strings: the
     # pair join is the dominant cost (Σ df² rows) and the result only
     # needs ids — a 64-bit collision (≈|vocab|²/2⁶⁴, ~1e-8 here) would
     # merge two grams and be caught by the string-keyed SQL oracle.
-    feats = tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf")
+    # PERSISTED: the feature table feeds norms, the optional df counts,
+    # and BOTH sides of the self-join — unpersisted, the tokenize →
+    # gram-explode → aggregate subtree would execute up to four times.
+    feats = tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf").persist()
+    # norms from the (pre-prune) features: hashing preserves rows, and
+    # the norm must cover ALL grams even when max_df prunes join feats
+    norms = feats.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq"))
     if max_df is not None:
         counts = feats.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
         feats = feats.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
