@@ -198,7 +198,10 @@ def bigram_lm_scores(
     re-tokenize the corpus three times (measured: the dominant cost of
     q89/qd7 at bench scale)."""
     toks = _token_table(df, id_col, text_col).persist()
-    rows = _rows_from_tokens(toks)
+    # rows cached too: the training counts and the scoring join both
+    # consume them, and the pair-explode (interpreted HOF) is the
+    # hottest per-row step of the chain
+    rows = _rows_from_tokens(toks).persist()
     bigrams = rows.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
     contexts = bigrams.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     vocab = toks.select(F.explode("_tk").alias("_w")).agg(
