@@ -121,3 +121,50 @@ def test_apply_changelog_empty_base(spark):
     base = spark.createDataFrame([], "k bigint, v string")
     feed = spark.createDataFrame([(1, "a", "I", 1)], "k bigint, v string, op string, seq bigint")
     assert [(r.k, r.v) for r in apply_changelog(base, feed, ["k"]).collect()] == [(1, "a")]
+
+
+def test_round4d_ops_empty_inputs(spark):
+    from alaska_etl_spark.operators.bpe import train_bpe
+    from alaska_etl_spark.operators.embeddings import label_consistency
+    from alaska_etl_spark.operators.lm import perplexity_gate
+    from alaska_etl_spark.operators.similarity import hard_negative_topk
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    qs = spark.createDataFrame([], "query_id int, query_text string")
+    some_docs = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en")], "doc_id bigint, text string, lang string"
+    )
+    some_qs = spark.createDataFrame([(1, "alpha")], "query_id int, query_text string")
+
+    # empty corpus / empty query set
+    assert bm25_topk(docs, some_qs, "doc_id", "text").count() == 0
+    assert bm25_topk(some_docs, qs, "doc_id", "text").count() == 0
+
+    assert perplexity_gate(docs, "doc_id", "text", group_col="lang").count() == 0
+    # single scorable doc: one group, thresholds degenerate, bucket=head
+    one = perplexity_gate(some_docs, "doc_id", "text", group_col="lang").collect()
+    assert len(one) == 1 and one[0].bucket == "head"
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>, label int")
+    some_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    assert label_consistency(emb).count() == 0
+    assert hard_negative_topk(emb, some_emb).count() == 0
+    assert hard_negative_topk(some_emb, emb).count() == 0
+
+    assert train_bpe(docs, "text", num_merges=5).count() == 0
+    # no pair reaches count >= 2 -> no merges
+    uniq = spark.createDataFrame([("ab cd",)], "text string")
+    assert train_bpe(uniq, "text", num_merges=5).count() == 0
+
+
+def test_bpe_segment_no_merges_yields_chars(spark):
+    from alaska_etl_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame([(1, "ab c")], "doc_id bigint, text string")
+    out = bpe_segment(df, "doc_id", "text", []).collect()
+    assert len(out) == 1
+    assert list(out[0].tokens) == ["a", "b", "c"] and out[0].n_tokens == 3
