@@ -314,3 +314,67 @@ def test_apply_changelog_chunked_equals_whole(spark, base, feed, cut):
             want[k] = v
     assert {r.k: r.v for r in whole.collect()} == want
     assert {r.k: r.v for r in chunked.collect()} == want
+
+
+_BM25_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_BM25_WORDS), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    query=st.lists(st.sampled_from(_BM25_WORDS + ["zz"]), min_size=1, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_replica(spark, docs, query):
+    """bm25_topk == plain-Python Okapi BM25 (micro-int protocol and
+    tie-breaks included) on random tiny corpora, incl. out-of-vocab
+    query terms and empty documents."""
+    import math
+
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame([(0, " ".join(query))], "query_id int, query_text string")
+    got = [
+        (r.doc_id, r.score_micro, r.rank)
+        for r in bm25_topk(df, qs, "doc_id", "text", k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    k1, b = 1.2, 0.75
+    lens = {i: len(w) for i, w in enumerate(docs) if w}
+    n = len(lens)
+    if n == 0:
+        assert got == []
+        return
+    avgdl = sum(lens.values()) / n
+    dfreq: dict = {}
+    for w in docs:
+        for t in set(w):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    def score(d):
+        s = 0
+        for t in set(query):
+            tf = docs[d].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * lens[d] / avgdl)
+            )
+            s += int(round(c * 1000000.0))
+        return s
+
+    ranked = sorted(
+        ((score(d), d) for d in lens if score(d) > 0), key=lambda x: (-x[0], x[1])
+    )[:4]
+    want = [(d, sm, r) for r, (sm, d) in enumerate(ranked, 1)]
+    assert got == want
