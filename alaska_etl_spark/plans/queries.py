@@ -4988,6 +4988,72 @@ def qd9_bpe_merges(spark, sf_dir):
     return train_bpe(d, "text", num_merges=20)
 
 
+def qe0_share_and_growth(spark, sf_dir):
+    """Percent-of-total and period-over-period growth on one aggregated
+    series — the two reporting windows every BI layer composes: monthly
+    revenue per region, its share of that month's total (basis points),
+    and month-over-month growth (basis points, NULL for each region's
+    first month). Shares/growth computed in integer-cent space with one
+    final rounding, so both engines emit identical BIGINTs.
+
+    Scale shape: the only corpus-sized work is the first aggregate (one
+    shuffle of the orders star, dims broadcast); both windows run over
+    the aggregated |regions × months| series — thousands of rows at any
+    corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w_m = Window.partitionBy("month")
+    w_r = Window.partitionBy("r_name").orderBy("month")
+    return (
+        monthly.withColumn("_tot", F.sum("rev_c").over(w_m))
+        .withColumn("_prev", F.lag("rev_c").over(w_r))
+        .select(
+            "r_name",
+            "month",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.lit(10000.0) * F.col("rev_c") / F.col("_tot"))
+            .cast("bigint")
+            .alias("share_bp"),
+            # DOUBLE, not BIGINT: the column is NULL for each region's
+            # first month, and pandas widens nullable ints to float64 on
+            # exactly one side of the compare — a double is stable in both
+            F.round(
+                F.lit(10000.0) * (F.col("rev_c") - F.col("_prev")) / F.col("_prev")
+            ).alias("mom_bp"),
+        )
+        .orderBy("r_name", "month")
+    )
+
+
+QE0_SQL = """
+WITH monthly AS (
+  SELECT r_name, date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, month,
+       round(rev_c / 100.0, 2) AS revenue,
+       CAST(round(10000.0 * rev_c / sum(rev_c) OVER (PARTITION BY month)) AS BIGINT) AS share_bp,
+       round(10000.0 * (rev_c - lag(rev_c) OVER w) / lag(rev_c) OVER w) AS mom_bp
+FROM monthly
+WINDOW w AS (PARTITION BY r_name ORDER BY month)
+ORDER BY r_name, month
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5127,6 +5193,7 @@ QUERIES = {
     "qd7_perplexity_gate": qd7_perplexity_gate,
     "qd8_label_consistency": qd8_label_consistency,
     "qd9_bpe_merges": qd9_bpe_merges,
+    "qe0_share_and_growth": qe0_share_and_growth,
 }
 
 ORACLES = {
@@ -5254,6 +5321,7 @@ ORACLES = {
     "qd6_hard_negatives": QD6_SQL,
     "qd7_perplexity_gate": QD7_SQL,
     "qd8_label_consistency": QD8_SQL,
+    "qe0_share_and_growth": QE0_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).
