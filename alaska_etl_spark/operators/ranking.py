@@ -84,16 +84,18 @@ def _numbered_with_offsets(
             seen += n
             yield pdf
 
-    numbered = ordered.mapInPandas(_number, out_schema)
+    # PERSISTED: the histogram below must see the SAME partition ids as
+    # the numbering pass. The r3 formulation computed it as a second
+    # plan branch off the range exchange, relying on ReusedExchange —
+    # correct in the static plan, but AQE may coalesce the two branches'
+    # shuffle reads DIFFERENTLY (found at sf0.1: offsets shifted and an
+    # 11th "decile" appeared). Materializing the numbered output bakes
+    # the pids into data; both consumers read one execution. Storage is
+    # MEMORY_AND_DISK and lineage recomputes evicted blocks; at extreme
+    # scale prefer a checkpoint dir, same as connected_components.
+    numbered = ordered.mapInPandas(_number, out_schema).persist()
 
-    # Histogram branch: same range exchange (no sort, no Arrow) — the
-    # shared Exchange subtree executes once (ReusedExchange), so the
-    # partition ids and bounds are identical across branches.
-    counts = (
-        ranged.select(F.spark_partition_id().alias(_PID))
-        .groupBy(_PID)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    counts = numbered.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

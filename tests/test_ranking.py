@@ -54,21 +54,21 @@ def test_global_ntile_matches_window(spark, balances, k):
 
 def test_no_data_sized_single_partition_window(spark, balances):
     """The only WindowExec in the plan runs over the partition histogram
-    (an Aggregate of spark_partition_id), never over the row data; the
-    range exchange is planned once and reused by the histogram branch."""
+    (an Aggregate over the persisted numbered output), never over the
+    row data. The histogram reads the SAME materialization as the rank
+    join (InMemoryTableScan) — the r3 ReusedExchange formulation let
+    AQE coalesce the two branches' shuffle reads differently and
+    shifted every offset (found at sf0.1: an 11th decile)."""
     out = global_ntile(balances, ["bal", "key"], 10, num_partitions=7)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     # AQE prints Final and Initial sections; judge the final plan only.
     final = plan.split("== Initial Plan ==")[0]
-    # exactly one executed range exchange: the histogram branch reuses it
-    real = [
-        ln
-        for ln in final.splitlines()
-        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
-    ]
-    assert len(real) == 1
-    assert "ReusedExchange" in final
+    # consumers read the one persisted numbering pass: the cache scan
+    # appears, and NO range exchange exists outside the cached subtree
+    # (a second one would mean an independently-sampled repartition)
+    assert ("InMemoryTableScan" in final) or ("TableCacheQueryStage" in final), final
+    assert "Exchange rangepartitioning" not in final, final
     # ...and every Window sits above the tiny histogram aggregate: the
     # plan lines between a Window and its exchange never touch the scan.
     # Cheap proxy with the same power: the data-path mapInPandas stage
