@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -147,11 +148,28 @@ def ewma(
     )
     schema = f"{out_fields}, {out_col} double"
 
+    a, b = float(alpha), 1.0 - float(alpha)
+
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
-        pdf[out_col] = (
-            pdf[val_col].ewm(alpha=alpha, adjust=False).mean().round(round_digits)
-        )
+        # explicit per-step recurrence, NOT pandas.ewm: y = a·x + b·y is
+        # two correctly-rounded multiplies + one add, so any engine
+        # evaluating the same expression gets the identical double each
+        # step. pandas' compiled ewm kernel (weighted-average form with
+        # a trailing divide) drifts by an ulp on long chains — found as
+        # 19/100k rows crossing the 6dp rounding boundary at sf0.1.
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        out = np.empty(len(vals))
+        y = 0.0
+        for i in range(len(vals)):
+            y = vals[i] if i == 0 else a * vals[i] + b * y
+            out[i] = y
+        # round half AWAY from zero (SQL semantics), not numpy's
+        # half-to-even: long chains do land on exact .5 scaled values
+        # (19/100k at sf0.1), and every SQL engine breaks those ties away
+        # from zero while np.round breaks them to even
+        scale = 10.0 ** round_digits
+        pdf[out_col] = np.sign(out) * np.floor(np.abs(out) * scale + 0.5) / scale
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(_smooth, schema)
@@ -194,6 +212,7 @@ def mad_anomalies(
     z_threshold: float = 3.5,
     round_digits: int = 4,
     approx_accuracy: int | None = None,
+    fixed_scale: int | None = None,
 ) -> DataFrame:
     """Robust per-key outliers via the modified z-score
     0.6745·(x − median)/MAD > ``z_threshold`` (Iglewicz-Hoaglin): the
@@ -223,6 +242,37 @@ def mad_anomalies(
         med_of = lambda c: F.percentile_approx(  # noqa: E731
             c, F.lit(0.5), F.lit(approx_accuracy)
         )
+    if fixed_scale is not None and approx_accuracy is None:
+        # Engine-exact integer path for fixed-precision values: work on
+        # doubled scaled integers so BOTH medians interpolate to exact
+        # integers (midpoint of two even ints), and the only float op is
+        # the final 0.6745·A·2/M4 — identical correctly-rounded doubles
+        # in any engine. (The float path's medians interpolate as
+        # a + (b−a)·0.5 in Spark but not necessarily bitwise-identically
+        # elsewhere — found as a 1-ulp robust_z flip at the 4dp rounding
+        # boundary in an sf0.1 oracle sweep.)
+        v2 = (F.round(F.col(val_col) * fixed_scale).cast("bigint") * 2).alias("_v2")
+        with_v2 = df.withColumn("_v2", v2)
+        med = with_v2.groupBy(*key_cols).agg(
+            F.round(med_of(F.col("_v2"))).cast("bigint").alias("_med2")
+        )
+        resid = with_v2.join(med, key_cols).withColumn(
+            "_a", F.col("_v2") - F.col("_med2")
+        )
+        mad = resid.groupBy(*key_cols).agg(
+            F.round(med_of(F.abs(F.col("_a")) * 2)).cast("bigint").alias("_m4")
+        )
+        safe_m4 = F.when(F.col("_m4") != 0, F.col("_m4"))
+        rz = F.round(
+            F.lit(0.6745) * F.col("_a") * 2 / safe_m4, round_digits
+        )
+        return (
+            resid.join(mad, key_cols)
+            .withColumn("robust_z", rz)
+            .filter(F.abs(F.col("robust_z")) > z_threshold)
+            .drop("_v2", "_med2", "_a", "_m4")
+        )
+
     med = df.groupBy(*key_cols).agg(med_of(F.col(val_col)).alias("_med"))
     resid = df.join(med, key_cols).withColumn(
         "_absdev", F.abs(F.col(val_col) - F.col("_med"))

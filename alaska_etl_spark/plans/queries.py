@@ -3137,7 +3137,11 @@ def q95_moving_avg(spark, sf_dir):
 Q95_SQL = """
 WITH c AS (
   SELECT event_id, user_id,
-         CAST(epoch(ts) AS BIGINT) AS secs,
+         -- floor, not CAST-rounding: Spark's timestamp->long TRUNCATES
+         -- sub-second epochs; rounding shifts ~half the frame
+         -- boundaries by 1 s (invisible at sf0.01 where windows hold
+         -- one row; 48% of rows at sf0.1)
+         CAST(floor(epoch(ts)) AS BIGINT) AS secs,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ), wins AS (
@@ -3669,23 +3673,31 @@ def qa7_mad_anomalies(spark, sf_dir):
         ["event_type"],
         "value",
         z_threshold=3.5,
+        fixed_scale=100,
     ).select("event_id", "event_type", "value", "robust_z")
 
 
+# Integer-space protocol (mirrors mad_anomalies fixed_scale=100): both
+# medians land on exact integers (doubled scaled values), so the only
+# float op is the final 0.6745·a·2/m4 — identical in any engine.
 QA7_SQL = """
-WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) * 2 AS v2
+  FROM events
+), med AS (
+  SELECT event_type, CAST(round(median(v2)) AS BIGINT) AS med2 FROM c GROUP BY 1
 ), resid AS (
-  SELECT e.event_id, e.event_type, e.value, m.med,
-         abs(e.value - m.med) AS absdev
-  FROM events e JOIN med m USING (event_type)
+  SELECT c.event_id, c.event_type, c.value, c.v2 - m.med2 AS a
+  FROM c JOIN med m USING (event_type)
 ), mad AS (
-  SELECT event_type, median(absdev) AS mad FROM resid GROUP BY 1
+  SELECT event_type, CAST(round(median(abs(a) * 2)) AS BIGINT) AS m4
+  FROM resid GROUP BY 1
 )
 SELECT event_id, event_type, value,
-       round(0.6745 * (value - med) / nullif(mad, 0), 4) AS robust_z
+       round(0.6745::DOUBLE * a * 2 / nullif(m4, 0), 4) AS robust_z
 FROM resid JOIN mad USING (event_type)
-WHERE abs(round(0.6745 * (value - med) / nullif(mad, 0), 4)) > 3.5
+WHERE abs(round(0.6745::DOUBLE * a * 2 / nullif(m4, 0), 4)) > 3.5
 """
 
 
