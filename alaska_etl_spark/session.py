@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local mode: the driver JVM IS the executor; Spark's 1g default
+        # OOMs a 32-thread sf0.1 sweep (found by the full-registry gate)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # TIMESTAMP(NANOS) parquet (the events table) is unreadable by
         # Spark unless surfaced as raw int64 nanos; set it at session
         # build so query functions stay side-effect-free (plans/queries

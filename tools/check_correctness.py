@@ -103,6 +103,11 @@ def main():
             continue
         sdf = fn(spark, sf_dir)
         spdf = sdf.toPandas()
+        # operators persist fan-in intermediates by design (SCALE.md
+        # "Cache policy"); in a 137-query sweep those accumulate and at
+        # sf0.1 they OOM'd the driver heap mid-sweep — each query's
+        # caches are throwaways here, so drop them before the next one
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(spdf)} rows")
             continue
