@@ -117,6 +117,7 @@ from alaska_etl_spark.operators.sketches import (  # noqa: F401
     heavy_hitters,
 )
 from alaska_etl_spark.operators.stats import (  # noqa: F401
+    ab_test_report,
     corr_matrix,
     grouped_linreg,
 )

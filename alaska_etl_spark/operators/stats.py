@@ -28,7 +28,7 @@ from itertools import combinations_with_replacement
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
+__all__ = ["ab_test_report", "corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
 
 
 def _c(col: str):
@@ -183,3 +183,75 @@ SELECT {g},
              / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), {round_digits}) AS r2
 FROM m
 """
+
+
+def ab_test_report(
+    events: DataFrame,
+    user_col: str,
+    event_col: str,
+    *,
+    exposure_event: str,
+    conversion_event: str,
+    seed: int = 0,
+    z_round: int = 4,
+) -> DataFrame:
+    """Two-variant experiment readout: deterministic 50/50 assignment of
+    exposed users (``splits.hash_split`` — same user + seed → same arm,
+    on any engine, forever), per-arm conversion, and the two-proportion
+    z-statistic — one row: (n_a, conv_a, cvr_a, n_b, conv_b, cvr_b, z,
+    significant at |z| > 1.96).
+
+    Engine-exact: counts are integers; the z expression is one fixed
+    chain of correctly-rounded double ops from those integers, so any
+    engine evaluating the same parse emits the identical double, rounded
+    once at the end. Zero-variance denominators NULL out (no division
+    guard needed downstream — NULL fails the significance compare).
+
+    Scale shape: two distinct-aggregates over the events table (exposed
+    users, converted users — both |users|-bounded), a broadcast-or-
+    shuffle left join between them, a 2-row aggregate, then a 1-row
+    conditional pivot. Nothing wider than the user dimension moves.
+    """
+    from alaska_etl_spark.operators.splits import hash_split
+
+    exposed = events.filter(F.col(event_col) == exposure_event).select(
+        F.col(user_col).alias("_u")
+    ).distinct()
+    assigned = hash_split(
+        exposed, "_u", weights={"A": 0.5, "B": 0.5}, seed=seed, split_col="_v"
+    )
+    converted = (
+        events.filter(F.col(event_col) == conversion_event)
+        .select(F.col(user_col).alias("_u"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    per = (
+        assigned.join(converted, "_u", "left")
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint").alias("_conv"),
+        )
+    )
+    one = per.agg(
+        F.max(F.when(F.col("_v") == "A", F.col("_n"))).alias("n_a"),
+        F.max(F.when(F.col("_v") == "A", F.col("_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("_v") == "B", F.col("_n"))).alias("n_b"),
+        F.max(F.when(F.col("_v") == "B", F.col("_conv"))).alias("conv_b"),
+    )
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    z = F.round((p1 - p2) / F.when(se != 0, se), z_round)
+    return one.select(
+        "n_a",
+        "conv_a",
+        F.round(p1, 6).alias("cvr_a"),
+        "n_b",
+        "conv_b",
+        F.round(p2, 6).alias("cvr_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

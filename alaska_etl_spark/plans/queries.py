@@ -5066,6 +5066,61 @@ ORDER BY r_name, month
 """
 
 
+def qe1_ab_test(spark, sf_dir):
+    """Two-variant experiment readout (operators/stats.ab_test_report):
+    exposed users ('view') deterministically hash-split 50/50, per-arm
+    'purchase' conversion, two-proportion z — the product-analytics
+    primitive on top of the split machinery (q68). Engine-exact: the
+    oracle rebuilds the identical assignment via hash_split_sql and the
+    identical z expression."""
+    from alaska_etl_spark.operators.stats import ab_test_report
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_report(
+        ev, "user_id", "event_type",
+        exposure_event="view", conversion_event="purchase",
+    )
+
+
+def _qe1_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    case = hash_split_sql("user_id", weights={"A": 0.5, "B": 0.5}, seed=0)
+    return f"""
+WITH expu AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), assigned AS (
+  SELECT user_id, {case} AS v FROM expu
+), convu AS (
+  SELECT DISTINCT user_id, 1 AS c FROM events WHERE event_type = 'purchase'
+), per AS (
+  SELECT v, count(*) AS n, CAST(sum(coalesce(c, 0)) AS BIGINT) AS conv
+  FROM assigned LEFT JOIN convu USING (user_id) GROUP BY 1
+), one AS (
+  SELECT max(CASE WHEN v = 'A' THEN n END) AS n_a,
+         max(CASE WHEN v = 'A' THEN conv END) AS conv_a,
+         max(CASE WHEN v = 'B' THEN n END) AS n_b,
+         max(CASE WHEN v = 'B' THEN conv END) AS conv_b
+  FROM per
+), calc AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         conv_a / CAST(n_a AS DOUBLE) AS p1,
+         conv_b / CAST(n_b AS DOUBLE) AS p2,
+         (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p
+  FROM one
+)
+SELECT n_a, conv_a, round(p1, 6) AS cvr_a,
+       n_b, conv_b, round(p2, 6) AS cvr_b,
+       round((p1 - p2) / nullif(sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z,
+       abs(round((p1 - p2) / nullif(sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 0), 4)) > 1.96
+         AS significant
+FROM calc
+"""
+
+
+QE1_SQL = _qe1_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5206,6 +5261,7 @@ QUERIES = {
     "qd8_label_consistency": qd8_label_consistency,
     "qd9_bpe_merges": qd9_bpe_merges,
     "qe0_share_and_growth": qe0_share_and_growth,
+    "qe1_ab_test": qe1_ab_test,
 }
 
 ORACLES = {
@@ -5334,6 +5390,7 @@ ORACLES = {
     "qd7_perplexity_gate": QD7_SQL,
     "qd8_label_consistency": QD8_SQL,
     "qe0_share_and_growth": QE0_SQL,
+    "qe1_ab_test": QE1_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -83,3 +83,39 @@ def test_linreg_zero_x_variance_is_null(spark):
     )
     [r] = grouped_linreg(df, ["g"], "x", "y").collect()
     assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+def test_ab_test_report_detects_planted_effect(spark):
+    """Arm with a planted 5x conversion lift comes out significant; the
+    same data with symmetric conversion does not."""
+    from alaska_etl_spark.operators.splits import hash_split
+    from alaska_etl_spark.operators.stats import ab_test_report
+
+    users = list(range(400))
+    base = spark.createDataFrame([(u,) for u in users], "user_id bigint")
+    arms = {r.user_id: r.v for r in hash_split(
+        base, "user_id", weights={"A": 0.5, "B": 0.5}, split_col="v").collect()}
+
+    rows = [(u, "view") for u in users]
+    # planted effect: A converts at ~60%, B at ~10% (deterministic picks)
+    rows += [(u, "purchase") for u in users if arms[u] == "A" and u % 5 != 0]
+    rows += [(u, "purchase") for u in users if arms[u] == "B" and u % 10 == 0]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    out = ab_test_report(
+        ev, "user_id", "event_type",
+        exposure_event="view", conversion_event="purchase",
+    ).collect()[0]
+    assert out.n_a + out.n_b == 400
+    assert out.cvr_a > out.cvr_b
+    assert out.significant and out.z > 1.96
+
+    # symmetric conversion (same deterministic rule in both arms)
+    rows2 = [(u, "view") for u in users] + [
+        (u, "purchase") for u in users if u % 5 == 0
+    ]
+    ev2 = spark.createDataFrame(rows2, "user_id bigint, event_type string")
+    out2 = ab_test_report(
+        ev2, "user_id", "event_type",
+        exposure_event="view", conversion_event="purchase",
+    ).collect()[0]
+    assert not out2.significant
