@@ -119,6 +119,7 @@ from alaska_etl_spark.operators.sketches import (  # noqa: F401
 from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
     corr_matrix,
+    cuped_adjustment,
     grouped_linreg,
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401

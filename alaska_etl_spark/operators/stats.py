@@ -28,7 +28,7 @@ from itertools import combinations_with_replacement
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_report", "corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
+__all__ = ["ab_test_report", "cuped_adjustment", "corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
 
 
 def _c(col: str):
@@ -254,4 +254,89 @@ def ab_test_report(
         F.round(p2, 6).alias("cvr_b"),
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    cutoff: str,
+    seed: int = 0,
+) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user pre-period
+    value (before ``cutoff``) as the covariate, θ = cov(pre, post)/
+    var(pre) from EXACT integer-cent moments, and per-arm adjusted means
+    ȳ_v − θ·(x̄_v − x̄). One row: (theta, mean_a_raw, mean_b_raw,
+    mean_a_adj, mean_b_adj, var_reduction_pct = 100·ρ²).
+
+    The exact-moment discipline (corr_matrix/grouped_linreg) extended to
+    experiment analytics: every sum is a BIGINT of cents or cent
+    products, so θ's numerator/denominator are exact integers and the
+    float work is a fixed chain any engine reproduces bit-for-bit.
+    (Cent-product sums overflow int64 around 10^7 users × 10^5-cent
+    users — switch the moment columns to DECIMAL(38,0) there; the
+    expression shape is unchanged.)
+
+    Scale shape: one user-grain aggregate over events (the only
+    corpus-sized work), a 1-row global moment aggregate, a 2-row arm
+    aggregate, and a driver-free 1-row join of the two.
+    """
+    from alaska_etl_spark.operators.splits import hash_split
+
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    pre_c = F.when(F.col(ts_col) < F.lit(cutoff).cast("timestamp_ntz"), cents).otherwise(F.lit(0))
+    post_c = F.when(F.col(ts_col) >= F.lit(cutoff).cast("timestamp_ntz"), cents).otherwise(F.lit(0))
+    pu = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.sum(pre_c).cast("bigint").alias("_x"),
+        F.sum(post_c).cast("bigint").alias("_y"),
+    )
+    pu = hash_split(pu, "_u", weights={"A": 0.5, "B": 0.5}, seed=seed, split_col="_v")
+
+    g = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("bigint").alias("sx"),
+        F.sum("_y").cast("bigint").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("bigint").alias("syy"),
+    )
+    arms = pu.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("_x").cast("bigint").alias("sxv"),
+        F.sum("_y").cast("bigint").alias("syv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("_v") == "A", F.col("nv"))).alias("n_a"),
+        F.max(F.when(F.col("_v") == "A", F.col("sxv"))).alias("sx_a"),
+        F.max(F.when(F.col("_v") == "A", F.col("syv"))).alias("sy_a"),
+        F.max(F.when(F.col("_v") == "B", F.col("nv"))).alias("n_b"),
+        F.max(F.when(F.col("_v") == "B", F.col("sxv"))).alias("sx_b"),
+        F.max(F.when(F.col("_v") == "B", F.col("syv"))).alias("sy_b"),
+    )
+    j = g.join(wide)
+    tn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    td = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = tn / F.when(td != 0, td)
+    xbar = F.col("sx") / F.col("n")
+    yd = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho2 = (tn.cast("double") * tn.cast("double")) / F.when(
+        (td != 0) & (yd != 0), td.cast("double") * yd.cast("double")
+    )
+
+    def _mean_adj(sy_v, sx_v, n_v):
+        return (
+            F.col(sy_v) / F.col(n_v)
+            - theta * (F.col(sx_v) / F.col(n_v) - xbar)
+        ) / F.lit(100.0)
+
+    return j.select(
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("sy_a") / F.col("n_a") / F.lit(100.0), 4).alias("mean_a_raw"),
+        F.round(F.col("sy_b") / F.col("n_b") / F.lit(100.0), 4).alias("mean_b_raw"),
+        F.round(_mean_adj("sy_a", "sx_a", "n_a"), 4).alias("mean_a_adj"),
+        F.round(_mean_adj("sy_b", "sx_b", "n_b"), 4).alias("mean_b_adj"),
+        F.round(F.lit(100.0) * rho2, 2).alias("var_reduction_pct"),
     )

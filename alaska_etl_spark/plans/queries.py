@@ -5121,6 +5121,72 @@ FROM calc
 QE1_SQL = _qe1_sql()
 
 
+def qe2_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment means
+    (operators/stats.cuped_adjustment): per-user pre-period value as
+    covariate (cutoff 2024-01-16), θ from exact integer-cent moments,
+    per-arm raw vs adjusted means + achieved variance reduction (ρ²).
+    Completes the experimentation pair with qe1."""
+    from alaska_etl_spark.operators.stats import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjustment(ev, "user_id", "ts", "value", cutoff="2024-01-16")
+
+
+def _qe2_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    case = hash_split_sql("_u", weights={"A": 0.5, "B": 0.5}, seed=0)
+    return f"""
+WITH pu0 AS (
+  SELECT user_id AS _u,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), pu AS (
+  SELECT _u, x, y, {case} AS v FROM pu0
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pu
+), wide AS (
+  SELECT max(CASE WHEN v = 'A' THEN nv END) AS n_a,
+         max(CASE WHEN v = 'A' THEN sxv END) AS sx_a,
+         max(CASE WHEN v = 'A' THEN syv END) AS sy_a,
+         max(CASE WHEN v = 'B' THEN nv END) AS n_b,
+         max(CASE WHEN v = 'B' THEN sxv END) AS sx_b,
+         max(CASE WHEN v = 'B' THEN syv END) AS sy_b
+  FROM (SELECT v, count(*) AS nv, CAST(sum(x) AS BIGINT) AS sxv,
+               CAST(sum(y) AS BIGINT) AS syv FROM pu GROUP BY 1)
+), calc AS (
+  SELECT *,
+         (n * sxy - sx * sy) / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS theta,
+         sx / CAST(n AS DOUBLE) AS xbar,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS tn,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS td,
+         CAST(n * syy - sy * sy AS DOUBLE) AS yd
+  FROM g CROSS JOIN wide
+)
+SELECT round(theta, 6) AS theta,
+       round(sy_a / CAST(n_a AS DOUBLE) / 100.0, 4) AS mean_a_raw,
+       round(sy_b / CAST(n_b AS DOUBLE) / 100.0, 4) AS mean_b_raw,
+       round((sy_a / CAST(n_a AS DOUBLE) - theta * (sx_a / CAST(n_a AS DOUBLE) - xbar)) / 100.0, 4)
+         AS mean_a_adj,
+       round((sy_b / CAST(n_b AS DOUBLE) - theta * (sx_b / CAST(n_b AS DOUBLE) - xbar)) / 100.0, 4)
+         AS mean_b_adj,
+       round(100.0 * (tn * tn / nullif(td * yd, 0)), 2) AS var_reduction_pct
+FROM calc
+"""
+
+
+QE2_SQL = _qe2_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5262,6 +5328,7 @@ QUERIES = {
     "qd9_bpe_merges": qd9_bpe_merges,
     "qe0_share_and_growth": qe0_share_and_growth,
     "qe1_ab_test": qe1_ab_test,
+    "qe2_cuped": qe2_cuped,
 }
 
 ORACLES = {
@@ -5391,6 +5458,7 @@ ORACLES = {
     "qd8_label_consistency": QD8_SQL,
     "qe0_share_and_growth": QE0_SQL,
     "qe1_ab_test": QE1_SQL,
+    "qe2_cuped": QE2_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -119,3 +119,30 @@ def test_ab_test_report_detects_planted_effect(spark):
         exposure_event="view", conversion_event="purchase",
     ).collect()[0]
     assert not out2.significant
+
+
+def test_cuped_reduces_variance_with_correlated_covariate(spark):
+    """With strongly pre/post-correlated users, CUPED reports a large
+    variance reduction and pulls the two arms' adjusted means together
+    when the raw gap was driven by covariate imbalance."""
+    import datetime as dt
+
+    from alaska_etl_spark.operators.stats import cuped_adjustment
+
+    pre_day = dt.datetime(2024, 1, 5)
+    post_day = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(200):
+        base = 10.0 + (u % 17)  # user-level propensity
+        rows.append((u, pre_day, base))            # pre-period spend
+        rows.append((u, post_day, base + 1.0))     # post ≈ pre + 1 (ρ≈1)
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz, value double")
+    out = cuped_adjustment(
+        ev, "user_id", "ts", "value", cutoff="2024-01-16"
+    ).collect()[0]
+    assert out.var_reduction_pct > 95.0
+    assert abs(out.theta - 1.0) < 0.05
+    # adjusted means converge to the true common effect (~ x̄ + 1)
+    assert abs(out.mean_a_adj - out.mean_b_adj) < abs(
+        out.mean_a_raw - out.mean_b_raw
+    ) + 1e-9
