@@ -245,6 +245,16 @@ def ab_test_report(
     p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
     se = F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
     z = F.round((p1 - p2) / F.when(se != 0, se), z_round)
+    # sample-ratio-mismatch guard: chi-square of the arm sizes against
+    # the designed 50/50 — a skewed split means broken assignment and a
+    # readout that must not be trusted, whatever z says. Integer counts
+    # feed one fixed float chain (E = (n_a+n_b)/2, df=1, crit 3.84).
+    e = (F.col("n_a") + F.col("n_b")) / F.lit(2.0)
+    srm = F.round(
+        (F.col("n_a") - e) * (F.col("n_a") - e) / e
+        + (F.col("n_b") - e) * (F.col("n_b") - e) / e,
+        4,
+    )
     return one.select(
         "n_a",
         "conv_a",
@@ -254,6 +264,8 @@ def ab_test_report(
         F.round(p2, 6).alias("cvr_b"),
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
+        srm.alias("srm_chi2"),
+        (srm > 3.84).alias("srm_suspect"),
     )
 
 

@@ -5113,7 +5113,13 @@ SELECT n_a, conv_a, round(p1, 6) AS cvr_a,
        n_b, conv_b, round(p2, 6) AS cvr_b,
        round((p1 - p2) / nullif(sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z,
        abs(round((p1 - p2) / nullif(sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 0), 4)) > 1.96
-         AS significant
+         AS significant,
+       round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 4)
+         AS srm_chi2,
+       round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 4) > 3.84
+         AS srm_suspect
 FROM calc
 """
 
