@@ -120,6 +120,7 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
     corr_matrix,
     cuped_adjustment,
+    psi_drift,
     grouped_linreg,
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401

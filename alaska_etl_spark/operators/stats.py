@@ -28,7 +28,7 @@ from itertools import combinations_with_replacement
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_report", "cuped_adjustment", "corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
+__all__ = ["ab_test_report", "cuped_adjustment", "psi_drift", "corr_matrix", "corr_matrix_sql", "grouped_linreg", "grouped_linreg_sql"]
 
 
 def _c(col: str):
@@ -351,4 +351,83 @@ def cuped_adjustment(
         F.round(_mean_adj("sy_a", "sx_a", "n_a"), 4).alias("mean_a_adj"),
         F.round(_mean_adj("sy_b", "sx_b", "n_b"), 4).alias("mean_b_adj"),
         F.round(F.lit(100.0) * rho2, 2).alias("var_reduction_pct"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    *,
+    cutoff: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the value distributions before
+    and after ``cutoff`` — the standard dataset-drift score an ML
+    pipeline gates retraining/ingest on (PSI < 0.1 stable, > 0.25
+    shifted). One row: (n_ref, n_cur, psi, drifted).
+
+    Engine-exact protocol: bin edges are fixed-width over the GLOBAL
+    integer-cent min/max, so bin assignment is pure integer arithmetic
+    ((c − min)·k div (max − min + 1)); proportions are Laplace-smoothed
+    ((count + 1)/(N + k), all bins contribute, no log-of-zero); each
+    bin's (p_cur − p_ref)·ln(p_cur/p_ref) term is fixed-pointed to
+    1e-8 units and SUMMED AS BIGINT — the PSI total is therefore
+    independent of aggregation order (the BM25 trick) and replays
+    bit-for-bit in any engine.
+
+    Scale shape: one min/max aggregate + one binned count aggregate over
+    the corpus (both map-side combined), then k-row arithmetic. The
+    all-bins frame comes from a k-row range, not the data, so empty
+    bins still contribute their smoothed terms.
+    """
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    spark = df.sparkSession
+    base = df.select(
+        cents.alias("_c"), (F.col(ts_col) < cut).alias("_ref")
+    )
+    mm = base.agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
+    binned = (
+        base.join(F.broadcast(mm))
+        .withColumn(
+            "bin",
+            F.expr(f"(_c - _lo) * {n_bins} div (_hi - _lo + 1)").cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("bigint").alias("c_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        bins.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+        )
+        .join(
+            F.broadcast(
+                binned.agg(
+                    F.sum("c_ref").cast("bigint").alias("n_ref"),
+                    F.sum("c_cur").cast("bigint").alias("n_cur"),
+                )
+            )
+        )
+    )
+    p_ref = (F.col("c_ref") + 1) / (F.col("n_ref") + n_bins)
+    p_cur = (F.col("c_cur") + 1) / (F.col("n_cur") + n_bins)
+    term_micro = F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e8), 0).cast(
+        "bigint"
+    )
+    out = full.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(term_micro).cast("bigint").alias("_pm"),
+    )
+    psi = F.round(F.col("_pm") / 1e8, 6)
+    return out.select(
+        "n_ref", "n_cur", psi.alias("psi"), (psi > 0.25).alias("drifted")
     )

@@ -5193,6 +5193,57 @@ FROM calc
 QE2_SQL = _qe2_sql()
 
 
+def qe3_psi_drift(spark, sf_dir):
+    """Dataset drift via Population Stability Index
+    (operators/stats.psi_drift): event-value distribution before vs
+    after 2024-01-16 in 10 fixed-width integer-cent bins,
+    Laplace-smoothed, per-bin terms fixed-pointed and integer-summed so
+    the PSI total is aggregation-order-free. The numeric-drift
+    companion to qc9's categorical mix KL."""
+    from alaska_etl_spark.operators.stats import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(ev, "ts", "value", cutoff="2024-01-16")
+
+
+QE3_SQL = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         ts < TIMESTAMP '2024-01-16' AS ref
+  FROM events
+), mm AS (
+  SELECT min(c) AS lo, max(c) AS hi FROM base
+), binned AS (
+  SELECT (c - lo) * 10 // (hi - lo + 1) AS bin,
+         CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM base CROSS JOIN mm GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM binned
+), allbins AS (
+  SELECT r.range AS bin,
+         coalesce(b.c_ref, 0) AS c_ref, coalesce(b.c_cur, 0) AS c_cur,
+         n_ref, n_cur
+  FROM range(0, 10) r LEFT JOIN binned b ON r.range = b.bin CROSS JOIN tot
+), terms AS (
+  SELECT n_ref, n_cur,
+         CAST(round((((c_cur + 1) / (n_cur + 10) - (c_ref + 1) / (n_ref + 10))
+              * ln(((c_cur + 1) / (n_cur + 10)) / ((c_ref + 1) / (n_ref + 10))))
+              * 100000000.0) AS BIGINT) AS pm
+  FROM allbins
+), agg AS (
+  SELECT max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+         CAST(sum(pm) AS BIGINT) AS pms
+  FROM terms
+)
+SELECT n_ref, n_cur, round(pms / 100000000.0, 6) AS psi,
+       round(pms / 100000000.0, 6) > 0.25 AS drifted
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5335,6 +5386,7 @@ QUERIES = {
     "qe0_share_and_growth": qe0_share_and_growth,
     "qe1_ab_test": qe1_ab_test,
     "qe2_cuped": qe2_cuped,
+    "qe3_psi_drift": qe3_psi_drift,
 }
 
 ORACLES = {
@@ -5465,6 +5517,7 @@ ORACLES = {
     "qe0_share_and_growth": QE0_SQL,
     "qe1_ab_test": QE1_SQL,
     "qe2_cuped": QE2_SQL,
+    "qe3_psi_drift": QE3_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

@@ -179,3 +179,27 @@ def test_ab_test_srm_guard_flags_skewed_assignment(spark):
         exposure_event="view", conversion_event="purchase",
     ).collect()[0]
     assert not out2.srm_suspect
+
+
+def test_psi_drift_detects_shift_and_accepts_stability(spark):
+    import datetime as dt
+
+    from alaska_etl_spark.operators.stats import psi_drift
+
+    pre, post = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    # stable: identical distributions either side of the cutoff
+    stable = [(pre, float(10 + (i % 20))) for i in range(400)] + [
+        (post, float(10 + (i % 20))) for i in range(400)
+    ]
+    df = spark.createDataFrame(stable, "ts timestamp_ntz, value double")
+    out = psi_drift(df, "ts", "value", cutoff="2024-01-16").collect()[0]
+    assert out.n_ref == 400 and out.n_cur == 400
+    assert out.psi < 0.01 and not out.drifted
+
+    # shifted: the current period moves to a disjoint value band
+    shifted = [(pre, float(10 + (i % 20))) for i in range(400)] + [
+        (post, float(60 + (i % 20))) for i in range(400)
+    ]
+    df2 = spark.createDataFrame(shifted, "ts timestamp_ntz, value double")
+    out2 = psi_drift(df2, "ts", "value", cutoff="2024-01-16").collect()[0]
+    assert out2.psi > 1.0 and out2.drifted
