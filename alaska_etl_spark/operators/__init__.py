@@ -16,8 +16,9 @@
   concurrency, approximate
   aggregates + exact bounded-state heavy hitters + value-domain exact
   quantiles, skew mitigation, PII scrubbing
-- stats: exact-moment correlation matrix + per-group OLS (engine-exact
-  floats from integer moments)
+- stats: exact-moment statistics (engine-exact floats from integer
+  moments): correlation matrix, per-group OLS, A/B readout with SRM
+  guard, CUPED variance reduction, PSI dataset drift
 - simjoin: exact all-pairs sparse cosine via inverted index + exact
   Jaccard-threshold join via prefix filtering
 - pruning: Bloom-filter join pruning (drop non-matching fact rows
