@@ -1,0 +1,48 @@
+"""Partition-count invariance: the determinism contract, tested.
+
+SCALE.md claims results are "reproducible at 32 or 32,000 partitions"
+because float-bearing queries either do their arithmetic in exact
+integers or round identical correctly-rounded expressions. This suite
+runs the most float-sensitive queries under different
+spark.sql.shuffle.partitions settings and requires BIT-IDENTICAL rows —
+not approximately equal ones.
+"""
+import pytest
+
+from alaska_etl_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# float-bearing shapes across the operator families: integer-cents
+# aggregation, percentile clipping, MAD medians, EWMA recursion, CUPED
+# moments, PSI drift, BM25 fixed-point scores, LM perplexity
+CASES = [
+    "q01_pricing_summary",
+    "qd4_winsorize",
+    "qa7_mad_anomalies",
+    "q92_ewma",
+    "qe2_cuped",
+    "qe3_psi_drift",
+    "qd5_bm25",
+    "q89_lm_perplexity",
+]
+
+
+def _canon(df):
+    rows = [tuple(repr(v) for v in row) for row in df.collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_results_identical_across_partition_counts(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "5")
+        a = _canon(QUERIES[name](spark, SF_DIR))
+        spark.conf.set(key, "32")
+        b = _canon(QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.conf.set(key, orig)
+    assert a == b, f"{name}: results depend on partition count"
+    assert a, f"{name}: empty result proves nothing"
