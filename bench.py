@@ -19,8 +19,9 @@ the round-4b bounded-state heavy hitters (qa6), the grid-blocked
 geo kNN join (qb1), the hash-only snapshot diff (qc0), the cohort
 retention matrix (qc3), and the round-4c trio: interval-sweep
 concurrency (qc7), CDC changelog apply (qd1), sliding exact
-distinct (qd2), and the round-4d retrieval/gating pair: BM25 top-k
-(qd5) and the CCNet perplexity gate (qd7). The prefix-filtered Jaccard join (qb0) is
+distinct (qd2), the round-4d retrieval/gating pair: BM25 top-k
+(qd5) and the CCNet perplexity gate (qd7), and the experimentation/
+monitoring pair: hash-split A/B readout (qe1) and PSI drift (qe3). The prefix-filtered Jaccard join (qb0) is
 registered+oracled but not headlined: at sf0.1 its ~12 small stages
 are fixed Spark overhead (~7 s vs DuckDB's 1.5 s single-node), while
 its prefix pruning only starts paying at corpus sizes where the
@@ -77,6 +78,8 @@ HEADLINE = [
     "qd2_sliding_distinct",
     "qd5_bm25",
     "qd7_perplexity_gate",
+    "qe1_ab_test",
+    "qe3_psi_drift",
 ]
 
 
