@@ -82,6 +82,7 @@ from alaska_etl_spark.operators.splits import (  # noqa: F401
     mix_entropy,
     mix_sources,
     pack_sequences,
+    split_leakage,
     top_p_coverage,
 )
 from alaska_etl_spark.operators.gate import gate_documents  # noqa: F401

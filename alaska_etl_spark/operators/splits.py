@@ -468,3 +468,65 @@ WITH counts AS (
 SELECT d.* FROM {table} d JOIN thr USING ({source_col})
 WHERE {hash_bucket_sql(key_col, seed=seed)} < thr.t
 """
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: dict[str, float],
+    seed: int = 0,
+    n: int = 1,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that STRADDLE the
+    hash-split boundary — (id_a, split_a, id_b, split_b, jaccard) for
+    every pair with n-gram-set Jaccard ≥ tau_num/tau_den whose members
+    landed in different splits. Exact-duplicate decontamination (q71)
+    misses these: a validation example with a 60%-overlapping training
+    near-twin still leaks signal, and this report is what a curation
+    pipeline reviews (drop the val member, or re-seed) before trusting
+    eval numbers.
+
+    Integer-exact end-to-end (the q26 protocol): the threshold compares
+    tau_den·|∩| ≥ tau_num·|∪| and jaccard emits via integer
+    round-half-up scaling, so the report hash-matches in any engine.
+    Bounded O(k²) verifier shape — at corpus scale feed it the LSH
+    candidate pairs (minhash_near_dup_pairs) instead of the cross join,
+    exactly as q26 stands to q29.
+    """
+    from alaska_etl_spark.operators.dedup import shingles
+
+    base = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+    if max_id is not None:
+        base = base.filter(F.col("_id") < max_id)
+    assigned = hash_split(base, "_id", weights=weights, seed=seed, split_col="_sp")
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), F.col("_sp").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), F.col("_sp").alias("split_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a",
+            "split_a",
+            "id_b",
+            "split_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint").alias("_p"),
+            F.size(F.array_union("_sh_a", "_sh_b")).cast("bigint").alias("_q"),
+        )
+        .filter(F.lit(tau_den) * F.col("_p") >= F.lit(tau_num) * F.col("_q"))
+        .select(
+            "id_a",
+            "split_a",
+            "id_b",
+            "split_b",
+            (F.expr("(20000 * _p + _q) div (2 * _q)") / F.lit(10000.0)).alias("jaccard"),
+        )
+    )

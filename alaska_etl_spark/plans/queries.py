@@ -5244,6 +5244,47 @@ FROM agg
 """
 
 
+def qe4_split_leakage(spark, sf_dir):
+    """Split-leakage audit (operators/splits.split_leakage): unigram
+    Jaccard ≥ 0.5 near-dup pairs straddling a 90/10 train/val hash
+    split over the bounded doc subset — the near-duplicate
+    contamination q71's exact decontamination cannot see. Integer-exact
+    threshold + jaccard (the q26 protocol) and the oracle rebuilds the
+    identical split via hash_split_sql."""
+    from alaska_etl_spark.operators.splits import split_leakage
+
+    d = _t(spark, sf_dir, "documents")
+    return split_leakage(
+        d, "doc_id", "text",
+        weights={"train": 0.9, "val": 0.1}, tau_num=1, tau_den=2, max_id=100,
+    )
+
+
+def _qe4_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    case = hash_split_sql("doc_id", weights={"train": 0.9, "val": 0.1}, seed=0)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh,
+         {case} AS sp
+  FROM documents WHERE doc_id < 100
+), p AS (
+  SELECT a.doc_id AS id_a, a.sp AS split_a, b.doc_id AS id_b, b.sp AS split_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS np,
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS nq
+  FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.sp <> b.sp
+)
+SELECT id_a, split_a, id_b, split_b,
+       ((20000 * np + nq) // (2 * nq)) / 10000.0 AS jaccard
+FROM p WHERE 2 * np >= 1 * nq
+"""
+
+
+QE4_SQL = _qe4_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5387,6 +5428,7 @@ QUERIES = {
     "qe1_ab_test": qe1_ab_test,
     "qe2_cuped": qe2_cuped,
     "qe3_psi_drift": qe3_psi_drift,
+    "qe4_split_leakage": qe4_split_leakage,
 }
 
 ORACLES = {
@@ -5518,6 +5560,7 @@ ORACLES = {
     "qe1_ab_test": QE1_SQL,
     "qe2_cuped": QE2_SQL,
     "qe3_psi_drift": QE3_SQL,
+    "qe4_split_leakage": QE4_SQL,
     # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
     # rows-only by design; each has an oracled exact companion (q27, q26,
     # q27, q27, q46, q38, q27, q27, qb0, q46+q38).

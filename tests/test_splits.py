@@ -348,3 +348,32 @@ def test_top_p_strata_are_independent(spark):
     out = top_p_coverage(df, strata_cols=["lang"], group_col="source", weight_col="n", p=0.5)
     got = {(r.lang, r.source) for r in out.collect()}
     assert got == {("en", "web"), ("de", "news")}
+
+
+def test_split_leakage_reports_only_cross_split_near_dups(spark):
+    from alaska_etl_spark.operators.splits import hash_split, split_leakage
+
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "alpha beta gamma epsilon",   # near-dup of 0 (J = 3/5)
+        2: "zeta eta theta iota",
+        3: "zeta eta theta iota",        # exact dup of 2
+        4: "totally different words here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    arms = {r.doc_id: r.s for r in hash_split(
+        df, "doc_id", weights={"train": 0.9, "val": 0.1}, split_col="s").collect()}
+    out = split_leakage(
+        df, "doc_id", "text", weights={"train": 0.9, "val": 0.1},
+        tau_num=1, tau_den=2,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # expected: near-dup pairs (0,1) and (2,3) IF their splits differ
+    want = {
+        p for p in [(0, 1), (2, 3)]
+        if arms[p[0]] != arms[p[1]]
+    }
+    assert got == want
+    for r in out:
+        assert r.split_a != r.split_b
+        assert r.jaccard >= 0.5
