@@ -25,6 +25,11 @@ CASES = [
     "qe3_psi_drift",
     "qd5_bm25",
     "q89_lm_perplexity",
+    "q02_region_revenue",
+    "qb3_corr_matrix",
+    "qd7_perplexity_gate",
+    "qe1_ab_test",
+    "q43_winnow_fingerprint",
 ]
 
 
