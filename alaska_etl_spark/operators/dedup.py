@@ -73,15 +73,22 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column, as array<string>.
 
     Built with sequence + transform (JVM-side); documents shorter than
-    ``n`` tokens contribute their full token string as a single shingle.
+    ``n`` tokens contribute their full token string as a single shingle;
+    documents with ZERO tokens contribute an empty array (not ``[""]``
+    — two empty docs are exact dedup's job, and the empty-string
+    shingle made Jaccard(∅, ∅) read 1.0 here while SQL oracles computed
+    NULL from a 0/0 division).
     """
     toks = word_tokens(col)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
+    out = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), k - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+    return F.when(F.size(toks) > 0, out).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -91,6 +98,38 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 _MERSENNE = (1 << 31) - 1  # 2^31-1, prime; keeps a*h+b < 2^63 (ANSI-safe)
 _MASK31 = (1 << 31) - 1
+
+
+def md5_hash31(col: Column | str) -> Column:
+    """Engine-portable 31-bit hash: first 8 hex chars of md5 → BIGINT,
+    mod 2^31. Bit-identical in DuckDB (Q43's list_reduce hex fold) —
+    the replayable lane for cross-engine oracles. ~2× the cost of
+    xxhash64 (md5 + string slice), so the xxhash64 lane stays the
+    default for production scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint"), F.lit(1 << 31)
+    )
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 → BIGINT.
+    60 bits on purpose: the value stays non-negative in a signed 64-bit
+    long, so ``>>``/``&`` replay identically in engines whose shift
+    semantics on negative longs differ (DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _token_hash31(col: Column | str, hash_fn: str) -> Column:
+    """31-bit token hash in the chosen lane: ``xxhash64`` (default,
+    fastest, engine-private) or ``md5`` (engine-portable, oracled)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "md5":
+        return md5_hash31(c)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(1 << 31))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
 
 
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -229,7 +268,9 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
-def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def gram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, text) → (_id, _g) rows: hashed word-n-gram shingles as ROWS,
     not arrays — the codegen-friendly formulation.
 
@@ -246,7 +287,7 @@ def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
     ex = (
         df.select(F.col(id_col).alias("_id"), F.posexplode_outer(toks).alias("pos", "_t"))
         .filter(F.col("_t").isNotNull())
-        .select("_id", "pos", F.pmod(F.xxhash64("_t"), F.lit(1 << 31)).alias("_h"))
+        .select("_id", "pos", _token_hash31("_t", hash_fn).alias("_h"))
     )
     w = Window.partitionBy("_id").orderBy("pos")
     cnt = F.count(F.lit(1)).over(Window.partitionBy("_id"))
@@ -421,6 +462,7 @@ def minhash_doc_tables(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """The two per-document MinHash relations every LSH consumer needs:
     ``per_doc`` (_id, _sig, _sh) — signature array + shingle set from
@@ -437,7 +479,7 @@ def minhash_doc_tables(
     becomes unreachable."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    grams = gram_rows(df, id_col, text_col, n)
+    grams = gram_rows(df, id_col, text_col, n, hash_fn=hash_fn)
     per_doc = (
         grams.groupBy("_id")
         .agg(
@@ -447,9 +489,13 @@ def minhash_doc_tables(
         .persist()
     )
     # bands is a plain Python int → unroll the band structs driver-side,
-    # as ONE SQL expression (single Py4J call; see _signature_sql for why)
+    # as ONE SQL expression (single Py4J call; see _signature_sql for why).
+    # Band hash: xxhash64 (8-byte keys, default) or md5 hex (16-byte-
+    # equivalent string, engine-replayable for the oracle lane) — the
+    # candidate set is identical either way, only the key width differs.
+    _band_hash = "xxhash64(concat_ws(',', {items}))" if hash_fn == "xxhash64" else "md5(concat_ws(',', {items}))"
     band_structs = ", ".join(
-        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {items})))".format(
+        ("named_struct('band', {b}, 'bh', " + _band_hash + ")").format(
             b=b,
             items=", ".join(
                 f"cast(_sig[{b * rows_per_band + i}] as string)"
@@ -474,6 +520,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     seed: int = 42,
     jaccard_threshold: float | None = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -493,7 +540,8 @@ def minhash_near_dup_pairs(
     scale. ``bands`` must divide ``num_hashes``.
     """
     per_doc, banded = minhash_doc_tables(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+        hash_fn=hash_fn,
     )
     shingle_tbl = per_doc.select("_id", "_sh")
 
@@ -618,7 +666,8 @@ def simhash(col: Column | str, *, bits: int = 64) -> Column:
 
 
 def simhash_fingerprints_grouped(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) → (_id, _sim BIGINT): distributed SimHash — explode
     tokens to (id, hash) rows, then ONE hash-aggregate with ``bits``
@@ -635,10 +684,14 @@ def simhash_fingerprints_grouped(
     # explode_outer to suppress the inferred size>0 filter (which would
     # re-tokenize every doc a second time — see minhash_signatures_grouped);
     # null tokens from genuinely empty docs are dropped right after.
+    # md5 lane uses a 60-bit hash (md5_hash60) so the value is non-
+    # negative and ``>>``/``&`` replay identically in DuckDB; fingerprint
+    # bits 60-63 then carry zero votes and stay 0 on both engines.
+    tok_hash = F.xxhash64("_t") if hash_fn == "xxhash64" else md5_hash60("_t")
     exploded = (
         df.select(F.col(id_col).alias("_id"), F.explode_outer(toks).alias("_t"))
         .filter(F.col("_t").isNotNull())
-        .select("_id", F.xxhash64("_t").alias("_h"))
+        .select("_id", tok_hash.alias("_h"))
     )
     # one SQL expression per stage instead of `bits` Column trees — same
     # plan, single Py4J call (see _signature_sql for the rationale)
@@ -667,6 +720,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ ``max_hamming``.
 
@@ -677,7 +731,7 @@ def simhash_near_dup_pairs(
     chunks = max_hamming + 1
     width = 64 // chunks
 
-    sig = simhash_fingerprints_grouped(df, id_col, text_col)
+    sig = simhash_fingerprints_grouped(df, id_col, text_col, hash_fn=hash_fn)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),

@@ -53,7 +53,10 @@ _TOTAL = "_gr_total"
 
 
 def _numbered_with_offsets(
-    df: DataFrame, order_cols: list[str], num_partitions: int | None
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Rows + ``_gr_rank`` (global 1-based) + ``_gr_total`` columns."""
     nparts = num_partitions or int(
@@ -84,16 +87,27 @@ def _numbered_with_offsets(
             seen += n
             yield pdf
 
-    # PERSISTED: the histogram below must see the SAME partition ids as
-    # the numbering pass. The r3 formulation computed it as a second
+    # MATERIALIZED: the histogram below must see the SAME partition ids
+    # as the numbering pass. The r3 formulation computed it as a second
     # plan branch off the range exchange, relying on ReusedExchange —
     # correct in the static plan, but AQE may coalesce the two branches'
     # shuffle reads DIFFERENTLY (found at sf0.1: offsets shifted and an
     # 11th "decile" appeared). Materializing the numbered output bakes
-    # the pids into data; both consumers read one execution. Storage is
-    # MEMORY_AND_DISK and lineage recomputes evicted blocks; at extreme
-    # scale prefer a checkpoint dir, same as connected_components.
-    numbered = ordered.mapInPandas(_number, out_schema).persist()
+    # the pids into data; both consumers read one execution.
+    #
+    # Two durability tiers, same contract as connected_components
+    # (dedup.py): default ``persist`` is MEMORY_AND_DISK with lineage
+    # recompute on eviction — fine locally, an eviction/recompute hazard
+    # on a full fact table at 100 TB; pass ``checkpoint_dir`` (HDFS/S3/
+    # GCS on a cluster) for a reliable ``checkpoint()`` whose blocks
+    # survive executor loss and never recompute (a recompute after an
+    # AQE-replanned exchange could renumber rows mid-query).
+    numbered = ordered.mapInPandas(_number, out_schema)
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        numbered = numbered.checkpoint()
+    else:
+        numbered = numbered.persist()
 
     counts = numbered.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -119,13 +133,16 @@ def global_row_number(
     *,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_cols)`` at fact scale: one
     range exchange + one narrow Arrow pass; no single-partition window
     over the data. ``order_cols`` must be a total order (include a
     unique tiebreaker). Ascending, NULLS FIRST (Spark's default asc
-    ordering) — pre-compute a sort-key column for anything fancier."""
-    out = _numbered_with_offsets(df, order_cols, num_partitions)
+    ordering) — pre-compute a sort-key column for anything fancier.
+    ``checkpoint_dir``: reliable-checkpoint the numbered table instead
+    of persisting it (see :func:`_numbered_with_offsets`)."""
+    out = _numbered_with_offsets(df, order_cols, num_partitions, checkpoint_dir)
     return out.withColumnRenamed("_gr_rank", rank_col).drop(_TOTAL)
 
 
@@ -149,12 +166,13 @@ def global_ntile(
     *,
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY order_cols)`` without moving the data
     to one partition; bit-identical to the window form (SQL-oracle
-    verifiable). Same total-order requirement as
+    verifiable). Same total-order and ``checkpoint_dir`` contract as
     :func:`global_row_number`."""
-    out = _numbered_with_offsets(df, order_cols, num_partitions)
+    out = _numbered_with_offsets(df, order_cols, num_partitions, checkpoint_dir)
     return out.withColumn(
         bucket_col, ntile_from_rank(F.col("_gr_rank"), F.col(_TOTAL), k)
     ).drop("_gr_rank", _TOTAL)

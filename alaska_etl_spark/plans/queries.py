@@ -1233,27 +1233,150 @@ SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms FROM (
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (approximate / engine-defined results — no oracle;
-# their exact companions above are the oracled verifiers)
+# q29/q30: approximate near-dup in the md5 (engine-replayable) hash lane
+# — EXACTLY oracled since round 5: every hash both engines compute is
+# derived from md5 hex (dedup.md5_hash31/md5_hash60), so DuckDB replays
+# the entire pipeline (tokenize → gram hash → signature mins → banding →
+# candidate join → exact verify). The xxhash64 lane stays the production
+# default (half the hash cost); recall equivalence of the two lanes is
+# unit-tested (tests/test_dedup.py).
 # ---------------------------------------------------------------------------
 
 
 def q29_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (scale path; verified exactly by
-    q26's Jaccard on the same corpus). 3-gram shingles: unigrams on the
-    synthetic corpus's tiny shared vocabulary collide in every band and
-    degenerate to an all-pairs join — word 3-grams are the standard
-    discriminative choice."""
+    """MinHash+LSH near-dup candidates (scale path; q26's exact Jaccard
+    is the recall reference on the same corpus). 3-gram shingles:
+    unigrams on the synthetic corpus's tiny shared vocabulary collide in
+    every band and degenerate to an all-pairs join — word 3-grams are
+    the standard discriminative choice. md5 hash lane → exact DuckDB
+    oracle; jaccard is emitted unrounded (int/int division is the same
+    IEEE double on both engines, while round() tie behavior differs)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
-        d, "doc_id", "text", n=3, num_hashes=64, bands=16, jaccard_threshold=0.5
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
 
 
 def q30_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, hamming ≤ 3 with chunk blocking."""
+    """SimHash near-dup pairs, hamming ≤ 3 with chunk blocking, md5
+    hash lane (60-bit token hashes → non-negative fingerprints whose
+    shift/mask arithmetic replays identically in DuckDB)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="md5")
+
+
+def _dk_h31(expr: str) -> str:
+    """DuckDB text for dedup.md5_hash31: first 8 md5 hex chars → BIGINT
+    (Q43's list_reduce fold — DuckDB has no conv()), mod 2^31."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,8),''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a,b) -> a*16+b) % 2147483648"
+    )
+
+
+def _dk_h60(expr: str) -> str:
+    """DuckDB text for dedup.md5_hash60 (15 hex chars, 60 bits)."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,15),''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a,b) -> a*16+b)"
+    )
+
+
+def _q29_sql() -> str:
+    """Full MinHash-LSH replay: same (a,b) universal-hash constants as
+    dedup._hash_params(64, 42), same 2^31 gram modulus, same md5 band
+    keys, same exact-Jaccard verify over distinct gram sets."""
+    from alaska_etl_spark.operators.dedup import _hash_params
+
+    sig_slots = ", ".join(
+        f"min(({a} * g + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_hash_params(64, 42))
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {items})) AS bh FROM sig".format(
+            b=b, items=", ".join(f"CAST(s{b * 4 + i} AS VARCHAR)" for i in range(4))
+        )
+        for b in range(16)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, {_dk_h31('unnest(tk)')} AS th
+  FROM toks
+), full_grams AS (
+  SELECT doc_id,
+         ((th * 1000003 + lead(th,1) OVER w) % 2147483648 * 1000003
+            + lead(th,2) OVER w) % 2147483648 AS g
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(th,2) OVER w IS NOT NULL
+), shorts AS (
+  SELECT doc_id,
+         list_reduce(CAST(list(th ORDER BY pos) AS BIGINT[]),
+                     (a,b) -> (a*1000003 + b) % 2147483648) AS g
+  FROM tok_rows GROUP BY doc_id HAVING count(*) < 3
+), gram_all AS (
+  SELECT doc_id, g FROM full_grams UNION ALL SELECT doc_id, g FROM shorts
+), sig AS (
+  SELECT doc_id, {sig_slots} FROM gram_all GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), shingle AS (
+  SELECT DISTINCT doc_id, g FROM gram_all
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ic
+  FROM cand c
+  JOIN shingle sa ON sa.doc_id = c.id_a
+  JOIN shingle sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.ic AS DOUBLE) / (za.sz + zb.sz - i.ic) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE CAST(i.ic AS DOUBLE) / (za.sz + zb.sz - i.ic) >= 0.5
+"""
+
+
+def _q30_sql() -> str:
+    """Full SimHash replay: 60-bit md5 token hashes, per-bit majority
+    votes as 60 sums in one aggregate, pigeonhole 16-bit chunk blocking,
+    bit_count(xor) hamming."""
+    counts = ", ".join(f"CAST(sum((h >> {b}) & 1) AS BIGINT) AS c{b}" for b in range(60))
+    fp = " + ".join(f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, {_dk_h60('unnest(tk)')} AS h FROM toks
+), counted AS (
+  SELECT doc_id, count(*) AS n, {counts} FROM tok_rows GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp} AS sim FROM counted
+), chunks AS (
+  SELECT doc_id, sim, b.band, (sim >> (16*b.band)) & 65535 AS cv
+  FROM fp, (VALUES (0),(1),(2),(3)) AS b(band)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+FROM chunks l JOIN chunks r ON l.band = r.band AND l.cv = r.cv AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sim, r.sim)) <= 3
+"""
+
+
+Q29_SQL = _q29_sql()
+Q30_SQL = _q30_sql()
 
 
 def q31_ivf_ann(spark, sf_dir):
@@ -5561,9 +5684,12 @@ ORACLES = {
     "qe2_cuped": QE2_SQL,
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
-    # q29-q31, q53, q55, q57, q76, q91, qb2, qc5: approximate ops —
-    # rows-only by design; each has an oracled exact companion (q27, q26,
-    # q27, q27, q46, q38, q27, q27, qb0, q46+q38).
+    "q29_minhash_lsh": Q29_SQL,
+    "q30_simhash": Q30_SQL,
+    # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
+    # design; each has an oracled exact companion (q46, q38, q27, q27,
+    # qb0, q46+q38). q29/q30 became EXACTLY oracled in round 5 (md5
+    # hash lane replayed end-to-end in DuckDB).
     # q73: eager composed pipeline — rows-only; every stage individually
     # oracled (q70/q25/q29+q42/q71/q68/q72).
 }

@@ -87,6 +87,51 @@ def test_simhash_pairs(spark):
     assert not any(2 in p for p in loose)
 
 
+def test_minhash_md5_lane_same_recall(spark):
+    """The md5 (oracle-replayable) lane finds the same planted dups as
+    the xxhash64 production lane, with identical EXACT-verify jaccard
+    (the verification stage is hash-free set arithmetic, so only the
+    approximate candidate stage depends on the lane)."""
+    for lane in ("xxhash64", "md5"):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_dup_pairs(
+                _docs(spark), "doc_id", "text", n=3,
+                jaccard_threshold=0.5, hash_fn=lane,
+            ).collect()
+        }
+        assert pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+
+def test_simhash_md5_lane(spark):
+    """md5 lane (60-bit hashes): exact dup still hamming 0, disjoint doc
+    never pairs; fingerprints are non-negative by construction."""
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=3, hash_fn="md5"
+        ).collect()
+    }
+    assert got[(0, 3)] == 0
+    assert not any(2 in p for p in got)
+
+
+def test_shingles_empty_doc_is_empty_array(spark):
+    """Zero-token docs shingle to [], not [\"\"] (ADVICE r4: the empty-
+    string shingle made Jaccard(∅,∅) read 1.0 while SQL oracles got
+    NULL from 0/0)."""
+    from alaska_etl_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.sh for r in df.select("doc_id", shingles("text", 2).alias("sh")).collect()}
+    assert out[0] == [] and out[1] == []
+    assert out[2] == ["a b", "b c"]
+
+
 def test_ngram_jaccard_exact(spark):
     docs = spark.createDataFrame(
         [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")],

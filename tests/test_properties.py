@@ -378,3 +378,39 @@ def test_bm25_matches_python_replica(spark, docs, query):
     )[:4]
     want = [(d, sm, r) for r, (sm, d) in enumerate(ranked, 1)]
     assert got == want
+
+
+@given(
+    strings=st.lists(
+        st.text(min_size=0, max_size=30), min_size=1, max_size=16, unique=True
+    )
+)
+@settings(**_SETTINGS)
+def test_md5_hash_lanes_cross_engine(spark, strings):
+    """dedup.md5_hash31 / md5_hash60 (the oracle-replayable hash lane
+    behind q29/q30) are 64-bit-equal between Spark and DuckDB on
+    arbitrary unicode — future hash-lane work cannot silently diverge
+    the engines (VERDICT r4 next-round #8)."""
+    import duckdb
+
+    from alaska_etl_spark.operators.dedup import md5_hash31, md5_hash60
+    from alaska_etl_spark.plans.queries import _dk_h31, _dk_h60
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: (r.h31, r.h60)
+        for r in df.select(
+            "s", md5_hash31("s").alias("h31"), md5_hash60("s").alias("h60")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT s, {_dk_h31('s')} AS h31, {_dk_h60('s')} AS h60 FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

@@ -38,6 +38,35 @@ def test_global_row_number_matches_window(spark, balances):
     assert got == want
 
 
+def test_global_ranking_checkpoint_branch(spark, balances, tmp_path):
+    """checkpoint_dir branch (reliable checkpoint instead of persist —
+    the 100-TB durability tier, VERDICT r4 residual #1): bit-parity
+    with the window form for both row_number and ntile."""
+    ckpt = str(tmp_path / "ckpt")
+    got_rank = {
+        r.key: r.rank
+        for r in global_row_number(
+            balances, ["bal", "key"], num_partitions=7, checkpoint_dir=ckpt
+        ).collect()
+    }
+    w = Window.orderBy("bal", "key")
+    want_rank = {
+        r.key: r.rank
+        for r in balances.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got_rank == want_rank
+    got_b = {
+        r.key: r.bucket
+        for r in global_ntile(
+            balances, ["bal", "key"], 10, num_partitions=7, checkpoint_dir=ckpt
+        ).collect()
+    }
+    want_b = {
+        r.key: r.b for r in balances.withColumn("b", F.ntile(10).over(w)).collect()
+    }
+    assert got_b == want_b
+
+
 @pytest.mark.parametrize("k", [10, 7, 6000])
 def test_global_ntile_matches_window(spark, balances, k):
     """k=6000 > N exercises the q=0 (more buckets than rows) branch."""
