@@ -40,21 +40,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. The xxhash64-based
-    approximate ops (q29/q30), the engine-defined sketches (q55/q57,
-    qc5), the k-means-trained quantizers (q76/q91), qb2
-    incremental-LSH, and the iterative BPE trainer (qd9) are rows-only
-    by design — each has an exact oracled companion (q26 exact
-    Jaccard, q27 brute-force cosine, q46 exact distinct counts, q38
-    exact percentiles, q88 exact sparse cosine, qb0 prefix-filtered
-    exact Jaccard) or, for qd9, a pure-Python replica pin on the same
-    fixture; q31 IVF and q53 sign-LSH became EXACTLY oracled in round
-    4 (deterministic quantizer + 6dp literals). The composed pipeline
-    q73 is rows-only (its stages are oracled individually); everything
-    else, including
-    the multimodal mapInPandas path (q32/q33), sessionization (q34),
-    the EWMA recursion (q92, oracle replays it in a recursive CTE),
-    the iterative graph loops (qb6/qb8, oracle replays them as
-    unrolled CTE chains), and the distributed global ntile (q84),
-    hash-matches."""
+    """DuckDB-runnable ANSI SQL oracle per query. The engine-defined
+    sketches (q55/q57, qc5), the k-means-trained quantizers (q76/q91),
+    qb2 incremental-LSH, and the iterative BPE trainer (qd9) are
+    rows-only by design — each has an exact oracled companion (q46
+    exact distinct counts, q38 exact percentiles, q27 brute-force
+    cosine, qb0 prefix-filtered exact Jaccard) or, for qd9, a
+    pure-Python replica pin on the same fixture. Every approximate
+    near-dup/ANN path is now EXACTLY oracled: q31 IVF and q53 sign-LSH
+    since round 4 (deterministic quantizer + 6dp literals), and
+    q29 MinHash-LSH / q30 SimHash since round 5 (md5-derived hash lane
+    replayed end-to-end in DuckDB SQL). The composed pipeline q73 is
+    rows-only (its stages are oracled individually); everything else,
+    including the multimodal mapInPandas path (q32/q33),
+    sessionization (q34), the EWMA recursion (q92, oracle replays it
+    in a recursive CTE), the iterative graph loops (qb6/qb8, oracle
+    replays them as unrolled CTE chains), and the distributed global
+    ntile (q84), hash-matches."""
     return dict(sorted(ORACLES.items()))

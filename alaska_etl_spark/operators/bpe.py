@@ -146,12 +146,21 @@ def bpe_segment(df: DataFrame, id_col: str, text_col: str, merges: list) -> Data
         out = out.select(
             F.col(id_col), "_pos", _merge_pair_expr(left, right).alias("syms")
         )
-    return (
-        out.groupBy(id_col)
-        .agg(
-            F.flatten(F.array_sort(F.collect_list(F.struct("_pos", "syms")))["syms"]).alias(
-                "tokens"
-            )
+    seg = out.groupBy(id_col).agg(
+        F.flatten(F.array_sort(F.collect_list(F.struct("_pos", "syms")))["syms"]).alias(
+            "tokens"
         )
-        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+    )
+    # left-join back to the full id set: posexplode over a zero-token
+    # doc emits no rows, which silently dropped the doc from the output
+    # (ADVICE r4) — re-attach with tokens=[] / n_tokens=0, same contract
+    # as the LM scorer's base join
+    return (
+        df.select(F.col(id_col))
+        .join(seg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+            F.coalesce(F.size("tokens"), F.lit(0)).alias("n_tokens"),
+        )
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
+
 # ---------------------------------------------------------------------------
 # exact / keyed
 # ---------------------------------------------------------------------------
@@ -486,8 +488,8 @@ def minhash_doc_tables(
             F.expr(_signature_sql(num_hashes, seed, "_g")).alias("_sig"),
             F.collect_set("_g").alias("_sh"),
         )
-        .persist()
     )
+    per_doc = tracked_persist(per_doc)
     # bands is a plain Python int → unroll the band structs driver-side,
     # as ONE SQL expression (single Py4J call; see _signature_sql for why).
     # Band hash: xxhash64 (8-byte keys, default) or md5 hex (16-byte-

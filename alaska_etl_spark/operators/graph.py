@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
+
 __all__ = ["bfs_distances", "bfs_sql", "pagerank", "pagerank_sql", "triangle_counts"]
 
 
@@ -52,9 +54,9 @@ def pagerank(
 
         rank'(v) = scale·(den−num)/den  +  num · Σ_{u→v} (rank(u) div outdeg(u)) div den
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    e = tracked_persist(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ew = e.join(outdeg, "src").persist()
+    ew = tracked_persist(e.join(outdeg, "src"))
     nodes = e.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank_ppm", F.lit(scale).cast("bigint"))
     teleport = scale * (damping_den - damping_num) // damping_den
@@ -149,8 +151,8 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    und = tracked_persist(und)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -172,8 +174,8 @@ def triangle_counts(
             .alias("_e")
         )
         .select("_e.u", "_e.v")
-        .persist()
     )
+    oriented = tracked_persist(oriented)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
@@ -217,7 +219,7 @@ def bfs_distances(
     REACHED set only (the frontier's closure, not the whole graph),
     lineage truncated per round. Undirected graphs pass edges in both
     directions."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    e = tracked_persist(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
     dist = sources.select(F.col(node_col).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("bigint")
     )

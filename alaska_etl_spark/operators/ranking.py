@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
+
 __all__ = ["global_row_number", "global_ntile", "ntile_from_rank"]
 
 _PID = "_gr_pid"
@@ -107,7 +109,7 @@ def _numbered_with_offsets(
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         numbered = numbered.checkpoint()
     else:
-        numbered = numbered.persist()
+        numbered = tracked_persist(numbered)
 
     counts = numbered.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

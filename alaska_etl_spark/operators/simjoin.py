@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
+
 from alaska_etl_spark.operators.dedup import word_tokens
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
@@ -99,7 +101,7 @@ def cosine_similarity_join(
     # PERSISTED: the feature table feeds norms, the optional df counts,
     # and BOTH sides of the self-join — unpersisted, the tokenize →
     # gram-explode → aggregate subtree would execute up to four times.
-    feats = tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf").persist()
+    feats = tracked_persist(tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf"))
     # norms from the (pre-prune) features: hashing preserves rows, and
     # the norm must cover ALL grams even when max_df prunes join feats
     norms = feats.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq"))
@@ -190,8 +192,8 @@ def jaccard_similarity_join(
             F.explode(shingles(text_col, n)).alias("_t"),
         )
         .select("_id", F.xxhash64("_t").alias("_t"))
-        .persist()
     )
+    tok = tracked_persist(tok)
     sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     # prefix length p = n - ceil(tau*n) + 1, in exact integers:

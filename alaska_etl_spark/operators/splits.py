@@ -283,6 +283,11 @@ def mix_entropy(
     """
     w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
     g = df.groupBy(F.col(group_col).alias("grp")).agg(w.cast("double").alias("wt"))
+    # zero-weight groups are EXCLUDED (they carry no mass, and p=0 terms
+    # diverge across engines: Spark ln(0) → NULL poisons the totals,
+    # DuckDB 0*-inf → NaN); k below counts only surviving groups, in
+    # both this operator and the qc9 oracle (ADVICE r4)
+    g = g.filter(F.col("wt") > 0)
     from pyspark.sql import Window
 
     wall = Window.partitionBy()
@@ -503,6 +508,10 @@ def split_leakage(
     base = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
     if max_id is not None:
         base = base.filter(F.col("_id") < max_id)
+    # zero-token docs carry no content to leak and would hit the 0/0
+    # jaccard (shingles() returns [] for them; ADVICE r4) — drop them
+    # here and in the qe4 oracle alike
+    base = base.filter(F.size("_sh") > 0)
     assigned = hash_split(base, "_id", weights=weights, seed=seed, split_col="_sp")
     a = assigned.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), F.col("_sp").alias("split_a")

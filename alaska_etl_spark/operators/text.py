@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
+
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small + deterministic (no model download): the point is the
 # *operator shape* — replace the lexicon to upgrade quality.
@@ -446,8 +448,8 @@ def bm25_topk(
         toks.repartition(nparts, "_id")
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
+    tf = tracked_persist(tf)
     dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
     stats = dl.select(
         F.count(F.lit(1)).alias("n_docs"),

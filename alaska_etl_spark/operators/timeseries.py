@@ -61,8 +61,11 @@ def activity_bitmap(
     """
     month = F.date_trunc("month", F.col(ts_col))
     # pyspark's F.shiftleft only accepts a literal int shift; the SQL
-    # form takes a column expression for the day-dependent bit position
-    day_bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), dayofmonth({ts_col}) - 1)")
+    # form takes a column expression for the day-dependent bit position.
+    # Backtick-quoted (with `` escaping) so column names with spaces /
+    # metacharacters parse like every F.col path (ADVICE r4)
+    quoted = ts_col.replace("`", "``")
+    day_bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), dayofmonth(`{quoted}`) - 1)")
     return (
         df.groupBy(F.col(key_col), month.alias("month"))
         .agg(F.bit_or(day_bit).alias("mask"))

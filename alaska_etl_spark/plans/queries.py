@@ -4663,6 +4663,7 @@ def qc9_mix_entropy(spark, sf_dir):
 QC9_SQL = """
 WITH g AS (
   SELECT source, CAST(sum(n_chars) AS DOUBLE) AS wt FROM documents GROUP BY 1
+  HAVING sum(n_chars) > 0
 ), terms AS (
   SELECT source, wt,
          wt / sum(wt) OVER () AS p,
@@ -5393,6 +5394,7 @@ WITH t AS (
          list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh,
          {case} AS sp
   FROM documents WHERE doc_id < 100
+    AND len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) > 0
 ), p AS (
   SELECT a.doc_id AS id_a, a.sp AS split_a, b.doc_id AS id_b, b.sp AS split_b,
          CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS np,
@@ -5456,12 +5458,20 @@ QUERIES = {
     "q41_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
     "q43_winnow_fingerprint": q43_winnow_fingerprint,
-    "q44_priority_shipping": q44_priority_shipping,
-    "q45_order_count_distribution": q45_order_count_distribution,
+    # round-5 slot rotation (README "Driver query slots"): the TPC-H
+    # Q12/Q13 shapes and the idle-customers anti-join move to qe5-qe7
+    # (families multiply covered inside the window by q36/q48/q10/q59);
+    # BM25, CUPED, and the interval sweep — round-3/4 flagships the
+    # driver never saw — take their slots.
+    "q44_bm25": qd5_bm25,
+    "q45_cuped": qe2_cuped,
+    "qe5_priority_shipping": q44_priority_shipping,
+    "qe6_order_count_distribution": q45_order_count_distribution,
     "q62_promo_revenue": q62_promo_revenue,
     "q63_disjunctive_predicates": q63_disjunctive_predicates,
     "q48_volume_shipping": q48_volume_shipping,
-    "q49_idle_customers": q49_idle_customers,
+    "q49_max_concurrent": qc7_max_concurrent,
+    "qe7_idle_customers": q49_idle_customers,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -5534,7 +5544,6 @@ QUERIES = {
     "qc4_funnel": qc4_funnel,
     "qc5_sketch_rollup": qc5_sketch_rollup,
     "qc6_integrity_report": qc6_integrity_report,
-    "qc7_max_concurrent": qc7_max_concurrent,
     "qc8_activity_bitmap": qc8_activity_bitmap,
     "qc9_mix_entropy": qc9_mix_entropy,
     "qd0_top_p_coverage": qd0_top_p_coverage,
@@ -5542,14 +5551,12 @@ QUERIES = {
     "qd2_sliding_distinct": qd2_sliding_distinct,
     "qd3_attribution": qd3_attribution,
     "qd4_winsorize": qd4_winsorize,
-    "qd5_bm25": qd5_bm25,
     "qd6_hard_negatives": qd6_hard_negatives,
     "qd7_perplexity_gate": qd7_perplexity_gate,
     "qd8_label_consistency": qd8_label_consistency,
     "qd9_bpe_merges": qd9_bpe_merges,
     "qe0_share_and_growth": qe0_share_and_growth,
     "qe1_ab_test": qe1_ab_test,
-    "qe2_cuped": qe2_cuped,
     "qe3_psi_drift": qe3_psi_drift,
     "qe4_split_leakage": qe4_split_leakage,
 }
@@ -5596,12 +5603,15 @@ ORACLES = {
     "q41_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
     "q43_winnow_fingerprint": Q43_SQL,
-    "q44_priority_shipping": Q44_SQL,
-    "q45_order_count_distribution": Q45_SQL,
+    "q44_bm25": QD5_SQL,
+    "q45_cuped": QE2_SQL,
+    "qe5_priority_shipping": Q44_SQL,
+    "qe6_order_count_distribution": Q45_SQL,
     "q62_promo_revenue": Q62_SQL,
     "q63_disjunctive_predicates": Q63_SQL,
     "q48_volume_shipping": Q48_SQL,
-    "q49_idle_customers": Q49_SQL,
+    "q49_max_concurrent": QC7_SQL,
+    "qe7_idle_customers": Q49_SQL,
     "q50_top_supplier": Q50_SQL,
     "q53_lsh_ann": Q53_SQL,
     "q10_sole_blame_supplier": Q10_SQL,
@@ -5667,7 +5677,6 @@ ORACLES = {
     "qc3_cohort_retention": QC3_SQL,
     "qc4_funnel": QC4_SQL,
     "qc6_integrity_report": QC6_SQL,
-    "qc7_max_concurrent": QC7_SQL,
     "qc8_activity_bitmap": QC8_SQL,
     "qc9_mix_entropy": QC9_SQL,
     "qd0_top_p_coverage": QD0_SQL,
@@ -5675,13 +5684,11 @@ ORACLES = {
     "qd2_sliding_distinct": QD2_SQL,
     "qd3_attribution": QD3_SQL,
     "qd4_winsorize": QD4_SQL,
-    "qd5_bm25": QD5_SQL,
     "qd6_hard_negatives": QD6_SQL,
     "qd7_perplexity_gate": QD7_SQL,
     "qd8_label_consistency": QD8_SQL,
     "qe0_share_and_growth": QE0_SQL,
     "qe1_ab_test": QE1_SQL,
-    "qe2_cuped": QE2_SQL,
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
     "q29_minhash_lsh": Q29_SQL,

@@ -21,9 +21,9 @@ CASES = [
     "qd4_winsorize",
     "qa7_mad_anomalies",
     "q92_ewma",
-    "qe2_cuped",
+    "q45_cuped",
     "qe3_psi_drift",
-    "qd5_bm25",
+    "q44_bm25",
     "q89_lm_perplexity",
     "q02_region_revenue",
     "qb3_corr_matrix",

@@ -34,14 +34,14 @@ def test_no_cartesian_no_row_python_udf(spark, name):
 
 
 def test_bm25_postings_cached_and_joins_broadcast(spark):
-    """qd5: the postings table is persisted and read by multiple
+    """q44 BM25 (slot-rotated from qd5 in r5): the postings table is persisted and read by multiple
     consumers (InMemoryTableScan), the query-idf side broadcasts
     (no sort-merge join anywhere), and the only nested-loop is the
     1-row (N, avgdl) stats broadcast."""
     from alaska_etl_spark.plans.queries import QUERIES
 
     plan = (
-        QUERIES["qd5_bm25"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        QUERIES["q44_bm25"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "SortMergeJoin" not in plan, plan

@@ -48,20 +48,20 @@ def test_q51_exists_shapes_plan_as_semi_and_anti(spark):
 
 
 def test_q45_left_outer_with_partial_agg(spark):
-    plan = _plan(spark, "q45_order_count_distribution")
+    plan = _plan(spark, "qe6_order_count_distribution")
     assert "LeftOuter" in plan
     assert "partial_count" in plan  # map-side combine before each shuffle
 
 
 def test_q45_distribution_accounts_for_every_customer(spark):
-    out = QUERIES["q45_order_count_distribution"](spark, SF).collect()
+    out = QUERIES["qe6_order_count_distribution"](spark, SF).collect()
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert sum(r.custdist for r in out) == n_cust
 
 
 @pytest.mark.parametrize(
     "name",
-    ["q44_priority_shipping", "q62_promo_revenue", "q48_volume_shipping", "q49_idle_customers"],
+    ["qe5_priority_shipping", "q62_promo_revenue", "q48_volume_shipping", "qe7_idle_customers"],
 )
 def test_smoke_runs_and_returns(spark, name):
     rows = QUERIES[name](spark, SF).collect()

@@ -10,8 +10,9 @@ Interpretation notes, so nobody over-reads the table:
   plans shuffle/broadcast exactly so they still work when the same
   query runs on 100 TB across 1000 executors; DuckDB's stop at one
   node).
-- Rows-only queries (q29/q31/q92-style approximations without exact
-  SQL twins in the headline) are skipped — no oracle to time.
+- Rows-only queries (the few engine-defined approximations without
+  exact SQL twins) are skipped — no oracle to time; q29/q30/q31/q53
+  all carry exact oracles now and ARE timed.
 - Timing is end-to-end per statement (parse + plan + execute + fetch),
   matching bench.py's collect-inclusive timing.
 

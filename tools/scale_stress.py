@@ -1,0 +1,160 @@
+"""Synthetic 10× scale stress for the similarity/dedup family
+(VERDICT r4 next-round #5): no sf1 testdata exists, so build it —
+replicate the sf0.1 corpus 10× in a way that preserves each copy's
+internal near-dup structure while making copies mutually dissimilar,
+then measure how the LSH / inverted-index / cluster-blocked operators
+actually scale from 1× to 10×.
+
+Corpus construction (the part that makes the measurement honest):
+
+- ``documents`` ×10: copy k offsets doc_id by k·10^7 and prefixes every
+  TOKEN with ``c{k}`` — within-copy shingle sets keep their exact
+  Jaccard/cosine structure (every token maps injectively), while
+  cross-copy vocabularies are disjoint, so the TRUE pair set is exactly
+  10× the base pair set. A naive 10× clone instead gives every document
+  9 exact twins and the output (and any verify stage) legitimately
+  grows ~100× — that measures output size, not operator scaling.
+- ``embeddings`` ×10: copy k applies a seed-k random PERMUTATION of the
+  64 dimensions plus per-dimension SIGN FLIPS — a signed permutation is
+  orthogonal, so within-copy cosines are exactly preserved, while the
+  sign flips zero the cross-copy expectation even when the corpus lives
+  in a positive cone (a bare permutation of all-positive-mean vectors
+  stays positively correlated — measured: survivors collapsed to ~570
+  of 20 000 because copy 0 dominated everything).
+
+What linear wall-clock growth certifies per query: q29 MinHash-LSH —
+banding volume |docs|×bands and candidate count both 10×, never
+all-pairs; q88 cosine / qb0 Jaccard similarity joins — the inverted
+index's Σdf² bound is 10× (per-copy df distributions are identical and
+vocabularies disjoint); q64 SemDeDup — cluster-blocked chunked matmul
+(clusters get denser; see the note printed with the results); q30
+SimHash — chunk-blocked hamming join. q26 stays id-bounded (<60) by
+contract and acts as the constant-work control.
+
+Usage:
+    python tools/scale_stress.py            # builds ./.scale_stress, runs, prints a table
+
+Output parquet lands in .scale_stress/ (gitignored); results are
+printed as the markdown table SCALE.md's "Measured 1×→10×" section
+carries.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
+COPIES = 10
+QUERIES_UNDER_TEST = [
+    "q26_ngram_jaccard",   # constant-work control (id-bounded by contract)
+    "q29_minhash_lsh",
+    "q30_simhash",
+    "q88_cosine_simjoin",
+    "qb0_jaccard_simjoin",
+    "q64_semantic_dedup",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+
+    # 1x: pass-through rewrite so both scales read identical file layouts
+    docs.write.mode("overwrite").parquet(f"{OUT}/x1/documents.parquet")
+    embs.write.mode("overwrite").parquet(f"{OUT}/x1/embeddings.parquet")
+
+    parts_d = []
+    parts_e = []
+    for k in range(COPIES):
+        parts_d.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                # token-injective rename: prefix every non-space run
+                F.regexp_replace(F.col("text"), r"(\S+)", f"c{k}$1").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        rng = random.Random(1000 + k)
+        perm = list(range(64))
+        rng.shuffle(perm)
+        signs = [rng.choice((1.0, -1.0)) if k > 0 else 1.0 for _ in range(64)]
+        signed_perm = F.array(
+            *[
+                F.lit(float(s)) * F.element_at("embedding", p + 1)
+                for p, s in zip(perm, signs)
+            ]
+        )
+        parts_e.append(
+            embs.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                (F.col("embedding") if k == 0 else signed_perm).alias("embedding"),
+                *[c for c in embs.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    d10 = parts_d[0]
+    e10 = parts_e[0]
+    for p in parts_d[1:]:
+        d10 = d10.unionByName(p)
+    for p in parts_e[1:]:
+        e10 = e10.unionByName(p)
+    d10.write.mode("overwrite").parquet(f"{OUT}/x10/documents.parquet")
+    e10.write.mode("overwrite").parquet(f"{OUT}/x10/embeddings.parquet")
+
+
+def main() -> None:
+    import math
+
+    from alaska_etl_spark.cache import release_tracked
+    from alaska_etl_spark.plans.queries import QUERIES
+    from alaska_etl_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+
+    # warm plan shapes once at 1x so codegen/plan compilation doesn't
+    # land inside either timed run
+    for name in QUERIES_UNDER_TEST:
+        QUERIES[name](spark, f"{OUT}/x1").collect()
+        release_tracked()
+
+    results = []
+    for name in QUERIES_UNDER_TEST:
+        row = {"query": name}
+        for scale in ("x1", "x10"):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = len(QUERIES[name](spark, f"{OUT}/{scale}").collect())
+                dt = time.perf_counter() - t0
+                release_tracked()
+                best = dt if best is None else min(best, dt)
+                rows = n
+            row[scale] = best
+            row[f"{scale}_rows"] = rows
+        row["time_ratio"] = row["x10"] / row["x1"]
+        row["exponent"] = math.log10(max(row["time_ratio"], 1e-9))
+        results.append(row)
+
+    print("| query | 1× wall (s) | 10× wall (s) | time ratio | exponent | 1× rows | 10× rows |")
+    print("|---|---|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['query']} | {r['x1']:.2f} | {r['x10']:.2f} "
+            f"| {r['time_ratio']:.2f}× | {r['exponent']:.2f} "
+            f"| {r['x1_rows']} | {r['x10_rows']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
