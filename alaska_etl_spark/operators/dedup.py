@@ -492,10 +492,15 @@ def minhash_doc_tables(
     per_doc = tracked_persist(per_doc)
     # bands is a plain Python int → unroll the band structs driver-side,
     # as ONE SQL expression (single Py4J call; see _signature_sql for why).
-    # Band hash: xxhash64 (8-byte keys, default) or md5 hex (16-byte-
-    # equivalent string, engine-replayable for the oracle lane) — the
-    # candidate set is identical either way, only the key width differs.
-    _band_hash = "xxhash64(concat_ws(',', {items}))" if hash_fn == "xxhash64" else "md5(concat_ws(',', {items}))"
+    # Band hash: xxhash64 (default) or the md5-derived 60-bit BIGINT
+    # (engine-replayable for the oracle lane; same 8-byte shuffle width
+    # as xxhash64 — md5_hash60's conv(substring(md5)) in SQL form) —
+    # the candidate set is identical either way.
+    _band_hash = (
+        "xxhash64(concat_ws(',', {items}))"
+        if hash_fn == "xxhash64"
+        else "cast(conv(substring(md5(concat_ws(',', {items})), 1, 15), 16, 10) as bigint)"
+    )
     band_structs = ", ".join(
         ("named_struct('band', {b}, 'bh', " + _band_hash + ")").format(
             b=b,

@@ -49,7 +49,12 @@ from alaska_etl_spark.cache import tracked_persist
 from alaska_etl_spark.operators.dedup import word_tokens
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
-__all__ = ["ngram_tf", "cosine_similarity_join", "jaccard_similarity_join"]
+__all__ = [
+    "ngram_tf",
+    "cosine_similarity_join",
+    "jaccard_similarity_join",
+    "containment_join",
+]
 
 
 def ngram_tf(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
@@ -244,4 +249,109 @@ def jaccard_similarity_join(
             F.expr(f"(2 * {scale} * _np + _nq) div (2 * _nq)")
             / F.lit(float(scale))
         ).alias("jaccard"),
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 4,
+    round_digits: int = 4,
+    max_dst_df: int | None = None,
+) -> DataFrame:
+    """EXACT directed shingle-set CONTAINMENT join: every ordered pair
+    (src ≠ dst) with C(src→dst) = |Sh(src) ∩ Sh(dst)| / |Sh(src)| ≥
+    num/den. The asymmetric companion to :func:`jaccard_similarity_join`:
+    Jaccard misses excerpts by construction (a 50-token quote inside a
+    5000-token page has J ≈ 0.01 but containment 1.0), and quoted /
+    excerpted / boilerplate-wrapped text is exactly what benchmark
+    decontamination and provenance audits must catch.
+
+    Prefix filtering, containment form: C(src→dst) ≥ τ ⇒
+    |src ∩ dst| ≥ ⌈τ·|src|⌉, so any qualifying dst must collide with
+    src's (|src| − ⌈τ·|src|⌉ + 1)-prefix under the shared
+    (document-frequency, hash) shingle order. ONLY the src side prunes
+    to its prefix — the dst side must stay complete (a tiny quote can
+    live inside any page, so dst's posting lists are full). Candidate
+    bound: Σ_g df_pref(g)·df(g) — the src prefix keeps each document's
+    RAREST shingles, so hot posting lists contribute src-occurrences
+    only from documents where the hot gram is among the rarest (few).
+    ``max_dst_df`` optionally caps the dst side too (declared-
+    approximate: containment against documents reachable only through
+    hotter grams is lost — the same lever as cosine's ``max_df``).
+
+    Size filter: den·|dst| ≥ num·|src| (the intersection cannot exceed
+    |dst|). Verify is exact integer arithmetic; the emitted score uses
+    the same integer round-half-up scaling as the Jaccard join, so
+    DuckDB replays it bit-for-bit (qf0).
+
+    Returns (src_id, dst_id, containment), both directions as separate
+    rows when both qualify.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.dedup import shingles
+
+    num, den = threshold_num, threshold_den
+    tok = (
+        ensure_min_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(text_col, n)).alias("_t"),
+        )
+        .select("_id", F.xxhash64("_t").alias("_t"))
+    )
+    tok = tracked_persist(tok)
+    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    pref = (
+        tok.join(dfreq, "_t")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
+        )
+        .select("_id", "_t", "_n")
+    )
+    full = tok.join(dfreq, "_t") if max_dst_df is not None else tok
+    if max_dst_df is not None:
+        full = full.filter(F.col("_df") <= max_dst_df).select("_id", "_t")
+    src = pref.select(F.col("_id").alias("src_id"), "_t", F.col("_n").alias("_ns"))
+    dst = full.select(F.col("_id").alias("dst_id"), "_t")
+    cand = (
+        src.join(dst, "_t")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    ts = tok.select(F.col("_id").alias("src_id"), "_t")
+    td = tok.select(F.col("_id").alias("dst_id"), "_t")
+    inter = (
+        cand.join(ts, "src_id")
+        .join(td, ["dst_id", "_t"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    ss = sz.select(F.col("_id").alias("src_id"), F.col("_n").alias("_ns"))
+    sd = sz.select(F.col("_id").alias("dst_id"), F.col("_n").alias("_nd"))
+    scored = (
+        inter.join(ss, "src_id")
+        .join(sd, "dst_id")
+        .filter(F.lit(den) * F.col("_nd") >= F.lit(num) * F.col("_ns"))
+        .filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_ns"))
+    )
+    scale = 10**round_digits
+    return scored.select(
+        "src_id",
+        "dst_id",
+        (
+            F.expr(f"(2 * {scale} * _np + _ns) div (2 * _ns)")
+            / F.lit(float(scale))
+        ).alias("containment"),
     )

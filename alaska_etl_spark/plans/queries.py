@@ -1296,8 +1296,13 @@ def _q29_sql() -> str:
         for i, (a, b) in enumerate(_hash_params(64, 42))
     )
     bands = "\n  UNION ALL\n  ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {items})) AS bh FROM sig".format(
-            b=b, items=", ".join(f"CAST(s{b * 4 + i} AS VARCHAR)" for i in range(4))
+        "SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=_dk_h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(s{b * 4 + i} AS VARCHAR)" for i in range(4))
+                + ")"
+            ),
         )
         for b in range(16)
     )
@@ -5410,6 +5415,110 @@ FROM p WHERE 2 * np >= 1 * nq
 QE4_SQL = _qe4_sql()
 
 
+def qf0_containment_join(spark, sf_dir):
+    """Directed shingle-set containment join
+    (operators/simjoin.containment_join): every ordered (src, dst) pair
+    where ≥ 3/4 of src's 3-gram shingles also appear in dst — the
+    excerpt/quote/boilerplate detector Jaccard structurally misses (a
+    short quote inside a long page has tiny Jaccard but containment
+    ~1.0). Prefix-filtered on the src side only; exact integer verify;
+    DuckDB replays it brute-force over string shingles."""
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_join(d, "doc_id", "text", n=3, threshold_num=3, threshold_den=4)
+
+
+QF0_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         )) AS s
+  FROM toks WHERE len(tk) > 0
+), t AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM t GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS np
+  FROM t a JOIN t b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id,
+       ((20000 * np + ns) // (2 * ns)) / 10000.0 AS containment
+FROM (
+  SELECT src_id, dst_id, np, sa.n AS ns
+  FROM inter
+  JOIN sz sa ON src_id = sa.doc_id
+)
+WHERE 4 * np >= 3 * ns
+"""
+
+
+def qf1_bitext_margin(spark, sf_dir):
+    """Margin-based nearest-pair mining
+    (operators/similarity.margin_bitext_pairs, the LASER/CCMatrix
+    bitext scheme): split the embedding set into two sides by vec_id
+    parity, pair each even vector with its best odd neighbor, keep
+    pairs whose cosine beats both sides' top-4 neighborhood means —
+    the density-normalized filter used to assemble paired training
+    corpora. Integer-exact margin arithmetic over 4dp-rounded cosines,
+    so DuckDB replays ranking, means, and margins verbatim."""
+    from alaska_etl_spark.operators.similarity import margin_bitext_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    return margin_bitext_pairs(x, y, k=4, margin_threshold=1.0)
+
+
+QF1_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT * FROM e WHERE vec_id % 2 = 0
+), y AS (
+  SELECT * FROM e WHERE vec_id % 2 = 1
+), xy AS (
+  SELECT x.vec_id AS qid, y.vec_id AS nid,
+         round(list_cosine_similarity(x.v, y.v), 4) AS c,
+         CAST(round(round(list_cosine_similarity(x.v, y.v), 4) * 10000) AS BIGINT) AS ci,
+         row_number() OVER (PARTITION BY x.vec_id
+           ORDER BY round(list_cosine_similarity(x.v, y.v), 4) DESC, y.vec_id ASC) AS rn
+  FROM x CROSS JOIN y
+), yx AS (
+  SELECT y.vec_id AS qid, x.vec_id AS nid,
+         CAST(round(round(list_cosine_similarity(y.v, x.v), 4) * 10000) AS BIGINT) AS ci,
+         row_number() OVER (PARTITION BY y.vec_id
+           ORDER BY round(list_cosine_similarity(y.v, x.v), 4) DESC, x.vec_id ASC) AS rn
+  FROM y CROSS JOIN x
+), dx AS (
+  SELECT qid, CAST(sum(ci) AS BIGINT) AS s, count(*) AS kk FROM xy WHERE rn <= 4 GROUP BY 1
+), dy AS (
+  SELECT qid, CAST(sum(ci) AS BIGINT) AS s, count(*) AS kk FROM yx WHERE rn <= 4 GROUP BY 1
+), best AS (
+  SELECT qid AS x_id, nid AS y_id, c AS cosine, ci FROM xy WHERE rn = 1
+), scored AS (
+  SELECT b.x_id, b.y_id, b.cosine,
+         2 * b.ci * dx.kk * dy.kk AS num,
+         dx.s * dy.kk + dy.s * dx.kk AS den
+  FROM best b
+  JOIN dx ON b.x_id = dx.qid
+  JOIN dy ON b.y_id = dy.qid
+)
+SELECT x_id, y_id, cosine,
+       ((2 * 10000 * num + den) // (2 * den)) / 10000.0 AS margin
+FROM scored
+WHERE den > 0 AND (2 * 10000 * num + den) // (2 * den) >= 10000
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5472,6 +5581,8 @@ QUERIES = {
     "q48_volume_shipping": q48_volume_shipping,
     "q49_max_concurrent": qc7_max_concurrent,
     "qe7_idle_customers": q49_idle_customers,
+    "qf0_containment_join": qf0_containment_join,
+    "qf1_bitext_margin": qf1_bitext_margin,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -5691,6 +5802,8 @@ ORACLES = {
     "qe1_ab_test": QE1_SQL,
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
+    "qf0_containment_join": QF0_SQL,
+    "qf1_bitext_margin": QF1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -21,11 +21,12 @@ retention matrix (qc3), and the round-4c trio: interval-sweep
 concurrency (q49, rotated from qc7), CDC changelog apply (qd1), sliding exact
 distinct (qd2), the round-4d retrieval/gating pair: BM25 top-k
 (q44, rotated from qd5) and the CCNet perplexity gate (qd7), and the experimentation/
-monitoring pair: hash-split A/B readout (qe1) and PSI drift (qe3). The prefix-filtered Jaccard join (qb0) is
-registered+oracled but not headlined: at sf0.1 its ~12 small stages
-are fixed Spark overhead (~7 s vs DuckDB's 1.5 s single-node), while
-its prefix pruning only starts paying at corpus sizes where the
-posting-list join dominates.
+monitoring pair: hash-split A/B readout (qe1) and PSI drift (qe3). The prefix-filtered Jaccard join (qb0), the directed containment
+join (qf0), and margin bitext mining (qf1) are registered+oracled but
+not headlined: at sf0.1 their ~12 small stages are fixed Spark
+overhead (qb0 ~5 s, qf0 ~4 s, qf1 ~3 s vs DuckDB's 1-2 s single-node),
+while their pruning/blocking only starts paying at corpus sizes where
+the posting-list / top-k join dominates.
 
 Timing is end-to-end per query (plan + execute + collect-count): the
 same thing DuckDB pays for the oracle.

@@ -398,3 +398,67 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert all(r.query_label == 0 and r.neighbor_label == 1 for r in out)
     assert [r.rank for r in out] == [1, 2, 3]
     assert out[0].cosine > out[1].cosine > out[2].cosine
+
+
+def test_margin_bitext_pairs(spark):
+    """Margin mining (LASER/CCMatrix): a planted aligned pair (near-
+    identical vectors across the two sides) survives the margin filter;
+    a vector sitting inside a dense clique of equally-similar neighbors
+    has margin ~1 and is cut by a higher threshold."""
+    from alaska_etl_spark.operators.similarity import margin_bitext_pairs
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    x_rows = [
+        (0, v(1, 0, 0)),          # aligned with y=1
+        (2, v(0, 1, 1)),          # hub: equally close to y=3, y=5
+    ]
+    y_rows = [
+        (1, v(0.99, 0.1, 0)),     # x=0's partner
+        (3, v(0, 1, 0.9)),
+        (5, v(0, 0.9, 1)),
+    ]
+    x = spark.createDataFrame(x_rows, "vec_id bigint, embedding array<double>")
+    y = spark.createDataFrame(y_rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.x_id: (r.y_id, r.margin)
+        for r in margin_bitext_pairs(x, y, k=2, margin_threshold=1.0).collect()
+    }
+    assert got[0][0] == 1          # aligned pair found
+    assert got[0][1] > got[2][1]   # aligned margin beats hub margin
+    strict = {
+        r.x_id
+        for r in margin_bitext_pairs(x, y, k=2, margin_threshold=float(got[2][1]) + 0.01).collect()
+    }
+    assert 0 in strict and 2 not in strict
+
+
+def test_cosine_topk_arrow_matches_window_form(spark):
+    """cosine_topk_arrow (per-batch matmul + candidate window) is
+    bit-identical to cosine_topk (broadcast join + full window) — the
+    per-batch top-k prune is exact under the shared total order."""
+    import random
+
+    from alaska_etl_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(16)]) for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter("vec_id % 10 = 0")
+    for include_self in (False, True):
+        a = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_topk_arrow(
+                corpus, queries, k=5, include_self=include_self
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_topk(
+                corpus, queries, k=5, include_self=include_self
+            ).collect()
+        }
+        assert a == b, include_self

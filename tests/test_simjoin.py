@@ -197,3 +197,69 @@ def test_jaccard_join_randomized_corpus_matches_brute_force(spark):
         want = _brute_jaccard(rows, n=1, tau=num / den)
         assert got == want, (num, den)
     assert want  # the harder threshold still finds the planted dups
+
+
+def test_containment_join_finds_excerpts(spark):
+    """The directed containment join catches an excerpt (short doc fully
+    inside a long doc: containment 1.0 despite tiny Jaccard) and agrees
+    with a brute-force reference on every directed pair."""
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 28))  # 8 tokens inside
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [(1, long_doc), (2, quote), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_join(
+            df, "doc_id", "text", n=3, threshold_num=3, threshold_den=4
+        ).collect()
+    }
+    assert got[(2, 1)] == 1.0            # quote ⊂ page
+    assert (1, 2) not in got             # page ⊄ quote
+    assert not any(3 in p for p in got)  # disjoint doc never pairs
+
+    # brute-force parity on every directed pair
+    def sh(text, n=3):
+        t = text.lower().split()
+        if not t:
+            return set()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    want = {}
+    for sid, stext in rows:
+        for did, dtext in rows:
+            if sid == did:
+                continue
+            a, b = sh(stext), sh(dtext)
+            if not a:
+                continue
+            np_, ns = len(a & b), len(a)
+            if 4 * np_ >= 3 * ns:
+                want[(sid, did)] = ((2 * 10000 * np_ + ns) // (2 * ns)) / 10000.0
+    assert got == want
+
+
+def test_containment_max_dst_df_only_drops(spark):
+    """max_dst_df is declared-approximate: results are a subset of the
+    exact answer (containment can only be lost, never invented)."""
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(12))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_join(df, "doc_id", "text", n=1, threshold_num=1, threshold_den=2).collect()
+    }
+    pruned = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_join(
+            df, "doc_id", "text", n=1, threshold_num=1, threshold_den=2, max_dst_df=5
+        ).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert v == exact[k]
