@@ -15,7 +15,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # float-bearing shapes across the operator families: integer-cents
 # aggregation, percentile clipping, MAD medians, EWMA recursion, CUPED
-# moments, PSI drift, BM25 fixed-point scores, LM perplexity
+# moments, PSI drift, BM25 fixed-point scores, LM perplexity,
+# containment integer rounding, bitext margin micros
 CASES = [
     "q01_pricing_summary",
     "qd4_winsorize",
@@ -30,6 +31,8 @@ CASES = [
     "qd7_perplexity_gate",
     "qe1_ab_test",
     "q43_winnow_fingerprint",
+    "qf0_containment_join",
+    "qf1_bitext_margin",
 ]
 
 

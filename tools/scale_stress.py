@@ -58,6 +58,13 @@ QUERIES_UNDER_TEST = [
     "q88_cosine_simjoin",
     "qb0_jaccard_simjoin",
     "q64_semantic_dedup",
+    # qf0 containment: src-prefix + full-dst postings — with disjoint
+    # per-copy vocabularies the true directed pair set is exactly 10x.
+    # qf1 bitext margin is deliberately ABSENT: its brute-force top-k
+    # baseline is O(|x|*|y|) by design (the scale path swaps ivf_topk),
+    # so a 10x clone measures the documented-quadratic oracle baseline,
+    # not the operator's scaling shape.
+    "qf0_containment_join",
 ]
 
 
