@@ -410,6 +410,76 @@ def decontaminate(
     )
 
 
+def novelty_rate(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    hashed: bool = True,
+    broadcast: bool = True,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document gram-level NOVELTY against a reference corpus:
+    ``novelty = |Sh_n(d) \\ Sh_n(ref)| / |Sh_n(d)|`` over distinct word
+    n-gram shingles (1 − novelty is the contamination/overlap rate).
+    The continuous tier between :func:`decontaminate` (binary any-span
+    flag) and :func:`~alaska_etl_spark.operators.simjoin.containment_join`
+    (pairwise attribution): curation gates on "≥ x% of this document is
+    new relative to what we already trained on", and dataset cards
+    report the distribution.
+
+    Scale shape mirrors decontaminate: the reference's DISTINCT gram
+    set aggregates first and joins the corpus gram stream as the
+    (by-contract) broadcast side — a left join carrying a hit flag, so
+    the corpus grams never shuffle; one hash-aggregate back to document
+    grain. ``broadcast=False`` degrades to a shuffled join when the
+    reference is itself corpus-sized. ``hashed=True`` joins 8-byte
+    xxhash64 keys (membership counts are hash-invariant modulo ~1e-8
+    collisions; the string-keyed qf2 oracle cross-checks exactly like
+    qb0's).
+
+    Returns (id, n_grams, n_seen, novelty); novelty emits via the
+    integer round-half-up scaling, zero-gram documents are absent
+    (no denominator — same convention as the similarity joins).
+    """
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
+    gram = shingles(text_col, n)
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    dg = docs.select(
+        F.col(id_col).alias("_id"), F.explode(gram).alias("_t")
+    ).select("_id", key(F.col("_t")).alias("_t"))
+    ref = (
+        reference.select(F.explode(gram).alias("_t"))
+        .select(key(F.col("_t")).alias("_t"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast:
+        ref = F.broadcast(ref)
+    agg = (
+        dg.join(ref, "_t", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    scale = 10**round_digits
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_seen",
+        (
+            F.expr(f"(2 * {scale} * (n_grams - n_seen) + n_grams) div (2 * n_grams)")
+            / F.lit(float(scale))
+        ).alias("novelty"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,

@@ -5519,6 +5519,53 @@ WHERE den > 0 AND (2 * 10000 * num + den) // (2 * den) >= 10000
 """
 
 
+def qf2_novelty_rate(spark, sf_dir):
+    """Gram-level novelty/contamination rate
+    (operators/dedup.novelty_rate): per corpus document (doc_id ≥ 20),
+    the fraction of its distinct 3-gram shingles absent from the
+    benchmark set (doc_id < 20) — the continuous tier between q71's
+    binary span flag and qf0's pairwise containment. Hashed gram keys
+    in Spark; the oracle replays with string grams, cross-checking the
+    hash compaction (qb0 protocol)."""
+    from alaska_etl_spark.operators.dedup import novelty_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return novelty_rate(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20),
+        "doc_id", "text", n=3,
+    )
+
+
+QF2_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         )) AS s
+  FROM toks WHERE len(tk) > 0
+), t AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), ref AS (
+  SELECT DISTINCT g FROM t WHERE doc_id < 20
+), agg AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         CAST(count(r.g) AS BIGINT) AS n_seen
+  FROM t c LEFT JOIN ref r ON c.g = r.g
+  WHERE c.doc_id >= 20
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_seen,
+       ((20000 * (n_grams - n_seen) + n_grams) // (2 * n_grams)) / 10000.0 AS novelty
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5583,6 +5630,7 @@ QUERIES = {
     "qe7_idle_customers": q49_idle_customers,
     "qf0_containment_join": qf0_containment_join,
     "qf1_bitext_margin": qf1_bitext_margin,
+    "qf2_novelty_rate": qf2_novelty_rate,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -5804,6 +5852,7 @@ ORACLES = {
     "qe4_split_leakage": QE4_SQL,
     "qf0_containment_join": QF0_SQL,
     "qf1_bitext_margin": QF1_SQL,
+    "qf2_novelty_rate": QF2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -444,3 +444,37 @@ def test_lsh_probe_never_rescans_corpus_text(spark, tmp_path):
     # the only file scans are the index's parquet (bands + docs)
     scans = [l for l in plan.split("== Initial Plan ==")[0].splitlines() if "FileScan" in l]
     assert scans and all("lsh" in l for l in scans)
+
+
+def test_novelty_rate(spark):
+    """Gram-level novelty vs a reference: fully-contained doc scores
+    0.0, disjoint doc scores 1.0, a half-overlapping doc is exact; the
+    hashed and string lanes agree; broadcast pinned in the plan."""
+    from alaska_etl_spark.operators.dedup import novelty_rate
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # unigrams all in ref → novelty 0
+            (2, "x y z"),            # disjoint → 1
+            (3, "a b x y"),          # 2 of 4 unigrams new → 0.5
+            (4, ""),                 # zero grams → absent
+        ],
+        "doc_id bigint, text string",
+    )
+    for hashed in (True, False):
+        out = {
+            r.doc_id: (r.n_grams, r.n_seen, r.novelty)
+            for r in novelty_rate(
+                docs, ref, "doc_id", "text", n=1, hashed=hashed
+            ).collect()
+        }
+        assert out[1] == (4, 4, 0.0)
+        assert out[2] == (3, 0, 1.0)
+        assert out[3] == (4, 2, 0.5)
+        assert 4 not in out
+    df = novelty_rate(docs, ref, "doc_id", "text", n=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
