@@ -11,8 +11,8 @@ at: wide-scan aggregate (q01), multi-join star (q02), top-k (q03),
 pushdown-filtered scan (q04), hourly rollup (q16), as-of join (q17),
 exact dedup (q25), text stats (q22), brute-force cosine top-k (q27),
 MinHash-LSH (q29), IVF ANN (q31), winnowing fingerprints (q43),
-left-outer count distribution (q45), dual-role dim join (q48),
-semi/anti self-joins (q51), broadcast range join (q52), and the
+left-outer count distribution (qe6, rotated from q45), dual-role dim
+join (q48), and the
 round-4 compute-dense trio: inverted-index cosine similarity join
 (q88), bigram-LM scoring (q89), and stateful per-key EWMA (q92); plus
 the round-4b bounded-state heavy hitters (qa6), the grid-blocked

@@ -1,0 +1,42 @@
+"""Tracked operator caches (alaska_etl_spark/cache.py): the release
+valve for operator-internal persists (SCALE.md "Cache policy")."""
+
+from __future__ import annotations
+
+from alaska_etl_spark.cache import release_tracked, released_after, tracked_persist
+
+
+def test_tracked_persist_and_release(spark):
+    df = tracked_persist(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    df.count()
+    assert df.is_cached
+    n = release_tracked()
+    assert n >= 1
+    assert not df.is_cached
+    # idempotent: nothing left to release
+    assert release_tracked() == 0
+
+
+def test_released_after_scopes_inner_caches_only(spark):
+    outer = tracked_persist(spark.range(10).selectExpr("id AS a"))
+    outer.count()
+    with released_after():
+        inner = tracked_persist(spark.range(20).selectExpr("id AS b"))
+        inner.count()
+        assert inner.is_cached and outer.is_cached
+    assert not inner.is_cached
+    assert outer.is_cached  # pre-block caches untouched
+    release_tracked()
+    assert not outer.is_cached
+
+
+def test_released_after_is_exception_safe(spark):
+    df = None
+    try:
+        with released_after():
+            df = tracked_persist(spark.range(5))
+            df.count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert df is not None and not df.is_cached
