@@ -1023,13 +1023,16 @@ def cosine_topk_arrow(
         queries.select(F.col(qid).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")).collect(),
         key=lambda r: r._qid,
     )
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    spark = corpus.sparkSession
+    if not qrows:  # empty query side: empty typed result, no jobs
+        return spark.createDataFrame([], out_schema + ", rank int")
+
     q_ids = np.asarray([r._qid for r in qrows], dtype=np.int64)
     q_mat = np.asarray([r._qv for r in qrows], dtype=np.float64)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     q_norm[q_norm == 0] = 1.0
     dim = q_mat.shape[1] if len(q_mat) else 0
-
-    out_schema = "query_id long, neighbor_id long, cosine double"
 
     def _batch_topk(batches):
         for pdf in batches:

@@ -168,3 +168,30 @@ def test_bpe_segment_no_merges_yields_chars(spark):
     out = bpe_segment(df, "doc_id", "text", []).collect()
     assert len(out) == 1
     assert list(out[0].tokens) == ["a", "b", "c"] and out[0].n_tokens == 3
+
+
+def test_containment_join_empty(spark):
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    assert containment_join(_empty_docs(spark), "doc_id", "text").count() == 0
+
+
+def test_novelty_rate_empty_sides(spark):
+    from alaska_etl_spark.operators.dedup import novelty_rate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    # empty corpus → empty result; empty reference → everything novel
+    assert novelty_rate(_empty_docs(spark), docs, "doc_id", "text").count() == 0
+    out = novelty_rate(docs, _empty_docs(spark), "doc_id", "text", n=1).collect()
+    assert len(out) == 1 and out[0].novelty == 1.0 and out[0].n_seen == 0
+
+
+def test_margin_bitext_empty_sides(spark):
+    from alaska_etl_spark.operators.similarity import margin_bitext_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert margin_bitext_pairs(empty, vecs, k=2).count() == 0
+    assert margin_bitext_pairs(vecs, empty, k=2).count() == 0
