@@ -5566,6 +5566,56 @@ FROM agg
 """
 
 
+def qf3_dup_source_matrix(spark, sf_dir):
+    """Inter-source duplication matrix: MinHash-LSH near-dup pairs
+    (q29's md5 lane) attributed to their documents' sources — the
+    "which sources copy from each other" report a curation review reads
+    before deciding mix weights or dropping a scrape. Undirected matrix
+    keys (least/greatest of the two sources); aggregates are count +
+    MAX jaccard (both summation-order-free, so the composition stays
+    exactly oracled — an AVG of doubles would not be)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _qf3_sql() -> str:
+    """Composes the full q29 replay as a CTE (a CTE body may itself be
+    a WITH query) and attributes pairs to source pairs."""
+    return f"""
+WITH q29 AS (
+{_q29_sql()}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM q29
+JOIN documents da ON q29.id_a = da.doc_id
+JOIN documents db ON q29.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+QF3_SQL = _qf3_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5631,6 +5681,7 @@ QUERIES = {
     "qf0_containment_join": qf0_containment_join,
     "qf1_bitext_margin": qf1_bitext_margin,
     "qf2_novelty_rate": qf2_novelty_rate,
+    "qf3_dup_source_matrix": qf3_dup_source_matrix,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -5853,6 +5904,7 @@ ORACLES = {
     "qf0_containment_join": QF0_SQL,
     "qf1_bitext_margin": QF1_SQL,
     "qf2_novelty_rate": QF2_SQL,
+    "qf3_dup_source_matrix": QF3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
