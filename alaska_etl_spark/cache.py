@@ -32,26 +32,48 @@ these (clearCache is a superset of release_tracked).
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
+# _LOCK guards the registry's list mutations so concurrent driver
+# threads never corrupt it or double-release an entry (ADVICE r5).
+# NOTE the remaining semantic assumption: :func:`released_after`'s
+# mark-based scoping is positional (LIFO), so with MULTIPLE driver
+# threads interleaving tracked_persist calls, a released_after block in
+# one thread can release caches registered by another thread's
+# in-flight query. That is safe (unpersist never breaks correctness —
+# the consumer just recomputes) but defeats the caching; callers who
+# share one session across driver threads should scope per-thread work
+# with release via `spark.catalog.clearCache()` at quiesce points
+# instead, or serialize units of work. Single-threaded drivers (every
+# caller in this repo: bench, correctness, pipelines, tests) get exact
+# scoping.
+_LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` + registration for later bulk release."""
     df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
+
+
+def _pop_down_to(mark: int) -> list[DataFrame]:
+    with _LOCK:
+        released = _TRACKED[mark:]
+        del _TRACKED[mark:]
+    return released
 
 
 def release_tracked() -> int:
     """Unpersist every tracked cache (best-effort; a cache whose
     session already stopped is skipped). Returns the number released."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in _pop_down_to(0):
         try:
             df.unpersist()
             n += 1
@@ -64,13 +86,14 @@ def release_tracked() -> int:
 def released_after() -> Iterator[None]:
     """Scope operator caches to a unit of work: caches persisted inside
     the block are released on exit (exception-safe). Caches created
-    BEFORE the block are untouched."""
-    mark = len(_TRACKED)
+    BEFORE the block are untouched (single-threaded driver; see module
+    note on the multi-thread caveat)."""
+    with _LOCK:
+        mark = len(_TRACKED)
     try:
         yield
     finally:
-        while len(_TRACKED) > mark:
-            df = _TRACKED.pop()
+        for df in _pop_down_to(mark):
             try:
                 df.unpersist()
             except Exception:

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 # ---------------------------------------------------------------------------
 # exact / keyed
@@ -474,7 +475,7 @@ def novelty_rate(
         "n_grams",
         "n_seen",
         (
-            F.expr(f"(2 * {scale} * (n_grams - n_seen) + n_grams) div (2 * n_grams)")
+            div_half_up("n_grams - n_seen", "n_grams", scale)
             / F.lit(float(scale))
         ).alias("novelty"),
     )
@@ -880,12 +881,17 @@ def connected_components(
     jobs where re-running the whole thing beats paying DFS writes per
     round."""
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    edges = (
+        from alaska_etl_spark.session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(pairs.sparkSession.sparkContext, checkpoint_dir)
+    # tracked_persist (not bare .persist): the eager edges.unpersist()
+    # below releases it on the normal path, but an exception mid-loop
+    # would otherwise strand the cache — tracking gives release_tracked
+    # a handle either way (unpersist is idempotent).
+    edges = tracked_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")

@@ -106,7 +106,9 @@ def _numbered_with_offsets(
     # AQE-replanned exchange could renumber rows mid-query).
     numbered = ordered.mapInPandas(_number, out_schema)
     if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        from alaska_etl_spark.session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(df.sparkSession.sparkContext, checkpoint_dir)
         numbered = numbered.checkpoint()
     else:
         numbered = tracked_persist(numbered)

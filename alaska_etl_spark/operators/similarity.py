@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1014,25 +1015,60 @@ def cosine_topk_arrow(
     cosines + a |corpus|·|queries|-row window shuffle with a matmul
     and a window over candidates only — the form that survives a large
     query side (measured: qf1's two passes 2.9 s → ~1 s at sf0.1).
-    NULL embeddings score 0.0 everywhere (same as cosine_sim's
-    zero-norm guard)."""
-    from pyspark import TaskContext  # noqa: F401  (symmetry with ranking)
+    NULL embeddings on EITHER side score 0.0 everywhere (corpus-side
+    via the per-batch zero-substitution; query-side likewise — same as
+    cosine_sim's zero-norm guard). Non-null query vectors must share
+    one dimensionality (raises ValueError otherwise); id columns must
+    be integral (byte/short/int/long — their Spark types are preserved
+    in the output schema, mirroring cosine_topk).
+
+    Rounding is half-away-from-zero at ``round_digits`` — the same mode
+    as Spark ``F.round`` / DuckDB ``round()`` used by :func:`cosine_topk`
+    and the oracles (``np.round`` is half-to-even; ADVICE r5). Residual
+    caveat: BLAS matmul may sum products in a different order than
+    Spark's sequential ``F.aggregate``, so a cosine landing within ulps
+    of an exact .5·10^-digits boundary can still round differently
+    across the two implementations — data-dependent and absent from the
+    fixed test corpora, but not impossible."""
+    from pyspark.sql.types import IntegralType, StructField, StructType
 
     qid = query_id_col or id_col
+    qid_field = queries.schema[qid]
+    nid_field = corpus.schema[id_col]
+    for side, field in (("queries", qid_field), ("corpus", nid_field)):
+        if not isinstance(field.dataType, IntegralType):
+            raise ValueError(
+                f"cosine_topk_arrow: {side} id column {field.name!r} must be "
+                f"integral, got {field.dataType.simpleString()} (use cosine_topk "
+                "for arbitrary id types)"
+            )
+    out_struct = StructType(
+        [
+            StructField("query_id", qid_field.dataType),
+            StructField("neighbor_id", nid_field.dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
     qrows = sorted(
         queries.select(F.col(qid).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")).collect(),
         key=lambda r: r._qid,
     )
-    out_schema = "query_id long, neighbor_id long, cosine double"
     spark = corpus.sparkSession
     if not qrows:  # empty query side: empty typed result, no jobs
-        return spark.createDataFrame([], out_schema + ", rank int")
+        return spark.createDataFrame([], out_struct.add("rank", "integer"))
 
+    qvecs = [r._qv for r in qrows]
+    dims = {len(v) for v in qvecs if v is not None}
+    if len(dims) > 1:
+        raise ValueError(f"cosine_topk_arrow: ragged query embeddings (dims {sorted(dims)})")
+    dim = dims.pop() if dims else 0
     q_ids = np.asarray([r._qid for r in qrows], dtype=np.int64)
-    q_mat = np.asarray([r._qv for r in qrows], dtype=np.float64)
+    q_mat = np.asarray(
+        [v if v is not None else [0.0] * dim for v in qvecs], dtype=np.float64
+    ).reshape(len(qvecs), dim)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     q_norm[q_norm == 0] = 1.0
-    dim = q_mat.shape[1] if len(q_mat) else 0
+    scale = 10.0 ** round_digits
 
     def _batch_topk(batches):
         for pdf in batches:
@@ -1050,7 +1086,9 @@ def cosine_topk_arrow(
             x = np.stack(vals).astype(np.float64, copy=False)
             xn = np.sqrt(np.einsum("ij,ij->i", x, x))
             xn[xn == 0] = 1.0
-            sims = np.round((q_mat @ x.T) / np.outer(q_norm, xn), round_digits)
+            raw = (q_mat @ x.T) / np.outer(q_norm, xn)
+            # half-away-from-zero, matching F.round / DuckDB round()
+            sims = np.copysign(np.floor(np.abs(raw) * scale + 0.5), raw) / scale
             if not include_self:
                 sims = np.where(q_ids[:, None] == nid[None, :], -np.inf, sims)
             kk = min(k, n)
@@ -1070,7 +1108,7 @@ def cosine_topk_arrow(
         F.col(id_col).alias("_nid"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    cand = c.mapInPandas(_batch_topk, out_schema)
+    cand = c.mapInPandas(_batch_topk, out_struct)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1153,7 +1191,7 @@ def margin_bitext_pairs(
     thr = int(round(margin_threshold * scale))
     return (
         j.filter(F.col("_den") > 0)
-        .withColumn("_mi", F.expr(f"(2 * {scale} * _num + _den) div (2 * _den)"))
+        .withColumn("_mi", div_half_up("_num", "_den", scale))
         .filter(F.col("_mi") >= thr)
         .select(
             "x_id",

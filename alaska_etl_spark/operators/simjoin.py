@@ -48,6 +48,7 @@ from alaska_etl_spark.cache import tracked_persist
 
 from alaska_etl_spark.operators.dedup import word_tokens
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 __all__ = [
     "ngram_tf",
@@ -246,7 +247,7 @@ def jaccard_similarity_join(
         "id_a",
         "id_b",
         (
-            F.expr(f"(2 * {scale} * _np + _nq) div (2 * _nq)")
+            div_half_up("_np", "_nq", scale)
             / F.lit(float(scale))
         ).alias("jaccard"),
     )
@@ -351,7 +352,7 @@ def containment_join(
         "src_id",
         "dst_id",
         (
-            F.expr(f"(2 * {scale} * _np + _ns) div (2 * _ns)")
+            div_half_up("_np", "_ns", scale)
             / F.lit(float(scale))
         ).alias("containment"),
     )

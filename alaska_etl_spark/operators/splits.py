@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 _MERSENNE = (1 << 31) - 1  # 31-bit prime: a*k+b stays < 2^63 (ANSI-safe)
 _MASK31 = (1 << 31) - 1
@@ -536,6 +537,6 @@ def split_leakage(
             "split_a",
             "id_b",
             "split_b",
-            (F.expr("(20000 * _p + _q) div (2 * _q)") / F.lit(10000.0)).alias("jaccard"),
+            (div_half_up("_p", "_q", 10000) / F.lit(10000.0)).alias("jaccard"),
         )
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from alaska_etl_spark.operators import sketches as S
 from alaska_etl_spark.operators import text as T
 from alaska_etl_spark.operators.asof import asof_join
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 from alaska_etl_spark.operators.dedup import (
     dedup_keep_first,
     duplicate_report,
@@ -111,8 +112,8 @@ def q01_pricing_summary(spark, sf_dir):
             (F.col("_sq") / F.lit(100.0)).alias("sum_qty"),
             (F.col("_sp") / F.lit(100.0)).alias("sum_base_price"),
             (F.expr("(2 * _sdp + 100) div 200") / F.lit(100.0)).alias("sum_disc_price"),
-            (F.expr("(2 * _sq + count_order) div (2 * count_order)") / F.lit(100.0)).alias("avg_qty"),
-            (F.expr("(200 * _sd + count_order) div (2 * count_order)") / F.lit(10000.0)).alias("avg_disc"),
+            (div_half_up("_sq", "count_order") / F.lit(100.0)).alias("avg_qty"),
+            (div_half_up("_sd", "count_order", 100) / F.lit(10000.0)).alias("avg_disc"),
             "count_order",
         )
     )
@@ -414,7 +415,7 @@ def q13_pivot(spark, sf_dir):
         .select(
             "user_id",
             "event_type",
-            (F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(100.0)).alias("avg_v"),
+            (div_half_up("_s", "_n") / F.lit(100.0)).alias("avg_v"),
         )
     )
     return (
@@ -490,7 +491,7 @@ def q15_sentinel_conversion(spark, sf_dir):
             "event_type",
             F.when(
                 F.col("_n") > 0,
-                F.expr("(2 * _s + 10 * _n) div (20 * _n)") / F.lit(100.0),
+                div_half_up("_s", "10 * _n") / F.lit(100.0),
             ).alias("avg_converted"),
             (F.expr("(2 * _mx + 10) div 20") / F.lit(100.0)).alias("max_converted"),
             "n_sentinel",
@@ -527,7 +528,7 @@ def q16_hourly_rollup(spark, sf_dir):
         .select(
             "hour",
             "event_type",
-            (F.expr("(20 * _s + n) div (2 * n)") / F.lit(1000.0)).alias("value_hr_avg"),
+            (div_half_up("_s", "n", 10) / F.lit(1000.0)).alias("value_hr_avg"),
             "n",
         )
     )
@@ -643,7 +644,7 @@ def q20_json_extract(spark, sf_dir):
         )
         .select(
             "event_type",
-            (F.expr("(2000 * _s + _n) div (2 * _n)") / F.lit(1000.0)).alias("avg_k"),
+            (div_half_up("_s", "_n", 1000) / F.lit(1000.0)).alias("avg_k"),
             "max_k",
             "n",
         )
@@ -675,7 +676,7 @@ def q21_regex_extract(spark, sf_dir):
             "p_type",
             "max_brand",
             "n_brands",
-            (F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(100.0)).alias("avg_price"),
+            (div_half_up("_s", "_n") / F.lit(100.0)).alias("avg_price"),
         )
     )
 
@@ -830,7 +831,7 @@ def q26_ngram_jaccard(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            (F.expr("(20000 * _p + _q) div (2 * _q)") / F.lit(10000.0)).alias("jaccard"),
+            (div_half_up("_p", "_q", 10000) / F.lit(10000.0)).alias("jaccard"),
         )
     )
 
@@ -1141,7 +1142,7 @@ def q35_salted_agg(spark, sf_dir):
     return out.select(
         "event_type",
         "n",
-        (F.expr("(2 * _s + n) div (2 * n)") / F.lit(100.0)).alias("avg_v"),
+        (div_half_up("_s", "n") / F.lit(100.0)).alias("avg_v"),
         (F.col("max_v_c") / F.lit(100.0)).alias("max_v"),
     )
 
@@ -1560,7 +1561,7 @@ def q62_promo_revenue(spark, sf_dir):
             F.sum(rev).alias("_t"),
         )
         .select(
-            (F.expr("(2 * 10000 * _p + _t) div (2 * _t)") / F.lit(100.0)).alias("promo_pct")
+            (div_half_up("_p", "_t", 10000) / F.lit(100.0)).alias("promo_pct")
         )
     )
 
@@ -2747,7 +2748,7 @@ def q82_market_share(spark, sf_dir):
         )
         .select(
             "o_year",
-            (F.expr("(2 * 10000 * _num + _den) div (2 * _den)") / F.lit(10000.0)).alias(
+            (div_half_up("_num", "_den", 10000) / F.lit(10000.0)).alias(
                 "mkt_share"
             ),
         )
@@ -2874,7 +2875,7 @@ def q85_event_deltas(spark, sf_dir):
         .select(
             "event_type",
             "n_gaps",
-            (F.expr("(2 * 100 * _s + n_gaps) div (2 * n_gaps)") / F.lit(100.0)).alias(
+            (div_half_up("_s", "n_gaps", 100) / F.lit(100.0)).alias(
                 "avg_gap_s"
             ),
             "max_gap_s",
@@ -3256,7 +3257,7 @@ def q95_moving_avg(spark, sf_dir):
         "event_id",
         "user_id",
         "n_window",
-        (F.expr("(2 * _s + n_window) div (2 * n_window)") / F.lit(100.0)).alias(
+        (div_half_up("_s", "n_window") / F.lit(100.0)).alias(
             "avg_1h"
         ),
     )
@@ -5656,12 +5657,22 @@ QUERIES = {
     "q33_frame_sample": q33_frame_sample,
     "q34_sessionize": q34_sessionize,
     "q35_salted_agg": q35_salted_agg,
-    "q36_supplier_counts": q36_supplier_counts,
+    # round-6 slot rotation (README "Driver query slots"): the TPC-H
+    # Q13-ish supplier counts, the set-ops suite, and CUBE move to
+    # qf4-qf6 (their families stay driver-visible via q01/q19/q48 aggs,
+    # q40->qe6's left-outer distribution cousin, q19 rollup); the three
+    # round-5 flagship operators the driver never saw — directed
+    # containment join, margin bitext mining, novelty/contamination
+    # rate — take their slots.
+    "q36_containment_join": qf0_containment_join,
+    "qf4_supplier_counts": q36_supplier_counts,
     "q61_small_quantity_revenue": q61_small_quantity_revenue,
     "q38_percentiles": q38_percentiles,
     "q39_ranking_suite": q39_ranking_suite,
-    "q40_set_ops": q40_set_ops,
-    "q41_cube": q41_cube,
+    "q40_bitext_margin": qf1_bitext_margin,
+    "q41_novelty_rate": qf2_novelty_rate,
+    "qf5_set_ops": q40_set_ops,
+    "qf6_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
     "q43_winnow_fingerprint": q43_winnow_fingerprint,
     # round-5 slot rotation (README "Driver query slots"): the TPC-H
@@ -5678,9 +5689,6 @@ QUERIES = {
     "q48_volume_shipping": q48_volume_shipping,
     "q49_max_concurrent": qc7_max_concurrent,
     "qe7_idle_customers": q49_idle_customers,
-    "qf0_containment_join": qf0_containment_join,
-    "qf1_bitext_margin": qf1_bitext_margin,
-    "qf2_novelty_rate": qf2_novelty_rate,
     "qf3_dup_source_matrix": qf3_dup_source_matrix,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
@@ -5805,12 +5813,15 @@ ORACLES = {
     "q33_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
     "q35_salted_agg": Q35_SQL,
-    "q36_supplier_counts": Q36_SQL,
+    "q36_containment_join": QF0_SQL,
+    "qf4_supplier_counts": Q36_SQL,
     "q61_small_quantity_revenue": Q61_SQL,
     "q38_percentiles": Q38_SQL,
     "q39_ranking_suite": Q39_SQL,
-    "q40_set_ops": Q40_SQL,
-    "q41_cube": Q41_SQL,
+    "q40_bitext_margin": QF1_SQL,
+    "q41_novelty_rate": QF2_SQL,
+    "qf5_set_ops": Q40_SQL,
+    "qf6_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
     "q43_winnow_fingerprint": Q43_SQL,
     "q44_bm25": QD5_SQL,
@@ -5901,9 +5912,6 @@ ORACLES = {
     "qe1_ab_test": QE1_SQL,
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
-    "qf0_containment_join": QF0_SQL,
-    "qf1_bitext_margin": QF1_SQL,
-    "qf2_novelty_rate": QF2_SQL,
     "qf3_dup_source_matrix": QF3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 DAY_COL = "_day"
 
@@ -121,7 +122,7 @@ def finalize(rollup: DataFrame) -> DataFrame:
         "bucket",
         *[c for c in rollup.columns if c not in ("bucket", "n", "sum_c", "min_c", "max_c", DAY_COL)],
         "n",
-        (F.expr("(20 * sum_c + n) div (2 * n)") / F.lit(1000.0)).alias("avg_val"),
+        (div_half_up("sum_c", "n", 10) / F.lit(1000.0)).alias("avg_val"),
         (F.col("min_c") / F.lit(100.0)).alias("min_val"),
         (F.col("max_c") / F.lit(100.0)).alias("max_val"),
         (F.col("sum_c") / F.lit(100.0)).alias("sum_val"),

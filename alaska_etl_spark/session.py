@@ -74,3 +74,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """Set the session checkpoint dir only if none is configured yet.
+
+    Operators offering a reliable-checkpoint durability tier
+    (connected_components, global ranking) take a ``checkpoint_dir``
+    argument; calling ``setCheckpointDir`` unconditionally would
+    silently clobber an application-level checkpoint dir as a side
+    effect of a per-query operator (ADVICE r5). An already-configured
+    dir wins — the operator's argument is a fallback for sessions that
+    never set one, not an override."""
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)

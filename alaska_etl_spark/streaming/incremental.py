@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.cache import tracked_persist
 from alaska_etl_spark.sources.uscrn import parse_uscrn_lines
 from alaska_etl_spark.sources.wind import parse_wind_lines
 
@@ -533,7 +534,10 @@ def stream_near_dup_gate(
         if _hdfs_exists(spark, spec["target"]):
             seen = warehouse.read(table).select(id_col)
             kept = kept.join(seen, [id_col], "left_anti")
-        admitted = kept.persist()
+        # tracked_persist (not bare .persist): the unpersist below frees
+        # it per batch, but a failing load/index write would otherwise
+        # strand the cache across the stream's lifetime.
+        admitted = tracked_persist(kept)
         if admitted.count() > 0:
             warehouse.load(admitted, table, key_cols=[id_col])
             write_lsh_index(

@@ -6,27 +6,43 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+stdout is EXACTLY that one line (r4/r5 lesson: the driver's capture
+window is finite and both rounds' BENCH files came back
+``"parsed": null`` because the line had grown past it — cold+warm+rows
+maps at 3 decimals). The compact line carries the per-query COLD map at
+2 decimals plus the cold/warm totals; everything else (full 3-decimal
+cold/warm maps, row counts, the heavy-query table) is written to
+``BENCH_DETAIL.json`` next to this script.
+
+Headline semantics (VERDICT r5 "What's wrong" #1): ``value`` is the
+COLD total — symmetric with ``tools/bench_oracle.py``, which times
+DuckDB cold. The warm total (operator persists alive, the steady state
+a warehouse serving repeated queries lives in) is reported alongside as
+``value_warm``, never blended into the headline.
+
 The headline set covers every execution shape the engine must be fast
 at: wide-scan aggregate (q01), multi-join star (q02), top-k (q03),
 pushdown-filtered scan (q04), hourly rollup (q16), as-of join (q17),
 exact dedup (q25), text stats (q22), brute-force cosine top-k (q27),
 MinHash-LSH (q29), IVF ANN (q31), winnowing fingerprints (q43),
-left-outer count distribution (qe6, rotated from q45), dual-role dim
-join (q48), and the
-round-4 compute-dense trio: inverted-index cosine similarity join
-(q88), bigram-LM scoring (q89), and stateful per-key EWMA (q92); plus
-the round-4b bounded-state heavy hitters (qa6), the grid-blocked
-geo kNN join (qb1), the hash-only snapshot diff (qc0), the cohort
-retention matrix (qc3), and the round-4c trio: interval-sweep
-concurrency (q49, rotated from qc7), CDC changelog apply (qd1), sliding exact
-distinct (qd2), the round-4d retrieval/gating pair: BM25 top-k
-(q44, rotated from qd5) and the CCNet perplexity gate (qd7), and the experimentation/
-monitoring pair: hash-split A/B readout (qe1) and PSI drift (qe3). The prefix-filtered Jaccard join (qb0), the directed containment
-join (qf0), and margin bitext mining (qf1) are registered+oracled but
-not headlined: at sf0.1 their ~12 small stages are fixed Spark
-overhead (qb0 ~5 s, qf0 ~4 s, qf1 ~3 s vs DuckDB's 1-2 s single-node),
-while their pruning/blocking only starts paying at corpus sizes where
-the posting-list / top-k join dominates.
+left-outer count distribution (qe6), dual-role dim join (q48), the
+compute-dense trio: inverted-index cosine similarity join (q88),
+bigram-LM scoring (q89), stateful per-key EWMA (q92); bounded-state
+heavy hitters (qa6), grid-blocked geo kNN join (qb1), hash-only
+snapshot diff (qc0), cohort retention (qc3), interval-sweep concurrency
+(q49), CDC apply (qd1), sliding exact distinct (qd2), BM25 top-k
+(q44), CCNet perplexity gate (qd7), hash-split A/B readout (qe1), PSI
+drift (qe3).
+
+The three heavies — prefix-filtered Jaccard join (qb0), directed
+containment join (q36, rotated in from qf0 in r6), margin bitext
+mining (q40, from qf1) — are NOT in the headline: at sf0.1 their ~12
+small stages are fixed Spark overhead (4-5 s vs DuckDB's 1-2 s
+single-node) while their pruning/blocking only starts paying at corpus
+sizes where the posting-list / top-k join dominates (measured 1x->10x
+exponents in SCALE.md). They ARE timed every run (cold, once each) and
+recorded in the compact line's ``heavy`` map + BENCH_DETAIL.json so a
+regression is caught per round (VERDICT r5 #6).
 
 Timing is end-to-end per query (plan + execute + collect-count): the
 same thing DuckDB pays for the oracle.
@@ -40,7 +56,8 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -83,6 +100,15 @@ HEADLINE = [
     "qe3_psi_drift",
 ]
 
+# Cold-only secondary table: too floor-bound at sf0.1 for the headline,
+# tracked per round so regressions in the non-headline operators are
+# visible (VERDICT r5 "Next round" #6).
+HEAVY = [
+    "qb0_jaccard_simjoin",
+    "q36_containment_join",
+    "q40_bitext_margin",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,7 +128,7 @@ def main() -> None:
     # a warehouse serving these queries repeatedly never re-pays them.
     # Timed runs below then measure execution at the target sf.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         try:
             QUERIES[name](spark, warm_dir).collect()
         except Exception:
@@ -112,20 +138,9 @@ def main() -> None:
     # followed by a WARM run (the cold run's operator persists are
     # alive — Spark's CacheManager matches by logical plan, so the
     # rebuilt DataFrame hits them), then the query's caches are
-    # released before the next query starts.
-    #
-    # The cold/warm split attributes the DuckDB-vs-Spark aggregate gap
-    # to first-touch floor vs compute slope instead of arguing it
-    # (README "Benchmark protocol"). The headline `queries`/`value`
-    # numbers take min(cold, warm) — warm is the steady state a
-    # warehouse serving repeated queries lives in, and the min also
-    # absorbs ±40% co-tenant noise swings (measured: q88 2.6 s vs
-    # 5.5 s back-to-back). Releasing per query (cache.release_tracked)
-    # bounds cache accumulation to ONE query's persists: before round
-    # 5 the 38-query × 2-pass sweep accumulated every dead persist
-    # (ADVICE r4 leak) and warm runs could also silently reuse a
-    # DIFFERENT query's cached fragments, conflating the per-query
-    # attribution.
+    # released before the next query starts (cache.release_tracked
+    # bounds accumulation to ONE query's persists and stops a warm run
+    # silently reusing a DIFFERENT query's cached fragments).
     from alaska_etl_spark.cache import release_tracked
 
     cold: dict[str, float] = {}
@@ -142,20 +157,46 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
         assert n == n2, f"{name}: {n} rows then {n2}"
         release_tracked()
-    timings = {name: min(cold[name], warm[name]) for name in HEADLINE}
 
-    total = round(sum(timings.values()), 3)
+    heavy: dict[str, float] = {}
+    for name in HEAVY:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows[name] = len(fn(spark, sf_dir).collect())
+        heavy[name] = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+    total_cold = round(sum(cold.values()), 3)
+    total_warm = round(sum(warm.values()), 3)
+
+    detail = {
+        "metric": "headline_total_wall",
+        "value": total_cold,
+        "unit": "sec",
+        "queries_cold": cold,
+        "queries_warm": warm,
+        "heavy_cold": heavy,
+        "value_cold": total_cold,
+        "value_warm": total_warm,
+        "rows": rows,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The ONE stdout line — compact (2-decimal cold map) so it fits the
+    # driver's finite capture window.
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
-                "value": total,
+                "value": total_cold,
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-                "rows": rows,
+                "queries": {k: round(v, 2) for k, v in cold.items()},
+                "heavy": {k: round(v, 2) for k, v in heavy.items()},
+                "value_cold": total_cold,
+                "value_warm": total_warm,
                 "sf": sf,
                 "cpus": int(cpus),
             }

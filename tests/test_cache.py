@@ -3,6 +3,9 @@ valve for operator-internal persists (SCALE.md "Cache policy")."""
 
 from __future__ import annotations
 
+import pathlib
+import re
+
 from alaska_etl_spark.cache import release_tracked, released_after, tracked_persist
 
 
@@ -28,6 +31,23 @@ def test_released_after_scopes_inner_caches_only(spark):
     assert outer.is_cached  # pre-block caches untouched
     release_tracked()
     assert not outer.is_cached
+
+
+def test_no_bare_persist_outside_cache_module():
+    """The invariant the release valve implies (VERDICT r5 #4): every
+    operator persist routes through tracked_persist, so release_tracked
+    can always free it. A bare ``.persist()`` anywhere else in the
+    package is a leak waiting to happen — fail on any hit."""
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "alaska_etl_spark"
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        if path.name == "cache.py":
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.persist\(", code):
+                offenders.append(f"{path.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, "bare .persist() outside cache.py:\n" + "\n".join(offenders)
 
 
 def test_released_after_is_exception_safe(spark):

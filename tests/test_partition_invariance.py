@@ -31,8 +31,8 @@ CASES = [
     "qd7_perplexity_gate",
     "qe1_ab_test",
     "q43_winnow_fingerprint",
-    "qf0_containment_join",
-    "qf1_bitext_margin",
+    "q36_containment_join",
+    "q40_bitext_margin",
 ]
 
 

@@ -414,3 +414,55 @@ def test_md5_hash_lanes_cross_engine(spark, strings):
     }
     con.close()
     assert got == want
+
+
+# --- fixed-point round-half-up (functions/fixedpoint.py) ----------------
+
+from fractions import Fraction
+
+from alaska_etl_spark.functions.fixedpoint import div_half_up_py
+
+
+@given(
+    num=st.integers(min_value=0, max_value=10**12),
+    den=st.integers(min_value=1, max_value=10**12),
+    scale=st.sampled_from([1, 10, 100, 1000, 10000, 1000000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_div_half_up_matches_fraction(num, den, scale):
+    """(2*scale*num + den) div (2*den) IS round-half-up of
+    scale*num/den — pinned against exact Fraction arithmetic (the
+    definition, not a re-derivation). Pure-integer; the Spark Column
+    form emits literally this arithmetic over BIGINT, exercised
+    end-to-end by every avg/jaccard/margin oracle."""
+    exact = Fraction(scale * num, den)
+    floor = exact.numerator // exact.denominator
+    frac = exact - floor
+    want = floor + (1 if frac >= Fraction(1, 2) else 0)
+    assert div_half_up_py(num, den, scale) == want
+
+
+def test_div_half_up_column_matches_python(spark):
+    """The Column form and the Python replica agree on a boundary-heavy
+    grid (halves land exactly on .5 multiples: den=2*num etc.)."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    rows = [
+        (n, d, s)
+        for n in [0, 1, 2, 3, 5, 7, 50, 999, 10**9]
+        for d in [1, 2, 3, 4, 7, 100, 10**9]
+        for s in [1, 100, 10000]
+    ]
+    df = spark.createDataFrame(rows, "num bigint, den bigint, scale bigint")
+    got = {
+        (r.num, r.den, r.scale): r.v
+        for r in df.select(
+            "num", "den", "scale",
+            *[div_half_up("num", "den", s).alias(f"v{s}") for s in [1, 100, 10000]],
+        )
+        .selectExpr("num", "den", "scale",
+                    "CASE scale WHEN 1 THEN v1 WHEN 100 THEN v100 ELSE v10000 END AS v")
+        .collect()
+    }
+    for n, d, s in rows:
+        assert got[(n, d, s)] == div_half_up_py(n, d, s), (n, d, s)

@@ -64,7 +64,7 @@ QUERIES_UNDER_TEST = [
     # baseline is O(|x|*|y|) by design (the scale path swaps ivf_topk),
     # so a 10x clone measures the documented-quadratic oracle baseline,
     # not the operator's scaling shape.
-    "qf0_containment_join",
+    "q36_containment_join",
 ]
 
 
