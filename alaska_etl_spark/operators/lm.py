@@ -201,29 +201,39 @@ def bigram_lm_scores(
     """Self-scoring convenience: train on ``df`` and score ``df`` —
     the in-corpus outlier-detection form.
 
-    Specialized plan (r5, VERDICT r4 perf #1): when the model IS the
-    scored corpus, the count-table joins of the general train-then-
-    score composition collapse into WINDOW counts over the bigram rows
-    themselves — ``_c12 = count() OVER (PARTITION BY _w1, _w2)`` and
-    ``_c1 = count() OVER (PARTITION BY _w1)`` are exactly the trained
-    bigram/context counts every row would have joined. One manual
-    ``repartition(_w1)`` satisfies BOTH windows' clustering
-    (HashPartitioning(_w1) ⊆ ClusteredDistribution(_w1,_w2)) and the
-    (_w1,_w2) sort is prefix-compatible with the (_w1) sort, so the
-    whole scoring pass is ONE exchange + ONE sort — replacing two hash
-    aggregates and a two-table join chain (~half the stages; measured
-    1.4 s → target <1 s at sf0.1). The general cross-corpus form
-    (:func:`train_bigram_lm` + :func:`score_bigram_lm`) is unchanged.
+    Plan: the r5 "one exchange + one shared sort" window specialization
+    — ``_c12 = count() OVER (PARTITION BY _w1, _w2)`` and ``_c1`` as a
+    full-frame count over ``(PARTITION BY _w1 ORDER BY _w2)`` are
+    exactly the trained counts every bigram row would have joined, and
+    both windows share one (_w1, _w2) sort under one HashPartitioning
+    (_w1) exchange — with two r6 changes measured head-to-head by
+    tools/q89_anatomy.py (VERDICT r5 #3, full table in SCALE.md
+    "q89 anatomy"):
 
-    The tokenized corpus is PERSISTED at document grain (one array row
-    per doc — the smallest cacheable form) so the one regex-tokenize
-    pass feeds the scoring rows, the vocabulary, and the document
-    base. Scale note: hot-token skew lands on the _w1 exchange like
-    any token-keyed shuffle — AQE skew handling applies; the window
-    state itself is a running count, not a buffer."""
+    - NO document-grain token cache. The r5 form persisted the
+      tokenized corpus and fanned three branches off it; stage anatomy
+      showed each cache-read branch (deserialize 270 k cached strings,
+      then explode) costing 3-8x the tokenize it saved — the regex
+      tokenize of 5 000 docs is ~2 s of executor time across 32 cores,
+      the cache reads were 10-19 s. The rows and vocabulary branches
+      each re-tokenize from parquet instead; the two branches run as
+      CONCURRENT stages of one job, so the second pass adds no wall.
+    - the document-id base is a pruned parquet scan of the id column
+      (``df.select(id)``), not a cache read of the token table.
+
+    3-rep cold measurements at sf0.1 (caches released between reps):
+    r5 form 2.7/2.1/1.7 s; +df-base 1.5 s; +no-cache 1.3 s. Two
+    alternative r6 restructures (count-table + AQE-broadcast join;
+    combined unigram+bigram single-pass aggregate) measured WORSE
+    (1.8-2.5 s): they trade the window stage for 4 extra stage
+    boundaries, and at sf0.1 the ~12-stage driver/scheduling floor —
+    not executor compute — is the binding constraint. Scale note:
+    hot-token skew lands on the _w1 exchange like any token-keyed
+    shuffle — AQE skew handling applies; the window state is a running
+    count, not a buffer."""
     from pyspark.sql import Window
 
-    toks = tracked_persist(_token_table(df, id_col, text_col))
+    toks = _token_table(df, id_col, text_col)
     rows = _rows_from_tokens(toks)
     vocab = toks.select(F.explode("_tk").alias("_w")).agg(
         F.countDistinct("_w").alias("_V")
@@ -262,7 +272,7 @@ def bigram_lm_scores(
         F.round(F.avg("_nll"), round_digits).alias("avg_nll"),
     )
     return (
-        toks.select("_id")
+        df.select(F.col(id_col).alias("_id"))
         .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
