@@ -459,6 +459,15 @@ def novelty_rate(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    return _novelty_join(dg, ref, id_col, round_digits, broadcast)
+
+
+def _novelty_join(
+    dg: DataFrame, ref: DataFrame, id_col: str, round_digits: int, broadcast: bool
+) -> DataFrame:
+    """Shared emit of :func:`novelty_rate` / :func:`novelty_vs_grams`:
+    left-join the per-doc gram stream (_id, _t) against the distinct
+    reference gram set (_t, _hit=1), aggregate to document grain."""
     if broadcast:
         ref = F.broadcast(ref)
     agg = (
@@ -479,6 +488,50 @@ def novelty_rate(
             / F.lit(float(scale))
         ).alias("novelty"),
     )
+
+
+def doc_grams(docs: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """(id, gram) rows: each document's DISTINCT word n-gram shingles as
+    xxhash64 keys — the persistable gram set a novelty reference is
+    made of (:func:`novelty_vs_grams`, streaming
+    :func:`~alaska_etl_spark.streaming.incremental.stream_novelty_gate`).
+    8 bytes per gram; membership is hash-invariant modulo ~1e-8
+    collisions (same lane as novelty_rate(hashed=True))."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_g")
+    ).select(id_col, F.xxhash64("_g").alias("gram"))
+
+
+def novelty_vs_grams(
+    docs: DataFrame,
+    ref_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    gram_col: str = "gram",
+    broadcast: bool = True,
+    round_digits: int = 4,
+) -> DataFrame:
+    """:func:`novelty_rate` against a PRE-BUILT gram set (a ``gram``
+    column of xxhash64 keys, e.g. the persisted output of
+    :func:`doc_grams`) instead of a reference document corpus — the
+    form an incremental/streaming admission gate needs, where the
+    reference is everything already admitted and must not be
+    re-shingled from text every batch. Same emit contract as
+    novelty_rate; ``n`` must match the n used to build the grams."""
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
+    dg = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_t"))
+    ref = (
+        ref_grams.select(F.col(gram_col).alias("_t"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return _novelty_join(dg, ref, id_col, round_digits, broadcast)
 
 
 def duplicated_spans(

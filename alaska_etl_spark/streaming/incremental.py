@@ -562,6 +562,93 @@ def stream_near_dup_gate(
     q.awaitTermination()
 
 
+def stream_novelty_gate(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    ref_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_novelty: float = 0.5,
+    broadcast: bool = True,
+) -> None:
+    """Streaming NOVELTY gate (VERDICT r5 #8): admit a document only if
+    at least ``min_novelty`` of its word n-gram shingles are UNSEEN
+    relative to everything already admitted — the continuous-admission
+    form of the batch novelty_rate (qf2/q41), sitting between the
+    exact-fingerprint gate (:func:`stream_documents_gate`) and the
+    resemblance gate (:func:`stream_near_dup_gate`): it catches the
+    mosaic case both miss, a "new" document stitched from already-
+    ingested pieces, which is near-dup to NO single prior document.
+
+    State lives where the LSH gate's does — in a persisted parquet
+    gram set at ``ref_path`` (8-byte xxhash64 keys from
+    :func:`~alaska_etl_spark.operators.dedup.doc_grams`), not the
+    streaming state store: shared by batch audits, restart-safe for
+    free, and bounded by the DISTINCT gram vocabulary (Heaps-law
+    sublinear in admitted bytes), not by document count. Each batch
+    scores via :func:`~alaska_etl_spark.operators.dedup.novelty_vs_grams`
+    (reference grams broadcast by default; pass ``broadcast=False``
+    once the vocabulary outgrows it and the join degrades to a
+    shuffle on the gram key), and admitted documents' grams are
+    appended for the next batch.
+
+    Contract details:
+    - zero-gram documents are REJECTED (no novelty evidence; they are
+      the exact-dedup tier's concern), matching novelty_rate's
+      zero-denominator omission;
+    - within one batch, exact-text duplicates collapse to the smallest
+      id BEFORE scoring; two merely SIMILAR novel documents in the
+      same batch both pass (batch members are unordered peers) and the
+      overlap starts counting from the next batch on;
+    - replay safety mirrors the LSH gate: the batch is anti-joined
+      against MAIN before the gram append, so a replayed micro-batch
+      admits nothing and the reference never double-counts."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.dedup import doc_grams, novelty_vs_grams
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(text_col).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if _hdfs_exists(spark, ref_path):
+            ref = spark.read.parquet(ref_path)
+        else:
+            ref = spark.createDataFrame([], "gram bigint")
+        scored = novelty_vs_grams(
+            batch, ref, id_col, text_col, n=n, broadcast=broadcast
+        )
+        keep = scored.filter(F.col("novelty") >= min_novelty).select(id_col)
+        kept = batch.join(keep, [id_col])
+        spec = warehouse._spec(table)
+        if _hdfs_exists(spark, spec["target"]):
+            seen = warehouse.read(table).select(id_col)
+            kept = kept.join(seen, [id_col], "left_anti")
+        admitted = tracked_persist(kept)
+        if admitted.count() > 0:
+            warehouse.load(admitted, table, key_cols=[id_col])
+            doc_grams(admitted, id_col, text_col, n=n).select(
+                "gram"
+            ).distinct().write.mode("append").parquet(ref_path)
+        admitted.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_apply_changelog(
     stream_df: DataFrame,
     warehouse,

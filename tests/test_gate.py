@@ -166,3 +166,107 @@ def test_stream_near_dup_gate_replay_is_idempotent(spark, tmp_path):
     probe_batch = spark.createDataFrame([(99, _PAGE_EDIT)], schema)
     hits = probe_lsh_index(probe_batch, "doc_id", "text", idx).collect()
     assert [(r.new_id, r.corpus_id) for r in hits] == [(99, 1)]
+
+# --- streaming NOVELTY gate (persisted gram set as the only state) ----------
+
+_MOSAIC = _PAGE.split()  # tokens of the admitted page, for stitching
+
+
+def test_stream_novelty_gate_admits_novel_rejects_mosaic(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_novelty_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ref = str(tmp_path / "ref_grams")
+    schema = "doc_id bigint, text string"
+
+    # batch 1: empty reference -> both distinct pages fully novel;
+    # in-batch exact duplicate of doc 1 collapses to the smallest id
+    _write_doc_file(src / "b1.json", [(1, _PAGE), (2, _PAGE), (3, _FRESH)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck1"), ref)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 3}
+
+    # batch 2: a MOSAIC stitched from halves of the two admitted pages
+    # — near-dup to neither single document, but almost every 3-gram is
+    # already in the reference -> rejected; a genuinely new page passes
+    half1 = " ".join(_MOSAIC[: len(_MOSAIC) // 2])
+    half2 = " ".join(_FRESH.split()[len(_FRESH.split()) // 2 :])
+    mosaic = half1 + " " + half2
+    new_page = (
+        "glacier monitoring network status bulletin for the eastern "
+        "icefield stations with seasonal mass balance survey results"
+    )
+    _write_doc_file(src / "b2.json", [(10, mosaic), (11, new_page)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck1"), ref)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 3, 11}
+
+
+def test_stream_novelty_gate_zero_gram_docs_rejected(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_novelty_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    _write_doc_file(src / "b1.json", [(1, ""), (2, "   "), (3, _FRESH)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(
+        stream, wh, "docs", str(tmp_path / "ck"), str(tmp_path / "ref")
+    )
+    assert {r.doc_id for r in wh.read("docs").collect()} == {3}
+
+
+def test_stream_novelty_gate_replay_is_idempotent(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import stream_novelty_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ref = str(tmp_path / "ref_grams")
+    schema = "doc_id bigint, text string"
+    _write_doc_file(src / "b1.json", [(1, _PAGE), (3, _FRESH)])
+
+    # the SAME batch through two fresh checkpoints (at-least-once replay)
+    for ck in ("ck_a", "ck_b"):
+        stream = spark.readStream.schema(schema).json(str(src))
+        stream_novelty_gate(stream, wh, "docs", str(tmp_path / ck), ref)
+
+    assert sorted(r.doc_id for r in wh.read("docs").collect()) == [1, 3]
+    # reference holds each gram ONCE (replay appended nothing)
+    grams = spark.read.parquet(ref)
+    assert grams.count() == grams.distinct().count()
+
+
+def test_stream_novelty_gate_matches_batch_novelty(spark, tmp_path):
+    """The gate's admission decisions equal batch novelty_rate against
+    the admitted-so-far corpus (stream/batch parity)."""
+    from alaska_etl_spark.operators.dedup import novelty_rate
+    from alaska_etl_spark.streaming.incremental import stream_novelty_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ref = str(tmp_path / "ref_grams")
+    schema = "doc_id bigint, text string"
+    _write_doc_file(src / "b1.json", [(1, _PAGE), (3, _FRESH)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
+
+    probe_rows = [(20, _PAGE_EDIT), (21, "entirely different orchard harvest notes")]
+    _write_doc_file(src / "b2.json", probe_rows)
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
+
+    admitted_corpus = _docs(spark, [(1, _PAGE), (3, _FRESH)])
+    batch_scores = {
+        r.doc_id: r.novelty
+        for r in novelty_rate(
+            _docs(spark, probe_rows), admitted_corpus, "doc_id", "text"
+        ).collect()
+    }
+    got = {r.doc_id for r in wh.read("docs").collect()} - {1, 3}
+    want = {d for d, nov in batch_scores.items() if nov >= 0.5}
+    assert got == want and 21 in got
