@@ -1003,6 +1003,76 @@ def dup_groups(
     )
 
 
+def dedup_savings(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    group_col: str | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    round_digits: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Dedup SAVINGS report: given near-dup pairs, how much of each
+    group's volume is redundant — the number a curation review reads to
+    decide whether running the expensive dedup pass (and re-sharding
+    the corpus) is worth it, and the headline of a dataset card's
+    "deduplication" section.
+
+    Members of each connected component beyond its deterministic keeper
+    (min id — :func:`dedup_survivors`' default) count as redundant;
+    their characters and word tokens are the reclaimable volume. Per
+    ``group_col`` (e.g. source) emits: n_docs, n_redundant,
+    chars_total, chars_redundant, tokens_total, tokens_redundant, and
+    ``savings_rate = chars_redundant / chars_total`` via the integer
+    round-half-up emit. Documents in no pair are singletons (never
+    redundant) but still count in the totals — the rate is over the
+    whole group, not just the paired part.
+
+    Scale shape: components over the PAIRS only (bounded by the
+    candidate set, never corpus-sized — see connected_components);
+    one broadcast-sized join of the redundant-id set onto the corpus
+    stats scan; one group aggregate. All counts integer → the
+    composition stays exactly oracled (qf7 replays the components with
+    q42's recursive CTE)."""
+    cc = connected_components(
+        pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
+    )
+    keep = cc.groupBy("component").agg(F.min("id").alias("_keep"))
+    redundant = (
+        cc.join(keep, "component")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias("_rid"), F.lit(1).alias("_dup"))
+    )
+    grp = F.col(group_col) if group_col else F.lit("all")
+    stats = docs.select(
+        F.col(id_col).alias("_rid"),
+        grp.alias("_grp"),
+        F.length(text_col).alias("_chars"),
+        F.size(word_tokens(text_col)).alias("_toks"),
+    )
+    scale = 10**round_digits
+    dup = F.coalesce(F.col("_dup"), F.lit(0))
+    return (
+        stats.join(redundant, "_rid", "left")
+        .groupBy(F.col("_grp").alias(group_col or "group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).alias("n_redundant"),
+            F.sum("_chars").alias("chars_total"),
+            F.sum(dup * F.col("_chars")).alias("chars_redundant"),
+            F.sum("_toks").alias("tokens_total"),
+            F.sum(dup * F.col("_toks")).alias("tokens_redundant"),
+        )
+        .withColumn(
+            "savings_rate",
+            div_half_up("chars_redundant", "chars_total", scale) / F.lit(float(scale)),
+        )
+    )
+
+
 def dedup_survivors(
     df: DataFrame,
     id_col: str,

@@ -520,3 +520,105 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def vocab_divergence(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between groups' unigram
+    distributions — the DISTRIBUTIONAL source-similarity matrix
+    complementing qf3's verbatim-copy matrix: two scrapes can share
+    zero near-dup pairs yet be the same kind of text (JS ~ 0), or share
+    a template yet cover different domains. Curation reads this next to
+    the dup matrix when picking mix weights; it is also the standard
+    corpus-vs-corpus drift score (C4-vs-Wiki style comparisons).
+
+    JS needs NO smoothing (unlike KL): with the 0*ln0 = 0 convention it
+    is finite for disjoint support, so the engine computes it exactly
+    over raw proportions:
+
+        JS(a,b) = 0.5 * [ sum_shared(p*ln(p/m) + q*ln(q/m))
+                          + (1 - Ca/na)*ln 2 + (1 - Cb/nb)*ln 2 ]
+
+    where the sum runs over SHARED tokens only (m = (p+q)/2), and the
+    correction terms fold every one-sided token's contribution
+    (p*ln(p/(p/2)) = p*ln 2) through the integer shared-mass totals
+    Ca, Cb — so the only per-token work is an inner join on the token
+    key. Range [0, ln 2] nats; disjoint vocabularies emit exactly ln 2.
+
+    Engine-exact protocol (the PSI discipline, stats.psi_drift): every
+    per-token term is a double chain from exact integers, fixed-pointed
+    to 1e-9 units and SUMMED AS BIGINT (aggregation-order-free); the
+    corrections use integer sums Ca/Cb, so they are one double chain
+    per pair. Replays bit-for-bit in DuckDB modulo sub-fixed-point ln()
+    ulps (qf8 oracle).
+
+    Scale shape: one tokenize+explode pass, one (group, token)
+    aggregate (map-side combined), one token-keyed self-join of the
+    per-group count table (vocabulary-sized, NOT corpus-sized — AQE
+    broadcasts the smaller side while it fits), one |groups|^2
+    aggregate. The all-pairs frame comes from the |groups|-row totals
+    cross join, so disjoint pairs still emit.
+    """
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    uni = docs.select(
+        F.col(group_col).alias("_g"), F.explode(word_tokens(text_col)).alias("_w")
+    )
+    cnt = uni.groupBy("_g", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    tot = cnt.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    a = cnt.join(tot, "_g").select(
+        F.col("_g").alias("_ga"), "_w", F.col("_c").alias("_ca"), F.col("_n").alias("_na")
+    )
+    b = cnt.join(tot, "_g").select(
+        F.col("_g").alias("_gb"), "_w", F.col("_c").alias("_cb"), F.col("_n").alias("_nb")
+    )
+    p = F.col("_ca") / F.col("_na")
+    q = F.col("_cb") / F.col("_nb")
+    m = (p + q) / F.lit(2.0)
+    term_nano = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) * F.lit(1e9), 0
+    ).cast("bigint")
+    shared = (
+        a.join(b, ["_w"])
+        .filter(F.col("_ga") < F.col("_gb"))
+        .groupBy("_ga", "_gb")
+        .agg(
+            F.count(F.lit(1)).alias("shared_vocab"),
+            F.sum("_ca").alias("_Ca"),
+            F.sum("_cb").alias("_Cb"),
+            F.sum(term_nano).alias("_t_nano"),
+        )
+    )
+    ta = tot.select(F.col("_g").alias("_ga"), F.col("_n").alias("_na"))
+    tb = tot.select(F.col("_g").alias("_gb"), F.col("_n").alias("_nb"))
+    frame = ta.join(tb, F.col("_ga") < F.col("_gb"))
+    ln2 = 0.6931471805599453
+    joined = frame.join(shared, ["_ga", "_gb"], "left").select(
+        "_ga",
+        "_gb",
+        "_na",
+        "_nb",
+        F.coalesce(F.col("shared_vocab"), F.lit(0)).alias("shared_vocab"),
+        F.coalesce(F.col("_Ca"), F.lit(0)).alias("_Ca"),
+        F.coalesce(F.col("_Cb"), F.lit(0)).alias("_Cb"),
+        F.coalesce(F.col("_t_nano"), F.lit(0)).alias("_t_nano"),
+    )
+    corr = (
+        (F.lit(1.0) - F.col("_Ca") / F.col("_na"))
+        + (F.lit(1.0) - F.col("_Cb") / F.col("_nb"))
+    ) * F.lit(ln2)
+    return joined.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        F.col("_na").alias("tokens_a"),
+        F.col("_nb").alias("tokens_b"),
+        "shared_vocab",
+        F.round(
+            F.lit(0.5) * (F.col("_t_nano") / F.lit(1e9) + corr), round_digits
+        ).alias("js_nats"),
+    )

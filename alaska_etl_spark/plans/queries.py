@@ -5617,6 +5617,114 @@ GROUP BY 1, 2
 QF3_SQL = _qf3_sql()
 
 
+def qf7_dedup_savings(spark, sf_dir):
+    """Dedup savings report (round 6): near-dup pairs → connected
+    components → per-source reclaimable volume (docs / chars / tokens
+    beyond each group's min-id keeper). Edges are q42's exact Jaccard
+    pairs over the bounded doc_id < 200 subset so the oracle's
+    recursive-CTE components replay exactly; all aggregates are integer
+    counts, rate via the round-half-up emit."""
+    from alaska_etl_spark.operators.dedup import dedup_savings, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    scope = d.filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_id=200
+    ).select("id_a", "id_b")
+    return dedup_savings(scope, pairs, "doc_id", "text", group_col="source")
+
+
+QF7_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _Q42_PAIRS_SQL
+    + "), edges AS (\n"
+    + r"""
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+), red AS (
+  SELECT id FROM comp WHERE id <> component
+), stats AS (
+  SELECT doc_id, source, length(text) AS chars,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks,
+         CASE WHEN red.id IS NULL THEN 0 ELSE 1 END AS dup
+  FROM documents LEFT JOIN red ON documents.doc_id = red.id
+  WHERE doc_id < 200
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_redundant,
+       CAST(sum(chars) AS BIGINT) AS chars_total,
+       CAST(sum(dup * chars) AS BIGINT) AS chars_redundant,
+       CAST(sum(toks) AS BIGINT) AS tokens_total,
+       CAST(sum(dup * toks) AS BIGINT) AS tokens_redundant,
+       ((20000 * sum(dup * chars) + sum(chars)) // (2 * sum(chars))) / 10000.0
+         AS savings_rate
+FROM stats GROUP BY source
+"""
+)
+
+
+def qf8_vocab_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between sources' unigram
+    distributions (round 6): the distributional similarity matrix next
+    to qf3's verbatim-copy matrix. Shared-token inner join + integer
+    shared-mass corrections (JS needs no smoothing); per-token terms
+    fixed-pointed to 1e-9 and BIGINT-summed (the PSI discipline), so
+    the emit is aggregation-order-free and DuckDB-replayable."""
+    from alaska_etl_spark.operators.text import vocab_divergence
+
+    return vocab_divergence(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+QF8_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), uni AS (
+  SELECT source, unnest(tk) AS w FROM toks
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+), aa AS (
+  SELECT cnt.source AS ga, w, c AS ca, n AS na FROM cnt JOIN tot USING (source)
+), bb AS (
+  SELECT cnt.source AS gb, w, c AS cb, n AS nb FROM cnt JOIN tot USING (source)
+), rows_ AS (
+  SELECT ga, gb, ca, na, cb, nb,
+         ca / CAST(na AS DOUBLE) AS p, cb / CAST(nb AS DOUBLE) AS q
+  FROM aa JOIN bb USING (w) WHERE ga < gb
+), shared AS (
+  SELECT ga, gb,
+         CAST(count(*) AS BIGINT) AS shared_vocab,
+         CAST(sum(ca) AS BIGINT) AS c_a,
+         CAST(sum(cb) AS BIGINT) AS c_b,
+         CAST(sum(CAST(round((p * ln(p / ((p + q) / 2.0))
+                              + q * ln(q / ((p + q) / 2.0))) * 1e9) AS BIGINT))
+              AS BIGINT) AS t_nano
+  FROM rows_ GROUP BY 1, 2
+), frame AS (
+  SELECT ta.source AS ga, ta.n AS na, tb.source AS gb, tb.n AS nb
+  FROM tot ta JOIN tot tb ON ta.source < tb.source
+)
+SELECT ga AS group_a, gb AS group_b, na AS tokens_a, nb AS tokens_b,
+       COALESCE(shared_vocab, 0) AS shared_vocab,
+       round(0.5 * (COALESCE(t_nano, 0) / 1e9
+                    + ((1.0 - COALESCE(c_a, 0) / CAST(na AS DOUBLE))
+                       + (1.0 - COALESCE(c_b, 0) / CAST(nb AS DOUBLE)))
+                      * 0.6931471805599453), 6) AS js_nats
+FROM frame LEFT JOIN shared USING (ga, gb)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5690,6 +5798,8 @@ QUERIES = {
     "q49_max_concurrent": qc7_max_concurrent,
     "qe7_idle_customers": q49_idle_customers,
     "qf3_dup_source_matrix": qf3_dup_source_matrix,
+    "qf7_dedup_savings": qf7_dedup_savings,
+    "qf8_vocab_divergence": qf8_vocab_divergence,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -5913,6 +6023,8 @@ ORACLES = {
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
     "qf3_dup_source_matrix": QF3_SQL,
+    "qf7_dedup_savings": QF7_SQL,
+    "qf8_vocab_divergence": QF8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

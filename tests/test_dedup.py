@@ -478,3 +478,39 @@ def test_novelty_rate(spark):
     df = novelty_rate(docs, ref, "doc_id", "text", n=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_savings_counts_and_rate(spark):
+    from alaska_etl_spark.operators.dedup import dedup_savings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd", "s1"),   # keeper of {1,2,3}
+            (2, "aa bb cc dd", "s1"),   # redundant
+            (3, "aa bb cc dd", "s2"),   # redundant (cross-source group)
+            (4, "unrelated text here", "s2"),  # singleton
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    out = {r.source: r for r in dedup_savings(docs, pairs, "doc_id", "text", group_col="source").collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_redundant == 1
+    assert out["s2"].n_docs == 2 and out["s2"].n_redundant == 1
+    assert out["s1"].chars_redundant == len("aa bb cc dd")
+    assert out["s1"].tokens_total == 8 and out["s1"].tokens_redundant == 4
+    # s2: chars 11 + 19 = 30, redundant 11 -> 0.3667
+    assert out["s2"].savings_rate == round((2 * 10000 * 11 + 30) // 60 / 10000.0, 4)
+
+
+def test_dedup_savings_ungrouped_single_row(spark):
+    from alaska_etl_spark.operators.dedup import dedup_savings
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")], "doc_id bigint, text string, source string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    rows = dedup_savings(docs, pairs, "doc_id", "text").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.group == "all" and r.n_docs == 2 and r.n_redundant == 1
+    assert r.savings_rate == 0.5

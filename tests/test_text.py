@@ -257,3 +257,52 @@ def test_bm25_topk_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id bigint, text string")
     qs = spark.createDataFrame([(1, "apple")], "query_id int, query_text string")
     assert bm25_topk(df, qs, "doc_id", "text").count() == 0
+
+
+# --- vocab divergence (pairwise Jensen-Shannon) -----------------------------
+
+
+def test_vocab_divergence_identical_and_disjoint(spark):
+    from alaska_etl_spark.operators.text import vocab_divergence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple", "a"),
+            (2, "apple banana apple", "b"),   # identical distribution to a
+            (3, "zig zag zug", "c"),          # disjoint from both
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {(r.group_a, r.group_b): r for r in vocab_divergence(docs, "source", "text").collect()}
+    assert len(out) == 3  # all pairs, including disjoint ones
+    assert out[("a", "b")].js_nats == 0.0
+    assert out[("a", "c")].js_nats == round(0.6931471805599453, 6)
+    assert out[("a", "c")].shared_vocab == 0
+    assert out[("a", "b")].shared_vocab == 2
+
+
+def test_vocab_divergence_matches_reference_value(spark):
+    import math
+
+    from alaska_etl_spark.operators.text import vocab_divergence
+
+    # a: {x: 3/4, y: 1/4}; b: {x: 1/4, y: 3/4}
+    docs = spark.createDataFrame(
+        [(1, "x x x y", "a"), (2, "x y y y", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    (r,) = vocab_divergence(docs, "source", "text").collect()
+
+    def js(pa, pb):
+        total = 0.0
+        for p, q in zip(pa, pb):
+            m = (p + q) / 2
+            if p:
+                total += 0.5 * p * math.log(p / m)
+            if q:
+                total += 0.5 * q * math.log(q / m)
+        return total
+
+    want = js([0.75, 0.25], [0.25, 0.75])
+    assert abs(r.js_nats - want) < 1e-6
+    assert r.tokens_a == 4 and r.tokens_b == 4 and r.shared_vocab == 2
