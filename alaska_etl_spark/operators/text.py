@@ -570,6 +570,18 @@ def vocab_divergence(
         F.col(group_col).alias("_g"), F.explode(word_tokens(text_col)).alias("_w")
     )
     cnt = uni.groupBy("_g", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    return vocab_divergence_from_counts(cnt, round_digits=round_digits)
+
+
+def vocab_divergence_from_counts(
+    cnt: DataFrame, *, round_digits: int = 6
+) -> DataFrame:
+    """:func:`vocab_divergence` from a PRE-BUILT (_g, _w, _c) token
+    count table — the entry point for callers whose distributions are
+    already counted: a persisted reference vocabulary vs a streaming
+    micro-batch (:func:`~alaska_etl_spark.streaming.incremental.stream_vocab_drift`),
+    two warehouse snapshots, etc. Same emit contract and fixed-point
+    protocol as the document-level form (which delegates here)."""
     tot = cnt.groupBy("_g").agg(F.sum("_c").alias("_n"))
     a = cnt.join(tot, "_g").select(
         F.col("_g").alias("_ga"), "_w", F.col("_c").alias("_ca"), F.col("_n").alias("_na")
@@ -622,3 +634,28 @@ def vocab_divergence(
             F.lit(0.5) * (F.col("_t_nano") / F.lit(1e9) + corr), round_digits
         ).alias("js_nats"),
     )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str, *, group_col: str | None = None
+) -> DataFrame:
+    """(group, token, count) unigram count table — the persistable
+    distribution :func:`vocab_divergence_from_counts` compares (written
+    once as the trusted reference for the streaming drift monitor, or
+    per snapshot for corpus-vs-corpus audits). ``group_col=None`` tags
+    everything 'all'."""
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    grp = F.col(group_col) if group_col else F.lit("all")
+    return (
+        docs.select(grp.alias("_g"), F.explode(word_tokens(text_col)).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def write_vocab_reference(docs: DataFrame, text_col: str, path: str) -> None:
+    """Materialize a trusted (_w, _c) unigram reference distribution for
+    the streaming drift monitor
+    (:func:`~alaska_etl_spark.streaming.incremental.stream_vocab_drift`)."""
+    token_counts(docs, text_col).select("_w", "_c").write.mode("overwrite").parquet(path)

@@ -649,6 +649,82 @@ def stream_novelty_gate(
     q.awaitTermination()
 
 
+def stream_vocab_drift(
+    stream_df: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    ref_path: str,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> None:
+    """Streaming VOCABULARY drift monitor: per micro-batch, the
+    Jensen-Shannon divergence (qf8's protocol —
+    ``operators.text.vocab_divergence_from_counts``) between the
+    batch's unigram distribution and a persisted TRUSTED reference
+    distribution at ``ref_path`` (built once with
+    ``operators.text.token_counts`` + a parquet write), appended as one
+    metrics row (batch_id, tokens_batch, tokens_ref, shared_vocab,
+    js_nats, drifted) to ``metrics_path``. The reference is
+    deliberately static — standard drift-monitor semantics: the
+    question is "does today's crawl still look like the corpus we
+    validated", so the baseline must not chase the drift it measures
+    (contrast :func:`stream_novelty_gate`, whose reference grows by
+    design because its question is "is this NEW").
+
+    Monitoring, not gating: the stream lands nothing and drops nothing
+    (pair it with a gate if drift should block admission); a metrics
+    row is written even for a token-less batch (NULL js — no batch
+    distribution exists, which is not the same claim as "maximally
+    drifted") so gaps in the series stay visible. The reference parquet
+    is ``operators.text.write_vocab_reference``'s output (_w, _c).
+    Scale shape: one batch-sized token aggregate, then the
+    vocabulary-sized count join — identical to qf8's, measured at 10×
+    exponent 0.09."""
+    from alaska_etl_spark.operators.dedup import word_tokens
+    from alaska_etl_spark.operators.text import vocab_divergence_from_counts
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(ref_path).select(
+            # '_' < any [a-z0-9] token in ASCII, so the reference sorts
+            # as group_a and the batch as group_b — fixed orientation
+            F.lit("_ref").alias("_g"), "_w", "_c"
+        )
+        batch_counts = (
+            batch_df.select(F.explode(word_tokens(text_col)).alias("_w"))
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(F.lit("batch").alias("_g"), "_w", "_c")
+        )
+        div = vocab_divergence_from_counts(ref.unionByName(batch_counts))
+        rows = div.select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            F.col("tokens_b").alias("tokens_batch"),
+            F.col("tokens_a").alias("tokens_ref"),
+            "shared_vocab",
+            "js_nats",
+            (F.col("js_nats") > F.lit(threshold)).alias("drifted"),
+        ).collect()
+        if rows:
+            out = spark.createDataFrame(rows)
+        else:  # empty batch: no batch-side distribution at all
+            out = spark.createDataFrame(
+                [(batch_id, 0, 0, 0, None, None)],
+                "batch_id bigint, tokens_batch bigint, tokens_ref bigint, "
+                "shared_vocab bigint, js_nats double, drifted boolean",
+            )
+        out.write.mode("append").parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_apply_changelog(
     stream_df: DataFrame,
     warehouse,

@@ -328,3 +328,65 @@ def test_stream_apply_changelog_maintains_snapshot(spark, tmp_path):
     drain()
     got3 = {(r.k, r.v) for r in wh.read("snap").select("k", "v").collect()}
     assert got3 == got2
+
+
+# --- vocabulary drift monitor (static reference, qf8's JS protocol) ---------
+
+
+def test_stream_vocab_drift_flags_drifted_batches(spark, tmp_path):
+    import json
+    import math
+
+    from alaska_etl_spark.operators.text import write_vocab_reference
+    from alaska_etl_spark.streaming.incremental import stream_vocab_drift
+
+    ref_corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    ref = str(tmp_path / "vocab_ref")
+    write_vocab_reference(ref_corpus, "text", ref)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:  # same distribution -> ~0
+        for i in range(5):
+            f.write(json.dumps({"doc_id": i, "text": "alpha beta gamma delta"}) + "\n")
+    metrics = str(tmp_path / "metrics")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    stream_vocab_drift(stream, metrics, str(tmp_path / "ck"), ref)
+
+    with open(src / "b2.json", "w") as f:  # disjoint vocabulary -> ln 2
+        for i in range(5):
+            f.write(json.dumps({"doc_id": 100 + i, "text": "zig zag zug zork"}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    stream_vocab_drift(stream, metrics, str(tmp_path / "ck"), ref)
+
+    rows = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
+    assert len(rows) == 2
+    first, second = rows[min(rows)], rows[max(rows)]
+    assert first.js_nats == 0.0 and not first.drifted
+    assert second.js_nats == round(math.log(2), 6) and second.drifted
+    assert second.shared_vocab == 0 and second.tokens_batch == 20
+
+
+def test_stream_vocab_drift_empty_batch_emits_null_row(spark, tmp_path):
+    import json
+
+    from alaska_etl_spark.operators.text import write_vocab_reference
+    from alaska_etl_spark.streaming.incremental import stream_vocab_drift
+
+    ref_corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    ref = str(tmp_path / "vocab_ref")
+    write_vocab_reference(ref_corpus, "text", ref)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:  # whitespace-only text: zero tokens
+        f.write(json.dumps({"doc_id": 1, "text": "   "}) + "\n")
+    metrics = str(tmp_path / "metrics")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    stream_vocab_drift(stream, metrics, str(tmp_path / "ck"), ref)
+    (r,) = spark.read.parquet(metrics).collect()
+    assert r.js_nats is None and r.drifted is None and r.shared_vocab == 0
