@@ -195,3 +195,42 @@ def test_margin_bitext_empty_sides(spark):
     )
     assert margin_bitext_pairs(empty, vecs, k=2).count() == 0
     assert margin_bitext_pairs(vecs, empty, k=2).count() == 0
+
+
+def test_round6_ops_empty_inputs(spark):
+    from alaska_etl_spark.operators.dedup import (
+        dedup_savings,
+        doc_grams,
+        novelty_vs_grams,
+    )
+    from alaska_etl_spark.operators.text import token_counts, vocab_divergence
+
+    docs = _empty_docs(spark)
+    src_docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+
+    # savings over an empty corpus: no groups, no rows, no throw
+    assert dedup_savings(src_docs, pairs, "doc_id", "text", group_col="source").count() == 0
+    # non-empty corpus, empty pair set: totals emitted, zero redundant
+    one = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id bigint, text string, source string"
+    )
+    (r,) = dedup_savings(one, pairs, "doc_id", "text", group_col="source").collect()
+    assert r.n_redundant == 0 and r.n_docs == 1 and r.savings_rate == 0.0
+
+    # divergence over an empty corpus: no groups -> no pairs
+    assert vocab_divergence(src_docs, "source", "text").count() == 0
+    assert token_counts(docs, "text").count() == 0
+
+    # gram helpers
+    assert doc_grams(docs, "doc_id", "text").count() == 0
+    empty_grams = spark.createDataFrame([], "gram bigint")
+    assert novelty_vs_grams(docs, empty_grams, "doc_id", "text").count() == 0
+    # docs vs an EMPTY reference: everything fully novel
+    got = novelty_vs_grams(
+        spark.createDataFrame([(1, "x y z w")], "doc_id bigint, text string"),
+        empty_grams,
+        "doc_id",
+        "text",
+    ).collect()
+    assert got[0].novelty == 1.0 and got[0].n_seen == 0
