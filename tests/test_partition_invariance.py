@@ -33,6 +33,8 @@ CASES = [
     "q43_winnow_fingerprint",
     "q36_containment_join",
     "q40_bitext_margin",
+    "qf7_dedup_savings",
+    "qf8_vocab_divergence",
 ]
 
 
