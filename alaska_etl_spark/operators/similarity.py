@@ -1017,10 +1017,12 @@ def cosine_topk_arrow(
     query side (measured: qf1's two passes 2.9 s → ~1 s at sf0.1).
     NULL embeddings on EITHER side score 0.0 everywhere (corpus-side
     via the per-batch zero-substitution; query-side likewise — same as
-    cosine_sim's zero-norm guard). Non-null query vectors must share
-    one dimensionality (raises ValueError otherwise); id columns must
-    be integral (byte/short/int/long — their Spark types are preserved
-    in the output schema, mirroring cosine_topk).
+    cosine_sim's zero-norm guard); if EVERY query embedding is NULL
+    there is no dimensionality to substitute against and the result is
+    empty. Non-null query vectors must share one dimensionality
+    (raises ValueError otherwise); id columns must be integral
+    (byte/short/int/long — their Spark types are preserved in the
+    output schema, mirroring cosine_topk).
 
     Rounding is half-away-from-zero at ``round_digits`` — the same mode
     as Spark ``F.round`` / DuckDB ``round()`` used by :func:`cosine_topk`

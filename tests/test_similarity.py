@@ -462,3 +462,74 @@ def test_cosine_topk_arrow_matches_window_form(spark):
             ).collect()
         }
         assert a == b, include_self
+
+
+# --- cosine_topk_arrow edge contracts (ADVICE r5) ---------------------------
+
+
+def test_cosine_topk_arrow_query_side_guards(spark):
+    import pytest
+
+    from alaska_etl_spark.operators.similarity import cosine_topk_arrow
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    # empty query side: typed empty result, no jobs
+    empty_q = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = cosine_topk_arrow(corpus, empty_q)
+    assert out.count() == 0
+    assert out.schema.simpleString() == (
+        "struct<query_id:bigint,neighbor_id:bigint,cosine:double,rank:int>"
+    )
+    # mixed null query: zero-vector substitution -> cosine 0.0 everywhere
+    q = spark.createDataFrame(
+        [(8, [1.0, 0.0]), (9, None)], "vec_id bigint, embedding array<double>"
+    )
+    rows = {
+        (r.query_id, r.rank): r for r in cosine_topk_arrow(corpus, q, k=2).collect()
+    }
+    assert rows[(9, 1)].cosine == 0.0 and rows[(9, 2)].cosine == 0.0
+    assert rows[(8, 1)].neighbor_id == 1 and rows[(8, 1)].cosine == 1.0
+    # int32 ids preserved in the output schema
+    c32 = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    q32 = spark.createDataFrame([(2, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    out32 = cosine_topk_arrow(c32, q32, k=1)
+    assert "query_id:int,neighbor_id:int" in out32.schema.simpleString()
+    # ragged query dims / non-integral ids raise
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        cosine_topk_arrow(corpus, ragged)
+    sid = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="integral"):
+        cosine_topk_arrow(corpus, sid)
+
+
+def test_cosine_topk_arrow_matches_cosine_topk_exactly(spark):
+    """The Arrow-matmul form and the broadcast-join form share one
+    rounding protocol (half-away-from-zero at 4dp, ADVICE r5): on a
+    deterministic varied fixture the two return IDENTICAL
+    (query, rank) -> (neighbor, cosine) maps."""
+    from alaska_etl_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    rows = []
+    state = 7
+    for i in range(40):
+        vec = []
+        for _ in range(8):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            vec.append(((state >> 20) % 2001) / 1000.0 - 1.0)
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.limit(6)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(corpus, queries, k=5).collect()
+    }
+    assert a == b
