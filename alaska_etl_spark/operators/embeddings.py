@@ -176,3 +176,108 @@ def label_consistency(
             (F.col("agree_frac") < 0.5).alias("flagged"),
         )
     )
+
+
+def embedding_drift(
+    a: "DataFrame",
+    b: "DataFrame",
+    vec_col: str = "embedding",
+    *,
+    n_bins: int = 10,
+    psi_threshold: float = 0.25,
+) -> "DataFrame":
+    """Per-DIMENSION distribution drift between two embedding snapshots
+    — the embedding-space extension of the scalar PSI gate (qe3,
+    ``stats.psi_drift``): encoder upgrades, domain shift, or a broken
+    preprocessing step move individual dimensions' distributions long
+    before any downstream metric notices, and per-dim PSI localizes
+    WHICH dimensions moved (all of them → new encoder; a few → feature
+    drift). Returns one row per dimension:
+    (dim, n_a, n_b, mean_a, mean_b, psi, drifted).
+
+    Engine-exact protocol (the qe3 discipline, component-wise):
+    components are fixed-pointed to integer MICROS (float32 widens to
+    the identical double in any engine; round half-away matches DuckDB),
+    bin assignment is pure integer arithmetic over each dimension's
+    global [min, max] micros, proportions are Laplace-smoothed over the
+    all-bins frame, per-bin terms are fixed-pointed to 1e-8 and summed
+    as BIGINT — PSI is aggregation-order-free and replays bit-for-bit.
+    Means emit as exact-integer-sum / count double chains.
+
+    Scale shape: one posexplode pass per side (|rows| × dims
+    components), THREE dim-keyed aggregates (min/max, binned counts,
+    final PSI) — dims is small (64-4096), so everything after the
+    component explode is broadcast-sized. NULL embeddings contribute no
+    components; ragged widths simply populate different dim values.
+    """
+    def comps(df, flag):
+        return df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "_x")
+        ).select(
+            "dim",
+            F.round(F.col("_x") * 1e6).cast("bigint").alias("_c"),
+            F.lit(flag).alias("_ref"),
+        )
+
+    base = comps(a, True).unionByName(comps(b, False))
+    mm = base.groupBy("dim").agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
+    binned = (
+        base.join(mm, "dim")
+        .withColumn(
+            "bin", F.expr(f"(_c - _lo) * {n_bins} div (_hi - _lo + 1)").cast("int")
+        )
+        .groupBy("dim", "bin")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("bigint").alias("c_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).cast("bigint").alias("c_cur"),
+            F.sum(F.when(F.col("_ref"), F.col("_c"))).cast("bigint").alias("s_ref"),
+            F.sum(F.when(~F.col("_ref"), F.col("_c"))).cast("bigint").alias("s_cur"),
+        )
+    )
+    spark = a.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    dims = mm.select("dim")
+    frame = (
+        dims.crossJoin(bins)
+        .join(binned, ["dim", "bin"], "left")
+        .select(
+            "dim",
+            "bin",
+            F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+            F.coalesce(F.col("s_ref"), F.lit(0)).alias("s_ref"),
+            F.coalesce(F.col("s_cur"), F.lit(0)).alias("s_cur"),
+        )
+    )
+    tot = binned.groupBy("dim").agg(
+        F.sum("c_ref").cast("bigint").alias("n_a"),
+        F.sum("c_cur").cast("bigint").alias("n_b"),
+        F.sum("s_ref").cast("bigint").alias("sa"),
+        F.sum("s_cur").cast("bigint").alias("sb"),
+    )
+    p_ref = (F.col("c_ref") + 1) / (F.col("n_a") + n_bins)
+    p_cur = (F.col("c_cur") + 1) / (F.col("n_b") + n_bins)
+    term_1e8 = F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e8), 0).cast(
+        "bigint"
+    )
+    out = (
+        frame.join(tot, "dim")
+        .groupBy("dim")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+            F.sum(term_1e8).cast("bigint").alias("_pm"),
+        )
+    )
+    psi = F.round(F.col("_pm") / 1e8, 6)
+    return out.select(
+        "dim",
+        "n_a",
+        "n_b",
+        (F.col("sa") / F.col("n_a") / F.lit(1000000.0)).alias("mean_a"),
+        (F.col("sb") / F.col("n_b") / F.lit(1000000.0)).alias("mean_b"),
+        psi.alias("psi"),
+        (psi > F.lit(psi_threshold)).alias("drifted"),
+    )

@@ -5671,6 +5671,64 @@ FROM stats GROUP BY source
 )
 
 
+def qf9_embedding_drift(spark, sf_dir):
+    """Per-dimension PSI drift between two embedding snapshots (round
+    6): components fixed-pointed to integer micros, qe3's smoothed-PSI
+    discipline per dim; snapshots here are the deterministic vec_id
+    parity split of the embeddings table."""
+    from alaska_etl_spark.operators.embeddings import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
+QF9_SQL = r"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         vec_id % 2 = 0 AS is_ref
+  FROM embeddings
+), cc AS (
+  SELECT dim, CAST(round(x * 1000000) AS BIGINT) AS c, is_ref FROM ex
+), mm AS (
+  SELECT dim, min(c) AS lo, max(c) AS hi FROM cc GROUP BY 1
+), binned AS (
+  SELECT cc.dim, CAST((c - lo) * 10 // (hi - lo + 1) AS INT) AS bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+         CAST(sum(CASE WHEN is_ref THEN c END) AS BIGINT) AS s_ref,
+         CAST(sum(CASE WHEN NOT is_ref THEN c END) AS BIGINT) AS s_cur
+  FROM cc JOIN mm USING (dim) GROUP BY 1, 2
+), tot AS (
+  SELECT dim, CAST(sum(c_ref) AS BIGINT) AS n_a, CAST(sum(c_cur) AS BIGINT) AS n_b,
+         CAST(sum(s_ref) AS BIGINT) AS sa, CAST(sum(s_cur) AS BIGINT) AS sb
+  FROM binned GROUP BY 1
+), frame AS (
+  SELECT d.dim, CAST(r.range AS INT) AS bin
+  FROM (SELECT DISTINCT dim FROM mm) d CROSS JOIN range(10) r
+), filled AS (
+  SELECT frame.dim, frame.bin,
+         COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+  FROM frame LEFT JOIN binned ON frame.dim = binned.dim AND frame.bin = binned.bin
+), agg AS (
+  SELECT filled.dim,
+         CAST(sum(CAST(round(((c_cur + 1) / (n_b + 10) - (c_ref + 1) / (n_a + 10))
+                             * ln(((c_cur + 1) / (n_b + 10)) / ((c_ref + 1) / (n_a + 10)))
+                             * 1e8) AS BIGINT)) AS BIGINT) AS pm
+  FROM filled JOIN tot ON filled.dim = tot.dim
+  GROUP BY 1
+)
+SELECT tot.dim, n_a, n_b,
+       sa / n_a / 1000000.0 AS mean_a,
+       sb / n_b / 1000000.0 AS mean_b,
+       round(pm / 1e8, 6) AS psi,
+       round(pm / 1e8, 6) > 0.25 AS drifted
+FROM agg JOIN tot ON agg.dim = tot.dim
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -5800,6 +5858,7 @@ QUERIES = {
     "qf3_dup_source_matrix": qf3_dup_source_matrix,
     "qf7_dedup_savings": qf7_dedup_savings,
     "qf8_vocab_divergence": qf8_vocab_divergence,
+    "qf9_embedding_drift": qf9_embedding_drift,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6025,6 +6084,7 @@ ORACLES = {
     "qf3_dup_source_matrix": QF3_SQL,
     "qf7_dedup_savings": QF7_SQL,
     "qf8_vocab_divergence": QF8_SQL,
+    "qf9_embedding_drift": QF9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -78,3 +78,51 @@ def test_label_consistency_flags_planted_mislabel(spark):
     assert got[3].flagged and got[3].agree_frac == 0.0
     for i in (0, 1, 2, 10, 11, 12):
         assert not got[i].flagged, i
+
+
+# --- per-dimension embedding drift (PSI, qe3 discipline) --------------------
+
+
+def test_embedding_drift_localizes_shifted_dimension(spark):
+    from alaska_etl_spark.operators.embeddings import embedding_drift
+
+    # dim 0 shifted by +2.0 in snapshot b; dim 1 identical
+    a = spark.createDataFrame(
+        [(i, [i / 100.0, 0.5]) for i in range(60)], "vec_id bigint, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(i, [2.0 + i / 100.0, 0.5]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.dim: r for r in embedding_drift(a, b).collect()}
+    assert out[0].drifted and out[0].psi > 1.0
+    assert not out[1].drifted and out[1].psi < 0.05
+    assert abs(out[0].mean_b - out[0].mean_a - 2.0) < 1e-6
+    assert out[0].n_a == 60 and out[0].n_b == 60
+
+
+def test_embedding_drift_identical_snapshots_zero(spark):
+    from alaska_etl_spark.operators.embeddings import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [i * 0.01, -i * 0.02]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = embedding_drift(a, a).collect()
+    assert len(out) == 2
+    assert all(r.psi == 0.0 and not r.drifted for r in out)
+    assert all(r.mean_a == r.mean_b for r in out)
+
+
+def test_embedding_drift_null_embeddings_ignored(spark):
+    from alaska_etl_spark.operators.embeddings import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, [0.3, 0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(4, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r.dim: r for r in embedding_drift(a, b).collect()}
+    assert out[0].n_a == 2 and out[0].n_b == 1
