@@ -60,3 +60,44 @@ def test_released_after_is_exception_safe(spark):
     except RuntimeError:
         pass
     assert df is not None and not df.is_cached
+
+
+def test_tracked_registry_is_thread_safe(spark):
+    """Concurrent tracked_persist/release_tracked from driver threads
+    never corrupt the registry (ADVICE r5: lock added; exact scoping is
+    still a single-threaded contract, documented in the module)."""
+    import threading
+
+    errors = []
+
+    def work(tag):
+        try:
+            for i in range(10):
+                df = tracked_persist(spark.range(50).selectExpr(f"id + {i} AS v{tag}"))
+                df.count()
+                release_tracked()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert release_tracked() == 0  # registry fully drained
+
+
+def test_ensure_checkpoint_dir_does_not_clobber(spark, tmp_path):
+    from alaska_etl_spark.session import ensure_checkpoint_dir
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None or isinstance(sc.getCheckpointDir(), str)
+    first = str(tmp_path / "ck_first")
+    second = str(tmp_path / "ck_second")
+    if sc.getCheckpointDir() is None:
+        ensure_checkpoint_dir(sc, first)
+        assert sc.getCheckpointDir().endswith(first.split("/")[-1]) or first in sc.getCheckpointDir()
+    configured = sc.getCheckpointDir()
+    ensure_checkpoint_dir(sc, second)  # must NOT override
+    assert sc.getCheckpointDir() == configured
