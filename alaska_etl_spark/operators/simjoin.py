@@ -174,6 +174,21 @@ def jaccard_similarity_join(
     Size filter: candidates with den·min(|a|,|b|) < num·max(|a|,|b|)
     cannot reach τ and drop before verification.
 
+    Positional filter (PPJoin, Xiao et al. WWW'08): each collision
+    carries both sides' prefix POSITIONS, and a collision at (i, j) can
+    only belong to a qualifying pair if the overlap upper bound
+    ``1 + min(|a| − i, |b| − j)`` reaches the required overlap
+    ``t = ⌈num·(|a|+|b|) / (num+den)⌉`` (all integer arithmetic).
+    Soundness: common tokens are a subsequence of both documents'
+    (df, hash) orders, so the FIRST common token — which the prefix
+    property places inside both prefixes for any true pair — bounds the
+    total overlap by exactly that expression; keeping pairs where ANY
+    collision passes is therefore a superset of PPJoin's candidate set
+    and never drops a true pair. The filter runs per collision row
+    inside the same codegen stage, so it cuts the distinct + verify
+    volume that the df² enumeration feeds (measured at sf0.1: the
+    verify join is the dominant CPU).
+
     All set arithmetic is integer (threshold num/den, round-half-up
     rounding in integer space) so DuckDB replays the result exactly
     (qb0) — with string shingles, which also cross-checks the 64-bit
@@ -213,15 +228,30 @@ def jaccard_similarity_join(
             F.col("_rn")
             <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
         )
-        .select("_id", "_t", "_n")
+        .select("_id", "_t", "_n", "_rn")
     )
-    a = pref.select(F.col("_id").alias("id_a"), "_t", F.col("_n").alias("_na"))
-    b = pref.select(F.col("_id").alias("id_b"), "_t", F.col("_n").alias("_nb"))
+    a = pref.select(
+        F.col("_id").alias("id_a"), "_t", F.col("_n").alias("_na"), F.col("_rn").alias("_ra")
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), "_t", F.col("_n").alias("_nb"), F.col("_rn").alias("_rb")
+    )
+    # required overlap t = ceil(num*(na+nb)/(num+den)); a collision at
+    # prefix positions (ra, rb) bounds the overlap by
+    # 1 + min(na-ra, nb-rb) — PPJoin positional filter (see docstring)
+    required = F.expr(
+        f"({num} * (_na + _nb) + {num + den} - 1) div {num + den}"
+    )
     cand = (
         a.join(b, "_t")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.lit(den) * F.least("_na", "_nb") >= F.lit(num) * F.greatest("_na", "_nb")
+        )
+        .filter(
+            F.lit(1)
+            + F.least(F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb"))
+            >= required
         )
         .select("id_a", "id_b")
         .distinct()

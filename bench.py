@@ -36,11 +36,12 @@ drift (qe3).
 
 The three heavies — prefix-filtered Jaccard join (qb0), directed
 containment join (q36, rotated in from qf0 in r6), margin bitext
-mining (q40, from qf1) — are NOT in the headline: at sf0.1 their ~12
-small stages are fixed Spark overhead (4-5 s vs DuckDB's 1-2 s
-single-node) while their pruning/blocking only starts paying at corpus
-sizes where the posting-list / top-k join dominates (measured 1x->10x
-exponents in SCALE.md). They ARE timed every run (cold, once each) and
+mining (q40, from qf1) — are NOT in the headline: at sf0.1 they pay
+2-6 s against DuckDB's 1-2 s single-node (qb0 dropped 5.3 -> ~3.1 s
+with the r6 PPJoin positional filter; the hot-vocab synthetic corpus
+inflates their candidate terms) while their pruning/blocking only
+starts paying at corpus sizes where the posting-list / top-k join
+dominates (measured 1x->10x exponents in SCALE.md). They ARE timed every run (cold, once each) and
 recorded in the compact line's ``heavy`` map + BENCH_DETAIL.json so a
 regression is caught per round (VERDICT r5 #6).
 

@@ -466,3 +466,40 @@ def test_div_half_up_column_matches_python(spark):
     }
     for n, d, s in rows:
         assert got[(n, d, s)] == div_half_up_py(n, d, s), (n, d, s)
+
+
+# --- PPJoin positional filter soundness (simjoin, round 6) ---------------
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab -> hot shingles,
+# the regime where the positional filter prunes hardest and any
+# unsoundness (a dropped true pair) would surface immediately
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    tau=st.sampled_from([(1, 2), (7, 10), (9, 10)]),
+)
+@settings(**_SETTINGS)
+def test_jaccard_join_ppjoin_filter_matches_brute_force(spark, docs, tau):
+    from alaska_etl_spark.operators.simjoin import jaccard_similarity_join
+
+    num, den = tau
+    rows = [(str(i), t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_similarity_join(
+            df, "doc_id", "text", n=1, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    want = set()
+    sh = {i: set(t.split()) for i, t in rows if t.split()}
+    for a in sh:
+        for b in sh:
+            if a < b and den * len(sh[a] & sh[b]) >= num * len(sh[a] | sh[b]):
+                want.add((a, b))
+    assert got == want
