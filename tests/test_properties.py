@@ -503,3 +503,33 @@ def test_jaccard_join_ppjoin_filter_matches_brute_force(spark, docs, tau):
             if a < b and den * len(sh[a] & sh[b]) >= num * len(sh[a] | sh[b]):
                 want.add((a, b))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    tau=st.sampled_from([(1, 2), (3, 4), (9, 10)]),
+)
+@settings(**_SETTINGS)
+def test_containment_join_positional_filter_matches_brute_force(spark, docs, tau):
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    num, den = tau
+    rows = [(str(i), t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.src_id, r.dst_id)
+        for r in containment_join(
+            df, "doc_id", "text", n=1, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    want = set()
+    sh = {i: set(t.split()) for i, t in rows if t.split()}
+    for a in sh:
+        for b in sh:
+            if a != b and den * len(sh[a] & sh[b]) >= num * len(sh[a]):
+                want.add((a, b))
+    assert got == want
