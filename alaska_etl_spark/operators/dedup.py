@@ -604,7 +604,6 @@ def minhash_doc_tables(
     corpus); blocks are reclaimed by the ContextCleaner once the result
     becomes unreachable."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
     grams = gram_rows(df, id_col, text_col, n, hash_fn=hash_fn)
     per_doc = (
         grams.groupBy("_id")
@@ -614,12 +613,21 @@ def minhash_doc_tables(
         )
     )
     per_doc = tracked_persist(per_doc)
-    # bands is a plain Python int → unroll the band structs driver-side,
-    # as ONE SQL expression (single Py4J call; see _signature_sql for why).
-    # Band hash: xxhash64 (default) or the md5-derived 60-bit BIGINT
-    # (engine-replayable for the oracle lane; same 8-byte shuffle width
-    # as xxhash64 — md5_hash60's conv(substring(md5)) in SQL form) —
-    # the candidate set is identical either way.
+    return per_doc, _banded_from_signatures(per_doc, num_hashes, bands, hash_fn)
+
+
+def _banded_from_signatures(
+    sig_tbl: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(_id, _sig) → (_id, band, bh): the banded LSH projection.
+
+    ``bands`` is a plain Python int → unroll the band structs
+    driver-side, as ONE SQL expression (single Py4J call; see
+    _signature_sql for why). Band hash: xxhash64 (default) or the
+    md5-derived 60-bit BIGINT (engine-replayable for the oracle lane;
+    same 8-byte shuffle width — md5_hash60's conv(substring(md5)) in
+    SQL form) — the candidate set is identical either way."""
+    rows_per_band = num_hashes // bands
     _band_hash = (
         "xxhash64(concat_ws(',', {items}))"
         if hash_fn == "xxhash64"
@@ -635,10 +643,9 @@ def minhash_doc_tables(
         )
         for b in range(bands)
     )
-    banded = per_doc.select(
+    return sig_tbl.select(
         "_id", F.explode(F.expr(f"array({band_structs})")).alias("_b")
     ).select("_id", "_b.band", "_b.bh")
-    return per_doc, banded
 
 
 def minhash_near_dup_pairs(
@@ -666,6 +673,13 @@ def minhash_near_dup_pairs(
     a shuffle. Carrying the shingle arrays through the explode (the
     naive plan) multiplies shuffle volume by bands × |shingles| and
     re-verifies every colliding band of the same pair.
+
+    (r6 negative result, kept for the record: a flat distinct-gram-row
+    verify — candidates join each side's gram rows, count aggregate as
+    the intersection — replaced the collect_set arrays and measured
+    2.2-2.8 s cold vs 2.0-2.3 s for this form at sf0.1: the distinct's
+    extra exchange cost more than the array build it saved. The array
+    form stays.)
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. No cross join at any
     scale. ``bands`` must divide ``num_hashes``.
