@@ -1117,6 +1117,150 @@ def cosine_topk_arrow(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def bitext_topk_pair(
+    x: DataFrame,
+    y: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """BOTH directions' exact top-k between two embedding sets from ONE
+    corpus scan (r6; the engine under :func:`margin_bitext_pairs`): the
+    x side is collected driver-side (the same bounded envelope as
+    :func:`cosine_topk_arrow`) and each y Arrow batch computes one
+    matmul whose ROWS are per-x candidates and whose COLUMNS are
+    complete per-y neighbor lists — every y meets ALL of x inside its
+    own batch, so the y→x top-k finalizes in-batch with exact ranks and
+    never needs a window. Only the x→y direction windows, over
+    |x|·k·|batches| candidates. vs two cosine_topk_arrow passes this
+    halves the Python stages, drops one driver collect, and drops one
+    window — measured 2.4-2.9 → ~1.8 s cold for qf1's q40 at sf0.1.
+
+    Rounding and ordering are identical to cosine_topk_arrow
+    (half-away-from-zero at ``round_digits``; ties by neighbor id
+    ascending); NULL vectors on either side score 0.0; ids must be
+    integral. Returns (xy, yx) DataFrames, each
+    (query_id, neighbor_id, cosine, rank) — xy ranks x's neighbors
+    among y, yx ranks y's neighbors among x.
+
+    The fused candidate stream is tracked-persisted (flat scalar rows):
+    both directions and their aggregates read it, and without
+    materialization each consumer would re-run the matmul scan."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        IntegralType,
+        StructField,
+        StructType,
+    )
+
+    for side, df_ in (("x", x), ("y", y)):
+        field = df_.schema[id_col]
+        if not isinstance(field.dataType, IntegralType):
+            raise ValueError(
+                f"bitext_topk_pair: {side} id column must be integral, got "
+                f"{field.dataType.simpleString()}"
+            )
+    result_fields = [
+        StructField("query_id", x.schema[id_col].dataType),
+        StructField("neighbor_id", y.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+    out_struct = StructType([StructField("is_xy", BooleanType())] + result_fields)
+    xrows = sorted(
+        x.select(F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")).collect(),
+        key=lambda r: r._qid,
+    )
+    spark = y.sparkSession
+    if not xrows:
+        empty = spark.createDataFrame([], StructType(result_fields))
+        return empty, empty
+
+    xvecs = [r._qv for r in xrows]
+    dims = {len(v) for v in xvecs if v is not None}
+    if len(dims) > 1:
+        raise ValueError(f"bitext_topk_pair: ragged x embeddings (dims {sorted(dims)})")
+    dim = dims.pop() if dims else 0
+    x_ids = np.asarray([r._qid for r in xrows], dtype=np.int64)
+    x_mat = np.asarray(
+        [v if v is not None else [0.0] * dim for v in xvecs], dtype=np.float64
+    ).reshape(len(xvecs), dim)
+    x_norm = np.sqrt(np.einsum("ij,ij->i", x_mat, x_mat))
+    x_norm[x_norm == 0] = 1.0
+    scale = 10.0 ** round_digits
+    nx = len(x_ids)
+
+    def _batch_both(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or dim == 0:
+                continue
+            nid = pdf["_nid"].to_numpy(dtype=np.int64)
+            vals = pdf["_cv"].to_numpy()
+            null_mask = np.fromiter((v is None for v in vals), count=n, dtype=bool)
+            if null_mask.any():
+                zero = np.zeros(dim)
+                vals = np.array(
+                    [zero if m else v for v, m in zip(vals, null_mask)], dtype=object
+                )
+            ymat = np.stack(vals).astype(np.float64, copy=False)
+            yn = np.sqrt(np.einsum("ij,ij->i", ymat, ymat))
+            yn[yn == 0] = 1.0
+            raw = (x_mat @ ymat.T) / np.outer(x_norm, yn)
+            sims = np.copysign(np.floor(np.abs(raw) * scale + 0.5), raw) / scale
+            # x -> y: per ROW top-kk candidates (global window finishes)
+            kk = min(k, n)
+            order = np.lexsort((np.broadcast_to(nid, sims.shape), -sims), axis=1)[:, :kk]
+            xy = pd.DataFrame(
+                {
+                    "is_xy": True,
+                    "query_id": np.repeat(x_ids, kk),
+                    "neighbor_id": nid[order].ravel(),
+                    "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+                    "rank": np.zeros(nx * kk, dtype=np.int32),
+                }
+            )
+            # y -> x: per COLUMN exact top-k with final ranks (columns
+            # are complete: this batch's y rows saw every x)
+            kc = min(k, nx)
+            corder = np.lexsort((np.broadcast_to(x_ids[:, None], sims.shape), -sims), axis=0)[:kc, :]
+            yx = pd.DataFrame(
+                {
+                    "is_xy": False,
+                    "query_id": np.repeat(nid[None, :], kc, axis=0).ravel(),
+                    "neighbor_id": x_ids[corder].ravel(),
+                    "cosine": np.take_along_axis(sims, corder, axis=0).ravel(),
+                    "rank": np.repeat(
+                        np.arange(1, kc + 1, dtype=np.int32)[:, None], n, axis=1
+                    ).ravel(),
+                }
+            )
+            yield pd.concat([xy, yx], ignore_index=True)
+
+    from alaska_etl_spark.cache import tracked_persist
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    c = ensure_min_parallelism(y, id_col).select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    cand = tracked_persist(c.mapInPandas(_batch_both, out_struct))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    xy = (
+        cand.filter(F.col("is_xy"))
+        .drop("is_xy", "rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    yx = cand.filter(~F.col("is_xy")).drop("is_xy")
+    return xy, yx
+
+
 def margin_bitext_pairs(
     x: DataFrame,
     y: DataFrame,
@@ -1149,28 +1293,28 @@ def margin_bitext_pairs(
     with the round-half-up integer scaling every simjoin uses, so
     DuckDB replays the result bit-for-bit (qf1).
 
-    Scale shape: two brute-force top-k passes (:func:`cosine_topk` —
-    queries broadcast, corpus scanned once, per-query window top-k);
-    at index scale swap each pass for :func:`ivf_topk` — the margin
-    arithmetic is oblivious to how the top-k lists were produced.
+    Scale shape: ONE fused corpus scan produces both directions' exact
+    top-k (:func:`bitext_topk_pair` — x collected/broadcast, y scanned
+    once, matmul rows = x candidates, matmul columns = complete per-y
+    lists); at index scale swap in :func:`ivf_topk` per direction — the
+    margin arithmetic is oblivious to how the top-k lists were
+    produced.
 
     Returns (x_id, y_id, cosine, margin) for x's best y with margin ≥
     ``margin_threshold`` (forward mining strategy).
     """
     scale = 10**round_digits
-    # Arrow-matmul top-k: in bitext mining BOTH sides are corpora (a
-    # thousand-query broadcast-join window would shuffle |x|·|y| rows);
-    # the matmul form scans each corpus once per direction and windows
-    # only the per-batch candidates. Results are identical to
+    # Fused Arrow-matmul top-k (r6): in bitext mining BOTH sides are
+    # corpora (a thousand-query broadcast-join window would shuffle
+    # |x|·|y| rows); one scan of y serves both directions — matmul rows
+    # are per-x candidates, matmul columns are COMPLETE per-y neighbor
+    # lists (see bitext_topk_pair). Results are identical to
     # cosine_topk by construction (same rounding, same total order).
-    xy = cosine_topk_arrow(
-        y, x, id_col=id_col, vec_col=vec_col, k=k, include_self=True,
-        round_digits=round_digits,
-    ).withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))
-    yx = cosine_topk_arrow(
-        x, y, id_col=id_col, vec_col=vec_col, k=k, include_self=True,
-        round_digits=round_digits,
-    ).withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))
+    xy_raw, yx_raw = bitext_topk_pair(
+        x, y, id_col=id_col, vec_col=vec_col, k=k, round_digits=round_digits
+    )
+    xy = xy_raw.withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))
+    yx = yx_raw.withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))
 
     deg_x = xy.groupBy("query_id").agg(
         F.sum("_c").alias("_sx"), F.count(F.lit(1)).alias("_kx")
