@@ -947,10 +947,18 @@ def connected_components(
     ``localCheckpoint`` — the right call in local mode and for short
     jobs where re-running the whole thing beats paying DFS writes per
     round."""
-    if checkpoint_dir is not None:
-        from alaska_etl_spark.session import ensure_checkpoint_dir
+    import contextlib
 
-        ensure_checkpoint_dir(pairs.sparkSession.sparkContext, checkpoint_dir)
+    from alaska_etl_spark.session import checkpoint_dir_scope
+
+    # scoped, not permanent: the loop checkpoints EAGERLY, so the
+    # override never outlives this call and any application-configured
+    # checkpoint dir is restored on exit (ADVICE r5)
+    scope = (
+        checkpoint_dir_scope(pairs.sparkSession.sparkContext, checkpoint_dir)
+        if checkpoint_dir is not None
+        else contextlib.nullcontext()
+    )
     # tracked_persist (not bare .persist): the eager edges.unpersist()
     # below releases it on the normal path, but an exception mid-loop
     # would otherwise strand the cache — tracking gives release_tracked
@@ -963,40 +971,41 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("new_component"),
-                "component",
+    with scope:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nmin"))
             )
-        )
-        # eager checkpoint: one materialization serves BOTH the
-        # convergence probe and next round's join, and cuts lineage so
-        # nothing upstream of this round is ever recomputed. (local
-        # blocks of dropped generations are reclaimed by the
-        # ContextCleaner once the previous `updated` reference goes
-        # away; reliable-mode files are cleaned by
-        # spark.cleaner.referenceTracking.cleanCheckpoints or the
-        # deployment's dir lifecycle.)
-        updated = (
-            updated.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else updated.localCheckpoint()
-        )
-        changed = updated.filter(F.col("new_component") < F.col("component")).limit(1).count()
-        labels = updated.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
-    edges.unpersist()
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("new_component"),
+                    "component",
+                )
+            )
+            # eager checkpoint: one materialization serves BOTH the
+            # convergence probe and next round's join, and cuts lineage so
+            # nothing upstream of this round is ever recomputed. (local
+            # blocks of dropped generations are reclaimed by the
+            # ContextCleaner once the previous `updated` reference goes
+            # away; reliable-mode files are cleaned by
+            # spark.cleaner.referenceTracking.cleanCheckpoints or the
+            # deployment's dir lifecycle.)
+            updated = (
+                updated.checkpoint(eager=True)
+                if checkpoint_dir is not None
+                else updated.localCheckpoint()
+            )
+            changed = updated.filter(F.col("new_component") < F.col("component")).limit(1).count()
+            labels = updated.select("id", F.col("new_component").alias("component"))
+            if changed == 0:
+                break
+        edges.unpersist()
     return labels
 
 

@@ -106,10 +106,12 @@ def _numbered_with_offsets(
     # AQE-replanned exchange could renumber rows mid-query).
     numbered = ordered.mapInPandas(_number, out_schema)
     if checkpoint_dir is not None:
-        from alaska_etl_spark.session import ensure_checkpoint_dir
+        from alaska_etl_spark.session import checkpoint_dir_scope
 
-        ensure_checkpoint_dir(df.sparkSession.sparkContext, checkpoint_dir)
-        numbered = numbered.checkpoint()
+        # scoped override: checkpoint() is eager, so the configured dir
+        # is restored before this function returns (ADVICE r5)
+        with checkpoint_dir_scope(df.sparkSession.sparkContext, checkpoint_dir):
+            numbered = numbered.checkpoint()
     else:
         numbered = tracked_persist(numbered)
 

@@ -76,15 +76,33 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
-    """Set the session checkpoint dir only if none is configured yet.
+import contextlib
+
+
+@contextlib.contextmanager
+def checkpoint_dir_scope(sc, checkpoint_dir: str):
+    """Temporarily point the session's checkpoint dir at
+    ``checkpoint_dir``, restoring the previously configured dir on
+    exit.
 
     Operators offering a reliable-checkpoint durability tier
     (connected_components, global ranking) take a ``checkpoint_dir``
-    argument; calling ``setCheckpointDir`` unconditionally would
-    silently clobber an application-level checkpoint dir as a side
-    effect of a per-query operator (ADVICE r5). An already-configured
-    dir wins — the operator's argument is a fallback for sessions that
-    never set one, not an override."""
-    if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(checkpoint_dir)
+    argument and checkpoint EAGERLY inside the scope, so the override
+    never leaks into later lazily-executed work. This resolves the
+    ADVICE-r5 concern (a per-query operator silently clobbering an
+    application-level checkpoint dir as permanent session state) while
+    still honoring the explicit argument — the caller asked for THAT
+    directory, not whichever one happened to be configured. If no dir
+    was configured before, the operator's dir stays configured after
+    (Spark has no unset API); and because ``setCheckpointDir`` always
+    nests a fresh UUID subdirectory under the path it is given, the
+    restored dir is a NEW uuid under the previously configured path —
+    same tree, same durability and lifecycle, not the same leaf. Those
+    are the only residual side effects."""
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        yield
+    finally:
+        if prev is not None and prev != sc.getCheckpointDir():
+            sc.setCheckpointDir(prev)

@@ -88,16 +88,22 @@ def test_tracked_registry_is_thread_safe(spark):
     assert release_tracked() == 0  # registry fully drained
 
 
-def test_ensure_checkpoint_dir_does_not_clobber(spark, tmp_path):
-    from alaska_etl_spark.session import ensure_checkpoint_dir
+def test_checkpoint_dir_scope_overrides_then_restores(spark, tmp_path):
+    """The operator's explicit checkpoint_dir wins INSIDE the scope;
+    any application-configured dir is restored on exit (ADVICE r5 —
+    no permanent session-state side effect from a per-query call)."""
+    from alaska_etl_spark.session import checkpoint_dir_scope
 
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None or isinstance(sc.getCheckpointDir(), str)
     first = str(tmp_path / "ck_first")
     second = str(tmp_path / "ck_second")
-    if sc.getCheckpointDir() is None:
-        ensure_checkpoint_dir(sc, first)
-        assert sc.getCheckpointDir().endswith(first.split("/")[-1]) or first in sc.getCheckpointDir()
-    configured = sc.getCheckpointDir()
-    ensure_checkpoint_dir(sc, second)  # must NOT override
-    assert sc.getCheckpointDir() == configured
+    with checkpoint_dir_scope(sc, first):
+        assert first.split("/")[-1] in sc.getCheckpointDir()
+        configured = sc.getCheckpointDir()
+        with checkpoint_dir_scope(sc, second):
+            assert second.split("/")[-1] in sc.getCheckpointDir()
+            assert first.split("/")[-1] not in sc.getCheckpointDir()
+        # restored INTO the enclosing scope's tree (setCheckpointDir
+        # nests a fresh uuid each call — see checkpoint_dir_scope)
+        assert sc.getCheckpointDir().startswith(configured)
+        assert second.split("/")[-1] not in sc.getCheckpointDir()
