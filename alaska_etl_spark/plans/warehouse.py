@@ -75,6 +75,47 @@ def row_hash(df: DataFrame, key_cols: list[str]) -> DataFrame:
 PATH_FORMATS = ("parquet", "orc", "csv", "json")
 
 
+def fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — any scheme Spark reads
+    (file://, hdfs://, gs://, s3a://), unlike ``os.path``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def data_bytes(spark: SparkSession, path: str) -> int:
+    """Total data-file bytes under ``path`` (hidden ``_``/``.`` files
+    excluded) via the Hadoop FileSystem API."""
+    fs, jpath = fs_and_path(spark, path)
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += st.getLen()
+    return total
+
+
+def swap_in(spark: SparkSession, tmp: str, live: str) -> None:
+    """Atomically-enough replace ``live`` with ``tmp``: rename live
+    aside, rename tmp in, drop the old copy. Readers never see a
+    half-written directory; a crash between the renames leaves the
+    ``__old`` copy to roll back from."""
+    fs, live_p = fs_and_path(spark, live)
+    _, tmp_p = fs_and_path(spark, tmp)
+    old_p = fs_and_path(spark, live + "__old")[1]
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    if not fs.rename(live_p, old_p):
+        raise IOError(f"could not move {live} aside")
+    if not fs.rename(tmp_p, live_p):
+        fs.rename(old_p, live_p)  # roll back
+        raise IOError(f"could not move {tmp} into place")
+    fs.delete(old_p, True)
+
+
 def sink_spec(fmt: str, root: str, table: str, options: dict[str, str] | None = None) -> dict:
     """Resolve (format, root, table) to a concrete read/write target —
     the ONE place that knows how each backend is addressed, pure and
@@ -259,40 +300,13 @@ class Warehouse:
     # -- maintenance: compaction and key-merge ---------------------------
 
     def _fs_and_path(self, path: str):
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, jpath
+        return fs_and_path(self.spark, path)
 
     def _data_bytes(self, path: str) -> int:
-        """Total data-file bytes under ``path`` via the Hadoop
-        FileSystem API (works for file://, gs://, s3a://, hdfs://)."""
-        fs, jpath = self._fs_and_path(path)
-        total = 0
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not name.startswith(("_", ".")):
-                total += st.getLen()
-        return total
+        return data_bytes(self.spark, path)
 
     def _swap_in(self, tmp: str, live: str) -> None:
-        """Atomically-enough replace ``live`` with ``tmp``: rename live
-        aside, rename tmp in, drop the old copy. Readers never see a
-        half-written directory; a crash between the renames leaves the
-        ``__old`` copy to roll back from."""
-        fs, live_p = self._fs_and_path(live)
-        _, tmp_p = self._fs_and_path(tmp)
-        old_p = self._fs_and_path(live + "__old")[1]
-        if fs.exists(old_p):
-            fs.delete(old_p, True)
-        if not fs.rename(live_p, old_p):
-            raise IOError(f"could not move {live} aside")
-        if not fs.rename(tmp_p, live_p):
-            fs.rename(old_p, live_p)  # roll back
-            raise IOError(f"could not move {tmp} into place")
-        fs.delete(old_p, True)
+        swap_in(self.spark, tmp, live)
 
     def compact(
         self,

@@ -540,8 +540,15 @@ def stream_near_dup_gate(
         admitted = tracked_persist(kept)
         if admitted.count() > 0:
             warehouse.load(admitted, table, key_cols=[id_col])
+            # index from the STAGING parquet the load just wrote, not
+            # from `admitted`: the load's append to MAIN invalidates
+            # any cache whose plan reads the MAIN path (Spark recaches
+            # by path), and recomputing `admitted` AFTER the load finds
+            # the batch already in MAIN — its anti-join goes empty and
+            # the index append would silently write nothing. Staging
+            # holds exactly the admitted rows with no MAIN lineage.
             write_lsh_index(
-                admitted,
+                warehouse.read_staging(table),
                 id_col,
                 text_col,
                 index_path,
@@ -635,9 +642,14 @@ def stream_novelty_gate(
         admitted = tracked_persist(kept)
         if admitted.count() > 0:
             warehouse.load(admitted, table, key_cols=[id_col])
-            doc_grams(admitted, id_col, text_col, n=n).select(
-                "gram"
-            ).distinct().write.mode("append").parquet(ref_path)
+            # grams from the STAGING parquet the load just wrote — the
+            # load's MAIN append invalidates `admitted`'s cache (recache
+            # by path) and a recompute would anti-join the batch away
+            # against the MAIN that now contains it, silently appending
+            # zero grams (the reference would freeze at batch 1).
+            doc_grams(
+                warehouse.read_staging(table), id_col, text_col, n=n
+            ).select("gram").distinct().write.mode("append").parquet(ref_path)
         admitted.unpersist()
 
     q = (
@@ -647,6 +659,51 @@ def stream_novelty_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_gram_reference(
+    spark: SparkSession,
+    ref_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a persisted streaming reference (the novelty gate's gram
+    set, or any append-accreted parquet state): global row-distinct,
+    rewritten as ``ceil(bytes / target_file_bytes)`` files and swapped
+    in atomically (:func:`~alaska_etl_spark.plans.warehouse.swap_in`).
+
+    Why the gate needs this: each admitted batch appends its documents'
+    grams ``.distinct()``-ed WITHIN the batch only — an admitted
+    document may legitimately share up to ``1 - min_novelty`` of its
+    grams with the reference, so cross-batch duplicate gram rows
+    accrete (along with one file set per batch). Correctness never
+    suffers (the gate's scorer joins on gram, where duplicates change
+    nothing after its own distinct), but the reference's size — and the
+    broadcast that :func:`stream_novelty_gate` ships per batch — grows
+    past the true vocabulary. Run this between gate invocations (it
+    must not race a concurrent ``_sink`` append; availableNow triggers
+    make that sequencing natural).
+
+    Plan shape: ``repartition(n, cols).distinct()`` — the explicit hash
+    partitioning satisfies the aggregate's clustering requirement, so
+    the dedup runs in the SAME single exchange that sets the output
+    file count. ``n`` is sized from the pre-compaction bytes (an upper
+    bound — duplicates inflate it; the next compaction re-sizes from
+    the smaller truth). Returns
+    ``{"rows_before", "rows_after", "files"}``.
+    """
+    from alaska_etl_spark.plans.warehouse import data_bytes, swap_in
+
+    df = spark.read.parquet(ref_path)
+    cols = df.columns
+    rows_before = df.count()
+    n_files = max(1, -(-data_bytes(spark, ref_path) // target_file_bytes))
+    deduped = df.repartition(n_files, *cols).distinct()
+    tmp = ref_path + "__compact_tmp"
+    deduped.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    swap_in(spark, tmp, ref_path)
+    return {"rows_before": rows_before, "rows_after": rows_after, "files": n_files}
 
 
 def stream_vocab_drift(

@@ -167,6 +167,35 @@ def test_stream_near_dup_gate_replay_is_idempotent(spark, tmp_path):
     hits = probe_lsh_index(probe_batch, "doc_id", "text", idx).collect()
     assert [(r.new_id, r.corpus_id) for r in hits] == [(99, 1)]
 
+def test_stream_near_dup_gate_index_grows_past_first_batch(spark, tmp_path):
+    """Regression: the index append must survive the MAIN load's cache
+    invalidation — batch 2's admitted doc has to be probeable by batch 3
+    (before the staging-read fix, the index froze at batch 1)."""
+    from alaska_etl_spark.streaming.incremental import stream_near_dup_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = str(tmp_path / "lsh_idx")
+    schema = "doc_id bigint, text string"
+
+    _write_doc_file(src / "b1.json", [(1, _PAGE)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck"), idx)
+
+    _write_doc_file(src / "b2.json", [(3, _FRESH)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck"), idx)
+
+    # a near-dup of the BATCH-2 admission: rejected only if batch 2's
+    # index append actually landed
+    _write_doc_file(src / "b3.json", [(5, _FRESH.replace("ferry", "ferrx"))])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck"), idx)
+
+    assert sorted(r.doc_id for r in wh.read("docs").collect()) == [1, 3]
+
+
 # --- streaming NOVELTY gate (persisted gram set as the only state) ----------
 
 _MOSAIC = _PAGE.split()  # tokens of the admitted page, for stitching
@@ -270,3 +299,54 @@ def test_stream_novelty_gate_matches_batch_novelty(spark, tmp_path):
     got = {r.doc_id for r in wh.read("docs").collect()} - {1, 3}
     want = {d for d, nov in batch_scores.items() if nov >= 0.5}
     assert got == want and 21 in got
+
+
+def test_compact_gram_reference_collapses_duplicates(spark, tmp_path):
+    """Cross-batch duplicate gram rows accrete by design (an admitted
+    doc may share up to 1-min_novelty of its grams with the reference);
+    compaction collapses them with NO behavior change."""
+    from alaska_etl_spark.streaming.incremental import (
+        compact_gram_reference,
+        stream_novelty_gate,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ref = str(tmp_path / "ref_grams")
+    schema = "doc_id bigint, text string"
+    _write_doc_file(src / "b1.json", [(1, _PAGE)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
+
+    # batch 2: 12 already-seen tokens + 14 new ones -> novelty 14/24,
+    # admitted; its 10 seen-half grams re-append rows the reference holds
+    toks = _PAGE.split()
+    stitched = " ".join(toks[:12]) + (
+        " glacier melt telemetry feeds aggregated nightly for the coastal "
+        "stations during the spring transition window"
+    )
+    _write_doc_file(src / "b2.json", [(2, stitched)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 2}
+
+    grams = spark.read.parquet(ref)
+    before, uniq = grams.count(), grams.distinct().count()
+    assert before > uniq  # duplicates actually accreted
+
+    stats = compact_gram_reference(spark, ref)
+    assert stats == {"rows_before": before, "rows_after": uniq, "files": 1}
+    assert spark.read.parquet(ref).count() == uniq
+
+    # behavior preserved across the swap: a mosaic of admitted content
+    # is still rejected, a genuinely new page still passes
+    mosaic = " ".join(toks[13:]) + " " + " ".join(stitched.split()[14:])
+    new_page = (
+        "market closing summary for the northern exchange with volume "
+        "weighted averages across the afternoon trading session"
+    )
+    _write_doc_file(src / "b3.json", [(10, mosaic), (11, new_page)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 2, 11}
