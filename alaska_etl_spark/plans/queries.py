@@ -36,6 +36,19 @@ from alaska_etl_spark.operators.dedup import (
 from alaska_etl_spark.operators.similarity import cosine_topk, ivf_topk
 
 
+def _mat(sql: str, *names: str) -> str:
+    """Pin the named CTEs with DuckDB's ``AS MATERIALIZED`` hint. DuckDB
+    inlines CTEs, so one referenced k times is EVALUATED k times — the
+    q29 replay's ``sig`` sits under 16 band branches and re-ran the
+    whole tokenize→gram→64-hash pipeline 16× (~16 s at sf0.1, the
+    benchmark artifact VERDICT r4/r5 flagged; 0.8 s materialized). A
+    pure optimizer directive: results are identical, and the oracle
+    bench should compare against DuckDB at its best."""
+    for nm in names:
+        sql = sql.replace(f"{nm} AS (", f"{nm} AS MATERIALIZED (", 1)
+    return sql
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table. The events table stores TIMESTAMP(NANOS)
     parquet, which Spark only reads as raw int64 nanos
@@ -953,6 +966,7 @@ SELECT component, CAST(count(*) AS BIGINT) AS member_count, min(id) AS keep_id
 FROM comp GROUP BY component
 """
 )
+Q42_SQL = _mat(Q42_SQL, "toks", "sh", "pairs", "edges")
 
 
 def q38_percentiles(spark, sf_dir):
@@ -1307,7 +1321,7 @@ def _q29_sql() -> str:
         )
         for b in range(16)
     )
-    return rf"""
+    return _mat(rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
   FROM documents
@@ -1351,7 +1365,7 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.id_a
 JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE CAST(i.ic AS DOUBLE) / (za.sz + zb.sz - i.ic) >= 0.5
-"""
+""", "toks", "tok_rows", "full_grams", "gram_all", "sig", "shingle")
 
 
 def _q30_sql() -> str:
@@ -1360,7 +1374,7 @@ def _q30_sql() -> str:
     bit_count(xor) hamming."""
     counts = ", ".join(f"CAST(sum((h >> {b}) & 1) AS BIGINT) AS c{b}" for b in range(60))
     fp = " + ".join(f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(60))
-    return rf"""
+    return _mat(rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
   FROM documents
@@ -1378,7 +1392,7 @@ SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
 FROM chunks l JOIN chunks r ON l.band = r.band AND l.cv = r.cv AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.sim, r.sim)) <= 3
-"""
+""", "tok_rows", "chunks")
 
 
 Q29_SQL = _q29_sql()
@@ -2423,6 +2437,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 WHERE d.doc_id < 200
 """
 )
+Q74_SQL = _mat(Q74_SQL, "toks", "sh", "pairs", "edges")
 
 
 def q75_tfidf(spark, sf_dir):
@@ -3137,6 +3152,9 @@ WITH RECURSIVE pos AS (
 )
 SELECT event_id, user_id, round(y, 6) AS ewma FROM r
 """
+
+
+Q92_SQL = _mat(Q92_SQL, "pos")
 
 
 def q93_zscore_anomalies(spark, sf_dir):
@@ -3947,6 +3965,9 @@ WHERE 2 * np >= nq
 """
 
 
+QB0_SQL = _mat(QB0_SQL, "t", "sz")
+
+
 def qb1_geo_knn_join(spark, sf_dir):
     """Grid-blocked haversine kNN join (operators/geo.py): every
     customer's 3 nearest suppliers within 150 km — the distance join
@@ -4142,6 +4163,9 @@ def _qb6_sql() -> str:
 
 
 QB6_SQL = _qb6_sql()
+
+
+QB6_SQL = _mat(QB6_SQL, "nodes", "edges", "ew")
 
 
 def qb7_triangle_counts(spark, sf_dir):
@@ -5462,6 +5486,9 @@ WHERE 4 * np >= 3 * ns
 """
 
 
+QF0_SQL = _mat(QF0_SQL, "t")
+
+
 def qf1_bitext_margin(spark, sf_dir):
     """Margin-based nearest-pair mining
     (operators/similarity.margin_bitext_pairs, the LASER/CCMatrix
@@ -5520,6 +5547,9 @@ WHERE den > 0 AND (2 * 10000 * num + den) // (2 * den) >= 10000
 """
 
 
+QF1_SQL = _mat(QF1_SQL, "x", "y", "dx", "dy", "xy")
+
+
 def qf2_novelty_rate(spark, sf_dir):
     """Gram-level novelty/contamination rate
     (operators/dedup.novelty_rate): per corpus document (doc_id ≥ 20),
@@ -5565,6 +5595,9 @@ SELECT doc_id, n_grams, n_seen,
        ((20000 * (n_grams - n_seen) + n_grams) // (2 * n_grams)) / 10000.0 AS novelty
 FROM agg
 """
+
+
+QF2_SQL = _mat(QF2_SQL, "t")
 
 
 def qf3_dup_source_matrix(spark, sf_dir):
@@ -5669,6 +5702,7 @@ SELECT source,
 FROM stats GROUP BY source
 """
 )
+QF7_SQL = _mat(QF7_SQL, "toks", "sh", "pairs", "edges")
 
 
 def qf9_embedding_drift(spark, sf_dir):
