@@ -413,6 +413,123 @@ def kmeans_refine(
     return spark.createDataFrame(out, "centroid_id bigint, centroid array<double>")
 
 
+def kmeans_replicable(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd iterations an external engine can replay EXACTLY — the
+    oracle-safe sibling of :func:`kmeans_refine`, whose float means are
+    summation-order dependent (see its docstring). Three protocol moves
+    make every step engine-independent:
+
+    - init: :func:`centroids_by_id` (``ORDER BY id LIMIT k``);
+    - assignment: :func:`assign_buckets` with ``round_digits`` — argmax
+      of the ROUNDED cosine, ties to the smallest centroid_id (the q31
+      IVF replicable protocol);
+    - mean update in integer fixed point: per-dimension sums of
+      ``round(v[d]·1e6)`` BIGINT micros are order-free, and each new
+      component is ONE double division ``s / (n·1e6)`` — bit-identical
+      in any IEEE engine. Empty cells keep their previous centroid.
+
+    Scale shape per iteration: one narrow Arrow argmax pass (no join,
+    no window, no shuffle) + one hash aggregate whose map-side partials
+    collapse to k·dim rows regardless of corpus size; the driver only
+    ever holds k·dim doubles. The reference has no clustering operator
+    — this serves the IVF / SemDeDup quantizer path (SURVEY §2.14
+    X30/X8) in oracle-checkable form. Returns (centroid_id, centroid).
+    """
+    cents = {
+        r.centroid_id: [float(x) for x in r.centroid]
+        for r in centroids_by_id(
+            corpus, id_col=id_col, vec_col=vec_col, ncells=k
+        ).collect()
+    }
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            sorted(cents.items()), "centroid_id bigint, centroid array<double>"
+        )
+        assigned = assign_buckets(
+            corpus, cdf, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        )
+        sums = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("_d", "_v"))
+            .groupBy("centroid_id", "_d")
+            .agg(
+                F.sum(F.round(F.col("_v") * F.lit(1000000.0)).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        acc: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.centroid_id, {})[r._d] = r._s
+            counts[r.centroid_id] = r._n
+        for cid, dims in acc.items():
+            n = counts[cid]
+            cents[cid] = [dims[i] / (n * 1000000.0) for i in range(len(dims))]
+    return spark.createDataFrame(
+        sorted(cents.items()), "centroid_id bigint, centroid array<double>"
+    )
+
+
+def kmeans_summary(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cluster-quality report over :func:`kmeans_replicable`: per final
+    cell, member count and mean cosine-to-centroid. Per-row cosines are
+    fixed-pointed to 1e-6 micros BEFORE summing (order-free BIGINT; the
+    PSI/JS emit discipline of ``functions/fixedpoint``) and the mean is
+    the single double division Σmicros/(n·1e6). Precondition: non-null,
+    non-zero-norm vectors (a zero norm makes the cosine NULL here and
+    NaN in a SQL replay — the corpus contract every cosine operator in
+    this module shares). Columns: centroid_id, n_members, avg_cosine."""
+    cents = kmeans_replicable(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iters=iters,
+        round_digits=round_digits,
+    )
+    assigned = assign_buckets(
+        corpus, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    return (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id",
+            F.round(
+                cosine_sim_expr(F.col(vec_col), F.col("centroid")) * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("_m").alias("_s"))
+        .select(
+            "centroid_id",
+            "n_members",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_members") * F.lit(1000000.0))
+            ).alias("avg_cosine"),
+        )
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     *,

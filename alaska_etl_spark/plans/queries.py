@@ -5763,6 +5763,74 @@ FROM agg JOIN tot ON agg.dim = tot.dim
 """
 
 
+def qg0_kmeans_summary(spark, sf_dir):
+    """Replicable k-means (k=8, 2 Lloyd iterations) cluster-quality
+    report: member count and mean cosine-to-centroid per final cell.
+    The iterative-ML entry in the exactly-oracled set: deterministic
+    init (smallest-k ids), 6dp-rounded assignment argmax (the q31 IVF
+    protocol), and integer fixed-point mean updates (per-dim micro sums
+    are order-free BIGINTs; each new component is one double division),
+    so DuckDB replays BOTH unrolled iterations and the final summary
+    bit-for-bit. The reference has no clustering operator; this is the
+    quantizer-training path of IVF/SemDeDup (SURVEY X30/X8) made
+    hash-checkable."""
+    from alaska_etl_spark.operators.similarity import kmeans_summary
+
+    return kmeans_summary(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _qg0_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd replay: c0 -> (assign, integer-mean) x iters ->
+    final assignment + micro-summed cosine summary."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS d,
+         CAST(round(unnest(v) * 1000000.0) AS BIGINT) AS m
+  FROM e
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {k}
+)"""]
+    for i in range(iters):
+        parts.append(f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1
+), s{i} AS MATERIALIZED (
+  SELECT a.cid, comp.d, sum(comp.m) AS s, count(*) AS n
+  FROM a{i} a JOIN comp ON comp.vec_id = a.vec_id
+  GROUP BY a.cid, comp.d
+), c{i + 1} AS MATERIALIZED (
+  SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS c
+  FROM s{i} GROUP BY cid
+  UNION ALL
+  SELECT cid, c FROM c{i} WHERE cid NOT IN (SELECT cid FROM s{i})
+)""")
+    parts.append(f""", af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+)
+SELECT a.cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(round(list_cosine_similarity(e.v, c.c) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 1000000.0) AS avg_cosine
+FROM af a JOIN e ON e.vec_id = a.vec_id JOIN c{iters} c ON c.cid = a.cid
+GROUP BY a.cid
+""")
+    return "".join(parts)
+
+
+QG0_SQL = _qg0_sql()
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -5893,6 +5961,7 @@ QUERIES = {
     "qf7_dedup_savings": qf7_dedup_savings,
     "qf8_vocab_divergence": qf8_vocab_divergence,
     "qf9_embedding_drift": qf9_embedding_drift,
+    "qg0_kmeans_summary": qg0_kmeans_summary,
     "q50_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6119,6 +6188,7 @@ ORACLES = {
     "qf7_dedup_savings": QF7_SQL,
     "qf8_vocab_divergence": QF8_SQL,
     "qf9_embedding_drift": QF9_SQL,
+    "qg0_kmeans_summary": QG0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

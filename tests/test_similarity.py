@@ -533,3 +533,83 @@ def test_cosine_topk_arrow_matches_cosine_topk_exactly(spark):
         for r in cosine_topk_arrow(corpus, queries, k=5).collect()
     }
     assert a == b
+
+
+def test_kmeans_replicable_empty_cell_keeps_previous_centroid(spark):
+    from alaska_etl_spark.operators.similarity import kmeans_replicable
+
+    # v1 duplicates v0: assigning v1 ties between c0 (=v0) and c1 (=v1)
+    # at rounded cosine 1.0 and breaks to the SMALLEST centroid_id, so
+    # cell 1 goes empty and must keep its init centroid verbatim
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = {
+        r.centroid_id: list(r.centroid)
+        for r in kmeans_replicable(corpus, k=2, iters=2).collect()
+    }
+    # iteration 1: ALL vectors tie-break into cell 0 (v2's cosine is 0
+    # to both centroids), so cell 1 goes EMPTY and must keep its init
+    # centroid [1,0] — which is exactly what lets iteration 2 win v0/v1
+    # back (cos 1.0 vs 0.894 against the drifted c0) and leaves v2 as
+    # cell 0's sole member
+    assert cents[1] == [1.0, 0.0]
+    assert cents[0] == [0.0, 1.0]
+
+
+def test_kmeans_summary_matches_numpy_replica(spark):
+    import numpy as np
+
+    from alaska_etl_spark.operators.similarity import kmeans_summary
+
+    rows = []
+    state = 11
+    for i in range(60):
+        vec = []
+        for _ in range(8):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            vec.append(((state >> 20) % 2001) / 1000.0 - 1.0)
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.centroid_id: (r.n_members, r.avg_cosine)
+        for r in kmeans_summary(corpus, k=4, iters=2).collect()
+    }
+
+    # pure-numpy replica of the replicable protocol
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    cents = {c: X[c].copy() for c in range(4)}
+
+    def assign(C_ids):
+        C = np.stack([cents[c] for c in C_ids])
+        sims = (X @ C.T) / np.outer(
+            np.sqrt((X * X).sum(1)), np.sqrt((C * C).sum(1))
+        )
+        sims = np.round(sims, 6)
+        return np.array([C_ids[j] for j in np.argmax(sims, axis=1)])
+
+    ids = sorted(cents)
+    for _ in range(2):
+        a = assign(ids)
+        for c in ids:
+            members = X[a == c]
+            if len(members):
+                micros = np.round(members * 1e6).astype(np.int64)
+                cents[c] = micros.sum(0) / (len(members) * 1e6)
+    a = assign(ids)
+    want = {}
+    for c in ids:
+        members = X[a == c]
+        if not len(members):
+            continue
+        C = cents[c]
+        cos = (members @ C) / (
+            np.sqrt((members * members).sum(1)) * np.sqrt(C @ C)
+        )
+        micros = np.round(cos * 1e6).astype(np.int64)
+        want[c] = (len(members), micros.sum() / (len(members) * 1e6))
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0]
+        assert abs(got[c][1] - want[c][1]) < 2e-6
