@@ -450,6 +450,8 @@ def kmeans_replicable(
         ).collect()
     }
     spark = corpus.sparkSession
+    if not cents:  # empty corpus: no cells, not an np.stack crash
+        return spark.createDataFrame([], "centroid_id bigint, centroid array<double>")
     for _ in range(iters):
         cdf = spark.createDataFrame(
             sorted(cents.items()), "centroid_id bigint, centroid array<double>"
@@ -504,6 +506,10 @@ def kmeans_summary(
         iters=iters,
         round_digits=round_digits,
     )
+    if not cents.head(1):  # empty corpus: empty report, correct schema
+        return corpus.sparkSession.createDataFrame(
+            [], "centroid_id bigint, n_members bigint, avg_cosine double"
+        )
     assigned = assign_buckets(
         corpus, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     )

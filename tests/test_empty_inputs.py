@@ -234,3 +234,18 @@ def test_round6_ops_empty_inputs(spark):
         "text",
     ).collect()
     assert got[0].novelty == 1.0 and got[0].n_seen == 0
+
+
+def test_kmeans_empty_corpus(spark):
+    from alaska_etl_spark.operators.similarity import (
+        kmeans_replicable,
+        kmeans_summary,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    cents = kmeans_replicable(empty, k=4, iters=2)
+    assert cents.count() == 0
+    assert cents.columns == ["centroid_id", "centroid"]
+    rep = kmeans_summary(empty, k=4, iters=2)
+    assert rep.count() == 0
+    assert rep.columns == ["centroid_id", "n_members", "avg_cosine"]
