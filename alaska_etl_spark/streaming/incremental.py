@@ -666,6 +666,7 @@ def compact_gram_reference(
     ref_path: str,
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Compact a persisted streaming reference (the novelty gate's gram
     set, or any append-accreted parquet state): global row-distinct,
@@ -689,8 +690,15 @@ def compact_gram_reference(
     the dedup runs in the SAME single exchange that sets the output
     file count. ``n`` is sized from the pre-compaction bytes (an upper
     bound — duplicates inflate it; the next compaction re-sizes from
-    the smaller truth). Returns
-    ``{"rows_before", "rows_after", "files"}``.
+    the smaller truth).
+
+    For a PARTITIONED reference (the LSH gate's band index is
+    ``partitionBy("band")``), pass ``partition_by`` — the rewrite then
+    preserves the directory layout (a flat rewrite would silently drop
+    the partition pruning every probe relies on) at the cost of a
+    second exchange that co-locates each partition's scattered batch
+    files, exactly like ``Warehouse.compact``'s partitioned branch.
+    Returns ``{"rows_before", "rows_after", "files"}``.
     """
     from alaska_etl_spark.plans.warehouse import data_bytes, swap_in
 
@@ -698,9 +706,13 @@ def compact_gram_reference(
     cols = df.columns
     rows_before = df.count()
     n_files = max(1, -(-data_bytes(spark, ref_path) // target_file_bytes))
-    deduped = df.repartition(n_files, *cols).distinct()
     tmp = ref_path + "__compact_tmp"
-    deduped.write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        deduped = df.distinct().repartition(n_files, *partition_by)
+        deduped.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        deduped = df.repartition(n_files, *cols).distinct()
+        deduped.write.mode("overwrite").parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
     swap_in(spark, tmp, ref_path)
     return {"rows_before": rows_before, "rows_after": rows_after, "files": n_files}

@@ -350,3 +350,50 @@ def test_compact_gram_reference_collapses_duplicates(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     stream_novelty_gate(stream, wh, "docs", str(tmp_path / "ck"), ref)
     assert {r.doc_id for r in wh.read("docs").collect()} == {1, 2, 11}
+
+
+def test_compact_works_on_lsh_bands_index(spark, tmp_path):
+    """The same utility compacts the near-dup gate's band index — rows
+    are already unique there (replay anti-join), so compaction is pure
+    file-merge: row set unchanged, batch-accreted file sets collapsed,
+    probe behavior preserved."""
+    import os
+
+    from alaska_etl_spark.streaming.incremental import (
+        compact_gram_reference,
+        stream_near_dup_gate,
+    )
+    from alaska_etl_spark.operators.dedup import probe_lsh_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = str(tmp_path / "lsh_idx")
+    schema = "doc_id bigint, text string"
+    for i, (doc_id, text) in enumerate([(1, _PAGE), (3, _FRESH)]):
+        _write_doc_file(src / f"b{i}.json", [(doc_id, text)])
+        stream = spark.readStream.schema(schema).json(str(src))
+        stream_near_dup_gate(stream, wh, "docs", str(tmp_path / "ck"), idx)
+
+    def _parquet_files(root):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    bands = f"{idx}/bands"
+    files_before = len(_parquet_files(bands))
+    rows_before = spark.read.parquet(bands).count()
+    stats = compact_gram_reference(spark, bands, partition_by=["band"])
+    assert stats["rows_before"] == stats["rows_after"] == rows_before
+    # layout preserved: still band=<v> directories, fewer files in each
+    assert any(d.startswith("band=") for d in os.listdir(bands))
+    assert len(_parquet_files(bands)) < files_before
+    # probe still finds the batch-2 admission through the compacted index
+    probe = spark.createDataFrame(
+        [(99, _FRESH.replace("ferry", "ferrx"))], schema
+    )
+    hits = probe_lsh_index(probe, "doc_id", "text", idx).collect()
+    assert [(r.new_id, r.corpus_id) for r in hits] == [(99, 3)]
