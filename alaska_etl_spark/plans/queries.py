@@ -5961,8 +5961,8 @@ QUERIES = {
     "qf7_dedup_savings": qf7_dedup_savings,
     "qf8_vocab_divergence": qf8_vocab_divergence,
     "qf9_embedding_drift": qf9_embedding_drift,
-    "qg0_kmeans_summary": qg0_kmeans_summary,
-    "q50_top_supplier": q50_top_supplier,
+    "q50_kmeans_summary": qg0_kmeans_summary,
+    "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
     "q53_lsh_ann": q53_lsh_ann,
@@ -6105,7 +6105,7 @@ ORACLES = {
     "q48_volume_shipping": Q48_SQL,
     "q49_max_concurrent": QC7_SQL,
     "qe7_idle_customers": Q49_SQL,
-    "q50_top_supplier": Q50_SQL,
+    "qg1_top_supplier": Q50_SQL,
     "q53_lsh_ann": Q53_SQL,
     "q10_sole_blame_supplier": Q10_SQL,
     "q14_range_join": Q14_SQL,
@@ -6188,7 +6188,7 @@ ORACLES = {
     "qf7_dedup_savings": QF7_SQL,
     "qf8_vocab_divergence": QF8_SQL,
     "qf9_embedding_drift": QF9_SQL,
-    "qg0_kmeans_summary": QG0_SQL,
+    "q50_kmeans_summary": QG0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -35,7 +35,7 @@ CASES = [
     "q40_bitext_margin",
     "qf7_dedup_savings",
     "qf8_vocab_divergence",
-    "qg0_kmeans_summary",
+    "q50_kmeans_summary",
     "qf9_embedding_drift",
 ]
 

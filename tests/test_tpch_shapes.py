@@ -35,7 +35,7 @@ def test_q47_disjunction_decomposed_to_both_scans(spark):
 
 
 def test_q50_scalar_max_is_broadcast_not_window(spark):
-    plan = _plan(spark, "q50_top_supplier")
+    plan = _plan(spark, "qg1_top_supplier")
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan  # window-over-everything would serialize
 
