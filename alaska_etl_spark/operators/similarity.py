@@ -25,6 +25,17 @@ from pyspark.sql.types import DoubleType, LongType
 from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 
+def _np_round_half_away(x, digits: int):
+    """numpy rounding that matches F.round / DuckDB round(): ties go
+    AWAY from zero. np.round is half-to-even — at an exact half-tie it
+    silently diverges from every SQL oracle in this repo (the ADVICE r5
+    cosine_topk_arrow finding); Arrow-side oracle-facing rounding
+    routes through this helper instead (property-pinned against DuckDB
+    round() in tests/test_properties.py)."""
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -346,7 +357,7 @@ def assign_buckets(
         xn[xn == 0] = 1.0
         sims = (x @ mat.T) / np.outer(xn, cnorm)
         if round_digits is not None:
-            sims = np.round(sims, round_digits)
+            sims = _np_round_half_away(sims, round_digits)
         # argmax takes the FIRST max; ids are sorted, so ties (and the
         # all-zero rows, uniformly 0.0) pick the smallest centroid_id
         return pd.Series(ids[np.argmax(sims, axis=1)])
@@ -681,7 +692,7 @@ def ivf_topk(
     cell_to_q: dict[int, list[int]] = {}
     qsims = (qmat @ cmat.T) / np.outer(safe_qnorm, cnorm)
     if replicable:
-        qsims = np.round(qsims, 6)
+        qsims = _np_round_half_away(qsims, 6)
     for qi in range(len(qids)):
         order = np.lexsort((cids, -qsims[qi]))[: min(nprobe, len(cids))]
         for ci in order:
@@ -708,7 +719,7 @@ def ivf_topk(
             xn_safe = np.where(xn == 0, 1.0, xn)
             sims = (x @ cmat.T) / np.outer(xn_safe, cnorm)
             if replicable:
-                sims = np.round(sims, 6)
+                sims = _np_round_half_away(sims, 6)
             sims[bad] = 0.0  # degenerate rows tie across cells → smallest cid
             cells = cids[np.argmax(sims, axis=1)]
             nids = pdf[id_col].to_numpy()
@@ -721,7 +732,7 @@ def ivf_topk(
                 qn = safe_qnorm[qidx]
                 cos = (x[ridx] @ qs.T) / np.outer(xn_safe[ridx], qn)
                 if round_digits is not None:
-                    cos = np.round(cos, round_digits)
+                    cos = _np_round_half_away(cos, round_digits)
                 invalid = bad[ridx][:, None] | (qnorm[qidx] == 0)[None, :]
                 out = pd.DataFrame(
                     {
@@ -908,7 +919,7 @@ def pq_topk(
         # gather per query: sum the m table entries this row's codes select
         sub = np.arange(m)[None, :]
         out = np.stack([t[sub, cm].sum(axis=1) for t in tables], axis=1)  # n × q
-        return pd.Series(list(np.round(out, round_digits)))
+        return pd.Series(list(_np_round_half_away(out, round_digits)))
 
     scored = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), _adists(F.col("pq_code")).alias("_ds")
@@ -1033,7 +1044,7 @@ def ivfpq_topk(
             rows = cm[mask]
             for qi in qlist:
                 out[mask, qi] = tables[(qi, ci)][sub, rows].sum(axis=1)
-        out = np.round(out, round_digits)
+        out = _np_round_half_away(out, round_digits)
         return pd.Series([[None if np.isnan(x) else float(x) for x in r] for r in out])
 
     scored = (
@@ -1193,7 +1204,6 @@ def cosine_topk_arrow(
     ).reshape(len(qvecs), dim)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     q_norm[q_norm == 0] = 1.0
-    scale = 10.0 ** round_digits
 
     def _batch_topk(batches):
         for pdf in batches:
@@ -1213,7 +1223,7 @@ def cosine_topk_arrow(
             xn[xn == 0] = 1.0
             raw = (q_mat @ x.T) / np.outer(q_norm, xn)
             # half-away-from-zero, matching F.round / DuckDB round()
-            sims = np.copysign(np.floor(np.abs(raw) * scale + 0.5), raw) / scale
+            sims = _np_round_half_away(raw, round_digits)
             if not include_self:
                 sims = np.where(q_ids[:, None] == nid[None, :], -np.inf, sims)
             kk = min(k, n)
@@ -1313,7 +1323,6 @@ def bitext_topk_pair(
     ).reshape(len(xvecs), dim)
     x_norm = np.sqrt(np.einsum("ij,ij->i", x_mat, x_mat))
     x_norm[x_norm == 0] = 1.0
-    scale = 10.0 ** round_digits
     nx = len(x_ids)
 
     def _batch_both(batches):
@@ -1333,7 +1342,7 @@ def bitext_topk_pair(
             yn = np.sqrt(np.einsum("ij,ij->i", ymat, ymat))
             yn[yn == 0] = 1.0
             raw = (x_mat @ ymat.T) / np.outer(x_norm, yn)
-            sims = np.copysign(np.floor(np.abs(raw) * scale + 0.5), raw) / scale
+            sims = _np_round_half_away(raw, round_digits)
             # x -> y: per ROW top-kk candidates (global window finishes)
             kk = min(k, n)
             order = np.lexsort((np.broadcast_to(nid, sims.shape), -sims), axis=1)[:, :kk]

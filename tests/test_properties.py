@@ -533,3 +533,31 @@ def test_containment_join_positional_filter_matches_brute_force(spark, docs, tau
             if a != b and den * len(sh[a] & sh[b]) >= num * len(sh[a]):
                 want.add((a, b))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            # exact half-ties at 6dp — where np.round (half-to-even)
+            # diverges from SQL round (half-away-from-zero)
+            st.integers(-2 * 10**6, 2 * 10**6).map(lambda k: (2 * k + 1) / 2e6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_np_round_half_away_matches_duckdb_round(xs):
+    import duckdb
+    import numpy as np
+
+    from alaska_etl_spark.operators.similarity import _np_round_half_away
+
+    got = _np_round_half_away(np.asarray(xs, dtype=np.float64), 6)
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
+        for x in xs
+    ]
+    assert list(got) == want
