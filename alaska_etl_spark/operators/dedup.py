@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
 from alaska_etl_spark.functions.fixedpoint import div_half_up
+from alaska_etl_spark.operators.similarity import _np_round_half_away
 
 # ---------------------------------------------------------------------------
 # exact / keyed
@@ -1246,7 +1247,11 @@ def semantic_dedup(
         dominated = np.zeros(m, dtype=bool)
         for s in range(0, m, chunk):
             e = min(s + chunk, m)
-            sims = np.round((x[s:e] @ x.T) / np.outer(norm[s:e], norm), round_digits)
+            # half-away-from-zero to match the DuckDB oracle's round()
+            # (np.round is half-to-even — the ADVICE r5 tie divergence)
+            sims = _np_round_half_away(
+                (x[s:e] @ x.T) / np.outer(norm[s:e], norm), round_digits
+            )
             hit = sims >= threshold
             # rows s..e dominate every later column: block-triangular part
             # for columns inside the chunk, full column-any beyond it
