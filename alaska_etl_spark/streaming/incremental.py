@@ -581,6 +581,7 @@ def stream_novelty_gate(
     n: int = 3,
     min_novelty: float = 0.5,
     broadcast: bool = True,
+    compact_after_files: int | None = None,
 ) -> None:
     """Streaming NOVELTY gate (VERDICT r5 #8): admit a document only if
     at least ``min_novelty`` of its word n-gram shingles are UNSEEN
@@ -613,7 +614,14 @@ def stream_novelty_gate(
       overlap starts counting from the next batch on;
     - replay safety mirrors the LSH gate: the batch is anti-joined
       against MAIN before the gram append, so a replayed micro-batch
-      admits nothing and the reference never double-counts."""
+      admits nothing and the reference never double-counts.
+
+    ``compact_after_files``: opt-in inline maintenance — after a
+    batch's gram append, if the reference holds more than this many
+    data files, run :func:`compact_gram_reference` before the next
+    batch (the sink is the one place compaction provably cannot race
+    an append, since availableNow batches are sequential). Leave None
+    to schedule compaction externally instead."""
     from pyspark.sql import Window
 
     from alaska_etl_spark.operators.dedup import doc_grams, novelty_vs_grams
@@ -650,6 +658,16 @@ def stream_novelty_gate(
             doc_grams(
                 warehouse.read_staging(table), id_col, text_col, n=n
             ).select("gram").distinct().write.mode("append").parquet(ref_path)
+            if compact_after_files is not None:
+                from alaska_etl_spark.plans.warehouse import fs_and_path
+
+                fs, jp = fs_and_path(spark, ref_path)
+                it, n_files = fs.listFiles(jp, True), 0
+                while it.hasNext():
+                    if not it.next().getPath().getName().startswith(("_", ".")):
+                        n_files += 1
+                if n_files > compact_after_files:
+                    compact_gram_reference(spark, ref_path)
         admitted.unpersist()
 
     q = (

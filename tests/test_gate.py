@@ -397,3 +397,38 @@ def test_compact_works_on_lsh_bands_index(spark, tmp_path):
     )
     hits = probe_lsh_index(probe, "doc_id", "text", idx).collect()
     assert [(r.new_id, r.corpus_id) for r in hits] == [(99, 3)]
+
+
+def test_novelty_gate_inline_compaction(spark, tmp_path):
+    """compact_after_files=0 forces compaction after every batch: the
+    reference stays globally distinct and single-file, and admissions
+    are unchanged vs the uncompacted run."""
+    from alaska_etl_spark.streaming.incremental import stream_novelty_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ref = str(tmp_path / "ref_grams")
+    schema = "doc_id bigint, text string"
+    toks = _PAGE.split()
+    stitched = " ".join(toks[:12]) + (
+        " glacier melt telemetry feeds aggregated nightly for the coastal "
+        "stations during the spring transition window"
+    )
+    for i, rows in enumerate([[(1, _PAGE)], [(2, stitched)]]):
+        _write_doc_file(src / f"b{i}.json", rows)
+        stream = spark.readStream.schema(schema).json(str(src))
+        stream_novelty_gate(
+            stream, wh, "docs", str(tmp_path / "ck"), ref,
+            compact_after_files=0,
+        )
+
+    assert {r.doc_id for r in wh.read("docs").collect()} == {1, 2}
+    grams = spark.read.parquet(ref)
+    assert grams.count() == grams.distinct().count()  # no duplicate rows
+    import os
+
+    files = [
+        f for dp, _, fs in os.walk(ref) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
