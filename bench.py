@@ -99,6 +99,7 @@ HEADLINE = [
     "qd7_perplexity_gate",
     "qe1_ab_test",
     "qe3_psi_drift",
+    "q50_kmeans_summary",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
