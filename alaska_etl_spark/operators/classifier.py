@@ -1,0 +1,113 @@
+"""Linear-classifier TRAINING as exact integer relational algebra.
+
+The quality-classifier step of a training-data pipeline (fastText-style
+"keep what looks like good text") is usually an external model; the
+batch PERCEPTRON brings the training loop itself into the engine in the
+same exactly-replayable form as the k-means pair
+(operators/similarity.kmeans_replicable): every quantity is a BIGINT,
+so an external engine replays every iteration bit-for-bit — no
+sigmoid/exp float surface at all (logistic regression's gradient needs
+exp(); libm differences make that un-oracle-able, which is exactly why
+the perceptron's integer update rule is the right in-engine form).
+
+Batch (not online) perceptron on purpose: the update
+``w += Σ_misclassified y·x`` is an order-free integer SUM — one
+hash aggregate per iteration with map-side partials, and the driver
+only ever holds the (k+1)-int weight vector. An online perceptron's
+sequential updates would serialize the corpus through the driver.
+
+Overflow bound (ANSI mode): |w_j| after T iterations ≤ T·N·max|x_j|,
+and the margin dot adds another max|x_j|·k factor — at N = 10^10 docs,
+T = 3, char-count features ≤ 2·10^3 and k = 5 that is ~4·10^16,
+inside signed-64. Document counts beyond ~10^12 need feature scaling.
+
+No reference parity: the reference has no ML surface (SURVEY §0); this
+extends the beyond-reference training-pipeline family (SURVEY §2.14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.dedup import word_tokens
+
+# the five integer features (plus y) — shared by the Spark path and the
+# DuckDB oracle builder so the two can never drift
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that")
+FEATURE_COLS = ("f0", "f1", "f2", "f3", "f4")
+
+
+def text_label_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """Integer feature rows for the is-``positive_lang`` task:
+    f0 bias, f1 token count, f2 English-stopword count, f3 non-ASCII
+    byte surplus (octet_length − char length: 0 for pure ASCII, large
+    for CJK), f4 char count; y = ±1. Pure codegen — one narrow pass."""
+    toks = word_tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.col(lang_col) == positive_lang, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+        F.lit(1).cast("bigint").alias("f0"),
+        F.size(toks).cast("bigint").alias("f1"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("f2"),
+        (F.octet_length(text_col) - F.length(text_col)).cast("bigint").alias("f3"),
+        F.length(text_col).cast("bigint").alias("f4"),
+    )
+
+
+def _margin(w: list[int]) -> Column:
+    dot = F.lit(int(w[0])) * F.col("f0")
+    for j in range(1, len(w)):
+        dot = dot + F.lit(int(w[j])) * F.col(f"f{j}")
+    return F.col("y") * dot
+
+
+def perceptron_train(feats: DataFrame, *, iters: int = 3) -> DataFrame:
+    """Batch-perceptron iterations over (y, f0..f4) integer rows.
+
+    Per iteration t (weights start at zero, so iteration 1 counts every
+    row as misclassified — y·0 ≤ 0 — and w₁ is the class-weighted
+    feature sum): misclassified = Σ 1[y·(w·x) ≤ 0], then
+    w ← w + Σ_misclassified y·x. Emits one report row per iteration
+    ``(iter, misclassified, w0..w4)`` with the POST-update weights —
+    iters rows total, every value BIGINT.
+
+    Scale shape: one full-corpus aggregate per iteration (map-side
+    partial sums; the shuffle carries k+1 longs per partition), driver
+    state is k+1 ints. The cost is iters corpus passes — the same
+    bounded-iteration envelope as kmeans_replicable, with an even
+    smaller driver footprint."""
+    spark = feats.sparkSession
+    k = len(FEATURE_COLS)
+    w = [0] * k
+    rows = []
+    for t in range(1, iters + 1):
+        miss = _margin(w) <= 0
+        agg = feats.agg(
+            F.sum(F.when(miss, 1).otherwise(0)).cast("bigint").alias("m"),
+            *[
+                F.sum(F.when(miss, F.col("y") * F.col(c)).otherwise(0))
+                .cast("bigint")
+                .alias(f"g{j}")
+                for j, c in enumerate(FEATURE_COLS)
+            ],
+        ).collect()[0]
+        w = [w[j] + (agg[f"g{j}"] or 0) for j in range(k)]
+        rows.append((t, agg["m"] or 0, *w))
+    schema = "iter int, misclassified bigint, " + ", ".join(
+        f"w{j} bigint" for j in range(k)
+    )
+    return spark.createDataFrame(rows, schema)

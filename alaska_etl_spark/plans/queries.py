@@ -5831,6 +5831,81 @@ GROUP BY a.cid
 QG0_SQL = _qg0_sql()
 
 
+def qg2_perceptron(spark, sf_dir):
+    """Batch-perceptron training (3 iterations) for the is-English
+    quality-classifier task, entirely in exact integer arithmetic — the
+    second exactly-oracled iterative-ML query next to q50's k-means:
+    the update w += SUM_misclassified y*x is an order-free BIGINT sum
+    (one corpus aggregate per iteration, map-side partials, k+1 ints of
+    driver state), so DuckDB replays every iteration bit-for-bit
+    through weight-threading 1-row cross joins. No float appears
+    anywhere (the reason this is the in-engine classifier form:
+    logistic regression's exp() has no cross-engine bit contract).
+
+    Honest data note: the synthetic corpus draws every language's text
+    from ONE shared vocabulary, so the is-English labels carry no
+    textual signal — the learning curve correctly oscillates around
+    the majority-class error, and f3 (non-ASCII surplus) is zero on
+    romanized synthetic text (kept: real corpora have non-ASCII mass,
+    and its zero weight is itself exactness evidence). The pinned
+    quantity is the exact integer replay of the training mechanics;
+    test_classifier.py pins CONVERGENCE on a separable corpus."""
+    from alaska_etl_spark.operators.classifier import (
+        perceptron_train,
+        text_label_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = text_label_features(d, "doc_id", "text", "lang")
+    return perceptron_train(feats, iters=3)
+
+
+def _qg2_sql(iters: int = 3) -> str:
+    """Unrolled perceptron replay: the weight vector rides a 1-row CTE
+    through each iteration's filtered aggregate."""
+    from alaska_etl_spark.operators.classifier import EN_STOPWORDS, FEATURE_COLS
+
+    k = len(FEATURE_COLS)
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    parts = [rf"""
+WITH f AS MATERIALIZED (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         CAST(1 AS BIGINT) AS f0,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS f1,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({stop}))) AS BIGINT) AS f2,
+         CAST(strlen(text) - length(text) AS BIGINT) AS f3,
+         CAST(length(text) AS BIGINT) AS f4
+  FROM documents
+), w0_ AS (
+  SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(k))}
+)"""]
+    for t in range(1, iters + 1):
+        prev = "w0_" if t == 1 else f"w{t - 1}_"
+        margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+        gsums = ", ".join(
+            f"CAST(coalesce(sum(f.y * f.f{j}) FILTER (WHERE f.y * ({margin}) <= 0), 0) AS BIGINT) AS g{j}"
+            for j in range(k)
+        )
+        wcols = ", ".join(f"CAST(w.w{j} + i.g{j} AS BIGINT) AS w{j}" for j in range(k))
+        parts.append(f""", i{t}_ AS MATERIALIZED (
+  SELECT count(*) FILTER (WHERE f.y * ({margin}) <= 0) AS m, {gsums}
+  FROM f, {prev} w
+), w{t}_ AS (
+  SELECT {wcols} FROM {prev} w, i{t}_ i
+)""")
+    reports = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, CAST(i{t}_.m AS BIGINT) AS misclassified, "
+        + ", ".join(f"w{t}_.w{j} AS w{j}" for j in range(k))
+        + f" FROM i{t}_, w{t}_"
+        for t in range(1, iters + 1)
+    )
+    parts.append("\n" + reports)
+    return "".join(parts)
+
+
+QG2_SQL = _qg2_sql()
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -5962,6 +6037,7 @@ QUERIES = {
     "qf8_vocab_divergence": qf8_vocab_divergence,
     "qf9_embedding_drift": qf9_embedding_drift,
     "q50_kmeans_summary": qg0_kmeans_summary,
+    "qg2_perceptron": qg2_perceptron,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6189,6 +6265,7 @@ ORACLES = {
     "qf8_vocab_divergence": QF8_SQL,
     "qf9_embedding_drift": QF9_SQL,
     "q50_kmeans_summary": QG0_SQL,
+    "qg2_perceptron": QG2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

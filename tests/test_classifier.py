@@ -1,0 +1,89 @@
+"""Batch perceptron (operators/classifier.py): integer-exact training
+mechanics, convergence on separable data, feature extraction."""
+
+from __future__ import annotations
+
+from alaska_etl_spark.operators.classifier import (
+    FEATURE_COLS,
+    perceptron_train,
+    text_label_features,
+)
+
+
+def _feat_rows(spark, rows):
+    # (y, f0..f4) pre-built integer feature rows
+    return spark.createDataFrame(
+        rows, "y bigint, f0 bigint, f1 bigint, f2 bigint, f3 bigint, f4 bigint"
+    )
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    # +1 class: f1 large; -1 class: f1 small — linearly separable with
+    # the bias; batch updates must reach 0 misclassified and then
+    # freeze (no update when nothing is misclassified)
+    rows = [(1, 1, 10, 0, 0, 0), (1, 1, 12, 0, 0, 0)] + [
+        (-1, 1, 1, 0, 0, 0),
+        (-1, 1, 2, 0, 0, 0),
+    ]
+    out = {r.iter: r for r in perceptron_train(_feat_rows(spark, rows), iters=10).collect()}
+    ms = [out[t].misclassified for t in sorted(out)]
+    assert 0 in ms  # converged at some iteration
+    first_zero = ms.index(0) + 1
+    # after convergence: misclassified stays 0 and weights freeze
+    for t in range(first_zero, 10 + 1):
+        assert out[t].misclassified == 0
+        assert [out[t][f"w{j}"] for j in range(5)] == [
+            out[first_zero][f"w{j}"] for j in range(5)
+        ]
+
+
+def test_perceptron_matches_python_replica(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.choice([1, -1]),
+            1,
+            rng.randint(0, 40),
+            rng.randint(0, 8),
+            rng.randint(0, 100),
+            rng.randint(10, 300),
+        )
+        for _ in range(120)
+    ]
+    got = {
+        r.iter: (r.misclassified, tuple(r[f"w{j}"] for j in range(5)))
+        for r in perceptron_train(_feat_rows(spark, rows), iters=4).collect()
+    }
+    w = [0] * 5
+    want = {}
+    for t in range(1, 5):
+        miss = [(y, f) for (y, *f) in rows if y * sum(w[j] * f[j] for j in range(5)) <= 0]
+        g = [sum(y * f[j] for y, f in miss) for j in range(5)]
+        w = [w[j] + g[j] for j in range(5)]
+        want[t] = (len(miss), tuple(w))
+    assert got == want
+
+
+def test_perceptron_empty_corpus(spark):
+    out = perceptron_train(_feat_rows(spark, []), iters=3).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.misclassified == 0
+        assert all(r[f"w{j}"] == 0 for j in range(5))
+
+
+def test_text_label_features_integers(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog", "en"), (2, "süß straße", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {r._id: r for r in text_label_features(df, "doc_id", "text", "lang").collect()}
+    assert rows[1].y == 1 and rows[2].y == -1
+    assert rows[1].f1 == 5  # tokens
+    assert rows[1].f2 == 3  # 'the' x2 (lowered) + 'and'
+    assert rows[1].f3 == 0  # pure ASCII
+    assert rows[2].f3 == 3  # ü, ü, ß are 2-byte chars
+    assert rows[2].f4 == len("süß straße")
+    assert list(rows[1].asDict())[2:] == list(FEATURE_COLS)
