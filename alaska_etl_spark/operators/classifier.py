@@ -75,6 +75,26 @@ def _margin(w: list[int]) -> Column:
     return F.col("y") * dot
 
 
+def train_step(feats: DataFrame, w: list[int]) -> tuple[int, list[int]]:
+    """One batch-perceptron step against weights ``w``: returns
+    ``(misclassified, update_sums)`` from a single map-side-combined
+    aggregate. Shared by the batch loop (:func:`perceptron_train`) and
+    the streaming continual trainer
+    (:func:`~alaska_etl_spark.streaming.incremental.stream_perceptron_train`)
+    so the two can never drift."""
+    miss = _margin(w) <= 0
+    agg = feats.agg(
+        F.sum(F.when(miss, 1).otherwise(0)).cast("bigint").alias("m"),
+        *[
+            F.sum(F.when(miss, F.col("y") * F.col(c)).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{j}")
+            for j, c in enumerate(FEATURE_COLS)
+        ],
+    ).collect()[0]
+    return agg["m"] or 0, [agg[f"g{j}"] or 0 for j in range(len(FEATURE_COLS))]
+
+
 def perceptron_train(feats: DataFrame, *, iters: int = 3) -> DataFrame:
     """Batch-perceptron iterations over (y, f0..f4) integer rows.
 
@@ -95,18 +115,9 @@ def perceptron_train(feats: DataFrame, *, iters: int = 3) -> DataFrame:
     w = [0] * k
     rows = []
     for t in range(1, iters + 1):
-        miss = _margin(w) <= 0
-        agg = feats.agg(
-            F.sum(F.when(miss, 1).otherwise(0)).cast("bigint").alias("m"),
-            *[
-                F.sum(F.when(miss, F.col("y") * F.col(c)).otherwise(0))
-                .cast("bigint")
-                .alias(f"g{j}")
-                for j, c in enumerate(FEATURE_COLS)
-            ],
-        ).collect()[0]
-        w = [w[j] + (agg[f"g{j}"] or 0) for j in range(k)]
-        rows.append((t, agg["m"] or 0, *w))
+        m, g = train_step(feats, w)
+        w = [w[j] + g[j] for j in range(k)]
+        rows.append((t, m, *w))
     schema = "iter int, misclassified bigint, " + ", ".join(
         f"w{j} bigint" for j in range(k)
     )

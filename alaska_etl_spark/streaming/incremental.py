@@ -869,3 +869,76 @@ def stream_apply_changelog(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_perceptron_train(
+    stream_df: DataFrame,
+    history_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    positive_lang: str = "en",
+) -> None:
+    """CONTINUAL classifier training: each micro-batch is one
+    mini-batch perceptron step (`operators.classifier.train_step` — the
+    exact same aggregate the batch trainer runs, so stream and batch
+    can never drift) against the latest weights, and the post-update
+    weights are APPENDED as one row
+    ``(iter, batch_id, misclassified, w0..w4)`` to the parquet history
+    at ``history_path``.
+
+    State protocol mirrors the gates: the weight history lives on
+    storage, not in the state store — restart-safe for free, readable
+    by batch audits (the history IS the learning curve), and
+    append-only so a crash never leaves a half-written weight vector
+    (the current model is simply the max-``iter`` row). Replay safety:
+    a batch_id already present in the history is skipped, so
+    at-least-once delivery never applies the same update twice.
+
+    Scale shape per batch: one batch-sized feature projection + one
+    map-side-combined aggregate (k+2 longs per partition), a 1-row
+    append, and a history read that only ever needs the max-iter row
+    (at very long horizons, compact with
+    :func:`compact_gram_reference` — the history is append-accreted
+    parquet like every other reference here)."""
+    from alaska_etl_spark.operators.classifier import (
+        FEATURE_COLS,
+        text_label_features,
+        train_step,
+    )
+
+    k = len(FEATURE_COLS)
+    schema = (
+        "iter bigint, batch_id bigint, misclassified bigint, "
+        + ", ".join(f"w{j} bigint" for j in range(k))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w, it = [0] * k, 0
+        if _hdfs_exists(spark, history_path):
+            hist = spark.read.parquet(history_path)
+            if hist.filter(F.col("batch_id") == batch_id).count() > 0:
+                return  # replayed micro-batch: update already applied
+            last = hist.orderBy(F.col("iter").desc()).first()
+            if last is not None:
+                w = [last[f"w{j}"] for j in range(k)]
+                it = last["iter"]
+        feats = text_label_features(
+            batch_df, id_col, text_col, lang_col, positive_lang=positive_lang
+        )
+        m, g = train_step(feats, w)
+        w = [w[j] + g[j] for j in range(k)]
+        spark.createDataFrame(
+            [(it + 1, batch_id, m, *w)], schema
+        ).write.mode("append").parquet(history_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

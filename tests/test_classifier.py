@@ -87,3 +87,50 @@ def test_text_label_features_integers(spark):
     assert rows[2].f3 == 3  # ü, ü, ß are 2-byte chars
     assert rows[2].f4 == len("süß straße")
     assert list(rows[1].asDict())[2:] == list(FEATURE_COLS)
+
+
+def _write_json(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        for doc_id, text, lang in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text, "lang": lang}) + "\n")
+
+
+def test_stream_perceptron_matches_sequential_minibatch(spark, tmp_path):
+    from alaska_etl_spark.operators.classifier import train_step
+    from alaska_etl_spark.streaming.incremental import stream_perceptron_train
+
+    b1 = [(1, "the cat and the dog", "en"), (2, "hund und katze tier", "de")]
+    b2 = [(3, "a bird in the tree is that", "en"), (4, "pájaro en el árbol", "es")]
+    src = tmp_path / "src"
+    src.mkdir()
+    hist = str(tmp_path / "weights")
+    schema = "doc_id bigint, text string, lang string"
+    for i, rows in enumerate([b1, b2]):
+        _write_json(src / f"b{i}.json", rows)
+        stream = spark.readStream.schema(schema).json(str(src))
+        stream_perceptron_train(stream, hist, str(tmp_path / "ck"))
+
+    got = {
+        r.iter: (r.misclassified, tuple(r[f"w{j}"] for j in range(5)))
+        for r in spark.read.parquet(hist).collect()
+    }
+    assert set(got) == {1, 2}
+
+    # sequential mini-batch replica through the shared batch step
+    w = [0] * 5
+    want = {}
+    for t, rows in enumerate([b1, b2], start=1):
+        feats = text_label_features(
+            spark.createDataFrame(rows, schema), "doc_id", "text", "lang"
+        )
+        m, g = train_step(feats, w)
+        w = [w[j] + g[j] for j in range(5)]
+        want[t] = (m, tuple(w))
+    assert got == want
+
+    # replay: same data through a FRESH checkpoint appends nothing
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_perceptron_train(stream, hist, str(tmp_path / "ck_replay"))
+    assert spark.read.parquet(hist).count() == 2
