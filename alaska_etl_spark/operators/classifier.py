@@ -122,3 +122,18 @@ def perceptron_train(feats: DataFrame, *, iters: int = 3) -> DataFrame:
         f"w{j} bigint" for j in range(k)
     )
     return spark.createDataFrame(rows, schema)
+
+
+def perceptron_apply(feats: DataFrame, w: list[int], *, id_col: str = "_id") -> DataFrame:
+    """Score rows with trained weights: integer ``margin = w·x`` and the
+    keep/drop verdict ``margin > 0`` — the screening step a trained
+    quality classifier exists for. Pure codegen projection (no shuffle,
+    no Python); margins are BIGINT so the screen replays exactly."""
+    dot = F.lit(int(w[0])) * F.col("f0")
+    for j in range(1, len(w)):
+        dot = dot + F.lit(int(w[j])) * F.col(f"f{j}")
+    return feats.select(
+        F.col(id_col),
+        dot.cast("bigint").alias("margin"),
+        (dot > 0).alias("keep"),
+    )

@@ -5860,16 +5860,18 @@ def qg2_perceptron(spark, sf_dir):
     return perceptron_train(feats, iters=3)
 
 
-def _qg2_sql(iters: int = 3) -> str:
-    """Unrolled perceptron replay: the weight vector rides a 1-row CTE
-    through each iteration's filtered aggregate."""
+def _perceptron_ctes(iters: int = 3) -> str:
+    """Shared unrolled-training CTE chain: features f, weights w0_,
+    then per iteration the filtered aggregate i{t}_ and updated
+    weights w{t}_ (weight vector threaded through 1-row cross joins)."""
     from alaska_etl_spark.operators.classifier import EN_STOPWORDS, FEATURE_COLS
 
     k = len(FEATURE_COLS)
     stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     parts = [rf"""
 WITH f AS MATERIALIZED (
-  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+  SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
          CAST(1 AS BIGINT) AS f0,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS f1,
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({stop}))) AS BIGINT) AS f2,
@@ -5893,17 +5895,64 @@ WITH f AS MATERIALIZED (
 ), w{t}_ AS (
   SELECT {wcols} FROM {prev} w, i{t}_ i
 )""")
+    return "".join(parts)
+
+
+def _qg2_sql(iters: int = 3) -> str:
+    """Unrolled perceptron replay: per-iteration report rows."""
+    from alaska_etl_spark.operators.classifier import FEATURE_COLS
+
+    k = len(FEATURE_COLS)
     reports = "\nUNION ALL\n".join(
         f"SELECT {t} AS iter, CAST(i{t}_.m AS BIGINT) AS misclassified, "
         + ", ".join(f"w{t}_.w{j} AS w{j}" for j in range(k))
         + f" FROM i{t}_, w{t}_"
         for t in range(1, iters + 1)
     )
-    parts.append("\n" + reports)
-    return "".join(parts)
+    return _perceptron_ctes(iters) + "\n" + reports
+
+
+def _qg3_sql(iters: int = 3) -> str:
+    """Training CTEs + the final screening projection against the
+    last weight row."""
+    from alaska_etl_spark.operators.classifier import FEATURE_COLS
+
+    k = len(FEATURE_COLS)
+    margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+    return (
+        _perceptron_ctes(iters)
+        + f"""
+SELECT f.doc_id, CAST({margin} AS BIGINT) AS margin, ({margin}) > 0 AS keep
+FROM f, w{iters}_ w
+"""
+    )
 
 
 QG2_SQL = _qg2_sql()
+
+
+def qg3_perceptron_screen(spark, sf_dir):
+    """Train-then-APPLY: the 3-iteration batch perceptron of qg2
+    followed by the screening projection it exists for — every document
+    scored with the final weights, emitting the integer margin and the
+    keep/drop verdict. End-to-end exactly oracled: training replays
+    through qg2's weight-threading CTEs and the screen is one more
+    integer projection against the final weight row."""
+    from alaska_etl_spark.operators.classifier import (
+        perceptron_apply,
+        perceptron_train,
+        text_label_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = text_label_features(d, "doc_id", "text", "lang")
+    report = perceptron_train(feats, iters=3).collect()
+    last = max(report, key=lambda r: r.iter)
+    w = [last[f"w{j}"] for j in range(5)]
+    return perceptron_apply(feats, w).withColumnRenamed("_id", "doc_id")
+
+
+QG3_SQL = _qg3_sql()
 
 
 def qf8_vocab_divergence(spark, sf_dir):
@@ -6038,6 +6087,7 @@ QUERIES = {
     "qf9_embedding_drift": qf9_embedding_drift,
     "q50_kmeans_summary": qg0_kmeans_summary,
     "qg2_perceptron": qg2_perceptron,
+    "qg3_perceptron_screen": qg3_perceptron_screen,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6266,6 +6316,7 @@ ORACLES = {
     "qf9_embedding_drift": QF9_SQL,
     "q50_kmeans_summary": QG0_SQL,
     "qg2_perceptron": QG2_SQL,
+    "qg3_perceptron_screen": QG3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -134,3 +134,15 @@ def test_stream_perceptron_matches_sequential_minibatch(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     stream_perceptron_train(stream, hist, str(tmp_path / "ck_replay"))
     assert spark.read.parquet(hist).count() == 2
+
+
+def test_perceptron_apply_screens_by_margin(spark):
+    from alaska_etl_spark.operators.classifier import perceptron_apply
+
+    feats = spark.createDataFrame(
+        [(1, 1, 1, 10, 0, 0, 0), (2, -1, 1, 1, 0, 0, 0), (3, 1, 1, 3, 0, 0, 0)],
+        "_id bigint, y bigint, f0 bigint, f1 bigint, f2 bigint, f3 bigint, f4 bigint",
+    )
+    w = [-10, 3, 0, 0, 0]  # margin = 3*f1 - 10
+    out = {r._id: (r.margin, r.keep) for r in perceptron_apply(feats, w).collect()}
+    assert out == {1: (20, True), 2: (-7, False), 3: (-1, False)}
