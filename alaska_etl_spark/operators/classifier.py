@@ -137,3 +137,34 @@ def perceptron_apply(feats: DataFrame, w: list[int], *, id_col: str = "_id") -> 
         dot.cast("bigint").alias("margin"),
         (dot > 0).alias("keep"),
     )
+
+
+def classification_report(feats: DataFrame, w: list[int]) -> DataFrame:
+    """Confusion matrix + fixed-point precision/recall/accuracy for
+    weights ``w`` over labeled feature rows — the evaluate step after
+    :func:`perceptron_train` / :func:`perceptron_apply`. One map-side-
+    combined aggregate; the rates use the shared integer round-half-up
+    emit (functions/fixedpoint, 4dp), NULL when undefined (no predicted
+    / no actual positives) rather than a fake 0."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    dot = F.lit(int(w[0])) * F.col("f0")
+    for j in range(1, len(w)):
+        dot = dot + F.lit(int(w[j])) * F.col(f"f{j}")
+    pred_pos = dot > 0
+    act_pos = F.col("y") > 0
+    counts = feats.agg(
+        F.sum(F.when(pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+        F.sum(F.when(~pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    return counts.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        (div_half_up("tp", "nullif(tp + fp, 0)", 10000) / 10000.0).alias("precision"),
+        (div_half_up("tp", "nullif(tp + fn, 0)", 10000) / 10000.0).alias("recall"),
+        (div_half_up("tp + tn", "tp + fp + tn + fn", 10000) / 10000.0).alias("accuracy"),
+    )

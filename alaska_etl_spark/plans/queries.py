@@ -5955,6 +5955,52 @@ def qg3_perceptron_screen(spark, sf_dir):
 QG3_SQL = _qg3_sql()
 
 
+def qg4_perceptron_eval(spark, sf_dir):
+    """Evaluate the trained screen: confusion matrix + 4dp fixed-point
+    precision/recall/accuracy of qg2's final weights over the corpus —
+    train → apply → EVALUATE, every step exactly oracled (counts are
+    integer sums; rates use the shared round-half-up emit, NULL when
+    undefined)."""
+    from alaska_etl_spark.operators.classifier import (
+        classification_report,
+        perceptron_train,
+        text_label_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = text_label_features(d, "doc_id", "text", "lang")
+    report = perceptron_train(feats, iters=3).collect()
+    last = max(report, key=lambda r: r.iter)
+    w = [last[f"w{j}"] for j in range(5)]
+    return classification_report(feats, w)
+
+
+def _qg4_sql(iters: int = 3) -> str:
+    from alaska_etl_spark.operators.classifier import FEATURE_COLS
+
+    k = len(FEATURE_COLS)
+    margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+    return (
+        _perceptron_ctes(iters)
+        + f""", cm AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ({margin}) > 0 AND f.y > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN ({margin}) > 0 AND f.y < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN ({margin}) <= 0 AND f.y < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+         CAST(coalesce(sum(CASE WHEN ({margin}) <= 0 AND f.y > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+  FROM f, w{iters}_ w
+)
+SELECT tp, fp, tn, fn,
+       ((2 * 10000 * tp + nullif(tp + fp, 0)) // (2 * nullif(tp + fp, 0))) / 10000.0 AS precision,
+       ((2 * 10000 * tp + nullif(tp + fn, 0)) // (2 * nullif(tp + fn, 0))) / 10000.0 AS recall,
+       ((2 * 10000 * (tp + tn) + (tp + fp + tn + fn)) // (2 * (tp + fp + tn + fn))) / 10000.0 AS accuracy
+FROM cm
+"""
+    )
+
+
+QG4_SQL = _qg4_sql()
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6088,6 +6134,7 @@ QUERIES = {
     "q50_kmeans_summary": qg0_kmeans_summary,
     "qg2_perceptron": qg2_perceptron,
     "qg3_perceptron_screen": qg3_perceptron_screen,
+    "qg4_perceptron_eval": qg4_perceptron_eval,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6317,6 +6364,7 @@ ORACLES = {
     "q50_kmeans_summary": QG0_SQL,
     "qg2_perceptron": QG2_SQL,
     "qg3_perceptron_screen": QG3_SQL,
+    "qg4_perceptron_eval": QG4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -146,3 +146,35 @@ def test_perceptron_apply_screens_by_margin(spark):
     w = [-10, 3, 0, 0, 0]  # margin = 3*f1 - 10
     out = {r._id: (r.margin, r.keep) for r in perceptron_apply(feats, w).collect()}
     assert out == {1: (20, True), 2: (-7, False), 3: (-1, False)}
+
+
+def test_classification_report_counts_and_rates(spark):
+    from alaska_etl_spark.operators.classifier import classification_report
+
+    feats = spark.createDataFrame(
+        [
+            (1, 1, 1, 10, 0, 0, 0),   # pred +, actual + -> TP
+            (2, 1, 1, 1, 0, 0, 0),    # pred -, actual + -> FN
+            (3, -1, 1, 8, 0, 0, 0),   # pred +, actual - -> FP
+            (4, -1, 1, 2, 0, 0, 0),   # pred -, actual - -> TN
+        ],
+        "_id bigint, y bigint, f0 bigint, f1 bigint, f2 bigint, f3 bigint, f4 bigint",
+    )
+    w = [-10, 3, 0, 0, 0]  # margin = 3*f1 - 10: positive iff f1 >= 4
+    r = classification_report(feats, w).collect()[0]
+    assert (r.tp, r.fp, r.tn, r.fn) == (1, 1, 1, 1)
+    assert r.precision == 0.5 and r.recall == 0.5 and r.accuracy == 0.5
+
+
+def test_classification_report_undefined_rates_are_null(spark):
+    from alaska_etl_spark.operators.classifier import classification_report
+
+    # all predicted negative, all actual negative: precision AND recall
+    # have empty denominators -> NULL, accuracy 1.0
+    feats = spark.createDataFrame(
+        [(1, -1, 1, 1, 0, 0, 0), (2, -1, 1, 2, 0, 0, 0)],
+        "_id bigint, y bigint, f0 bigint, f1 bigint, f2 bigint, f3 bigint, f4 bigint",
+    )
+    r = classification_report(feats, [-10, 0, 0, 0, 0]).collect()[0]
+    assert (r.tp, r.fp, r.tn, r.fn) == (0, 0, 2, 0)
+    assert r.precision is None and r.recall is None and r.accuracy == 1.0
