@@ -168,3 +168,85 @@ def classification_report(feats: DataFrame, w: list[int]) -> DataFrame:
         (div_half_up("tp", "nullif(tp + fn, 0)", 10000) / 10000.0).alias("recall"),
         (div_half_up("tp + tn", "tp + fp + tn + fn", 10000) / 10000.0).alias("accuracy"),
     )
+
+
+def naive_bayes_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    positive_lang: str = "en",
+    scale: int = 10**8,
+) -> DataFrame:
+    """Binary multinomial Naive Bayes, trained AND applied in one pass
+    — the generative sibling of the perceptron: per-document log-odds
+    score (add-1 smoothed) and the keep verdict.
+
+    Float discipline (the qf8/qe3 PSI protocol): every per-TOKEN
+    log-ratio ``ln((c⁺+1)/(N⁺+V)) − ln((c⁻+1)/(N⁻+V))`` is computed
+    once per DISTINCT vocabulary word, rounded half-away to 1e-8
+    units, and stored as a BIGINT — document scores are then pure
+    integer sums (aggregation-order-free), plus one equally-quantized
+    prior ``ln((d⁺+1)/(d⁻+1))``. Both engines take ln of identical
+    rational doubles; residual last-ulp libm divergence is absorbed by
+    the 1e-8 rounding except at exact boundaries (the documented
+    residual class — matches at all three SFs).
+
+    Zero-token documents emit NO row (no evidence; the novelty_rate
+    zero-denominator convention). Scale shape: one (token, class)
+    aggregate (vocabulary-sized output, Heaps-law sublinear), a
+    vocabulary-keyed join back onto the token stream, one doc-grain
+    sum. Columns: ``(id_col, score_units BIGINT, keep)``."""
+    from alaska_etl_spark.cache import tracked_persist
+
+    pos = F.col(lang_col) == positive_lang
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        pos.alias("_pos"),
+        F.explode(word_tokens(text_col)).alias("_w"),
+    )
+    toks = tracked_persist(toks)  # feeds the vocab aggregate AND the scoring join
+    vocab = toks.groupBy("_w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_cp"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_cn"),
+    )
+    vocab = tracked_persist(vocab)
+    tot = vocab.agg(
+        F.sum("_cp").alias("np"), F.sum("_cn").alias("nn"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    npos, nneg, v = int(tot["np"] or 0), int(tot["nn"] or 0), int(tot["v"] or 0)
+    pri = df.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("pd"),
+        F.sum(F.when(~pos, 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    pd_, nd_ = int(pri["pd"] or 0), int(pri["nd"] or 0)
+    # ln on the JVM (F.log), never in Python: one libm surface per engine
+    term = (
+        F.log(F.col("_cp") + 1)
+        - F.log(F.lit(float(npos + v)))
+        - F.log(F.col("_cn") + 1)
+        + F.log(F.lit(float(nneg + v)))
+    )
+    terms = vocab.select(
+        "_w", F.round(F.lit(scale) * term).cast("long").alias("_t")
+    )
+    prior_df = df.sparkSession.range(1).select(
+        F.round(
+            F.lit(scale) * (F.log(F.lit(float(pd_ + 1))) - F.log(F.lit(float(nd_ + 1))))
+        )
+        .cast("long")
+        .alias("_prior")
+    )
+    prior = prior_df.collect()[0]["_prior"]
+    out = (
+        toks.join(terms, "_w")
+        .groupBy("_id")
+        .agg(F.sum("_t").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("_s") + F.lit(int(prior))).cast("bigint").alias("score_units"),
+            ((F.col("_s") + F.lit(int(prior))) > 0).alias("keep"),
+        )
+    )
+    return out

@@ -6001,6 +6001,56 @@ FROM cm
 QG4_SQL = _qg4_sql()
 
 
+def qg5_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes trained and applied over the corpus
+    (is-English task): per-document add-1-smoothed log-odds in 1e-8
+    integer units + keep verdict. The generative classifier next to
+    the perceptron pair: training is ONE (token, class) count aggregate
+    (exact integers), scoring quantizes each distinct-vocabulary-word
+    log-ratio once (the qf8/qe3 per-term ln fixed-point discipline) so
+    document scores are order-free BIGINT sums. Zero-token docs emit no
+    row. Same honest data note as qg2: lang labels carry no textual
+    signal in the synthetic corpus — the mechanics, not the accuracy,
+    are the pinned quantity."""
+    from alaska_etl_spark.operators.classifier import naive_bayes_scores
+
+    return naive_bayes_scores(_t(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+QG5_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS pos,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT w,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tk GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), pri AS (
+  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pd,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS nd
+  FROM documents
+), terms AS MATERIALIZED (
+  SELECT w,
+         CAST(round(100000000 * (ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(np + v AS DOUBLE))
+                                 - ln(CAST(cn + 1 AS DOUBLE)) + ln(CAST(nn + v AS DOUBLE)))) AS BIGINT) AS t
+  FROM vocab, tot
+), prior AS (
+  SELECT CAST(round(100000000 * (ln(CAST(pd + 1 AS DOUBLE)) - ln(CAST(nd + 1 AS DOUBLE)))) AS BIGINT) AS p
+  FROM pri
+), s AS (
+  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM tk JOIN terms USING (w) GROUP BY doc_id
+)
+SELECT doc_id, CAST(s.s + prior.p AS BIGINT) AS score_units, (s.s + prior.p) > 0 AS keep
+FROM s, prior
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6135,6 +6185,7 @@ QUERIES = {
     "qg2_perceptron": qg2_perceptron,
     "qg3_perceptron_screen": qg3_perceptron_screen,
     "qg4_perceptron_eval": qg4_perceptron_eval,
+    "qg5_naive_bayes": qg5_naive_bayes,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6365,6 +6416,7 @@ ORACLES = {
     "qg2_perceptron": QG2_SQL,
     "qg3_perceptron_screen": QG3_SQL,
     "qg4_perceptron_eval": QG4_SQL,
+    "qg5_naive_bayes": QG5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

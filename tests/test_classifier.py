@@ -178,3 +178,75 @@ def test_classification_report_undefined_rates_are_null(spark):
     r = classification_report(feats, [-10, 0, 0, 0, 0]).collect()[0]
     assert (r.tp, r.fp, r.tn, r.fn) == (0, 0, 2, 0)
     assert r.precision is None and r.recall is None and r.accuracy == 1.0
+
+
+def test_naive_bayes_separates_disjoint_vocab(spark):
+    from alaska_etl_spark.operators.classifier import naive_bayes_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma", "en"),
+            (2, "beta alpha alpha", "en"),
+            (3, "uno dos tres uno", "es"),
+            (4, "dos uno tres", "es"),
+            (5, "", "en"),  # zero tokens -> no row
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in naive_bayes_scores(df, "doc_id", "text", "lang").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].keep and out[2].keep
+    assert not out[3].keep and not out[4].keep
+    assert out[1].score_units > 0 > out[3].score_units
+
+
+def test_naive_bayes_matches_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from alaska_etl_spark.operators.classifier import naive_bayes_scores
+
+    docs = [
+        (1, "a b c a", "en"),
+        (2, "b c d", "en"),
+        (3, "c d e e", "de"),
+        (4, "a e d", "de"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    got = {
+        r.doc_id: r.score_units
+        for r in naive_bayes_scores(df, "doc_id", "text", "lang").collect()
+    }
+
+    cp, cn = Counter(), Counter()
+    pd_ = nd_ = 0
+    for _, text, lang in docs:
+        toks = text.lower().split()
+        if lang == "en":
+            cp.update(toks)
+            pd_ += 1
+        else:
+            cn.update(toks)
+            nd_ += 1
+    vocab = set(cp) | set(cn)
+    npos, nneg, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    scale = 10**8
+
+    def rnd(x):
+        return int(math.floor(abs(x) * scale + 0.5)) * (1 if x >= 0 else -1)
+
+    terms = {
+        w: rnd(
+            math.log(cp[w] + 1)
+            - math.log(npos + v)
+            - math.log(cn[w] + 1)
+            + math.log(nneg + v)
+        )
+        for w in vocab
+    }
+    prior = rnd(math.log(pd_ + 1) - math.log(nd_ + 1))
+    want = {
+        d: sum(terms[w] for w in text.lower().split()) + prior
+        for d, text, _ in docs
+    }
+    assert got == want
