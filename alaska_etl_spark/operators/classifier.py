@@ -250,3 +250,51 @@ def naive_bayes_scores(
         )
     )
     return out
+
+
+def perceptron_cv(
+    feats: DataFrame, *, folds: int = 5, iters: int = 2
+) -> DataFrame:
+    """K-fold cross-validated perceptron evaluation — model selection
+    entirely in-engine, exactly replayable. ``feats`` must carry an
+    integer ``fold`` column (deterministic hash folds:
+    ``splits.hash_bucket(id) % K`` — the same engine/SQL-twin
+    arithmetic every split operator here uses). Per fold: train
+    ``iters`` batch iterations on the other K−1 folds, then one
+    held-out aggregate emits the confusion counts; accuracy is the
+    shared 4dp round-half-up emit (NULL for an empty fold).
+
+    Scale shape: K·(iters+1) map-side-combined aggregates over
+    fold-filtered scans — no shuffle anywhere, driver state is K
+    weight vectors of k+1 ints. Columns:
+    ``(fold, tp, fp, tn, fn, accuracy)``."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_py
+
+    spark = feats.sparkSession
+    k = len(FEATURE_COLS)
+    rows = []
+    for fold in range(folds):
+        tr = feats.filter(F.col("fold") != fold)
+        w = [0] * k
+        for _ in range(iters):
+            m, g = train_step(tr, w)
+            w = [w[j] + g[j] for j in range(k)]
+        te = feats.filter(F.col("fold") == fold)
+        dot = F.lit(int(w[0])) * F.col("f0")
+        for j in range(1, k):
+            dot = dot + F.lit(int(w[j])) * F.col(f"f{j}")
+        pred_pos, act_pos = dot > 0, F.col("y") > 0
+        c = te.agg(
+            F.sum(F.when(pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when(~pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+            F.sum(F.when(~pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+        ).collect()[0]
+        tp, fp, tn, fn = (int(c[x] or 0) for x in ("tp", "fp", "tn", "fn"))
+        total = tp + fp + tn + fn
+        acc = div_half_up_py(tp + tn, total, 10000) / 10000.0 if total else None
+        rows.append((fold, tp, fp, tn, fn, acc))
+    return spark.createDataFrame(
+        rows,
+        "fold int, tp bigint, fp bigint, tn bigint, fn bigint, accuracy double",
+    )

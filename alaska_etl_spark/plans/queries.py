@@ -6051,6 +6051,85 @@ FROM s, prior
 """
 
 
+def qg6_perceptron_cv(spark, sf_dir):
+    """5-fold cross-validated perceptron evaluation (2 iterations per
+    fold) — model selection entirely in-engine: deterministic hash
+    folds (splits.hash_bucket % 5, the engine/SQL-twin split
+    arithmetic), per-fold training on the other four folds, held-out
+    confusion counts + 4dp accuracy. Every fold's whole train/eval
+    chain replays exactly in DuckDB (integer weights threaded through
+    the qg2 CTE protocol, fold predicates pushed into each
+    aggregate)."""
+    from alaska_etl_spark.operators.classifier import (
+        perceptron_cv,
+        text_label_features,
+    )
+    from alaska_etl_spark.operators.splits import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    feats = text_label_features(d, "doc_id", "text", "lang").withColumn(
+        "fold", (hash_bucket("_id") % 5).cast("int")
+    )
+    return perceptron_cv(feats, folds=5, iters=2)
+
+
+def _qg6_sql(folds: int = 5, iters: int = 2) -> str:
+    from alaska_etl_spark.operators.classifier import EN_STOPWORDS, FEATURE_COLS
+    from alaska_etl_spark.operators.splits import hash_bucket_sql
+
+    k = len(FEATURE_COLS)
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    parts = [rf"""
+WITH f AS MATERIALIZED (
+  SELECT CAST({hash_bucket_sql("doc_id")} % {folds} AS INT) AS fold,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         CAST(1 AS BIGINT) AS f0,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS f1,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({stop}))) AS BIGINT) AS f2,
+         CAST(strlen(text) - length(text) AS BIGINT) AS f3,
+         CAST(length(text) AS BIGINT) AS f4
+  FROM documents
+)"""]
+    for fo in range(folds):
+        parts.append(f""", w0_c{fo}_ AS (
+  SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(k))}
+)""")
+        for t in range(1, iters + 1):
+            prev = f"w{t - 1}_c{fo}_"
+            margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+            gsums = ", ".join(
+                f"CAST(coalesce(sum(f.y * f.f{j}) FILTER (WHERE f.y * ({margin}) <= 0), 0) AS BIGINT) AS g{j}"
+                for j in range(k)
+            )
+            wcols = ", ".join(f"CAST(w.w{j} + i.g{j} AS BIGINT) AS w{j}" for j in range(k))
+            parts.append(f""", i{t}_c{fo}_ AS MATERIALIZED (
+  SELECT {gsums}
+  FROM f, {prev} w WHERE f.fold <> {fo}
+), w{t}_c{fo}_ AS (
+  SELECT {wcols} FROM {prev} w, i{t}_c{fo}_ i
+)""")
+    evals = []
+    for fo in range(folds):
+        margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(k))
+        evals.append(f"""SELECT {fo} AS fold,
+       CAST(coalesce(sum(CASE WHEN ({margin}) > 0 AND f.y > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN ({margin}) > 0 AND f.y < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       CAST(coalesce(sum(CASE WHEN ({margin}) <= 0 AND f.y < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+       CAST(coalesce(sum(CASE WHEN ({margin}) <= 0 AND f.y > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+FROM f, w{iters}_c{fo}_ w WHERE f.fold = {fo}""")
+    union = "\nUNION ALL\n".join(evals)
+    parts.append(f"""
+SELECT fold, tp, fp, tn, fn,
+       ((2 * 10000 * (tp + tn) + nullif(tp + fp + tn + fn, 0))
+          // (2 * nullif(tp + fp + tn + fn, 0))) / 10000.0 AS accuracy
+FROM ({union})
+""")
+    return "".join(parts)
+
+
+QG6_SQL = _qg6_sql()
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6186,6 +6265,7 @@ QUERIES = {
     "qg3_perceptron_screen": qg3_perceptron_screen,
     "qg4_perceptron_eval": qg4_perceptron_eval,
     "qg5_naive_bayes": qg5_naive_bayes,
+    "qg6_perceptron_cv": qg6_perceptron_cv,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6417,6 +6497,7 @@ ORACLES = {
     "qg3_perceptron_screen": QG3_SQL,
     "qg4_perceptron_eval": QG4_SQL,
     "qg5_naive_bayes": QG5_SQL,
+    "qg6_perceptron_cv": QG6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

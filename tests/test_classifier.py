@@ -250,3 +250,28 @@ def test_naive_bayes_matches_python_replica(spark):
         for d, text, _ in docs
     }
     assert got == want
+
+
+def test_perceptron_cv_folds_partition_and_counts_sum(spark):
+    from alaska_etl_spark.operators.classifier import perceptron_cv, text_label_features
+    from alaska_etl_spark.operators.splits import hash_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"token{i % 7} the filler text number {i}", "en" if i % 3 == 0 else "de")
+         for i in range(60)],
+        "doc_id bigint, text string, lang string",
+    )
+    feats = text_label_features(df, "doc_id", "text", "lang").withColumn(
+        "fold", (hash_bucket("_id") % 5).cast("int")
+    )
+    out = perceptron_cv(feats, folds=5, iters=2).collect()
+    assert sorted(r.fold for r in out) == [0, 1, 2, 3, 4]
+    # every document evaluated exactly once across folds
+    assert sum(r.tp + r.fp + r.tn + r.fn for r in out) == 60
+    for r in out:
+        total = r.tp + r.fp + r.tn + r.fn
+        if total:
+            assert abs(r.accuracy - (r.tp + r.tn) / total) < 1e-4
+        else:
+            assert r.accuracy is None
