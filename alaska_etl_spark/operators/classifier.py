@@ -298,3 +298,190 @@ def perceptron_cv(
         rows,
         "fold int, tp bigint, fp bigint, tn bigint, fn bigint, accuracy double",
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact ROC AUC of an integer scorer via the rank-sum
+    (Mann-Whitney U) identity — model evaluation with NO float surface
+    until the single final emit.
+
+    With midrank tie handling, twice the U statistic is a pure integer:
+    grouping rows by distinct score, ``2U = Σ_s cp(s)·(2·below(s) +
+    cn(s))`` where ``below(s)`` is the count of negatives at strictly
+    lower scores (each pos>neg pair contributes 2, each tied pair 1).
+    ``AUC = 2U / (2·np·nn)`` leaves BIGINT only through the shared
+    ``div_half_up`` emit at 1e-6 — so the value hash-matches any engine
+    that can sort integers.
+
+    Scale shape: one hash aggregate collapses the corpus to its
+    DISTINCT-score frame (bounded by score cardinality, not rows), and
+    the single-partition running-sum window runs over THAT reduced
+    frame — the same post-aggregation-window discipline as qd0/qc9; at
+    extreme score cardinality the ranking.global_ranks range-exchange
+    tier substitutes. Overflow: 2·scale·2U ≤ scale·N² needs N ≤ ~3e6
+    at the default 1e-6 scale; beyond that lower ``scale`` (documented,
+    not asserted — the driver corpora are 5e2–5e3 rows).
+
+    Returns one row ``(n_pos, n_neg, auc)``; ``auc`` NULL when either
+    class is empty (undefined).
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    by_score = (
+        scored.groupBy(F.col(score_col).alias("_score"))
+        .agg(
+            F.sum(F.when(F.col(pos_col), 1).otherwise(0)).cast("bigint").alias("_cp"),
+            F.sum(F.when(F.col(pos_col), 0).otherwise(1)).cast("bigint").alias("_cn"),
+        )
+    )
+    w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_score.select(
+        "_cp",
+        "_cn",
+        F.coalesce(F.sum("_cn").over(w), F.lit(0)).cast("bigint").alias("_below"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("_cp") * (2 * F.col("_below") + F.col("_cn")))
+        .cast("bigint")
+        .alias("_u2"),
+        F.sum("_cp").cast("bigint").alias("n_pos"),
+        F.sum("_cn").cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            div_half_up("_u2", "nullif(2 * n_pos * n_neg, 0)", scale) / float(scale)
+        ).alias("auc"),
+    )
+
+
+def chi2_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    positive_lang: str = "en",
+    top_k: int = 50,
+) -> DataFrame:
+    """Chi-squared feature selection: the ``top_k`` vocabulary terms
+    most associated with the is-``positive_lang`` label, by the 2×2
+    presence/label χ² statistic.
+
+    Exactness: all four cell counts and both margins are exact BIGINT
+    document frequencies (presence = ``array_distinct`` of the shared
+    tokenizer); χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is then emitted
+    as ONE fixed-shape double expression — every input is an integer
+    below 2⁵³ (exactly representable), and *,/ are IEEE-determined, so
+    both engines produce bit-identical doubles as long as the
+    association order matches (the docstring-pinned shape below; no
+    libm calls anywhere). Degenerate margins (term in every/no doc, or
+    a single-class corpus) emit 0.0 via nullif. Overflow bound:
+    |ad−bc| ≤ np·nn ≤ N²/4 must stay < 2⁵³ pre-cast → N ≤ ~1.9e8 docs;
+    beyond that square in DECIMAL.
+
+    Scale shape: explode → one vocabulary-sized hash aggregate
+    (map-side combined, Heaps-law sublinear) → broadcast of the 1-row
+    totals frame → global top-k as sort-limit (TakeOrderedAndProject,
+    no single-partition window). Ties at the k boundary break on term
+    ASC in both engines.
+
+    Returns ``(term, df_pos, df_neg, chi2)``.
+    """
+    pos = F.col(lang_col) == positive_lang
+    pres = df.select(
+        pos.alias("_pos"),
+        F.explode(F.array_distinct(word_tokens(text_col))).alias("term"),
+    )
+    counts = pres.groupBy("term").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("df_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("bigint").alias("df_neg"),
+    )
+    totals = df.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("bigint").alias("_np"),
+        F.sum(F.when(pos, 0).otherwise(1)).cast("bigint").alias("_nn"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    # the pinned expression shape (oracle SQL mirrors it token-for-token):
+    # N * (diff*diff) / (((present*absent)*np)*nn), diff = a*d - b*c
+    chi2 = F.expr(
+        "coalesce("
+        "  CAST(_np + _nn AS DOUBLE)"
+        "  * (CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos) AS DOUBLE)"
+        "     * CAST(df_pos * (_nn - df_neg) - df_neg * (_np - df_pos) AS DOUBLE))"
+        "  / (((CAST(nullif(df_pos + df_neg, 0) AS DOUBLE)"
+        "       * CAST(nullif(_np + _nn - df_pos - df_neg, 0) AS DOUBLE))"
+        "      * CAST(nullif(_np, 0) AS DOUBLE))"
+        "     * CAST(nullif(_nn, 0) AS DOUBLE)),"
+        "  0.0D)"
+    )
+    scoredv = joined.select(
+        "term", "df_pos", "df_neg", F.round(chi2, 4).alias("chi2")
+    )
+    return scoredv.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(top_k)
+
+
+def knn_classify(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classifier over an embedding
+    corpus — the non-parametric sibling of the perceptron/NB pair,
+    built entirely from already-oracled pieces: the q27 4dp-rounded
+    cosine top-k (self excluded, neighbor-id tie-breaks) feeds one
+    (query, label) vote aggregate; the winning label is the top-1
+    window row with votes DESC, label ASC tie-break, so the whole
+    prediction is deterministic across engines and summation orders.
+
+    Scale shape: inherits cosine_topk's broadcast-queries / one-corpus-
+    scan plan (IVF-swappable at real scale), then a votes aggregate and
+    a per-query top-1 window over ≤ |queries|·k rows. Returns
+    ``(query_id, predicted_label, votes, true_label, correct)``.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.similarity import cosine_topk
+
+    topk = cosine_topk(
+        emb, queries, id_col=id_col, vec_col=vec_col, k=k, round_digits=4
+    )
+    nbr_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        topk.join(nbr_labels, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nl").asc()
+    )
+    top1 = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return top1.join(truth, "query_id").select(
+        "query_id",
+        F.col("_nl").alias("predicted_label"),
+        "votes",
+        "true_label",
+        (F.col("_nl") == F.col("true_label")).alias("correct"),
+    )

@@ -6130,6 +6130,163 @@ FROM ({union})
 QG6_SQL = _qg6_sql()
 
 
+def qg7_nb_auc(spark, sf_dir):
+    """ROC AUC of the qg5 Naive Bayes scorer against the is-English
+    label — threshold-free model evaluation via the rank-sum identity,
+    exact to the last integer: scores are qg5's BIGINT 1e-8 log-odds
+    units, midrank tie handling keeps 2U a pure integer, and the only
+    float is the shared div_half_up emit at 1e-6. Train-set AUC by
+    construction (same honest data note as qg2/qg5); zero-token docs
+    carry no score and are excluded, matching qg5's no-evidence
+    convention."""
+    from alaska_etl_spark.operators.classifier import naive_bayes_scores, roc_auc
+
+    d = _t(spark, sf_dir, "documents")
+    scores = naive_bayes_scores(d, "doc_id", "text", "lang")
+    scored = scores.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.col("score_units").alias("_score"), (F.col("lang") == "en").alias("_pos")
+    )
+    return roc_auc(scored, "_score", "_pos")
+
+
+QG7_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS pos,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT w,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tk GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), pri AS (
+  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pd,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS nd
+  FROM documents
+), terms AS MATERIALIZED (
+  SELECT w,
+         CAST(round(100000000 * (ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(np + v AS DOUBLE))
+                                 - ln(CAST(cn + 1 AS DOUBLE)) + ln(CAST(nn + v AS DOUBLE)))) AS BIGINT) AS t
+  FROM vocab, tot
+), prior AS (
+  SELECT CAST(round(100000000 * (ln(CAST(pd + 1 AS DOUBLE)) - ln(CAST(nd + 1 AS DOUBLE)))) AS BIGINT) AS p
+  FROM pri
+), s AS (
+  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM tk JOIN terms USING (w) GROUP BY doc_id
+), scored AS (
+  SELECT CAST(s.s + prior.p AS BIGINT) AS score, d.lang = 'en' AS pos
+  FROM s CROSS JOIN prior JOIN documents d ON s.doc_id = d.doc_id
+), by_score AS (
+  SELECT score,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT cp, cn,
+         CAST(coalesce(sum(cn) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM by_score
+), agg AS (
+  SELECT CAST(sum(cp * (2 * below + cn)) AS BIGINT) AS u2,
+         CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cn) AS BIGINT) AS n_neg
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       ((2 * 1000000 * u2 + nullif(2 * n_pos * n_neg, 0))
+          // (2 * nullif(2 * n_pos * n_neg, 0))) / 1000000.0 AS auc
+FROM agg
+"""
+
+
+def qg8_chi2_features(spark, sf_dir):
+    """Chi-squared feature selection: top-50 vocabulary terms by 2x2
+    presence/label association with the is-English label. Every cell
+    and margin is an exact BIGINT document frequency; the statistic is
+    ONE pinned-shape IEEE double expression (no libm), so both engines
+    emit bit-identical 4dp values; k-boundary ties break on term ASC.
+    The supervised companion of q75's unsupervised TF-IDF vocabulary."""
+    from alaska_etl_spark.operators.classifier import chi2_features
+
+    return chi2_features(_t(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+QG8_SQL = r"""
+WITH pres AS (
+  SELECT lang = 'en' AS pos,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS term
+  FROM documents
+), counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+  FROM pres GROUP BY term
+), tot AS (
+  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS np,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS nn
+  FROM documents
+)
+SELECT term, df_pos, df_neg,
+       round(coalesce(
+         CAST(np + nn AS DOUBLE)
+         * (CAST(df_pos * (nn - df_neg) - df_neg * (np - df_pos) AS DOUBLE)
+            * CAST(df_pos * (nn - df_neg) - df_neg * (np - df_pos) AS DOUBLE))
+         / (((CAST(nullif(df_pos + df_neg, 0) AS DOUBLE)
+              * CAST(nullif(np + nn - df_pos - df_neg, 0) AS DOUBLE))
+             * CAST(nullif(np, 0) AS DOUBLE))
+            * CAST(nullif(nn, 0) AS DOUBLE)),
+         0.0), 4) AS chi2
+FROM counts, tot
+ORDER BY chi2 DESC, term ASC
+LIMIT 50
+"""
+
+
+def qg9_knn_classifier(spark, sf_dir):
+    """k-nearest-neighbor majority-vote classification of the first 50
+    embedding vectors (k=10, self excluded) against their own labels —
+    the non-parametric classifier next to the perceptron/NB pair,
+    assembled from already-oracled pieces: the q27 cosine top-k
+    protocol (4dp rounding, neighbor-id tie-breaks) plus one vote
+    aggregate and a deterministic top-1 window (votes DESC, label
+    ASC)."""
+    from alaska_etl_spark.operators.classifier import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.filter(F.col("vec_id") < 50), k=10)
+
+
+QG9_SQL = """
+WITH topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50)
+  WHERE rank <= 10
+), votes AS (
+  SELECT t.query_id, e.label AS predicted_label, CAST(count(*) AS BIGINT) AS votes
+  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+), top1 AS (
+  SELECT query_id, predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, predicted_label ASC) AS rn
+  FROM votes
+)
+SELECT t.query_id, t.predicted_label, t.votes, q.label AS true_label,
+       t.predicted_label = q.label AS correct
+FROM top1 t JOIN embeddings q ON t.query_id = q.vec_id
+WHERE t.rn = 1
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6266,6 +6423,9 @@ QUERIES = {
     "qg4_perceptron_eval": qg4_perceptron_eval,
     "qg5_naive_bayes": qg5_naive_bayes,
     "qg6_perceptron_cv": qg6_perceptron_cv,
+    "qg7_nb_auc": qg7_nb_auc,
+    "qg8_chi2_features": qg8_chi2_features,
+    "qg9_knn_classifier": qg9_knn_classifier,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6498,6 +6658,9 @@ ORACLES = {
     "qg4_perceptron_eval": QG4_SQL,
     "qg5_naive_bayes": QG5_SQL,
     "qg6_perceptron_cv": QG6_SQL,
+    "qg7_nb_auc": QG7_SQL,
+    "qg8_chi2_features": QG8_SQL,
+    "qg9_knn_classifier": QG9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

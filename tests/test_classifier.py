@@ -275,3 +275,160 @@ def test_perceptron_cv_folds_partition_and_counts_sum(spark):
             assert abs(r.accuracy - (r.tp + r.tn) / total) < 1e-4
         else:
             assert r.accuracy is None
+
+
+# --- roc_auc ---------------------------------------------------------
+
+
+def _auc_df(spark, pairs):
+    # (score BIGINT, pos BOOLEAN)
+    return spark.createDataFrame(pairs, "s bigint, pos boolean")
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    from alaska_etl_spark.operators.classifier import roc_auc
+
+    perfect = [(10, True), (9, True), (2, False), (1, False)]
+    r = roc_auc(_auc_df(spark, perfect), "s", "pos").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    inverted = [(s, not p) for s, p in perfect]
+    r = roc_auc(_auc_df(spark, inverted), "s", "pos").collect()[0]
+    assert r.auc == 0.0
+
+
+def test_roc_auc_ties_midrank(spark):
+    from alaska_etl_spark.operators.classifier import roc_auc
+
+    # all scores equal -> AUC exactly 0.5 regardless of class sizes
+    rows = [(5, True)] * 3 + [(5, False)] * 7
+    r = roc_auc(_auc_df(spark, rows), "s", "pos").collect()[0]
+    assert r.auc == 0.5
+    # one pos above, one tied, one below a single neg: pairs = 1 + 0.5 + 0
+    rows = [(3, True), (2, True), (1, True), (2, False)]
+    r = roc_auc(_auc_df(spark, rows), "s", "pos").collect()[0]
+    assert r.auc == 0.5
+
+
+def test_roc_auc_matches_fraction_replica(spark):
+    import random
+    from fractions import Fraction
+
+    from alaska_etl_spark.operators.classifier import roc_auc
+
+    rng = random.Random(11)
+    rows = [(rng.randint(-5, 5), rng.random() < 0.4) for _ in range(200)]
+    r = roc_auc(_auc_df(spark, rows), "s", "pos").collect()[0]
+    pos = sorted(s for s, p in rows if p)
+    neg = sorted(s for s, p in rows if not p)
+    u2 = sum(2 for sp in pos for sn in neg if sp > sn) + sum(
+        1 for sp in pos for sn in neg if sp == sn
+    )
+    want = Fraction(u2, 2 * len(pos) * len(neg))
+    # div_half_up emit at 1e-6
+    units = (2 * 10**6 * want.numerator + want.denominator) // (2 * want.denominator)
+    assert r.auc == units / 1e6
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+
+
+def test_roc_auc_single_class_is_null(spark):
+    from alaska_etl_spark.operators.classifier import roc_auc
+
+    r = roc_auc(_auc_df(spark, [(1, True), (2, True)]), "s", "pos").collect()[0]
+    assert r.auc is None and r.n_neg == 0
+
+
+# --- chi2_features ---------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_chi2_independent_term_scores_zero(spark):
+    from alaska_etl_spark.operators.classifier import chi2_features
+
+    # "both" appears in every doc of each class at the same rate -> chi2 0;
+    # "only" appears only in en docs -> maximal association
+    rows = [
+        (0, "both only", "en"),
+        (1, "both only", "en"),
+        (2, "both", "fr"),
+        (3, "both", "fr"),
+    ]
+    out = {
+        r.term: r for r in chi2_features(_docs(spark, rows), "doc_id", "text", "lang").collect()
+    }
+    assert out["both"].chi2 == 0.0  # present in all docs: degenerate margin
+    assert out["only"].chi2 == 4.0  # N=4, perfect split
+    assert (out["only"].df_pos, out["only"].df_neg) == (2, 0)
+
+
+def test_chi2_matches_python_replica_and_topk_order(spark):
+    import random
+
+    from alaska_etl_spark.operators.classifier import chi2_features
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        lang = "en" if rng.random() < 0.5 else "de"
+        # bias some words toward en
+        words = {
+            w
+            for w in vocab
+            if rng.random() < (0.6 if (lang == "en") == (hash(w) % 2 == 0) else 0.2)
+        }
+        rows.append((i, " ".join(sorted(words)), lang))
+    out = chi2_features(_docs(spark, rows), "doc_id", "text", "lang", top_k=10).collect()
+    # python replica
+    np_ = sum(1 for _, _, l in rows if l == "en")
+    nn_ = len(rows) - np_
+    want = []
+    for w in vocab:
+        a = sum(1 for _, t, l in rows if l == "en" and w in t.split())
+        b = sum(1 for _, t, l in rows if l != "en" and w in t.split())
+        c, d = np_ - a, nn_ - b
+        den = (a + b) * (c + d) * np_ * nn_
+        chi2 = 0.0 if den == 0 else round((np_ + nn_) * (float(a * d - b * c) ** 2) / den, 4)
+        want.append((w, chi2))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r.term, r.chi2) for r in out] == want[:10]
+
+
+# --- knn_classify ----------------------------------------------------
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from alaska_etl_spark.operators.classifier import knn_classify
+
+    # 2-d embeddings: cluster A around (1,0) label 0, cluster B around
+    # (0,1) label 1; one query point in A must be classified 0
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.95, 0.05], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = knn_classify(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.predicted_label, r.true_label, r.correct) == (0, 0, 0, True)
+    assert r.votes == 2  # neighbors 1,2 (label 0) + 3 or 4 (label 1)
+
+
+def test_knn_classify_vote_tie_prefers_smaller_label(spark):
+    from alaska_etl_spark.operators.classifier import knn_classify
+
+    # k=2: one neighbor of each label equidistant -> tie -> smaller label
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.0, 1.0], 2),
+        (2, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = knn_classify(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert out[0].predicted_label == 1
+    assert out[0].correct is False
