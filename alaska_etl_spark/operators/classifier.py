@@ -485,3 +485,61 @@ def knn_classify(
         "true_label",
         (F.col("_nl") == F.col("true_label")).alias("correct"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+    *,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Precision/recall/F1 operating points at EVERY distinct score
+    threshold (predict positive when score ≥ threshold) — the
+    threshold-sweep companion of :func:`roc_auc`, same exactness
+    discipline: cumulative tp/fp are BIGINT running sums over the
+    distinct-score frame (descending), totals arrive by one broadcast
+    of the 1-row totals aggregate, and precision / recall / F1 =
+    2tp/(2tp+fp+fn) each leave integers only through the shared
+    ``div_half_up`` emit at 1e-4.
+
+    Scale shape: one hash aggregate to the distinct-score frame, one
+    single-partition running-sum window over that reduced frame (the
+    AUC/qd0 discipline — ranking.global_ranks substitutes at extreme
+    score cardinality), one broadcast-totals cross join. Output is one
+    row per distinct score: ``(threshold, tp, fp, fn, precision,
+    recall, f1)``.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    by_score = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.when(F.col(pos_col), 1).otherwise(0)).cast("bigint").alias("_cp"),
+        F.sum(F.when(F.col(pos_col), 0).otherwise(1)).cast("bigint").alias("_cn"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_score.select(
+        "threshold",
+        F.sum("_cp").over(w).cast("bigint").alias("tp"),
+        F.sum("_cn").over(w).cast("bigint").alias("fp"),
+    )
+    totals = scored.agg(
+        F.sum(F.when(F.col(pos_col), 1).otherwise(0)).cast("bigint").alias("_np")
+    )
+    out = cum.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("_np") - F.col("tp")).cast("bigint").alias("fn"),
+        (div_half_up("tp", "nullif(tp + fp, 0)", scale) / float(scale)).alias(
+            "precision"
+        ),
+        (div_half_up("tp", "nullif(_np, 0)", scale) / float(scale)).alias("recall"),
+        (
+            div_half_up("2 * tp", "nullif(tp + fp + _np, 0)", scale) / float(scale)
+        ).alias("f1"),
+    )
+    return out

@@ -103,3 +103,85 @@ def salted_broadcast_join(
     big_salted = with_salt(big, n_salts)
     out = big_salted.join(F.broadcast(small_rep), [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    top_n: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """The skew DIAGNOSTIC that motivates :func:`salted_aggregate` /
+    AQE skew-join: one row quantifying how concentrated a prospective
+    shuffle key's row distribution is — decide whether to salt BEFORE
+    running the join, from exact integers.
+
+    Measures, all from one per-key count aggregate:
+
+    - ``gini``: Gini coefficient of rows-per-key, via the sorted
+      rank-weighted identity ``(2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ)``
+      over counts ascending (i = 1..n). Every term is BIGINT — ties
+      don't matter (equal counts commute inside a rank range) — and the
+      single emit is the shared ``div_half_up`` at 1e-6. 0 = perfectly
+      uniform, → 1 = one key owns everything.
+    - ``top1_share`` / ``top{top_n}_share``: exact row share of the
+      heaviest key / heaviest ``top_n`` keys, 1e-6 fixed-point.
+    - ``n_keys``, ``total_rows``, ``max_rows_per_key``.
+
+    Scale shape: the corpus collapses to its per-key count frame (one
+    map-side-combined aggregate); the ranking window runs over THAT
+    distinct-key frame. At extreme key cardinality the
+    ranking.global_ranks range-exchange tier substitutes for the
+    single-partition window (same discipline as the AUC/qd0 family).
+    Overflow: 2·Σ i·cᵢ ≤ 2·n·T needs n·T < 4.6e18 — at 1e9 keys over
+    1e9 rows switch the numerator to DECIMAL (documented, not hit by
+    any driver corpus).
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    asc = Window.orderBy(F.col("_c").asc(), *[F.col(k).asc() for k in keys])
+    desc = Window.orderBy(F.col("_c").desc(), *[F.col(k).asc() for k in keys])
+    # two rank columns share one sort requirement only when reversed —
+    # the frame is the DISTINCT-KEY counts table, so the second sort is
+    # over the already-reduced frame, not the corpus. A tie group of
+    # equal counts straddling the top_n boundary contributes the same
+    # share whichever members are counted, so _topn is deterministic.
+    ranked = counts.select(
+        "_c",
+        F.row_number().over(asc).cast("bigint").alias("_i"),
+        F.row_number().over(desc).cast("bigint").alias("_rd"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("_c").cast("bigint").alias("total_rows"),
+        F.max("_c").cast("bigint").alias("max_rows_per_key"),
+        F.sum(F.col("_i") * F.col("_c")).cast("bigint").alias("_ic"),
+        F.sum(F.when(F.col("_rd") <= top_n, F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("_topn"),
+    )
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_rows_per_key",
+        (
+            div_half_up(
+                "2 * _ic - (n_keys + 1) * total_rows",
+                "nullif(n_keys * total_rows, 0)",
+                scale,
+            )
+            / float(scale)
+        ).alias("gini"),
+        (
+            div_half_up("max_rows_per_key", "nullif(total_rows, 0)", scale)
+            / float(scale)
+        ).alias("top1_share"),
+        (
+            div_half_up("_topn", "nullif(total_rows, 0)", scale) / float(scale)
+        ).alias(f"top{top_n}_share"),
+    )

@@ -6287,6 +6287,116 @@ WHERE t.rn = 1
 """
 
 
+def qh0_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 operating points of the qg5 Naive Bayes
+    scorer at every distinct score threshold — the threshold-sweep
+    evaluation between qg4's single operating point and qg7's
+    threshold-free AUC. Cumulative tp/fp are BIGINT running sums over
+    the distinct-score frame; all three rates leave integers through
+    the shared div_half_up emit at 1e-4."""
+    from alaska_etl_spark.operators.classifier import naive_bayes_scores, pr_curve
+
+    d = _t(spark, sf_dir, "documents")
+    scores = naive_bayes_scores(d, "doc_id", "text", "lang")
+    scored = scores.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.col("score_units").alias("_score"), (F.col("lang") == "en").alias("_pos")
+    )
+    return pr_curve(scored, "_score", "_pos")
+
+
+QH0_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS pos,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT w,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tk GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), pri AS (
+  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pd,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS nd
+  FROM documents
+), terms AS MATERIALIZED (
+  SELECT w,
+         CAST(round(100000000 * (ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(np + v AS DOUBLE))
+                                 - ln(CAST(cn + 1 AS DOUBLE)) + ln(CAST(nn + v AS DOUBLE)))) AS BIGINT) AS t
+  FROM vocab, tot
+), prior AS (
+  SELECT CAST(round(100000000 * (ln(CAST(pd + 1 AS DOUBLE)) - ln(CAST(nd + 1 AS DOUBLE)))) AS BIGINT) AS p
+  FROM pri
+), s AS (
+  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM tk JOIN terms USING (w) GROUP BY doc_id
+), scored AS (
+  SELECT CAST(s.s + prior.p AS BIGINT) AS score, d.lang = 'en' AS pos
+  FROM s CROSS JOIN prior JOIN documents d ON s.doc_id = d.doc_id
+), by_score AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT threshold,
+         CAST(sum(cp) OVER (ORDER BY threshold DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(sum(cn) OVER (ORDER BY threshold DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM by_score
+), np_ AS (
+  SELECT CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM scored
+)
+SELECT threshold, tp, fp, CAST(np - tp AS BIGINT) AS fn,
+       ((2 * 10000 * (tp) + (nullif(tp + fp, 0))) // (2 * (nullif(tp + fp, 0)))) / 10000.0 AS "precision",
+       ((2 * 10000 * (tp) + (nullif(np, 0))) // (2 * (nullif(np, 0)))) / 10000.0 AS recall,
+       ((2 * 10000 * (2 * tp) + (nullif(tp + fp + np, 0))) // (2 * (nullif(tp + fp + np, 0)))) / 10000.0 AS f1
+FROM cum CROSS JOIN np_
+"""
+
+
+def qh1_key_skew(spark, sf_dir):
+    """Key-skew report for lineitem's part-key — the diagnostic that
+    decides whether the q35 salting / AQE-skew machinery is even
+    needed for a prospective shuffle on this key: exact Gini
+    coefficient of rows-per-key (sorted rank-weighted identity, all
+    BIGINT), top-1/top-10 key row shares, and the max-key row count.
+    One per-key count aggregate; both ranking windows run over the
+    reduced distinct-key frame."""
+    from alaska_etl_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+QH1_SQL = """
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT c,
+         CAST(row_number() OVER (ORDER BY c ASC, l_partkey ASC) AS BIGINT) AS i,
+         CAST(row_number() OVER (ORDER BY c DESC, l_partkey ASC) AS BIGINT) AS rd
+  FROM counts
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+         CAST(max(c) AS BIGINT) AS max_rows_per_key,
+         CAST(sum(i * c) AS BIGINT) AS ic,
+         CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT) AS topn
+  FROM ranked
+)
+SELECT n_keys, total_rows, max_rows_per_key,
+       ((2 * 1000000 * (2 * ic - (n_keys + 1) * total_rows) + (nullif(n_keys * total_rows, 0)))
+          // (2 * (nullif(n_keys * total_rows, 0)))) / 1000000.0 AS gini,
+       ((2 * 1000000 * (max_rows_per_key) + (nullif(total_rows, 0)))
+          // (2 * (nullif(total_rows, 0)))) / 1000000.0 AS top1_share,
+       ((2 * 1000000 * (_topn) + (nullif(total_rows, 0)))
+          // (2 * (nullif(total_rows, 0)))) / 1000000.0 AS top10_share
+FROM (SELECT n_keys, total_rows, max_rows_per_key, ic, topn AS _topn FROM agg)
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6426,6 +6536,8 @@ QUERIES = {
     "qg7_nb_auc": qg7_nb_auc,
     "qg8_chi2_features": qg8_chi2_features,
     "qg9_knn_classifier": qg9_knn_classifier,
+    "qh0_pr_curve": qh0_pr_curve,
+    "qh1_key_skew": qh1_key_skew,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6661,6 +6773,8 @@ ORACLES = {
     "qg7_nb_auc": QG7_SQL,
     "qg8_chi2_features": QG8_SQL,
     "qg9_knn_classifier": QG9_SQL,
+    "qh0_pr_curve": QH0_SQL,
+    "qh1_key_skew": QH1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -432,3 +432,35 @@ def test_knn_classify_vote_tie_prefers_smaller_label(spark):
     out = knn_classify(emb, emb.filter("vec_id = 0"), k=2).collect()
     assert out[0].predicted_label == 1
     assert out[0].correct is False
+
+
+# --- pr_curve --------------------------------------------------------
+
+
+def test_pr_curve_hand_example(spark):
+    from alaska_etl_spark.operators.classifier import pr_curve
+
+    # scores desc: 4(P) 3(N) 2(P) 1(N)
+    rows = [(4, True), (3, False), (2, True), (1, False)]
+    out = {r.threshold: r for r in pr_curve(_auc_df(spark, rows), "s", "pos").collect()}
+    assert len(out) == 4
+    r4 = out[4]
+    assert (r4.tp, r4.fp, r4.fn) == (1, 0, 1)
+    assert (r4.precision, r4.recall) == (1.0, 0.5)
+    assert r4.f1 == round(2 * 1 / (2 * 1 + 0 + 1), 4)  # 2tp/(2tp+fp+fn)
+    r1 = out[1]
+    assert (r1.tp, r1.fp, r1.fn) == (2, 2, 0)
+    assert (r1.precision, r1.recall) == (0.5, 1.0)
+    # recall is monotone nonincreasing as threshold rises
+    recalls = [out[t].recall for t in sorted(out)]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_pr_curve_groups_tied_scores(spark):
+    from alaska_etl_spark.operators.classifier import pr_curve
+
+    rows = [(5, True), (5, False), (5, True)]
+    out = pr_curve(_auc_df(spark, rows), "s", "pos").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 0)

@@ -56,3 +56,48 @@ def test_salted_broadcast_join_matches_plain(spark):
     w = want.groupBy("k", "tag").count().collect()
     assert sorted(map(str, g)) == sorted(map(str, w))
     assert "_salt" not in got.columns
+
+
+def test_key_skew_report_uniform_and_concentrated(spark):
+    from alaska_etl_spark.operators.skew import key_skew_report
+
+    # perfectly uniform: 4 keys x 5 rows -> gini 0, top1 share 1/4
+    rows = [(k,) for k in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = key_skew_report(df, "k", top_n=2).collect()[0]
+    assert (r.n_keys, r.total_rows, r.max_rows_per_key) == (4, 20, 5)
+    assert r.gini == 0.0
+    assert r.top1_share == 0.25
+    assert r.top2_share == 0.5
+    # one key owns 96 of 99 rows -> gini near 1
+    rows = [(0,)] * 96 + [(1,), (2,), (3,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = key_skew_report(df, "k", top_n=1).collect()[0]
+    assert r.max_rows_per_key == 96
+    assert r.top1_share == round(96 / 99, 6)
+    assert r.gini > 0.7
+
+
+def test_key_skew_report_matches_fraction_replica(spark):
+    import random
+    from fractions import Fraction
+
+    from alaska_etl_spark.operators.skew import key_skew_report
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 30),) for _ in range(500)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = key_skew_report(df, "k", top_n=10).collect()[0]
+    from collections import Counter
+
+    c = Counter(k for k, in rows)
+    counts = sorted(c.values())
+    n, t = len(counts), sum(counts)
+    ic = sum((i + 1) * ci for i, ci in enumerate(counts))
+    gini = Fraction(2 * ic - (n + 1) * t, n * t)
+    units = (2 * 10**6 * gini.numerator + gini.denominator) // (2 * gini.denominator)
+    assert r.gini == units / 1e6
+    top10 = sum(sorted(counts, reverse=True)[:10])
+    tu = (2 * 10**6 * top10 + t) // (2 * t)
+    assert r.top10_share == tu / 1e6
+    assert (r.n_keys, r.total_rows) == (n, t)
