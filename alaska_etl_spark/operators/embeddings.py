@@ -281,3 +281,71 @@ def embedding_drift(
         psi.alias("psi"),
         (psi > F.lit(psi_threshold)).alias("drifted"),
     )
+
+
+def jl_project(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    in_dims: int = 64,
+    out_dims: int = 16,
+    scale: int = 10**6,
+):
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix — the cheap projection in front of ANN / clustering when the
+    full embedding width is too expensive to shuffle (JL lemma:
+    pairwise distances survive random sign projections in expectation;
+    the sign-matrix variant is Achlioptas's database-friendly form).
+
+    Exactly replayable: the projection matrix is DATA, not a seed —
+    sign(i,j) = parity of the first 8 md5 hex chars of ``"i:j"`` (the
+    q29/q30 md5 lane, so any engine regenerates the identical matrix) —
+    and components quantize to 1e-6 BIGINT units BEFORE the signed
+    sums, so every output coordinate is an order-free exact integer.
+
+    Scale shape: posexplode to (id, dim, unit) rows, one broadcast join
+    against the in_dims×out_dims sign table (a few KB), one
+    (id, out-dim)-keyed hash aggregate with map-side partials — one
+    shuffle of id×out_dims rows, the REDUCED width. Output long-form
+    ``(id_col, dim_out, comp_units)``; overflow bound
+    in_dims·scale·max|x| ≪ 2⁶³ at any realistic width.
+    """
+    spark = emb.sparkSession
+    signs = (
+        spark.range(in_dims)
+        .select(F.col("id").cast("int").alias("_i"))
+        .crossJoin(spark.range(out_dims).select(F.col("id").cast("int").alias("dim_out")))
+        .select(
+            "_i",
+            "dim_out",
+            (
+                1
+                - 2
+                * F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("_i"), F.col("dim_out"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(2),
+                )
+            )
+            .cast("bigint")
+            .alias("_s"),
+        )
+    )
+    comp = emb.select(
+        F.col(id_col), F.posexplode_outer(F.col(vec_col)).alias("_i", "_x")
+    ).filter(F.col("_x").isNotNull()).select(
+        id_col,
+        F.col("_i").cast("int").alias("_i"),
+        F.round(F.lit(scale) * F.col("_x").cast("double")).cast("bigint").alias("_q"),
+    )
+    return (
+        comp.join(F.broadcast(signs), "_i")
+        .groupBy(id_col, "dim_out")
+        .agg(F.sum(F.col("_s") * F.col("_q")).cast("bigint").alias("comp_units"))
+    )

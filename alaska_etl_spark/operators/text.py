@@ -659,3 +659,88 @@ def write_vocab_reference(docs: DataFrame, text_col: str, path: str) -> None:
     the streaming drift monitor
     (:func:`~alaska_etl_spark.streaming.incremental.stream_vocab_drift`)."""
     token_counts(docs, text_col).select("_w", "_c").write.mode("overwrite").parquet(path)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_pair: int = 5,
+    top_k: int = 50,
+    scale: int = 10**8,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information — the corpus-statistics operator behind phrase mining
+    and tokenizer-merge candidates (the statistical cousin of qd9's
+    frequency-ranked BPE merges).
+
+    PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with p(a,b) over adjacent
+    bigrams and p(a) over unigrams. Exactness is the qg5/qf8 per-term
+    ln discipline: every input to ln is an exact BIGINT count, the
+    pinned-shape expression ``(((ln c_ab − ln N_bi) − ln c_a) −
+    ln c_b) + 2·ln N_uni`` is evaluated once per DISTINCT surviving
+    pair, and the 1e-8 rounding to ``pmi_units`` BIGINT absorbs
+    last-ulp libm drift. ``min_pair`` prunes the noise floor (PMI is
+    notoriously biased toward rare pairs) BEFORE the joins, so the
+    scored frame is the heavy-collocation set, not the bigram tail.
+
+    Scale shape: posexplode → per-doc ``lead`` window forms bigrams
+    (the gram_rows codegen path, never an interpreted array HOF) →
+    two vocabulary-sized hash aggregates (unigrams, bigrams) → two
+    joins of the PRUNED pair frame against the unigram counts + one
+    broadcast 1-row totals frame → global top-k as sort-limit.
+    Returns ``(w1, w2, pair_count, pmi_units)``.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(word_tokens(text_col)).alias("_pos", "_w"),
+    ).filter(F.col("_w").isNotNull())
+    uni = toks.groupBy(F.col("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    pairs_raw = toks.select(
+        F.col("_w").alias("w1"), F.lead("_w", 1).over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    pairs = (
+        pairs_raw.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair)
+    )
+    totals = toks.select(
+        F.count(F.lit(1)).cast("bigint").alias("_n_uni"),
+        F.sum(F.when(F.col("_pos") > 0, 1).otherwise(0)).cast("bigint").alias("_n_bi"),
+    )
+    ca = uni.select(F.col("_w").alias("w1"), F.col("_c").alias("_ca"))
+    cb = uni.select(F.col("_w").alias("w2"), F.col("_c").alias("_cb"))
+    scored = (
+        pairs.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.lit(scale)
+                * (
+                    (
+                        (F.log(F.col("pair_count")) - F.log(F.col("_n_bi")))
+                        - F.log(F.col("_ca"))
+                    )
+                    - F.log(F.col("_cb"))
+                    + F.lit(2.0) * F.log(F.col("_n_uni"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_units"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_units").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

@@ -6397,6 +6397,75 @@ FROM (SELECT n_keys, total_rows, max_rows_per_key, ic, topn AS _topn FROM agg)
 """
 
 
+def qh2_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by PMI (min pair count 5) —
+    phrase-mining corpus statistics next to qd9's BPE merges: bigrams
+    from the posexplode+lead codegen path, one ln evaluation per
+    distinct surviving pair under the qg5/qf8 1e-8 fixed-point
+    discipline, sort-limit emit with full (pmi, w1, w2) tie-breaks."""
+    from alaska_etl_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QH2_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tr AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w FROM toks
+), uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY w
+), pr AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tr
+), pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pr WHERE w2 IS NOT NULL GROUP BY w1, w2
+  HAVING count(*) >= 5
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_uni,
+         CAST(sum(CASE WHEN pos > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi
+  FROM tr
+)
+SELECT w1, w2, pair_count,
+       CAST(round(100000000 * (ln(pair_count) - ln(n_bi) - ln(ca.c) - ln(cb.c)
+                               + 2 * ln(n_uni))) AS BIGINT) AS pmi_units
+FROM pairs JOIN uni ca ON pairs.w1 = ca.w JOIN uni cb ON pairs.w2 = cb.w CROSS JOIN tot
+ORDER BY pmi_units DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
+def qh3_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 sign projection of every embedding
+    (Achlioptas ±1 matrix regenerated from the md5 lane, components
+    quantized to 1e-6 units first) — the shuffle-width reducer in
+    front of ANN/clustering, exactly oracled because every output
+    coordinate is an order-free BIGINT signed sum."""
+    from alaska_etl_spark.operators.embeddings import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"))
+
+
+QH3_SQL = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(1000000 * unnest(embedding::DOUBLE[])) AS BIGINT) AS q
+  FROM embeddings
+), hv AS (
+  SELECT i.i, j.j,
+         list_reduce(list_transform(string_split(substr(md5(i.i || ':' || j.j), 1, 8), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+  FROM (SELECT unnest(range(64)) AS i) i, (SELECT unnest(range(16)) AS j) j
+), signs AS (
+  SELECT i, j, CAST(1 - 2 * (h % 2) AS BIGINT) AS s FROM hv
+)
+SELECT c.vec_id, CAST(s.j AS INT) AS dim_out, CAST(sum(s.s * c.q) AS BIGINT) AS comp_units
+FROM comp c JOIN signs s ON c.i = s.i
+GROUP BY c.vec_id, s.j
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6538,6 +6607,8 @@ QUERIES = {
     "qg9_knn_classifier": qg9_knn_classifier,
     "qh0_pr_curve": qh0_pr_curve,
     "qh1_key_skew": qh1_key_skew,
+    "qh2_pmi_collocations": qh2_pmi_collocations,
+    "qh3_jl_projection": qh3_jl_projection,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6775,6 +6846,8 @@ ORACLES = {
     "qg9_knn_classifier": QG9_SQL,
     "qh0_pr_curve": QH0_SQL,
     "qh1_key_skew": QH1_SQL,
+    "qh2_pmi_collocations": QH2_SQL,
+    "qh3_jl_projection": QH3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

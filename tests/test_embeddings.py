@@ -126,3 +126,38 @@ def test_embedding_drift_null_embeddings_ignored(spark):
     )
     out = {r.dim: r for r in embedding_drift(a, b).collect()}
     assert out[0].n_a == 2 and out[0].n_b == 1
+
+
+def test_jl_project_exact_replica_and_shape(spark):
+    import hashlib
+
+    from alaska_etl_spark.operators.embeddings import jl_project
+
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [1.0, 1.0, -1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = jl_project(emb, in_dims=4, out_dims=3).collect()
+    got = {(r.vec_id, r.dim_out): r.comp_units for r in out}
+    assert len(got) == 6
+
+    def sign(i, j):
+        hv = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+        return 1 - 2 * (hv % 2)
+
+    for vid, v in vecs:
+        q = [round(1e6 * x) for x in v]
+        for j in range(3):
+            want = sum(sign(i, j) * q[i] for i in range(4))
+            assert got[(vid, j)] == want, (vid, j)
+
+
+def test_jl_project_null_embedding_emits_no_rows(spark):
+    from alaska_etl_spark.operators.embeddings import jl_project
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id bigint, embedding array<float>"
+    )
+    out = jl_project(emb, in_dims=2, out_dims=2).collect()
+    assert {r.vec_id for r in out} == {0}

@@ -306,3 +306,48 @@ def test_vocab_divergence_matches_reference_value(spark):
     want = js([0.75, 0.25], [0.25, 0.75])
     assert abs(r.js_nats - want) < 1e-6
     assert r.tokens_a == 4 and r.tokens_b == 4 and r.shared_vocab == 2
+
+
+def test_pmi_collocations_replica_and_pruning(spark):
+    import math
+    from collections import Counter
+
+    from alaska_etl_spark.operators.text import pmi_collocations
+
+    # "new york" always adjacent (strong collocation); "the cat"/"the dog"
+    # dilute "the"; min_pair prunes rare pairs
+    docs = [
+        (0, "new york is big and the cat sat"),
+        (1, "the dog saw new york and the cat"),
+        (2, "new york new york the dog ran"),
+        (3, "the cat and the dog in new york"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_pair=3, top_k=10).collect()
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi_units) for r in out}
+    # python replica
+    toks = [d[1].split() for d in docs]
+    uni = Counter(w for t in toks for w in t)
+    bi = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    want = {}
+    for (a, b), c in bi.items():
+        if c >= 3:
+            pmi = (
+                math.log(c) - math.log(n_bi) - math.log(uni[a]) - math.log(uni[b])
+                + 2 * math.log(n_uni)
+            )
+            want[(a, b)] = (c, round(1e8 * pmi))
+    assert got == want
+    assert ("new", "york") in got
+    # ranking: first row is the max-PMI pair
+    assert out[0].pmi_units == max(u for _, u in want.values())
+
+
+def test_pmi_collocations_min_pair_prunes(spark):
+    from alaska_etl_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([(0, "a b a b c d")], "doc_id bigint, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_pair=2, top_k=10).collect()
+    assert [(r.w1, r.w2) for r in out] == [("a", "b")]
+    assert out[0].pair_count == 2
