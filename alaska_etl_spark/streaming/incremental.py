@@ -942,3 +942,111 @@ def stream_perceptron_train(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_model_monitor(
+    stream_df: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    history_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    positive_lang: str = "en",
+    min_accuracy: float = 0.5,
+) -> None:
+    """Streaming MODEL-QUALITY monitor: per micro-batch, the held-out
+    confusion counts + 4dp accuracy of the CURRENT deployed classifier
+    (the max-``iter`` row of :func:`stream_perceptron_train`'s weight
+    history — weights are read fresh each batch, so a concurrently
+    training stream is monitored live) over the batch's labeled
+    documents, appended as one row ``(batch_id, model_iter, tp, fp,
+    tn, fn, accuracy, degraded)`` to ``metrics_path``.
+
+    The deployment-side mirror of :func:`stream_vocab_drift`: drift
+    watches the INPUT distribution, this watches the MODEL's output
+    quality — the two metrics series distinguish "data changed" from
+    "model stopped fitting" (drift high + accuracy flat = robust;
+    drift flat + accuracy falling = label shift). Monitoring, not
+    gating: nothing is dropped; ``degraded`` flags accuracy below
+    ``min_accuracy`` (NULL accuracy — empty batch or no trained model
+    yet — is flagged NULL, not degraded: "no evidence" is not "bad").
+
+    Replay-idempotent on the (batch_id, model_iter) PAIR — a metrics
+    row is a measurement of one batch under one model version, so a
+    replayed batch under the same weights is skipped, while the same
+    batch re-monitored after the trainer advanced (or before any model
+    existed) appends a new, genuinely different measurement. Scale
+    shape per batch: one max-iter history lookup, one batch-sized
+    feature projection, ONE map-side-combined confusion aggregate
+    (4 longs per partition), a 1-row append."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_py
+    from alaska_etl_spark.operators.classifier import (
+        FEATURE_COLS,
+        text_label_features,
+    )
+
+    k = len(FEATURE_COLS)
+    schema = (
+        "batch_id bigint, model_iter bigint, tp bigint, fp bigint, "
+        "tn bigint, fn bigint, accuracy double, degraded boolean"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w, it = None, None
+        if _hdfs_exists(spark, history_path):
+            last = (
+                spark.read.parquet(history_path)
+                .orderBy(F.col("iter").desc())
+                .first()
+            )
+            if last is not None:
+                w = [last[f"w{j}"] for j in range(k)]
+                it = last["iter"]
+        if _hdfs_exists(spark, metrics_path):
+            same_model = (
+                F.col("model_iter").isNull()
+                if it is None
+                else F.col("model_iter") == int(it)
+            )
+            done = spark.read.parquet(metrics_path).filter(
+                (F.col("batch_id") == batch_id) & same_model
+            )
+            if done.count() > 0:
+                return  # replayed (batch, model) measurement: already landed
+        if w is None:
+            row = (batch_id, None, 0, 0, 0, 0, None, None)
+        else:
+            feats = text_label_features(
+                batch_df, id_col, text_col, lang_col, positive_lang=positive_lang
+            )
+            dot = F.lit(int(w[0])) * F.col("f0")
+            for j in range(1, k):
+                dot = dot + F.lit(int(w[j])) * F.col(f"f{j}")
+            pred_pos, act_pos = dot > 0, F.col("y") > 0
+            c = feats.agg(
+                F.sum(F.when(pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+                F.sum(F.when(pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+                F.sum(F.when(~pred_pos & ~act_pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+                F.sum(F.when(~pred_pos & act_pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+            ).collect()[0]
+            tp, fp, tn, fn = (int(c[x] or 0) for x in ("tp", "fp", "tn", "fn"))
+            total = tp + fp + tn + fn
+            if total:
+                acc = div_half_up_py(tp + tn, total, 10000) / 10000.0
+                row = (batch_id, it, tp, fp, tn, fn, acc, acc < min_accuracy)
+            else:
+                row = (batch_id, it, 0, 0, 0, 0, None, None)
+        batch_df.sparkSession.createDataFrame([row], schema).write.mode(
+            "append"
+        ).parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
