@@ -431,3 +431,57 @@ def psi_drift(
     return out.select(
         "n_ref", "n_cur", psi.alias("psi"), (psi > 0.25).alias("drifted")
     )
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str, *, round_digits: int = 6
+) -> DataFrame:
+    """Spearman rank correlation with midrank tie handling — the
+    monotone-association statistic Pearson (qb3) can't give you, in
+    the same engine-exact discipline: DOUBLED midranks ``R = 2·rank +
+    ties − 1`` are pure integers (the qg7 AUC trick), all five Σ terms
+    are exact BIGINT aggregates, and the only float arithmetic is one
+    pinned-shape expression over those integers — ``num / (sqrt(dx) ·
+    sqrt(dy))`` — whose every operation (*, −, /, sqrt) is
+    IEEE-determined, so engines agree bit-for-bit at ANY n (unlike
+    ln/exp there is no libm surface; doubling cancels out of the
+    ratio).
+
+    ρ = (n·ΣRxRy − ΣRx·ΣRy) / √(n·ΣRx²−(ΣRx)²) √(n·ΣRy²−(ΣRy)²),
+    NULL when either margin is constant (zero variance). Σ-term
+    overflow: ΣRxRy ≤ 4n³ needs n ≤ ~1.3e6 in BIGINT; the n·Σ
+    combinations happen in DOUBLE (deterministic rounding, not
+    overflow). Scale shape: two rank windows over the input frame
+    (global sorts — fine for the ≤ hundreds-of-millions-row frames a
+    correlation diagnostic runs on; the ranking.global_ranks
+    range-exchange tier substitutes beyond), one map-side-combined
+    aggregate. Returns one row ``(n, rho)``.
+    """
+    from pyspark.sql import Window
+
+    rx = (
+        2 * F.rank().over(Window.orderBy(F.col(x_col)))
+        + F.count(F.lit(1)).over(Window.partitionBy(F.col(x_col)))
+        - 1
+    ).cast("bigint")
+    ry = (
+        2 * F.rank().over(Window.orderBy(F.col(y_col)))
+        + F.count(F.lit(1)).over(Window.partitionBy(F.col(y_col)))
+        - 1
+    ).cast("bigint")
+    ranked = df.select(rx.alias("_rx"), ry.alias("_ry"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_rx").cast("bigint").alias("_sx"),
+        F.sum("_ry").cast("bigint").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).cast("bigint").alias("_syy"),
+    )
+    # pinned shape — the oracle SQL mirrors it token for token
+    rho = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE) - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))"
+        " / (sqrt(nullif(CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE) - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE), 0.0D))"
+        "    * sqrt(nullif(CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE) - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE), 0.0D)))"
+    )
+    return agg.select("n", F.round(rho, round_digits).alias("rho"))

@@ -6466,6 +6466,54 @@ GROUP BY c.vec_id, s.j
 """
 
 
+def qh4_spearman(spark, sf_dir):
+    """Spearman rank correlation (midrank ties) between a customer's
+    account balance and their lifetime order spend — does wealth
+    predict purchasing, monotonically? Customers with no orders count
+    at spend 0 (a genuine tie block exercising the midranks). Doubled
+    midranks keep every Σ term BIGINT; the single float expression is
+    IEEE-only (*, −, /, sqrt — no libm), so the 6dp emit hash-matches
+    at any n."""
+    from alaska_etl_spark.operators.stats import spearman_corr
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_spend"))
+    joined = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        F.col("c_acctbal").alias("x"),
+        F.coalesce(F.col("_spend"), F.lit(0.0)).alias("y"),
+    )
+    return spearman_corr(joined, "x", "y")
+
+
+QH4_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c.c_acctbal AS x, coalesce(sp.s, 0.0) AS y
+  FROM customer c LEFT JOIN spend sp ON c.c_custkey = sp.o_custkey
+), ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+  FROM j
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM ranked
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+            * sqrt(nullif(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0))), 6) AS rho
+FROM agg
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6609,6 +6657,7 @@ QUERIES = {
     "qh1_key_skew": qh1_key_skew,
     "qh2_pmi_collocations": qh2_pmi_collocations,
     "qh3_jl_projection": qh3_jl_projection,
+    "qh4_spearman": qh4_spearman,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6848,6 +6897,7 @@ ORACLES = {
     "qh1_key_skew": QH1_SQL,
     "qh2_pmi_collocations": QH2_SQL,
     "qh3_jl_projection": QH3_SQL,
+    "qh4_spearman": QH4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -203,3 +203,59 @@ def test_psi_drift_detects_shift_and_accepts_stability(spark):
     df2 = spark.createDataFrame(shifted, "ts timestamp_ntz, value double")
     out2 = psi_drift(df2, "ts", "value", cutoff="2024-01-16").collect()[0]
     assert out2.psi > 1.0 and out2.drifted
+
+
+def test_spearman_perfect_monotone_and_inverse(spark):
+    from alaska_etl_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 100.0)], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert (r.n, r.rho) == (4, 1.0)  # any monotone map is rho=1
+    df2 = spark.createDataFrame(
+        [(1.0, 100.0), (2.0, 25.0), (3.0, 20.0), (4.0, 10.0)], "x double, y double"
+    )
+    assert spearman_corr(df2, "x", "y").collect()[0].rho == -1.0
+
+
+def test_spearman_ties_match_scipy_formula_replica(spark):
+    import math
+    import random
+
+    from alaska_etl_spark.operators.stats import spearman_corr
+
+    rng = random.Random(13)
+    rows = [(float(rng.randint(0, 8)), float(rng.randint(0, 8))) for _ in range(150)]
+    r = spearman_corr(spark.createDataFrame(rows, "x double, y double"), "x", "y").collect()[0]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = mr
+            i = j + 1
+        return ranks
+
+    xs, ys = [a for a, _ in rows], [b for _, b in rows]
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    assert abs(r.rho - num / den) < 2e-6
+
+
+def test_spearman_constant_margin_is_null(spark):
+    from alaska_etl_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0].rho is None
