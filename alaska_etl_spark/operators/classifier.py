@@ -197,7 +197,14 @@ def naive_bayes_scores(
     zero-denominator convention). Scale shape: one (token, class)
     aggregate (vocabulary-sized output, Heaps-law sublinear), a
     vocabulary-keyed join back onto the token stream, one doc-grain
-    sum. Columns: ``(id_col, score_units BIGINT, keep)``."""
+    sum. The token stream is deliberately NOT persisted even though
+    both the vocabulary aggregate and the scoring join consume it:
+    caching the exploded rows measured 5.4 s vs 1.4 s re-tokenized at
+    sf0.1 (SCALE.md "Persist-vs-recompute" — document-grain explosions
+    deserialize slower than they recompute; at multi-TB scale flip
+    this to a tracked_persist only if the SOURCE scan, not the
+    explode, dominates). Columns: ``(id_col, score_units BIGINT,
+    keep)``."""
     from alaska_etl_spark.cache import tracked_persist
 
     pos = F.col(lang_col) == positive_lang
@@ -206,7 +213,6 @@ def naive_bayes_scores(
         pos.alias("_pos"),
         F.explode(word_tokens(text_col)).alias("_w"),
     )
-    toks = tracked_persist(toks)  # feeds the vocab aggregate AND the scoring join
     vocab = toks.groupBy("_w").agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_cp"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_cn"),
