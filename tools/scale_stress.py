@@ -71,6 +71,20 @@ QUERIES_UNDER_TEST = [
     # the tokenize/count passes (linear) + a 10x-vocab count-table
     # self-join whose matches stay 1x-sized. Sub-linear expected.
     "qf8_vocab_divergence",
+    # round-6 tail: the evaluation/statistics family over documents —
+    # NB train+score (one vocab aggregate + vocab-keyed join), its AUC
+    # and PR-curve reductions (distinct-score frames), chi2 selection
+    # (vocab aggregate + sort-limit), PMI (bigram aggregates). All
+    # expected ~linear: work is token- or vocabulary-proportional,
+    # never pairwise.
+    "qg5_naive_bayes",
+    "qg7_nb_auc",
+    "qh0_pr_curve",
+    "qg8_chi2_features",
+    "qh2_pmi_collocations",
+    # JL projection over embeddings: strictly per-row — the linear
+    # control of the embedding family.
+    "qh3_jl_projection",
 ]
 
 
@@ -135,14 +149,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
 
+    # optional subset: tools/scale_stress.py qg5_naive_bayes ... reruns
+    # only those cells (the SCALE.md table merges by query name)
+    names = sys.argv[1:] or QUERIES_UNDER_TEST
+    unknown = [n for n in names if n not in QUERIES_UNDER_TEST]
+    if unknown:
+        raise SystemExit(f"not in QUERIES_UNDER_TEST: {unknown}")
+
     # warm plan shapes once at 1x so codegen/plan compilation doesn't
     # land inside either timed run
-    for name in QUERIES_UNDER_TEST:
+    for name in names:
         QUERIES[name](spark, f"{OUT}/x1").collect()
         release_tracked()
 
     results = []
-    for name in QUERIES_UNDER_TEST:
+    for name in names:
         row = {"query": name}
         for scale in ("x1", "x10"):
             best, rows = None, None
