@@ -289,3 +289,82 @@ def mad_anomalies(
         .filter(F.abs(F.col("robust_z")) > z_threshold)
         .drop("_med", "_absdev", "_mad")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    k: int = 3,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Seasonality-aware volume anomalies: hours whose event count
+    deviates more than ``k`` standard deviations from THEIR OWN
+    (day-of-week × hour-of-day) bucket's mean — the seasonal
+    counterpart of the global z-score screen (q93), which would flag
+    every weekend morning as anomalous and miss a quiet Monday noon.
+
+    The flag uses LEAVE-ONE-OUT bucket moments — each hour is scored
+    against the OTHER occurrences of its bucket (s₁ = s − cnt,
+    ss₁ = ss − cnt², n₁ = n − 1), because including the candidate in
+    its own baseline self-masks exactly the outliers worth catching
+    (a 10× spike in a 6-sample bucket inflates σ enough to hide
+    itself: z drops from ~9 to ~2.2). Entirely integer-exact and
+    sqrt-free: ``(cnt − mean₁)² > k²·var₁`` multiplies through by n₁²
+    into the BIGINT comparison ``(n₁·cnt − s₁)² > k²·(n₁·ss₁ − s₁²)``
+    — no division, no sqrt, no float anywhere; the reported mean is
+    the full-bucket div_half_up 1e-4 emit. Buckets with n < 3 never
+    flag (a leave-one-out baseline of fewer than two samples has no
+    variance to speak of).
+
+    Scale shape: the event stream collapses to its hourly-count frame
+    in ONE map-side-combined aggregate; the bucket moments are a window
+    over that reduced frame (168 buckets — at most a few years of
+    hours per partition); output is the anomalous hours only. Overflow:
+    (n·cnt)² needs n·cnt < 3e9 — a decade of hours at millions of
+    events per hour; lift to DECIMAL beyond.
+
+    Returns every hour as ``(hour_ts, dow, hod, cnt, bucket_mean,
+    anomalous)`` — the full profiled series with the flag, so callers
+    (and oracles) see the baseline, not just the exceptions; filter on
+    ``anomalous`` for the alert feed.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    hourly = (
+        df.select(F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"))
+        .groupBy("hour_ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "hour_ts",
+            (F.dayofweek("hour_ts") - 1).cast("int").alias("dow"),
+            F.hour("hour_ts").cast("int").alias("hod"),
+            "cnt",
+        )
+    )
+    w = Window.partitionBy("dow", "hod")
+    m = hourly.select(
+        "hour_ts",
+        "dow",
+        "hod",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("_ss"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_n"),
+    )
+    n1 = F.col("_n") - 1
+    s1 = F.col("_s") - F.col("cnt")
+    ss1 = F.col("_ss") - F.col("cnt") * F.col("cnt")
+    dev = n1 * F.col("cnt") - s1
+    var_n2 = n1 * ss1 - s1 * s1
+    flag = (F.col("_n") >= 3) & (dev * dev > F.lit(k * k) * var_n2)
+    return m.select(
+        "hour_ts",
+        "dow",
+        "hod",
+        "cnt",
+        (div_half_up("_s", "_n", scale) / float(scale)).alias("bucket_mean"),
+        flag.alias("anomalous"),
+    ).orderBy("hour_ts")

@@ -6514,6 +6514,48 @@ FROM agg
 """
 
 
+def qh5_seasonal_anomalies(spark, sf_dir):
+    """Seasonally profiled hourly volume with 3σ anomaly flags: every
+    hour scored against its own (day-of-week × hour-of-day) bucket —
+    the seasonality-aware counterpart of q93's global z-screen, fully
+    integer-exact (the flag is one BIGINT leave-one-out comparison —
+    self-masking-proof — no sqrt or division; the bucket mean is the
+    1e-4 div_half_up). The synthetic
+    event stream is deliberately uniform, so the flag column is
+    all-false here — the oracle pins the full 720-row profiled series,
+    and the flag arithmetic is unit-tested on seeded-anomaly
+    fixtures."""
+    from alaska_etl_spark.operators.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(_t(spark, sf_dir, "events"), "ts")
+
+
+QH5_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), b AS (
+  SELECT hour_ts, CAST(dayofweek(hour_ts) AS INT) AS dow,
+         CAST(hour(hour_ts) AS INT) AS hod, cnt
+  FROM hourly
+), m AS (
+  SELECT hour_ts, dow, hod, cnt,
+         CAST(sum(cnt) OVER w AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM b
+  WINDOW w AS (PARTITION BY dow, hod)
+)
+SELECT hour_ts, dow, hod, cnt,
+       ((2 * 10000 * (s) + (n)) // (2 * (n))) / 10000.0 AS bucket_mean,
+       n >= 3 AND
+       ((n - 1) * cnt - (s - cnt)) * ((n - 1) * cnt - (s - cnt))
+         > 9 * ((n - 1) * (ss - cnt * cnt) - (s - cnt) * (s - cnt)) AS anomalous
+FROM m
+ORDER BY hour_ts
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6658,6 +6700,7 @@ QUERIES = {
     "qh2_pmi_collocations": qh2_pmi_collocations,
     "qh3_jl_projection": qh3_jl_projection,
     "qh4_spearman": qh4_spearman,
+    "qh5_seasonal_anomalies": qh5_seasonal_anomalies,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6898,6 +6941,7 @@ ORACLES = {
     "qh2_pmi_collocations": QH2_SQL,
     "qh3_jl_projection": QH3_SQL,
     "qh4_spearman": QH4_SQL,
+    "qh5_seasonal_anomalies": QH5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -184,3 +184,58 @@ def test_sliding_distinct_same_user_counts_once_per_window(spark):
     df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
     out = sliding_distinct(df, "user_id", "ts", window_days=3).collect()
     assert [(r.window_end.day, r.distinct_3d) for r in out] == [(3, 1)]
+
+
+def test_seasonal_anomalies_flags_seeded_outlier(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import seasonal_anomalies
+
+    # 6 Mondays at 09:00 with ~10 events each, except one Monday with 100
+    base = datetime(2024, 1, 1, 9, 0, 0)  # a Monday
+    rows = []
+    eid = 0
+    for week in range(6):
+        n = 100 if week == 3 else 10
+        for i in range(n):
+            rows.append((eid, base + timedelta(weeks=week, seconds=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = seasonal_anomalies(df, "ts").collect()
+    assert len(out) == 6
+    flagged = [r for r in out if r.anomalous]
+    assert len(flagged) == 1
+    r = flagged[0]
+    assert r.cnt == 100 and r.dow == 1 and r.hod == 9
+    # bucket mean = (5*10 + 100)/6 = 25.0
+    assert r.bucket_mean == 25.0
+
+
+def test_seasonal_anomalies_uniform_has_no_flags_and_exact_mean(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import seasonal_anomalies
+
+    base = datetime(2024, 1, 2, 14, 0, 0)
+    rows = [
+        (w * 10 + i, base + timedelta(weeks=w, seconds=i))
+        for w in range(3)
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = seasonal_anomalies(df, "ts").collect()
+    assert [r.anomalous for r in out] == [False] * 3
+    assert all(r.bucket_mean == 7.0 for r in out)
+
+
+def test_seasonal_anomalies_single_sample_bucket_cannot_flag(spark):
+    from datetime import datetime
+
+    from alaska_etl_spark.operators.timeseries import seasonal_anomalies
+
+    df = spark.createDataFrame(
+        [(0, datetime(2024, 1, 1, 5, 0, 0)), (1, datetime(2024, 1, 2, 6, 0, 0))],
+        "event_id bigint, ts timestamp",
+    )
+    out = seasonal_anomalies(df, "ts").collect()
+    assert len(out) == 2 and not any(r.anomalous for r in out)
