@@ -485,3 +485,71 @@ def spearman_corr(
         "    * sqrt(nullif(CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE) - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE), 0.0D)))"
     )
     return agg.select("n", F.round(rho, round_digits).alias("rho"))
+
+
+def benford_audit(df: DataFrame, val_col: str, *, scale: int = 10**9) -> DataFrame:
+    """First-digit (Benford's law) audit of a positive amount column —
+    the classic fabricated-data / unit-mixing screen for financial
+    facts: per digit d ∈ 1..9, the observed count, Benford's expected
+    share ``log₁₀(1 + 1/d)``, and the χ² contribution.
+
+    Engine-exact protocol: the first digit comes from the BIGINT cent
+    value's decimal string (integer formatting is identical across
+    engines — no float formatting, no log₁₀ of the value); expected
+    shares quantize ``(ln(d+1) − ln(d)) / ln(10)`` — ln of exact small
+    integers, the qg5/qf8 libm-residual class — to 1e-9 BIGINT units
+    once per digit; each χ² term is then ONE pinned-shape IEEE
+    expression over exact integers, emitted at 6dp. All nine digits
+    appear even at zero observed count (the PSI all-bins discipline:
+    a digit Benford expects 30% of rows to hit contributes its full
+    χ² distance when absent).
+
+    Scale shape: one 9-group map-side-combined aggregate over the
+    fact column + a broadcast of the 1-row total against the 9-row
+    digit frame. Returns ``(digit, observed, expected_share,
+    chi2_term)`` ordered by digit.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    obs = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    )
+    total = obs.agg(F.sum("observed").cast("bigint").alias("_n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p_units = (
+        F.round(
+            F.lit(scale)
+            * (F.log(F.col("digit") + 1) - F.log(F.col("digit")))
+            / F.log(F.lit(10.0))
+        )
+        .cast("bigint")
+        .alias("_p")
+    )
+    joined = (
+        digits.select("digit", p_units)
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+            "_p",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # pinned shape: (obs*scale - n*p)^2 / (n*p) / scale, all inputs BIGINT
+    term = F.expr(
+        f"round(CAST(observed * {scale} - _n * _p AS DOUBLE)"
+        f" * CAST(observed * {scale} - _n * _p AS DOUBLE)"
+        f" / CAST(_n * _p AS DOUBLE) / CAST({scale} AS DOUBLE), 6)"
+    )
+    return joined.select(
+        "digit",
+        "observed",
+        (F.col("_p") / float(scale)).alias("expected_share"),
+        term.alias("chi2_term"),
+    ).orderBy("digit")

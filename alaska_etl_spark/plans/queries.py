@@ -6556,6 +6556,47 @@ ORDER BY hour_ts
 """
 
 
+def qh6_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the fabricated-data
+    / unit-mixing screen: per digit, observed count vs Benford's
+    expected share and the chi-squared contribution. First digits come
+    from BIGINT cent strings (no float formatting, no log10 of data);
+    expected shares quantize ln-of-small-integers to 1e-9 units; each
+    chi-squared term is one pinned-shape IEEE expression. (TPC-H
+    uniform prices are decidedly NON-Benford — large chi2_terms are
+    the correct verdict here, and both engines agree on them
+    exactly.)"""
+    from alaska_etl_spark.operators.stats import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+QH6_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+  WHERE c > 0
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs
+), d AS (
+  SELECT CAST(unnest(range(1, 10)) AS INT) AS digit
+), j AS (
+  SELECT d.digit,
+         CAST(round(1000000000 * (ln(CAST(d.digit + 1 AS DOUBLE)) - ln(CAST(d.digit AS DOUBLE))) / ln(10.0)) AS BIGINT) AS p,
+         CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed
+  FROM d LEFT JOIN obs ON d.digit = obs.digit
+)
+SELECT digit, observed, p / 1000000000.0 AS expected_share,
+       round(CAST(observed * 1000000000 - n * p AS DOUBLE)
+             * CAST(observed * 1000000000 - n * p AS DOUBLE)
+             / CAST(n * p AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS chi2_term
+FROM j CROSS JOIN tot
+ORDER BY digit
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6701,6 +6742,7 @@ QUERIES = {
     "qh3_jl_projection": qh3_jl_projection,
     "qh4_spearman": qh4_spearman,
     "qh5_seasonal_anomalies": qh5_seasonal_anomalies,
+    "qh6_benford_audit": qh6_benford_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6942,6 +6984,7 @@ ORACLES = {
     "qh3_jl_projection": QH3_SQL,
     "qh4_spearman": QH4_SQL,
     "qh5_seasonal_anomalies": QH5_SQL,
+    "qh6_benford_audit": QH6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

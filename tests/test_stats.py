@@ -259,3 +259,46 @@ def test_spearman_constant_margin_is_null(spark):
 
     df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
     assert spearman_corr(df, "x", "y").collect()[0].rho is None
+
+
+def test_benford_audit_replica_and_all_digits(spark):
+    import math
+    import random
+
+    from alaska_etl_spark.operators.stats import benford_audit
+
+    rng = random.Random(17)
+    # log-uniform values ARE Benford-ish; also include zeros/negatives to
+    # check filtering
+    vals = [10 ** rng.uniform(0, 4) for _ in range(400)] + [0.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    out = benford_audit(df, "amount").collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    # replica
+    cents = [round(v * 100) for v in vals if round(v * 100) > 0]
+    n = len(cents)
+    from collections import Counter
+
+    obs = Counter(int(str(c)[0]) for c in cents)
+    for r in out:
+        assert r.observed == obs.get(r.digit, 0)
+        p_units = round(
+            1e9 * (math.log(r.digit + 1) - math.log(r.digit)) / math.log(10.0)
+        )
+        assert r.expected_share == p_units / 1e9
+        diff = r.observed * 10**9 - n * p_units
+        want = round(float(diff) * float(diff) / float(n * p_units) / 1e9, 6)
+        assert r.chi2_term == want
+    # a Benford-ish sample: digit 1 most common, 9 least
+    assert obs[1] > obs[9]
+
+
+def test_benford_audit_missing_digit_contributes_full_distance(spark):
+    from alaska_etl_spark.operators.stats import benford_audit
+
+    # all values start with digit 5 -> digits 1-4, 6-9 observed 0 but present
+    df = spark.createDataFrame([(5.0,), (55.5,), (500.0,)], "amount double")
+    out = {r.digit: r for r in benford_audit(df, "amount").collect()}
+    assert out[5].observed == 3
+    assert all(out[d].observed == 0 for d in range(1, 10) if d != 5)
+    assert all(out[d].chi2_term > 0 for d in range(1, 10) if d != 5)
