@@ -561,3 +561,65 @@ def test_np_round_half_away_matches_duckdb_round(xs):
         for x in xs
     ]
     assert list(got) == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-6, 6), st.booleans()), min_size=2, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_roc_auc_matches_pairwise_bruteforce(spark, rows):
+    from fractions import Fraction
+
+    from alaska_etl_spark.operators.classifier import roc_auc
+
+    df = spark.createDataFrame(rows, "s bigint, pos boolean")
+    r = roc_auc(df, "s", "pos").collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r.auc is None
+        return
+    u2 = sum(2 for sp in pos for sn in neg if sp > sn) + sum(
+        1 for sp in pos for sn in neg if sp == sn
+    )
+    f = Fraction(u2, 2 * len(pos) * len(neg))
+    units = (2 * 10**6 * f.numerator + f.denominator) // (2 * f.denominator)
+    assert r.auc == units / 1e6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=2, max_size=50
+    )
+)
+@settings(**_SETTINGS)
+def test_spearman_midranks_match_bruteforce(spark, rows):
+    import math
+
+    from alaska_etl_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rows], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    xs = [a for a, _ in rows]
+    ys = [b for _, b in rows]
+    if len(set(xs)) == 1 or len(set(ys)) == 1:
+        assert r.rho is None
+        return
+
+    # doubled midrank = 2*rank_min + ties - 1 where rank_min = 1 + #smaller
+    rx = [2 * (1 + sum(1 for o in xs if o < v)) + sum(1 for o in xs if o == v) - 1 for v in xs]
+    ry = [2 * (1 + sum(1 for o in ys if o < v)) + sum(1 for o in ys if o == v) - 1 for v in ys]
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert r.rho == round(want, 6)
