@@ -549,3 +549,43 @@ def pr_curve(
         ).alias("f1"),
     )
     return out
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 1024,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurizer (fastText/Vowpal style):
+    every token maps to ``hash(token) % n_buckets``, giving a FIXED
+    feature dimensionality with no vocabulary table at all — the
+    featurizer a linear quality classifier actually uses at corpus
+    scale, where a materialized vocabulary is itself a shuffle.
+
+    Long-form sparse output ``(id_col, bucket, cnt)`` — exact integer
+    counts, ready for the perceptron's Σ y·x aggregate form or an
+    embedding-style gather. Two hash lanes, the q29/q43 discipline:
+    ``xxhash64`` (engine-private, fastest) as the production default
+    and ``md5`` (the engine-portable lane) when an external engine
+    must reproduce bucket assignment bit-for-bit.
+
+    Scale shape: tokenize + explode + ONE (id, bucket)-keyed map-side-
+    combined aggregate; output is bounded by min(tokens,
+    docs·n_buckets) rows. No vocabulary state, no second pass, no
+    driver materialization — the whole point of the hashing trick.
+    """
+    from alaska_etl_spark.operators.dedup import _token_hash31, word_tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(text_col)).alias("_w"),
+    )
+    bucket = F.pmod(_token_hash31("_w", hash_fn), F.lit(n_buckets)).cast("int")
+    return (
+        toks.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

@@ -6597,6 +6597,36 @@ ORDER BY digit
 """
 
 
+def qh7_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization of the corpus (1024 buckets, md5
+    lane so DuckDB replays bucket assignment exactly): long-form
+    sparse (doc, bucket, count) features with no vocabulary table —
+    the fixed-dimensional featurizer in front of the perceptron
+    family. Production default is the xxhash64 lane (recall-equivalent
+    by the q29 argument); the md5 lane is the oracled one."""
+    from alaska_etl_spark.operators.classifier import hashed_features
+
+    return hashed_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="md5"
+    )
+
+
+QH7_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST((list_reduce(list_transform(string_split(substr(md5(w), 1, 8), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)
+            % 2147483648) % 1024 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tk
+GROUP BY doc_id, bucket
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6743,6 +6773,7 @@ QUERIES = {
     "qh4_spearman": qh4_spearman,
     "qh5_seasonal_anomalies": qh5_seasonal_anomalies,
     "qh6_benford_audit": qh6_benford_audit,
+    "qh7_feature_hashing": qh7_feature_hashing,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -6985,6 +7016,7 @@ ORACLES = {
     "qh4_spearman": QH4_SQL,
     "qh5_seasonal_anomalies": QH5_SQL,
     "qh6_benford_audit": QH6_SQL,
+    "qh7_feature_hashing": QH7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -523,3 +523,32 @@ def test_stream_model_monitor_tracks_deployed_weights(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     stream_model_monitor(stream, metrics, str(tmp_path / "ck_m2"), hist)
     assert spark.read.parquet(metrics).count() == n_before
+
+
+def test_hashed_features_counts_and_lane_equivalence(spark):
+    import hashlib
+
+    from alaska_etl_spark.operators.classifier import hashed_features
+
+    docs = [(0, "a b a"), (1, "b c"), (2, "")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = hashed_features(df, "doc_id", "text", n_buckets=8, hash_fn="md5").collect()
+    got = {(r.doc_id, r.bucket): r.cnt for r in out}
+
+    def bucket(w):
+        return (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (1 << 31)) % 8
+
+    want = {}
+    for did, text in docs:
+        for w in text.split():
+            key = (did, bucket(w))
+            want[key] = want.get(key, 0) + 1
+    assert got == want  # doc 2 (empty) emits nothing
+    # per-doc total counts equal token counts regardless of lane
+    for lane in ("md5", "xxhash64"):
+        rows = hashed_features(df, "doc_id", "text", n_buckets=8, hash_fn=lane).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.cnt
+            assert 0 <= r.bucket < 8
+        assert per_doc == {0: 3, 1: 2}
