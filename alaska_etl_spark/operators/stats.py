@@ -553,3 +553,90 @@ def benford_audit(df: DataFrame, val_col: str, *, scale: int = 10**9) -> DataFra
         (F.col("_p") / float(scale)).alias("expected_share"),
         term.alias("chi2_term"),
     ).orderBy("digit")
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    cutoff: str,
+    treat_frac: float = 0.5,
+    seed: int = 0,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Difference-in-differences estimate over an event stream: units
+    are deterministically hash-assigned to treatment
+    (``splits.hash_bucket`` — the engine/SQL-twin split arithmetic
+    every experiment here uses), periods split at ``cutoff``, and the
+    DID estimate is ``(ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)``
+    — the standard parallel-trends causal readout when a pre period
+    exists (the panel-data sibling of qe1's AB test and q45's CUPED).
+
+    Exactness: cell sums are integer cents, each of the four cell
+    means is the shared div_half_up emit at 1e-4, and the DID combines
+    those four ALREADY-QUANTIZED means (a 1e-4-grid subtraction —
+    exact in doubles, engine-identical; combining raw rationals
+    instead would need a 4-denominator common multiple that overflows
+    BIGINT at corpus scale for no extra information). Empty cells emit
+    NULL means and a NULL estimate — a missing pre-period is a design
+    failure the row should show, not mask.
+
+    Scale shape: ONE map-side-combined 4-cell aggregate over the
+    events (group keys are two booleans), then 1-row arithmetic.
+    Returns one row ``(n_treat_pre, n_treat_post, n_ctrl_pre,
+    n_ctrl_post, mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+    mean_ctrl_post, did)``.
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.splits import hash_bucket
+
+    treat = hash_bucket(F.col(unit_col), seed=seed) < int(round(treat_frac * 10**6))
+    post = F.col(ts_col) >= F.lit(cutoff).cast("timestamp_ntz")
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    cells = df.select(
+        treat.alias("_t"), post.alias("_p"), cents.alias("_c")
+    ).agg(
+        *[
+            F.sum(F.when((F.col("_t") == t) & (F.col("_p") == p), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{n}")
+            for t, p, n in [
+                (True, False, "treat_pre"),
+                (True, True, "treat_post"),
+                (False, False, "ctrl_pre"),
+                (False, True, "ctrl_post"),
+            ]
+        ],
+        *[
+            F.sum(F.when((F.col("_t") == t) & (F.col("_p") == p), F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{n}")
+            for t, p, n in [
+                (True, False, "treat_pre"),
+                (True, True, "treat_post"),
+                (False, False, "ctrl_pre"),
+                (False, True, "ctrl_post"),
+            ]
+        ],
+    )
+    def mean(n):
+        # cents → currency units: scale/100 fixed-point then /scale
+        return div_half_up(f"s_{n}", f"nullif(100 * n_{n}, 0)", scale) / float(scale)
+
+    out = cells.select(
+        "n_treat_pre",
+        "n_treat_post",
+        "n_ctrl_pre",
+        "n_ctrl_post",
+        mean("treat_pre").alias("mean_treat_pre"),
+        mean("treat_post").alias("mean_treat_post"),
+        mean("ctrl_pre").alias("mean_ctrl_pre"),
+        mean("ctrl_post").alias("mean_ctrl_post"),
+    )
+    did = (
+        (F.col("mean_treat_post") - F.col("mean_treat_pre"))
+        - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre"))
+    )
+    return out.select("*", F.round(did, 4).alias("did"))

@@ -6627,6 +6627,48 @@ GROUP BY doc_id, bucket
 """
 
 
+def qh8_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences readout over the event stream:
+    deterministic hash-assigned treatment (the shared split
+    arithmetic), periods cut at mid-month, integer-cent cell sums,
+    div_half_up cell means, DID over the quantized means — the
+    parallel-trends causal estimate beside qe1's AB test and q45's
+    CUPED, exactly replayable end-to-end. (Synthetic assignment over
+    synthetic events: the mechanics, not the effect size, are the
+    pinned quantity — expected DID ≈ 0.)"""
+    from alaska_etl_spark.operators.stats import diff_in_diff
+
+    return diff_in_diff(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        cutoff="2024-01-16 00:00:00",
+    )
+
+
+QH8_SQL = """
+WITH base AS (
+  SELECT ((((1198333156 * (user_id % 2147483648) + 1679060169) % 2147483647) % 1000000)) < 500000 AS t,
+         ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), cells AS (
+  SELECT CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre, CAST(sum(CASE WHEN t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_treat_pre, CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post, CAST(sum(CASE WHEN t AND p THEN c ELSE 0 END) AS BIGINT) AS s_treat_post, CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre, CAST(sum(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_ctrl_pre, CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post, CAST(sum(CASE WHEN NOT t AND p THEN c ELSE 0 END) AS BIGINT) AS s_ctrl_post
+  FROM base
+), m AS (
+  SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       ((2 * 10000 * (s_treat_pre) + (nullif(100 * n_treat_pre, 0))) // (2 * (nullif(100 * n_treat_pre, 0)))) / 10000.0 AS mean_treat_pre,
+       ((2 * 10000 * (s_treat_post) + (nullif(100 * n_treat_post, 0))) // (2 * (nullif(100 * n_treat_post, 0)))) / 10000.0 AS mean_treat_post,
+       ((2 * 10000 * (s_ctrl_pre) + (nullif(100 * n_ctrl_pre, 0))) // (2 * (nullif(100 * n_ctrl_pre, 0)))) / 10000.0 AS mean_ctrl_pre,
+       ((2 * 10000 * (s_ctrl_post) + (nullif(100 * n_ctrl_post, 0))) // (2 * (nullif(100 * n_ctrl_post, 0)))) / 10000.0 AS mean_ctrl_post
+  FROM cells
+)
+SELECT *, round((mean_treat_post - mean_treat_pre) - (mean_ctrl_post - mean_ctrl_pre), 4) AS did
+FROM m
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6774,6 +6816,7 @@ QUERIES = {
     "qh5_seasonal_anomalies": qh5_seasonal_anomalies,
     "qh6_benford_audit": qh6_benford_audit,
     "qh7_feature_hashing": qh7_feature_hashing,
+    "qh8_diff_in_diff": qh8_diff_in_diff,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7017,6 +7060,7 @@ ORACLES = {
     "qh5_seasonal_anomalies": QH5_SQL,
     "qh6_benford_audit": QH6_SQL,
     "qh7_feature_hashing": QH7_SQL,
+    "qh8_diff_in_diff": QH8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

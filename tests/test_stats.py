@@ -302,3 +302,49 @@ def test_benford_audit_missing_digit_contributes_full_distance(spark):
     assert out[5].observed == 3
     assert all(out[d].observed == 0 for d in range(1, 10) if d != 5)
     assert all(out[d].chi2_term > 0 for d in range(1, 10) if d != 5)
+
+
+def test_diff_in_diff_recovers_seeded_effect(spark):
+    from datetime import datetime
+
+    from alaska_etl_spark.operators.splits import hash_bucket
+    from alaska_etl_spark.operators.stats import diff_in_diff
+    from pyspark.sql import functions as F
+
+    # build panel data whose treated units get +5.0 post-cutoff; the
+    # treatment flag must match the operator's own hash assignment
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    units = spark.createDataFrame([(u,) for u in range(40)], "u bigint")
+    is_t = {
+        r.u: r.t
+        for r in units.select(
+            "u", (hash_bucket(F.col("u")) < 500000).alias("t")
+        ).collect()
+    }
+    rows = []
+    eid = 0
+    for u in range(40):
+        for ts, bump in ((pre, 0.0), (post, 5.0 if is_t[u] else 0.0)):
+            rows.append((eid, ts, u, 10.0 + bump))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    r = diff_in_diff(df, "user_id", "ts", "value", cutoff="2024-01-16 00:00:00").collect()[0]
+    n_t = sum(is_t.values())
+    assert (r.n_treat_pre, r.n_treat_post) == (n_t, n_t)
+    assert (r.n_ctrl_pre, r.n_ctrl_post) == (40 - n_t, 40 - n_t)
+    assert r.mean_treat_pre == 10.0 and r.mean_treat_post == 15.0
+    assert r.mean_ctrl_pre == 10.0 and r.mean_ctrl_post == 10.0
+    assert r.did == 5.0
+
+
+def test_diff_in_diff_empty_cell_is_null(spark):
+    from datetime import datetime
+
+    from alaska_etl_spark.operators.stats import diff_in_diff
+
+    # only post-period data: pre cells empty -> NULL means and NULL did
+    rows = [(0, datetime(2024, 1, 20), 1, 3.0), (1, datetime(2024, 1, 21), 2, 4.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    r = diff_in_diff(df, "user_id", "ts", "value", cutoff="2024-01-16 00:00:00").collect()[0]
+    assert r.n_treat_pre == 0 and r.n_ctrl_pre == 0
+    assert r.mean_treat_pre is None and r.did is None
