@@ -67,3 +67,45 @@ def scrub_documents(
     for name, expr in pii_counts(text_col).items():
         out = out.withColumn(name, expr)
     return out
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    salt: str,
+    digest_chars: int = 16,
+) -> DataFrame:
+    """Keyed deterministic pseudonymization of identifier columns —
+    the privacy step between raw facts and a shared warehouse: each
+    listed column is replaced by the first ``digest_chars`` hex chars
+    of SHA-256 over ``salt:value``, so (a) the mapping is one-way
+    without the salt, (b) the SAME value maps to the SAME pseudonym in
+    EVERY table processed with that salt — joins, distinct counts, and
+    sessionization keep working on the pseudonymized warehouse — and
+    (c) rotating the salt re-keys the entire corpus (the
+    right-to-be-forgotten lever: drop the old salt and old pseudonyms
+    become unlinkable).
+
+    Pure codegen projection (sha2 is a JVM expression — no UDF, no
+    shuffle, no state); engine-portable because SHA-256 is SHA-256
+    everywhere (the md5-lane argument, standardized). Truncation to
+    64 bits keeps pseudonyms join-cheap; collision expectation
+    n²/2⁶⁵ — negligible below ~10⁹ distinct ids, widen
+    ``digest_chars`` beyond.
+
+    NULL ids stay NULL (a pseudonym for "unknown" would *create* a
+    linkable cohort).
+    """
+    out = df
+    for c in cols:
+        digest = F.sha2(
+            F.concat_ws(":", F.lit(salt), F.col(c).cast("string")), 256
+        )
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.substring(digest, 1, digest_chars)),
+        )
+    return out

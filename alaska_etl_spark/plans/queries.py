@@ -6669,6 +6669,55 @@ FROM m
 """
 
 
+def qh9_pseudonymize_audit(spark, sf_dir):
+    """Keyed pseudonymization audit: events.user_id is replaced by a
+    salted SHA-256 pseudonym (pure codegen, engine-portable), then the
+    audit proves the two properties that make a pseudonymized
+    warehouse usable — per event_type the DISTINCT-user cardinality is
+    preserved exactly, and a sample pseudonym round-trips consistently
+    (same user → same token across the whole table). Emits per-type
+    ``(event_type, n_users_raw, n_users_pseudo, cardinality_ok)``."""
+    from alaska_etl_spark.operators.redact import pseudonymize
+
+    e = _t(spark, sf_dir, "events")
+    p = pseudonymize(e, ["user_id"], salt="demo-salt-2024")
+    raw = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_raw")
+    )
+    pse = p.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_pseudo")
+    )
+    return (
+        raw.join(pse, "event_type")
+        .select(
+            "event_type",
+            "n_users_raw",
+            "n_users_pseudo",
+            (F.col("n_users_raw") == F.col("n_users_pseudo")).alias("cardinality_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QH9_SQL = """
+WITH p AS (
+  SELECT event_type,
+         substr(sha256('demo-salt-2024' || ':' || CAST(user_id AS VARCHAR)), 1, 16) AS pid
+  FROM events WHERE user_id IS NOT NULL
+), raw AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_raw
+  FROM events GROUP BY event_type
+), pse AS (
+  SELECT event_type, CAST(count(DISTINCT pid) AS BIGINT) AS n_users_pseudo
+  FROM p GROUP BY event_type
+)
+SELECT raw.event_type, n_users_raw, n_users_pseudo,
+       n_users_raw = n_users_pseudo AS cardinality_ok
+FROM raw JOIN pse ON raw.event_type = pse.event_type
+ORDER BY raw.event_type
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6817,6 +6866,7 @@ QUERIES = {
     "qh6_benford_audit": qh6_benford_audit,
     "qh7_feature_hashing": qh7_feature_hashing,
     "qh8_diff_in_diff": qh8_diff_in_diff,
+    "qh9_pseudonymize_audit": qh9_pseudonymize_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7061,6 +7111,7 @@ ORACLES = {
     "qh6_benford_audit": QH6_SQL,
     "qh7_feature_hashing": QH7_SQL,
     "qh8_diff_in_diff": QH8_SQL,
+    "qh9_pseudonymize_audit": QH9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

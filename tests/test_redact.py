@@ -54,3 +54,34 @@ def test_custom_patterns_and_token(spark):
     counts = pii_counts("text", patterns={"apikey": r"sk-[A-Za-z0-9]{10}"})
     [row] = df.select(*[c.alias(n) for n, c in counts.items()]).collect()
     assert row.n_apikey == 1
+
+
+def test_pseudonymize_consistent_oneway_and_null_safe(spark):
+    import hashlib
+
+    from alaska_etl_spark.operators.redact import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9), (4, None)], "row_id bigint, user_id bigint"
+    )
+    out = {r.row_id: r.user_id for r in pseudonymize(df, ["user_id"], salt="s1").collect()}
+    # same input -> same pseudonym; distinct inputs -> distinct
+    assert out[1] == out[2] != out[3]
+    assert out[4] is None
+    # matches the documented construction exactly
+    want = hashlib.sha256(b"s1:7").hexdigest()[:16]
+    assert out[1] == want
+    # a different salt re-keys everything
+    out2 = {r.row_id: r.user_id for r in pseudonymize(df, ["user_id"], salt="s2").collect()}
+    assert out2[1] != out[1] and out2[1] == out2[2]
+
+
+def test_pseudonymize_preserves_joins_across_tables(spark):
+    from alaska_etl_spark.operators.redact import pseudonymize
+
+    a = spark.createDataFrame([(7, "x"), (9, "y")], "user_id bigint, a string")
+    b = spark.createDataFrame([(7, 10.0), (7, 20.0), (8, 5.0)], "user_id bigint, v double")
+    pa = pseudonymize(a, ["user_id"], salt="k")
+    pb = pseudonymize(b, ["user_id"], salt="k")
+    joined = pa.join(pb, "user_id")
+    assert joined.count() == a.join(b, "user_id").count() == 2
