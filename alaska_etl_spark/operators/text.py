@@ -744,3 +744,71 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_units").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def bigram_lm_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_head_count: int = 20,
+    k: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Bigram language model, trained and queried in-engine: for every
+    head word frequent enough to condition on (``min_head_count``
+    unigram occurrences), the top-``k`` most likely continuations with
+    their exact conditional probability — the table a completion
+    heuristic or a data-synthesis sanity check reads, and the
+    conditional-probability sibling of PMI (:func:`pmi_collocations`
+    scores association; this scores P(w₂|w₁)).
+
+    Exact end-to-end: P(w₂|w₁) = pair_count / head_count is integer ÷
+    integer through the shared div_half_up emit at 1e-6 (conditioning
+    on head counts from the SAME unigram pass the bigrams came from —
+    the final-position token of each doc conditions nothing but still
+    counts as a unigram, standard corpus convention). Ranking is
+    (prob_units DESC, continuation ASC) per head via one top-k window
+    over the per-head candidate lists.
+
+    Scale shape: the qh2 bigram path (posexplode + per-doc lead, all
+    codegen) → one bigram aggregate + one unigram aggregate → the
+    min_head prune BEFORE the join (only conditionable heads join) →
+    per-head top-k window over the surviving pair frame. Returns
+    ``(w1, w2, pair_count, head_count, prob_units, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(word_tokens(text_col)).alias("_pos", "_w"),
+    ).filter(F.col("_w").isNotNull())
+    uni = (
+        toks.groupBy(F.col("_w").alias("w1"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("head_count"))
+        .filter(F.col("head_count") >= min_head_count)
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    pairs = (
+        toks.select(F.col("_w").alias("w1"), F.lead("_w", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    )
+    scored = pairs.join(uni, "w1").select(
+        "w1",
+        "w2",
+        "pair_count",
+        "head_count",
+        div_half_up("pair_count", "head_count", scale).alias("prob_units"),
+    )
+    rk = Window.partitionBy("w1").orderBy(
+        F.col("prob_units").desc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+    )

@@ -6718,6 +6718,43 @@ ORDER BY raw.event_type
 """
 
 
+def qi0_bigram_lm(spark, sf_dir):
+    """In-engine bigram language model: top-3 continuations with exact
+    1e-6 conditional probabilities for every head word with ≥20
+    unigram occurrences — P(w2|w1) as integer÷integer through the
+    shared div_half_up emit, ranked deterministically, bigrams from
+    the qh2 codegen path. The conditional-probability sibling of
+    qh2's PMI association scores."""
+    from alaska_etl_spark.operators.text import bigram_lm_topk
+
+    return bigram_lm_topk(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QI0_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tr AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w FROM toks
+), uni AS (
+  SELECT w AS w1, CAST(count(*) AS BIGINT) AS head_count
+  FROM tr GROUP BY w HAVING count(*) >= 20
+), pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM (
+    SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tr
+  ) WHERE w2 IS NOT NULL GROUP BY w1, w2
+), scored AS (
+  SELECT p.w1, p.w2, p.pair_count, u.head_count,
+         ((2 * 1000000 * (p.pair_count) + (u.head_count)) // (2 * (u.head_count))) AS prob_units
+  FROM pairs p JOIN uni u ON p.w1 = u.w1
+)
+SELECT w1, w2, pair_count, head_count, prob_units, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY prob_units DESC, w2 ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6867,6 +6904,7 @@ QUERIES = {
     "qh7_feature_hashing": qh7_feature_hashing,
     "qh8_diff_in_diff": qh8_diff_in_diff,
     "qh9_pseudonymize_audit": qh9_pseudonymize_audit,
+    "qi0_bigram_lm": qi0_bigram_lm,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7112,6 +7150,7 @@ ORACLES = {
     "qh7_feature_hashing": QH7_SQL,
     "qh8_diff_in_diff": QH8_SQL,
     "qh9_pseudonymize_audit": QH9_SQL,
+    "qi0_bigram_lm": QI0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

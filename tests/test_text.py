@@ -351,3 +351,34 @@ def test_pmi_collocations_min_pair_prunes(spark):
     out = pmi_collocations(df, "doc_id", "text", min_pair=2, top_k=10).collect()
     assert [(r.w1, r.w2) for r in out] == [("a", "b")]
     assert out[0].pair_count == 2
+
+
+def test_bigram_lm_topk_probabilities_and_ranks(spark):
+    from alaska_etl_spark.operators.text import bigram_lm_topk
+
+    # "a" heads: a->b 3 times, a->c 1 time; head_count of "a" = 4
+    df = spark.createDataFrame(
+        [(0, "a b a b a b a c d")], "doc_id bigint, text string"
+    )
+    out = bigram_lm_topk(df, "doc_id", "text", min_head_count=4, k=2).collect()
+    got = {(r.w1, r.w2): r for r in out}
+    assert set(got) == {("a", "b"), ("a", "c")}  # only 'a' passes min_head
+    ab = got[("a", "b")]
+    assert (ab.pair_count, ab.head_count, ab.rank) == (3, 4, 1)
+    assert ab.prob_units == 750000  # 3/4 at 1e-6
+    ac = got[("a", "c")]
+    assert (ac.pair_count, ac.prob_units, ac.rank) == (1, 250000, 2)
+
+
+def test_bigram_lm_final_token_conditions_nothing(spark):
+    from alaska_etl_spark.operators.text import bigram_lm_topk
+
+    # "z" appears twice, always doc-final: passes no-bigram, emits no rows
+    df = spark.createDataFrame(
+        [(0, "x z"), (1, "x z")], "doc_id bigint, text string"
+    )
+    out = bigram_lm_topk(df, "doc_id", "text", min_head_count=2, k=3).collect()
+    heads = {r.w1 for r in out}
+    assert heads == {"x"}
+    r = next(r for r in out if r.w1 == "x")
+    assert (r.w2, r.pair_count, r.head_count, r.prob_units) == ("z", 2, 2, 10**6)
