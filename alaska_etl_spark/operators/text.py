@@ -812,3 +812,62 @@ def bigram_lm_topk(
         scored.withColumn("rank", F.row_number().over(rk))
         .filter(F.col("rank") <= k)
     )
+
+
+def trigram_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+) -> DataFrame:
+    """Substring search through a character-trigram index (the pg_trgm
+    technique): candidate documents are those containing EVERY trigram
+    of the pattern — a sound over-approximation (any true match
+    contains all of them) — and a final ``contains`` verify makes the
+    result EXACT. Same answer as the naive ``LIKE '%pattern%'`` scan;
+    radically different cost shape at scale, because the gram match
+    prunes with an equi-join instead of running a substring automaton
+    over every byte of the corpus.
+
+    Index shape (built inline here; persist ``(gram, id)`` as the
+    standing index in a real deployment — it is append-only under
+    corpus growth): char 3-grams via ``sequence`` + ``substring`` in
+    pure codegen, pre-filtered to the pattern's grams BEFORE the
+    aggregate, so the indexed frame that shuffles is (matched gram,
+    doc) pairs — corpus bytes never move. A doc qualifies when its
+    DISTINCT matched-gram count equals the pattern's distinct-gram
+    count; the verify then re-checks the actual substring (grams can
+    coincide without adjacency). Patterns shorter than 3 chars fall
+    back to the plain scan (no trigrams to prune with).
+
+    Returns ``(id_col,)`` of matching documents — identical to the
+    brute scan by construction, which is exactly what the oracle
+    checks.
+    """
+    pats = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    if not pats:
+        return df.filter(F.contains(F.col(text_col), F.lit(pattern))).select(id_col)
+    pat_arr = F.array(*[F.lit(g) for g in pats])
+    # length < 3 can't hold a trigram (and can't contain the pattern);
+    # the filter also keeps sequence() ascending — sequence(1, 0)
+    # would generate a DESCENDING [1, 0] range, not an empty one
+    grams = (
+        df.filter(F.length(text_col) >= 3)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - 2)).alias("_i"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), 3).alias("_g"))
+    )
+    cand = (
+        grams.filter(F.array_contains(pat_arr, F.col("_g")))
+        .groupBy(id_col)
+        .agg(F.countDistinct("_g").alias("_ng"))
+        .filter(F.col("_ng") == len(pats))
+        .select(id_col)
+    )
+    verified = cand.join(df.select(id_col, text_col), id_col).filter(
+        F.contains(F.col(text_col), F.lit(pattern))
+    )
+    return verified.select(id_col)

@@ -6755,6 +6755,25 @@ SELECT w1, w2, pair_count, head_count, prob_units, rank FROM (
 """
 
 
+def qi1_trigram_search(spark, sf_dir):
+    """Substring search through a character-trigram index (pg_trgm
+    technique): candidates must contain EVERY pattern trigram (sound
+    over-approximation, equi-join pruning instead of a full substring
+    scan), then an exact contains-verify — so the result equals the
+    naive LIKE scan, which is precisely what the oracle runs. Pattern
+    'merge batch' over the documents corpus."""
+    from alaska_etl_spark.operators.text import trigram_search
+
+    return trigram_search(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "merge batch"
+    )
+
+
+QI1_SQL = """
+SELECT doc_id FROM documents WHERE contains(text, 'merge batch')
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6905,6 +6924,7 @@ QUERIES = {
     "qh8_diff_in_diff": qh8_diff_in_diff,
     "qh9_pseudonymize_audit": qh9_pseudonymize_audit,
     "qi0_bigram_lm": qi0_bigram_lm,
+    "qi1_trigram_search": qi1_trigram_search,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7151,6 +7171,7 @@ ORACLES = {
     "qh8_diff_in_diff": QH8_SQL,
     "qh9_pseudonymize_audit": QH9_SQL,
     "qi0_bigram_lm": QI0_SQL,
+    "qi1_trigram_search": QI1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -382,3 +382,35 @@ def test_bigram_lm_final_token_conditions_nothing(spark):
     assert heads == {"x"}
     r = next(r for r in out if r.w1 == "x")
     assert (r.w2, r.pair_count, r.head_count, r.prob_units) == ("z", 2, 2, 10**6)
+
+
+def test_trigram_search_equals_bruteforce(spark):
+    from alaska_etl_spark.operators.text import trigram_search
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "quick brownies"),
+        (2, "slow red fox"),
+        (3, "qu"),              # shorter than a trigram
+        (4, "own b"),           # has grams of the pattern but not the pattern
+        (5, "the quick brown dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for pat in ("quick brown", "fox", "own", "zzz"):
+        got = {r.doc_id for r in trigram_search(df, "doc_id", "text", pat).collect()}
+        want = {
+            r.doc_id
+            for r in df.filter(F.contains(F.col("text"), F.lit(pat))).collect()
+        }
+        assert got == want, pat
+
+
+def test_trigram_search_short_pattern_falls_back(spark):
+    from alaska_etl_spark.operators.text import trigram_search
+
+    df = spark.createDataFrame(
+        [(0, "ab cd"), (1, "xy")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id for r in trigram_search(df, "doc_id", "text", "ab").collect()}
+    assert got == {0}
