@@ -871,3 +871,59 @@ def trigram_search(
         F.contains(F.col(text_col), F.lit(pattern))
     )
     return verified.select(id_col)
+
+
+def column_entropy(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Per-column Shannon entropy + distinct count over categorical
+    columns — the information-content row of a data profile (q77 gives
+    nulls/min/max; this says how much a column actually DISCRIMINATES:
+    entropy ≈ 0 flags near-constant columns, entropy ≈ ln(n_distinct)
+    flags uniform keys — both common data-quality smells).
+
+    The qf8/PSI float discipline: each distinct value's term
+    ``(c/n)·ln(n/c)`` is computed ONCE from exact integers, quantized
+    to 1e-9 BIGINT units, and summed — aggregation-order-free,
+    engine-replayable; NULLs count as a category (a column that is
+    half NULL carries that as information). Unpivot is a ``stack``
+    projection (codegen), so the input scans once for all columns.
+
+    Scale shape: one (column, value) hash aggregate over the unpivoted
+    frame (map-side combined; output is Σ per-column cardinalities),
+    a broadcast of the per-column totals, one per-column sum. Returns
+    ``(column_name, n_distinct, entropy_units)`` — nats at 1e-9,
+    ordered by column name.
+    """
+    stack_expr = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) AS (column_name, _v)")
+    )
+    counts = long.groupBy("column_name", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    totals = counts.groupBy("column_name").agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    terms = counts.join(F.broadcast(totals), "column_name").select(
+        "column_name",
+        "n_distinct",
+        F.round(
+            F.lit(scale)
+            * (F.col("_c") / F.col("_n"))
+            * (F.log(F.col("_n")) - F.log(F.col("_c")))
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    return (
+        terms.groupBy("column_name", "n_distinct")
+        .agg(F.sum("_t").cast("bigint").alias("entropy_units"))
+        .orderBy("column_name")
+    )

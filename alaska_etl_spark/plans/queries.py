@@ -6774,6 +6774,49 @@ SELECT doc_id FROM documents WHERE contains(text, 'merge batch')
 """
 
 
+def qi2_column_entropy(spark, sf_dir):
+    """Information-content profile of the orders dimensions: per-column
+    Shannon entropy (1e-9-unit BIGINT, the per-distinct-value
+    quantized-term discipline) + distinct counts over
+    status/priority/orderdate — low entropy flags near-constant
+    categories, entropy ≈ ln(n_distinct) flags uniform high-card
+    columns (o_orderdate); the discriminating-power row q77's
+    profiler doesn't have."""
+    from alaska_etl_spark.operators.text import column_entropy
+
+    return column_entropy(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+QI2_SQL = """
+WITH long AS (
+  SELECT column_name, v FROM (
+    SELECT 'o_orderstatus' AS column_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+  )
+), counts AS (
+  SELECT column_name, v, CAST(count(*) AS BIGINT) AS c
+  FROM long GROUP BY column_name, v
+), totals AS (
+  SELECT column_name, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY column_name
+), terms AS (
+  SELECT counts.column_name, n_distinct,
+         CAST(round(1000000000 * (c / n) * (ln(n) - ln(c))) AS BIGINT) AS t
+  FROM counts JOIN totals ON counts.column_name = totals.column_name
+)
+SELECT column_name, n_distinct, CAST(sum(t) AS BIGINT) AS entropy_units
+FROM terms GROUP BY column_name, n_distinct
+ORDER BY column_name
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6925,6 +6968,7 @@ QUERIES = {
     "qh9_pseudonymize_audit": qh9_pseudonymize_audit,
     "qi0_bigram_lm": qi0_bigram_lm,
     "qi1_trigram_search": qi1_trigram_search,
+    "qi2_column_entropy": qi2_column_entropy,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7172,6 +7216,7 @@ ORACLES = {
     "qh9_pseudonymize_audit": QH9_SQL,
     "qi0_bigram_lm": QI0_SQL,
     "qi1_trigram_search": QI1_SQL,
+    "qi2_column_entropy": QI2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -414,3 +414,21 @@ def test_trigram_search_short_pattern_falls_back(spark):
     )
     got = {r.doc_id for r in trigram_search(df, "doc_id", "text", "ab").collect()}
     assert got == {0}
+
+
+def test_column_entropy_constant_uniform_and_nulls(spark):
+    import math
+
+    from alaska_etl_spark.operators.text import column_entropy
+
+    rows = [("a", 1, None), ("a", 2, None), ("a", 3, "x"), ("a", 4, "x")]
+    df = spark.createDataFrame(rows, "const string, uniq int, half string")
+    out = {r.column_name: r for r in column_entropy(df, ["const", "uniq", "half"]).collect()}
+    # constant column: zero entropy, one distinct value
+    assert (out["const"].n_distinct, out["const"].entropy_units) == (1, 0)
+    # unique column: entropy = ln(4), each term ln(4)/4 quantized
+    t = round(1e9 * (1 / 4) * (math.log(4) - math.log(1)))
+    assert out["uniq"].n_distinct == 4 and out["uniq"].entropy_units == 4 * t
+    # NULL counts as a category: two values at 50/50 -> ln 2
+    th = round(1e9 * (2 / 4) * (math.log(4) - math.log(2)))
+    assert out["half"].n_distinct == 2 and out["half"].entropy_units == 2 * th
