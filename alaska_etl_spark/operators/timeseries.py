@@ -368,3 +368,40 @@ def seasonal_anomalies(
         (div_half_up("_s", "_n", scale) / float(scale)).alias("bucket_mean"),
         flag.alias("anomalous"),
     ).orderBy("hour_ts")
+
+
+def resettable_running_sum(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    reset_when,
+) -> DataFrame:
+    """Per-partition running sum that RESTARTS whenever ``reset_when``
+    (a boolean Column) fires (``order_cols`` must totally order each
+    partition) — the "balance since last error" /
+    "usage since last rollover" shape that plain window sums can't
+    express and naive solutions hand-loop: the reset row itself starts
+    the new epoch (its value is the epoch's first contribution).
+
+    Pure two-window composition, zero Python: epoch id = running count
+    of resets, then the running sum partitions by (part, epoch). Both
+    windows order the same way inside the same partition hash, so
+    Catalyst plans ONE exchange and ONE sort shared by both (the q89
+    shared-sort discipline — verified in EXPLAINS.md for qi3).
+    Values are integer cents, so every running value is exact BIGINT.
+
+    Returns the input columns plus ``epoch`` and ``run_cents``.
+    """
+    from pyspark.sql import Window
+
+    w_base = Window.partitionBy(part_col).orderBy(*order_cols)
+    epoch = F.sum(F.when(reset_when, 1).otherwise(0)).over(
+        w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_epoch = df.withColumn("epoch", epoch.cast("bigint"))
+    w_run = Window.partitionBy(part_col, "epoch").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    return with_epoch.withColumn("run_cents", F.sum(cents).over(w_run).cast("bigint"))

@@ -6817,6 +6817,38 @@ ORDER BY column_name
 """
 
 
+def qi3_reset_running_sum(spark, sf_dir):
+    """Per-user running value total that RESETS at every error event —
+    the "usage since last incident" conditional-restart shape plain
+    window sums can't express: epoch id = running reset count, then
+    the sum partitions by (user, epoch). Both windows share one
+    exchange + one sort; integer cents end-to-end."""
+    from alaska_etl_spark.operators.timeseries import resettable_running_sum
+
+    e = _t(spark, sf_dir, "events")
+    out = resettable_running_sum(
+        e, "user_id", ["ts", "event_id"], "value",
+        F.col("event_type") == "error",
+    )
+    return out.select("event_id", "user_id", "epoch", "run_cents")
+
+
+QI3_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+  FROM events
+)
+SELECT event_id, user_id, epoch,
+       CAST(sum(cents) OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM e
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -6969,6 +7001,7 @@ QUERIES = {
     "qi0_bigram_lm": qi0_bigram_lm,
     "qi1_trigram_search": qi1_trigram_search,
     "qi2_column_entropy": qi2_column_entropy,
+    "qi3_reset_running_sum": qi3_reset_running_sum,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7217,6 +7250,7 @@ ORACLES = {
     "qi0_bigram_lm": QI0_SQL,
     "qi1_trigram_search": QI1_SQL,
     "qi2_column_entropy": QI2_SQL,
+    "qi3_reset_running_sum": QI3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -239,3 +239,35 @@ def test_seasonal_anomalies_single_sample_bucket_cannot_flag(spark):
     )
     out = seasonal_anomalies(df, "ts").collect()
     assert len(out) == 2 and not any(r.anomalous for r in out)
+
+
+def test_resettable_running_sum_restarts_on_flag(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import resettable_running_sum
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 1.00, 2.00, ERROR 0.50, 3.00 -> runs 100, 300, 50, 350
+        (0, 1, t0 + timedelta(minutes=0), "click", 1.0),
+        (1, 1, t0 + timedelta(minutes=1), "view", 2.0),
+        (2, 1, t0 + timedelta(minutes=2), "error", 0.5),
+        (3, 1, t0 + timedelta(minutes=3), "click", 3.0),
+        # user 2: starts WITH an error -> epoch 1 from the first row
+        (4, 2, t0, "error", 1.0),
+        (5, 2, t0 + timedelta(minutes=1), "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in resettable_running_sum(
+            df, "user_id", ["ts", "event_id"], "value", F.col("event_type") == "error"
+        ).collect()
+    }
+    assert [out[i].run_cents for i in range(4)] == [100, 300, 50, 350]
+    assert [out[i].epoch for i in range(4)] == [0, 0, 1, 1]
+    assert (out[4].epoch, out[4].run_cents) == (1, 100)
+    assert (out[5].epoch, out[5].run_cents) == (1, 200)
