@@ -405,3 +405,66 @@ def resettable_running_sum(
     )
     cents = F.round(F.col(val_col) * 100).cast("bigint")
     return with_epoch.withColumn("run_cents", F.sum(cents).over(w_run).cast("bigint"))
+
+
+def interval_coverage(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    dur_us,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Union length of (possibly overlapping) intervals per key — the
+    gaps-and-islands sweep: how much wall-clock was each user/machine
+    actually covered, counting overlaps once. Intervals are
+    ``[ts, ts + dur_us)`` with ``dur_us`` a BIGINT-microseconds Column.
+
+    The relational sweep-line: order intervals by start; an interval
+    STARTS A NEW ISLAND iff its start exceeds the running max end of
+    everything before it; island id = running count of island starts;
+    each island's covered time is ``max(end) − min(start)``. Three
+    windows + one aggregate, every window over the same (key, start)
+    sort — ONE exchange and ONE sort in the plan (the shared-sort
+    discipline). Arithmetic is entirely BIGINT epoch-microseconds:
+    exact, engine-portable, no timestamp subtraction semantics to
+    disagree on.
+
+    Returns ``(part_col, n_intervals, n_islands, covered_us)`` per key.
+    """
+    from pyspark.sql import Window
+
+    # tz-independent epoch micros: timestampdiff from the NTZ epoch
+    # literal (unix_micros rejects TIMESTAMP_NTZ, and casting through
+    # TIMESTAMP would re-introduce session-timezone semantics)
+    q = ts_col.replace("`", "``")
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{q}`)"
+    )
+    base = df.select(
+        F.col(part_col),
+        micros.alias("_s"),
+        (micros + dur_us).alias("_e"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    )
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("_s"), *([F.col(tiebreak_col)] if tiebreak_col else [])
+    )
+    prev_max_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "_new", F.when(prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1).otherwise(0)
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    islands = flagged.withColumn("_isl", island.cast("bigint"))
+    per_island = islands.groupBy(part_col, "_isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        (F.max("_e") - F.min("_s")).cast("bigint").alias("_cov"),
+    )
+    return (
+        per_island.groupBy(part_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_intervals"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("_cov").cast("bigint").alias("covered_us"),
+        )
+    )

@@ -6849,6 +6849,54 @@ FROM e
 """
 
 
+def qi4_interval_coverage(spark, sf_dir):
+    """Interval-union coverage per user (gaps-and-islands sweep): each
+    event spans value-minutes; overlaps count once. Island starts via
+    running-max-end comparison, island ids via running flag sums, all
+    in BIGINT epoch-microseconds over one shared (user, start) sort.
+    The interval-algebra sibling of q34's gap sessions and q49's
+    concurrency sweep."""
+    from alaska_etl_spark.operators.timeseries import interval_coverage
+
+    e = _t(spark, sf_dir, "events")
+    return interval_coverage(
+        e, "user_id", "ts",
+        F.round(F.col("value") * 60 * 1000000).cast("bigint"),
+        tiebreak_col="event_id",
+    )
+
+
+QI4_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 60 * 1000000) AS BIGINT) AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM base
+), islands AS (
+  SELECT user_id, s, e,
+         CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+  FROM flagged
+), per_island AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(e) - min(s) AS BIGINT) AS cov
+  FROM islands GROUP BY user_id, isl
+)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM per_island GROUP BY user_id
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -7002,6 +7050,7 @@ QUERIES = {
     "qi1_trigram_search": qi1_trigram_search,
     "qi2_column_entropy": qi2_column_entropy,
     "qi3_reset_running_sum": qi3_reset_running_sum,
+    "qi4_interval_coverage": qi4_interval_coverage,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7251,6 +7300,7 @@ ORACLES = {
     "qi1_trigram_search": QI1_SQL,
     "qi2_column_entropy": QI2_SQL,
     "qi3_reset_running_sum": QI3_SQL,
+    "qi4_interval_coverage": QI4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -271,3 +271,33 @@ def test_resettable_running_sum_restarts_on_flag(spark):
     assert [out[i].epoch for i in range(4)] == [0, 0, 1, 1]
     assert (out[4].epoch, out[4].run_cents) == (1, 100)
     assert (out[5].epoch, out[5].run_cents) == (1, 200)
+
+
+def test_interval_coverage_merges_overlaps_once(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import interval_coverage
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: [0,10), [5,15) overlap -> one island covering 15s;
+    #         [60,70) separate -> second island of 10s
+    # user 2: touching intervals [0,10), [10,20) -> ONE island (start not > end)
+    rows = [
+        (0, 1, t0, 10.0),
+        (1, 1, t0 + timedelta(seconds=5), 10.0),
+        (2, 1, t0 + timedelta(seconds=60), 10.0),
+        (3, 2, t0, 10.0),
+        (4, 2, t0 + timedelta(seconds=10), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp, dur_s double")
+    out = {
+        r.user_id: r
+        for r in interval_coverage(
+            df, "user_id", "ts",
+            F.round(F.col("dur_s") * 1000000).cast("bigint"),
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert (out[1].n_intervals, out[1].n_islands, out[1].covered_us) == (3, 2, 25_000_000)
+    assert (out[2].n_intervals, out[2].n_islands, out[2].covered_us) == (2, 1, 20_000_000)
