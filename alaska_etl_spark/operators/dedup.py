@@ -1363,3 +1363,71 @@ def probe_lsh_index(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def bag_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_id: int = 60,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Multiset (bag) Jaccard over token COUNTS — Σ min(cᵃ, cᵇ) /
+    Σ max(cᵃ, cᵇ) — the repetition-aware near-dup measure the
+    set-based q26 misses: a document that repeats one paragraph five
+    times is nearly set-identical to the single-paragraph original but
+    far from it under bag semantics (and vice versa for templated
+    boilerplate). Same bounded-block contract as q26 (ids < max_id).
+
+    Exact integer protocol: per-pair numerator Σmin counts only tokens
+    PRESENT IN BOTH (an inner join on token), while the denominator
+    uses Σmax = total_a + total_b − Σmin (totals from per-doc token
+    counts) — so the one join that runs is the shared-vocabulary join,
+    never a full outer. Threshold compares
+    ``100·Σmin ≥ threshold_pct·Σmax`` in BIGINT; jaccard emits via
+    div_half_up at 1e-4.
+
+    Scale shape: (doc, token, count) aggregate over the block, one
+    token-keyed self-join (inverted-index economics — the qb0 family's
+    prefix/positional filters apply unchanged if the block contract is
+    lifted), one pair aggregate. Returns ``(id_a, id_b, sum_min,
+    sum_max, bag_jaccard)``.
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    block = df.filter(F.col(id_col) < max_id)
+    counts = (
+        block.select(F.col(id_col).alias("_id"), F.explode(word_tokens(text_col)).alias("_w"))
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    totals = counts.groupBy("_id").agg(F.sum("_c").cast("bigint").alias("_n"))
+    a = counts.select(F.col("_id").alias("id_a"), "_w", F.col("_c").alias("_ca"))
+    b = counts.select(F.col("_id").alias("id_b"), "_w", F.col("_c").alias("_cb"))
+    mins = (
+        a.join(b, "_w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("_ca", "_cb")).cast("bigint").alias("sum_min"))
+    )
+    ta = totals.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    tb = totals.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    scored = (
+        mins.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sum_min",
+            (F.col("_na") + F.col("_nb") - F.col("sum_min")).cast("bigint").alias("sum_max"),
+        )
+        .filter(F.lit(100) * F.col("sum_min") >= F.lit(threshold_pct) * F.col("sum_max"))
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "sum_min",
+        "sum_max",
+        (div_half_up("sum_min", "sum_max", 10000) / 10000.0).alias("bag_jaccard"),
+    )

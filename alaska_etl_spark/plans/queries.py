@@ -6897,6 +6897,41 @@ FROM per_island GROUP BY user_id
 """
 
 
+def qi5_bag_jaccard(spark, sf_dir):
+    """Multiset (bag) Jaccard near-dup pairs over the q26 block
+    (ids < 60, threshold 50%): repetition-aware similarity —
+    Σmin/Σmax over token counts, numerator from the shared-vocabulary
+    inner join only, denominator via totals (never a full outer).
+    All-BIGINT threshold, div_half_up 4dp emit."""
+    from alaska_etl_spark.operators.dedup import bag_jaccard_pairs
+
+    return bag_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QI5_SQL = r"""
+WITH counts AS (
+  SELECT doc_id AS id, w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+    FROM documents WHERE doc_id < 60
+  ) GROUP BY doc_id, w
+), totals AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY id
+), mins AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS sum_min
+  FROM counts a JOIN counts b ON a.w = b.w AND a.id < b.id
+  GROUP BY a.id, b.id
+), scored AS (
+  SELECT id_a, id_b, sum_min,
+         CAST(ta.n + tb.n - sum_min AS BIGINT) AS sum_max
+  FROM mins JOIN totals ta ON mins.id_a = ta.id JOIN totals tb ON mins.id_b = tb.id
+)
+SELECT id_a, id_b, sum_min, sum_max,
+       ((2 * 10000 * (sum_min) + (sum_max)) // (2 * (sum_max))) / 10000.0 AS bag_jaccard
+FROM scored WHERE 100 * sum_min >= 50 * sum_max
+"""
+
+
 def qf8_vocab_divergence(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between sources' unigram
     distributions (round 6): the distributional similarity matrix next
@@ -7051,6 +7086,7 @@ QUERIES = {
     "qi2_column_entropy": qi2_column_entropy,
     "qi3_reset_running_sum": qi3_reset_running_sum,
     "qi4_interval_coverage": qi4_interval_coverage,
+    "qi5_bag_jaccard": qi5_bag_jaccard,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7301,6 +7337,7 @@ ORACLES = {
     "qi2_column_entropy": QI2_SQL,
     "qi3_reset_running_sum": QI3_SQL,
     "qi4_interval_coverage": QI4_SQL,
+    "qi5_bag_jaccard": QI5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

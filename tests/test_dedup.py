@@ -514,3 +514,34 @@ def test_dedup_savings_ungrouped_single_row(spark):
     r = rows[0]
     assert r.group == "all" and r.n_docs == 2 and r.n_redundant == 1
     assert r.savings_rate == 0.5
+
+
+def test_bag_jaccard_counts_repetition(spark):
+    from alaska_etl_spark.operators.dedup import bag_jaccard_pairs
+
+    docs = [
+        (0, "a b c"),
+        (1, "a b c a b c"),        # set-identical to 0, bag jaccard 3/6
+        (2, "a b c"),              # exact dup of 0 -> bag jaccard 1.0
+        (3, "x y z"),              # disjoint: no shared tokens, no pair row
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        (r.id_a, r.id_b): r
+        for r in bag_jaccard_pairs(df, "doc_id", "text", threshold_pct=50).collect()
+    }
+    assert (0, 2) in out and out[(0, 2)].bag_jaccard == 1.0
+    assert out[(0, 1)].sum_min == 3 and out[(0, 1)].sum_max == 6
+    assert out[(0, 1)].bag_jaccard == 0.5
+    assert not any(3 in k for k in out)
+
+
+def test_bag_jaccard_threshold_prunes(spark):
+    from alaska_etl_spark.operators.dedup import bag_jaccard_pairs
+
+    docs = [(0, "a b b b"), (1, "a c c c")]
+    # shared: only 'a' -> sum_min 1, sum_max 4+4-1=7 -> 14% < 50%
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    assert bag_jaccard_pairs(df, "doc_id", "text").count() == 0
+    out = bag_jaccard_pairs(df, "doc_id", "text", threshold_pct=10).collect()
+    assert len(out) == 1 and out[0].sum_min == 1 and out[0].sum_max == 7
