@@ -468,3 +468,91 @@ def interval_coverage(
             F.sum("_cov").cast("bigint").alias("covered_us"),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    *,
+    threshold_cents: int,
+) -> DataFrame:
+    """Two-sided CUSUM drift audit per key: how far (and how often) did
+    the running series drift above/below the key's own mean level —
+    the retrospective form of Page's cumulative-sum change detector
+    (reference computes no drift statistics; this extends the q93/qa7
+    anomaly family from point outliers to SUSTAINED level shifts, the
+    kind a z-score on single observations can't see).
+
+    The recursive textbook form ``S_t = max(0, S_{t-1} + x_t - mu)``
+    has the closed window form ``S_t = P_t - min_{0<=j<=t} P_j`` over
+    the centered prefix ``P`` (with ``P_0 = 0``) — a running sum plus
+    a running min, no recursion, no Python. Exactness via the
+    scale-by-n trick: with ``s = sum(cents)`` and ``n`` per key, the
+    centered prefix ``n*prefix_t - t*s`` is pure BIGINT (the qh5
+    leave-one-out discipline). All windows (n, s, prefix, running
+    min/max) order the same way inside the same partition hash, so
+    Catalyst plans ONE exchange and ONE sort (verified in EXPLAINS.md
+    for qi6). Peak drifts are divided back to cents with the shared
+    round-half-up helper — integer end-to-end, engine-exact.
+
+    Returns one row per key: ``(part_col, n_events, alarms_up,
+    alarms_down, max_drift_up_cents, max_drift_down_cents)`` where an
+    alarm counts an observation whose CUSUM statistic exceeds
+    ``threshold_cents`` of cumulative drift (threshold scales by n on
+    the comparison side, keeping both sides BIGINT).
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    w_sorted = Window.partitionBy(part_col).orderBy(*order_cols)
+    w_all = w_sorted.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w_sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    base = df.select(
+        F.col(part_col),
+        *[F.col(c) for c in order_cols],
+        F.round(F.col(val_col) * 100).cast("bigint").alias("_c"),
+    )
+    p_expr = (
+        F.count(F.lit(1)).over(w_all) * F.sum("_c").over(w_run)
+        - F.row_number().over(w_sorted) * F.sum("_c").over(w_all)
+    ).cast("bigint")
+    staged = base.select(
+        F.col(part_col),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("_n"),
+        p_expr.alias("_p"),
+        F.min(p_expr).over(w_run).cast("bigint").alias("_pmin"),
+        F.max(p_expr).over(w_run).cast("bigint").alias("_pmax"),
+    )
+    up = F.col("_p") - F.least(F.col("_pmin"), F.lit(0))
+    down = F.greatest(F.col("_pmax"), F.lit(0)) - F.col("_p")
+    thr = F.lit(int(threshold_cents)) * F.col("_n")
+    return (
+        staged.select(
+            F.col(part_col),
+            F.col("_n"),
+            up.alias("_up"),
+            down.alias("_dn"),
+            (up > thr).cast("int").alias("_au"),
+            (down > thr).cast("int").alias("_ad"),
+        )
+        .groupBy(part_col)
+        .agg(
+            F.max("_n").cast("bigint").alias("n_events"),
+            F.sum("_au").cast("bigint").alias("alarms_up"),
+            F.sum("_ad").cast("bigint").alias("alarms_down"),
+            F.max("_up").alias("_mu"),
+            F.max("_dn").alias("_md"),
+        )
+        .select(
+            F.col(part_col),
+            "n_events",
+            "alarms_up",
+            "alarms_down",
+            div_half_up("_mu", "n_events").alias("max_drift_up_cents"),
+            div_half_up("_md", "n_events").alias("max_drift_down_cents"),
+        )
+    )

@@ -6986,6 +6986,57 @@ FROM frame LEFT JOIN shared USING (ga, gb)
 """
 
 
+def qi6_cusum_drift(spark, sf_dir):
+    """Per-user CUSUM drift audit over event values: sustained
+    level-shift detection (Page's cumulative-sum statistic in its
+    closed running-extrema window form), all-BIGINT via the
+    scale-by-n trick, one exchange + one sort for every window."""
+    from alaska_etl_spark.operators.timeseries import cusum_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = cusum_drift(
+        e, "user_id", ["ts", "event_id"], "value", threshold_cents=2000
+    )
+    return out.orderBy("user_id")
+
+
+QI6_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), staged AS (
+  SELECT user_id, ts, event_id,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(count(*) OVER (PARTITION BY user_id)
+              * sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              * sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS p
+  FROM base
+), extrema AS (
+  SELECT user_id, n, p,
+         CAST(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmin,
+         CAST(max(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmax
+  FROM staged
+), scored AS (
+  SELECT user_id, n,
+         p - least(pmin, 0) AS up,
+         greatest(pmax, 0) - p AS dn
+  FROM extrema
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN up > 2000 * n THEN 1 ELSE 0 END) AS BIGINT) AS alarms_up,
+       CAST(sum(CASE WHEN dn > 2000 * n THEN 1 ELSE 0 END) AS BIGINT) AS alarms_down,
+       CAST((2 * max(up) + max(n)) // (2 * max(n)) AS BIGINT) AS max_drift_up_cents,
+       CAST((2 * max(dn) + max(n)) // (2 * max(n)) AS BIGINT) AS max_drift_down_cents
+FROM scored GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7087,6 +7138,7 @@ QUERIES = {
     "qi3_reset_running_sum": qi3_reset_running_sum,
     "qi4_interval_coverage": qi4_interval_coverage,
     "qi5_bag_jaccard": qi5_bag_jaccard,
+    "qi6_cusum_drift": qi6_cusum_drift,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7338,6 +7390,7 @@ ORACLES = {
     "qi3_reset_running_sum": QI3_SQL,
     "qi4_interval_coverage": QI4_SQL,
     "qi5_bag_jaccard": QI5_SQL,
+    "qi6_cusum_drift": QI6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -301,3 +301,65 @@ def test_interval_coverage_merges_overlaps_once(spark):
     }
     assert (out[1].n_intervals, out[1].n_islands, out[1].covered_us) == (3, 2, 25_000_000)
     assert (out[2].n_intervals, out[2].n_islands, out[2].covered_us) == (2, 1, 20_000_000)
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import cusum_drift
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: 4 obs at 1.00 then 4 obs at 9.00 -> mean 5.00; the centered
+    # prefix bottoms out after obs 4 and the upward CUSUM peaks at the
+    # last obs: S_max = 4 * 4.00 = 16.00 (1600 cents).
+    rows = [(i, 1, t0 + timedelta(minutes=i), "v", 1.0) for i in range(4)]
+    rows += [(i, 1, t0 + timedelta(minutes=i), "v", 9.0) for i in range(4, 8)]
+    # user 2: flat series -> zero drift, zero alarms
+    rows += [(i, 2, t0 + timedelta(minutes=i), "v", 5.0) for i in range(10, 14)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.user_id: r
+        for r in cusum_drift(
+            df, "user_id", ["ts", "event_id"], "value", threshold_cents=1000
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.n_events == 8
+    assert r1.max_drift_up_cents == 1600
+    # downward drift mirrors: prefix peaks at 0 (start), dips to -16.00
+    assert r1.max_drift_down_cents == 1600
+    assert r1.alarms_up >= 1 and r1.alarms_down >= 1
+    r2 = out[2]
+    assert (r2.max_drift_up_cents, r2.max_drift_down_cents) == (0, 0)
+    assert (r2.alarms_up, r2.alarms_down) == (0, 0)
+
+
+def test_cusum_drift_matches_recursive_reference(spark):
+    """Pin the closed window form against the textbook recursion
+    S_t = max(0, S_{t-1} + (x_t - mean)) on a pseudo-random series."""
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import cusum_drift
+
+    t0 = datetime(2024, 1, 1)
+    vals = [((i * 2654435761) % 997) / 100.0 for i in range(40)]
+    rows = [(i, 1, t0 + timedelta(minutes=i), "v", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    cents = [round(v * 100) for v in vals]
+    n, s = len(cents), sum(cents)
+    su = sd = 0
+    max_u = max_d = 0
+    for c in cents:
+        su = max(0, su + n * c - s)
+        sd = min(0, sd + n * c - s)
+        max_u = max(max_u, su)
+        max_d = min(max_d, sd)
+    exp_up = (2 * max_u + n) // (2 * n)
+    exp_dn = (2 * (-max_d) + n) // (2 * n)
+    r = cusum_drift(df, "user_id", ["ts", "event_id"], "value", threshold_cents=10**9).collect()[0]
+    assert (r.max_drift_up_cents, r.max_drift_down_cents) == (exp_up, exp_dn)
+    assert (r.alarms_up, r.alarms_down) == (0, 0)
