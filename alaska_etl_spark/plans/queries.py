@@ -7037,6 +7037,41 @@ FROM scored GROUP BY user_id ORDER BY user_id
 """
 
 
+def qi7_skyline(spark, sf_dir):
+    """2-D skyline (Pareto front) of the part catalog: parts where no
+    other part is both cheaper and at least as large (minimize
+    p_retailprice, maximize p_size). Never pairwise: one groupBy
+    collapses to the distinct-price frame, a running max over that
+    reduced frame marks the staircase, and the tiny front broadcasts
+    back to recover full rows."""
+    from alaska_etl_spark.operators.pareto import skyline_2d
+
+    p = _t(spark, sf_dir, "part")
+    return skyline_2d(
+        p.select("p_partkey", "p_name", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+QI7_SQL = """
+WITH g AS (
+  SELECT p_retailprice AS price, max(p_size) AS gmax
+  FROM part GROUP BY 1
+), g2 AS (
+  SELECT price, gmax,
+         max(gmax) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM g
+), front AS (
+  SELECT price, gmax FROM g2 WHERE prevmax IS NULL OR prevmax < gmax
+)
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part JOIN front ON p_retailprice = front.price AND p_size = front.gmax
+ORDER BY p_retailprice, p_partkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7139,6 +7174,7 @@ QUERIES = {
     "qi4_interval_coverage": qi4_interval_coverage,
     "qi5_bag_jaccard": qi5_bag_jaccard,
     "qi6_cusum_drift": qi6_cusum_drift,
+    "qi7_skyline": qi7_skyline,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7391,6 +7427,7 @@ ORACLES = {
     "qi4_interval_coverage": QI4_SQL,
     "qi5_bag_jaccard": QI5_SQL,
     "qi6_cusum_drift": QI6_SQL,
+    "qi7_skyline": QI7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
