@@ -556,3 +556,69 @@ def cusum_drift(
             div_half_up("_md", "n_events").alias("max_drift_down_cents"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP) of a step series per key: each
+    observation holds its value until the next one, so its weight is
+    the gap duration, not 1 (the reference's hourly means — SURVEY
+    A1, `sources/wind.py:79` — weight every reading equally, which
+    biases toward burst periods; TWAP is the irregular-sampling-safe
+    aggregate a metering/pricing pipeline needs).
+
+    Exact integer protocol: values in cents, gaps in whole
+    milliseconds (``unix_millis``), so ``Σ cents·dur_ms`` stays well
+    inside int64 (≤ 5.6e4 · 2.6e9 ≈ 1.5e14 per month-long key) and
+    the final division is the shared round-half-up emit. One exchange
+    + one sort: the ``lead`` window orders by (ts, tiebreak) inside
+    the key partition; the groupBy that follows reuses the hash
+    partitioning on the key.
+
+    Keys with a single observation (or all observations in the same
+    millisecond) have zero held duration — ``twap_cents`` is NULL for
+    them rather than a fabricated value; ``n_events`` still counts
+    every row.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    w = Window.partitionBy(part_col).orderBy(ts_col, tiebreak_col)
+    # tz-independent epoch millis (unix_millis rejects TIMESTAMP_NTZ;
+    # casting through TIMESTAMP re-introduces session-tz semantics)
+    q = ts_col.replace("`", "``")
+    ms = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{q}`)"
+        " div 1000"
+    )
+    staged = df.select(
+        F.col(part_col),
+        F.round(F.col(val_col) * 100).cast("bigint").alias("_c"),
+        ms.alias("_ms"),
+        F.lead(ms).over(w).alias("_next_ms"),
+    ).select(
+        F.col(part_col),
+        F.col("_c"),
+        (F.col("_next_ms") - F.col("_ms")).alias("_dur"),
+    )
+    agg = staged.groupBy(part_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("_dur"), F.lit(0)).cast("bigint").alias("active_ms"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_dur")), F.lit(0))
+        .cast("bigint")
+        .alias("_wsum"),
+    )
+    return agg.select(
+        F.col(part_col),
+        "n_events",
+        "active_ms",
+        F.when(
+            F.col("active_ms") > 0, div_half_up("_wsum", "active_ms")
+        ).alias("twap_cents"),
+    )

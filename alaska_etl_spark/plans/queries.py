@@ -7072,6 +7072,42 @@ ORDER BY p_retailprice, p_partkey
 """
 
 
+def qi8_twap(spark, sf_dir):
+    """Time-weighted average event value per user: each observation's
+    weight is the millisecond gap until the next one (step-series
+    semantics), not 1 — the irregular-sampling-safe mean. Exact
+    cents·ms BIGINT sums, round-half-up emit; one exchange + one
+    sort (the groupBy reuses the lead window's key partitioning)."""
+    from alaska_etl_spark.operators.timeseries import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    return time_weighted_avg(e, "user_id", "ts", "event_id", "value").orderBy(
+        "user_id"
+    )
+
+
+QI8_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_ms(ts) AS dur
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(coalesce(sum(dur), 0) AS BIGINT) AS active_ms,
+         CAST(coalesce(sum(c * dur), 0) AS BIGINT) AS wsum
+  FROM staged GROUP BY user_id
+)
+SELECT user_id, n_events, active_ms,
+       CASE WHEN active_ms > 0
+            THEN CAST((2 * wsum + active_ms) // (2 * active_ms) AS BIGINT)
+       END AS twap_cents
+FROM agg ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7175,6 +7211,7 @@ QUERIES = {
     "qi5_bag_jaccard": qi5_bag_jaccard,
     "qi6_cusum_drift": qi6_cusum_drift,
     "qi7_skyline": qi7_skyline,
+    "qi8_twap": qi8_twap,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7428,6 +7465,7 @@ ORACLES = {
     "qi5_bag_jaccard": QI5_SQL,
     "qi6_cusum_drift": QI6_SQL,
     "qi7_skyline": QI7_SQL,
+    "qi8_twap": QI8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -363,3 +363,57 @@ def test_cusum_drift_matches_recursive_reference(spark):
     r = cusum_drift(df, "user_id", ["ts", "event_id"], "value", threshold_cents=10**9).collect()[0]
     assert (r.max_drift_up_cents, r.max_drift_down_cents) == (exp_up, exp_dn)
     assert (r.alarms_up, r.alarms_down) == (0, 0)
+
+
+def test_time_weighted_avg_holds_value_over_gaps(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: value 1.00 held 3s, then 5.00 held 1s, last obs unweighted.
+    # TWAP = (100*3000 + 500*1000) / 4000 = 200 cents
+    rows = [
+        (1, 1, t0, "v", 1.0),
+        (2, 1, t0 + timedelta(seconds=3), "v", 5.0),
+        (3, 1, t0 + timedelta(seconds=4), "v", 999.0),
+        # user 2: single observation -> NULL twap, 0 active
+        (4, 2, t0, "v", 7.0),
+        # user 3: two obs in the same millisecond -> 0 duration -> NULL
+        (5, 3, t0, "v", 1.0),
+        (6, 3, t0 + timedelta(microseconds=400), "v", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.user_id: r
+        for r in time_weighted_avg(df, "user_id", "ts", "event_id", "value").collect()
+    }
+    assert (out[1].n_events, out[1].active_ms, out[1].twap_cents) == (3, 4000, 200)
+    assert (out[2].n_events, out[2].active_ms, out[2].twap_cents) == (1, 0, None)
+    assert (out[3].n_events, out[3].active_ms, out[3].twap_cents) == (2, 0, None)
+
+
+def test_time_weighted_avg_ignores_input_order(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + timedelta(seconds=i), "v", float(i % 7))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    a = time_weighted_avg(df, "user_id", "ts", "event_id", "value").collect()
+    b = time_weighted_avg(
+        df.orderBy(F.col("value").desc()), "user_id", "ts", "event_id", "value"
+    ).collect()
+    assert a == b
+    # equal 1s gaps -> TWAP is the plain mean of the first n-1 values
+    cents = [100 * (i % 7) for i in range(19)]
+    exp = (2 * sum(c * 1000 for c in cents) + 19000) // (2 * 19000)
+    assert a[0].twap_cents == exp
