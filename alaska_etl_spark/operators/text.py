@@ -927,3 +927,75 @@ def column_entropy(
         .agg(F.sum("_t").cast("bigint").alias("entropy_units"))
         .orderBy("column_name")
     )
+
+
+def vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, n_batches: int = 10
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: reading the corpus in id
+    order, how many NEW token types does each successive batch of
+    documents introduce? The curve's flattening is the standard
+    diminishing-returns diagnostic for corpus curation — when
+    vocab_cum stops growing, additional scraping of the same source
+    mostly re-collects known language (Heaps '78; the reference —
+    apsocarras/alaska-etl — has no corpus-growth analytics).
+
+    Scale design: NO global window over documents. Batch assignment is
+    ``least(n-1, id·n div (max_id+1))`` with the max taken from a
+    1-row aggregate joined by broadcast — ids are assumed roughly
+    dense (the loader's contract); skewed ids skew batch SIZES, never
+    correctness of the first-occurrence logic. Token first occurrence
+    is ``groupBy(token).agg(min(id))`` — one shuffle on the token,
+    partial-aggregated map-side. The final cumulative window runs over
+    ``n_batches`` rows only.
+
+    Returns one row per batch: ``(batch, n_docs, docs_cum,
+    batch_tokens, tokens_cum, new_types, vocab_cum)`` — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    maxid = df.agg(F.max(id_col).alias("_maxid"))
+    based = df.select(F.col(id_col).alias("_id"), toks.alias("_tk")).join(
+        F.broadcast(maxid)
+    )
+    batched = based.select(
+        F.expr(
+            f"least(cast({n_batches - 1} as bigint),"
+            f" (_id * {n_batches}) div (_maxid + 1))"
+        )
+        .cast("bigint")
+        .alias("batch"),
+        F.col("_id"),
+        F.col("_tk"),
+    )
+    per_batch = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("_tk")).cast("bigint").alias("batch_tokens"),
+    )
+    first_seen = (
+        batched.select("batch", F.explode("_tk").alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("batch").alias("_fb"))
+        .groupBy(F.col("_fb").alias("batch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w_cum = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(first_seen, on="batch", how="left")
+        .select(
+            "batch",
+            "n_docs",
+            "batch_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .select(
+            "batch",
+            "n_docs",
+            F.sum("n_docs").over(w_cum).cast("bigint").alias("docs_cum"),
+            "batch_tokens",
+            F.sum("batch_tokens").over(w_cum).cast("bigint").alias("tokens_cum"),
+            "new_types",
+            F.sum("new_types").over(w_cum).cast("bigint").alias("vocab_cum"),
+        )
+    )

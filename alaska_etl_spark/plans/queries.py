@@ -7108,6 +7108,51 @@ FROM agg ORDER BY user_id
 """
 
 
+def qi9_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: new token types introduced per
+    decile batch of the corpus read in doc_id order, with cumulative
+    docs/tokens/vocab — the diminishing-returns curve for corpus
+    curation. No global window over documents: batch = id-range bucket
+    via a broadcast 1-row max, first occurrence = min(batch) per
+    token, cumulative window over 10 rows only."""
+    from alaska_etl_spark.operators.text import vocab_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_growth(d, "doc_id", "text", n_batches=10).orderBy("batch")
+
+
+QI9_SQL = r"""
+WITH maxid AS (
+  SELECT max(doc_id) AS m FROM documents
+), batched AS (
+  SELECT least(9, (doc_id * 10) // (m + 1)) AS batch,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents, maxid
+), per_batch AS (
+  SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) AS BIGINT) AS batch_tokens
+  FROM batched GROUP BY batch
+), first_seen AS (
+  SELECT fb AS batch, CAST(count(*) AS BIGINT) AS new_types FROM (
+    SELECT w, min(batch) AS fb FROM (
+      SELECT batch, unnest(tk) AS w FROM batched
+    ) GROUP BY w
+  ) GROUP BY fb
+)
+SELECT CAST(batch AS BIGINT) AS batch, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_cum,
+       batch_tokens,
+       CAST(sum(batch_tokens) OVER (ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum,
+       CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+FROM per_batch LEFT JOIN first_seen USING (batch)
+ORDER BY batch
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7212,6 +7257,7 @@ QUERIES = {
     "qi6_cusum_drift": qi6_cusum_drift,
     "qi7_skyline": qi7_skyline,
     "qi8_twap": qi8_twap,
+    "qi9_vocab_growth": qi9_vocab_growth,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7466,6 +7512,7 @@ ORACLES = {
     "qi6_cusum_drift": QI6_SQL,
     "qi7_skyline": QI7_SQL,
     "qi8_twap": QI8_SQL,
+    "qi9_vocab_growth": QI9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -432,3 +432,44 @@ def test_column_entropy_constant_uniform_and_nulls(spark):
     # NULL counts as a category: two values at 50/50 -> ln 2
     th = round(1e9 * (2 / 4) * (math.log(4) - math.log(2)))
     assert out["half"].n_distinct == 2 and out["half"].entropy_units == 2 * th
+
+
+def test_vocab_growth_counts_first_occurrences(spark):
+    from alaska_etl_spark.operators.text import vocab_growth
+
+    docs = [
+        (0, "a b c"),        # batch 0: 3 new types, 3 tokens
+        (1, "a b"),          # batch 0: nothing new
+        (2, "c d"),          # batch 1: d new
+        (3, "e e e"),        # batch 1: e new
+        (4, "a d e"),        # batch 2: nothing new
+        (5, "f"),            # batch 2: f new
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.batch: r for r in vocab_growth(df, "doc_id", "text", n_batches=3).collect()}
+    assert (out[0].n_docs, out[0].batch_tokens, out[0].new_types) == (2, 5, 3)
+    assert (out[1].n_docs, out[1].batch_tokens, out[1].new_types) == (2, 5, 2)
+    assert (out[2].n_docs, out[2].batch_tokens, out[2].new_types) == (2, 4, 1)
+    assert [out[b].vocab_cum for b in (0, 1, 2)] == [3, 5, 6]
+    assert [out[b].tokens_cum for b in (0, 1, 2)] == [5, 10, 14]
+    assert [out[b].docs_cum for b in (0, 1, 2)] == [2, 4, 6]
+
+
+def test_vocab_growth_total_vocab_is_distinct_type_count(spark):
+    from alaska_etl_spark.operators.text import vocab_growth
+
+    docs = [
+        (i, " ".join(f"w{(i * j * 2654435761) % 37}" for j in range(1, 8)))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = vocab_growth(df, "doc_id", "text", n_batches=5).orderBy("batch").collect()
+    all_types = {
+        w for _, t in docs for w in t.lower().split() if w
+    }
+    assert rows[-1].vocab_cum == len(all_types)
+    assert rows[-1].docs_cum == 50
+    assert sum(r.new_types for r in rows) == len(all_types)
+    # monotone non-increasing marginal vocabulary is NOT guaranteed, but
+    # cumulative counts must be strictly monotone in docs/tokens
+    assert all(a.docs_cum < b.docs_cum for a, b in zip(rows, rows[1:]))
