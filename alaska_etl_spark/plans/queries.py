@@ -7153,6 +7153,51 @@ ORDER BY batch
 """
 
 
+def qj0_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup pairs (Hernández-Stolfo SNM): sort
+    by a normalized 24-char text prefix inside 8-char block
+    partitions, compare each doc with its next 5 neighbors, verify
+    with exact set Jaccard at 50%. O(n·w) comparisons, one exchange +
+    one sort — the prefix-affinity complement to MinHash/SimHash."""
+    from alaska_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=6, threshold_pct=50
+    ).orderBy("id_a", "id_b")
+
+
+QJ0_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS key,
+         list_sort(list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tk
+  FROM documents
+), numbered AS (
+  SELECT id, tk,
+         row_number() OVER (PARTITION BY substring(key, 1, 8)
+                            ORDER BY key, id) AS rn,
+         substring(key, 1, 8) AS block
+  FROM base
+), cand AS (
+  SELECT a.id AS ia, b.id AS ib, a.tk AS ta, b.tk AS tb
+  FROM numbered a JOIN numbered b
+    ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 5
+), scored AS (
+  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS BIGINT) AS inter,
+         CAST(len(ta) + len(tb) AS BIGINT) AS sz
+  FROM cand
+)
+SELECT id_a, id_b, inter, CAST(sz - inter AS BIGINT) AS uni,
+       ((2 * 10000 * inter + (sz - inter)) // (2 * (sz - inter))) / 10000.0 AS jaccard
+FROM scored
+WHERE sz - inter > 0 AND 100 * inter >= 50 * (sz - inter)
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7258,6 +7303,7 @@ QUERIES = {
     "qi7_skyline": qi7_skyline,
     "qi8_twap": qi8_twap,
     "qi9_vocab_growth": qi9_vocab_growth,
+    "qj0_sorted_neighborhood": qj0_sorted_neighborhood,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7513,6 +7559,7 @@ ORACLES = {
     "qi7_skyline": QI7_SQL,
     "qi8_twap": QI8_SQL,
     "qi9_vocab_growth": QI9_SQL,
+    "qj0_sorted_neighborhood": QJ0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -545,3 +545,63 @@ def test_bag_jaccard_threshold_prunes(spark):
     assert bag_jaccard_pairs(df, "doc_id", "text").count() == 0
     out = bag_jaccard_pairs(df, "doc_id", "text", threshold_pct=10).collect()
     assert len(out) == 1 and out[0].sum_min == 1 and out[0].sum_max == 7
+
+
+def test_sorted_neighborhood_finds_prefix_neighbors(spark):
+    from alaska_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = [
+        (1, "Alpha Beta Gamma Delta"),
+        (2, "alpha beta  gamma delta"),   # same normalized key -> adjacent
+        (3, "alpha beta gamma DELTA epsilon"),
+        (10, "zeta eta theta"),
+        (11, "completely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        (r.id_a, r.id_b): r
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=3, threshold_pct=50
+        ).collect()
+    }
+    # (1,2): identical token sets -> jaccard 1.0
+    assert (1, 2) in out and out[(1, 2)].jaccard == 1.0
+    # (1,3)/(2,3): 4 shared of 5 union = 0.8
+    assert out[(1, 3)].inter == 4 and out[(1, 3)].uni == 5
+    assert out[(2, 3)].jaccard == 0.8
+    assert not any(10 in p or 11 in p for p in out)
+
+
+def test_sorted_neighborhood_window_and_block_bounds(spark):
+    from alaska_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # identical texts but window=2 only pairs adjacent rows in sort
+    # order: 3 docs yield 2 pairs, not 3
+    docs = [(i, "same words here") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=2, threshold_pct=50
+        ).collect()
+    )
+    assert got == [(0, 1), (1, 2)]
+    # different blocks never pair even with identical token SETS
+    docs2 = [(1, "aaaa xx yy"), (2, "bbbb xx yy")]
+    df2 = spark.createDataFrame(docs2, "doc_id bigint, text string")
+    assert (
+        sorted_neighborhood_pairs(df2, "doc_id", "text", window=4, threshold_pct=10).count()
+        == 0
+    )
+
+
+def test_sorted_neighborhood_empty_texts_no_pairs(spark):
+    from alaska_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "   ")], "doc_id bigint, text string"
+    )
+    assert (
+        sorted_neighborhood_pairs(df, "doc_id", "text", window=3, threshold_pct=0).count()
+        == 0
+    )
