@@ -109,3 +109,61 @@ def pseudonymize(
             ).otherwise(F.substring(digest, 1, digest_chars)),
         )
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[Column | str],
+    ks: tuple[int, ...] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    '02): a release is k-anonymous iff every QI group contains at
+    least k rows — singleton groups re-identify individuals even after
+    direct identifiers are pseudonymized (the audit that belongs next
+    to :func:`pseudonymize`, which hides WHO but not HOW UNIQUE).
+
+    One shuffle total: ``groupBy(QI).count`` reduces to group sizes,
+    a second groupBy collapses sizes to a size histogram (at most
+    |distinct sizes| rows — tiny), and the per-k report is conditional
+    aggregation of the histogram against an inline k frame. Nothing
+    after the first aggregate touches row-scale data.
+
+    Returns one row per k: ``(k, n_rows, n_groups, k_anonymity,
+    groups_below, rows_below, rows_below_bp)`` — k_anonymity is the
+    minimum group size (the largest k the release satisfies);
+    rows_below_bp is basis points of rows in violating groups
+    (round-half-up, exact integers end-to-end).
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+    sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_sz"))
+    hist = sizes.groupBy("_sz").agg(F.count(F.lit(1)).cast("bigint").alias("_ng"))
+    spark = df.sparkSession
+    kf = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
+    return (
+        hist.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("_sz") * F.col("_ng")).cast("bigint").alias("n_rows"),
+            F.sum("_ng").cast("bigint").alias("n_groups"),
+            F.min("_sz").cast("bigint").alias("k_anonymity"),
+            F.sum(F.when(F.col("_sz") < F.col("k"), F.col("_ng")).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below"),
+            F.sum(
+                F.when(F.col("_sz") < F.col("k"), F.col("_sz") * F.col("_ng")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_below"),
+        )
+        .select(
+            "k",
+            "n_rows",
+            "n_groups",
+            "k_anonymity",
+            "groups_below",
+            "rows_below",
+            div_half_up("rows_below", "n_rows", 10000).alias("rows_below_bp"),
+        )
+    )

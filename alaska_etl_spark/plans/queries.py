@@ -7198,6 +7198,50 @@ ORDER BY id_a, id_b
 """
 
 
+def qj1_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (mktsegment, nationkey, acctbal-to-$100-bucket):
+    per k in {2,5,10}, how many QI groups / rows fall below k. The
+    audit that belongs next to qh9's pseudonymization — hashing hides
+    WHO, this measures HOW UNIQUE. Two aggregates: row-scale data is
+    touched once; the per-k report runs over the size histogram.
+    Bucket arithmetic is shifted-cents integer div (truncate-vs-floor
+    safe for negative balances)."""
+    from alaska_etl_spark.operators.redact import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "(cast(round(c_acctbal * 100) as bigint) + 100000) div 10000"
+    ).alias("bal_bucket")
+    return k_anonymity_audit(
+        c, [F.col("c_mktsegment"), F.col("c_nationkey"), bucket], ks=(2, 5, 10)
+    ).orderBy("k")
+
+
+QJ1_SQL = """
+WITH sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS sz
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+), hist AS (
+  SELECT sz, CAST(count(*) AS BIGINT) AS ng FROM sizes GROUP BY sz
+), ks AS (
+  SELECT unnest([2, 5, 10]) AS k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(sz * ng) AS BIGINT) AS n_rows,
+       CAST(sum(ng) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < k THEN ng ELSE 0 END) AS BIGINT) AS groups_below,
+       CAST(sum(CASE WHEN sz < k THEN sz * ng ELSE 0 END) AS BIGINT) AS rows_below,
+       CAST((2 * 10000 * sum(CASE WHEN sz < k THEN sz * ng ELSE 0 END)
+             + sum(sz * ng)) // (2 * sum(sz * ng)) AS BIGINT) AS rows_below_bp
+FROM hist CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7304,6 +7348,7 @@ QUERIES = {
     "qi8_twap": qi8_twap,
     "qi9_vocab_growth": qi9_vocab_growth,
     "qj0_sorted_neighborhood": qj0_sorted_neighborhood,
+    "qj1_k_anonymity": qj1_k_anonymity,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7560,6 +7605,7 @@ ORACLES = {
     "qi8_twap": QI8_SQL,
     "qi9_vocab_growth": QI9_SQL,
     "qj0_sorted_neighborhood": QJ0_SQL,
+    "qj1_k_anonymity": QJ1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -85,3 +85,44 @@ def test_pseudonymize_preserves_joins_across_tables(spark):
     pb = pseudonymize(b, ["user_id"], salt="k")
     joined = pa.join(pb, "user_id")
     assert joined.count() == a.join(b, "user_id").count() == 2
+
+
+def test_k_anonymity_audit_counts_violations(spark):
+    from alaska_etl_spark.operators.redact import k_anonymity_audit
+
+    # groups: A->4 rows, B->2 rows, C->1 row (singleton)
+    rows = [("A",)] * 4 + [("B",)] * 2 + [("C",)]
+    df = spark.createDataFrame(rows, "qi string")
+    out = {r.k: r for r in k_anonymity_audit(df, ["qi"], ks=(2, 3, 5)).collect()}
+    for k in (2, 3, 5):
+        assert (out[k].n_rows, out[k].n_groups, out[k].k_anonymity) == (7, 3, 1)
+    assert (out[2].groups_below, out[2].rows_below) == (1, 1)
+    assert (out[3].groups_below, out[3].rows_below) == (2, 3)
+    assert (out[5].groups_below, out[5].rows_below) == (3, 7)
+    # basis points: round_half_up(10000 * 3/7) = 4286
+    assert out[3].rows_below_bp == 4286
+    assert out[5].rows_below_bp == 10000
+
+
+def test_k_anonymity_audit_fully_anonymous(spark):
+    from alaska_etl_spark.operators.redact import k_anonymity_audit
+
+    rows = [(g,) for g in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "qi string")
+    out = {r.k: r for r in k_anonymity_audit(df, ["qi"], ks=(2, 5)).collect()}
+    assert out[2].k_anonymity == 5 and out[2].groups_below == 0
+    assert out[5].groups_below == 0 and out[5].rows_below_bp == 0
+
+
+def test_k_anonymity_audit_multi_column_qi(spark):
+    from alaska_etl_spark.operators.redact import k_anonymity_audit
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 1)]
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = {
+        r.k: r
+        for r in k_anonymity_audit(df, ["seg", F.col("nat")], ks=(2,)).collect()
+    }
+    # groups (a,1)=2, (a,2)=1, (b,1)=1
+    assert (out[2].n_groups, out[2].groups_below, out[2].rows_below) == (3, 2, 2)
