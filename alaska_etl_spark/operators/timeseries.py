@@ -622,3 +622,96 @@ def time_weighted_avg(
             F.col("active_ms") > 0, div_half_up("_wsum", "active_ms")
         ).alias("twap_cents"),
     )
+
+
+def ltob_downsample(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket visual downsampling per key
+    (Steinarsson '13, the per-bucket-independent sibling of LTTB that
+    TimescaleDB ships as ``lttb``/``lobf``): split each key's series
+    into ``n_buckets`` equal-count buckets and keep, per bucket, the
+    point forming the largest triangle with its immediate neighbors —
+    the point whose removal would most distort the plotted line.
+    Endpoints are always kept (their triangle is undefined; emitted
+    with NULL area). Unlike LTTB proper, bucket choices don't depend
+    on the previous bucket's pick, so the whole operator is window
+    algebra — no recursion, no Python.
+
+    Exact integer protocol: x = epoch milliseconds, y = cents; the
+    doubled triangle area ``|(x-xp)(yn-yp) - (xn-xp)(y-yp)|`` is pure
+    BIGINT (≤ ~2.6e9 ms · 1e5 cents ≈ 2.6e14). Ties break on
+    (earliest ts, smallest tiebreak) — total order, engine-exact.
+
+    Plan shape: every per-key window (row_number, count, lag, lead)
+    shares one exchange + one sort on (key, ts, tiebreak); the bucket
+    winner window clusters by (key, bucket) which the existing hash
+    partitioning on key already satisfies — Catalyst inserts only a
+    sort, never a second exchange.
+
+    Returns ``(part_col, bucket, ts_col, cents, area2)``.
+    """
+    from pyspark.sql import Window
+
+    q = ts_col.replace("`", "``")
+    ms = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{q}`)"
+        " div 1000"
+    )
+    staged = df.select(
+        F.col(part_col),
+        F.col(ts_col),
+        F.col(tiebreak_col).alias("_tb"),
+        ms.alias("_x"),
+        F.round(F.col(val_col) * 100).cast("bigint").alias("_y"),
+    )
+    w = Window.partitionBy(part_col).orderBy(ts_col, "_tb")
+    staged = staged.select(
+        F.col(part_col),
+        F.col(ts_col),
+        "_tb",
+        "_x",
+        "_y",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+        F.lag("_x").over(w).alias("_xp"),
+        F.lag("_y").over(w).alias("_yp"),
+        F.lead("_x").over(w).alias("_xn"),
+        F.lead("_y").over(w).alias("_yn"),
+    )
+    bucket = F.expr(f"(cast(_rn as bigint) - 1) * {n_buckets} div _n").alias("bucket")
+    area2 = F.abs(
+        (F.col("_x") - F.col("_xp")) * (F.col("_yn") - F.col("_yp"))
+        - (F.col("_xn") - F.col("_xp")) * (F.col("_y") - F.col("_yp"))
+    ).cast("bigint")
+    scored = staged.select(
+        F.col(part_col),
+        bucket,
+        F.col(ts_col),
+        "_tb",
+        F.col("_y").alias("cents"),
+        F.when((F.col("_rn") > 1) & (F.col("_rn") < F.col("_n")), area2).alias(
+            "area2"
+        ),
+        F.col("_rn"),
+        F.col("_n"),
+    )
+    w_win = Window.partitionBy(part_col, "bucket").orderBy(
+        F.col("area2").desc(), F.col(ts_col).asc(), F.col("_tb").asc()
+    )
+    interior_winners = (
+        scored.filter((F.col("_rn") > 1) & (F.col("_rn") < F.col("_n")))
+        .withColumn("_w", F.row_number().over(w_win))
+        .filter(F.col("_w") == 1)
+    )
+    endpoints = scored.filter((F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")))
+    keep = [part_col, "bucket", ts_col, "cents", "area2"]
+    return interior_winners.select(*keep).unionByName(endpoints.select(*keep))

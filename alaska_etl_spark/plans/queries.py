@@ -7242,6 +7242,56 @@ GROUP BY k ORDER BY k
 """
 
 
+def qj2_ltob_downsample(spark, sf_dir):
+    """Largest-Triangle-One-Bucket visual downsampling of each user's
+    event series to 10 buckets: keep per bucket the point with the
+    largest doubled triangle area vs its immediate neighbors (pure
+    BIGINT cross products over epoch-ms × cents), endpoints always
+    kept. All per-key windows share one exchange + one sort; the
+    bucket-winner window reuses the key hash partitioning."""
+    from alaska_etl_spark.operators.timeseries import ltob_downsample
+
+    e = _t(spark, sf_dir, "events")
+    return ltob_downsample(
+        e, "user_id", "ts", "event_id", "value", n_buckets=10
+    ).orderBy("user_id", "ts")
+
+
+QJ2_SQL = """
+WITH staged AS (
+  SELECT user_id, ts, event_id AS tb,
+         epoch_us(ts) // 1000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(epoch_us(ts) // 1000) OVER w AS xp,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS yp,
+         lead(epoch_us(ts) // 1000) OVER w AS xn,
+         lead(CAST(round(value * 100) AS BIGINT)) OVER w AS yn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT user_id, (rn - 1) * 10 // n AS bucket, ts, tb, y AS cents,
+         CASE WHEN rn > 1 AND rn < n
+              THEN abs((x - xp) * (yn - yp) - (xn - xp) * (y - yp)) END AS area2,
+         rn, n
+  FROM staged
+), winners AS (
+  SELECT user_id, bucket, ts, cents, area2
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY area2 DESC, ts, tb) AS wn
+        FROM scored WHERE rn > 1 AND rn < n)
+  WHERE wn = 1
+), eps AS (
+  SELECT user_id, bucket, ts, cents, area2 FROM scored WHERE rn = 1 OR rn = n
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, ts, cents,
+       CAST(area2 AS BIGINT) AS area2
+FROM (SELECT * FROM winners UNION ALL SELECT * FROM eps)
+ORDER BY user_id, ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7349,6 +7399,7 @@ QUERIES = {
     "qi9_vocab_growth": qi9_vocab_growth,
     "qj0_sorted_neighborhood": qj0_sorted_neighborhood,
     "qj1_k_anonymity": qj1_k_anonymity,
+    "qj2_ltob_downsample": qj2_ltob_downsample,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7606,6 +7657,7 @@ ORACLES = {
     "qi9_vocab_growth": QI9_SQL,
     "qj0_sorted_neighborhood": QJ0_SQL,
     "qj1_k_anonymity": QJ1_SQL,
+    "qj2_ltob_downsample": QJ2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

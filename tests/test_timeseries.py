@@ -417,3 +417,72 @@ def test_time_weighted_avg_ignores_input_order(spark):
     cents = [100 * (i % 7) for i in range(19)]
     exp = (2 * sum(c * 1000 for c in cents) + 19000) // (2 * 19000)
     assert a[0].twap_cents == exp
+
+
+def test_ltob_keeps_endpoints_and_bucket_peaks(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import ltob_downsample
+
+    t0 = datetime(2024, 1, 1)
+    # 9 points, 3 buckets of 3 (rn 1-3, 4-6, 7-9). Flat line except a
+    # spike at rn=5 (bucket 1): interior winner of bucket 1 must be the
+    # spike; endpoints rn=1 and rn=9 always kept.
+    vals = [1.0, 1.0, 1.0, 1.0, 50.0, 1.0, 1.0, 1.0, 1.0]
+    rows = [
+        (i, 1, t0 + timedelta(seconds=i), "v", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = ltob_downsample(df, "user_id", "ts", "event_id", "value", n_buckets=3)
+    got = [(r.bucket, r.cents, r.area2) for r in out.collect()]
+    # endpoints: (bucket 0, 100, None) and (bucket 2, 100, None)
+    assert (0, 100, None) in got and (2, 100, None) in got
+    # bucket 1 winner is the spike: area2 = |(1000)*(0) - (2000)*(4900)| = 9.8e6
+    assert (1, 5000, 9_800_000) in got
+    assert len(got) == 5  # 2 endpoints + 3 bucket winners
+
+
+def test_ltob_flat_series_ties_break_earliest(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import ltob_downsample
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + timedelta(seconds=i), "v", 2.0) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = ltob_downsample(df, "user_id", "ts", "event_id", "value", n_buckets=2).collect()
+    # all areas 0 -> per bucket the EARLIEST interior point wins
+    interior = sorted(
+        (r.bucket, r.ts) for r in out if r.area2 is not None
+    )
+    assert [b for b, _ in interior] == [0, 1]
+    assert interior[0][1] == t0 + timedelta(seconds=1)  # rn=2, first interior
+    assert interior[1][1] == t0 + timedelta(seconds=4)  # bucket 1 starts at rn=5
+
+
+def test_ltob_tiny_keys(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import ltob_downsample
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "v", 1.0),                            # singleton key
+        (2, 2, t0, "v", 1.0),
+        (3, 2, t0 + timedelta(seconds=1), "v", 2.0),      # 2-point key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = ltob_downsample(df, "user_id", "ts", "event_id", "value", n_buckets=4).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0].area2 is None
+    assert len(per_user[2]) == 2 and all(r.area2 is None for r in per_user[2])
