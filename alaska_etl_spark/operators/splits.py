@@ -540,3 +540,94 @@ def split_leakage(
             (div_half_up("_p", "_q", 10000) / F.lit(10000.0)).alias("jaccard"),
         )
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    label_col: str,
+    *,
+    n_folds: int = 5,
+    seed: int = 7,
+    smoothing: int = 20,
+) -> DataFrame:
+    """Out-of-fold target (mean) encoding with additive smoothing — the
+    leakage-safe form of the classic high-cardinality categorical
+    feature (Micci-Barreca '01): each row's encoding uses only label
+    mass from OTHER folds, so the feature never memorizes the row's
+    own label (the same leakage discipline as :func:`split_leakage`,
+    applied to feature construction instead of split audit).
+
+    ``enc = (S_oof + m·μ_global) / (n_oof + m)`` with smoothing m —
+    computed entirely in integers by multiplying through by the global
+    count: ``num = S_oof·G_n + m·G_s``, ``den = (n_oof + m)·G_n``
+    (cents; bound: |S_oof·G_n| needs label_sum·rows < 2^63 — holds to
+    ~10^9 rows of 10^5-cent labels; beyond that pre-scale the cents).
+    Categories entirely inside one fold degrade gracefully to the
+    global prior (n_oof = 0 ⇒ num/den = G_s/G_n).
+
+    Folds are the engine's deterministic 31-bit affine hash of the id
+    (:func:`hash_bucket` mod n_folds) — reproducible across engines
+    and runs, no stored fold table. Plan: one groupBy to (cat, fold)
+    grain, a per-cat window over that REDUCED frame, one 1-row global
+    aggregate broadcast in, and a broadcast join back to rows — the
+    fact table is scanned twice and shuffled never (the encode join
+    is map-side).
+
+    Returns one row per input row: ``(id, cat, fold, n_oof, enc)``
+    with enc = smoothed OOF mean in cents at 4dp (round-half-up).
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    m = int(smoothing)
+    fold = (hash_bucket(id_col, seed=seed) % F.lit(n_folds)).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cat_col).alias("cat"),
+        fold.alias("fold"),
+        F.round(F.col(label_col) * 100).cast("bigint").alias("_c"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.sum("_c").cast("bigint").alias("_s_cf"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_cf"),
+    )
+    w = Window.partitionBy("cat")
+    ct = cf.select(
+        "cat",
+        "fold",
+        "_s_cf",
+        "_n_cf",
+        F.sum("_s_cf").over(w).cast("bigint").alias("_s_c"),
+        F.sum("_n_cf").over(w).cast("bigint").alias("_n_c"),
+    )
+    g = base.agg(
+        F.sum("_c").cast("bigint").alias("_gs"),
+        F.count(F.lit(1)).cast("bigint").alias("_gn"),
+    )
+    enc = (
+        ct.crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            "fold",
+            (F.col("_n_c") - F.col("_n_cf")).alias("n_oof"),
+            (
+                (F.col("_s_c") - F.col("_s_cf")) * F.col("_gn")
+                + F.lit(m) * F.col("_gs")
+            ).alias("_num"),
+            ((F.col("_n_c") - F.col("_n_cf") + F.lit(m)) * F.col("_gn")).alias(
+                "_den"
+            ),
+        )
+        .select(
+            "cat",
+            "fold",
+            "n_oof",
+            (div_half_up("_num", "_den", 10000) / 10000.0).alias("enc"),
+        )
+    )
+    return base.select("id", "cat", "fold").join(
+        F.broadcast(enc), on=["cat", "fold"], how="inner"
+    ).select("id", "cat", "fold", "n_oof", "enc")

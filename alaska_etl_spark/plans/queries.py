@@ -7292,6 +7292,57 @@ ORDER BY user_id, ts
 """
 
 
+def qj3_target_encoding(spark, sf_dir):
+    """Out-of-fold smoothed target encoding of p_type by retail price:
+    each part's encoding uses only label mass from OTHER hash-assigned
+    folds (leakage-safe mean encoding, Micci-Barreca smoothing m=20).
+    Integer-exact: enc = (S_oof·G_n + m·G_s) / ((n_oof+m)·G_n) in
+    cents, 4dp round-half-up. The fact table never shuffles — the
+    (cat, fold) encode table broadcasts back."""
+    from alaska_etl_spark.operators.splits import target_encode_oof
+
+    p = _t(spark, sf_dir, "part")
+    return target_encode_oof(
+        p, "p_partkey", "p_type", "p_retailprice", n_folds=5, seed=7, smoothing=20
+    ).orderBy("id")
+
+
+def _qj3_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_bucket_sql
+
+    fold = f"({hash_bucket_sql('p_partkey', seed=7)}) % 5"
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_type AS cat,
+         CAST({fold} AS BIGINT) AS fold,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+), cf AS (
+  SELECT cat, fold, CAST(sum(c) AS BIGINT) AS s_cf,
+         CAST(count(*) AS BIGINT) AS n_cf
+  FROM base GROUP BY cat, fold
+), ct AS (
+  SELECT cat, fold, s_cf, n_cf,
+         CAST(sum(s_cf) OVER (PARTITION BY cat) AS BIGINT) AS s_c,
+         CAST(sum(n_cf) OVER (PARTITION BY cat) AS BIGINT) AS n_c
+  FROM cf
+), g AS (
+  SELECT CAST(sum(c) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn FROM base
+), enc AS (
+  SELECT cat, fold, CAST(n_c - n_cf AS BIGINT) AS n_oof,
+         (s_c - s_cf) * gn + 20 * gs AS num,
+         (n_c - n_cf + 20) * gn AS den
+  FROM ct CROSS JOIN g
+)
+SELECT b.id, b.cat, b.fold, e.n_oof,
+       ((2 * 10000 * num + den) // (2 * den)) / 10000.0 AS enc
+FROM base b JOIN enc e USING (cat, fold) ORDER BY b.id
+"""
+
+
+QJ3_SQL = _qj3_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7400,6 +7451,7 @@ QUERIES = {
     "qj0_sorted_neighborhood": qj0_sorted_neighborhood,
     "qj1_k_anonymity": qj1_k_anonymity,
     "qj2_ltob_downsample": qj2_ltob_downsample,
+    "qj3_target_encoding": qj3_target_encoding,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7658,6 +7710,7 @@ ORACLES = {
     "qj0_sorted_neighborhood": QJ0_SQL,
     "qj1_k_anonymity": QJ1_SQL,
     "qj2_ltob_downsample": QJ2_SQL,
+    "qj3_target_encoding": QJ3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

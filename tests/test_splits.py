@@ -377,3 +377,46 @@ def test_split_leakage_reports_only_cross_split_near_dups(spark):
     for r in out:
         assert r.split_a != r.split_b
         assert r.jaccard >= 0.5
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from alaska_etl_spark.operators.splits import hash_bucket, target_encode_oof
+    from pyspark.sql import functions as F
+
+    # build rows whose folds we can read back, then verify the OOF
+    # arithmetic exactly in Python
+    rows = [(i, "A" if i % 2 == 0 else "B", float(i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y double")
+    folds = {
+        r.id: r.f
+        for r in df.select("id", (hash_bucket("id", seed=7) % 3).alias("f")).collect()
+    }
+    out = {r.id: r for r in target_encode_oof(
+        df, "id", "cat", "y", n_folds=3, seed=7, smoothing=5
+    ).collect()}
+    assert len(out) == 40
+    cents = {i: round((i + 1) * 100) for i, _, _ in rows}
+    gs, gn = sum(cents.values()), len(rows)
+    for i, cat, _ in rows:
+        mine = [j for j, c, _ in rows if c == cat]
+        oof = [j for j in mine if folds[j] != folds[i]]
+        num = sum(cents[j] for j in oof) * gn + 5 * gs
+        den = (len(oof) + 5) * gn
+        exp = ((2 * 10000 * num + den) // (2 * den)) / 10000.0
+        assert out[i].enc == exp, f"id {i}"
+        assert out[i].n_oof == len(oof)
+
+
+def test_target_encode_oof_singleton_category_gets_prior(spark):
+    from alaska_etl_spark.operators.splits import target_encode_oof
+
+    rows = [(1, "solo", 100.0)] + [(i, "big", 10.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y double")
+    out = {r.id: r for r in target_encode_oof(
+        df, "id", "cat", "y", n_folds=5, seed=7, smoothing=10
+    ).collect()}
+    # the solo row's category has no other fold mass -> pure prior G_s/G_n
+    gs = 10000 + 10 * 1000
+    gn = 11
+    exp = ((2 * 10000 * (10 * gs) + 10 * gn) // (2 * 10 * gn)) / 10000.0
+    assert out[1].n_oof == 0 and out[1].enc == exp
