@@ -182,3 +182,57 @@ def global_ntile(
     return out.withColumn(
         bucket_col, ntile_from_rank(F.col("_gr_rank"), F.col(_TOTAL), k)
     ).drop("_gr_rank", _TOTAL)
+
+
+def rrf_fuse(
+    frames: list[tuple[DataFrame, list[str]]],
+    id_col: str,
+    *,
+    k: int = 60,
+    top_k: int | None = None,
+    scale: int = 10**9,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher '09) of
+    multiple ranked lists: ``score(d) = Σ_lists 1/(k + rank_l(d))`` —
+    the standard way to fuse heterogeneous retrieval/quality signals
+    (BM25 + dense cosine, or several curation heuristics) without
+    calibrating their score scales; only RANKS enter the sum.
+
+    ``frames`` is a list of ``(df, order_cols)``; each frame is ranked
+    ascending by its order columns (pre-negate for descending — the
+    :func:`global_row_number` contract), so every ranking is a range
+    exchange + narrow Arrow pass, never a single-partition window.
+    With ``top_k`` set, each list is truncated to its best ``top_k``
+    rows before fusion (the retrieval-fusion convention: absence from
+    a list contributes 0, and the fused frame is bounded by
+    lists×top_k rows regardless of corpus size).
+
+    Exact arithmetic: each contribution is ``scale div (k + rank)`` —
+    a pure BIGINT both engines truncate identically — summed as
+    BIGINT, so fused scores are aggregation-order-free and
+    oracle-replayable. Returns ``(id, n_lists, rrf_units)``.
+    """
+    parts = []
+    for fr, order_cols in frames:
+        r = global_row_number(
+            fr, order_cols, rank_col="_r", num_partitions=num_partitions
+        )
+        if top_k is not None:
+            r = r.filter(F.col("_r") <= top_k)
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.expr(
+                    f"cast({int(scale)} as bigint) div"
+                    f" (cast({int(k)} as bigint) + _r)"
+                ).alias("_u"),
+            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    return fused.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("_u").cast("bigint").alias("rrf_units"),
+    )

@@ -7343,6 +7343,60 @@ FROM base b JOIN enc e USING (cat, fold) ORDER BY b.id
 QJ3_SQL = _qj3_sql()
 
 
+def qj4_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of three corpus-quality rankings
+    (longest by chars, richest by distinct token types, longest by
+    token count), each truncated to its top-100: fused score =
+    Σ 10^9 div (60 + rank) — pure BIGINT, scale-free rank algebra.
+    Every ranking is a range exchange + narrow Arrow pass (the q84
+    global-ranking machinery), never a single-partition window."""
+    from alaska_etl_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(toks).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("ny"),
+    )
+    frames = [
+        (base.select("doc_id", (-F.col("nc")).alias("_k")), ["_k", "doc_id"]),
+        (base.select("doc_id", (-F.col("ny")).alias("_k")), ["_k", "doc_id"]),
+        (base.select("doc_id", (-F.col("nt")).alias("_k")), ["_k", "doc_id"]),
+    ]
+    fused = rrf_fuse(frames, "doc_id", k=60, top_k=100)
+    return fused.orderBy(F.col("rrf_units").desc(), "doc_id").limit(50)
+
+
+QJ4_SQL = r"""
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> ''))) AS BIGINT) AS ny
+  FROM documents
+), u AS (
+  SELECT doc_id, 1000000000 // (60 + r) AS u FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY -nc, doc_id) AS r FROM t
+  ) WHERE r <= 100
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + r) AS u FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY -ny, doc_id) AS r FROM t
+  ) WHERE r <= 100
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + r) AS u FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY -nt, doc_id) AS r FROM t
+  ) WHERE r <= 100
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(u) AS BIGINT) AS rrf_units
+FROM u GROUP BY doc_id
+ORDER BY rrf_units DESC, doc_id LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7452,6 +7506,7 @@ QUERIES = {
     "qj1_k_anonymity": qj1_k_anonymity,
     "qj2_ltob_downsample": qj2_ltob_downsample,
     "qj3_target_encoding": qj3_target_encoding,
+    "qj4_rrf_fusion": qj4_rrf_fusion,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7711,6 +7766,7 @@ ORACLES = {
     "qj1_k_anonymity": QJ1_SQL,
     "qj2_ltob_downsample": QJ2_SQL,
     "qj3_target_encoding": QJ3_SQL,
+    "qj4_rrf_fusion": QJ4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -121,3 +121,38 @@ def test_no_data_sized_single_partition_window(spark, balances):
 def test_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("key"), F.col("id").alias("bal"))
     assert global_ntile(df, ["bal", "key"], 10).collect() == []
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from alaska_etl_spark.operators.ranking import rrf_fuse
+    from pyspark.sql import functions as F
+
+    # two lists over 5 ids with known ranks
+    a = spark.createDataFrame([(i, float(10 - i)) for i in range(1, 6)], "id bigint, s double")
+    b = spark.createDataFrame([(i, float(i)) for i in range(1, 6)], "id bigint, s double")
+    frames = [
+        (a.select("id", (-F.col("s")).alias("_k")), ["_k", "id"]),  # rank = id
+        (b.select("id", (-F.col("s")).alias("_k")), ["_k", "id"]),  # rank = 6 - id
+    ]
+    out = {r.id: r for r in rrf_fuse(frames, "id", k=10, scale=1000).collect()}
+    for i in range(1, 6):
+        exp = 1000 // (10 + i) + 1000 // (10 + (6 - i))
+        assert out[i].rrf_units == exp and out[i].n_lists == 2
+
+
+def test_rrf_fuse_top_k_truncates_lists(spark):
+    from alaska_etl_spark.operators.ranking import rrf_fuse
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(1, 11)], "id bigint, s double")
+    b = spark.createDataFrame([(i, float(-i)) for i in range(1, 11)], "id bigint, s double")
+    frames = [
+        (a.select("id", F.col("s").alias("_k")), ["_k", "id"]),   # asc: rank = id
+        (b.select("id", F.col("s").alias("_k")), ["_k", "id"]),   # asc: rank = 11 - id
+    ]
+    out = {r.id: r for r in rrf_fuse(frames, "id", k=0, top_k=3, scale=60).collect()}
+    # list A keeps ids 1..3, list B keeps ids 10, 9, 8
+    assert set(out) == {1, 2, 3, 8, 9, 10}
+    assert out[1].n_lists == 1 and out[1].rrf_units == 60 // 1
+    assert out[10].n_lists == 1 and out[10].rrf_units == 60 // 1
+    assert out[3].rrf_units == 60 // 3
