@@ -653,7 +653,10 @@ def ltob_downsample(
     shares one exchange + one sort on (key, ts, tiebreak); the bucket
     winner window clusters by (key, bucket) which the existing hash
     partitioning on key already satisfies — Catalyst inserts only a
-    sort, never a second exchange.
+    sort, never a second exchange. Endpoint keeps fold into the SAME
+    winner window via NULLS LAST ordering (endpoints carry NULL area),
+    so the operator is one scan, one subtree — no union recomputing
+    the window stack per branch.
 
     Returns ``(part_col, bucket, ts_col, cents, area2)``.
     """
@@ -704,14 +707,19 @@ def ltob_downsample(
         F.col("_rn"),
         F.col("_n"),
     )
+    # one winner window over ALL rows: NULLS LAST pushes endpoints
+    # behind every interior candidate, so rank 1 is the best interior
+    # whenever one exists; endpoints keep unconditionally via rn
     w_win = Window.partitionBy(part_col, "bucket").orderBy(
-        F.col("area2").desc(), F.col(ts_col).asc(), F.col("_tb").asc()
+        F.col("area2").desc_nulls_last(), F.col(ts_col).asc(), F.col("_tb").asc()
     )
-    interior_winners = (
-        scored.filter((F.col("_rn") > 1) & (F.col("_rn") < F.col("_n")))
-        .withColumn("_w", F.row_number().over(w_win))
-        .filter(F.col("_w") == 1)
+    keep = (
+        (F.col("_rn") == 1)
+        | (F.col("_rn") == F.col("_n"))
+        | ((F.col("_w") == 1) & F.col("area2").isNotNull())
     )
-    endpoints = scored.filter((F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")))
-    keep = [part_col, "bucket", ts_col, "cents", "area2"]
-    return interior_winners.select(*keep).unionByName(endpoints.select(*keep))
+    return (
+        scored.withColumn("_w", F.row_number().over(w_win))
+        .filter(keep)
+        .select(part_col, "bucket", ts_col, "cents", "area2")
+    )
