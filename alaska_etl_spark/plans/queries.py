@@ -7407,10 +7407,12 @@ QUERIES = {
     "q03_top_orders": q03_top_orders,
     "q04_filtered_sum": q04_filtered_sum,
     "q05_watermark_max": q05_watermark_max,
-    "q06_distinct_dims": q06_distinct_dims,
+    "q06_skyline": qi7_skyline,
+    "qj5_distinct_dims": q06_distinct_dims,
     "q07_duplicate_report": q07_duplicate_report,
     "q08_dedup_keep_first": q08_dedup_keep_first,
-    "q09_semi_join": q09_semi_join,
+    "q09_target_encoding": qj3_target_encoding,
+    "qj6_semi_join": q09_semi_join,
     "q59_anti_join": q59_anti_join,
     "q11_topk_per_group": q11_topk_per_group,
     "q12_forward_fill": q12_forward_fill,
@@ -7499,13 +7501,11 @@ QUERIES = {
     "qi4_interval_coverage": qi4_interval_coverage,
     "qi5_bag_jaccard": qi5_bag_jaccard,
     "qi6_cusum_drift": qi6_cusum_drift,
-    "qi7_skyline": qi7_skyline,
     "qi8_twap": qi8_twap,
     "qi9_vocab_growth": qi9_vocab_growth,
     "qj0_sorted_neighborhood": qj0_sorted_neighborhood,
     "qj1_k_anonymity": qj1_k_anonymity,
     "qj2_ltob_downsample": qj2_ltob_downsample,
-    "qj3_target_encoding": qj3_target_encoding,
     "qj4_rrf_fusion": qj4_rrf_fusion,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
@@ -7602,10 +7602,12 @@ ORACLES = {
     "q03_top_orders": Q03_SQL,
     "q04_filtered_sum": Q04_SQL,
     "q05_watermark_max": Q05_SQL,
-    "q06_distinct_dims": Q06_SQL,
+    "q06_skyline": QI7_SQL,
+    "qj5_distinct_dims": Q06_SQL,
     "q07_duplicate_report": Q07_SQL,
     "q08_dedup_keep_first": Q08_SQL,
-    "q09_semi_join": Q09_SQL,
+    "q09_target_encoding": QJ3_SQL,
+    "qj6_semi_join": Q09_SQL,
     "q59_anti_join": Q59_SQL,
     "q11_topk_per_group": Q11_SQL,
     "q12_forward_fill": Q12_SQL,
@@ -7759,13 +7761,11 @@ ORACLES = {
     "qi4_interval_coverage": QI4_SQL,
     "qi5_bag_jaccard": QI5_SQL,
     "qi6_cusum_drift": QI6_SQL,
-    "qi7_skyline": QI7_SQL,
     "qi8_twap": QI8_SQL,
     "qi9_vocab_growth": QI9_SQL,
     "qj0_sorted_neighborhood": QJ0_SQL,
     "qj1_k_anonymity": QJ1_SQL,
     "qj2_ltob_downsample": QJ2_SQL,
-    "qj3_target_encoding": QJ3_SQL,
     "qj4_rrf_fusion": QJ4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
