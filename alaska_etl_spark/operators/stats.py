@@ -640,3 +640,65 @@ def diff_in_diff(
         - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre"))
     )
     return out.select("*", F.round(did, 4).alias("did"))
+
+
+def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical assignments (Cohen '60): the standard way to read "the
+    heuristic agrees with the recorded label" net of what marginal
+    class frequencies alone would produce. Complements the accuracy /
+    AUC / chi² evaluation row (qg7/qg8) with the inter-rater form.
+
+    Multiplying through by n² keeps it exact: with agreement count A,
+    total n, and marginal product mass P = Σ_c row_c·col_c,
+
+        kappa = (n·A − P) / (n² − P)
+
+    — both sides pure BIGINT; the single final BIGINT÷BIGINT division
+    is correctly rounded IEEE in any engine (the pinned-shape doubles
+    oracle class, no libm). n² < 2^63 bounds n at ~3e9 rows.
+
+    One shuffle: the (label, pred) confusion matrix; everything after
+    runs on class-count-sized frames. Returns one row:
+    ``(n, n_agree, num, den, kappa)`` with kappa NULL when den = 0
+    (degenerate single-class margins).
+    """
+    conf = (
+        df.groupBy(
+            F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    tot = conf.agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    mr = conf.groupBy(F.col("_l").alias("_cls")).agg(
+        F.sum("_c").cast("bigint").alias("_mr")
+    )
+    mc = conf.groupBy(F.col("_p").alias("_cls")).agg(
+        F.sum("_c").cast("bigint").alias("_mc")
+    )
+    pe = (
+        mr.join(mc, on="_cls", how="inner")
+        .agg(F.coalesce(F.sum(F.col("_mr") * F.col("_mc")), F.lit(0)).alias("_pe"))
+    )
+    return (
+        tot.crossJoin(pe)
+        .select(
+            "n",
+            "n_agree",
+            (F.col("n") * F.col("n_agree") - F.col("_pe"))
+            .cast("bigint")
+            .alias("num"),
+            (F.col("n") * F.col("n") - F.col("_pe")).cast("bigint").alias("den"),
+        )
+        .select(
+            "n",
+            "n_agree",
+            "num",
+            "den",
+            F.when(F.col("den") != 0, F.col("num") / F.col("den")).alias("kappa"),
+        )
+    )

@@ -7397,6 +7397,50 @@ ORDER BY rrf_units DESC, doc_id LIMIT 50
 """
 
 
+def qj7_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between the recorded lang label and the q24
+    marker-lexicon language-ID prediction: chance-corrected agreement,
+    kappa = (n·A − Σ row·col) / (n² − Σ row·col) — pure BIGINT on both
+    sides, one final correctly-rounded BIGINT÷BIGINT. One shuffle (the
+    confusion matrix); class-count-sized frames after."""
+    from alaska_etl_spark.operators.stats import cohens_kappa
+    from alaska_etl_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("lang").alias("label"), lang_id("text").alias("pred"))
+    return cohens_kappa(pairs, "label", "pred")
+
+
+def _qj7_sql() -> str:
+    return f"""
+WITH pred AS ({Q24_SQL}),
+conf AS (
+  SELECT lang AS l, lang_pred AS p, CAST(count(*) AS BIGINT) AS c
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l = p THEN c ELSE 0 END) AS BIGINT) AS a
+  FROM conf
+), mr AS (
+  SELECT l AS cls, CAST(sum(c) AS BIGINT) AS mr FROM conf GROUP BY 1
+), mc AS (
+  SELECT p AS cls, CAST(sum(c) AS BIGINT) AS mc FROM conf GROUP BY 1
+), pe AS (
+  SELECT CAST(coalesce(sum(mr * mc), 0) AS BIGINT) AS pe
+  FROM mr JOIN mc USING (cls)
+)
+SELECT n, a AS n_agree,
+       CAST(n * a - pe AS BIGINT) AS num,
+       CAST(n * n - pe AS BIGINT) AS den,
+       CASE WHEN n * n - pe <> 0
+            THEN CAST(n * a - pe AS DOUBLE) / (n * n - pe) END AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+QJ7_SQL = _qj7_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7507,6 +7551,7 @@ QUERIES = {
     "qj1_k_anonymity": qj1_k_anonymity,
     "qj2_ltob_downsample": qj2_ltob_downsample,
     "qj4_rrf_fusion": qj4_rrf_fusion,
+    "qj7_agreement_kappa": qj7_agreement_kappa,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7767,6 +7812,7 @@ ORACLES = {
     "qj1_k_anonymity": QJ1_SQL,
     "qj2_ltob_downsample": QJ2_SQL,
     "qj4_rrf_fusion": QJ4_SQL,
+    "qj7_agreement_kappa": QJ7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -348,3 +348,44 @@ def test_diff_in_diff_empty_cell_is_null(spark):
     r = diff_in_diff(df, "user_id", "ts", "value", cutoff="2024-01-16 00:00:00").collect()[0]
     assert r.n_treat_pre == 0 and r.n_ctrl_pre == 0
     assert r.mean_treat_pre is None and r.did is None
+
+
+def test_cohens_kappa_textbook_binary(spark):
+    from alaska_etl_spark.operators.stats import cohens_kappa
+
+    # classic 2x2: a=20 both-yes, b=5 yes/no, c=10 no/yes, d=15 both-no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "label string, pred string")
+    r = cohens_kappa(df, "label", "pred").collect()[0]
+    n, a = 50, 35
+    pe = 25 * 30 + 25 * 20  # row_y*col_y + row_n*col_n
+    assert (r.n, r.n_agree) == (n, a)
+    assert (r.num, r.den) == (n * a - pe, n * n - pe)
+    assert r.kappa == (n * a - pe) / (n * n - pe)
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from alaska_etl_spark.operators.stats import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, "label string, pred string"
+    )
+    assert cohens_kappa(perfect, "label", "pred").collect()[0].kappa == 1.0
+    # single class on both sides: pe = n^2 -> den 0 -> NULL kappa
+    degen = spark.createDataFrame([("a", "a")] * 4, "label string, pred string")
+    r = cohens_kappa(degen, "label", "pred").collect()[0]
+    assert r.den == 0 and r.kappa is None
+
+
+def test_cohens_kappa_disjoint_label_sets(spark):
+    from alaska_etl_spark.operators.stats import cohens_kappa
+
+    # predictions never overlap labels: agreement 0, pe 0 -> kappa 0
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("a", "y")], "label string, pred string"
+    )
+    r = cohens_kappa(df, "label", "pred").collect()[0]
+    assert (r.n_agree, r.num, r.den) == (0, 0, 9)
+    assert r.kappa == 0.0
