@@ -1050,3 +1050,87 @@ def stream_model_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cusum_monitor(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    target_cents: int,
+    threshold_cents: int,
+    slack_cents: int = 0,
+) -> DataFrame:
+    """Streaming two-sided CUSUM monitor (Page '54) against a FIXED
+    target level: per key, maintain ``S⁺ = max(0, S⁺ + (x − μ₀ − k))``
+    and ``S⁻ = max(0, S⁻ + (μ₀ − x − k))`` across micro-batches and
+    count alarm ONSETS (below→above threshold transitions). The
+    streaming sibling of the batch qi6 retrospective (which centers on
+    the key's own full-series mean — unknowable online, hence the
+    fixed-target form the SPC literature uses).
+
+    State per key is three integers + two onset counters — O(keys)
+    regardless of stream length, in the checkpointed state store.
+    Within a batch the recursion collapses to the same closed form as
+    qi6 — with carried state S₀ and batch prefix sums Q_t,
+    ``S_t = max(S₀ + Q_t, Q_t − min_{1≤j≤t} Q_j)`` — one cumsum + one
+    running min per side in numpy, no per-row Python. Exactness: cents
+    are BIGINT, every step integer.
+
+    Emits one row per active key per batch: ``(keys..., n_events,
+    s_up, s_dn, alarm_up, alarm_dn, onsets_up, onsets_dn)`` with
+    s_up/s_dn the post-batch statistics in cents.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (
+        f"{key_fields}, n_events bigint, s_up bigint, s_dn bigint, "
+        "alarm_up boolean, alarm_dn boolean, onsets_up bigint, onsets_dn bigint"
+    )
+    state_schema = "su bigint, sd bigint, n bigint, ou bigint, od bigint"
+    mu, k, h = int(target_cents), int(slack_cents), int(threshold_cents)
+
+    def _side(s0: int, d: "np.ndarray") -> "np.ndarray":
+        q = np.cumsum(d)
+        return np.maximum(s0 + q, q - np.minimum.accumulate(q))
+
+    def _onsets(s0: int, s: "np.ndarray") -> int:
+        above = s > h
+        prev = np.concatenate(([s0 > h], above[:-1]))
+        return int(np.count_nonzero(above & ~prev))
+
+    def update(key, pdfs, state):
+        su, sd, n, ou, od = state.get if state.exists else (0, 0, 0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            v = pdf[value_col].to_numpy(dtype="float64")
+            c = np.rint(v * 100).astype(np.int64)
+            s_up = _side(su, c - mu - k)
+            s_dn = _side(sd, mu - c - k)
+            ou += _onsets(su, s_up)
+            od += _onsets(sd, s_dn)
+            su, sd = int(s_up[-1]), int(s_dn[-1])
+            n += len(pdf)
+        state.update((su, sd, n, ou, od))
+        yield pd.DataFrame(
+            [[*key, n, su, sd, su > h, sd > h, ou, od]],
+            columns=[
+                *key_cols,
+                "n_events",
+                "s_up",
+                "s_dn",
+                "alarm_up",
+                "alarm_dn",
+                "onsets_up",
+                "onsets_dn",
+            ],
+        )
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

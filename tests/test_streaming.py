@@ -390,3 +390,86 @@ def test_stream_vocab_drift_empty_batch_emits_null_row(spark, tmp_path):
     stream_vocab_drift(stream, metrics, str(tmp_path / "ck"), ref)
     (r,) = spark.read.parquet(metrics).collect()
     assert r.js_nats is None and r.drifted is None and r.shared_vocab == 0
+
+
+def test_stream_cusum_monitor_matches_batch_recursion(spark, tmp_path):
+    """The streaming closed form with carried state equals the textbook
+    per-observation recursion, regardless of how the stream is split
+    into micro-batches."""
+    from alaska_etl_spark.streaming.incremental import (
+        run_available_now,
+        stream_cusum_monitor,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    vals = [5.0, 5.0, 9.0, 12.0, 11.0, 2.0, 1.0, 5.0, 14.0, 15.0]
+    lines1 = [
+        f'{{"k": "a", "ts": "2023-06-01 10:{i:02d}:00", "v": {v}}}'
+        for i, v in enumerate(vals[:4])
+    ]
+    lines2 = [
+        f'{{"k": "a", "ts": "2023-06-01 10:{i:02d}:00", "v": {v}}}'
+        for i, v in enumerate(vals[4:], start=4)
+    ]
+    (src / "b1.json").write_text("\n".join(lines1) + "\n")
+    stream = lambda: stream_cusum_monitor(  # noqa: E731
+        spark.readStream.schema("k string, ts timestamp, v double").json(str(src)),
+        key_cols=["k"],
+        ts_col="ts",
+        value_col="v",
+        target_cents=500,
+        threshold_cents=400,
+        slack_cents=50,
+    )
+    run_available_now(stream(), str(out), str(ckpt))
+    (src / "b2.json").write_text("\n".join(lines2) + "\n")
+    run_available_now(stream(), str(out), str(ckpt))
+
+    # reference: per-observation recursion over the full series
+    su = sd = ou = od = 0
+    prev_u = prev_d = False
+    for v in vals:
+        c = round(v * 100)
+        su = max(0, su + c - 500 - 50)
+        sd = max(0, sd + 500 - c - 50)
+        if su > 400 and not prev_u:
+            ou += 1
+        if sd > 400 and not prev_d:
+            od += 1
+        prev_u, prev_d = su > 400, sd > 400
+    rows = spark.read.parquet(str(out)).collect()
+    final = max((r for r in rows if r.k == "a"), key=lambda r: r.n_events)
+    assert final.n_events == len(vals)
+    assert (final.s_up, final.s_dn) == (su, sd)
+    assert (final.onsets_up, final.onsets_dn) == (ou, od)
+    assert (final.alarm_up, final.alarm_dn) == (su > 400, sd > 400)
+
+
+def test_stream_cusum_monitor_flat_series_no_alarms(spark, tmp_path):
+    from alaska_etl_spark.streaming.incremental import (
+        run_available_now,
+        stream_cusum_monitor,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            f'{{"k": "a", "ts": "2023-06-01 10:{i:02d}:00", "v": 5.0}}'
+            for i in range(6)
+        )
+        + "\n"
+    )
+    q = stream_cusum_monitor(
+        spark.readStream.schema("k string, ts timestamp, v double").json(str(src)),
+        key_cols=["k"],
+        ts_col="ts",
+        value_col="v",
+        target_cents=500,
+        threshold_cents=100,
+    )
+    run_available_now(q, str(out), str(ckpt))
+    r = spark.read.parquet(str(out)).collect()[0]
+    assert (r.s_up, r.s_dn, r.onsets_up, r.onsets_dn) == (0, 0, 0, 0)
+    assert not r.alarm_up and not r.alarm_dn
