@@ -7441,6 +7441,52 @@ FROM tot CROSS JOIN pe
 QJ7_SQL = _qj7_sql()
 
 
+def qj8_copurchase(spark, sf_dir):
+    """Item-item co-occurrence cosine over brands bought by the same
+    customer (item-to-item CF preprocessing, Sarwar '01): distinct
+    (customer, brand) incidence, whale cap, pair self-join co-located
+    on the customer key, popularity-normalized by co/sqrt(n_a·n_b) —
+    one correctly-rounded float expression over exact BIGINTs. Top 50
+    affinities."""
+    from alaska_etl_spark.operators.cooccur import copurchase_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    inc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+    )
+    out = copurchase_similarity(inc, "cust", "brand", max_items=200, min_co=2)
+    return out.orderBy(
+        F.col("cosine").desc(), "item_a", "item_b"
+    ).limit(50)
+
+
+QJ8_SQL = """
+WITH inc AS (
+  SELECT DISTINCT o_custkey AS u, p_brand AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+), kept AS (
+  SELECT u, i FROM inc
+  WHERE u IN (SELECT u FROM inc GROUP BY u HAVING count(*) <= 200)
+), co AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS co
+  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+  GROUP BY a.i, b.i HAVING count(*) >= 2
+), totals AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY i
+)
+SELECT item_a, item_b, co, ta.n AS n_a, tb.n AS n_b,
+       co / sqrt(CAST(ta.n * tb.n AS DOUBLE)) AS cosine
+FROM co JOIN totals ta ON co.item_a = ta.i
+        JOIN totals tb ON co.item_b = tb.i
+ORDER BY cosine DESC, item_a, item_b LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7552,6 +7598,7 @@ QUERIES = {
     "qj2_ltob_downsample": qj2_ltob_downsample,
     "qj4_rrf_fusion": qj4_rrf_fusion,
     "qj7_agreement_kappa": qj7_agreement_kappa,
+    "qj8_copurchase": qj8_copurchase,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7813,6 +7860,7 @@ ORACLES = {
     "qj2_ltob_downsample": QJ2_SQL,
     "qj4_rrf_fusion": QJ4_SQL,
     "qj7_agreement_kappa": QJ7_SQL,
+    "qj8_copurchase": QJ8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
