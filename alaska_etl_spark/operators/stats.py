@@ -702,3 +702,72 @@ def cohens_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
             F.when(F.col("den") != 0, F.col("num") / F.col("den")).alias("kappa"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier '58) over
+    right-censored integer durations: at each event time t,
+    ``S(t) = Π_{t'≤t} (1 − d_t'/n_t')`` with d = events and n = at-risk
+    count. The churn/retention curve in its censoring-correct form —
+    unlike qc3's cohort retention, users still active at the horizon
+    (censored) shrink the risk set without counting as churned.
+
+    Grain economics: one aggregate collapses subjects to the
+    per-duration frame (≤ |distinct durations| rows — days, not
+    users); the at-risk reverse cumulative sum, the event filter, and
+    the product all run over that tiny frame.
+
+    Exactness protocol: the product is emitted in LOG space —
+    ``ln((n−d)/n)`` per event time, quantized to 1e-9 nats (BIGINT)
+    BEFORE the cumulative sum, so the running total is
+    aggregation-order-free and engine-replayable (the PSI/JS libm
+    discipline; S(t) = exp(lnano/1e9) for human reading). When the
+    risk set is exhausted (d = n), survival is exactly 0 and
+    ``survival_lnano`` is NULL from that time on (ln 0 undefined).
+
+    Returns per event time: ``(t, n_risk, d_events, survival_lnano)``.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_end"),
+        F.sum(F.col(event_col).cast("bigint")).cast("bigint").alias("d_events"),
+    )
+    w_ge = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    at_risk = per_t.select(
+        "t",
+        "d_events",
+        F.sum("_n_end").over(w_ge).cast("bigint").alias("n_risk"),
+    ).filter(F.col("d_events") > 0)
+    term = F.when(
+        F.col("n_risk") > F.col("d_events"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("bigint"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    scored = at_risk.select(
+        "t",
+        "n_risk",
+        "d_events",
+        term.alias("_term"),
+        F.max(
+            F.when(F.col("n_risk") == F.col("d_events"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("_dead"),
+    )
+    return scored.select(
+        "t",
+        "n_risk",
+        "d_events",
+        F.when(
+            F.col("_dead") == 0, F.sum("_term").over(w_cum).cast("bigint")
+        ).alias("survival_lnano"),
+    )

@@ -7487,6 +7487,70 @@ ORDER BY cosine DESC, item_a, item_b LIMIT 50
 """
 
 
+def qj9_survival_conversion(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase curve: duration = days from
+    a user's first event to their first purchase, administratively
+    censored at a 5-day observation window (users converting later
+    are censored at day 5 — they shrink the risk set without counting
+    as conversions, the correctness K-M buys over naive conversion
+    rates). Product emitted in log space: per-time ln((n−d)/n)
+    quantized to 1e-9 nats then BIGINT-cumulated (the PSI/JS libm
+    discipline)."""
+    from alaska_etl_spark.operators.stats import km_survival
+
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("_t0"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("_tp"))
+    )
+    dur = F.datediff("_tp", "_t0").cast("bigint")
+    spans = first.join(conv, on="user_id", how="left").select(
+        F.least(F.coalesce(dur, F.lit(5)), F.lit(5)).cast("bigint").alias("dur_days"),
+        F.when(dur <= 5, 1).otherwise(0).cast("int").alias("converted"),
+    )
+    return km_survival(spans, "dur_days", "converted").orderBy("t")
+
+
+QJ9_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS t0 FROM events GROUP BY user_id
+), p AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS tp
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), spans AS (
+  SELECT least(coalesce(date_diff('day', t0, tp), 5), 5) AS t,
+         CASE WHEN date_diff('day', t0, tp) <= 5 THEN 1 ELSE 0 END AS ev
+  FROM f LEFT JOIN p USING (user_id)
+), per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_end,
+         CAST(sum(ev) AS BIGINT) AS d_events
+  FROM spans GROUP BY t
+), at_risk AS (
+  SELECT t, d_events,
+         CAST(sum(n_end) OVER (ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+), ev_times AS (
+  SELECT t, n_risk, d_events,
+         CASE WHEN n_risk > d_events
+              THEN CAST(round(ln(CAST(n_risk - d_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+         END AS term,
+         max(CASE WHEN n_risk = d_events THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM at_risk WHERE d_events > 0
+)
+SELECT t, n_risk, d_events,
+       CASE WHEN dead = 0
+            THEN CAST(sum(term) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       END AS survival_lnano
+FROM ev_times ORDER BY t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7599,6 +7663,7 @@ QUERIES = {
     "qj4_rrf_fusion": qj4_rrf_fusion,
     "qj7_agreement_kappa": qj7_agreement_kappa,
     "qj8_copurchase": qj8_copurchase,
+    "qj9_survival_conversion": qj9_survival_conversion,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7861,6 +7926,7 @@ ORACLES = {
     "qj4_rrf_fusion": QJ4_SQL,
     "qj7_agreement_kappa": QJ7_SQL,
     "qj8_copurchase": QJ8_SQL,
+    "qj9_survival_conversion": QJ9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -389,3 +389,40 @@ def test_cohens_kappa_disjoint_label_sets(spark):
     r = cohens_kappa(df, "label", "pred").collect()[0]
     assert (r.n_agree, r.num, r.den) == (0, 0, 9)
     assert r.kappa == 0.0
+
+
+def test_km_survival_textbook_with_censoring(spark):
+    import math
+
+    from alaska_etl_spark.operators.stats import km_survival
+
+    # durations/events: t=1 d=2 of n=10; censored at 2 (x1); t=3 d=1 of
+    # n=7; censored at 4 (x1); t=5 d=2 of n=5
+    rows = (
+        [(1, 1)] * 2 + [(2, 0)] + [(3, 1)] + [(4, 0)] + [(5, 1)] * 2
+        + [(6, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "dur bigint, ev int")
+    out = {r.t: r for r in km_survival(df, "dur", "ev").collect()}
+    assert set(out) == {1, 3, 5}
+    assert (out[1].n_risk, out[1].d_events) == (10, 2)
+    assert (out[3].n_risk, out[3].d_events) == (7, 1)
+    assert (out[5].n_risk, out[5].d_events) == (5, 2)
+    t1 = round(math.log(8 / 10) * 1e9)
+    t3 = round(math.log(6 / 7) * 1e9)
+    t5 = round(math.log(3 / 5) * 1e9)
+    assert out[1].survival_lnano == t1
+    assert out[3].survival_lnano == t1 + t3
+    assert out[5].survival_lnano == t1 + t3 + t5
+
+
+def test_km_survival_risk_set_exhausted_goes_null(spark):
+    from alaska_etl_spark.operators.stats import km_survival
+
+    # everyone churns at t=2: survival hits exactly 0 -> NULL lnano
+    rows = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, "dur bigint, ev int")
+    out = {r.t: r for r in km_survival(df, "dur", "ev").collect()}
+    assert out[1].survival_lnano is not None
+    assert (out[2].n_risk, out[2].d_events) == (2, 2)
+    assert out[2].survival_lnano is None
