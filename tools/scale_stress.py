@@ -85,6 +85,14 @@ QUERIES_UNDER_TEST = [
     # JL projection over embeddings: strictly per-row — the linear
     # control of the embedding family.
     "qh3_jl_projection",
+    # round-6 tail: blocked SNM — token prefixing shifts every copy's
+    # normalized key prefix, so blocks stay copy-disjoint and the true
+    # neighbor-pair set is exactly 10x; expected ~linear (O(n·w) pairs
+    # by contract, windows inside bounded blocks).
+    "qj0_sorted_neighborhood",
+    # Heaps vocab growth: injective token renaming makes the 10x vocab
+    # exactly 10x; work is one token aggregate — expected ~linear.
+    "qi9_vocab_growth",
 ]
 
 
