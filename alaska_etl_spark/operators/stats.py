@@ -771,3 +771,58 @@ def km_survival(
             F.col("_dead") == 0, F.sum("_term").over(w_cum).cast("bigint")
         ).alias("survival_lnano"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    val_cents: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that the weight at or below v reaches half the group's total —
+    quantity-weighted "typical price" where the unweighted median
+    (q38's percentile family) over-counts small lots. Pure window
+    algebra: one exchange on the group key, one sort by value inside
+    it, a running weight sum, then ``min(v | 2·cumw >= totw)`` — all
+    BIGINT (integer weights, cent values; no interpolation, so the
+    answer is always an observed value and engine-exact).
+
+    ``val_cents`` / ``weight_col`` are SQL expressions evaluating to
+    BIGINT. Returns ``(group_cols..., total_weight, n_rows,
+    weighted_median_cents)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.expr(val_cents).cast("bigint").alias("_v"),
+        F.expr(weight_col).cast("bigint").alias("_w"),
+    )
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scored = base.select(
+        *group_cols,
+        "_v",
+        "_w",
+        F.sum("_w").over(w_run).cast("bigint").alias("_cw"),
+        F.sum("_w").over(w_all).cast("bigint").alias("_tw"),
+    )
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.max("_tw").cast("bigint").alias("total_weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(F.when(2 * F.col("_cw") >= F.col("_tw"), F.col("_v")))
+            .cast("bigint")
+            .alias("weighted_median_cents"),
+        )
+    )

@@ -7551,6 +7551,50 @@ FROM ev_times ORDER BY t
 """
 
 
+def qk0_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median line price per brand: the
+    smallest price where cumulative quantity reaches half the brand's
+    total — robust "typical price" that the unweighted percentile
+    family (q38) distorts on mixed lot sizes. One exchange + one sort
+    per group; all BIGINT, the answer is always an observed value
+    (intra-tie window order is irrelevant: qualification is monotone
+    and ties share the emitted value)."""
+    from alaska_etl_spark.operators.stats import grouped_weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", "l_extendedprice", "l_quantity"
+    )
+    return grouped_weighted_median(
+        j,
+        ["p_brand"],
+        "cast(round(l_extendedprice * 100) as bigint)",
+        "cast(round(l_quantity) as bigint)",
+    ).orderBy("p_brand")
+
+
+QK0_SQL = """
+WITH base AS (
+  SELECT p_brand,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), scored AS (
+  SELECT p_brand, v, w,
+         CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+  FROM base
+)
+SELECT p_brand,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS weighted_median_cents
+FROM scored GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7664,6 +7708,7 @@ QUERIES = {
     "qj7_agreement_kappa": qj7_agreement_kappa,
     "qj8_copurchase": qj8_copurchase,
     "qj9_survival_conversion": qj9_survival_conversion,
+    "qk0_weighted_median": qk0_weighted_median,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7927,6 +7972,7 @@ ORACLES = {
     "qj7_agreement_kappa": QJ7_SQL,
     "qj8_copurchase": QJ8_SQL,
     "qj9_survival_conversion": QJ9_SQL,
+    "qk0_weighted_median": QK0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -426,3 +426,38 @@ def test_km_survival_risk_set_exhausted_goes_null(spark):
     assert out[1].survival_lnano is not None
     assert (out[2].n_risk, out[2].d_events) == (2, 2)
     assert out[2].survival_lnano is None
+
+
+def test_grouped_weighted_median_exact(spark):
+    from alaska_etl_spark.operators.stats import grouped_weighted_median
+
+    # group g: values 100(w3), 200(w1), 300(w2): tw=6, half=3 ->
+    # first value whose cumw*2 >= 6 is 100 (cumw 3)
+    rows = [("g", 100, 3), ("g", 200, 1), ("g", 300, 2),
+            ("h", 10, 1), ("h", 20, 9)]
+    df = spark.createDataFrame(rows, "grp string, v bigint, w bigint")
+    out = {r.grp: r for r in grouped_weighted_median(df, ["grp"], "v", "w").collect()}
+    assert (out["g"].total_weight, out["g"].weighted_median_cents) == (6, 100)
+    # group h: half of 10 is 5; cumw at 10 is 1 (<5) -> median 20
+    assert out["h"].weighted_median_cents == 20
+
+
+def test_grouped_weighted_median_matches_bruteforce(spark):
+    from alaska_etl_spark.operators.stats import grouped_weighted_median
+
+    rows = [
+        ("g", int((i * 37) % 11) * 10, (i * 13) % 5 + 1) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v bigint, w bigint")
+    expanded = sorted(v for _, v, w in rows for _ in range(w))
+    tw = len(expanded)
+    # lower weighted median: smallest v with cum >= tw/2
+    cum = 0
+    exp = None
+    for v in expanded:
+        cum += 1
+        if 2 * cum >= tw:
+            exp = v
+            break
+    r = grouped_weighted_median(df, ["grp"], "v", "w").collect()[0]
+    assert r.weighted_median_cents == exp and r.total_weight == tw
