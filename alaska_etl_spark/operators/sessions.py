@@ -135,3 +135,49 @@ def session_stats(
             - F.min(F.col(ts_col).cast("timestamp")).cast("long")
         ).alias("duration_s"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition estimate over per-key event
+    sequences: P(next state | state), the path-analysis primitive
+    behind "what do users do after an error" (the stochastic sibling
+    of qd3's attribution paths and qh2's PMI — those score pairs,
+    this estimates the conditional process).
+
+    One exchange + one sort (the lead window on the key), then a
+    transition-pair aggregate; the row normalization runs over the
+    |states|² count frame via a window — tiny by construction.
+    Transitions never cross keys (lead stays inside the partition).
+    Probabilities are the engine's exact 4dp round-half-up emit from
+    BIGINT counts. Returns ``(src, dst, n, row_total, prob)``.
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(F.col(state_col)).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_row = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.sum("n").over(w_row).cast("bigint").alias("row_total"),
+    ).select(
+        "src",
+        "dst",
+        "n",
+        "row_total",
+        (div_half_up("n", "row_total", 10000) / 10000.0).alias("prob"),
+    )

@@ -7595,6 +7595,37 @@ FROM scored GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def qk1_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | current) with exact 4dp probabilities from
+    BIGINT counts. One exchange + one sort for the lead window; the
+    normalization window runs over the |states|² count frame."""
+    from alaska_etl_spark.operators.sessions import transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", ["ts", "event_id"], "event_type").orderBy(
+        "src", "dst"
+    )
+
+
+QK1_SQL = """
+WITH pairs AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+       ((2 * 10000 * n + sum(n) OVER (PARTITION BY src))
+        // (2 * sum(n) OVER (PARTITION BY src))) / 10000.0 AS prob
+FROM pairs ORDER BY src, dst
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7709,6 +7740,7 @@ QUERIES = {
     "qj8_copurchase": qj8_copurchase,
     "qj9_survival_conversion": qj9_survival_conversion,
     "qk0_weighted_median": qk0_weighted_median,
+    "qk1_transition_matrix": qk1_transition_matrix,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -7973,6 +8005,7 @@ ORACLES = {
     "qj8_copurchase": QJ8_SQL,
     "qj9_survival_conversion": QJ9_SQL,
     "qk0_weighted_median": QK0_SQL,
+    "qk1_transition_matrix": QK1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

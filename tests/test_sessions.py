@@ -99,3 +99,55 @@ def test_concurrency_stacked_peak(spark):
         start_col="s", end_col="e",
     ).collect()
     assert out[0].max_concurrent == 3
+
+
+def test_transition_matrix_counts_within_keys_only(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.sessions import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: a -> b -> a ; user 2: b -> b. No cross-user a->b from
+    # user1's trailing 'a' into user2's leading 'b'.
+    rows = [
+        (1, 1, t0, "a"),
+        (2, 1, t0 + timedelta(minutes=1), "b"),
+        (3, 1, t0 + timedelta(minutes=2), "a"),
+        (4, 2, t0 + timedelta(minutes=3), "b"),
+        (5, 2, t0 + timedelta(minutes=4), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {
+        (r.src, r.dst): r
+        for r in transition_matrix(df, "user_id", ["ts", "event_id"], "event_type").collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "b")}
+    assert out[("a", "b")].n == 1 and out[("a", "b")].prob == 1.0
+    # src b: b->a once, b->b once -> 0.5 each with row_total 2
+    assert out[("b", "a")].row_total == 2 and out[("b", "a")].prob == 0.5
+    assert out[("b", "b")].prob == 0.5
+
+
+def test_transition_matrix_rows_sum_to_total(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.sessions import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, i % 7, t0 + timedelta(minutes=i), "s" + str((i * 31) % 4))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = transition_matrix(df, "user_id", ["ts", "event_id"], "event_type").collect()
+    total_transitions = sum(r.n for r in out)
+    assert total_transitions == 200 - 7  # one fewer transition per user
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        assert all(r.row_total == sum(x.n for x in rs) for r in rs)
