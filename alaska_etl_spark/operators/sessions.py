@@ -181,3 +181,62 @@ def transition_matrix(
         "row_total",
         (div_half_up("n", "row_total", 10000) / 10000.0).alias("prob"),
     )
+
+
+def combination_overlap(
+    df: DataFrame,
+    subject_col: str,
+    set_col: str,
+    members: list[str],
+) -> DataFrame:
+    """UpSet-style intersection cardinalities (Lex et al. '14): for
+    every observed COMBINATION of set memberships, how many subjects
+    have exactly that combination — the exact answer Venn counts
+    approximate and pairwise overlap matrices lose (pairwise says "A∩B
+    is big"; only the combination frame says whether that mass also
+    sits in C). Audience-overlap / feature-adoption analytics.
+
+    One aggregate collapses subjects to a membership BITMASK
+    (``bit_or`` of per-member bits — mergeable, map-side combined, the
+    same economics as the activity bitmap), a second counts subjects
+    per mask — at most 2^|members| rows. Subjects touching none of the
+    listed members are excluded by construction (no rows match).
+    Membership order is the caller's ``members`` list: bit i =
+    members[i]; the emitted ``combo`` string joins member names with
+    '+' in list order for human reading — counts key off the mask.
+
+    Returns ``(mask, combo, degree, n_subjects)``.
+    """
+    bit = F.lit(0).cast("bigint")
+    for i, m in enumerate(members):
+        bit = bit + F.when(F.col(set_col) == m, F.lit(1 << i)).otherwise(0)
+    masks = (
+        df.select(F.col(subject_col).alias("_s"), bit.alias("_b"))
+        .filter(F.col("_b") > 0)
+        .groupBy("_s")
+        .agg(F.bit_or("_b").cast("bigint").alias("mask"))
+    )
+    combo = F.concat_ws(
+        "+",
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        (F.col("mask").bitwiseAND(F.lit(1 << i))) > 0, F.lit(m)
+                    )
+                    for i, m in enumerate(members)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_subjects"))
+        .select(
+            "mask",
+            combo.alias("combo"),
+            F.bit_count("mask").cast("bigint").alias("degree"),
+            "n_subjects",
+        )
+    )

@@ -7626,6 +7626,51 @@ FROM pairs ORDER BY src, dst
 """
 
 
+_QK2_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def qk2_combination_overlap(spark, sf_dir):
+    """UpSet-style intersection cardinalities of event-type adoption
+    in each user's first 48 hours of the stream: one row per observed
+    membership COMBINATION (bitmask), the exact frame Venn counts
+    approximate. Two mergeable aggregates (bit_or to a per-user mask,
+    count per mask); output bounded by 2^5 rows."""
+    from alaska_etl_spark.operators.sessions import combination_overlap
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz")
+    )
+    return combination_overlap(e, "user_id", "event_type", _QK2_TYPES).orderBy(
+        "mask"
+    )
+
+
+QK2_SQL = """
+WITH masks AS (
+  SELECT user_id,
+         CAST(bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                     WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                     WHEN 'view' THEN 16 ELSE 0 END) AS BIGINT) AS mask
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-03'
+    AND event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+  GROUP BY user_id
+)
+SELECT mask,
+       array_to_string(list_filter(
+         [CASE WHEN mask & 1 > 0 THEN 'click' END,
+          CASE WHEN mask & 2 > 0 THEN 'error' END,
+          CASE WHEN mask & 4 > 0 THEN 'purchase' END,
+          CASE WHEN mask & 8 > 0 THEN 'signup' END,
+          CASE WHEN mask & 16 > 0 THEN 'view' END],
+         x -> x IS NOT NULL), '+') AS combo,
+       CAST(bit_count(mask) AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM masks WHERE mask > 0
+GROUP BY mask ORDER BY mask
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7741,6 +7786,7 @@ QUERIES = {
     "qj9_survival_conversion": qj9_survival_conversion,
     "qk0_weighted_median": qk0_weighted_median,
     "qk1_transition_matrix": qk1_transition_matrix,
+    "qk2_combination_overlap": qk2_combination_overlap,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8006,6 +8052,7 @@ ORACLES = {
     "qj9_survival_conversion": QJ9_SQL,
     "qk0_weighted_median": QK0_SQL,
     "qk1_transition_matrix": QK1_SQL,
+    "qk2_combination_overlap": QK2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -151,3 +151,38 @@ def test_transition_matrix_rows_sum_to_total(spark):
         by_src.setdefault(r.src, []).append(r)
     for src, rs in by_src.items():
         assert all(r.row_total == sum(x.n for x in rs) for r in rs)
+
+
+def test_combination_overlap_exact_masks(spark):
+    from alaska_etl_spark.operators.sessions import combination_overlap
+
+    rows = [
+        (1, "a"), (1, "b"),          # mask 0b011 = 3
+        (2, "a"),                     # mask 1
+        (3, "a"), (3, "b"), (3, "c"),  # mask 7
+        (4, "b"), (4, "b"),           # mask 2 (duplicates collapse)
+        (5, "zzz"),                   # non-member only: excluded
+        (6, "c"), (6, "zzz"),         # mask 4 (non-member row ignored)
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t string")
+    out = {
+        r.mask: r for r in combination_overlap(df, "u", "t", ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 7}
+    assert out[3].combo == "a+b" and out[3].degree == 2 and out[3].n_subjects == 1
+    assert out[7].combo == "a+b+c" and out[7].degree == 3
+    assert out[4].combo == "c" and out[4].n_subjects == 1
+    assert sum(r.n_subjects for r in out.values()) == 5  # user 5 excluded
+
+
+def test_combination_overlap_degree_totals(spark):
+    from alaska_etl_spark.operators.sessions import combination_overlap
+
+    rows = [(u, m) for u in range(20) for m in ["a", "b", "c"][: (u % 3) + 1]]
+    df = spark.createDataFrame(rows, "u bigint, t string")
+    out = combination_overlap(df, "u", "t", ["a", "b", "c"]).collect()
+    assert sum(r.n_subjects for r in out) == 20
+    by_degree = {}
+    for r in out:
+        by_degree[r.degree] = by_degree.get(r.degree, 0) + r.n_subjects
+    assert by_degree == {1: 7, 2: 7, 3: 6}
