@@ -826,3 +826,60 @@ def grouped_weighted_median(
             .alias("weighted_median_cents"),
         )
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_cols: list[str],
+    score_cents: str,
+    tiebreak_col: str,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group (Vovk et al.;
+    Angelopoulos & Bates '21 tutorial form): the k-th smallest
+    calibration score with ``k = ceil((n+1)·(1−α))`` — the cutoff
+    that guarantees ≥ 1−α marginal coverage for future scores drawn
+    from the same distribution. The ML-ops primitive behind
+    distribution-free prediction intervals and selective answering.
+
+    α is a rational ``alpha_num/alpha_den`` so k is EXACT integer
+    arithmetic: ``k = ceil((den−num)·(n+1)/den)``, clamped to n (the
+    k > n case means the coverage goal is unattainable at this n; the
+    max score is emitted and ``attainable`` is false).
+
+    One exchange + one sort per group (rank window over (score, tie));
+    the k-th VALUE is tie-order-independent because equal scores share
+    the emitted value. Returns ``(group_cols..., n, k,
+    threshold_cents, attainable)``.
+    """
+    from pyspark.sql import Window
+
+    num, den = int(alpha_num), int(alpha_den)
+    keep = den - num
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.expr(score_cents).cast("bigint").alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v", "_tb")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = base.select(
+        *group_cols,
+        "_v",
+        F.row_number().over(w).cast("bigint").alias("_rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("_n"),
+    )
+    k_raw = F.expr(f"({keep} * (_n + 1) + {den} - 1) div {den}")
+    return (
+        scored.withColumn("_k", F.least(k_raw, F.col("_n")))
+        .filter(F.col("_rn") == F.col("_k"))
+        .select(
+            *group_cols,
+            F.col("_n").alias("n"),
+            F.col("_k").alias("k"),
+            F.col("_v").alias("threshold_cents"),
+            (k_raw <= F.col("_n")).alias("attainable"),
+        )
+    )

@@ -7671,6 +7671,44 @@ GROUP BY mask ORDER BY mask
 """
 
 
+def qk3_conformal_threshold(spark, sf_dir):
+    """Split-conformal calibration cutoff per event type at α = 0.1:
+    the k = ceil((n+1)·0.9)-th smallest value — the distribution-free
+    90%-coverage threshold for future scores. Exact integer k, exact
+    order statistic (rank window over (cents, id); ties share the
+    emitted value). One exchange + one sort per group."""
+    from alaska_etl_spark.operators.stats import conformal_threshold
+
+    e = _t(spark, sf_dir, "events")
+    return conformal_threshold(
+        e,
+        ["event_type"],
+        "cast(round(value * 100) as bigint)",
+        "event_id",
+        alpha_num=1,
+        alpha_den=10,
+    ).orderBy("event_type")
+
+
+QK3_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_type, n,
+       CAST(least((9 * (n + 1) + 9) // 10, n) AS BIGINT) AS k,
+       v AS threshold_cents,
+       (9 * (n + 1) + 9) // 10 <= n AS attainable
+FROM scored
+WHERE rn = least((9 * (n + 1) + 9) // 10, n)
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7787,6 +7825,7 @@ QUERIES = {
     "qk0_weighted_median": qk0_weighted_median,
     "qk1_transition_matrix": qk1_transition_matrix,
     "qk2_combination_overlap": qk2_combination_overlap,
+    "qk3_conformal_threshold": qk3_conformal_threshold,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8053,6 +8092,7 @@ ORACLES = {
     "qk0_weighted_median": QK0_SQL,
     "qk1_transition_matrix": QK1_SQL,
     "qk2_combination_overlap": QK2_SQL,
+    "qk3_conformal_threshold": QK3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -461,3 +461,40 @@ def test_grouped_weighted_median_matches_bruteforce(spark):
             break
     r = grouped_weighted_median(df, ["grp"], "v", "w").collect()[0]
     assert r.weighted_median_cents == exp and r.total_weight == tw
+
+
+def test_conformal_threshold_exact_order_statistic(spark):
+    from alaska_etl_spark.operators.stats import conformal_threshold
+
+    # n=9, alpha=0.1: k = ceil(0.9*10) = 9 -> max value (attainable: 9<=9)
+    rows = [("g", i, (i * 7) % 100) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v bigint")
+    r = conformal_threshold(df, ["grp"], "v", "id").collect()[0]
+    assert (r.n, r.k) == (9, 9)
+    assert r.threshold_cents == max(v for _, _, v in rows)
+    assert bool(r.attainable)
+    # n=4, alpha=0.5 -> k = ceil(0.5*5) = 3 -> 3rd smallest
+    rows2 = [("g", i, v) for i, v in enumerate([40, 10, 30, 20])]
+    df2 = spark.createDataFrame(rows2, "grp string, id bigint, v bigint")
+    r2 = conformal_threshold(df2, ["grp"], "v", "id", alpha_num=1, alpha_den=2).collect()[0]
+    assert (r2.n, r2.k, r2.threshold_cents) == (4, 3, 30)
+
+
+def test_conformal_threshold_unattainable_small_n(spark):
+    from alaska_etl_spark.operators.stats import conformal_threshold
+
+    # n=3, alpha=0.1: k = ceil(0.9*4) = 4 > n -> clamp to max, flagged
+    rows = [("g", i, v) for i, v in enumerate([5, 1, 3])]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v bigint")
+    r = conformal_threshold(df, ["grp"], "v", "id").collect()[0]
+    assert (r.n, r.k, r.threshold_cents) == (3, 3, 5)
+    assert not bool(r.attainable)
+
+
+def test_conformal_threshold_ties_share_value(spark):
+    from alaska_etl_spark.operators.stats import conformal_threshold
+
+    rows = [("g", i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v bigint")
+    r = conformal_threshold(df, ["grp"], "v", "id").collect()[0]
+    assert r.threshold_cents == 7
