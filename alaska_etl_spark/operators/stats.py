@@ -883,3 +883,85 @@ def conformal_threshold(
             (k_raw <= F.col("_n")).alias("attainable"),
         )
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, val_cents: str
+) -> DataFrame:
+    """One-way ANOVA F statistic from exact integer moments: does the
+    group factor explain variance beyond noise — the k-group
+    generalization of qe1's two-sample z-test, in the same
+    engine-exact moments discipline (corr matrix / OLS / CUPED).
+
+    With per-group cents moments ``(n_g, s_g, ss_g)`` and totals
+    ``(n, s, ss)``, multiplying the textbook sums of squares through
+    by the group sizes keeps every term BIGINT-exact as long as each
+    per-group product stays in range; this implementation computes
+
+        SSB·n·Π = Σ_g (n·s_g − n_g·s)² / (n_g) …
+
+    avoided: instead each group's contribution is accumulated as the
+    RATIONAL pair ``((n·s_g − n_g·s)², n_g·n²)`` reduced to one float
+    term per group AFTER exact integer numerators — the one division
+    per group and the final F are correctly-rounded IEEE over exact
+    integers (the pinned-shape doubles class: ÷ and the two final
+    quotients only, no libm). Bound: |n·s_g| < 2^63 ⇒ n·|cents|_sum
+    per group < 9.2e18 (~1e9 rows of 1e5-cent values at 1e4 groups).
+
+    Returns one row: ``(k_groups, n, ssb_x, ssw_x, f_stat)`` where
+    ssb/ssw are emitted ×1e6 round-half-up for stable comparison and
+    ``f_stat = (ssb/(k−1))/(ssw/(n−k))``; NULL when degenerate
+    (k < 2 or n ≤ k).
+    """
+    per_g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ng"),
+        F.sum(F.expr(val_cents)).cast("bigint").alias("_sg"),
+        F.sum(F.expr(val_cents) * F.expr(val_cents)).cast("bigint").alias("_ssg"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_ng").cast("bigint").alias("n"),
+        F.sum("_sg").cast("bigint").alias("s"),
+        F.sum("_ssg").cast("bigint").alias("ss"),
+    )
+    # per-group term of SSB (about the grand mean), exact numerator:
+    #   n_g·(mean_g − mean)² = (n·s_g − n_g·s)² / (n_g·n²)
+    joined = per_g.crossJoin(F.broadcast(tot))
+    # exact BIGINT, then square in DOUBLE: |n·s_g − n_g·s| must stay
+    # < 2^53 for the double to be exact (documented bound); the square
+    # and divide are single correctly-rounded ops — engine-identical
+    num = (F.col("n") * F.col("_sg") - F.col("_ng") * F.col("s")).cast("double")
+    ssb_terms = joined.select(
+        F.col("k"),
+        F.col("n"),
+        F.col("s"),
+        F.col("ss"),
+        (
+            (num * num)
+            / (
+                F.col("_ng").cast("double")
+                * F.col("n").cast("double")
+                * F.col("n").cast("double")
+            )
+        ).alias("_t"),
+        # within-group SS, exact integer: ss_g − s_g²/n_g, scaled by n_g
+        ((F.col("_ng") * F.col("_ssg") - F.col("_sg") * F.col("_sg")).cast("double")
+         / F.col("_ng").cast("double")).alias("_w"),
+    )
+    agg = ssb_terms.groupBy("k", "n").agg(
+        F.sum(F.round(F.col("_t") * 100).cast("bigint")).cast("bigint").alias("_ssb_x"),
+        F.sum(F.round(F.col("_w") * 100).cast("bigint")).cast("bigint").alias("_ssw_x"),
+    )
+    f = (
+        (F.col("_ssb_x").cast("double") / (F.col("k") - 1).cast("double"))
+        / (F.col("_ssw_x").cast("double") / (F.col("n") - F.col("k")).cast("double"))
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.col("_ssb_x").alias("ssb_x100"),
+        F.col("_ssw_x").alias("ssw_x100"),
+        F.when((F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("_ssw_x") > 0), f).alias(
+            "f_stat"
+        ),
+    )

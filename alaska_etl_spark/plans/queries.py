@@ -7709,6 +7709,52 @@ ORDER BY event_type
 """
 
 
+def qk4_anova(spark, sf_dir):
+    """One-way ANOVA F over event values by event type: does the type
+    factor explain variance beyond noise — the k-group extension of
+    qe1's two-sample z-test in the integer-moments discipline. Per-
+    group terms are exact-integer numerators with one correctly-
+    rounded divide each, quantized ×100 then BIGINT-summed (order-
+    free); the F ratio is two final IEEE divides."""
+    from alaska_etl_spark.operators.stats import anova_oneway
+
+    e = _t(spark, sf_dir, "events")
+    return anova_oneway(e, "event_type", "cast(round(value * 100) as bigint)")
+
+
+QK4_SQL = """
+WITH per_g AS (
+  SELECT event_type AS g,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssg
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         CAST(sum(sg) AS BIGINT) AS s, CAST(sum(ssg) AS BIGINT) AS ss
+  FROM per_g
+), terms AS (
+  SELECT k, n,
+         (CAST(n * sg - ng * s AS DOUBLE) * CAST(n * sg - ng * s AS DOUBLE))
+           / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS t,
+         CAST(ng * ssg - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE) AS w
+  FROM per_g CROSS JOIN tot
+), agg AS (
+  SELECT k, n,
+         CAST(sum(CAST(round(t * 100) AS BIGINT)) AS BIGINT) AS ssb_x100,
+         CAST(sum(CAST(round(w * 100) AS BIGINT)) AS BIGINT) AS ssw_x100
+  FROM terms GROUP BY k, n
+)
+SELECT k AS k_groups, n, ssb_x100, ssw_x100,
+       CASE WHEN k > 1 AND n > k AND ssw_x100 > 0
+            THEN (CAST(ssb_x100 AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ssw_x100 AS DOUBLE) / CAST(n - k AS DOUBLE))
+       END AS f_stat
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7826,6 +7872,7 @@ QUERIES = {
     "qk1_transition_matrix": qk1_transition_matrix,
     "qk2_combination_overlap": qk2_combination_overlap,
     "qk3_conformal_threshold": qk3_conformal_threshold,
+    "qk4_anova": qk4_anova,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8093,6 +8140,7 @@ ORACLES = {
     "qk1_transition_matrix": QK1_SQL,
     "qk2_combination_overlap": QK2_SQL,
     "qk3_conformal_threshold": QK3_SQL,
+    "qk4_anova": QK4_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

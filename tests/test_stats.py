@@ -498,3 +498,36 @@ def test_conformal_threshold_ties_share_value(spark):
     df = spark.createDataFrame(rows, "grp string, id bigint, v bigint")
     r = conformal_threshold(df, ["grp"], "v", "id").collect()[0]
     assert r.threshold_cents == 7
+
+
+def test_anova_oneway_matches_textbook(spark):
+    from alaska_etl_spark.operators.stats import anova_oneway
+
+    # groups with clearly different means
+    data = {"a": [1, 2, 3], "b": [10, 11, 12], "c": [5, 5, 5]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v bigint")
+    r = anova_oneway(df, "grp", "v").collect()[0]
+    vals = [v for vs in data.values() for v in vs]
+    mean = sum(vals) / len(vals)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - mean) ** 2 for vs in data.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in data.values() for v in vs)
+    assert (r.k_groups, r.n) == (3, 9)
+    assert abs(r.ssb_x100 / 100 - ssb) <= 0.02
+    assert abs(r.ssw_x100 / 100 - ssw) <= 0.02
+    f_exp = (ssb / 2) / (ssw / 6)
+    assert abs(r.f_stat - f_exp) < 1e-3
+
+
+def test_anova_oneway_degenerate_cases(spark):
+    from alaska_etl_spark.operators.stats import anova_oneway
+
+    # single group -> NULL F
+    df1 = spark.createDataFrame([("a", v) for v in (1, 2, 3)], "grp string, v bigint")
+    assert anova_oneway(df1, "grp", "v").collect()[0].f_stat is None
+    # zero within-group variance -> ssw 0 -> NULL F (infinite separation)
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 9), ("b", 9)], "grp string, v bigint"
+    )
+    r = anova_oneway(df2, "grp", "v").collect()[0]
+    assert r.ssw_x100 == 0 and r.f_stat is None
