@@ -723,3 +723,57 @@ def ltob_downsample(
         .filter(keep)
         .select(part_col, "bucket", ts_col, "cents", "area2")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    val_col: str,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars per (key, day): the canonical
+    downsampled representation of a value stream for charting and
+    change analysis — open/close are the FIRST/LAST observed values in
+    event order, not aggregates, which is what min_by/max_by-style
+    shortcuts get nondeterministic on ties.
+
+    Deterministic by construction: one row_number window over
+    (ts, tiebreak) inside the (key, day) partition marks first and
+    last; the aggregate picks them with conditional max (exactly one
+    row matches each) alongside min/max/count — one exchange + one
+    sort + one aggregate that reuses the window's partitioning. Cents
+    are BIGINT end-to-end.
+
+    Returns ``(part_col, day, open_cents, high_cents, low_cents,
+    close_cents, n_events)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(part_col),
+        # timestamp_ntz day (not DATE): the cross-engine hash compare
+        # canonicalizes DuckDB dates as timestamps (q16 idiom)
+        F.date_trunc("day", F.col(ts_col)).cast("timestamp_ntz").alias("day"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.round(F.col(val_col) * 100).cast("bigint").alias("_c"),
+    )
+    w = Window.partitionBy(part_col, "day").orderBy("_ts", "_tb")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = base.select(
+        F.col(part_col),
+        "day",
+        "_c",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    return staged.groupBy(part_col, "day").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_c"))).cast("bigint").alias("open_cents"),
+        F.max("_c").cast("bigint").alias("high_cents"),
+        F.min("_c").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), F.col("_c")))
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -7755,6 +7755,38 @@ FROM agg
 """
 
 
+def qk5_ohlc_bars(spark, sf_dir):
+    """OHLC bars per (user, day): open/close are the FIRST/LAST values
+    in (ts, event_id) order — picked deterministically via one
+    row_number window whose partitioning the high/low/count aggregate
+    then reuses (one exchange + one sort + one agg). BIGINT cents."""
+    from alaska_etl_spark.operators.timeseries import ohlc_bars
+
+    e = _t(spark, sf_dir, "events")
+    return ohlc_bars(e, "user_id", "ts", "event_id", "value").orderBy(
+        "user_id", "day"
+    )
+
+
+QK5_SQL = """
+WITH staged AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id)
+)
+SELECT user_id, day,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS open_cents,
+       CAST(max(c) AS BIGINT) AS high_cents,
+       CAST(min(c) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn = n THEN c END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM staged GROUP BY user_id, day ORDER BY user_id, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7873,6 +7905,7 @@ QUERIES = {
     "qk2_combination_overlap": qk2_combination_overlap,
     "qk3_conformal_threshold": qk3_conformal_threshold,
     "qk4_anova": qk4_anova,
+    "qk5_ohlc_bars": qk5_ohlc_bars,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8141,6 +8174,7 @@ ORACLES = {
     "qk2_combination_overlap": QK2_SQL,
     "qk3_conformal_threshold": QK3_SQL,
     "qk4_anova": QK4_SQL,
+    "qk5_ohlc_bars": QK5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -486,3 +486,32 @@ def test_ltob_tiny_keys(spark):
         per_user.setdefault(r.user_id, []).append(r)
     assert len(per_user[1]) == 1 and per_user[1][0].area2 is None
     assert len(per_user[2]) == 2 and all(r.area2 is None for r in per_user[2])
+
+
+def test_ohlc_bars_first_last_deterministic(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, 1, t0, "v", 3.0),                          # open
+        (2, 1, t0 + timedelta(hours=1), "v", 9.5),     # high
+        (3, 1, t0 + timedelta(hours=2), "v", 0.5),     # low
+        (4, 1, t0 + timedelta(hours=3), "v", 4.0),     # close
+        # same ts as event 4 but higher id: the TRUE close by tiebreak
+        (5, 1, t0 + timedelta(hours=3), "v", 6.0),
+        # next day single event
+        (6, 1, t0 + timedelta(days=1), "v", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {str(r.day)[:10]: r for r in ohlc_bars(df, "user_id", "ts", "event_id", "value").collect()}
+    d1 = out["2024-01-01"]
+    assert (d1.open_cents, d1.high_cents, d1.low_cents, d1.close_cents) == (
+        300, 950, 50, 600
+    )
+    assert d1.n_events == 5
+    d2 = out["2024-01-02"]
+    assert (d2.open_cents, d2.close_cents, d2.n_events) == (700, 700, 1)
