@@ -7787,6 +7787,68 @@ FROM staged GROUP BY user_id, day ORDER BY user_id, day
 """
 
 
+def qk6_waterfall(spark, sf_dir):
+    """Period-over-period waterfall: monthly revenue per market
+    segment, each segment's month-over-month delta, and the month's
+    total delta — the decomposition "which segments drove this
+    month's change". One aggregate to the (month, segment) frame;
+    the lag and total windows run over that tiny frame (one sort
+    each). BIGINT cents; first month emits NULL deltas."""
+    e = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        e.join(F.broadcast(c), e["o_custkey"] == c["c_custkey"])
+        .select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz")
+            .alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("month", "segment")
+        .agg(F.sum("_c").cast("bigint").alias("rev_cents"))
+    )
+    from pyspark.sql import Window
+
+    w_seg = Window.partitionBy("segment").orderBy("month")
+    staged = rev.select(
+        "month",
+        "segment",
+        "rev_cents",
+        (F.col("rev_cents") - F.lag("rev_cents").over(w_seg))
+        .cast("bigint")
+        .alias("delta_cents"),
+    )
+    w_month = Window.partitionBy("month")
+    return staged.select(
+        "month",
+        "segment",
+        "rev_cents",
+        "delta_cents",
+        F.sum("delta_cents").over(w_month).cast("bigint").alias("month_total_delta_cents"),
+    ).orderBy("month", "segment")
+
+
+QK6_SQL = """
+WITH rev AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         c_mktsegment AS segment,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), staged AS (
+  SELECT month, segment, rev_cents,
+         CAST(rev_cents - lag(rev_cents) OVER (PARTITION BY segment
+                                               ORDER BY month) AS BIGINT) AS delta_cents
+  FROM rev
+)
+SELECT month, segment, rev_cents, delta_cents,
+       CAST(sum(delta_cents) OVER (PARTITION BY month) AS BIGINT)
+         AS month_total_delta_cents
+FROM staged ORDER BY month, segment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7906,6 +7968,7 @@ QUERIES = {
     "qk3_conformal_threshold": qk3_conformal_threshold,
     "qk4_anova": qk4_anova,
     "qk5_ohlc_bars": qk5_ohlc_bars,
+    "qk6_waterfall": qk6_waterfall,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8175,6 +8238,7 @@ ORACLES = {
     "qk3_conformal_threshold": QK3_SQL,
     "qk4_anova": QK4_SQL,
     "qk5_ohlc_bars": QK5_SQL,
+    "qk6_waterfall": QK6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
