@@ -240,3 +240,65 @@ def combination_overlap(
             "n_subjects",
         )
     )
+
+
+def episode_support(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    window_us: int,
+) -> DataFrame:
+    """Temporal episode discovery (Mannila et al. '97 serial episodes,
+    length 2): for every ordered state pair (a → b within ``window_us``
+    of the same key), the occurrence count and the SUPPORT (distinct
+    keys exhibiting it) — the discovery-form generalization of qc4's
+    fixed funnel (that checks ONE given sequence; this surfaces every
+    pair worth a funnel) and of qk1's transitions (adjacent-only; this
+    sees across intervening events).
+
+    Scale shape — the pair join is banded, never per-key-quadratic in
+    time: events bucket by ``floor(epoch/window)`` and each event
+    joins only its own and the NEXT bucket of the same key (any pair
+    within the window spans at most one boundary), then the exact
+    ``0 < Δt ≤ window`` filter applies. Fan-out is bounded by events ×
+    same-key density per window — the bounded-state contract of the
+    streaming interval join, in batch. Equal-timestamp pairs are
+    excluded (no order evidence; document keys needing them should
+    tiebreak upstream).
+
+    Returns ``(src, dst, n_occurrences, support)``.
+    """
+    q = ts_col.replace("`", "``")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{q}`)"
+    )
+    w = int(window_us)
+    base = df.select(
+        F.col(part_col).alias("_k"),
+        F.col(state_col).alias("_s"),
+        us.alias("_us"),
+    ).withColumn("_b", F.expr(f"_us div {w}"))
+    right = base.select(
+        F.col("_k").alias("_k2"),
+        F.col("_s").alias("_s2"),
+        F.col("_us").alias("_us2"),
+        F.explode(F.array(F.col("_b"), F.col("_b") - 1)).alias("_b2"),
+    )
+    pairs = base.join(
+        right,
+        on=[
+            F.col("_k") == F.col("_k2"),
+            F.col("_b") == F.col("_b2"),
+            F.col("_us2") > F.col("_us"),
+            F.col("_us2") - F.col("_us") <= F.lit(w),
+        ],
+    )
+    return (
+        pairs.groupBy(F.col("_s").alias("src"), F.col("_s2").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("_k").cast("bigint").alias("support"),
+        )
+    )

@@ -7849,6 +7849,34 @@ FROM staged ORDER BY month, segment
 """
 
 
+def qk7_episode_support(spark, sf_dir):
+    """Serial-episode discovery: every ordered event-type pair a→b
+    within 2 hours of the same user, with occurrence count and
+    distinct-user support — the discovery form of the qc4 funnel.
+    The Spark side runs the BANDED time-bucket join (each event meets
+    only its own and the next bucket); the oracle runs the naive
+    inequality join — the band optimization is thereby
+    result-verified, not just argued."""
+    from alaska_etl_spark.operators.sessions import episode_support
+
+    e = _t(spark, sf_dir, "events")
+    return episode_support(
+        e, "user_id", "ts", "event_type", window_us=7200 * 1_000_000
+    ).orderBy("src", "dst")
+
+
+QK7_SQL = """
+SELECT a.event_type AS src, b.event_type AS dst,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(7200 AS BIGINT) * 1000000
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7969,6 +7997,7 @@ QUERIES = {
     "qk4_anova": qk4_anova,
     "qk5_ohlc_bars": qk5_ohlc_bars,
     "qk6_waterfall": qk6_waterfall,
+    "qk7_episode_support": qk7_episode_support,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8239,6 +8268,7 @@ ORACLES = {
     "qk4_anova": QK4_SQL,
     "qk5_ohlc_bars": QK5_SQL,
     "qk6_waterfall": QK6_SQL,
+    "qk7_episode_support": QK7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

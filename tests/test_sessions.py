@@ -186,3 +186,70 @@ def test_combination_overlap_degree_totals(spark):
     for r in out:
         by_degree[r.degree] = by_degree.get(r.degree, 0) + r.n_subjects
     assert by_degree == {1: 7, 2: 7, 3: 6}
+
+
+def test_episode_support_window_edges_and_band_crossing(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.sessions import episode_support
+
+    t0 = datetime(2024, 1, 1)
+    w_us = 60 * 1_000_000  # 1 minute
+    rows = [
+        # a at :00, b at :59s (inside), c at exactly +60s (inclusive edge),
+        # d at +61s (outside)
+        (1, 1, t0, "a"),
+        (2, 1, t0 + timedelta(seconds=59), "b"),
+        (3, 1, t0 + timedelta(seconds=60), "c"),
+        (4, 1, t0 + timedelta(seconds=61), "d"),
+        # user 2: pair crossing a bucket boundary (buckets are 60s from
+        # epoch; :30 and :75 are in different buckets, gap 45s <= 60)
+        (5, 2, t0 + timedelta(seconds=30), "x"),
+        (6, 2, t0 + timedelta(seconds=75), "y"),
+        # user 3: equal timestamps -> no order evidence, no pair
+        (7, 3, t0, "p"),
+        (8, 3, t0, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {
+        (r.src, r.dst): (r.n_occurrences, r.support)
+        for r in episode_support(df, "user_id", "ts", "event_type", window_us=w_us).collect()
+    }
+    assert out[("a", "b")] == (1, 1)
+    assert out[("a", "c")] == (1, 1)      # exactly at the window: inclusive
+    assert ("a", "d") not in out          # 61s > window
+    assert out[("b", "c")] == (1, 1)
+    assert out[("x", "y")] == (1, 1)      # crosses the bucket boundary
+    assert not any(s in ("p", "q") or d in ("p", "q") for s, d in out)
+
+
+def test_episode_support_matches_bruteforce(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.sessions import episode_support
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, t0 + timedelta(seconds=(i * 37) % 500), "s" + str(i % 4))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    w_us = 90 * 1_000_000
+    got = {
+        (r.src, r.dst): (r.n_occurrences, r.support)
+        for r in episode_support(df, "user_id", "ts", "event_type", window_us=w_us).collect()
+    }
+    from collections import defaultdict
+    occ = defaultdict(int)
+    sup = defaultdict(set)
+    for i, u, ta, sa in [(i, u, t, s) for i, u, t, s in rows]:
+        for j, v, tb, sb in rows:
+            if u == v and tb > ta and (tb - ta) <= timedelta(seconds=90):
+                occ[(sa, sb)] += 1
+                sup[(sa, sb)].add(u)
+    exp = {k: (occ[k], len(sup[k])) for k in occ}
+    assert got == exp
