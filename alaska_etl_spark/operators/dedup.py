@@ -923,12 +923,16 @@ def connected_components(
     minimum id reachable from ``id`` — turning near-dup PAIRS into dup
     GROUPS (pick min(id) per component as the canonical survivor).
 
-    Iterative min-label propagation: each round joins every node's
-    current label against its neighbors' labels and keeps the min;
-    converges in O(diameter) rounds (dup clusters are near-cliques from
-    LSH, so diameter is tiny — 2-4 rounds in practice). Each round is
-    two shuffles over (node, label) pairs; driver-side work is ONE
-    boolean (converged?) per round, not data.
+    Iterative min-label propagation WITH pointer jumping: each round
+    (a) joins every node's label against its neighbors' labels and
+    keeps the min, then (b) follows the winning label's OWN label one
+    hop (path halving — labels are node ids, so a self-join of the
+    label table compresses chains ~2× per round). Bare propagation is
+    O(diameter) rounds — fine for LSH near-cliques (2-4 rounds) but
+    >50 on long geometric chains (qk8's 250 km ε-graph at sf0.1); the
+    jump makes it O(log diameter) (that same graph: 8 rounds). Each
+    round is three shuffles over (node, label) pairs; driver-side work
+    is ONE boolean (converged?) per round, not data.
 
     Iteration hygiene (the part that decides whether this survives
     100 TB — VERDICT r1 "What's wrong" #5): ``edges`` is persisted once
@@ -972,6 +976,7 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("component")
     )
+    prev_labels = None
     with scope:
         for _ in range(max_iters):
             neighbor_min = (
@@ -979,12 +984,38 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("nmin"))
             )
-            updated = (
+            propagated = (
                 labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                 .select(
                     "id",
                     F.least(
                         F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("_prop"),
+                    "component",
+                )
+            )
+            # pointer jumping (path halving): follow the label's OWN
+            # label one hop — labels are node ids, so one self-join
+            # compresses every chain by ~half per round, turning the
+            # O(diameter) bound of bare min-propagation into
+            # O(log diameter). Bare propagation needed >50 rounds on
+            # sf0.1 geographic chains (qk8); with the jump the same
+            # graph converges in 8. Neighbor-min alone still decides
+            # correctness (the jump only shortcuts already-discovered
+            # reachability, never invents it).
+            updated = (
+                propagated.alias("p")
+                .join(
+                    propagated.select(
+                        F.col("id").alias("_lid"), F.col("_prop").alias("_lprop")
+                    ),
+                    F.col("p._prop") == F.col("_lid"),
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("_prop"), F.coalesce(F.col("_lprop"), F.col("_prop"))
                     ).alias("new_component"),
                     "component",
                 )
@@ -1004,6 +1035,21 @@ def connected_components(
             )
             changed = updated.filter(F.col("new_component") < F.col("component")).limit(1).count()
             labels = updated.select("id", F.col("new_component").alias("component"))
+            # stats firewall: checkpoint cuts LINEAGE but PRESERVES the
+            # optimized plan's statistics (LogicalRDD originStats), and
+            # each round's join product then SQUARES the previous
+            # round's sizeInBytes — measured: 91→191→392→… digits per
+            # round until Catalyst's BigInteger overflows around round
+            # 20 (found by qk8's ε-graph, the first input needing that
+            # many rounds pre-jump). Materializing the round's labels
+            # in the cache replaces them with InMemoryRelation's REAL
+            # computed bytes for every downstream consumer, resetting
+            # the chain each round.
+            labels = tracked_persist(labels)
+            labels.count()
+            if prev_labels is not None:
+                prev_labels.unpersist()
+            prev_labels = labels
             if changed == 0:
                 break
         edges.unpersist()

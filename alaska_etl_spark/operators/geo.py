@@ -44,7 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pseudo_coords", "pseudo_coords_sql", "haversine_km", "knn_join"]
+__all__ = ["pseudo_coords", "pseudo_coords_sql", "haversine_km", "knn_join", "radius_pairs"]
 
 _EARTH_KM = 6371.0
 _KM_PER_DEG_LAT = 111.045
@@ -160,4 +160,73 @@ def knn_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(left_id, right_id, "distance_km", "rank")
+    )
+
+
+def radius_pairs(
+    points: DataFrame,
+    id_col: str,
+    *,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+    round_digits: int = 3,
+) -> DataFrame:
+    """ALL point pairs within ``radius_km`` (id_a < id_b) via the same
+    grid-cell blocking as :func:`knn_join` — the edge builder for
+    density clustering (ε-neighborhood graphs): candidates are
+    co-celled pairs only, the exact haversine verifies. Self-join
+    form: one side explodes to the neighbor-cell window, the other
+    stays put; the ``id_a < id_b`` filter keeps each unordered pair
+    once (the blocked candidate set is symmetric, so orientation
+    doesn't lose pairs). Returns ``(id_a, id_b, distance_km)``.
+    """
+    a_cells = int(math.ceil(radius_km / _KM_PER_DEG_LAT)) + 1
+    km_per_deg_lon = _KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
+    b_cells = int(math.ceil(radius_km / km_per_deg_lon)) + 1
+
+    anchor = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("_lat_a"),
+        F.col(lon_col).alias("_lon_a"),
+        F.floor(lat_col).alias("_cy"),
+        F.pmod(F.floor(lon_col), F.lit(360)).alias("_cx"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in range(-a_cells, a_cells + 1)
+                for dx in range(-b_cells, b_cells + 1)
+            ]
+        )
+    ).alias("_o")
+    probe = (
+        points.select(
+            F.col(id_col).alias("id_b"),
+            F.col(lat_col).alias("_lat_b"),
+            F.col(lon_col).alias("_lon_b"),
+            F.floor(lat_col).alias("_ry"),
+            F.floor(lon_col).alias("_rx"),
+        )
+        .select("*", offsets)
+        .select(
+            "id_b",
+            "_lat_b",
+            "_lon_b",
+            (F.col("_ry") + F.col("_o.dy")).alias("_cy"),
+            F.pmod(F.col("_rx") + F.col("_o.dx"), F.lit(360)).alias("_cx"),
+        )
+    )
+    dist = F.round(
+        haversine_km(F.col("_lat_a"), F.col("_lon_a"), F.col("_lat_b"), F.col("_lon_b")),
+        round_digits,
+    )
+    return (
+        anchor.join(probe, ["_cy", "_cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= radius_km)
+        .select("id_a", "id_b", "distance_km")
     )

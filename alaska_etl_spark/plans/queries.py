@@ -7877,6 +7877,56 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def qk8_geo_clusters(spark, sf_dir):
+    """ε-neighborhood geo clustering (single-linkage DBSCAN core):
+    customer points within 250 km become edges via the grid-blocked
+    radius join (never cartesian), then connected components label the
+    clusters — the qb1 blocking machinery composed with the q42 CC
+    operator. The oracle builds the SAME edges with a naive cartesian
+    haversine and closes them with a recursive CTE, so both the
+    blocking and the iterative labeling are result-verified."""
+    from alaska_etl_spark.operators.dedup import dup_groups
+    from alaska_etl_spark.operators.geo import pseudo_coords, radius_pairs
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 5000)
+    lat, lon = pseudo_coords(F.col("c_custkey"))
+    pts = c.select(F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon"))
+    pairs = radius_pairs(pts, "id", radius_km=250.0).select("id_a", "id_b")
+    return dup_groups(pairs).orderBy("component")
+
+
+def _qk8_sql() -> str:
+    from alaska_etl_spark.operators.geo import haversine_km_sql, pseudo_coords_sql
+
+    lat, lon = pseudo_coords_sql("c_custkey")
+    hav = haversine_km_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon
+  FROM customer WHERE c_custkey < 5000
+), pairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE round({hav}, 3) <= 250.0
+), edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component, CAST(count(*) AS BIGINT) AS member_count, min(id) AS keep_id
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+QK8_SQL = _qk8_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7998,6 +8048,7 @@ QUERIES = {
     "qk5_ohlc_bars": qk5_ohlc_bars,
     "qk6_waterfall": qk6_waterfall,
     "qk7_episode_support": qk7_episode_support,
+    "qk8_geo_clusters": qk8_geo_clusters,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8269,6 +8320,7 @@ ORACLES = {
     "qk5_ohlc_bars": QK5_SQL,
     "qk6_waterfall": QK6_SQL,
     "qk7_episode_support": QK7_SQL,
+    "qk8_geo_clusters": QK8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -82,3 +82,46 @@ def test_plan_is_equijoin_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_pairs_equals_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.geo import haversine_km, pseudo_coords, radius_pairs
+
+    lat, lon = pseudo_coords(F.col("id"))
+    pts = spark.range(1, 2000).select("id", lat.alias("lat"), lon.alias("lon"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in radius_pairs(pts, "id", radius_km=400.0).collect()
+    }
+    a = pts.select(F.col("id").alias("ia"), F.col("lat").alias("la"), F.col("lon").alias("qa"))
+    b = pts.select(F.col("id").alias("ib"), F.col("lat").alias("lb"), F.col("lon").alias("qb"))
+    brute = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "d",
+            F.round(haversine_km(F.col("la"), F.col("qa"), F.col("lb"), F.col("qb")), 3),
+        )
+        .filter(F.col("d") <= 400.0)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_geo_clusters_chain_merges_transitively(spark):
+    """A chain of points each within eps of the NEXT (but far from the
+    rest) must collapse to ONE component — the transitivity CC buys."""
+    from alaska_etl_spark.operators.dedup import dup_groups
+    from alaska_etl_spark.operators.geo import radius_pairs
+
+    # 1° lat ≈ 111 km: a 6-point chain at 0.9° spacing (within 111 km
+    # pairs only adjacent); one isolated point far away
+    rows = [(i, float(i) * 0.9, 10.0) for i in range(6)] + [(99, 40.0, 120.0)]
+    pts = spark.createDataFrame(rows, "id bigint, lat double, lon double")
+    pairs = radius_pairs(pts, "id", radius_km=111.0).select("id_a", "id_b")
+    out = dup_groups(pairs).collect()
+    assert len(out) == 1  # the chain; the isolate has no edges
+    assert out[0].member_count == 6 and out[0].keep_id == 0
