@@ -965,3 +965,79 @@ def anova_oneway(
             "f_stat"
         ),
     )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    treated_col: str,
+    outcome_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Uplift evaluation by score decile (Qini/uplift curve,
+    Radcliffe '07): rank subjects by a targeting score, split each
+    decile by treatment assignment, and report the treated-minus-
+    control response gap per decile plus the cumulative Qini statistic
+    — the standard readout for "does the model rank the persuadable
+    first". Completes the causal family: qe1/qh8/q45 estimate AVERAGE
+    effects; this evaluates a TARGETING RANKING.
+
+    Deciles come from the q84 global-ranking machinery (range
+    exchange + narrow Arrow pass — never a single-partition window
+    over subjects). Per-decile counts are exact BIGINTs; the two float
+    emits are pinned-shape IEEE over exact integers (one divide each
+    side of a subtract for ``uplift``; one divide + subtract for
+    ``qini_cum = Σconv_t − Σconv_c·Σn_t/Σn_c``) — no libm,
+    engine-identical.
+
+    Returns per decile: ``(decile, n_t, conv_t, n_c, conv_c, uplift,
+    qini_cum)``; uplift/qini are NULL while a side has no subjects.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.ranking import global_ntile
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (-F.col(score_col)).alias("_negscore"),
+        F.col(treated_col).cast("int").alias("_t"),
+        F.col(outcome_col).cast("int").alias("_y"),
+    )
+    ranked = global_ntile(base, ["_negscore", "_id"], k, bucket_col="decile")
+    per = ranked.groupBy("decile").agg(
+        F.sum("_t").cast("bigint").alias("n_t"),
+        F.sum(F.col("_t") * F.col("_y")).cast("bigint").alias("conv_t"),
+        F.sum(1 - F.col("_t")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("_t")) * F.col("_y")).cast("bigint").alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        F.sum("n_t").over(w).cast("bigint").alias("_cnt"),
+        F.sum("conv_t").over(w).cast("bigint").alias("_cct"),
+        F.sum("n_c").over(w).cast("bigint").alias("_cnc"),
+        F.sum("conv_c").over(w).cast("bigint").alias("_ccc"),
+    )
+    uplift = (
+        F.col("conv_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("conv_c").cast("double") / F.col("n_c").cast("double")
+    )
+    qini = (
+        F.col("_cct").cast("double")
+        - (F.col("_ccc") * F.col("_cnt")).cast("double") / F.col("_cnc").cast("double")
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), uplift).alias("uplift"),
+        F.when(F.col("_cnc") > 0, qini).alias("qini_cum"),
+    )

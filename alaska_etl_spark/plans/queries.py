@@ -7927,6 +7927,81 @@ FROM comp GROUP BY component ORDER BY component
 QK8_SQL = _qk8_sql()
 
 
+def qk9_uplift_deciles(spark, sf_dir):
+    """Uplift/Qini evaluation by targeting-score decile: users ranked
+    by total spend (the score), split by a hash-assigned treatment,
+    per-decile treated-minus-control purchase-frequency gap plus the
+    cumulative Qini statistic. Completes the causal family: qe1/qh8/
+    q45 estimate average effects, this evaluates a targeting RANKING.
+    Deciles via the q84 range-exchange global ntile; count arithmetic
+    exact BIGINT, the two emits pinned-shape IEEE."""
+    from alaska_etl_spark.operators.splits import hash_bucket
+    from alaska_etl_spark.operators.stats import uplift_deciles
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("score_cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("_np"),
+    ).select(
+        "user_id",
+        "score_cents",
+        (hash_bucket("user_id", seed=3) % 2).cast("int").alias("treated"),
+        (F.col("_np") >= 14).cast("int").alias("outcome"),
+    )
+    return uplift_deciles(
+        per_user, "user_id", "score_cents", "treated", "outcome", k=10
+    ).orderBy("decile")
+
+
+def _qk9_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_bucket_sql
+
+    treated = f"CAST(({hash_bucket_sql('user_id', seed=3)}) % 2 AS INT)"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, {treated} AS t,
+         CASE WHEN np >= 14 THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY -score, user_id) AS decile
+  FROM per_user
+), per AS (
+  SELECT decile,
+         CAST(sum(t) AS BIGINT) AS n_t,
+         CAST(sum(t * y) AS BIGINT) AS conv_t,
+         CAST(sum(1 - t) AS BIGINT) AS n_c,
+         CAST(sum((1 - t) * y) AS BIGINT) AS conv_c
+  FROM ranked GROUP BY decile
+), cum AS (
+  SELECT decile, n_t, conv_t, n_c, conv_c,
+         CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+         CAST(sum(conv_t) OVER w AS BIGINT) AS cct,
+         CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+         CAST(sum(conv_c) OVER w AS BIGINT) AS ccc
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n_t, conv_t, n_c, conv_c,
+       CASE WHEN n_t > 0 AND n_c > 0
+            THEN CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS uplift,
+       CASE WHEN cnc > 0
+            THEN CAST(cct AS DOUBLE)
+                 - CAST(ccc * cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END AS qini_cum
+FROM cum ORDER BY decile
+"""
+
+
+QK9_SQL = _qk9_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8049,6 +8124,7 @@ QUERIES = {
     "qk6_waterfall": qk6_waterfall,
     "qk7_episode_support": qk7_episode_support,
     "qk8_geo_clusters": qk8_geo_clusters,
+    "qk9_uplift_deciles": qk9_uplift_deciles,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8321,6 +8397,7 @@ ORACLES = {
     "qk6_waterfall": QK6_SQL,
     "qk7_episode_support": QK7_SQL,
     "qk8_geo_clusters": QK8_SQL,
+    "qk9_uplift_deciles": QK9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

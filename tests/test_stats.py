@@ -531,3 +531,36 @@ def test_anova_oneway_degenerate_cases(spark):
     )
     r = anova_oneway(df2, "grp", "v").collect()[0]
     assert r.ssw_x100 == 0 and r.f_stat is None
+
+
+def test_uplift_deciles_hand_computed(spark):
+    from alaska_etl_spark.operators.stats import uplift_deciles
+
+    # 20 subjects, 2 deciles of 10; scores descending by id so decile 1
+    # is ids 1-10. Treatment: even ids; outcome: ids 1-5 and 11-12.
+    rows = [
+        (i, float(100 - i), 1 if i % 2 == 0 else 0,
+         1 if (i <= 5 or i in (11, 12)) else 0)
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score double, t int, y int")
+    out = {r.decile: r for r in uplift_deciles(df, "id", "score", "t", "y", k=2).collect()}
+    d1 = out[1]
+    # decile 1 = ids 1-10: treated evens {2,4,6,8,10}, conv {2,4}; control odds, conv {1,3,5}
+    assert (d1.n_t, d1.conv_t, d1.n_c, d1.conv_c) == (5, 2, 5, 3)
+    assert d1.uplift == 2 / 5 - 3 / 5
+    assert d1.qini_cum == 2.0 - (3 * 5) / 5
+    d2 = out[2]
+    # decile 2 = ids 11-20: treated conv {12}, control conv {11}
+    assert (d2.n_t, d2.conv_t, d2.n_c, d2.conv_c) == (5, 1, 5, 1)
+    assert d2.qini_cum == 3.0 - (4 * 10) / 10
+
+
+def test_uplift_deciles_one_sided_decile_null(spark):
+    from alaska_etl_spark.operators.stats import uplift_deciles
+
+    # all subjects treated: control side empty -> NULL uplift, NULL qini
+    rows = [(i, float(i), 1, i % 2) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id bigint, score double, t int, y int")
+    out = uplift_deciles(df, "id", "score", "t", "y", k=2).collect()
+    assert all(r.uplift is None and r.qini_cum is None for r in out)
