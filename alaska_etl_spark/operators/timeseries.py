@@ -777,3 +777,73 @@ def ohlc_bars(
         .alias("close_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+def lag_correlation(
+    df: DataFrame,
+    ts_col: str,
+    x_flag,
+    y_flag,
+    *,
+    max_lag_hours: int = 12,
+) -> DataFrame:
+    """Lagged cross-correlation of two hourly event series: for each
+    lag L in 0..max_lag, the Pearson correlation of x(t) against
+    y(t+L) — "does series y follow series x, and by how many hours?"
+    The reference's core question is forecast-vs-actual error by lead
+    time (SURVEY §6, plans/analytics.py); this is the symmetric
+    diagnostic for when the lead itself is unknown.
+
+    Grain economics: ONE aggregate collapses events to the hourly
+    count frame (|hours| rows); the lag alignment is an explode of
+    that reduced frame into max_lag+1 shifted copies joined back on
+    the hour — all work after the first aggregate is O(hours·lags).
+    Only hour pairs where BOTH series' hours exist in the frame's
+    span enter a lag's moments (inner join on the shifted hour), so
+    every lag correlates over its full overlap window.
+
+    Exactness: counts are integers, so per-lag moments (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact BIGINTs and the correlation is the qb3
+    pinned-shape IEEE expression — engine-identical. NULL when a
+    lag's window is degenerate (zero variance).
+
+    ``x_flag``/``y_flag`` are boolean Columns selecting the two
+    series' events. Returns ``(lag_hours, n_hours, corr)``.
+    """
+    hours = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("_h")
+    ).agg(
+        F.sum(F.when(x_flag, 1).otherwise(0)).cast("bigint").alias("_x"),
+        F.sum(F.when(y_flag, 1).otherwise(0)).cast("bigint").alias("_y"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(lag) for lag in range(max_lag_hours + 1)])
+    ).alias("lag_hours")
+    shifted = hours.select(
+        F.col("_h"), F.col("_y"), lags
+    ).select(
+        (F.col("_h") - F.expr("make_interval(0, 0, 0, 0, lag_hours, 0, 0)")).alias(
+            "_h"
+        ),
+        F.col("lag_hours"),
+        F.col("_y").alias("_ylag"),
+    )
+    joined = hours.select("_h", "_x").join(shifted, on="_h")
+    m = joined.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum("_ylag").cast("bigint").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_ylag")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("_ylag") * F.col("_ylag")).cast("bigint").alias("_syy"),
+    )
+    n = F.col("n_hours").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return m.select(
+        F.col("lag_hours").cast("bigint").alias("lag_hours"),
+        "n_hours",
+        F.when(denom != 0, (n * sxy - sx * sy) / denom).alias("corr"),
+    )

@@ -8002,6 +8002,62 @@ FROM cum ORDER BY decile
 QK9_SQL = _qk9_sql()
 
 
+def ql0_lag_correlation(spark, sf_dir):
+    """Lagged cross-correlation of hourly view vs purchase volume:
+    corr(views(t), purchases(t+L)) for L = 0..12 hours — the
+    unknown-lead-time diagnostic next to q17's fixed-lead forecast
+    error. One aggregate to the hourly frame; lag alignment is an
+    explode of that reduced frame; per-lag moments exact BIGINT, the
+    correlation one pinned-shape IEEE expression."""
+    from alaska_etl_spark.operators.timeseries import lag_correlation
+
+    e = _t(spark, sf_dir, "events")
+    return lag_correlation(
+        e,
+        "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        max_lag_hours=12,
+    ).orderBy("lag_hours")
+
+
+QL0_SQL = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(0, 12)) AS lag
+), joined AS (
+  SELECT l.lag, a.x AS x, b.y AS y
+  FROM lags l
+  CROSS JOIN hours a
+  JOIN hours b ON b.h = a.h + l.lag * INTERVAL 1 HOUR
+), m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM joined GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours, n_hours,
+       CASE WHEN sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0
+            THEN (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY lag_hours
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8125,6 +8181,7 @@ QUERIES = {
     "qk7_episode_support": qk7_episode_support,
     "qk8_geo_clusters": qk8_geo_clusters,
     "qk9_uplift_deciles": qk9_uplift_deciles,
+    "ql0_lag_correlation": ql0_lag_correlation,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8398,6 +8455,7 @@ ORACLES = {
     "qk7_episode_support": QK7_SQL,
     "qk8_geo_clusters": QK8_SQL,
     "qk9_uplift_deciles": QK9_SQL,
+    "ql0_lag_correlation": QL0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -515,3 +515,81 @@ def test_ohlc_bars_first_last_deterministic(spark):
     assert d1.n_events == 5
     d2 = out["2024-01-02"]
     assert (d2.open_cents, d2.close_cents, d2.n_events) == (700, 700, 1)
+
+
+def test_lag_correlation_detects_planted_lag(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import lag_correlation
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # x volume follows a pattern; y repeats it exactly 3 hours later ->
+    # corr at lag 3 must be 1.0 over the overlap window
+    pattern = [1, 4, 2, 7, 3, 6, 1, 5, 2, 8, 3, 5, 4, 7, 2, 6, 1, 9, 2, 4]
+    for h, n in enumerate(pattern):
+        for _ in range(n):
+            rows.append((eid, 1, t0 + timedelta(hours=h), "x", 0.0)); eid += 1
+        for _ in range(n):
+            rows.append((eid, 1, t0 + timedelta(hours=h + 3), "y", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.lag_hours: r
+        for r in lag_correlation(
+            df, "ts", F.col("event_type") == "x", F.col("event_type") == "y",
+            max_lag_hours=5,
+        ).collect()
+    }
+    assert out[3].corr == 1.0
+    assert all(
+        out[lag].corr is None or out[lag].corr < 0.999
+        for lag in out if lag != 3
+    )
+
+
+def test_lag_correlation_moments_match_python(spark):
+    from datetime import datetime, timedelta
+
+    from alaska_etl_spark.operators.timeseries import lag_correlation
+
+    t0 = datetime(2024, 1, 1)
+    xs = [(i * 13) % 5 for i in range(30)]
+    ys = [(i * 7) % 4 for i in range(30)]
+    rows = []
+    eid = 0
+    for h, (nx, ny) in enumerate(zip(xs, ys)):
+        for _ in range(nx):
+            rows.append((eid, 1, t0 + timedelta(hours=h), "x", 0.0)); eid += 1
+        for _ in range(ny):
+            rows.append((eid, 1, t0 + timedelta(hours=h), "y", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.lag_hours: r
+        for r in lag_correlation(
+            df, "ts", F.col("event_type") == "x", F.col("event_type") == "y",
+            max_lag_hours=2,
+        ).collect()
+    }
+    import math
+    for lag in (0, 1, 2):
+        # hours with zero x AND zero y don't appear in the hourly frame;
+        # replicate the inner-join-over-present-hours semantics
+        present = [h for h in range(30) if xs[h] + ys[h] > 0]
+        pairs = [
+            (xs[a], ys[b])
+            for a in present
+            for b in present
+            if b == a + lag
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs); syy = sum(p[1] ** 2 for p in pairs)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        exp = (n * sxy - sx * sy) / den
+        assert out[lag].n_hours == n and abs(out[lag].corr - exp) < 1e-12
