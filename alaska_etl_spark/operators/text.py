@@ -999,3 +999,55 @@ def vocab_growth(
             F.sum("new_types").over(w_cum).cast("bigint").alias("vocab_cum"),
         )
     )
+
+
+def fd_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency audit over every ordered column pair
+    (Metanome-style profiling, Papenbrock et al. '15): does determinant
+    A functionally determine dependent B — and if not, how badly is the
+    FD violated? The schema-discovery primitive behind key detection,
+    normalization advice, and dirty-data triage; extends the q77/qi2
+    single-column profilers to RELATIONSHIPS between columns.
+
+    Per pair: one (A, B) distinct-pair aggregate then one A-grain
+    aggregate — both map-side combined; the d·(d−1) pairs are
+    independent subtrees unioned into one result (Catalyst schedules
+    them as parallel stages off shared scans). An FD holds iff every
+    determinant group maps to exactly one dependent value; the audit
+    reports the violating-group count, the violating-row mass, and the
+    worst group's fan-out. All BIGINT.
+
+    Returns per ordered pair: ``(determinant, dependent, n_groups,
+    violating_groups, violating_rows, max_fanout, holds)``.
+    """
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            # rows per (A,B) value pair, then per-A fan-out + row mass
+            ab = df.groupBy(F.col(a).alias("_a"), F.col(b).alias("_b")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("_rows")
+            )
+            per_a = ab.groupBy("_a").agg(
+                F.count(F.lit(1)).cast("bigint").alias("_fan"),
+                F.sum("_rows").cast("bigint").alias("_mass"),
+            )
+            parts.append(
+                per_a.agg(
+                    F.lit(a).alias("determinant"),
+                    F.lit(b).alias("dependent"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                    F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("violating_groups"),
+                    F.sum(F.when(F.col("_fan") > 1, F.col("_mass")).otherwise(0))
+                    .cast("bigint")
+                    .alias("violating_rows"),
+                    F.max("_fan").cast("bigint").alias("max_fanout"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("holds", F.col("violating_groups") == 0)

@@ -8058,6 +8058,48 @@ FROM m ORDER BY lag_hours
 """
 
 
+_QL1_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def ql1_fd_audit(spark, sf_dir):
+    """Functional-dependency audit over the orders columns: for every
+    ordered pair (A, B), does A determine B, and how many groups/rows
+    violate it (o_orderkey → * holds, being the key; everything into
+    the key is violated). Metanome-style dependency profiling —
+    relationship discovery next to the q77/qi2 single-column
+    profilers. Per pair: two map-side-combined aggregates."""
+    from alaska_etl_spark.operators.text import fd_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_audit(o, _QL1_COLS).orderBy("determinant", "dependent")
+
+
+def _ql1_sql() -> str:
+    parts = []
+    for a in _QL1_COLS:
+        for b in _QL1_COLS:
+            if a == b:
+                continue
+            parts.append(f"""
+SELECT '{a}' AS determinant, '{b}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(sum(CASE WHEN fan > 1 THEN mass ELSE 0 END) AS BIGINT) AS violating_rows,
+       CAST(max(fan) AS BIGINT) AS max_fanout,
+       sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT a, CAST(count(*) AS BIGINT) AS fan, CAST(sum(rows_) AS BIGINT) AS mass
+  FROM (
+    SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS rows_
+    FROM orders GROUP BY {a}, {b}
+  ) GROUP BY a
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY determinant, dependent"
+
+
+QL1_SQL = _ql1_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8182,6 +8224,7 @@ QUERIES = {
     "qk8_geo_clusters": qk8_geo_clusters,
     "qk9_uplift_deciles": qk9_uplift_deciles,
     "ql0_lag_correlation": ql0_lag_correlation,
+    "ql1_fd_audit": ql1_fd_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8456,6 +8499,7 @@ ORACLES = {
     "qk8_geo_clusters": QK8_SQL,
     "qk9_uplift_deciles": QK9_SQL,
     "ql0_lag_correlation": QL0_SQL,
+    "ql1_fd_audit": QL1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -473,3 +473,40 @@ def test_vocab_growth_total_vocab_is_distinct_type_count(spark):
     # monotone non-increasing marginal vocabulary is NOT guaranteed, but
     # cumulative counts must be strictly monotone in docs/tokens
     assert all(a.docs_cum < b.docs_cum for a, b in zip(rows, rows[1:]))
+
+
+def test_fd_audit_detects_keys_and_violations(spark):
+    from alaska_etl_spark.operators.text import fd_audit
+
+    rows = [
+        (1, "a", "x"),
+        (2, "a", "x"),
+        (3, "b", "x"),
+        (4, "b", "y"),   # b -> {x, y}: cat->val violated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, cat string, val string")
+    out = {(r.determinant, r.dependent): r for r in fd_audit(df, ["id", "cat", "val"]).collect()}
+    assert len(out) == 6
+    # id is a key: determines everything
+    assert out[("id", "cat")].holds and out[("id", "val")].holds
+    # cat -> val violated only by group b (2 rows, fanout 2)
+    r = out[("cat", "val")]
+    assert (r.n_groups, r.violating_groups, r.violating_rows, r.max_fanout) == (2, 1, 2, 2)
+    assert not r.holds
+    # val -> cat: x maps to {a, b} (3 rows), y maps to {b}
+    r2 = out[("val", "cat")]
+    assert (r2.violating_groups, r2.violating_rows, r2.max_fanout) == (1, 3, 2)
+    # cat -> id: both groups fan out
+    assert out[("cat", "id")].violating_groups == 2
+
+
+def test_fd_audit_null_is_a_value(spark):
+    from alaska_etl_spark.operators.text import fd_audit
+
+    rows = [(1, None), (2, None), (None, "x"), (None, "x")]
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = {(r.determinant, r.dependent): r for r in fd_audit(df, ["a", "b"]).collect()}
+    # NULL determinant groups together; here NULL -> x uniquely: holds
+    assert out[("a", "b")].holds
+    # b: NULL -> {1,2} violated; x -> NULL unique
+    assert not out[("b", "a")].holds
