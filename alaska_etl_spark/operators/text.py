@@ -1051,3 +1051,61 @@ def fd_audit(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("holds", F.col("violating_groups") == 0)
+
+
+def inclusion_audit(
+    frames: "list[tuple[str, DataFrame, str]]",
+) -> DataFrame:
+    """Inclusion-dependency (candidate foreign-key) audit: for every
+    ordered pair of key columns from different tables, what fraction
+    of the left side's DISTINCT values exists on the right — the
+    discovery sibling of qc6's referential-integrity report (that
+    checks KNOWN keys; this surveys candidates, the step FK
+    constraints come from — Bauckmann et al.'s SPIDER problem).
+
+    ``frames`` is ``[(name, df, key_col), ...]``. Per pair: both sides
+    reduce to distinct key sets first (one aggregate each, shared
+    across all pairs touching the table via plain plan reuse), then a
+    left-anti join counts the escapees — shuffle volume is distinct
+    keys, never rows. Coverage is the engine's 4dp round-half-up
+    basis-point emit.
+
+    Returns per ordered pair: ``(from_table, from_col, to_table,
+    to_col, n_distinct, n_missing, coverage_bp, holds)``.
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    distincts = [
+        (name, df.select(F.col(col).alias("_k")).distinct(), col)
+        for name, df, col in frames
+    ]
+    parts = []
+    for ln, lf, lc in distincts:
+        for rn, rf, rc in distincts:
+            if ln == rn:
+                continue
+            missing = lf.join(rf, on="_k", how="left_anti")
+            parts.append(
+                lf.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+                .crossJoin(
+                    missing.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_missing")
+                    )
+                )
+                .select(
+                    F.lit(ln).alias("from_table"),
+                    F.lit(lc).alias("from_col"),
+                    F.lit(rn).alias("to_table"),
+                    F.lit(rc).alias("to_col"),
+                    "n_distinct",
+                    "n_missing",
+                    div_half_up(
+                        "n_distinct - n_missing", "n_distinct", 10000
+                    ).alias("coverage_bp"),
+                    (F.col("n_missing") == 0).alias("holds"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -8100,6 +8100,58 @@ FROM (
 QL1_SQL = _ql1_sql()
 
 
+_QL2_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+]
+
+
+def ql2_inclusion_audit(spark, sf_dir):
+    """Inclusion-dependency (candidate foreign-key) discovery across
+    the star schema's key columns: per ordered pair, the share of
+    left DISTINCT values present on the right (l_orderkey ⊆
+    o_orderkey and o_custkey ⊆ c_custkey hold; the reversals measure
+    childless parents). Distinct-set reduction before any join —
+    shuffle volume is keys, never rows."""
+    from alaska_etl_spark.operators.text import inclusion_audit
+
+    frames = [
+        (f"{t}.{c}", _t(spark, sf_dir, t), c) for t, c in _QL2_KEYS
+    ]
+    return inclusion_audit(frames).orderBy("from_table", "to_table")
+
+
+def _ql2_sql() -> str:
+    parts = []
+    names = [(f"{t}.{c}", t, c) for t, c in _QL2_KEYS]
+    for ln, lt, lc in names:
+        for rn, rt, rc in names:
+            if ln == rn:
+                continue
+            parts.append(f"""
+SELECT '{ln}' AS from_table, '{lc}' AS from_col,
+       '{rn}' AS to_table, '{rc}' AS to_col,
+       CAST((SELECT count(DISTINCT {lc}) FROM {lt}) AS BIGINT) AS n_distinct,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT {lc} AS k FROM {lt}) l
+             WHERE k NOT IN (SELECT {rc} FROM {rt} WHERE {rc} IS NOT NULL)) AS BIGINT)
+         AS n_missing"""
+            )
+    inner = " UNION ALL ".join(parts)
+    return f"""
+WITH pairs AS ({inner})
+SELECT from_table, from_col, to_table, to_col, n_distinct, n_missing,
+       CAST((2 * 10000 * (n_distinct - n_missing) + n_distinct)
+            // (2 * n_distinct) AS BIGINT) AS coverage_bp,
+       n_missing = 0 AS holds
+FROM pairs ORDER BY from_table, to_table
+"""
+
+
+QL2_SQL = _ql2_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8225,6 +8277,7 @@ QUERIES = {
     "qk9_uplift_deciles": qk9_uplift_deciles,
     "ql0_lag_correlation": ql0_lag_correlation,
     "ql1_fd_audit": ql1_fd_audit,
+    "ql2_inclusion_audit": ql2_inclusion_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8500,6 +8553,7 @@ ORACLES = {
     "qk9_uplift_deciles": QK9_SQL,
     "ql0_lag_correlation": QL0_SQL,
     "ql1_fd_audit": QL1_SQL,
+    "ql2_inclusion_audit": QL2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -510,3 +510,36 @@ def test_fd_audit_null_is_a_value(spark):
     assert out[("a", "b")].holds
     # b: NULL -> {1,2} violated; x -> NULL unique
     assert not out[("b", "a")].holds
+
+
+def test_inclusion_audit_detects_fk_and_escapees(spark):
+    from alaska_etl_spark.operators.text import inclusion_audit
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (3,)], "fk bigint")
+    parent = spark.createDataFrame([(1,), (2,), (4,), (5,)], "pk bigint")
+    out = {
+        (r.from_table, r.to_table): r
+        for r in inclusion_audit(
+            [("child", child, "fk"), ("parent", parent, "pk")]
+        ).collect()
+    }
+    c2p = out[("child", "parent")]
+    # child distinct {1,2,3}: 3 escapes -> 1 missing, coverage 6667 bp
+    assert (c2p.n_distinct, c2p.n_missing) == (3, 1)
+    assert c2p.coverage_bp == (2 * 10000 * 2 + 3) // 6
+    assert not c2p.holds
+    p2c = out[("parent", "child")]
+    assert (p2c.n_distinct, p2c.n_missing) == (4, 2)
+
+
+def test_inclusion_audit_full_containment_holds(spark):
+    from alaska_etl_spark.operators.text import inclusion_audit
+
+    a = spark.createDataFrame([(i,) for i in (1, 2)], "k bigint")
+    b = spark.createDataFrame([(i,) for i in (1, 2, 3)], "k bigint")
+    out = {
+        (r.from_table, r.to_table): r
+        for r in inclusion_audit([("a", a, "k"), ("b", b, "k")]).collect()
+    }
+    assert out[("a", "b")].holds and out[("a", "b")].coverage_bp == 10000
+    assert not out[("b", "a")].holds
