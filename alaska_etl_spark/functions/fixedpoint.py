@@ -45,3 +45,36 @@ def div_half_up_py(num: int, den: int, scale: int = 1) -> int:
     """Pure-Python replica of :func:`div_half_up` (the property test's
     subject, and the replica used by driver-side checks)."""
     return (2 * scale * num + den) // (2 * den)
+
+
+def div_half_up_signed(num: str, den: str, scale: int = 1) -> Column:
+    """Sign-aware ``round_half_away_from_zero(scale * num / den)``:
+    compute :func:`div_half_up` on ``abs(num)`` and reapply the sign.
+
+    The plain helper's contract requires num ≥ 0 because Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors — they disagree
+    exactly when the dividend goes negative (ADVICE r6: TWAP weighted
+    sums and DID cell sums CAN go negative when the value column
+    does). Routing through abs() keeps both engines on non-negative
+    operands, where floor == truncate, so the twin SQL form
+    ``CASE WHEN num < 0 THEN -((2*scale*(-num)+den) // (2*den))
+    ELSE (2*scale*num+den) // (2*den) END`` is engine-exact.
+    Property-pinned in tests/test_properties.py.
+    """
+    mag = f"(2 * {scale} * abs({num}) + ({den})) div (2 * ({den}))"
+    return F.expr(f"CASE WHEN ({num}) < 0 THEN -({mag}) ELSE ({mag}) END")
+
+
+def div_half_up_signed_py(num: int, den: int, scale: int = 1) -> int:
+    """Pure-Python replica of :func:`div_half_up_signed`."""
+    mag = (2 * scale * abs(num) + den) // (2 * den)
+    return -mag if num < 0 else mag
+
+
+def sql_div_half_up_signed(num: str, den: str, scale: int = 1) -> str:
+    """The DuckDB twin of :func:`div_half_up_signed` as a SQL fragment
+    (``//`` floor-division; abs() keeps operands non-negative so it
+    matches Spark's truncating ``div``). Used by oracle strings so the
+    two engines share one sign convention by construction."""
+    mag = f"(2 * {scale} * abs({num}) + ({den})) // (2 * ({den}))"
+    return f"(CASE WHEN ({num}) < 0 THEN -({mag}) ELSE ({mag}) END)"

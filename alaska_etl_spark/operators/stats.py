@@ -589,7 +589,7 @@ def diff_in_diff(
     n_ctrl_post, mean_treat_pre, mean_treat_post, mean_ctrl_pre,
     mean_ctrl_post, did)``.
     """
-    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_signed
     from alaska_etl_spark.operators.splits import hash_bucket
 
     treat = hash_bucket(F.col(unit_col), seed=seed) < int(round(treat_frac * 10**6))
@@ -622,8 +622,13 @@ def diff_in_diff(
         ],
     )
     def mean(n):
-        # cents → currency units: scale/100 fixed-point then /scale
-        return div_half_up(f"s_{n}", f"nullif(100 * n_{n}, 0)", scale) / float(scale)
+        # cents → currency units: scale/100 fixed-point then /scale.
+        # Sign-aware: cell sums go negative when the value column does
+        # (refunds, deltas) — abs-then-resign keeps Spark div / DuckDB
+        # // agreement (ADVICE r6).
+        return div_half_up_signed(
+            f"s_{n}", f"nullif(100 * n_{n}, 0)", scale
+        ) / float(scale)
 
     out = cells.select(
         "n_treat_pre",

@@ -1070,13 +1070,26 @@ def inclusion_audit(
     keys, never rows. Coverage is the engine's 4dp round-half-up
     basis-point emit.
 
+    NULL convention: NULL keys are excluded from BOTH sides before the
+    distinct — a NULL can't witness or violate an inclusion dependency
+    (SQL FK semantics ignore NULLs), and the convention also makes the
+    engine agree with a ``NOT IN``-style oracle by construction
+    (``x NOT IN (...)`` is NULL for NULL x, silently dropping the row,
+    while ``left_anti`` would have kept it — ADVICE r6).
+
     Returns per ordered pair: ``(from_table, from_col, to_table,
     to_col, n_distinct, n_missing, coverage_bp, holds)``.
     """
     from alaska_etl_spark.functions.fixedpoint import div_half_up
 
     distincts = [
-        (name, df.select(F.col(col).alias("_k")).distinct(), col)
+        (
+            name,
+            df.select(F.col(col).alias("_k"))
+            .filter(F.col(col).isNotNull())
+            .distinct(),
+            col,
+        )
         for name, df, col in frames
     ]
     parts = []

@@ -587,7 +587,7 @@ def time_weighted_avg(
     """
     from pyspark.sql import Window
 
-    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_signed
 
     w = Window.partitionBy(part_col).orderBy(ts_col, tiebreak_col)
     # tz-independent epoch millis (unix_millis rejects TIMESTAMP_NTZ;
@@ -619,7 +619,7 @@ def time_weighted_avg(
         "n_events",
         "active_ms",
         F.when(
-            F.col("active_ms") > 0, div_half_up("_wsum", "active_ms")
+            F.col("active_ms") > 0, div_half_up_signed("_wsum", "active_ms")
         ).alias("twap_cents"),
     )
 

@@ -43,9 +43,15 @@ def _mat(sql: str, *names: str) -> str:
     whole tokenize→gram→64-hash pipeline 16× (~16 s at sf0.1, the
     benchmark artifact VERDICT r4/r5 flagged; 0.8 s materialized). A
     pure optimizer directive: results are identical, and the oracle
-    bench should compare against DuckDB at its best."""
+    bench should compare against DuckDB at its best. Word-boundary
+    regex, not substring replace: 'cnt AS (' must not be hit by a
+    request to materialize 't' (ADVICE r6)."""
+    import re
+
     for nm in names:
-        sql = sql.replace(f"{nm} AS (", f"{nm} AS MATERIALIZED (", 1)
+        sql = re.sub(
+            rf"\b{re.escape(nm)} AS \(", f"{nm} AS MATERIALIZED (", sql, count=1
+        )
     return sql
 
 
@@ -6658,10 +6664,10 @@ WITH base AS (
   FROM base
 ), m AS (
   SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
-       ((2 * 10000 * (s_treat_pre) + (nullif(100 * n_treat_pre, 0))) // (2 * (nullif(100 * n_treat_pre, 0)))) / 10000.0 AS mean_treat_pre,
-       ((2 * 10000 * (s_treat_post) + (nullif(100 * n_treat_post, 0))) // (2 * (nullif(100 * n_treat_post, 0)))) / 10000.0 AS mean_treat_post,
-       ((2 * 10000 * (s_ctrl_pre) + (nullif(100 * n_ctrl_pre, 0))) // (2 * (nullif(100 * n_ctrl_pre, 0)))) / 10000.0 AS mean_ctrl_pre,
-       ((2 * 10000 * (s_ctrl_post) + (nullif(100 * n_ctrl_post, 0))) // (2 * (nullif(100 * n_ctrl_post, 0)))) / 10000.0 AS mean_ctrl_post
+       (CASE WHEN s_treat_pre < 0 THEN -((2 * 10000 * abs(s_treat_pre) + (nullif(100 * n_treat_pre, 0))) // (2 * (nullif(100 * n_treat_pre, 0)))) ELSE ((2 * 10000 * abs(s_treat_pre) + (nullif(100 * n_treat_pre, 0))) // (2 * (nullif(100 * n_treat_pre, 0)))) END) / 10000.0 AS mean_treat_pre,
+       (CASE WHEN s_treat_post < 0 THEN -((2 * 10000 * abs(s_treat_post) + (nullif(100 * n_treat_post, 0))) // (2 * (nullif(100 * n_treat_post, 0)))) ELSE ((2 * 10000 * abs(s_treat_post) + (nullif(100 * n_treat_post, 0))) // (2 * (nullif(100 * n_treat_post, 0)))) END) / 10000.0 AS mean_treat_post,
+       (CASE WHEN s_ctrl_pre < 0 THEN -((2 * 10000 * abs(s_ctrl_pre) + (nullif(100 * n_ctrl_pre, 0))) // (2 * (nullif(100 * n_ctrl_pre, 0)))) ELSE ((2 * 10000 * abs(s_ctrl_pre) + (nullif(100 * n_ctrl_pre, 0))) // (2 * (nullif(100 * n_ctrl_pre, 0)))) END) / 10000.0 AS mean_ctrl_pre,
+       (CASE WHEN s_ctrl_post < 0 THEN -((2 * 10000 * abs(s_ctrl_post) + (nullif(100 * n_ctrl_post, 0))) // (2 * (nullif(100 * n_ctrl_post, 0)))) ELSE ((2 * 10000 * abs(s_ctrl_post) + (nullif(100 * n_ctrl_post, 0))) // (2 * (nullif(100 * n_ctrl_post, 0)))) END) / 10000.0 AS mean_ctrl_post
   FROM cells
 )
 SELECT *, round((mean_treat_post - mean_treat_pre) - (mean_ctrl_post - mean_ctrl_pre), 4) AS did
@@ -7102,7 +7108,10 @@ WITH staged AS (
 )
 SELECT user_id, n_events, active_ms,
        CASE WHEN active_ms > 0
-            THEN CAST((2 * wsum + active_ms) // (2 * active_ms) AS BIGINT)
+            THEN CAST(CASE WHEN wsum < 0
+                 THEN -((2 * abs(wsum) + active_ms) // (2 * active_ms))
+                 ELSE ((2 * abs(wsum) + active_ms) // (2 * active_ms))
+                 END AS BIGINT)
        END AS twap_cents
 FROM agg ORDER BY user_id
 """

@@ -19,7 +19,12 @@ Parsing model — why this shape:
   files ~1 GB for exactly this reason). ``spark.read.format
   ("binaryFile")`` distributes files across executors; an Arrow-batched
   ``mapInPandas`` walks each file's bytes sequentially — per-record
-  Python cost amortized across the batch, constant memory per file.
+  Python cost amortized across the batch. Memory is proportional to
+  the DECOMPRESSED file (binaryFile materializes the file's bytes and
+  a gzip member inflates whole in the executor — a ~1 GB gzipped
+  Common Crawl file can expand to several GB per task), so executor
+  sizing must budget for max-decompressed-file, or files must be
+  member-split upstream; see the Gzip note below.
   At 100 TB the parallelism is the file count (100k+ files), which is
   the grain the format itself mandates.
 - **Gzip**: whole-file gzip members are detected by magic bytes and

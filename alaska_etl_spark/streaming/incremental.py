@@ -188,7 +188,13 @@ def stream_running_stats(
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    # Key columns keep their INPUT types (an int/timestamp key
+    # hardcoded as string would surface mis-typed — ADVICE r6);
+    # applyInPandasWithState passes group keys through untouched, so
+    # the passthrough type is always correct.
+    key_fields = ", ".join(
+        f"{k} {events.schema[k].dataType.simpleString()}" for k in key_cols
+    )
     out_schema = (
         f"{key_fields}, n_events bigint, total double, "
         "last_event_us bigint, is_final boolean"
@@ -1086,7 +1092,13 @@ def stream_cusum_monitor(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    # Key columns keep their INPUT types (an int/timestamp key
+    # hardcoded as string would surface mis-typed — ADVICE r6);
+    # applyInPandasWithState passes group keys through untouched, so
+    # the passthrough type is always correct.
+    key_fields = ", ".join(
+        f"{k} {events.schema[k].dataType.simpleString()}" for k in key_cols
+    )
     out_schema = (
         f"{key_fields}, n_events bigint, s_up bigint, s_dn bigint, "
         "alarm_up boolean, alarm_dn boolean, onsets_up bigint, onsets_dn bigint"

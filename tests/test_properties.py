@@ -468,6 +468,74 @@ def test_div_half_up_column_matches_python(spark):
         assert got[(n, d, s)] == div_half_up_py(n, d, s), (n, d, s)
 
 
+@given(
+    num=st.integers(min_value=-(10**12), max_value=10**12),
+    den=st.integers(min_value=1, max_value=10**12),
+    scale=st.sampled_from([1, 10, 100, 1000, 10000, 1000000]),
+)
+@settings(max_examples=300, deadline=None)
+def test_div_half_up_signed_matches_fraction(num, den, scale):
+    """The sign-aware variant IS round-half-away-from-zero of
+    scale*num/den (abs-then-resign), pinned against Fraction — the
+    negative-dividend contract the plain helper excludes (ADVICE r6:
+    TWAP/DID sums can go negative)."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up_signed_py
+
+    exact = Fraction(scale * abs(num), den)
+    floor = exact.numerator // exact.denominator
+    frac = exact - floor
+    mag = floor + (1 if frac >= Fraction(1, 2) else 0)
+    want = -mag if num < 0 else mag
+    assert div_half_up_signed_py(num, den, scale) == want
+
+
+def test_div_half_up_signed_cross_engine(spark):
+    """Spark Column form == DuckDB SQL twin == Python replica on a
+    sign-boundary grid (exact halves on both sides of zero) — the
+    truncate-vs-floor divergence the signed form exists to close."""
+    import duckdb
+
+    from alaska_etl_spark.functions.fixedpoint import (
+        div_half_up_signed,
+        div_half_up_signed_py,
+        sql_div_half_up_signed,
+    )
+
+    rows = [
+        (n, d)
+        for n in [-(10**9), -999, -7, -5, -3, -2, -1, 0, 1, 2, 3, 5, 7, 999, 10**9]
+        for d in [1, 2, 3, 4, 7, 100, 10**9]
+    ]
+    df = spark.createDataFrame(rows, "num bigint, den bigint")
+    got_spark = {
+        (r.num, r.den): (r.v1, r.v100)
+        for r in df.select(
+            "num",
+            "den",
+            div_half_up_signed("num", "den", 1).alias("v1"),
+            div_half_up_signed("num", "den", 100).alias("v100"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    frag1 = sql_div_half_up_signed("num", "den", 1)
+    frag100 = sql_div_half_up_signed("num", "den", 100)
+    values = ", ".join(
+        f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in rows
+    )
+    got_duck = {
+        (n, d): (int(v1), int(v100))
+        for n, d, v1, v100 in con.execute(
+            f"SELECT num, den, {frag1}, {frag100} "
+            f"FROM (VALUES {values}) AS t(num, den)"
+        ).fetchall()
+    }
+    con.close()
+    for n, d in rows:
+        want = (div_half_up_signed_py(n, d, 1), div_half_up_signed_py(n, d, 100))
+        assert got_spark[(n, d)] == want, (n, d)
+        assert got_duck[(n, d)] == want, (n, d)
+
+
 # --- PPJoin positional filter soundness (simjoin, round 6) ---------------
 
 _VOCAB = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab -> hot shingles,

@@ -473,3 +473,37 @@ def test_stream_cusum_monitor_flat_series_no_alarms(spark, tmp_path):
     r = spark.read.parquet(str(out)).collect()[0]
     assert (r.s_up, r.s_dn, r.onsets_up, r.onsets_dn) == (0, 0, 0, 0)
     assert not r.alarm_up and not r.alarm_dn
+
+
+def test_stream_cusum_monitor_preserves_key_types(spark, tmp_path):
+    """Non-string key columns keep their input type in the output
+    schema (was hardcoded `string` — ADVICE r6)."""
+    from alaska_etl_spark.streaming.incremental import (
+        run_available_now,
+        stream_cusum_monitor,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            f'{{"uid": 7, "ts": "2023-06-01 10:{i:02d}:00", "v": 9.0}}'
+            for i in range(4)
+        )
+        + "\n"
+    )
+    q = stream_cusum_monitor(
+        spark.readStream.schema("uid bigint, ts timestamp, v double").json(
+            str(src)
+        ),
+        key_cols=["uid"],
+        ts_col="ts",
+        value_col="v",
+        target_cents=500,
+        threshold_cents=400,
+    )
+    run_available_now(q, str(out), str(ckpt))
+    got = spark.read.parquet(str(out))
+    assert dict(got.dtypes)["uid"] == "bigint"
+    r = got.collect()[0]
+    assert r.uid == 7 and r.n_events == 4

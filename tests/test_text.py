@@ -545,6 +545,25 @@ def test_inclusion_audit_full_containment_holds(spark):
     assert not out[("b", "a")].holds
 
 
+def test_inclusion_audit_ignores_null_keys(spark):
+    """NULL keys count on NEITHER side (FK semantics; also the NOT-IN
+    oracle convention — ADVICE r6): a child whose only escapee is NULL
+    still 'holds', and NULL never inflates n_distinct."""
+    from alaska_etl_spark.operators.text import inclusion_audit
+
+    child = spark.createDataFrame([(1,), (2,), (None,)], "fk bigint")
+    parent = spark.createDataFrame([(1,), (2,), (None,)], "pk bigint")
+    out = {
+        (r.from_table, r.to_table): r
+        for r in inclusion_audit(
+            [("child", child, "fk"), ("parent", parent, "pk")]
+        ).collect()
+    }
+    c2p = out[("child", "parent")]
+    assert (c2p.n_distinct, c2p.n_missing) == (2, 0)
+    assert c2p.holds and c2p.coverage_bp == 10000
+
+
 def test_truncation_audit_query_hand_values(spark):
     from alaska_etl_spark.plans.queries import QUERIES
     import alaska_etl_spark.plans.queries as qmod
