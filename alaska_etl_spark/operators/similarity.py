@@ -1132,6 +1132,7 @@ def cosine_topk_arrow(
     k: int = 10,
     include_self: bool = False,
     round_digits: int = 4,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors, Arrow-matmul form:
     identical results to :func:`cosine_topk` (same rounding, same
@@ -1165,7 +1166,14 @@ def cosine_topk_arrow(
     Spark's sequential ``F.aggregate``, so a cosine landing within ulps
     of an exact .5·10^-digits boundary can still round differently
     across the two implementations — data-dependent and absent from the
-    fixed test corpora, but not impossible."""
+    fixed test corpora, but not impossible.
+
+    The driver-collect contract is ENFORCED, not advisory (VERDICT r6
+    #2): the query side is fetched through ``limit(max_query_rows+1)``
+    — the driver never materializes more than the cap even when a
+    caller points ``queries`` at a corpus — and exceeding
+    ``max_query_rows`` raises ValueError naming :func:`ivf_topk` as
+    the index-scale substitute (SCALE.md "Driver-collect guard")."""
     from pyspark.sql.types import IntegralType, StructField, StructType
 
     qid = query_id_col or id_col
@@ -1186,9 +1194,22 @@ def cosine_topk_arrow(
         ]
     )
     qrows = sorted(
-        queries.select(F.col(qid).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")).collect(),
+        queries.select(
+            F.col(qid).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .limit(max_query_rows + 1)
+        .collect(),
         key=lambda r: r._qid,
     )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_arrow: query side exceeds max_query_rows="
+            f"{max_query_rows}; this operator collects the query matrix "
+            "driver-side by contract. For a large query/index side use "
+            "ivf_topk (distributed, no driver materialization), or raise "
+            "max_query_rows explicitly if the driver is sized for it."
+        )
     spark = corpus.sparkSession
     if not qrows:  # empty query side: empty typed result, no jobs
         return spark.createDataFrame([], out_struct.add("rank", "integer"))
@@ -1258,6 +1279,7 @@ def bitext_topk_pair(
     vec_col: str = "embedding",
     k: int = 10,
     round_digits: int = 4,
+    max_query_rows: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """BOTH directions' exact top-k between two embedding sets from ONE
     corpus scan (r6; the engine under :func:`margin_bitext_pairs`): the
@@ -1280,7 +1302,12 @@ def bitext_topk_pair(
 
     The fused candidate stream is tracked-persisted (flat scalar rows):
     both directions and their aggregates read it, and without
-    materialization each consumer would re-run the matmul scan."""
+    materialization each consumer would re-run the matmul scan.
+
+    The x-side driver collect is capped at ``max_query_rows`` (fetched
+    via ``limit(cap+1)`` so the driver never over-materializes;
+    exceeding it raises ValueError — VERDICT r6 #2; see
+    SCALE.md "Driver-collect guard")."""
     from pyspark.sql.types import (
         BooleanType,
         IntegerType,
@@ -1304,9 +1331,22 @@ def bitext_topk_pair(
     ]
     out_struct = StructType([StructField("is_xy", BooleanType())] + result_fields)
     xrows = sorted(
-        x.select(F.col(id_col).alias("_qid"), F.col(vec_col).cast("array<double>").alias("_qv")).collect(),
+        x.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .limit(max_query_rows + 1)
+        .collect(),
         key=lambda r: r._qid,
     )
+    if len(xrows) > max_query_rows:
+        raise ValueError(
+            f"bitext_topk_pair: x side exceeds max_query_rows="
+            f"{max_query_rows}; this operator collects the x matrix "
+            "driver-side by contract. For index-scale sides use ivf_topk "
+            "per direction, or raise max_query_rows explicitly if the "
+            "driver is sized for it."
+        )
     spark = y.sparkSession
     if not xrows:
         empty = spark.createDataFrame([], StructType(result_fields))
@@ -1402,6 +1442,7 @@ def margin_bitext_pairs(
     k: int = 4,
     margin_threshold: float = 1.05,
     round_digits: int = 4,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Margin-based nearest-pair mining between two embedding sets —
     the LASER/CCMatrix bitext-mining scheme (Artetxe & Schwenk: "Margin-
@@ -1443,7 +1484,13 @@ def margin_bitext_pairs(
     # lists (see bitext_topk_pair). Results are identical to
     # cosine_topk by construction (same rounding, same total order).
     xy_raw, yx_raw = bitext_topk_pair(
-        x, y, id_col=id_col, vec_col=vec_col, k=k, round_digits=round_digits
+        x,
+        y,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        round_digits=round_digits,
+        max_query_rows=max_query_rows,
     )
     xy = xy_raw.withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))
     yx = yx_raw.withColumn("_c", F.round(F.col("cosine") * scale).cast("bigint"))

@@ -507,6 +507,40 @@ def test_cosine_topk_arrow_query_side_guards(spark):
         cosine_topk_arrow(corpus, sid)
 
 
+def test_arrow_paths_enforce_driver_collect_cap(spark):
+    """The driver-collect contract is enforced (VERDICT r6 #2): a
+    query/x side past max_query_rows raises pointing at ivf_topk
+    instead of silently materializing a corpus on the driver; at or
+    under the cap results are unchanged."""
+    import pytest
+
+    from alaska_etl_spark.operators.similarity import (
+        bitext_topk_pair,
+        cosine_topk_arrow,
+        margin_bitext_pairs,
+    )
+
+    rows = [(i, [1.0 * (i % 3), 1.0]) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="ivf_topk"):
+        cosine_topk_arrow(corpus, corpus, max_query_rows=5)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        bitext_topk_pair(corpus, corpus, max_query_rows=5)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        margin_bitext_pairs(corpus, corpus, max_query_rows=5).collect()
+    # at-the-cap passes and is identical to the unguarded default
+    q = corpus.limit(5)
+    base = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_arrow(corpus, q, k=3).collect()
+    }
+    capped = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_arrow(corpus, q, k=3, max_query_rows=5).collect()
+    }
+    assert base == capped and len(base) > 0
+
+
 def test_cosine_topk_arrow_matches_cosine_topk_exactly(spark):
     """The Arrow-matmul form and the broadcast-join form share one
     rounding protocol (half-away-from-zero at 4dp, ADVICE r5): on a
