@@ -453,17 +453,113 @@ def kmeans_replicable(
     ever holds k·dim doubles. The reference has no clustering operator
     — this serves the IVF / SemDeDup quantizer path (SURVEY §2.14
     X30/X8) in oracle-checkable form. Returns (centroid_id, centroid).
+
+    Iteration 1 is FUSED with the init (VERDICT r6 #6): instead of a
+    separate ``centroids_by_id().collect()`` job before the loop, the
+    k-row init frame enters iteration 1's plan as a broadcast subtree
+    (``crossJoin(broadcast(sort_array(collect_list(...))))``) and the
+    assignment argmax runs as native higher-order functions over that
+    array — same rounded-cosine / smallest-id-tie protocol as
+    :func:`assign_buckets`, identical results (pinned by
+    test_similarity). The init centroid values ride along the SAME
+    collect as tagged union rows (for the empty-cell carryover), so
+    the serial driver barriers drop from iters+1 to iters.
     """
-    cents = {
-        r.centroid_id: [float(x) for x in r.centroid]
-        for r in centroids_by_id(
-            corpus, id_col=id_col, vec_col=vec_col, ncells=k
-        ).collect()
-    }
     spark = corpus.sparkSession
-    if not cents:  # empty corpus: no cells, not an np.stack crash
+    if iters <= 0:  # degenerate: the init frame IS the answer
+        cents0 = {
+            r.centroid_id: [float(x) for x in r.centroid]
+            for r in centroids_by_id(
+                corpus, id_col=id_col, vec_col=vec_col, ncells=k
+            ).collect()
+        }
+        return spark.createDataFrame(
+            sorted(cents0.items()), "centroid_id bigint, centroid array<double>"
+        )
+
+    init = centroids_by_id(corpus, id_col=id_col, vec_col=vec_col, ncells=k)
+    cn = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+    carr = (
+        init.select(
+            F.struct(
+                F.col("centroid_id"),
+                F.col("centroid"),
+                F.when(cn == 0.0, F.lit(1.0)).otherwise(cn).alias("_cn"),
+            ).alias("_c")
+        )
+        # sort_array orders structs by leading field = centroid_id, so
+        # the fold visits cells smallest-id-first (argmax-first ties)
+        .agg(F.sort_array(F.collect_list("_c")).alias("_cs"))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(dot(v, v))
+    vn1 = F.when(vnorm == 0.0, F.lit(1.0)).otherwise(vnorm)
+    # HOF lambdas run interpreted and duplicated expressions re-evaluate
+    # per element — bind (v, ‖v‖) ONCE per row via a 1-element array
+    # binder, then score each cell exactly once; array_max over
+    # (cos, -cid) structs is the argmax with ties to the SMALLEST
+    # centroid_id (max of -cid), matching assign_buckets' first-max.
+    row_env = F.array(F.struct(v.alias("v"), vn1.alias("w")))
+
+    def _score(env):
+        def per_cell(c):
+            cos = F.round(
+                dot(env["v"], c["centroid"]) / (env["w"] * c["_cn"]), round_digits
+            )
+            return F.struct(
+                cos.alias("cos"), (-c["centroid_id"]).alias("ncid")
+            )
+
+        return F.array_max(F.transform(F.col("_cs"), per_cell))
+
+    best = -F.transform(row_env, _score)[0]["ncid"]
+    assigned1 = corpus.crossJoin(F.broadcast(carr)).select(
+        v.alias(vec_col),
+        F.when(v.isNull(), F.col("_cs")[0]["centroid_id"])
+        .otherwise(best)
+        .alias("centroid_id"),
+    )
+    sums1 = (
+        assigned1.select("centroid_id", F.posexplode(vec_col).alias("_d", "_v"))
+        .groupBy("centroid_id", "_d")
+        .agg(
+            F.sum(F.round(F.col("_v") * F.lit(1000000.0)).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "centroid_id", "_d", "_s", "_n", F.lit(None).cast("double").alias("_iv")
+        )
+    )
+    init_side = init.select(
+        "centroid_id", F.posexplode("centroid").alias("_d", "_v")
+    ).select(
+        "centroid_id",
+        "_d",
+        F.lit(None).cast("long").alias("_s"),
+        F.lit(0).cast("long").alias("_n"),
+        F.col("_v").cast("double").alias("_iv"),
+    )
+    combined = sums1.unionByName(init_side).collect()
+
+    init_vals: dict[int, dict[int, float]] = {}
+    acc: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    for r in combined:
+        if r._n == 0:
+            init_vals.setdefault(r.centroid_id, {})[r._d] = float(r._iv)
+        else:
+            acc.setdefault(r.centroid_id, {})[r._d] = r._s
+            counts[r.centroid_id] = r._n
+    if not init_vals:  # empty corpus: no cells
         return spark.createDataFrame([], "centroid_id bigint, centroid array<double>")
-    for _ in range(iters):
+    cents: dict[int, list[float]] = {}
+    for cid, dims in sorted(init_vals.items()):
+        if cid in acc:
+            n = counts[cid]
+            cents[cid] = [acc[cid][i] / (n * 1000000.0) for i in range(len(dims))]
+        else:  # empty cell keeps its init centroid, exact doubles
+            cents[cid] = [dims[i] for i in range(len(dims))]
+    for _ in range(iters - 1):
         cdf = spark.createDataFrame(
             sorted(cents.items()), "centroid_id bigint, centroid array<double>"
         )
@@ -479,14 +575,14 @@ def kmeans_replicable(
             )
             .collect()
         )
-        acc: dict[int, dict[int, int]] = {}
-        counts: dict[int, int] = {}
+        acc = {}
+        counts = {}
         for r in sums:
             acc.setdefault(r.centroid_id, {})[r._d] = r._s
             counts[r.centroid_id] = r._n
-        for cid, dims in acc.items():
+        for cid, dims_s in acc.items():
             n = counts[cid]
-            cents[cid] = [dims[i] / (n * 1000000.0) for i in range(len(dims))]
+            cents[cid] = [dims_s[i] / (n * 1000000.0) for i in range(len(dims_s))]
     return spark.createDataFrame(
         sorted(cents.items()), "centroid_id bigint, centroid array<double>"
     )
