@@ -8241,7 +8241,7 @@ FROM agg ORDER BY ctx
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
-    "q03_top_orders": q03_top_orders,
+    "q03_dedup_savings": qf7_dedup_savings,
     "q04_filtered_sum": q04_filtered_sum,
     "q05_watermark_max": q05_watermark_max,
     "q06_skyline": qi7_skyline,
@@ -8258,10 +8258,10 @@ QUERIES = {
     "q15_sentinel_conversion": q15_sentinel_conversion,
     "q16_hourly_rollup": q16_hourly_rollup,
     "q17_asof_join": q17_asof_join,
-    "q18_running_total": q18_running_total,
+    "q18_nb_auc": qg7_nb_auc,
     "q19_rollup": q19_rollup,
     "q20_json_extract": q20_json_extract,
-    "q21_regex_extract": q21_regex_extract,
+    "q21_geo_clusters": qk8_geo_clusters,
     "q22_token_stats": q22_token_stats,
     "q23_quality_score": q23_quality_score,
     "q24_lang_id": q24_lang_id,
@@ -8309,7 +8309,7 @@ QUERIES = {
     "q49_max_concurrent": qc7_max_concurrent,
     "qe7_idle_customers": q49_idle_customers,
     "qf3_dup_source_matrix": qf3_dup_source_matrix,
-    "qf7_dedup_savings": qf7_dedup_savings,
+    "ql4_top_orders": q03_top_orders,
     "qf8_vocab_divergence": qf8_vocab_divergence,
     "qf9_embedding_drift": qf9_embedding_drift,
     "q50_kmeans_summary": qg0_kmeans_summary,
@@ -8318,7 +8318,7 @@ QUERIES = {
     "qg4_perceptron_eval": qg4_perceptron_eval,
     "qg5_naive_bayes": qg5_naive_bayes,
     "qg6_perceptron_cv": qg6_perceptron_cv,
-    "qg7_nb_auc": qg7_nb_auc,
+    "ql5_running_total": q18_running_total,
     "qg8_chi2_features": qg8_chi2_features,
     "qg9_knn_classifier": qg9_knn_classifier,
     "qh0_pr_curve": qh0_pr_curve,
@@ -8355,7 +8355,7 @@ QUERIES = {
     "qk5_ohlc_bars": qk5_ohlc_bars,
     "qk6_waterfall": qk6_waterfall,
     "qk7_episode_support": qk7_episode_support,
-    "qk8_geo_clusters": qk8_geo_clusters,
+    "ql6_regex_extract": q21_regex_extract,
     "qk9_uplift_deciles": qk9_uplift_deciles,
     "ql0_lag_correlation": ql0_lag_correlation,
     "ql1_fd_audit": ql1_fd_audit,
@@ -8453,7 +8453,7 @@ QUERIES = {
 ORACLES = {
     "q01_pricing_summary": Q01_SQL,
     "q02_region_revenue": Q02_SQL,
-    "q03_top_orders": Q03_SQL,
+    "q03_dedup_savings": QF7_SQL,
     "q04_filtered_sum": Q04_SQL,
     "q05_watermark_max": Q05_SQL,
     "q06_skyline": QI7_SQL,
@@ -8470,10 +8470,10 @@ ORACLES = {
     "q15_sentinel_conversion": Q15_SQL,
     "q16_hourly_rollup": Q16_SQL,
     "q17_asof_join": Q17_SQL,
-    "q18_running_total": Q18_SQL,
+    "q18_nb_auc": QG7_SQL,
     "q19_rollup": Q19_SQL,
     "q20_json_extract": Q20_SQL,
-    "q21_regex_extract": Q21_SQL,
+    "q21_geo_clusters": QK8_SQL,
     "q22_token_stats": Q22_SQL,
     "q23_quality_score": Q23_SQL,
     "q24_lang_id": Q24_SQL,
@@ -8586,7 +8586,7 @@ ORACLES = {
     "qe3_psi_drift": QE3_SQL,
     "qe4_split_leakage": QE4_SQL,
     "qf3_dup_source_matrix": QF3_SQL,
-    "qf7_dedup_savings": QF7_SQL,
+    "ql4_top_orders": Q03_SQL,
     "qf8_vocab_divergence": QF8_SQL,
     "qf9_embedding_drift": QF9_SQL,
     "q50_kmeans_summary": QG0_SQL,
@@ -8595,7 +8595,7 @@ ORACLES = {
     "qg4_perceptron_eval": QG4_SQL,
     "qg5_naive_bayes": QG5_SQL,
     "qg6_perceptron_cv": QG6_SQL,
-    "qg7_nb_auc": QG7_SQL,
+    "ql5_running_total": Q18_SQL,
     "qg8_chi2_features": QG8_SQL,
     "qg9_knn_classifier": QG9_SQL,
     "qh0_pr_curve": QH0_SQL,
@@ -8632,7 +8632,7 @@ ORACLES = {
     "qk5_ohlc_bars": QK5_SQL,
     "qk6_waterfall": QK6_SQL,
     "qk7_episode_support": QK7_SQL,
-    "qk8_geo_clusters": QK8_SQL,
+    "ql6_regex_extract": Q21_SQL,
     "qk9_uplift_deciles": QK9_SQL,
     "ql0_lag_correlation": QL0_SQL,
     "ql1_fd_audit": QL1_SQL,

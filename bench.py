@@ -63,7 +63,7 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "q01_pricing_summary",
     "q02_region_revenue",
-    "q03_top_orders",
+    "ql4_top_orders",
     "q04_filtered_sum",
     "q16_hourly_rollup",
     "q17_asof_join",

@@ -33,7 +33,7 @@ CASES = [
     "q43_winnow_fingerprint",
     "q36_containment_join",
     "q40_bitext_margin",
-    "qf7_dedup_savings",
+    "q03_dedup_savings",
     "qf8_vocab_divergence",
     "q50_kmeans_summary",
     "qf9_embedding_drift",

@@ -78,7 +78,7 @@ QUERIES_UNDER_TEST = [
     # expected ~linear: work is token- or vocabulary-proportional,
     # never pairwise.
     "qg5_naive_bayes",
-    "qg7_nb_auc",
+    "q18_nb_auc",
     "qh0_pr_curve",
     "qg8_chi2_features",
     "qh2_pmi_collocations",
