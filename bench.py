@@ -113,6 +113,11 @@ HEAVY = [
 
 
 def main() -> None:
+    # Ambient loadavg BEFORE the session spins up its 32 threads — lets a
+    # consumer tell a co-tenant-load artifact from a real regression
+    # (README documents the measured ~20% swing; VERDICT r6 #1). The
+    # 1-minute value sampled at emit time would mostly read our own run.
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -183,6 +188,7 @@ def main() -> None:
         "rows": rows,
         "sf": sf,
         "cpus": int(cpus),
+        "loadavg": loadavg,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -201,6 +207,7 @@ def main() -> None:
                 "value_warm": total_warm,
                 "sf": sf,
                 "cpus": int(cpus),
+                "loadavg": loadavg,
             }
         )
     )

@@ -1,0 +1,55 @@
+"""The README paired-run block is machine-written from the committed
+bench artifacts (tools/bench_report.py; VERDICT r6 #1). These tests pin
+the mechanism — markers present, block buildable from the committed
+artifacts, numbers internally consistent — without pinning freshness
+(the round-end protocol runs ``--check`` after the paired run; a
+freshness test here would go red the moment the driver re-runs bench.py
+without regenerating the README).
+"""
+
+import json
+import os
+import re
+
+from tools.bench_report import BEGIN, END, build_block
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_readme_has_markers_once():
+    text = open(os.path.join(REPO, "README.md")).read()
+    assert text.count(BEGIN) == 1
+    assert text.count(END) == 1
+    assert text.find(BEGIN) < text.find(END)
+
+
+def test_block_builds_and_matches_artifacts():
+    block = build_block()
+    assert block.startswith(BEGIN) and block.endswith(END)
+    bench = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    oracle = json.load(open(os.path.join(REPO, "ORACLE_DETAIL.json")))
+    # The headline sentence carries the artifact totals verbatim.
+    common = [q for q in bench["queries_cold"] if q in oracle["queries"]]
+    tc = sum(bench["queries_cold"][q] for q in common)
+    tw = sum(bench["queries_warm"][q] for q in common)
+    td = sum(oracle["queries"][q] for q in common)
+    m = re.search(
+        r"Spark cold ([\d.]+) s / warm ([\d.]+) s vs DuckDB ([\d.]+) s",
+        block,
+    )
+    assert m, block
+    assert float(m.group(1)) == round(tc, 1)
+    assert float(m.group(2)) == round(tw, 1)
+    assert float(m.group(3)) == round(td, 1)
+    # Slice rows partition the common set.
+    rows = re.search(r"\| all (\d+) \|", block)
+    dense = re.search(r"\| compute-dense (\d+) ", block)
+    floor = re.search(r"\| floor-bound (\d+) ", block)
+    assert int(rows.group(1)) == len(common)
+    assert int(dense.group(1)) + int(floor.group(1)) == len(common)
+
+
+def test_artifacts_carry_loadavg():
+    for name in ("BENCH_DETAIL.json", "ORACLE_DETAIL.json"):
+        d = json.load(open(os.path.join(REPO, name)))
+        assert "loadavg" in d and len(d["loadavg"]) == 3, name

@@ -34,6 +34,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> None:
+    loadavg = [round(x, 2) for x in os.getloadavg()]  # ambient, pre-run
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -58,19 +59,23 @@ def main() -> None:
         rows[name] = len(con.execute(sql).fetchall())
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_headline_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "skipped_no_oracle": skipped,
-                "sf_dir": sf_dir,
-            }
-        )
-    )
+    line = {
+        "metric": "oracle_headline_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "skipped_no_oracle": skipped,
+        "sf_dir": sf_dir,
+        "loadavg": loadavg,
+    }
+    # Committed artifact so tools/bench_report.py can regenerate the
+    # README comparison table from the SAME paired run (VERDICT r6 #1:
+    # a README table that names a committed artifact must match it).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "ORACLE_DETAIL.json"), "w") as f:
+        json.dump(line, f, indent=1, sort_keys=True)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
