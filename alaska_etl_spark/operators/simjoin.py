@@ -15,8 +15,9 @@ Pipeline (all JVM-side, no UDFs):
    have df in the single digits (measured on the test corpus: max df 7
    at 16k vocab).
 3. One hash aggregate to per-pair dot products (exact integers), then
-   two joins against the per-doc squared-norm table (|docs| rows — AQE
-   broadcasts it while it fits) and a single float op at the end:
+   two joins against the per-doc squared-norm table (corpus-grain, so
+   hinted shuffle_hash — never a misestimated broadcast) and a single
+   float op at the end:
    ``cosine = dot / sqrt(ssq_a * ssq_b)`` — one sqrt of an exact
    integer product, so engines agree bit-for-bit before rounding.
 
@@ -110,9 +111,15 @@ def cosine_similarity_join(
     feats = tracked_persist(tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf"))
     # norms from the (pre-prune) features: hashing preserves rows, and
     # the norm must cover ALL grams even when max_df prunes join feats
-    norms = feats.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq"))
+    # corpus-grain: one row per document — shuffle_hash, never a
+    # misestimated broadcast (see _intersect_counts docstring)
+    norms = feats.groupBy("_id").agg(
+        F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq")
+    ).hint("shuffle_hash")
     if max_df is not None:
-        counts = feats.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        counts = feats.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).hint("shuffle_hash")  # vocab-grain
         feats = feats.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
 
     a = feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
@@ -149,8 +156,17 @@ def _intersect_counts(cand: DataFrame, tok: DataFrame, left: str, right: str) ->
     the persisted ``tok`` table: built once, consumed once, never
     cached (SCALE.md "Persist-vs-recompute"). Shingle hashes are
     distinct per document (dedup.shingles), so the intersect size is
-    the exact set overlap."""
-    arr = tok.groupBy("_id").agg(F.collect_list("_t").alias("_a"))
+    the exact set overlap.
+
+    The array frame is hinted ``shuffle_hash``, never broadcast: its
+    rows are corpus-grain and FAT (one array per document), while
+    Catalyst sizes an aggregate's output from row-count guesses that
+    ignore array payloads — at the 100× stress tier the planner chose
+    a broadcast whose real materialized size blew the 8 GB driver
+    (measured; 1× and 10× masked it). A shuffled hash join keeps both
+    sides partitioned — per-executor build memory is corpus/partitions
+    — and skips the sort a merge join would pay on array rows."""
+    arr = tok.groupBy("_id").agg(F.collect_list("_t").alias("_a")).hint("shuffle_hash")
     return (
         cand.join(
             arr.select(F.col("_id").alias(left), F.col("_a").alias("_al")), left
@@ -241,8 +257,13 @@ def jaccard_similarity_join(
         .select("_id", F.xxhash64("_t").alias("_t"))
     )
     tok = tracked_persist(tok)
-    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # corpus-grain (one row per doc) / vocab-grain (one row per
+    # shingle) aggregates: shuffle_hash for the same reason as
+    # _intersect_counts — Catalyst sizes aggregate outputs from
+    # row-count guesses, and at the 100x stress tier it picked a
+    # broadcast of the 100x vocabulary that blew the driver.
+    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("shuffle_hash")
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).hint("shuffle_hash")
     # prefix length p = n - ceil(tau*n) + 1, in exact integers:
     # ceil(num*n/den) = (num*n + den - 1) div den
     w = Window.partitionBy("_id").orderBy("_df", "_t")
@@ -370,8 +391,13 @@ def containment_join(
         .select("_id", F.xxhash64("_t").alias("_t"))
     )
     tok = tracked_persist(tok)
-    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # corpus-grain (one row per doc) / vocab-grain (one row per
+    # shingle) aggregates: shuffle_hash for the same reason as
+    # _intersect_counts — Catalyst sizes aggregate outputs from
+    # row-count guesses, and at the 100x stress tier it picked a
+    # broadcast of the 100x vocabulary that blew the driver.
+    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("shuffle_hash")
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).hint("shuffle_hash")
     w = Window.partitionBy("_id").orderBy("_df", "_t")
     ranked = (
         tok.join(dfreq, "_t")
