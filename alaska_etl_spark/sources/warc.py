@@ -126,16 +126,10 @@ def _parse_warc_bytes(name: str, data: bytes) -> Iterator[dict]:
         pos = body_start + clen
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Read WARC file(s) into one row per record: ``(file, offset,
-    warc_type, record_id, target_uri, warc_date, content_length,
-    payload, error)``. Rows with non-NULL ``error`` are the quarantine
-    channel (one per corrupted file tail). Files distribute across
-    executors; each parses sequentially at constant memory.
-    """
+def _records_frame(binary: DataFrame) -> DataFrame:
+    """Parse a ``(path, content)`` binary-file frame (batch or stream —
+    ``mapInPandas`` is stream-capable) into one row per WARC record."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
-
-    binary = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -151,6 +145,44 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return binary.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC file(s) into one row per record: ``(file, offset,
+    warc_type, record_id, target_uri, warc_date, content_length,
+    payload, error)``. Rows with non-NULL ``error`` are the quarantine
+    channel (one per corrupted file tail). Files distribute across
+    executors; each parses sequentially with memory proportional to the
+    decompressed file (see the module docstring's sizing note).
+    """
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _records_frame(binary)
+
+
+# binaryFile's schema is fixed by the format; a streaming file source
+# requires it stated explicitly.
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming form of :func:`read_warc`: a ``binaryFile`` file-source
+    stream over a crawl drop directory — each newly arrived WARC file
+    becomes one unit of work, parsed into the same record rows as the
+    batch reader. File-discovery offsets live in the query's checkpoint,
+    so each file is parsed exactly once across restarts; combine with
+    the idempotent warehouse sink (``streaming.incremental.
+    stream_warc_gate``) for end-to-end replay safety. At crawl scale the
+    stream's parallelism is arriving-file count — the same grain the
+    batch path distributes on."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return _records_frame(binary)
 
 
 def response_bodies(records: DataFrame) -> DataFrame:
@@ -177,4 +209,29 @@ def response_bodies(records: DataFrame) -> DataFrame:
                 sep > 0, F.encode(F.substring(text, sep + 4, 2_000_000_000), "ISO-8859-1")
             ).alias("body"),
         )
+    )
+
+
+def warc_text_documents(records: DataFrame) -> DataFrame:
+    """Records → the gate-ready documents frame: ``(doc_id, text,
+    source, warc_date)``. Successful (status-200, non-empty-body) HTTP
+    responses only; the body decodes as UTF-8 with replacement (crawl
+    payloads lie about charsets — replacement keeps the row and the
+    fingerprint deterministic rather than failing the batch). The
+    document id is the target URI — the crawl's natural key; the
+    dedup-keep-first protocol downstream orders on it, and the
+    fingerprint (computed over scrubbed text by the gate) remains the
+    cross-batch dedup key, so re-crawls of one URI with identical
+    content collapse while content changes land. Pure codegen on the
+    parsed frame; works on batch and streaming records alike."""
+    return (
+        response_bodies(records)
+        .filter((F.col("http_status") == 200) & F.col("body").isNotNull())
+        .select(
+            F.col("target_uri").alias("doc_id"),
+            F.decode(F.col("body"), "UTF-8").alias("text"),
+            F.col("file").alias("source"),
+            "warc_date",
+        )
+        .filter(F.length("text") > 0)
     )

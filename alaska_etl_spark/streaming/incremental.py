@@ -1146,3 +1146,74 @@ def stream_cusum_monitor(
     return events.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_warc_gate(
+    record_stream: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    min_quality: float = 0.3,
+    max_dup_token_ratio: float = 0.6,
+    errors_table: str | None = None,
+) -> None:
+    """Streaming WARC ingestion (VERDICT r6 #5): the crawl-to-warehouse
+    path the batch WARC source + document gate already cover, composed
+    with the incremental protocol the JSONL stream has —
+    ``sources.warc.stream_warc`` record stream → ``response_bodies`` /
+    ``warc_text_documents`` (status-200 HTTP bodies as UTF-8 docs,
+    URI-keyed) → the quality/repetition/PII gate → idempotent
+    fingerprint-keyed warehouse append. At-least-once file source +
+    idempotent sink = replayed micro-batches admit nothing, exactly as
+    :func:`stream_to_warehouse`.
+
+    Parse-error rows (corrupt gzip, malformed headers, truncated
+    payloads — the file-grain quarantine channel) are routed to
+    ``errors_table`` (default ``{table}_errors``) keyed on
+    ``(file, offset)``, so a corrupt file surfaces durably instead of
+    vanishing with the micro-batch; replays cannot double-log it.
+
+    The parsed record batch is persisted for the sink's duration: the
+    error route and the document gate are two actions, and without the
+    persist each would re-parse (re-gunzip) every WARC file in the
+    micro-batch."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.gate import gate_documents
+    from alaska_etl_spark.sources.warc import warc_text_documents
+
+    err_table = errors_table or f"{table}_errors"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        records = tracked_persist(batch_df)
+        try:
+            errors = records.filter(F.col("error").isNotNull()).select(
+                "file", "offset", "error"
+            )
+            if errors.count() > 0:
+                warehouse.load(errors, err_table, key_cols=["file", "offset"])
+            gated = gate_documents(
+                warc_text_documents(records),
+                "doc_id",
+                "text",
+                min_quality=min_quality,
+                max_dup_token_ratio=max_dup_token_ratio,
+            )
+            w = Window.partitionBy("fingerprint").orderBy("doc_id")
+            first = (
+                gated.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            warehouse.load(first, table, key_cols=["fingerprint"])
+        finally:
+            records.unpersist()
+
+    q = (
+        record_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
