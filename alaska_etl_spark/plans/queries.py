@@ -8234,6 +8234,139 @@ FROM agg ORDER BY ctx
 """
 
 
+_QL7_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_QL1_COLS)
+    for b in _QL1_COLS[i + 1:]
+]
+_QL7_ENTROPY = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def ql7_data_audit(spark, sf_dir):
+    """Unified nightly data-quality audit (plans/profile.py, VERDICT r6
+    #7): the q77 column profile, qi2 entropy, ql1 FD audit, and ql2
+    inclusion audit as FOUR VIEWS OF ONE SCAN PER TABLE — a single
+    explode emits per-column and per-FD-pair entries, one persisted
+    counts aggregate feeds every report (EXPLAINS shows the shared
+    InMemoryTableScan), and the IND key sets come from the same frame.
+    min/max report the STRING rendering (lexicographic for bare
+    integer keys — exact and engine-identical; dates order correctly).
+    One tall exactly-oracled frame: (report, table_name, subject,
+    object, metric, value, value_str)."""
+    from alaska_etl_spark.plans.profile import profile_tables
+
+    tables = [
+        (
+            "orders",
+            _t(spark, sf_dir, "orders"),
+            _QL1_COLS + ["o_orderdate"],
+            _QL7_PAIRS,
+        ),
+        ("lineitem", _t(spark, sf_dir, "lineitem"), ["l_orderkey"], []),
+        ("customer", _t(spark, sf_dir, "customer"), ["c_custkey"], []),
+    ]
+    return profile_tables(
+        tables,
+        ind_keys=_QL2_KEYS,
+        entropy_cols={"orders": _QL7_ENTROPY, "lineitem": [], "customer": []},
+    )
+
+
+def _ql7_sql() -> str:
+    parts = []
+    # profile: per (table, col) — 5 metrics; min/max mirror the
+    # engine's string-rendered ordering (min over VARCHAR casts)
+    profiled = (
+        [("orders", c) for c in _QL1_COLS + ["o_orderdate"]]
+        + [("lineitem", "l_orderkey")]
+        + [("customer", "c_custkey")]
+    )
+    for t, c in profiled:
+        parts.append(f"""
+SELECT 'profile' AS report, '{t}' AS table_name, '{c}' AS subject,
+       CAST(NULL AS VARCHAR) AS object, 'n_rows' AS metric,
+       CAST(count(*) AS BIGINT) AS value, CAST(NULL AS VARCHAR) AS value_str
+FROM {t}
+UNION ALL
+SELECT 'profile', '{t}', '{c}', NULL, 'n_null',
+       CAST(count(*) - count({c}) AS BIGINT), NULL FROM {t}
+UNION ALL
+SELECT 'profile', '{t}', '{c}', NULL, 'n_distinct',
+       CAST(count(DISTINCT {c}) AS BIGINT), NULL FROM {t}
+UNION ALL
+SELECT 'profile', '{t}', '{c}', NULL, 'min',
+       CAST(NULL AS BIGINT), min(CAST({c} AS VARCHAR)) FROM {t}
+UNION ALL
+SELECT 'profile', '{t}', '{c}', NULL, 'max',
+       CAST(NULL AS BIGINT), max(CAST({c} AS VARCHAR)) FROM {t}""")
+    # entropy: qi2's quantized-term discipline, tall form
+    for c in _QL7_ENTROPY:
+        parts.append(f"""
+SELECT 'entropy', 'orders', '{c}', NULL, 'entropy_units',
+       CAST(sum(t) AS BIGINT), NULL
+FROM (
+  SELECT CAST(round(1000000000 * (c / n) * (ln(n) - ln(c))) AS BIGINT) AS t
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS n
+    FROM orders GROUP BY CAST({c} AS VARCHAR)
+  )
+)""")
+    # fd: ql1's definitions per ordered pair, tall form
+    for a in _QL1_COLS:
+        for b in _QL1_COLS:
+            if a == b:
+                continue
+            parts.append(f"""
+SELECT 'fd', 'orders', '{a}', '{b}', metric, value, NULL
+FROM (
+  WITH per_det AS (
+    SELECT a, CAST(count(*) AS BIGINT) AS fan, CAST(sum(rows_) AS BIGINT) AS mass
+    FROM (
+      SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS rows_
+      FROM orders GROUP BY {a}, {b}
+    ) GROUP BY a
+  )
+  SELECT 'n_groups' AS metric, CAST(count(*) AS BIGINT) AS value FROM per_det
+  UNION ALL
+  SELECT 'violating_groups',
+         CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM per_det
+  UNION ALL
+  SELECT 'violating_rows',
+         CAST(sum(CASE WHEN fan > 1 THEN mass ELSE 0 END) AS BIGINT) FROM per_det
+  UNION ALL
+  SELECT 'max_fanout', CAST(max(fan) AS BIGINT) FROM per_det
+)""")
+    # ind: ql2's definitions over string-rendered keys, tall form
+    keys = [(t, c) for t, c in _QL2_KEYS]
+    for lt, lc in keys:
+        for rt, rc in keys:
+            if (lt, lc) == (rt, rc):
+                continue
+            parts.append(f"""
+SELECT 'ind', '{lt}', '{lc}', '{rt}.{rc}', metric, value, NULL
+FROM (
+  WITH agg AS (
+    SELECT CAST((SELECT count(DISTINCT CAST({lc} AS VARCHAR)) FROM {lt}) AS BIGINT) AS nd,
+           CAST((SELECT count(*) FROM (SELECT DISTINCT CAST({lc} AS VARCHAR) AS k FROM {lt} WHERE {lc} IS NOT NULL) l
+                 WHERE k NOT IN (SELECT CAST({rc} AS VARCHAR) FROM {rt} WHERE {rc} IS NOT NULL)) AS BIGINT) AS nm
+  )
+  SELECT 'n_distinct' AS metric, nd AS value FROM agg
+  UNION ALL
+  SELECT 'n_missing', nm FROM agg
+  UNION ALL
+  SELECT 'coverage_bp',
+         CAST((2 * 10000 * (nd - nm) + nd) // (2 * nd) AS BIGINT) FROM agg
+)""")
+    return (
+        " UNION ALL ".join(parts)
+        + " ORDER BY report, table_name, subject, object, metric"
+    )
+
+
+QL7_SQL = _ql7_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8361,6 +8494,7 @@ QUERIES = {
     "ql1_fd_audit": ql1_fd_audit,
     "ql2_inclusion_audit": ql2_inclusion_audit,
     "ql3_truncation_audit": ql3_truncation_audit,
+    "ql7_data_audit": ql7_data_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8638,6 +8772,7 @@ ORACLES = {
     "ql1_fd_audit": QL1_SQL,
     "ql2_inclusion_audit": QL2_SQL,
     "ql3_truncation_audit": QL3_SQL,
+    "ql7_data_audit": QL7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

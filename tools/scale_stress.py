@@ -95,6 +95,16 @@ QUERIES_UNDER_TEST = [
     "qi9_vocab_growth",
 ]
 
+# Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
+# posting-list candidate terms are the binding cost models (VERDICT r6
+# #3) — one decade of measurement extrapolated five more was the
+# weakest link in the 100 TB argument; two decades anchor it.
+HUNDRED = [
+    "qb0_jaccard_simjoin",
+    "q36_containment_join",
+    "q88_cosine_simjoin",
+]
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
@@ -146,6 +156,33 @@ def build(spark) -> None:
     e10.write.mode("overwrite").parquet(f"{OUT}/x10/embeddings.parquet")
 
 
+def build_x100(spark) -> None:
+    """Second decade for the inverted-index trio (VERDICT r6 #3): 10
+    copies OF THE x10 CORPUS, each with a second injective token-prefix
+    level (``c3foo`` → ``d7c3foo``) and a disjoint doc_id block — the
+    same construction argument as build(), applied once more, so the
+    true pair set is exactly 100× the base and per-copy df distributions
+    stay identical (Σdf² grows exactly 100×). Only ``documents`` is
+    written: all three 100×-tier queries are document joins."""
+    from pyspark.sql import functions as F
+
+    d10 = spark.read.parquet(f"{OUT}/x10/documents.parquet")
+    parts = [
+        d10.select(
+            (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"d{k}$1").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(COPIES)
+    ]
+    d100 = parts[0]
+    for p in parts[1:]:
+        d100 = d100.unionByName(p)
+    d100.write.mode("overwrite").parquet(f"{OUT}/x100/documents.parquet")
+
+
 def main() -> None:
     import math
 
@@ -158,8 +195,13 @@ def main() -> None:
     build(spark)
 
     # optional subset: tools/scale_stress.py qg5_naive_bayes ... reruns
-    # only those cells (the SCALE.md table merges by query name)
-    names = sys.argv[1:] or QUERIES_UNDER_TEST
+    # only those cells (the SCALE.md table merges by query name).
+    # --x100 adds the second decade for the HUNDRED trio.
+    argv = [a for a in sys.argv[1:] if a != "--x100"]
+    with_x100 = "--x100" in sys.argv[1:]
+    if with_x100:
+        build_x100(spark)
+    names = argv or QUERIES_UNDER_TEST
     unknown = [n for n in names if n not in QUERIES_UNDER_TEST]
     if unknown:
         raise SystemExit(f"not in QUERIES_UNDER_TEST: {unknown}")
@@ -173,7 +215,8 @@ def main() -> None:
     results = []
     for name in names:
         row = {"query": name}
-        for scale in ("x1", "x10"):
+        scales = ("x1", "x10", "x100") if with_x100 and name in HUNDRED else ("x1", "x10")
+        for scale in scales:
             best, rows = None, None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -186,6 +229,9 @@ def main() -> None:
             row[f"{scale}_rows"] = rows
         row["time_ratio"] = row["x10"] / row["x1"]
         row["exponent"] = math.log10(max(row["time_ratio"], 1e-9))
+        if "x100" in row:
+            # exponent over TWO decades: log10(t100/t1) / 2
+            row["exponent_2dec"] = math.log10(max(row["x100"] / row["x1"], 1e-9)) / 2
         results.append(row)
 
     print("| query | 1× wall (s) | 10× wall (s) | time ratio | exponent | 1× rows | 10× rows |")
@@ -196,6 +242,17 @@ def main() -> None:
             f"| {r['time_ratio']:.2f}× | {r['exponent']:.2f} "
             f"| {r['x1_rows']} | {r['x10_rows']} |"
         )
+    hundred = [r for r in results if "x100" in r]
+    if hundred:
+        print()
+        print("| query | 1× wall (s) | 10× wall (s) | 100× wall (s) | 2-decade exponent | 100× rows |")
+        print("|---|---|---|---|---|---|")
+        for r in hundred:
+            print(
+                f"| {r['query']} | {r['x1']:.2f} | {r['x10']:.2f} "
+                f"| {r['x100']:.2f} | {r['exponent_2dec']:.2f} "
+                f"| {r['x100_rows']} |"
+            )
 
 
 if __name__ == "__main__":
