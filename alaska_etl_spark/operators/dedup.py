@@ -1562,3 +1562,103 @@ def sorted_neighborhood_pairs(
         "uni",
         (div_half_up("inter", "uni", 10000) / 10000.0).alias("jaccard"),
     )
+
+
+def blocking_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    hash_fn: str = "xxhash64",
+    bp_scale: int = 10**4,
+) -> DataFrame:
+    """Blocking-quality evaluation of the MinHash-LSH banding scheme —
+    the record-linkage literature's two-number report (pair
+    completeness × reduction ratio) that decides band/row settings
+    BEFORE a corpus-scale dedup run: of the truly-near-duplicate pairs
+    (exact Jaccard ≥ num/den over the SAME shingle sets the bands
+    hash), how many does ≥1 band catch (completeness = LSH recall), and
+    what fraction of the all-pairs universe did blocking avoid
+    comparing (reduction)?
+
+    Truth is computed from the identical ``minhash_doc_tables`` shingle
+    sets via the shared-gram inverted index — no unshared-gram pair can
+    have J > 0, so the truth join is exact while never being all-pairs.
+    The truth side carries no prefix filter (every shared-gram pair is
+    scored): blocking evaluation is a SAMPLED-CORPUS operation by
+    design — you tune bands on a sample, then run the tuned pipeline at
+    corpus scale — so the evaluation's Σdf² term is bounded by the
+    sample, exactly like qm2's brute-force ANN truth.
+
+    One row: (n_docs, n_universe_pairs, n_candidates, n_true, n_hit,
+    completeness_bp, reduction_bp); integer cross-multiplied threshold,
+    4dp basis points, exactly oracle-replayable in the md5 lane.
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    per_doc, banded = minhash_doc_tables(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        seed=seed, hash_fn=hash_fn,
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    grams = per_doc.select("_id", F.explode("_sh").alias("_g"))
+    sizes = per_doc.select("_id", F.size("_sh").cast("bigint").alias("_sz"))
+    ic = (
+        grams.alias("a")
+        .join(grams.alias("b"), "_g")
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_ic"))
+    )
+    tn, td = threshold_num, threshold_den
+    truth = (
+        ic.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+        .filter(
+            F.lit(td) * F.col("_ic")
+            >= F.lit(tn) * (F.col("_sa") + F.col("_sb") - F.col("_ic"))
+        )
+        .select("id_a", "id_b")
+    )
+    hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    agg = (
+        per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+        .withColumn(
+            "n_universe_pairs",
+            F.expr("n_docs * (n_docs - 1) div 2"),  # exact BIGINT, no FP
+        )
+    )
+    return agg.select(
+        "n_docs",
+        "n_universe_pairs",
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            div_half_up(f"{bp_scale} * n_hit", "n_true"),
+        ).alias("completeness_bp"),
+        F.when(
+            F.col("n_universe_pairs") > 0,
+            div_half_up(
+                f"{bp_scale} * (n_universe_pairs - n_candidates)",
+                "n_universe_pairs",
+            ),
+        ).alias("reduction_bp"),
+    )

@@ -1621,3 +1621,70 @@ def margin_bitext_pairs(
             (F.col("_mi") / F.lit(float(scale))).alias("margin"),
         )
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bp_scale: int = 10**4,
+) -> DataFrame:
+    """Recall@k of the IVF index against brute-force ground truth — the
+    evaluation every ANN deployment runs before trusting an index (and
+    before picking ``nprobe``): per query, how many of the true top-k
+    neighbors does the probe-limited search return? Composes the two
+    existing replicable protocols (:func:`cosine_topk` truth,
+    :func:`ivf_topk` ``replicable=True``) and compares NEIGHBOR SETS —
+    score rounding differences between the two paths don't matter, and
+    both sides' deterministic tie-breaks make the recall itself exactly
+    replayable by a SQL twin.
+
+    Scale shape: truth is the documented-quadratic brute-force pass
+    over the QUERY SET only (the recall evaluation is always run on a
+    sample; corpus-side cost is the same scan both paths share), the
+    comparison is a k-row-per-query left-semi join. Returns
+    ``(query_id, n_truth, n_hit, recall_bp)`` — 4dp basis points,
+    macro-averaging left to the reader (all inputs exact).
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    truth = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, round_digits=3
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        ncells=ncells,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        replicable=True,
+    ).select("query_id", "neighbor_id")
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_hit = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_truth.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            div_half_up(f"{bp_scale} * n_hit", "n_truth").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

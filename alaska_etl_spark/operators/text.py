@@ -1122,3 +1122,179 @@ def inclusion_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    max_n: int = 3,
+    bp_scale: int = 10**4,
+) -> DataFrame:
+    """Distinct-n corpus diversity report: per group and n-gram order,
+    total grams, distinct grams, and the distinct ratio in 4dp basis
+    points — distinct-1 is the type-token ratio, distinct-2/3 are the
+    self-repetition diversity metrics generation and dataset-curation
+    papers report (a source whose trigram diversity collapses is
+    boilerplate- or template-heavy even when unigram diversity looks
+    fine; the per-source companion to q23's within-document repetition
+    signals).
+
+    One scan and ONE window pass serve every n: tokens explode once,
+    ``lead(j)`` over the shared (doc, pos) sort supplies the j-ahead
+    token, and n-grams for all orders are projections over the same
+    frame (the gram_rows trick, string-grain) — documents shorter than
+    ``n`` contribute no n-grams (no short-doc fold: diversity over
+    padded pseudo-grams would skew small sources). Distinct counting is
+    a two-level aggregate: (group, n, gram) partial-combines map-side,
+    then collapses to per-(group, n) totals; shuffle volume is the
+    distinct gram vocabulary, Heaps-sublinear in corpus bytes.
+    """
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    toks = word_tokens(text_col)
+    # doc id must bind BEFORE the generator: monotonically_increasing_id
+    # is non-deterministic and, placed in the same select as a
+    # posexplode, evaluates per OUTPUT row — every token would get its
+    # own "document" and every lead() would be NULL.
+    docs = df.select(
+        F.col(group_col).alias("_grp"),
+        F.monotonically_increasing_id().alias("_doc"),
+        toks.alias("_tk"),
+    )
+    ex = (
+        docs.select(
+            "_grp", "_doc", F.posexplode_outer("_tk").alias("_pos", "_t")
+        )
+        .filter(F.col("_t").isNotNull())
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    cols = {"_l0": F.col("_t")}
+    for j in range(1, max_n):
+        cols[f"_l{j}"] = F.lead("_t", j).over(w)
+    ex = ex.select("_grp", *[c.alias(nm) for nm, c in cols.items()])
+    gram_exprs = []
+    for n in range(1, max_n + 1):
+        parts = [F.col(f"_l{j}") for j in range(n)]
+        g = F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).otherwise(F.lit(None))
+        gram_exprs.append((n, g))
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(n).cast("bigint").alias("_n"), g.alias("_g"))
+                for n, g in gram_exprs
+            ]
+        )
+    ).alias("_e")
+    long = (
+        ex.select("_grp", stack)
+        .select("_grp", "_e._n", "_e._g")
+        .filter(F.col("_g").isNotNull())
+    )
+    per_gram = long.groupBy("_grp", "_n", "_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return (
+        per_gram.groupBy("_grp", "_n")
+        .agg(
+            F.sum("_c").cast("bigint").alias("total_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("_n").alias("n"),
+            "total_grams",
+            "distinct_grams",
+            div_half_up(f"{bp_scale} * distinct_grams", "total_grams").alias(
+                "distinct_bp"
+            ),
+        )
+        .orderBy(group_col, "n")
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: OLS slope and intercept of
+    ln(freq) on ln(rank) over the group's token frequency table — the
+    log-log slope near −1 is the natural-language signature; sources
+    that flatten (slope ≫ −1) are vocabulary-uniform (ids, logs,
+    boilerplate), sources that steepen are template-dominated. The
+    rank-side companion to qi9's Heaps-law growth curve, and a
+    dataset-card staple.
+
+    Engine-exact by the quantized-term discipline (qi2/qf8): every
+    per-token term — ln r, ln f, ln r·ln f, ln r·ln r — is computed
+    once, rounded to 1e-9 BIGINT units, and summed order-free; the
+    closed-form OLS slope/intercept are then ONE identically-
+    parenthesized float expression over those exact sums, so a SQL
+    replay hash-matches bit-for-bit. Ranks are deterministic:
+    row_number over (count DESC, token ASC).
+
+    Scale shape: one token aggregate (map-side combined, output is the
+    per-group vocabulary), one window over the REDUCED frequency frame
+    (rank runs over types, not tokens), one final aggregate to a row
+    per group."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    tok = df.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(word_tokens(text_col)).alias("_t"),
+    )
+    freq = tok.groupBy("_grp", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_f")
+    )
+    w = Window.partitionBy("_grp").orderBy(F.col("_f").desc(), F.col("_t"))
+    ranked = freq.select(
+        "_grp", "_f", F.row_number().over(w).cast("bigint").alias("_r")
+    )
+    lr = F.log(F.col("_r"))
+    lf = F.log(F.col("_f"))
+    q = lambda e: F.round(F.lit(scale) * e).cast("long")  # noqa: E731
+    terms = ranked.select(
+        "_grp",
+        q(lr).alias("_x"),
+        q(lf).alias("_y"),
+        q(lr * lf).alias("_xy"),
+        q(lr * lr).alias("_xx"),
+    )
+    sums = terms.groupBy("_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_xx").alias("_sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sc = F.lit(float(scale))
+    # slope = (n·Σxy − Σx·Σy/scale) / (n·Σxx − Σx²/scale): every input
+    # is an exact BIGINT, the expression is written identically in the
+    # SQL twin, and *, −, / are correctly rounded — hash-exact.
+    denom = n * sxx - sx * sx / sc
+    slope = (n * sxy - sx * sy / sc) / denom
+    intercept = (sy - slope * sx) / (n * sc)
+    # a degenerate group (one type: zero x-variance) emits NULLs rather
+    # than engine-dependent inf/NaN encodings
+    return sums.select(
+        F.col("_grp").alias(group_col),
+        "n_types",
+        F.when(denom != 0.0, slope).alias("slope"),
+        F.when(denom != 0.0, intercept).alias("intercept"),
+    ).orderBy(group_col)

@@ -8367,6 +8367,290 @@ FROM (
 QL7_SQL = _ql7_sql()
 
 
+def qm0_ngram_diversity(spark, sf_dir):
+    """Distinct-n corpus diversity per source (operators/text.py
+    ngram_diversity): total vs distinct 1/2/3-grams and the distinct
+    ratio in 4dp basis points — distinct-1 is the type-token ratio,
+    distinct-2/3 the self-repetition diversity metrics dataset cards
+    report (template-heavy sources collapse at n=3 first). One scan,
+    one window pass serves all three orders; shuffle volume is the
+    distinct vocabulary (Heaps-sublinear)."""
+    from alaska_etl_spark.operators.text import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), "source", "text", max_n=3
+    )
+
+
+QM0_SQL = _mat(r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT source, 1 AS n, unnest(tk) AS g FROM toks
+  UNION ALL
+  SELECT source, 2,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> array_to_string(list_slice(tk, i, i + 1), ' ')))
+  FROM toks WHERE len(tk) >= 2
+  UNION ALL
+  SELECT source, 3,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+  FROM toks WHERE len(tk) >= 3
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       CAST((2 * 10000 * count(DISTINCT g) + count(*)) // (2 * count(*))
+            AS BIGINT) AS distinct_bp
+FROM grams GROUP BY source, n ORDER BY source, n
+""", "toks")
+
+
+def qm1_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit per source (operators/text.py
+    zipf_slope): OLS slope/intercept of ln(freq) on ln(rank) over each
+    source's token frequency table — slope near -1 is the natural-
+    language signature; flat sources are vocabulary-uniform (logs,
+    ids), steep ones template-dominated. Heaps-law qi9's rank-side
+    companion. Quantized-term discipline: every ln product rounds to
+    1e-9 BIGINT units before the order-free sum; the closed-form OLS
+    is one pinned-shape float expression over exact sums."""
+    from alaska_etl_spark.operators.text import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+QM1_SQL = _mat(r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '')) AS t
+  FROM documents
+), freq AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS f
+  FROM tok GROUP BY source, t
+), ranked AS (
+  SELECT source, f,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY f DESC, t ASC) AS BIGINT) AS r
+  FROM freq
+), terms AS (
+  SELECT source,
+         CAST(round(1000000000 * ln(r)) AS BIGINT) AS x,
+         CAST(round(1000000000 * ln(f)) AS BIGINT) AS y,
+         CAST(round(1000000000 * (ln(r) * ln(f))) AS BIGINT) AS xy,
+         CAST(round(1000000000 * (ln(r) * ln(r))) AS BIGINT) AS xx
+  FROM ranked
+), sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+  FROM terms GROUP BY source
+)
+SELECT source, n_types,
+  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0) <> 0.0
+       THEN (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)
+            / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0)
+  END AS slope,
+  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0) <> 0.0
+       THEN (CAST(sy AS DOUBLE)
+             - ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)
+                / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0))
+               * CAST(sx AS DOUBLE))
+            / (CAST(n_types AS DOUBLE) * 1000000000.0)
+  END AS intercept
+FROM sums ORDER BY source
+""", "tok", "sums")
+
+
+def qm2_ann_recall(spark, sf_dir):
+    """IVF recall@5 against brute-force ground truth (operators/
+    similarity.py ann_recall): per query, how many of the exact top-5
+    cosine neighbors the nprobe=4/16-cell IVF search returns — the
+    index-quality evaluation the similarity family lacked (q27 is the
+    truth, q31 the index; this is the comparison that picks nprobe).
+    Both protocols are already engine-replicable, so the recall
+    itself is exactly oracled."""
+    from alaska_etl_spark.operators.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, ncells=16, nprobe=4
+    )
+
+
+QM2_SQL = """
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rank <= 5
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand)
+  WHERE rank <= 5
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST((2 * 10000 * sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS recall_bp
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+def qm3_blocking_quality(spark, sf_dir):
+    """Pair completeness x reduction ratio of the q29 LSH banding
+    scheme against exact-Jaccard truth over the SAME shingle sets
+    (operators/dedup.py blocking_quality) — the record-linkage report
+    that tunes bands/rows before a corpus-scale dedup run. md5 lane,
+    integer cross-multiplied threshold (J >= 1/2), one exactly-oracled
+    row."""
+    from alaska_etl_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=64, bands=16,
+        threshold_num=1, threshold_den=2, hash_fn="md5",
+    )
+
+
+def _qm3_sql() -> str:
+    """q29's md5-lane LSH replay up through the candidate set, plus the
+    exact-Jaccard truth over the same gram sets and the completeness /
+    reduction report."""
+    from alaska_etl_spark.operators.dedup import _hash_params
+
+    sig_slots = ", ".join(
+        f"min(({a} * g + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_hash_params(64, 42))
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=_dk_h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(s{b * 4 + i} AS VARCHAR)" for i in range(4))
+                + ")"
+            ),
+        )
+        for b in range(16)
+    )
+    return _mat(rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, {_dk_h31('unnest(tk)')} AS th
+  FROM toks
+), full_grams AS (
+  SELECT doc_id,
+         ((th * 1000003 + lead(th,1) OVER w) % 2147483648 * 1000003
+            + lead(th,2) OVER w) % 2147483648 AS g
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(th,2) OVER w IS NOT NULL
+), shorts AS (
+  SELECT doc_id,
+         list_reduce(CAST(list(th ORDER BY pos) AS BIGINT[]),
+                     (a,b) -> (a*1000003 + b) % 2147483648) AS g
+  FROM tok_rows GROUP BY doc_id HAVING count(*) < 3
+), gram_all AS (
+  SELECT doc_id, g FROM full_grams UNION ALL SELECT doc_id, g FROM shorts
+), sig AS (
+  SELECT doc_id, {sig_slots} FROM gram_all GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), shingle AS (
+  SELECT DISTINCT doc_id, g FROM gram_all
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic
+  FROM shingle sa
+  JOIN shingle sb ON sb.g = sa.g AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE 2 * i.ic >= 1 * (za.sz + zb.sz - i.ic)
+), agg AS (
+  SELECT CAST((SELECT count(*) FROM sig) AS BIGINT) AS n_docs,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         CAST((SELECT count(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+              AS BIGINT) AS n_hit
+)
+SELECT n_docs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_universe_pairs,
+       n_candidates, n_true, n_hit,
+       CASE WHEN n_true > 0
+            THEN CAST((2 * 10000 * n_hit + n_true) // (2 * n_true) AS BIGINT)
+       END AS completeness_bp,
+       CASE WHEN n_docs * (n_docs - 1) // 2 > 0
+            THEN CAST((2 * 10000 * (n_docs * (n_docs - 1) // 2 - n_candidates)
+                       + n_docs * (n_docs - 1) // 2)
+                      // (2 * (n_docs * (n_docs - 1) // 2)) AS BIGINT)
+       END AS reduction_bp
+FROM agg
+""", "toks", "tok_rows", "full_grams", "gram_all", "sig", "banded", "cand", "shingle", "truth")
+
+
+QM3_SQL = _qm3_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8495,6 +8779,10 @@ QUERIES = {
     "ql2_inclusion_audit": ql2_inclusion_audit,
     "ql3_truncation_audit": ql3_truncation_audit,
     "ql7_data_audit": ql7_data_audit,
+    "qm0_ngram_diversity": qm0_ngram_diversity,
+    "qm1_zipf_slope": qm1_zipf_slope,
+    "qm2_ann_recall": qm2_ann_recall,
+    "qm3_blocking_quality": qm3_blocking_quality,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -8773,6 +9061,10 @@ ORACLES = {
     "ql2_inclusion_audit": QL2_SQL,
     "ql3_truncation_audit": QL3_SQL,
     "ql7_data_audit": QL7_SQL,
+    "qm0_ngram_diversity": QM0_SQL,
+    "qm1_zipf_slope": QM1_SQL,
+    "qm2_ann_recall": QM2_SQL,
+    "qm3_blocking_quality": QM3_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1,0 +1,111 @@
+"""Round-7 corpus-metric operators: n-gram diversity, Zipf slope, ANN
+recall evaluation, LSH blocking quality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_ngram_diversity_counts(spark):
+    from alaska_etl_spark.operators.text import ngram_diversity
+
+    df = _docs(
+        spark,
+        [
+            ("a", "x y x y"),          # 4 unigrams (2 distinct), 3 bigrams (2), 2 trigrams (2)
+            ("a", "z"),                # 1 unigram, no bi/trigrams (short doc)
+            ("b", "p p p"),            # 3 unigrams (1), 2 bigrams (1), 1 trigram (1)
+        ],
+    )
+    out = {
+        (r.source, r.n): (r.total_grams, r.distinct_grams, r.distinct_bp)
+        for r in ngram_diversity(df, "source", "text").collect()
+    }
+    assert out[("a", 1)] == (5, 3, 6000)
+    assert out[("a", 2)] == (3, 2, 6667)   # 'x y','y x','x y' → 2/3
+    assert out[("a", 3)] == (2, 2, 10000)  # 'x y x','y x y'
+    assert out[("b", 1)] == (3, 1, 3333)
+    assert out[("b", 2)] == (2, 1, 5000)
+    assert out[("b", 3)] == (1, 1, 10000)
+
+
+def test_zipf_slope_matches_numpy_fit(spark):
+    import numpy as np
+
+    from alaska_etl_spark.operators.text import zipf_slope
+
+    # freqs 8,4,2,1 over ranks 1..4 → clean log-log line
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    row = zipf_slope(_docs(spark, [("s", text)]), "source", "text").collect()[0]
+    assert row.n_types == 4
+    x = np.log(np.arange(1, 5))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert math.isclose(row.slope, slope, abs_tol=1e-6)
+    assert math.isclose(row.intercept, intercept, abs_tol=1e-6)
+
+
+def test_zipf_degenerate_group_emits_null(spark):
+    from alaska_etl_spark.operators.text import zipf_slope
+
+    row = zipf_slope(_docs(spark, [("s", "a a a")]), "source", "text").collect()[0]
+    assert row.n_types == 1
+    assert row.slope is None and row.intercept is None
+
+
+def test_ann_recall_exhaustive_probe_is_perfect(spark):
+    from alaska_etl_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ann_recall(emb, q, k=5, ncells=8, nprobe=8).collect()
+    assert len(out) == 5
+    # probing every cell makes the candidate set the whole corpus: the
+    # approximate top-k equals the exact top-k up to score-rounding
+    # ties, which this corpus doesn't produce
+    assert all(r.recall_bp == 10000 for r in out)
+    assert all(r.n_truth == 5 and r.n_hit == 5 for r in out)
+
+
+def test_ann_recall_bounded_and_monotone_in_nprobe(spark):
+    from alaska_etl_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = {r.query_id: r.recall_bp for r in ann_recall(emb, q, k=5, ncells=8, nprobe=1).collect()}
+    r4 = {r.query_id: r.recall_bp for r in ann_recall(emb, q, k=5, ncells=8, nprobe=4).collect()}
+    assert all(0 <= v <= 10000 for v in r1.values())
+    # more probes can only add candidates → per-query recall is monotone
+    assert all(r4[k] >= r1[k] for k in r1)
+
+
+def test_blocking_quality_hits_equal_verified_lsh_pairs(spark):
+    from alaska_etl_spark.operators.dedup import (
+        blocking_quality,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row = blocking_quality(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        threshold_num=1, threshold_den=2,
+    ).collect()[0]
+    # truth ∩ candidates IS the verified LSH pair set: same shingles,
+    # same bands, same threshold
+    lsh = minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).count()
+    assert row.n_hit == lsh
+    assert row.n_hit <= row.n_true
+    assert row.n_candidates <= row.n_universe_pairs
+    assert 0 <= row.completeness_bp <= 10000
+    assert 0 <= row.reduction_bp <= 10000
