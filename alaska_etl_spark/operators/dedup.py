@@ -1662,3 +1662,114 @@ def blocking_quality(
             ),
         ).alias("reduction_bp"),
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    boundary_mod: int = 16,
+    hash_fn: str = "xxhash64",
+    bp_scale: int = 10**4,
+) -> DataFrame:
+    """Content-defined chunking dedup report (the FastCDC/rsync
+    primitive at token grain): split every document into chunks at
+    CONTENT-derived boundaries — after any token whose 31-bit hash ≡ 0
+    (mod ``boundary_mod``) — then measure, per group, how much chunk
+    mass repeats corpus-wide. Content-defined boundaries are the load-
+    bearing idea: an insertion shifts byte offsets but leaves every
+    boundary after it in place, so unchanged regions keep identical
+    chunk hashes — the dedup axis between exact whole-document (q25)
+    and fuzzy whole-document (q29): near-identical documents share most
+    CHUNKS even when no whole-document screen fires.
+
+    Chunk identity is the ordered polynomial fold of the chunk's token
+    hashes (gram_rows' short-doc idiom — order-sensitive, engine-
+    replayable in the md5 lane). Expected chunk length is
+    ``boundary_mod`` tokens; per group the report gives chunk counts,
+    corpus-wide-duplicated chunk counts, the duplicated token mass, and
+    its share in 4dp basis points (the reclaimable-storage number a
+    chunk-store would save).
+
+    Shape: tokenize+posexplode narrow; ONE (doc, pos) window sort
+    serves the boundary running count; chunk fold is one hash
+    aggregate; the global chunk-frequency table joins back by chunk
+    hash (vocab-grain, shuffle_hash — never a misestimated broadcast).
+    Returns (group_col, n_chunks, n_dup_chunks, total_tokens,
+    dup_tokens, dup_token_bp) ordered by group."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    tok = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.col(id_col).alias("_id"),
+            F.posexplode_outer(word_tokens(text_col)).alias("pos", "_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .select("_grp", "_id", "pos", _token_hash31("_t", hash_fn).alias("_h"))
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    # boundary AFTER a matching token: the running boundary count up to
+    # and including the PREVIOUS token is this token's chunk ordinal
+    marked = tok.withColumn(
+        "_ck",
+        F.coalesce(
+            F.sum(
+                F.when(F.pmod(F.col("_h"), F.lit(boundary_mod)) == 0, 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    chunks = (
+        marked.groupBy("_grp", "_id", "_ck")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "_h"))).alias("_ph"),
+            F.count(F.lit(1)).cast("bigint").alias("_n_tok"),
+        )
+        .select(
+            "_grp",
+            "_n_tok",
+            F.aggregate(
+                "_ph",
+                F.lit(0).cast("bigint"),
+                lambda acc, s: F.pmod(
+                    acc * F.lit(1_000_003) + s.getField("_h"), F.lit(1 << 31)
+                ),
+            ).alias("_ch"),
+        )
+    )
+    chunks = tracked_persist(chunks)
+    freq = (
+        chunks.groupBy("_ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
+        .hint("shuffle_hash")
+    )
+    return (
+        chunks.join(freq, "_ch")
+        .groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("_occ") > 1, F.col("_n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_chunks",
+            "n_dup_chunks",
+            "total_tokens",
+            "dup_tokens",
+            div_half_up(f"{bp_scale} * dup_tokens", "total_tokens").alias(
+                "dup_token_bp"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -236,3 +236,90 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         F.sum("_u").cast("bigint").alias("rrf_units"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    p_num: int = 9,
+    p_den: int = 10,
+    depth: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. '10) between two
+    rankings of the same query set — the top-weighted agreement metric
+    IR evaluation uses where Spearman/kappa (whole-list, unweighted)
+    mislead: RBO@d = (1−p)·Σ_{i≤d} p^{i−1}·|A_i ∩ B_i|/i, with prefix
+    overlap X_i counted at every depth. Quantifies e.g. how much a
+    parameter change (qj4's RRF inputs, BM25's b) actually moves the
+    ranking a user sees.
+
+    Exact-integer lane: p is the rational p_num/p_den, so each depth
+    term is X_i·(p_den−p_num)·p_num^{i−1} / (i·p_den^i) — numerator and
+    denominator are exact BIGINTs (< 2^53 for depth ≤ 16), their one
+    double division + 1e-9 round is engine-identical, and the per-depth
+    units sum order-free. Prefix overlaps need no window: a matched
+    item at ranks (ra, rb) contributes to every depth ≥ max(ra, rb) —
+    one ``sequence`` explode (codegen), one broadcast join against the
+    depth/power literals, one aggregate.
+
+    Returns ``(query_col, rbo_units, rbo)`` per query in the a-side
+    (queries with zero overlap emit 0)."""
+    assert p_num < p_den and depth >= 1 and p_den ** depth < 2**53
+    ra = a.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_it"),
+        F.col(rank_col).cast("bigint").alias("_ra"),
+    ).filter(F.col("_ra") <= depth)
+    rb = b.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_it"),
+        F.col(rank_col).cast("bigint").alias("_rb"),
+    ).filter(F.col("_rb") <= depth)
+    matched = ra.join(rb, ["_q", "_it"]).select(
+        "_q", F.greatest("_ra", "_rb").alias("_m")
+    )
+    contrib = matched.select(
+        "_q", F.explode(F.expr(f"sequence(_m, {depth})")).alias("_i")
+    )
+    x = contrib.groupBy("_q", "_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_x")
+    )
+    spark = a.sparkSession
+    powers = spark.createDataFrame(
+        [(i, p_num ** (i - 1), p_den**i) for i in range(1, depth + 1)],
+        "_i bigint, _pn bigint, _pd bigint",
+    )
+    units = (
+        x.join(F.broadcast(powers), "_i")
+        .select(
+            "_q",
+            F.round(
+                F.lit(scale)
+                * (F.col("_x") * F.lit(p_den - p_num) * F.col("_pn")).cast("double")
+                / (F.col("_i") * F.col("_pd")).cast("double")
+            )
+            .cast("long")
+            .alias("_u"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_u").cast("bigint").alias("rbo_units"))
+    )
+    return (
+        ra.select("_q")
+        .distinct()
+        .join(units, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("rbo_units"), F.lit(0)).cast("bigint").alias("rbo_units"),
+            (
+                F.coalesce(F.col("rbo_units"), F.lit(0)).cast("double")
+                / F.lit(float(scale))
+            ).alias("rbo"),
+        )
+        .orderBy(query_col)
+    )

@@ -8651,6 +8651,153 @@ FROM agg
 QM3_SQL = _qm3_sql()
 
 
+def qm4_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber '10) between BM25's standard ranking
+    (b=0.75) and its length-normalization-off variant (b=0) over the
+    q44 query set (operators/ranking.py rank_biased_overlap) — the
+    top-weighted ranking-agreement metric that quantifies how much a
+    retrieval parameter actually moves the top of the list (Spearman
+    weights all positions equally; RBO's p=0.9 geometric decay weights
+    what a user sees). Exact-rational p, per-depth quantized units."""
+    from alaska_etl_spark.operators.ranking import rank_biased_overlap
+    from alaska_etl_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    std = bm25_topk(d, qs, "doc_id", "text", k=10, b=0.75)
+    nolen = bm25_topk(d, qs, "doc_id", "text", k=10, b=0.0)
+    return rank_biased_overlap(
+        std, nolen, query_col="query_id", item_col="doc_id", rank_col="rank",
+        p_num=9, p_den=10, depth=10,
+    )
+
+
+def _qm4_sql(depth: int = 10, p_num: int = 9, p_den: int = 10) -> str:
+    def chain(tag: str, norm: str) -> str:
+        return f""", qidf_{tag} AS (
+  SELECT query_id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq JOIN qterms USING (term) CROSS JOIN stats
+), contrib_{tag} AS (
+  SELECT query_id, tf.doc_id,
+         CAST(round((idf * (tf * 2.2) / (tf + 1.2 * {norm}))
+                    * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN qidf_{tag} USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+), rank_{tag} AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sum(micro) DESC, doc_id ASC) AS rank
+    FROM contrib_{tag} GROUP BY query_id, doc_id)
+  WHERE rank <= {depth}
+)"""
+
+    powers = ", ".join(
+        f"({i}, {p_num ** (i - 1)}, {p_den ** i})" for i in range(1, depth + 1)
+    )
+    return _mat(rf"""
+WITH q AS (
+  SELECT * FROM (VALUES (1, 'hash join spark'), (2, 'window agg stream batch'),
+                        (3, 'vector scan filter fast')) AS t(query_id, query_text)
+), qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query_text), '\s+'), x -> x <> '')) AS term
+  FROM q
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+){chain("a", "(0.25 + 0.75 * dl / avgdl)")}{chain("b", "(1.0 + 0.0 * dl / avgdl)")}, matched AS (
+  SELECT a.query_id, greatest(a.rank, b.rank) AS m
+  FROM rank_a a JOIN rank_b b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+), contrib AS (
+  SELECT query_id, unnest(generate_series(m, {depth})) AS i FROM matched
+), x AS (
+  SELECT query_id, i, CAST(count(*) AS BIGINT) AS x FROM contrib GROUP BY 1, 2
+), powers AS (
+  SELECT * FROM (VALUES {powers}) AS t(i, pn, pd)
+), units AS (
+  SELECT query_id,
+         CAST(round(1000000000 * CAST(x * {p_den - p_num} * pn AS DOUBLE)
+                    / CAST(i * pd AS DOUBLE)) AS BIGINT) AS u
+  FROM x JOIN powers USING (i)
+), per_q AS (
+  SELECT query_id, CAST(sum(u) AS BIGINT) AS rbo_units FROM units GROUP BY 1
+)
+SELECT qq.query_id,
+       CAST(coalesce(rbo_units, 0) AS BIGINT) AS rbo_units,
+       CAST(coalesce(rbo_units, 0) AS DOUBLE) / 1000000000.0 AS rbo
+FROM (SELECT DISTINCT query_id FROM rank_a) qq
+LEFT JOIN per_q USING (query_id)
+ORDER BY qq.query_id
+""", "tf", "dl", "qterms")
+
+
+QM4_SQL = _qm4_sql()
+
+
+def qm5_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup report per source (operators/
+    dedup.py cdc_chunk_stats): token-grain FastCDC — chunk boundaries
+    after tokens whose md5-31 hash ≡ 0 (mod 16), ordered polynomial
+    chunk hashes, corpus-wide chunk-frequency join — reporting the
+    duplicated chunk/token mass each source would reclaim in a
+    chunk-store. The dedup axis between q25's exact whole-document
+    hash and q29's fuzzy whole-document resemblance."""
+    from alaska_etl_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        boundary_mod=16, hash_fn="md5",
+    )
+
+
+QM5_SQL = _mat(rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT source, doc_id, generate_subscripts(tk, 1) AS pos,
+         {_dk_h31('unnest(tk)')} AS h
+  FROM toks
+), marked AS (
+  SELECT source, doc_id, pos, h,
+         coalesce(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS ck
+  FROM tok_rows
+), chunks AS (
+  SELECT source, doc_id, ck,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         list_reduce(CAST(list(h ORDER BY pos) AS BIGINT[]),
+                     (a, b) -> (a * 1000003 + b) % 2147483648) AS ch
+  FROM marked GROUP BY source, doc_id, ck
+), freq AS (
+  SELECT ch, CAST(count(*) AS BIGINT) AS occ FROM chunks GROUP BY ch
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN occ > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+       CAST((2 * 10000 * sum(CASE WHEN occ > 1 THEN n_tok ELSE 0 END)
+             + sum(n_tok)) // (2 * sum(n_tok)) AS BIGINT) AS dup_token_bp
+FROM chunks JOIN freq USING (ch)
+GROUP BY source ORDER BY source
+""", "toks", "tok_rows", "chunks")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8783,6 +8930,8 @@ QUERIES = {
     "qm1_zipf_slope": qm1_zipf_slope,
     "qm2_ann_recall": qm2_ann_recall,
     "qm3_blocking_quality": qm3_blocking_quality,
+    "qm4_rbo": qm4_rbo,
+    "qm5_cdc_chunks": qm5_cdc_chunks,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9065,6 +9214,8 @@ ORACLES = {
     "qm1_zipf_slope": QM1_SQL,
     "qm2_ann_recall": QM2_SQL,
     "qm3_blocking_quality": QM3_SQL,
+    "qm4_rbo": QM4_SQL,
+    "qm5_cdc_chunks": QM5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1217,3 +1217,85 @@ def stream_warc_gate(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_admission_quota(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    quota: int,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming per-key admission quota: admit at most ``quota``
+    events per key per event-time window (tumbling, ``window_seconds``
+    wide), deciding by (ts, id) order — the ingestion throttle that
+    stops one domain/source flooding a crawl batch while small sources
+    pass untouched (the streaming sibling of the batch mix/rebalance
+    family: those reweight AFTER ingest; this caps AT ingest).
+
+    State per key is two integers (current window start, admits used) —
+    O(keys), checkpointed. Within a batch the decision vectorizes:
+    sort by (ts, id), rank within window via cumcount, admit where
+    rank + carried-use < quota. Deterministic under the file-drop
+    contract the other stateful monitors share: event time is
+    non-decreasing across micro-batches per key (a late event lands in
+    an already-closed window and is rejected unless its window is the
+    current one — never admitted over quota; the invariant "≤ quota
+    admits per (key, window)" holds under ANY batch split, pinned in
+    tests).
+
+    Emits every event row with its verdict: ``(keys..., id, ts,
+    admitted)`` — route the rejects to a quarantine table or drop them
+    in the consuming sink."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{k} {events.schema[k].dataType.simpleString()}" for k in key_cols
+    )
+    id_t = events.schema[id_col].dataType.simpleString()
+    ts_t = events.schema[ts_col].dataType.simpleString()
+    out_schema = f"{key_fields}, {id_col} {id_t}, {ts_col} {ts_t}, admitted boolean"
+    state_schema = "win bigint, used bigint"
+    q, wsec = int(quota), int(window_seconds)
+
+    def update(key, pdfs, state):
+        win, used = state.get if state.exists else (-1, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            epoch = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            )
+            w = (epoch // wsec).to_numpy()
+            rank = pdf.groupby(w).cumcount().to_numpy()
+            carried = w == win  # rows continuing the carried window
+            offset = rank + carried * used
+            # rows in windows EARLIER than the carried one are late
+            # arrivals into closed windows: reject outright
+            late = w < win
+            admitted = (offset < q) & ~late
+            pdf["admitted"] = admitted
+            last_w = int(w[-1])
+            in_last = w == last_w
+            if last_w > win:
+                win, used = last_w, int(admitted[in_last].sum())
+            elif last_w == win:
+                used += int(admitted[in_last].sum())
+            # last_w < win: every row was late into a closed window —
+            # the carried state must not move
+            yield pd.DataFrame(
+                {
+                    **{k: pdf[k] for k in key_cols},
+                    id_col: pdf[id_col],
+                    ts_col: pdf[ts_col],
+                    "admitted": pdf["admitted"],
+                }
+            )
+        state.update((win, used))
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

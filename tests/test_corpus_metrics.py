@@ -109,3 +109,78 @@ def test_blocking_quality_hits_equal_verified_lsh_pairs(spark):
     assert row.n_candidates <= row.n_universe_pairs
     assert 0 <= row.completeness_bp <= 10000
     assert 0 <= row.reduction_bp <= 10000
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, doc_id bigint, rank int")
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from alaska_etl_spark.operators.ranking import rank_biased_overlap
+
+    same = [(1, d, r) for r, d in enumerate(range(100, 110), start=1)]
+    other = [(1, d, r) for r, d in enumerate(range(200, 210), start=1)]
+    a = _ranking(spark, same)
+    # identical rankings → truncated RBO@10 = (1-p)·Σ p^(i-1) = 1 - p^10
+    out = rank_biased_overlap(a, _ranking(spark, same)).collect()[0]
+    expect_units = sum(
+        round(1e9 * (i * 1 * 9 ** (i - 1)) / (i * 10**i)) for i in range(1, 11)
+    )
+    assert out.rbo_units == expect_units
+    assert abs(out.rbo - (1 - 0.9**10)) < 1e-6
+    # disjoint rankings → 0 (query still present)
+    out = rank_biased_overlap(a, _ranking(spark, other)).collect()[0]
+    assert out.rbo_units == 0 and out.rbo == 0.0
+
+
+def test_rbo_matches_python_reference(spark):
+    from alaska_etl_spark.operators.ranking import rank_biased_overlap
+
+    a_items = [5, 3, 9, 1, 7]
+    b_items = [3, 5, 1, 9, 8]
+    a = _ranking(spark, [(1, d, r) for r, d in enumerate(a_items, 1)])
+    b = _ranking(spark, [(1, d, r) for r, d in enumerate(b_items, 1)])
+    out = rank_biased_overlap(a, b, depth=5).collect()[0]
+    units = 0
+    for i in range(1, 6):
+        x = len(set(a_items[:i]) & set(b_items[:i]))
+        units += round(1e9 * (x * 1 * 9 ** (i - 1)) / (i * 10**i))
+    assert out.rbo_units == units
+
+
+def test_cdc_chunks_duplicate_and_unique(spark):
+    from alaska_etl_spark.operators.dedup import cdc_chunk_stats
+
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, "dup", text),
+            (2, "dup", text),          # exact twin: every chunk repeats
+            (3, "uniq", " ".join(f"only{i}" for i in range(150))),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r.source: r for r in cdc_chunk_stats(df, "doc_id", "text", "source").collect()}
+    d = out["dup"]
+    assert d.n_dup_chunks == d.n_chunks and d.dup_token_bp == 10000
+    assert d.total_tokens == 400 and d.dup_tokens == 400
+    u = out["uniq"]
+    assert u.n_dup_chunks == 0 and u.dup_tokens == 0 and u.dup_token_bp == 0
+    assert u.total_tokens == 150
+
+
+def test_cdc_boundaries_are_content_defined(spark):
+    """Prefix insertion shifts positions but not content boundaries:
+    the tail chunks of the shifted doc re-align and dedup against the
+    original."""
+    from alaska_etl_spark.operators.dedup import cdc_chunk_stats
+
+    base = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, "s", base), (2, "s", "inserted prefix words " + base)],
+        "doc_id bigint, source string, text string",
+    )
+    r = cdc_chunk_stats(df, "doc_id", "text", "source").collect()[0]
+    # everything after each doc's first boundary chunks identically →
+    # a large majority of token mass deduplicates despite the shift
+    assert r.dup_tokens > r.total_tokens * 0.8

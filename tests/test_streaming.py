@@ -507,3 +507,71 @@ def test_stream_cusum_monitor_preserves_key_types(spark, tmp_path):
     assert dict(got.dtypes)["uid"] == "bigint"
     r = got.collect()[0]
     assert r.uid == 7 and r.n_events == 4
+
+
+def test_stream_admission_quota_caps_per_key_window(spark, tmp_path):
+    """Per-(key, window) admits never exceed the quota regardless of
+    batch split; order of admission is (ts, id); window rollover
+    resets the budget; late rows into closed windows are rejected."""
+    from alaska_etl_spark.streaming.incremental import (
+        run_available_now,
+        stream_admission_quota,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+
+    def lines(rows):
+        return "\n".join(
+            f'{{"src": "{s}", "ts": "2023-06-01 {h:02d}:{m:02d}:00", "id": {i}}}'
+            for s, h, m, i in rows
+        ) + "\n"
+
+    # batch 1: source a floods hour 10 (4 events, quota 2); source b
+    # sends 1
+    (src / "b1.json").write_text(
+        lines([("a", 10, 0, 1), ("a", 10, 1, 2), ("a", 10, 2, 3),
+               ("a", 10, 3, 4), ("b", 10, 0, 9)])
+    )
+    stream = lambda: stream_admission_quota(  # noqa: E731
+        spark.readStream.schema("src string, ts timestamp, id bigint").json(str(src)),
+        key_cols=["src"],
+        ts_col="ts",
+        id_col="id",
+        quota=2,
+        window_seconds=3600,
+    )
+    run_available_now(stream(), str(out), str(ckpt))
+    rows = {r.id: r.admitted for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {1: True, 2: True, 3: False, 4: False, 9: True}
+
+    # batch 2: same window continues for a (still over quota), then the
+    # next hour opens a fresh budget; one late row into hour 10 arrives
+    # after hour 11 started for key b
+    (src / "b2.json").write_text(
+        lines([("a", 10, 30, 5), ("a", 11, 0, 6), ("a", 11, 1, 7),
+               ("b", 11, 0, 10), ("b", 10, 59, 11)])
+    )
+    run_available_now(stream(), str(out), str(ckpt))
+    rows = {r.id: r.admitted for r in spark.read.parquet(str(out)).collect()}
+    assert rows[5] is False          # hour-10 budget for a already spent
+    assert rows[6] is True and rows[7] is True   # fresh hour-11 budget
+    # b: within batch 2, sort by ts processes id 11 (10:59) before id 10
+    # (11:00) — id 11 continues hour 10 (1 used + 1 = 2 ≤ quota), id 10
+    # opens hour 11
+    assert rows[11] is True and rows[10] is True
+
+    # batch 3: b sends a LATE hour-10 row after hour 11 became current →
+    # rejected outright (closed window), and the invariant holds
+    (src / "b3.json").write_text(lines([("b", 10, 58, 12)]))
+    run_available_now(stream(), str(out), str(ckpt))
+    rows = {r.id: r.admitted for r in spark.read.parquet(str(out)).collect()}
+    assert rows[12] is False
+    # global invariant: ≤ quota admits per (key, hour)
+    import collections
+
+    per_kw = collections.Counter()
+    for r in spark.read.parquet(str(out)).collect():
+        if r.admitted:
+            per_kw[(r.src, r.ts.hour)] += 1
+    assert all(v <= 2 for v in per_kw.values())
