@@ -1688,3 +1688,70 @@ def ann_recall(
         )
         .orderBy("query_id")
     )
+
+
+def ann_ndcg(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**3,
+) -> DataFrame:
+    """nDCG@k of the IVF index judged by exact cosine relevance — the
+    graded companion to :func:`ann_recall`: recall says WHETHER the
+    true neighbors came back, nDCG says whether the best ones came back
+    FIRST (rank-discounted), which is what a retrieval consumer
+    actually experiences. Relevance grade = the exact 4dp cosine in
+    integer micros; both the approximate list (:func:`ivf_topk`
+    ``replicable=True``) and the ideal list (:func:`cosine_topk` at the
+    SAME 4dp rounding) carry it, so DCG/IDCG are sums of per-rank
+    quantized BIGINT terms ``round(scale·rel_micro / log2(rank+1))``
+    and the final ratio is one engine-identical double division.
+
+    Scale shape is qm2's: brute-force truth over the query SAMPLE only;
+    everything else is k-rows-per-query arithmetic. Returns
+    ``(query_id, dcg_units, idcg_units, ndcg)``."""
+    rel_micro = F.round(F.col("cosine") * F.lit(1000000.0)).cast("long")
+    disc = F.log2(F.col("rank") + F.lit(1)).cast("double")
+    units = (
+        F.round(F.lit(scale) * rel_micro.cast("double") / disc)
+        .cast("long")
+        .alias("_u")
+    )
+    truth = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, round_digits=4
+    ).select("query_id", units)
+    approx = ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        ncells=ncells,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        replicable=True,
+    ).select("query_id", units)
+    idcg = truth.groupBy("query_id").agg(
+        F.sum("_u").cast("bigint").alias("idcg_units")
+    )
+    dcg = approx.groupBy("query_id").agg(
+        F.sum("_u").cast("bigint").alias("dcg_units")
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_units"), F.lit(0)).cast("bigint").alias("dcg_units"),
+            "idcg_units",
+            F.when(
+                F.col("idcg_units") != 0,
+                F.coalesce(F.col("dcg_units"), F.lit(0)).cast("double")
+                / F.col("idcg_units").cast("double"),
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -8798,6 +8798,87 @@ GROUP BY source ORDER BY source
 """, "toks", "tok_rows", "chunks")
 
 
+def qm6_ann_ndcg(spark, sf_dir):
+    """nDCG@5 of the IVF index judged by exact-cosine relevance
+    (operators/similarity.py ann_ndcg) — qm2's recall says WHETHER the
+    true neighbors came back; this says whether the best ones came back
+    FIRST. Relevance = exact 4dp cosine in integer micros on BOTH the
+    approximate and ideal lists; per-rank log2 discounts quantize to
+    BIGINT units, the final ratio is one engine-identical division."""
+    from alaska_etl_spark.operators.similarity import ann_ndcg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ndcg(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, ncells=16, nprobe=4
+    )
+
+
+QM6_SQL = """
+WITH truth AS (
+  SELECT query_id, cosine, rank FROM (
+    SELECT q.vec_id AS query_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rank <= 5
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+), approx AS (
+  SELECT query_id, cosine, rank FROM (
+    SELECT query_id, cosine,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand)
+  WHERE rank <= 5
+), idcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(round(1000 * CAST(CAST(round(cosine * 1000000.0) AS BIGINT) AS DOUBLE)
+                             / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS idcg_units
+  FROM truth GROUP BY query_id
+), dcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(round(1000 * CAST(CAST(round(cosine * 1000000.0) AS BIGINT) AS DOUBLE)
+                             / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS dcg_units
+  FROM approx GROUP BY query_id
+)
+SELECT i.query_id,
+       CAST(coalesce(d.dcg_units, 0) AS BIGINT) AS dcg_units,
+       i.idcg_units,
+       CASE WHEN i.idcg_units <> 0
+            THEN CAST(coalesce(d.dcg_units, 0) AS DOUBLE) / CAST(i.idcg_units AS DOUBLE)
+       END AS ndcg
+FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+ORDER BY i.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8932,6 +9013,7 @@ QUERIES = {
     "qm3_blocking_quality": qm3_blocking_quality,
     "qm4_rbo": qm4_rbo,
     "qm5_cdc_chunks": qm5_cdc_chunks,
+    "qm6_ann_ndcg": qm6_ann_ndcg,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9216,6 +9298,7 @@ ORACLES = {
     "qm3_blocking_quality": QM3_SQL,
     "qm4_rbo": QM4_SQL,
     "qm5_cdc_chunks": QM5_SQL,
+    "qm6_ann_ndcg": QM6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -184,3 +184,25 @@ def test_cdc_boundaries_are_content_defined(spark):
     # everything after each doc's first boundary chunks identically →
     # a large majority of token mass deduplicates despite the shift
     assert r.dup_tokens > r.total_tokens * 0.8
+
+
+def test_ann_ndcg_perfect_under_exhaustive_probe(spark):
+    from alaska_etl_spark.operators.similarity import ann_ndcg
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ann_ndcg(emb, q, k=5, ncells=8, nprobe=8).collect()
+    assert len(out) == 5
+    # exhaustive probing returns the ideal list → DCG == IDCG exactly
+    assert all(r.dcg_units == r.idcg_units and r.ndcg == 1.0 for r in out)
+
+
+def test_ann_ndcg_bounded_and_no_better_than_ideal(spark):
+    from alaska_etl_spark.operators.similarity import ann_ndcg
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ann_ndcg(emb, q, k=5, ncells=8, nprobe=1).collect()
+    # a probe-limited list can only lose relevance mass vs the ideal
+    assert all(r.dcg_units <= r.idcg_units for r in out)
+    assert all(r.ndcg is None or 0.0 <= r.ndcg <= 1.0 for r in out)

@@ -220,7 +220,13 @@ def main() -> None:
             best, rows = None, None
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = len(QUERIES[name](spark, f"{OUT}/{scale}").collect())
+                try:
+                    n = len(QUERIES[name](spark, f"{OUT}/{scale}").collect())
+                except Exception as e:  # report the cell, keep the table
+                    print(f"FAILED {name} {scale}: {str(e).splitlines()[0][:200]}",
+                          file=sys.stderr)
+                    release_tracked()
+                    n = -1
                 dt = time.perf_counter() - t0
                 release_tracked()
                 best = dt if best is None else min(best, dt)
