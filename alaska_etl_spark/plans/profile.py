@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
-from alaska_etl_spark.functions.fixedpoint import div_half_up
 
 __all__ = ["table_entry_counts", "profile_tables"]
 
@@ -53,16 +52,28 @@ _OUT_COLS = ["report", "table_name", "subject", "object", "metric", "value", "va
 def table_entry_counts(
     df: DataFrame, cols: list[str], pairs: list[tuple[str, str]]
 ) -> DataFrame:
-    """ONE scan → ``(kind, name, va, vb, _c)``: per-column value counts
-    (``kind='col'``, ``vb`` NULL) and per-unordered-pair joint value
-    counts (``kind='pair'``, ``name='a|b'``) from a single explode."""
+    """ONE scan → ``(kind, name, va, _ha, _hb, _c)``: per-column value
+    counts (``kind='col'``, string ``va`` — the profile needs real
+    min/max renderings and the IND report real cross-table values) and
+    per-unordered-pair joint counts (``kind='pair'``, ``name='a|b'``)
+    from a single explode.
+
+    Pair entries carry xxhash64 IDENTITIES (8-byte longs), not string
+    values: FD metrics are pure counts over groupings, so any injective
+    mapping gives identical numbers, and the string form measured ~2×
+    the shuffle bytes on key-grain pairs (the audit's dominant mass).
+    A 64-bit collision would merge two determinant groups and surface
+    as a mismatch against the value-keyed SQL oracle — the same
+    accepted-and-checked stance as the simjoin gram hashing. NULLs hash
+    to the seed constant, preserving NULL-is-a-group semantics."""
     entries = F.array(
         *[
             F.struct(
                 F.lit("col").alias("kind"),
                 F.lit(c).alias("name"),
                 F.col(c).cast("string").alias("va"),
-                F.lit(None).cast("string").alias("vb"),
+                F.lit(None).cast("bigint").alias("_ha"),
+                F.lit(None).cast("bigint").alias("_hb"),
             )
             for c in cols
         ],
@@ -70,14 +81,15 @@ def table_entry_counts(
             F.struct(
                 F.lit("pair").alias("kind"),
                 F.lit(f"{a}|{b}").alias("name"),
-                F.col(a).cast("string").alias("va"),
-                F.col(b).cast("string").alias("vb"),
+                F.lit(None).cast("string").alias("va"),
+                F.xxhash64(F.col(a)).alias("_ha"),
+                F.xxhash64(F.col(b)).alias("_hb"),
             )
             for a, b in pairs
         ],
     )
     long = df.select(F.explode(entries).alias("_e")).select("_e.*")
-    return long.groupBy("kind", "name", "va", "vb").agg(
+    return long.groupBy("kind", "name", "va", "_ha", "_hb").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
 
@@ -141,89 +153,114 @@ def _entropy_report(col_counts: DataFrame, table: str, scale: int) -> DataFrame:
 def _fd_report(
     pair_counts: DataFrame, table: str, pairs: list[tuple[str, str]]
 ) -> DataFrame:
-    parts = []
-    for a, b in pairs:
-        pc = pair_counts.filter(F.col("name") == f"{a}|{b}")
-        for det, dep, key in ((a, b, "va"), (b, a, "vb")):
-            per_det = pc.groupBy(key).agg(
-                F.count(F.lit(1)).cast("bigint").alias("_fan"),
-                F.sum("_c").cast("bigint").alias("_mass"),
-            )
-            parts.append(
-                per_det.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("_n_groups"),
-                    F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("_vg"),
-                    F.sum(F.when(F.col("_fan") > 1, F.col("_mass")).otherwise(0))
-                    .cast("bigint")
-                    .alias("_vr"),
-                    F.max("_fan").cast("bigint").alias("_mf"),
-                ).select(
-                    F.expr(
-                        "stack(4, "
-                        "'n_groups', _n_groups, "
-                        "'violating_groups', _vg, "
-                        "'violating_rows', _vr, "
-                        "'max_fanout', _mf) AS (metric, value)"
-                    ),
-                    F.lit("fd").alias("report"),
-                    F.lit(table).alias("table_name"),
-                    F.lit(det).alias("subject"),
-                    F.lit(dep).alias("object"),
-                    F.lit(None).cast("string").alias("value_str"),
-                ).select(*_OUT_COLS)
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """ALL FD directions from TWO aggregates total (not two per
+    direction): the forward determinant is the pair's ``va``, the
+    reverse determinant its ``vb`` — one union doubles the pair counts
+    into (pair, direction, determinant-value) rows, one aggregate
+    computes per-determinant fan-out/mass, one more reduces to the
+    per-direction report. Per-direction sub-plans (the first cut) paid
+    the ~0.1 s stage floor 2·|pairs|·2 times — 24 driver-scheduled
+    stages for the 6-pair audit; this shape pays it twice."""
+    fwd = pair_counts.select(
+        "name", F.lit("f").alias("_dir"), F.col("_ha").alias("_k"), "_c"
+    )
+    rev = pair_counts.select(
+        "name", F.lit("r").alias("_dir"), F.col("_hb").alias("_k"), "_c"
+    )
+    per_det = (
+        fwd.unionByName(rev)
+        .groupBy("name", "_dir", "_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_fan"),
+            F.sum("_c").cast("bigint").alias("_mass"),
+        )
+    )
+    stats = per_det.groupBy("name", "_dir").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_groups"),
+        F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0)).cast("bigint").alias("_vg"),
+        F.sum(F.when(F.col("_fan") > 1, F.col("_mass")).otherwise(0))
+        .cast("bigint")
+        .alias("_vr"),
+        F.max("_fan").cast("bigint").alias("_mf"),
+    )
+    left = F.split(F.col("name"), r"\|")[0]
+    right = F.split(F.col("name"), r"\|")[1]
+    return stats.select(
+        F.expr(
+            "stack(4, "
+            "'n_groups', _n_groups, "
+            "'violating_groups', _vg, "
+            "'violating_rows', _vr, "
+            "'max_fanout', _mf) AS (metric, value)"
+        ),
+        F.lit("fd").alias("report"),
+        F.lit(table).alias("table_name"),
+        F.when(F.col("_dir") == "f", left).otherwise(right).alias("subject"),
+        F.when(F.col("_dir") == "f", right).otherwise(left).alias("object"),
+        F.lit(None).cast("string").alias("value_str"),
+    ).select(*_OUT_COLS)
 
 
 def _ind_report(
     key_sets: "list[tuple[str, str, DataFrame]]", bp_scale: int = 10**4
 ) -> DataFrame:
-    parts = []
+    """ALL inclusion pairs from ONE value self-join (not one anti-join
+    per ordered pair): the distinct key sets union into one
+    (column-id, value) frame; a single self-join on the value counts
+    |K_L ∩ K_R| for EVERY pair simultaneously, and
+    n_missing = |K_L| − |K_L ∩ K_R|. The per-pair anti-join cut paid
+    the stage floor 3·|pairs| times (36 stages for 4 key columns);
+    this is one join + two small aggregates, and at scale the shared
+    value frame shuffles once instead of once per pair."""
+    spark = key_sets[0][2].sparkSession
+    tagged = None
     for lt, lc, lf in key_sets:
-        for rt, rc, rf in key_sets:
-            if (lt, lc) == (rt, rc):
-                continue
-            missing = lf.join(rf, on="_k", how="left_anti")
-            parts.append(
-                lf.agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
-                .crossJoin(
-                    missing.agg(F.count(F.lit(1)).cast("bigint").alias("_nm"))
-                )
-                .select(
-                    F.expr(
-                        "stack(2, 'n_distinct', _nd, 'n_missing', _nm) "
-                        "AS (metric, value)"
-                    ),
-                    div_half_up(f"{bp_scale} * (_nd - _nm)", "_nd").alias("_bp"),
-                    F.lit("ind").alias("report"),
-                    F.lit(lt).alias("table_name"),
-                    F.lit(lc).alias("subject"),
-                    F.lit(f"{rt}.{rc}").alias("object"),
-                    F.lit(None).cast("string").alias("value_str"),
-                )
-                .select(*_OUT_COLS, "_bp")
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # the coverage row rides the same 2-row stack result: emit it once
-    # per pair by duplicating the n_distinct row's _bp under its own
-    # metric name
-    coverage = (
-        out.filter(F.col("metric") == "n_distinct")
+        part = lf.select(F.lit(f"{lt}.{lc}").alias("_cid"), "_k")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = tracked_persist(tagged)
+    nd = tagged.groupBy("_cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nd")
+    )
+    common = (
+        tagged.alias("a")
+        .join(tagged.alias("b"), "_k")
+        .filter(F.col("a._cid") != F.col("b._cid"))
+        .groupBy(F.col("a._cid").alias("_lcid"), F.col("b._cid").alias("_rcid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+    )
+    ids = [(f"{t}.{c}", t, c) for t, c, _ in key_sets]
+    pairs_df = spark.createDataFrame(
+        [
+            (ln, lt, lc, rn, rt, rc)
+            for ln, lt, lc in ids
+            for rn, rt, rc in ids
+            if ln != rn
+        ],
+        "_lcid string, _lt string, _lc string, _rcid string, _rt string, _rc string",
+    )
+    stats = (
+        F.broadcast(pairs_df)
+        .join(nd.select(F.col("_cid").alias("_lcid"), "_nd"), "_lcid")
+        .join(common, ["_lcid", "_rcid"], "left")
         .select(
-            "report", "table_name", "subject", "object",
-            F.lit("coverage_bp").alias("metric"),
-            F.col("_bp").alias("value"),
-            F.lit(None).cast("string").alias("value_str"),
+            "_lt", "_lc", "_rcid", "_nd",
+            (F.col("_nd") - F.coalesce(F.col("_nc"), F.lit(0)))
+            .cast("bigint")
+            .alias("_nm"),
         )
     )
-    return out.select(*_OUT_COLS).unionByName(coverage)
+    return stats.select(
+        F.expr(
+            "stack(3, 'n_distinct', _nd, 'n_missing', _nm, "
+            f"'coverage_bp', (2 * {bp_scale} * (_nd - _nm) + _nd) div (2 * _nd)) "
+            "AS (metric, value)"
+        ),
+        F.lit("ind").alias("report"),
+        F.col("_lt").alias("table_name"),
+        F.col("_lc").alias("subject"),
+        F.col("_rcid").alias("object"),
+        F.lit(None).cast("string").alias("value_str"),
+    ).select(*_OUT_COLS)
 
 
 def profile_tables(
@@ -260,13 +297,17 @@ def profile_tables(
         for t, k in ind_keys:
             if t == name:
                 assert k in cols, f"IND key {t}.{k} must be profiled"
+                # join identity, not rendered value: the IND self-join
+                # only tests cross-table equality, and 8-byte hashes
+                # shuffle ~5× lighter than rendered key strings (the
+                # value-keyed oracle still checks the exact counts)
                 key_sets.append(
                     (
                         t,
                         k,
                         col_counts.filter(
                             (F.col("name") == k) & F.col("va").isNotNull()
-                        ).select(F.col("va").alias("_k")),
+                        ).select(F.xxhash64(F.col("va")).alias("_k")),
                     )
                 )
     if key_sets:

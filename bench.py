@@ -32,7 +32,8 @@ heavy hitters (qa6), grid-blocked geo kNN join (qb1), hash-only
 snapshot diff (qc0), cohort retention (qc3), interval-sweep concurrency
 (q49), CDC apply (qd1), sliding exact distinct (qd2), BM25 top-k
 (q44), CCNet perplexity gate (qd7), hash-split A/B readout (qe1), PSI
-drift (qe3).
+drift (qe3); and the round-7 flagships: the unified one-scan
+data-quality audit (ql7) and content-defined-chunking dedup (qm5).
 
 The three heavies — prefix-filtered Jaccard join (qb0), directed
 containment join (q36, rotated in from qf0 in r6), margin bitext
@@ -100,6 +101,9 @@ HEADLINE = [
     "qe1_ab_test",
     "qe3_psi_drift",
     "q50_kmeans_summary",
+    # round-7 flagships
+    "ql7_data_audit",
+    "qm5_cdc_chunks",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
