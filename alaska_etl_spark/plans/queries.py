@@ -8879,6 +8879,122 @@ ORDER BY i.query_id
 """
 
 
+def qm7_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility report per source: BPE-ish subword tokens
+    per whitespace word (operators/text.py bpe_ish_token_count /
+    token_count) and characters per subword token — THE number
+    tokenizer papers report per language/domain (fertility ≫ 1 flags
+    text the tokenizer fragments: code, numerics, non-Latin scripts;
+    chars/token is the compression the context window actually buys).
+    One aggregate of exact BIGINT counts; 4dp basis-point ratios."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    agg = (
+        d.select(
+            "source",
+            token_count("text").cast("bigint").alias("_w"),
+            bpe_ish_token_count("text").cast("bigint").alias("_t"),
+            F.length("text").cast("bigint").alias("_c"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("words"),
+            F.sum("_t").cast("bigint").alias("subword_tokens"),
+            F.sum("_c").cast("bigint").alias("chars"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "subword_tokens",
+        "chars",
+        div_half_up("10000 * subword_tokens", "words").alias("fertility_bp"),
+        div_half_up("10000 * chars", "subword_tokens").alias("chars_per_token_bp"),
+    ).orderBy("source")
+
+
+QM7_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(t) AS BIGINT) AS subword_tokens,
+       CAST(sum(c) AS BIGINT) AS chars,
+       CAST((2 * 10000 * sum(t) + sum(w)) // (2 * sum(w)) AS BIGINT) AS fertility_bp,
+       CAST((2 * 10000 * sum(c) + sum(t)) // (2 * sum(t)) AS BIGINT) AS chars_per_token_bp
+FROM (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents
+)
+GROUP BY source ORDER BY source
+"""
+
+
+def qm8_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the marker-lexicon lang_id
+    heuristic (q24's operator) evaluated against the documents table's
+    gold ``lang`` labels — (gold, predicted, n_docs) cells, the
+    evaluation every classifier in the ingest path needs next to its
+    predictions (q24 ships labels; this says WHERE they are wrong:
+    which gold languages leak into 'und', which pairs confuse). One
+    scan + one aggregate; the heuristic is pure codegen and the oracle
+    replays the same argmax/tie protocol in SQL."""
+    from alaska_etl_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("gold"), lang_id("text").alias("predicted"))
+        .groupBy("gold", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("gold", "predicted")
+    )
+
+
+def _qm8_sql() -> str:
+    from alaska_etl_spark.operators.text import LANG_MARKERS
+
+    hit_cols = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"CAST(len(list_filter(tk, x -> list_contains([{lst}], x))) AS BIGINT) AS h_{lang}"
+        )
+    # argmax with ties to the smallest language code: sort (−hits, lang)
+    # structs ascending, exactly the engine's sort_array protocol
+    pick = " ".join(
+        f"WHEN h_{lang} >= greatest({', '.join('h_' + l for l in sorted(LANG_MARKERS))}) THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return rf"""
+WITH scored AS (
+  SELECT lang AS gold, {', '.join(hit_cols)}
+  FROM (
+    SELECT lang,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+    FROM documents
+  )
+), picked AS (
+  SELECT gold,
+         CASE WHEN greatest({', '.join('h_' + l for l in sorted(LANG_MARKERS))}) = 0
+              THEN 'und'
+              ELSE CASE {pick} END
+         END AS predicted
+  FROM scored
+)
+SELECT gold, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM picked GROUP BY gold, predicted ORDER BY gold, predicted
+"""
+
+
+QM8_SQL = _qm8_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9014,6 +9130,8 @@ QUERIES = {
     "qm4_rbo": qm4_rbo,
     "qm5_cdc_chunks": qm5_cdc_chunks,
     "qm6_ann_ndcg": qm6_ann_ndcg,
+    "qm7_tokenizer_fertility": qm7_tokenizer_fertility,
+    "qm8_langid_confusion": qm8_langid_confusion,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9299,6 +9417,8 @@ ORACLES = {
     "qm4_rbo": QM4_SQL,
     "qm5_cdc_chunks": QM5_SQL,
     "qm6_ann_ndcg": QM6_SQL,
+    "qm7_tokenizer_fertility": QM7_SQL,
+    "qm8_langid_confusion": QM8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -206,3 +206,34 @@ def test_ann_ndcg_bounded_and_no_better_than_ideal(spark):
     # a probe-limited list can only lose relevance mass vs the ideal
     assert all(r.dcg_units <= r.idcg_units for r in out)
     assert all(r.ndcg is None or 0.0 <= r.ndcg <= 1.0 for r in out)
+
+
+def test_tokenizer_fertility_hand_counts(spark):
+    from alaska_etl_spark.plans.queries import qm7_tokenizer_fertility
+
+    # direct operator math on a hand frame via the same expressions
+    from alaska_etl_spark.operators.text import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame([("s", "ab c1 d!e")], "source string, text string")
+    row = df.select(
+        token_count("text").alias("w"), bpe_ish_token_count("text").alias("t")
+    ).collect()[0]
+    assert row.w == 3            # whitespace words
+    assert row.t == 6            # ab | c | 1 | d | ! | e
+
+
+def test_langid_confusion_semantics(spark):
+    from alaska_etl_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the report and the findings for the quarter"),
+            ("de", "der bericht und die ergebnisse für das quartal"),
+            ("zh", "这 是 中文 文本 没有 标记"),  # no markers → und
+        ],
+        "lang string, text string",
+    )
+    out = {r.lang: r.p for r in df.select("lang", lang_id("text").alias("p")).collect()}
+    assert out["en"] == "en"
+    assert out["de"] == "de"
+    assert out["zh"] == "und"
