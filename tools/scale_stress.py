@@ -93,6 +93,16 @@ QUERIES_UNDER_TEST = [
     # Heaps vocab growth: injective token renaming makes the 10x vocab
     # exactly 10x; work is one token aggregate — expected ~linear.
     "qi9_vocab_growth",
+    # round-7 corpus metrics: diversity/Zipf are vocabulary-bound
+    # aggregates (injective renaming → 10x vocab, expected ~linear in
+    # vocab over a fixed floor); CDC chunk stats is one window + a
+    # vocab-grain chunk-frequency join; blocking quality adds the
+    # unfiltered shared-gram truth join whose Sigma-df^2 term is
+    # exactly 10x (disjoint per-copy vocabularies).
+    "qm0_ngram_diversity",
+    "qm1_zipf_slope",
+    "qm5_cdc_chunks",
+    "qm3_blocking_quality",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
