@@ -631,3 +631,84 @@ def target_encode_oof(
     return base.select("id", "cat", "fold").join(
         F.broadcast(enc), on=["cat", "fold"], how="inner"
     ).select("id", "cat", "fold", "n_oof", "enc")
+
+
+def mixture_report(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    bp_scale: int = 10**4,
+) -> DataFrame:
+    """Static source-mixture report — the dataset-card table that feeds
+    :func:`mix_sources` its rates: per source, document/token mass
+    AFTER exact dedup (fingerprint keep-one: duplicated content should
+    not buy a source mixing weight), mean quality, and a suggested
+    weight = this source's share of quality-weighted unique tokens
+    (the DoReMi-lite static heuristic: reweight by how much GOOD,
+    NON-REDUNDANT text a source actually contributes — the two
+    corrections raw token counts get wrong).
+
+    Everything is exact integers: the quality score is a sum of four
+    indicator quarters, so per-doc ``quarters = round(4·q) ∈ {0..4}``
+    is exact, quality-weighted token mass is a BIGINT product, and the
+    shares are 4dp round-half-up basis points. Dedup keeps the
+    smallest-fingerprint... rather, ONE row per fingerprint via a
+    min-aggregate over (fingerprint): token counts are identical
+    across same-fingerprint duplicates by construction, and the
+    quality quarters differ only through raw-whitespace edge cases —
+    min() makes the representative deterministic and SQL-replayable
+    either way.
+
+    Shape: one scan computes (source, fingerprint, tokens, quarters);
+    one (source, fingerprint) min-aggregate collapses within-source
+    duplicates; cross-source duplicates are attributed to the smallest
+    source id holding them (deterministic) via one fingerprint-grain
+    aggregate; one final per-source aggregate + a broadcast total.
+    Returns (source, n_docs, n_unique_docs, unique_tokens, quality_bp,
+    weight_bp) ordered by source."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(source_col).alias("_src"),
+        doc_fingerprint(text_col).alias("_fp"),
+        token_count(text_col).cast("bigint").alias("_tok"),
+        F.round(F.lit(4.0) * quality_score(text_col)).cast("long").alias("_q4"),
+    )
+    n_docs = base.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # one row per fingerprint, attributed to the smallest source id:
+    # content-derived columns are identical across duplicates
+    owner = base.groupBy("_fp").agg(
+        F.min("_src").alias("_src"),
+        F.min("_tok").alias("_tok"),
+        F.min("_q4").alias("_q4"),
+    )
+    per_src = owner.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+        F.sum("_tok").cast("bigint").alias("unique_tokens"),
+        F.sum("_q4").cast("bigint").alias("_quarters"),
+        F.sum(F.col("_tok") * F.col("_q4")).cast("bigint").alias("_mass"),
+    )
+    total = per_src.agg(F.sum("_mass").cast("bigint").alias("_tmass"))
+    return (
+        n_docs.join(per_src, "_src", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_src").alias(source_col),
+            "n_docs",
+            F.coalesce("n_unique_docs", F.lit(0)).cast("bigint").alias("n_unique_docs"),
+            F.coalesce("unique_tokens", F.lit(0)).cast("bigint").alias("unique_tokens"),
+            div_half_up(f"{bp_scale} * coalesce(_quarters, 0)",
+                        "4 * greatest(n_unique_docs, 1)").alias("quality_bp"),
+            div_half_up(f"{bp_scale} * coalesce(_mass, 0)",
+                        "greatest(_tmass, 1)").alias("weight_bp"),
+        )
+        .orderBy(source_col)
+    )

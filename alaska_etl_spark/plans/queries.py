@@ -8995,6 +8995,67 @@ FROM picked GROUP BY gold, predicted ORDER BY gold, predicted
 QM8_SQL = _qm8_sql()
 
 
+def qm9_mixture_report(spark, sf_dir):
+    """Static source-mixture report (operators/splits.py
+    mixture_report): per source, mass AFTER exact dedup and mean
+    quality, plus a suggested mixing weight = the source's share of
+    quality-weighted UNIQUE tokens — the dataset-card table that feeds
+    mix_sources its rates with the two corrections raw token counts
+    get wrong (duplicated content and low-quality mass should not buy
+    weight). All-integer quarters/masses; 4dp bp emits."""
+    from alaska_etl_spark.operators.splits import mixture_report
+
+    return mixture_report(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+QM9_SQL = r"""
+WITH toks AS (
+  SELECT source, text,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), feat AS (
+  SELECT source, norm,
+         CAST(len(tk) AS BIGINT) AS tok,
+         CAST((CASE WHEN len(tk) >= 10 AND len(tk) <= 100000 THEN 1 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(tk) = 0 THEN 0.0
+                 ELSE list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)), 'sum') / greatest(len(tk), 1) END) >= 2.0
+                AND (CASE WHEN len(tk) = 0 THEN 0.0
+                 ELSE list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)), 'sum') / greatest(len(tk), 1) END) <= 12.0
+                THEN 1 ELSE 0 END)
+            + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / greatest(length(text), 1) <= 0.2 THEN 1 ELSE 0 END)
+            + (CASE WHEN len(list_filter(list_transform(tk, x -> lower(x)),
+                 x -> x IN ('the','and','of','to','is','in','that','for','with'))) * 1.0 / greatest(len(tk), 1) >= 0.01 THEN 1 ELSE 0 END)
+           AS BIGINT) AS q4
+  FROM toks
+), n_docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM feat GROUP BY source
+), owner AS (
+  SELECT norm, min(source) AS source,
+         CAST(min(tok) AS BIGINT) AS tok, CAST(min(q4) AS BIGINT) AS q4
+  FROM feat GROUP BY norm
+), per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_unique_docs,
+         CAST(sum(tok) AS BIGINT) AS unique_tokens,
+         CAST(sum(q4) AS BIGINT) AS quarters,
+         CAST(sum(tok * q4) AS BIGINT) AS mass
+  FROM owner GROUP BY source
+), total AS (
+  SELECT CAST(sum(mass) AS BIGINT) AS tmass FROM per_src
+)
+SELECT n.source, n.n_docs,
+       CAST(coalesce(p.n_unique_docs, 0) AS BIGINT) AS n_unique_docs,
+       CAST(coalesce(p.unique_tokens, 0) AS BIGINT) AS unique_tokens,
+       CAST((2 * 10000 * coalesce(p.quarters, 0) + 4 * greatest(p.n_unique_docs, 1))
+            // (2 * (4 * greatest(p.n_unique_docs, 1))) AS BIGINT) AS quality_bp,
+       CAST((2 * 10000 * coalesce(p.mass, 0) + greatest(t.tmass, 1))
+            // (2 * greatest(t.tmass, 1)) AS BIGINT) AS weight_bp
+FROM n_docs n LEFT JOIN per_src p ON p.source = n.source CROSS JOIN total t
+ORDER BY n.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9132,6 +9193,7 @@ QUERIES = {
     "qm6_ann_ndcg": qm6_ann_ndcg,
     "qm7_tokenizer_fertility": qm7_tokenizer_fertility,
     "qm8_langid_confusion": qm8_langid_confusion,
+    "qm9_mixture_report": qm9_mixture_report,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9419,6 +9481,7 @@ ORACLES = {
     "qm6_ann_ndcg": QM6_SQL,
     "qm7_tokenizer_fertility": QM7_SQL,
     "qm8_langid_confusion": QM8_SQL,
+    "qm9_mixture_report": QM9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

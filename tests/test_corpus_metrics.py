@@ -237,3 +237,32 @@ def test_langid_confusion_semantics(spark):
     assert out["en"] == "en"
     assert out["de"] == "de"
     assert out["zh"] == "und"
+
+
+def test_mixture_report_dedup_attribution_and_shares(spark):
+    from alaska_etl_spark.operators.splits import mixture_report
+
+    good = (
+        "The quarterly report shows steady improvement across all regional "
+        "offices with satisfaction rising for the third consecutive period."
+    )
+    other = (
+        "Operational costs held flat despite the expansion of the northern "
+        "monitoring stations during the last winter measurement campaign."
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", good),
+            ("b", good),     # cross-source exact duplicate → attributed to 'a'
+            ("b", other),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in mixture_report(df, "source", "text").collect()}
+    assert out["a"].n_docs == 1 and out["b"].n_docs == 2
+    assert out["a"].n_unique_docs == 1
+    assert out["b"].n_unique_docs == 1   # the duplicate went to 'a'
+    assert out["a"].unique_tokens > 0 and out["b"].unique_tokens > 0
+    # weights are shares of quality-weighted unique tokens → sum ≈ 1
+    assert abs(out["a"].weight_bp + out["b"].weight_bp - 10000) <= 1
+    assert 0 <= out["a"].quality_bp <= 10000
