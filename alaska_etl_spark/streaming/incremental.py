@@ -1299,3 +1299,141 @@ def stream_admission_quota(
     return events.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def write_profile_reference(
+    df: DataFrame, cols: list[str], ref_path: str
+) -> None:
+    """Build the static profile reference :func:`stream_profile_monitor`
+    compares against: per monitored column, the validated value DOMAIN
+    (distinct non-null renderings) plus one null-rate row (``value``
+    NULL, ``null_bp`` set). One scan via the ql7-style stack explode."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    long = df.select(F.explode(entries).alias("_e")).select("_e.*")
+    domain = (
+        long.filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("null_bp", F.lit(None).cast("bigint"))
+    )
+    rates = long.groupBy("column_name").agg(
+        F.expr(
+            "(2 * 10000 * sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)"
+            " + count(*)) div (2 * count(*))"
+        )
+        .cast("bigint")
+        .alias("null_bp")
+    ).select("column_name", F.lit(None).cast("string").alias("value"), "null_bp")
+    domain.unionByName(rates).write.mode("overwrite").parquet(ref_path)
+
+
+def stream_profile_monitor(
+    stream_df: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    ref_path: str,
+    *,
+    cols: list[str],
+    null_bp_tolerance: int = 500,
+) -> None:
+    """Streaming SCHEMA-PROFILE drift monitor: per micro-batch and per
+    monitored column, null rate vs the validated reference and unseen
+    categorical values vs the validated domain — the streaming sibling
+    of ql7's batch profile, and the check that catches an upstream
+    schema change (a renamed enum value, a feed that suddenly ships
+    NULLs) in the batch where it starts rather than in next week's
+    audit. Same static-reference semantics as
+    :func:`stream_vocab_drift`: the baseline must not chase the drift
+    it measures; monitoring, not gating.
+
+    Appends one metrics row per (batch, column):
+    ``(batch_id, column_name, n_rows, n_null, null_bp, n_distinct,
+    n_unseen_values, null_alert, domain_alert)``. A row-less batch
+    emits one all-zero row per column (NULL alerts) so series gaps
+    stay visible. Scale shape: one batch-sized explode + aggregate,
+    one broadcast-able anti-join against the reference domain."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(ref_path)
+        ref_rates = ref.filter(F.col("value").isNull()).select(
+            "column_name", F.col("null_bp").alias("_ref_bp")
+        )
+        ref_domain = ref.filter(F.col("value").isNotNull()).select(
+            "column_name", "value"
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        long = batch_df.select(F.explode(entries).alias("_e")).select("_e.*")
+        stats = long.groupBy("column_name").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.count_distinct("value").cast("bigint").alias("n_distinct"),
+        )
+        unseen = (
+            long.filter(F.col("value").isNotNull())
+            .distinct()
+            .join(ref_domain, ["column_name", "value"], "left_anti")
+            .groupBy("column_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_unseen_values"))
+        )
+        rows = (
+            stats.join(unseen, "column_name", "left")
+            .join(F.broadcast(ref_rates), "column_name", "left")
+            .select(
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "column_name",
+                "n_rows",
+                "n_null",
+                F.expr("(2 * 10000 * n_null + n_rows) div (2 * n_rows)")
+                .cast("bigint")
+                .alias("null_bp"),
+                "n_distinct",
+                F.coalesce("n_unseen_values", F.lit(0))
+                .cast("bigint")
+                .alias("n_unseen_values"),
+                (
+                    F.abs(
+                        F.expr("(2 * 10000 * n_null + n_rows) div (2 * n_rows)")
+                        - F.col("_ref_bp")
+                    )
+                    > null_bp_tolerance
+                ).alias("null_alert"),
+                (F.coalesce("n_unseen_values", F.lit(0)) > 0).alias("domain_alert"),
+            )
+            .collect()
+        )
+        if rows:
+            out = spark.createDataFrame(rows)
+        else:  # row-less batch: keep the series gap visible per column
+            out = spark.createDataFrame(
+                [(batch_id, c, 0, 0, None, 0, 0, None, None) for c in cols],
+                "batch_id bigint, column_name string, n_rows bigint, "
+                "n_null bigint, null_bp bigint, n_distinct bigint, "
+                "n_unseen_values bigint, null_alert boolean, domain_alert boolean",
+            )
+        out.write.mode("append").parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -575,3 +575,62 @@ def test_stream_admission_quota_caps_per_key_window(spark, tmp_path):
         if r.admitted:
             per_kw[(r.src, r.ts.hour)] += 1
     assert all(v <= 2 for v in per_kw.values())
+
+
+def test_stream_profile_monitor_null_and_domain_alerts(spark, tmp_path):
+    """Conforming batches stay quiet; a batch with an unseen category
+    and elevated nulls raises both alerts; the reference never chases
+    the drift."""
+    from alaska_etl_spark.streaming.incremental import (
+        stream_profile_monitor,
+        write_profile_reference,
+    )
+
+    # validated reference: two categoricals, no nulls
+    ref_df = spark.createDataFrame(
+        [("open", "low"), ("closed", "high"), ("open", "high")] * 4,
+        "status string, prio string",
+    )
+    ref = str(tmp_path / "ref")
+    write_profile_reference(ref_df, ["status", "prio"], ref)
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+
+    def lines(rows):
+        import json as _json
+
+        return "\n".join(_json.dumps(dict(zip(("status", "prio"), r))) for r in rows) + "\n"
+
+    stream = lambda: stream_profile_monitor(  # noqa: E731
+        spark.readStream.schema("status string, prio string").json(str(src)),
+        str(out),
+        str(ckpt),
+        ref,
+        cols=["status", "prio"],
+        null_bp_tolerance=500,
+    )
+
+    (src / "b1.json").write_text(lines([("open", "low"), ("closed", "high")] * 5))
+    stream()
+    m = {(r.batch_id, r.column_name): r for r in spark.read.parquet(str(out)).collect()}
+    b1s = m[(0, "status")]
+    assert b1s.n_rows == 10 and b1s.n_null == 0
+    assert b1s.null_alert is False and b1s.domain_alert is False
+
+    # batch 2: a NEW status value and half-null prio
+    (src / "b2.json").write_text(
+        lines([("reopened", "low"), ("open", None), ("closed", None), ("open", "low")])
+    )
+    stream()
+    m = {(r.batch_id, r.column_name): r for r in spark.read.parquet(str(out)).collect()}
+    b2s, b2p = m[(1, "status")], m[(1, "prio")]
+    assert b2s.domain_alert is True and b2s.n_unseen_values == 1  # 'reopened'
+    assert b2p.null_alert is True and b2p.n_null == 2
+    assert b2p.domain_alert is False
+
+    # batch 3: conforming again — the reference did not absorb 'reopened'
+    (src / "b3.json").write_text(lines([("reopened", "low")]))
+    stream()
+    m = {(r.batch_id, r.column_name): r for r in spark.read.parquet(str(out)).collect()}
+    assert m[(2, "status")].domain_alert is True  # still unseen: static baseline
