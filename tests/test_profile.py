@@ -124,3 +124,56 @@ def test_one_scan_per_table(spark):
     )
     plan = audit._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+# --- hypothesis: the unified audit equals a pure-Python replica ------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_val = st.one_of(st.none(), st.integers(0, 5))
+_rows = st.lists(st.tuples(_val, _val), min_size=1, max_size=25)
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_profile_and_fd_match_python_replica(spark, rows):
+    df = spark.createDataFrame(rows, "a int, b int")
+    audit = profile_tables(
+        [("t", df, ["a", "b"], [("a", "b")])], ind_keys=[], entropy_cols={"t": []}
+    ).collect()
+    got = {
+        (r.report, r.subject, r.object, r.metric): (r.value, r.value_str)
+        for r in audit
+    }
+    for col, idx in (("a", 0), ("b", 1)):
+        vals = [r[idx] for r in rows]
+        nn = [v for v in vals if v is not None]
+        assert got[("profile", col, None, "n_rows")][0] == len(vals)
+        assert got[("profile", col, None, "n_null")][0] == vals.count(None)
+        assert got[("profile", col, None, "n_distinct")][0] == len(set(nn))
+        exp_min = min((str(v) for v in nn), default=None)
+        exp_max = max((str(v) for v in nn), default=None)
+        assert got[("profile", col, None, "min")][1] == exp_min
+        assert got[("profile", col, None, "max")][1] == exp_max
+    # FD a->b (NULL is a value, per ql1 semantics)
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    mass = defaultdict(int)
+    for a, b in rows:
+        groups[a].add(b)
+        mass[a] += 1
+    fan = {k: len(v) for k, v in groups.items()}
+    assert got[("fd", "a", "b", "n_groups")][0] == len(groups)
+    assert got[("fd", "a", "b", "violating_groups")][0] == sum(
+        1 for f in fan.values() if f > 1
+    )
+    assert got[("fd", "a", "b", "violating_rows")][0] == sum(
+        mass[k] for k, f in fan.items() if f > 1
+    )
+    assert got[("fd", "a", "b", "max_fanout")][0] == max(fan.values())
