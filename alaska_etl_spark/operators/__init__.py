@@ -45,6 +45,8 @@ from alaska_etl_spark.operators.bpe import (  # noqa: F401
     train_bpe,
 )
 from alaska_etl_spark.operators.dedup import (  # noqa: F401
+    blocking_quality,
+    cdc_chunk_stats,
     decontaminate,
     dedup_exact,
     dedup_keep_first,
@@ -97,6 +99,7 @@ from alaska_etl_spark.operators.parallelism import ensure_min_parallelism  # noq
 from alaska_etl_spark.operators.ranking import (  # noqa: F401
     global_ntile,
     global_row_number,
+    rank_biased_overlap,
 )
 from alaska_etl_spark.operators.geo import knn_join  # noqa: F401
 from alaska_etl_spark.operators.graph import (  # noqa: F401
@@ -105,6 +108,10 @@ from alaska_etl_spark.operators.graph import (  # noqa: F401
     triangle_counts,
 )
 from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join  # noqa: F401
+from alaska_etl_spark.operators.similarity import (  # noqa: F401
+    ann_ndcg,
+    ann_recall,
+)
 from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     cosine_similarity_join,
     jaccard_similarity_join,
@@ -126,13 +133,16 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
     grouped_linreg,
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401
+    mixture_report,
     stratified_sample,
     temperature_sample,
     weighted_sample,
 )
 from alaska_etl_spark.operators.text import (  # noqa: F401
     bm25_topk,
+    ngram_diversity,
     repetition_signals,
+    zipf_slope,
 )
 from alaska_etl_spark.operators.timeseries import (  # noqa: F401
     activity_bitmap,
