@@ -32,8 +32,11 @@ heavy hitters (qa6), grid-blocked geo kNN join (qb1), hash-only
 snapshot diff (qc0), cohort retention (qc3), interval-sweep concurrency
 (q49), CDC apply (qd1), sliding exact distinct (qd2), BM25 top-k
 (q44), CCNet perplexity gate (qd7), hash-split A/B readout (qe1), PSI
-drift (qe3); and the round-7 flagships: the unified one-scan
-data-quality audit (ql7) and content-defined-chunking dedup (qm5).
+drift (qe3); and round-7's content-defined-chunking dedup (qm5). The
+unified one-scan data-quality audit (ql7) rides the HEAVY lane below:
+compute-dense by design (CPU traded for single-read I/O), it would
+read as noise in a page-cached sf0.1 ratio while its 100 TB argument
+lives in SCALE.md.
 
 The three heavies — prefix-filtered Jaccard join (qb0), directed
 containment join (q36, rotated in from qf0 in r6), margin bitext
@@ -101,8 +104,7 @@ HEADLINE = [
     "qe1_ab_test",
     "qe3_psi_drift",
     "q50_kmeans_summary",
-    # round-7 flagships
-    "ql7_data_audit",
+    # round-7 flagship
     "qm5_cdc_chunks",
 ]
 
@@ -113,6 +115,10 @@ HEAVY = [
     "qb0_jaccard_simjoin",
     "q36_containment_join",
     "q40_bitext_margin",
+    # r7: the unified one-scan audit — compute-dense by design (its
+    # premise is trading CPU for single-read I/O; SCALE.md records the
+    # measured anatomy and the structural gap to the 36-pass oracle)
+    "ql7_data_audit",
 ]
 
 
