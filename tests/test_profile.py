@@ -132,10 +132,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _val = st.one_of(st.none(), st.integers(0, 5))
-_rows = st.lists(st.tuples(_val, _val), min_size=1, max_size=25)
+_rows_strategy = st.lists(st.tuples(_val, _val), min_size=1, max_size=25)
 
 
-@given(rows=_rows)
+@given(rows=_rows_strategy)
 @settings(
     max_examples=10,
     deadline=None,
