@@ -236,3 +236,35 @@ def test_parse_warc_roundtrip_property(recs, gz):
         assert row["target_uri"] == uri
         assert row["content_length"] == len(payload)
         assert row["payload"] == payload
+
+
+def test_stream_warc_matches_batch_reader(spark, tmp_path):
+    """The streaming source parses byte-identically to the batch
+    reader: same records, same payloads, same error rows — one parser,
+    two discovery mechanisms."""
+    from alaska_etl_spark.sources.warc import read_warc, stream_warc
+    from alaska_etl_spark.streaming.incremental import run_available_now
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    data = (
+        _record("warcinfo", "", b"software: t\r\n", "<urn:uuid:0>")
+        + _record("response", "http://a/1", _http(b"hello WARC/1.0 inside"), "<urn:uuid:1>")
+    )
+    (src / "f1.warc").write_bytes(data)
+    (src / "bad.warc").write_bytes(b"garbage that is not a record\r\n\r\n")
+    gz = gzip.compress(_record("response", "http://a/2", _http(b"zipped"), "<urn:uuid:2>"))
+    (src / "f2.warc.gz").write_bytes(gz)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    run_available_now(stream_warc(spark, str(src)), str(out), str(ckpt))
+
+    def key(r):
+        return (r.file, r.offset, r.warc_type, r.record_id, r.target_uri,
+                r.content_length, bytes(r.payload) if r.payload is not None else None,
+                r.error)
+
+    batch = sorted(map(key, read_warc(spark, str(src)).collect()))
+    stream = sorted(map(key, spark.read.parquet(str(out)).collect()))
+    assert stream == batch
+    assert any(r[-1] == "malformed record header" for r in stream)
