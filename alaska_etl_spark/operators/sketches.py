@@ -184,3 +184,26 @@ def decimal_quantiles(
     for q in per_prob[1:]:
         out = out.unionAll(q)
     return out
+
+
+def merge_mg_partials(partials: DataFrame, *, k: int) -> DataFrame:
+    """Merge any number of Misra-Gries summaries over ``(item, lb)``
+    rows into one k-counter summary: sum weights per item, subtract the
+    (k+1)-th largest total, drop non-positive — the Agarwal et al.
+    (PODS'12) mergeable-summaries rule, under which the union's
+    φ-heavy-hitter guarantee survives: any item with TRUE count
+    > n/(k+1) over the combined stream keeps a positive counter.
+    Driver-bounded: the only collected value is the trim threshold
+    (one row); everything else is one hash aggregate over the
+    (k × partials)-bounded input."""
+    sums = partials.groupBy("item").agg(F.sum("lb").cast("bigint").alias("_w"))
+    cut_row = (
+        sums.orderBy(F.col("_w").desc(), "item").limit(k + 1).orderBy(F.col("_w").asc())
+        .head(1)
+    )
+    n_items = sums.count()
+    cut = int(cut_row[0]["_w"]) if (cut_row and n_items > k) else 0
+    return (
+        sums.select("item", (F.col("_w") - F.lit(cut)).cast("bigint").alias("lb"))
+        .filter(F.col("lb") > 0)
+    )

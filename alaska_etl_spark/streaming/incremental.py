@@ -1437,3 +1437,91 @@ def stream_profile_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_heavy_hitters_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    *,
+    col: str,
+    k: int = 16,
+) -> None:
+    """Streaming heavy hitters over an unbounded value domain — the
+    streaming sibling of the batch X36 operator (qa6/q46): per
+    micro-batch, a Misra-Gries partial of the batch is APPENDED to a
+    persisted partial store, the partials are merged under the
+    mergeable-summaries rule (:func:`operators.sketches.
+    merge_mg_partials`), and the current top candidates land as metrics
+    rows. The guarantee the batch operator has survives merging
+    (Agarwal et al., PODS'12): any value whose true count over the
+    WHOLE stream exceeds n/(k+1) is present in the merged summary —
+    state is k counters per batch partial, never the distinct-value
+    set, which at 100 TB is the data.
+
+    Replay safety follows the LSH-index/gram-reference pattern: the
+    partial is keyed by batch_id and skipped if already stored, so a
+    replayed micro-batch cannot double-count (the store is the durable
+    state; the checkpoint only drives discovery). Per-batch totals ride
+    the same store as ``item`` NULL rows, so φ-thresholding against the
+    exact stream length needs no extra state. Optional compaction =
+    rewrite the store with the merged summary under the max batch_id
+    (same opt-in placement as compact_gram_reference)."""
+    from alaska_etl_spark.operators.sketches import (
+        merge_mg_partials,
+        misra_gries_candidates,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        have = _hdfs_exists(spark, store_path)
+        if have:
+            seen = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") == batch_id)
+                .head(1)
+            )
+        else:
+            seen = []
+        if not seen:  # first delivery of this batch: store its partial
+            partial = misra_gries_candidates(
+                batch_df.select(col).withColumnRenamed(col, "item"), "item", k=k
+            )
+            n_row = batch_df.select(
+                F.lit(None).cast("string").alias("item"),
+                F.count(F.lit(1)).cast("bigint").alias("lb"),
+            )
+            partial.select(F.col("item").cast("string"), F.col("lb").cast("bigint")) \
+                .unionByName(n_row) \
+                .withColumn("batch_id", F.lit(batch_id).cast("bigint")) \
+                .write.mode("append").parquet(store_path)
+        store = spark.read.parquet(store_path)
+        n_total = (
+            store.filter(F.col("item").isNull())
+            .agg(F.sum("lb").cast("bigint").alias("n"))
+            .head(1)[0]["n"]
+        ) or 0
+        merged = merge_mg_partials(
+            store.filter(F.col("item").isNotNull()), k=k
+        )
+        out = merged.select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "item",
+            "lb",
+            F.lit(int(n_total)).cast("bigint").alias("n_total"),
+        )
+        if not out.head(1):
+            out = spark.createDataFrame(
+                [(batch_id, None, None, int(n_total))],
+                "batch_id bigint, item string, lb bigint, n_total bigint",
+            )
+        out.write.mode("append").parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

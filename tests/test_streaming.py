@@ -634,3 +634,51 @@ def test_stream_profile_monitor_null_and_domain_alerts(spark, tmp_path):
     stream()
     m = {(r.batch_id, r.column_name): r for r in spark.read.parquet(str(out)).collect()}
     assert m[(2, "status")].domain_alert is True  # still unseen: static baseline
+
+
+def test_stream_heavy_hitters_guarantee_and_replay(spark, tmp_path):
+    """The merged summary keeps every value with true count > n/(k+1)
+    across batch splits, and a checkpoint-loss replay cannot
+    double-count (batch-keyed partials)."""
+    from alaska_etl_spark.streaming.incremental import stream_heavy_hitters_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, metrics, ckpt = (
+        str(tmp_path / "store"), str(tmp_path / "metrics"), str(tmp_path / "ckpt"),
+    )
+
+    def write(name, values):
+        (src / name).write_text("\n".join(f'{{"v": "{x}"}}' for x in values) + "\n")
+
+    stream = lambda: stream_heavy_hitters_monitor(  # noqa: E731
+        spark.readStream.schema("v string").json(str(src)),
+        store, metrics, ckpt, col="v", k=4,
+    )
+
+    # hot value split across two batches; background values unique-ish
+    write("b1.json", ["hot"] * 30 + [f"x{i}" for i in range(20)])
+    stream()
+    write("b2.json", ["hot"] * 30 + [f"y{i}" for i in range(20)])
+    stream()
+
+    m = spark.read.parquet(metrics).collect()
+    last = max(r.batch_id for r in m)
+    top = {r.item: (r.lb, r.n_total) for r in m if r.batch_id == last}
+    # n=100, k=4 → any value with count > 20 must be present; hot has 60
+    assert "hot" in top
+    lb, n_total = top["hot"]
+    assert n_total == 100
+    assert lb <= 60  # MG weight is a lower bound
+    assert lb > 100 / 5  # and for 'hot' it certifies heaviness here
+
+    # replay after checkpoint loss: store partials must not duplicate
+    import shutil
+
+    n_store = spark.read.parquet(store).count()
+    shutil.rmtree(ckpt)
+    stream()
+    assert spark.read.parquet(store).count() == n_store
+    m2 = spark.read.parquet(metrics).collect()
+    top2 = {r.item for r in m2 if r.batch_id == max(r.batch_id for r in m2)}
+    assert "hot" in top2
