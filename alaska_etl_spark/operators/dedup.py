@@ -1696,7 +1696,8 @@ def cdc_chunk_stats(
     Shape: tokenize+posexplode narrow; ONE (doc, pos) window sort
     serves the boundary running count; chunk fold is one hash
     aggregate; the global chunk-frequency table joins back by chunk
-    hash (vocab-grain, shuffle_hash — never a misestimated broadcast).
+    hash (vocab-grain: shuffle_hash unless the input scan proves it
+    driver-safe to broadcast — operators/hints.py).
     Returns (group_col, n_chunks, n_dup_chunks, total_tokens,
     dup_tokens, dup_token_bp) ordered by group."""
     from pyspark.sql import Window
@@ -1743,10 +1744,11 @@ def cdc_chunk_stats(
         )
     )
     chunks = tracked_persist(chunks)
-    freq = (
-        chunks.groupBy("_ch")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
-        .hint("shuffle_hash")
+    from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
+
+    freq = pin_corpus_agg(  # vocab-grain; conditional — operators/hints.py
+        chunks.groupBy("_ch").agg(F.count(F.lit(1)).cast("bigint").alias("_occ")),
+        input_fits_driver(df),
     )
     return (
         chunks.join(freq, "_ch")

@@ -261,7 +261,9 @@ def rank_biased_overlap(
     Exact-integer lane: p is the rational p_num/p_den, so each depth
     term is X_i·(p_den−p_num)·p_num^{i−1} / (i·p_den^i) — numerator and
     denominator are exact BIGINTs (< 2^53 for depth ≤ 16), their one
-    double division + 1e-9 round is engine-identical, and the per-depth
+    double division + plain round() is engine-identical (both engines
+    round the same correctly-rounded IEEE quotient; no epsilon nudge is
+    applied on either side, ADVICE r7), and the per-depth
     units sum order-free. Prefix overlaps need no window: a matched
     item at ranks (ra, rb) contributes to every depth ≥ max(ra, rb) —
     one ``sequence`` explode (codegen), one broadcast join against the

@@ -16,7 +16,8 @@ Pipeline (all JVM-side, no UDFs):
    at 16k vocab).
 3. One hash aggregate to per-pair dot products (exact integers), then
    two joins against the per-doc squared-norm table (corpus-grain, so
-   hinted shuffle_hash — never a misestimated broadcast) and a single
+   hinted shuffle_hash unless the input scan proves it driver-safe to
+   broadcast — operators/hints.py) and a single
    float op at the end:
    ``cosine = dot / sqrt(ssq_a * ssq_b)`` — one sqrt of an exact
    integer product, so engines agree bit-for-bit before rounding.
@@ -48,6 +49,7 @@ from pyspark.sql import functions as F
 from alaska_etl_spark.cache import tracked_persist
 
 from alaska_etl_spark.operators.dedup import word_tokens
+from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 from alaska_etl_spark.functions.fixedpoint import div_half_up
 
@@ -99,6 +101,10 @@ def cosine_similarity_join(
     Returns (id_a, id_b, cosine) with cosine rounded for cross-engine
     reproducibility.
     """
+    # conditional pin, evaluated on the RAW input (whose plan estimate
+    # Catalyst gets right — file bytes), not on the aggregate (whose
+    # estimate it gets wrong): operators/hints.py
+    small = input_fits_driver(df)
     tf = ngram_tf(df, id_col, text_col, n=n)
 
     # join/aggregate on 8-byte gram hashes, not ~20-byte strings: the
@@ -111,15 +117,16 @@ def cosine_similarity_join(
     feats = tracked_persist(tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf"))
     # norms from the (pre-prune) features: hashing preserves rows, and
     # the norm must cover ALL grams even when max_df prunes join feats
-    # corpus-grain: one row per document — shuffle_hash, never a
-    # misestimated broadcast (see _intersect_counts docstring)
-    norms = feats.groupBy("_id").agg(
-        F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq")
-    ).hint("shuffle_hash")
+    # corpus-grain: one row per document — shuffle_hash unless the
+    # input proves it small (see _intersect_counts docstring)
+    norms = pin_corpus_agg(
+        feats.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_ssq")),
+        small,
+    )
     if max_df is not None:
-        counts = feats.groupBy("_g").agg(
-            F.count(F.lit(1)).alias("_df")
-        ).hint("shuffle_hash")  # vocab-grain
+        counts = pin_corpus_agg(  # vocab-grain
+            feats.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")), small
+        )
         feats = feats.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
 
     a = feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
@@ -145,7 +152,9 @@ def cosine_similarity_join(
     )
 
 
-def _intersect_counts(cand: DataFrame, tok: DataFrame, left: str, right: str) -> DataFrame:
+def _intersect_counts(
+    cand: DataFrame, tok: DataFrame, left: str, right: str, small: bool = False
+) -> DataFrame:
     """Exact |S_left ∩ S_right| per candidate pair, via per-document
     shingle-hash ARRAYS and one native ``array_intersect`` per pair —
     not the exploded (pair × token) join + re-aggregate it replaces:
@@ -158,15 +167,20 @@ def _intersect_counts(cand: DataFrame, tok: DataFrame, left: str, right: str) ->
     distinct per document (dedup.shingles), so the intersect size is
     the exact set overlap.
 
-    The array frame is hinted ``shuffle_hash``, never broadcast: its
-    rows are corpus-grain and FAT (one array per document), while
-    Catalyst sizes an aggregate's output from row-count guesses that
-    ignore array payloads — at the 100× stress tier the planner chose
-    a broadcast whose real materialized size blew the 8 GB driver
+    The array frame is hinted ``shuffle_hash`` unless the CALLER proved
+    the raw input small (``small``, from operators/hints.py): its rows
+    are corpus-grain and FAT (one array per document), while Catalyst
+    sizes an aggregate's output from row-count guesses that ignore
+    array payloads — at the 100× stress tier the planner chose a
+    broadcast whose real materialized size blew the 8 GB driver
     (measured; 1× and 10× masked it). A shuffled hash join keeps both
     sides partitioned — per-executor build memory is corpus/partitions
-    — and skips the sort a merge join would pay on array rows."""
-    arr = tok.groupBy("_id").agg(F.collect_list("_t").alias("_a")).hint("shuffle_hash")
+    — and skips the sort a merge join would pay on array rows. When the
+    input scan provably fits the driver, the broadcast is safe and
+    worth ~0.5–0.9 s per join at sf0.1 (VERDICT r7 #2)."""
+    arr = pin_corpus_agg(
+        tok.groupBy("_id").agg(F.collect_list("_t").alias("_a")), small
+    )
     return (
         cand.join(
             arr.select(F.col("_id").alias(left), F.col("_a").alias("_al")), left
@@ -243,6 +257,7 @@ def jaccard_similarity_join(
     from alaska_etl_spark.operators.dedup import shingles
 
     num, den = threshold_num, threshold_den
+    small = input_fits_driver(df)  # conditional pin — operators/hints.py
     # four consumers read the shingle table (sizes, document
     # frequencies, and both verify sides) — persist it once instead of
     # re-running tokenize+explode per branch (the minhash signature
@@ -261,9 +276,14 @@ def jaccard_similarity_join(
     # shingle) aggregates: shuffle_hash for the same reason as
     # _intersect_counts — Catalyst sizes aggregate outputs from
     # row-count guesses, and at the 100x stress tier it picked a
-    # broadcast of the 100x vocabulary that blew the driver.
-    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("shuffle_hash")
-    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).hint("shuffle_hash")
+    # broadcast of the 100x vocabulary that blew the driver — UNLESS
+    # the raw input scan proves them small (operators/hints.py).
+    sz = pin_corpus_agg(
+        tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
+    )
+    dfreq = pin_corpus_agg(
+        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")), small
+    )
     # prefix length p = n - ceil(tau*n) + 1, in exact integers:
     # ceil(num*n/den) = (num*n + den - 1) div den
     w = Window.partitionBy("_id").orderBy("_df", "_t")
@@ -303,7 +323,7 @@ def jaccard_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    inter = _intersect_counts(cand, tok, "id_a", "id_b")
+    inter = _intersect_counts(cand, tok, "id_a", "id_b", small)
     sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     scored = (
@@ -382,6 +402,7 @@ def containment_join(
     from alaska_etl_spark.operators.dedup import shingles
 
     num, den = threshold_num, threshold_den
+    small = input_fits_driver(df)  # conditional pin — operators/hints.py
     tok = (
         ensure_min_parallelism(df, id_col)
         .select(
@@ -395,9 +416,14 @@ def containment_join(
     # shingle) aggregates: shuffle_hash for the same reason as
     # _intersect_counts — Catalyst sizes aggregate outputs from
     # row-count guesses, and at the 100x stress tier it picked a
-    # broadcast of the 100x vocabulary that blew the driver.
-    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("shuffle_hash")
-    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).hint("shuffle_hash")
+    # broadcast of the 100x vocabulary that blew the driver — UNLESS
+    # the raw input scan proves them small (operators/hints.py).
+    sz = pin_corpus_agg(
+        tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
+    )
+    dfreq = pin_corpus_agg(
+        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")), small
+    )
     w = Window.partitionBy("_id").orderBy("_df", "_t")
     ranked = (
         tok.join(dfreq, "_t")
@@ -430,7 +456,7 @@ def containment_join(
         .select("src_id", "dst_id")
         .distinct()
     )
-    inter = _intersect_counts(cand, tok, "src_id", "dst_id")
+    inter = _intersect_counts(cand, tok, "src_id", "dst_id", small)
     ss = sz.select(F.col("_id").alias("src_id"), F.col("_n").alias("_ns"))
     sd = sz.select(F.col("_id").alias("dst_id"), F.col("_n").alias("_nd"))
     scored = (

@@ -91,6 +91,52 @@ def misra_gries_candidates(df: DataFrame, col: str, *, k: int) -> DataFrame:
     return df.select(col).mapInPandas(summarize, f"item {item_t}, lb bigint")
 
 
+def misra_gries_partials_by(
+    df: DataFrame, key_col: str, col: str, *, k: int
+) -> DataFrame:
+    """Per-(partition, ``key_col``-group) Misra-Gries summaries as
+    ``(key_col, item, lb)`` rows — the group-keyed sibling of
+    :func:`misra_gries_candidates`. Because MG summaries merge under
+    the PODS'12 rule, the partials for any SUBSET of keys merge into a
+    valid summary of exactly those keys' rows — which is what lets a
+    streaming store dedup replays at the key grain (per source file)
+    instead of per batch: a re-delivered batch that was REBATCHED
+    differently still decomposes into the same per-file units. No
+    repartition by key is required — a key split across partitions
+    just yields several partials that merge."""
+    import pandas as pd
+
+    item_t = df.schema[col].dataType.simpleString()
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def summarize(batches):
+        by_key: dict = {}
+        for pdf in batches:
+            for kv, sub in pdf.groupby(key_col, dropna=False, sort=False):
+                counters = by_key.setdefault(kv, {})
+                for v, c in sub[col].value_counts(dropna=True).items():
+                    counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k:
+                    cut = sorted(counters.values(), reverse=True)[k]
+                    by_key[kv] = {
+                        v: c - cut for v, c in counters.items() if c - cut > 0
+                    }
+        rows = [
+            (kv, v, c)
+            for kv, counters in by_key.items()
+            for v, c in counters.items()
+        ]
+        yield (
+            pd.DataFrame(rows, columns=[key_col, "item", "lb"])
+            if rows
+            else pd.DataFrame({key_col: [], "item": [], "lb": []})
+        )
+
+    return df.select(key_col, col).mapInPandas(
+        summarize, f"{key_col} {key_t}, item {item_t}, lb bigint"
+    )
+
+
 def heavy_hitters(
     df: DataFrame, col: str, *, phi: float, k: int | None = None
 ) -> DataFrame:

@@ -252,7 +252,12 @@ def _ind_report(
     return stats.select(
         F.expr(
             "stack(3, 'n_distinct', _nd, 'n_missing', _nm, "
-            f"'coverage_bp', (2 * {bp_scale} * (_nd - _nm) + _nd) div (2 * _nd)) "
+            # nullif: a key column that is entirely NULL has _nd = 0;
+            # both engines must emit NULL there, not raise (ADVICE r7 —
+            # DuckDB's integer // by zero errors while Spark's div
+            # returns NULL; the oracle twin carries the same nullif).
+            f"'coverage_bp', (2 * {bp_scale} * (_nd - _nm) + _nd) "
+            "div nullif(2 * _nd, 0)) "
             "AS (metric, value)"
         ),
         F.lit("ind").alias("report"),

@@ -8356,7 +8356,7 @@ FROM (
   SELECT 'n_missing', nm FROM agg
   UNION ALL
   SELECT 'coverage_bp',
-         CAST((2 * 10000 * (nd - nm) + nd) // (2 * nd) AS BIGINT) FROM agg
+         CAST((2 * 10000 * (nd - nm) + nd) // nullif(2 * nd, 0) AS BIGINT) FROM agg
 )""")
     return (
         " UNION ALL ".join(parts)
@@ -9065,7 +9065,7 @@ QUERIES = {
     "q02_region_revenue": q02_region_revenue,
     "q03_dedup_savings": qf7_dedup_savings,
     "q04_filtered_sum": q04_filtered_sum,
-    "q05_watermark_max": q05_watermark_max,
+    "qn0_watermark_max": q05_watermark_max,
     "q06_skyline": qi7_skyline,
     "qj5_distinct_dims": q06_distinct_dims,
     "q07_duplicate_report": q07_duplicate_report,
@@ -9082,10 +9082,10 @@ QUERIES = {
     "q17_asof_join": q17_asof_join,
     "q18_nb_auc": qg7_nb_auc,
     "q19_rollup": q19_rollup,
-    "q20_json_extract": q20_json_extract,
+    "qn1_json_extract": q20_json_extract,
     "q21_geo_clusters": qk8_geo_clusters,
     "q22_token_stats": q22_token_stats,
-    "q23_quality_score": q23_quality_score,
+    "qn2_quality_score": q23_quality_score,
     "q24_lang_id": q24_lang_id,
     "q25_exact_dedup": q25_exact_dedup,
     "q26_ngram_jaccard": q26_ngram_jaccard,
@@ -9183,13 +9183,13 @@ QUERIES = {
     "ql1_fd_audit": ql1_fd_audit,
     "ql2_inclusion_audit": ql2_inclusion_audit,
     "ql3_truncation_audit": ql3_truncation_audit,
-    "ql7_data_audit": ql7_data_audit,
+    "q23_data_audit": ql7_data_audit,
     "qm0_ngram_diversity": qm0_ngram_diversity,
     "qm1_zipf_slope": qm1_zipf_slope,
-    "qm2_ann_recall": qm2_ann_recall,
+    "q05_ann_recall": qm2_ann_recall,
     "qm3_blocking_quality": qm3_blocking_quality,
     "qm4_rbo": qm4_rbo,
-    "qm5_cdc_chunks": qm5_cdc_chunks,
+    "q20_cdc_chunks": qm5_cdc_chunks,
     "qm6_ann_ndcg": qm6_ann_ndcg,
     "qm7_tokenizer_fertility": qm7_tokenizer_fertility,
     "qm8_langid_confusion": qm8_langid_confusion,
@@ -9288,7 +9288,7 @@ ORACLES = {
     "q02_region_revenue": Q02_SQL,
     "q03_dedup_savings": QF7_SQL,
     "q04_filtered_sum": Q04_SQL,
-    "q05_watermark_max": Q05_SQL,
+    "qn0_watermark_max": Q05_SQL,
     "q06_skyline": QI7_SQL,
     "qj5_distinct_dims": Q06_SQL,
     "q07_duplicate_report": Q07_SQL,
@@ -9305,10 +9305,10 @@ ORACLES = {
     "q17_asof_join": Q17_SQL,
     "q18_nb_auc": QG7_SQL,
     "q19_rollup": Q19_SQL,
-    "q20_json_extract": Q20_SQL,
+    "qn1_json_extract": Q20_SQL,
     "q21_geo_clusters": QK8_SQL,
     "q22_token_stats": Q22_SQL,
-    "q23_quality_score": Q23_SQL,
+    "qn2_quality_score": Q23_SQL,
     "q24_lang_id": Q24_SQL,
     "q25_exact_dedup": Q25_SQL,
     "q26_ngram_jaccard": Q26_SQL,
@@ -9471,13 +9471,13 @@ ORACLES = {
     "ql1_fd_audit": QL1_SQL,
     "ql2_inclusion_audit": QL2_SQL,
     "ql3_truncation_audit": QL3_SQL,
-    "ql7_data_audit": QL7_SQL,
+    "q23_data_audit": QL7_SQL,
     "qm0_ngram_diversity": QM0_SQL,
     "qm1_zipf_slope": QM1_SQL,
-    "qm2_ann_recall": QM2_SQL,
+    "q05_ann_recall": QM2_SQL,
     "qm3_blocking_quality": QM3_SQL,
     "qm4_rbo": QM4_SQL,
-    "qm5_cdc_chunks": QM5_SQL,
+    "q20_cdc_chunks": QM5_SQL,
     "qm6_ann_ndcg": QM6_SQL,
     "qm7_tokenizer_fertility": QM7_SQL,
     "qm8_langid_confusion": QM8_SQL,

@@ -47,8 +47,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce floor 64k, not the 1 MiB default: compressed ARRAY
+        # shuffles under-signal CPU (a 4 MB post-distinct exchange
+        # feeding array_intersect verify was coalesced to 3 tasks —
+        # 3.4 CPU-seconds nearly serial on a 32-core box; measured on
+        # qb0, r8). With parallelismFirst=true the floor only binds
+        # when total/parallelism < 1 MiB, i.e. exactly the small-bytes
+        # CPU-dense regime — at real scale target size is data-driven
+        # and this setting is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 32 MiB, not 64: every star dim at test SFs is ≤ 11 MiB so
+        # nothing is lost locally, while scan-derived frames of the
+        # 100× stress corpora (~44 MiB estimates) stay OFF the
+        # broadcast path — with driver == executor == 8 GiB, several
+        # live ~50 MiB-estimate broadcasts (true size bigger) plus 32
+        # task threads was enough heap pressure to OOM the stress
+        # JVM's last cell (r8). On a real cluster this is a deployment
+        # knob; the conditional corpus-grain pin (operators/hints.py)
+        # is what guards the misestimated-aggregate class.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -1460,40 +1460,78 @@ def stream_heavy_hitters_monitor(
     state is k counters per batch partial, never the distinct-value
     set, which at 100 TB is the data.
 
-    Replay safety follows the LSH-index/gram-reference pattern: the
-    partial is keyed by batch_id and skipped if already stored, so a
-    replayed micro-batch cannot double-count (the store is the durable
-    state; the checkpoint only drives discovery). Per-batch totals ride
-    the same store as ``item`` NULL rows, so φ-thresholding against the
-    exact stream length needs no extra state. Optional compaction =
-    rewrite the store with the merged summary under the max batch_id
-    (same opt-in placement as compact_gram_reference)."""
+    Replay safety follows the LSH-index/gram-reference pattern — the
+    store is the durable state; the checkpoint only drives discovery —
+    but the partial is keyed by SOURCE FILE, not batch_id (ADVICE r7):
+    with a bare batch_id key, deleting and recreating the checkpoint
+    while the store survives restarts batch ids at 0, and NEW
+    micro-batches would be silently skipped as 'replays' of the old
+    partials (undercounting). The file is the file source's atomic
+    delivery unit, so it is also robust to REBATCHING — a replay that
+    groups yesterday's two batches into one still decomposes into the
+    same per-file units, each already stored (a batch-content signature
+    would see a 'new' combined batch and double-count; measured in the
+    replay test). Per-file partials merge into a valid whole-stream
+    summary by the PODS'12 mergeable rule
+    (:func:`operators.sketches.misra_gries_partials_by`). Non-file
+    sources (no ``input_file_name``) fall back to a
+    (batch_id, order-free content signature) key — safe against
+    recycled-id undercounts, but not against rebatched replays, which
+    only a durable per-record key could catch there. Per-file totals
+    ride the same store as ``item`` NULL rows, so φ-thresholding
+    against the exact stream length needs no extra state. Optional
+    compaction = rewrite the store with the merged summary under a
+    sentinel src key (same opt-in placement as
+    compact_gram_reference)."""
     from alaska_etl_spark.operators.sketches import (
         merge_mg_partials,
-        misra_gries_candidates,
+        misra_gries_partials_by,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        tagged = batch_df.select(
+            F.col(col).cast("string").alias("item"),
+            F.input_file_name().alias("_src"),
+        )
+        files = [r["_src"] for r in tagged.select("_src").distinct().collect()]
+        if files and all(not f for f in files):
+            # non-file source: (batch_id, content-signature) fallback.
+            # pmod to 31 bits before the sum: Σ over n rows stays
+            # < n·2³¹ (no ANSI overflow), and the sum is order-free so
+            # any partitioning of a replayed batch matches.
+            s = tagged.agg(
+                F.coalesce(
+                    F.sum(F.pmod(F.xxhash64("item"), F.lit(1 << 31))),
+                    F.lit(0),
+                ).alias("_h"),
+                F.count(F.lit(1)).cast("bigint").alias("_c"),
+            ).head(1)[0]
+            key = f"batch:{batch_id}:{int(s['_h'])}:{int(s['_c'])}"
+            tagged = tagged.withColumn("_src", F.lit(key))
+            files = [key]
         have = _hdfs_exists(spark, store_path)
-        if have:
-            seen = (
-                spark.read.parquet(store_path)
-                .filter(F.col("batch_id") == batch_id)
-                .head(1)
-            )
-        else:
-            seen = []
-        if not seen:  # first delivery of this batch: store its partial
-            partial = misra_gries_candidates(
-                batch_df.select(col).withColumnRenamed(col, "item"), "item", k=k
-            )
-            n_row = batch_df.select(
+        new_files = files
+        if have and files:
+            probe = spark.createDataFrame([(f,) for f in files], "_src string")
+            stored = {
+                r["_src"]
+                for r in spark.read.parquet(store_path)
+                .select("_src")
+                .join(F.broadcast(probe), "_src", "left_semi")
+                .distinct()
+                .collect()
+            }
+            new_files = [f for f in files if f not in stored]
+        if new_files:  # first delivery of these files: store partials
+            sub = tagged.filter(F.col("_src").isin(new_files))
+            partial = misra_gries_partials_by(sub, "_src", "item", k=k)
+            n_rows = sub.groupBy("_src").agg(
                 F.lit(None).cast("string").alias("item"),
                 F.count(F.lit(1)).cast("bigint").alias("lb"),
             )
-            partial.select(F.col("item").cast("string"), F.col("lb").cast("bigint")) \
-                .unionByName(n_row) \
+            partial.select("_src", F.col("item").cast("string"), "lb") \
+                .unionByName(n_rows) \
                 .withColumn("batch_id", F.lit(batch_id).cast("bigint")) \
                 .write.mode("append").parquet(store_path)
         store = spark.read.parquet(store_path)

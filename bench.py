@@ -32,8 +32,9 @@ heavy hitters (qa6), grid-blocked geo kNN join (qb1), hash-only
 snapshot diff (qc0), cohort retention (qc3), interval-sweep concurrency
 (q49), CDC apply (qd1), sliding exact distinct (qd2), BM25 top-k
 (q44), CCNet perplexity gate (qd7), hash-split A/B readout (qe1), PSI
-drift (qe3); and round-7's content-defined-chunking dedup (qm5). The
-unified one-scan data-quality audit (ql7) rides the HEAVY lane below:
+drift (qe3); and round-7's content-defined-chunking dedup (q20, was
+qm5 before the r8 slot rotation). The unified one-scan data-quality
+audit (q23_data_audit, was ql7) rides the HEAVY lane below:
 compute-dense by design (CPU traded for single-read I/O), it would
 read as noise in a page-cached sf0.1 ratio while its 100 TB argument
 lives in SCALE.md.
@@ -55,6 +56,7 @@ same thing DuckDB pays for the oracle.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -105,7 +107,7 @@ HEADLINE = [
     "qe3_psi_drift",
     "q50_kmeans_summary",
     # round-7 flagship
-    "qm5_cdc_chunks",
+    "q20_cdc_chunks",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
@@ -118,11 +120,28 @@ HEAVY = [
     # r7: the unified one-scan audit — compute-dense by design (its
     # premise is trading CPU for single-read I/O; SCALE.md records the
     # measured anatomy and the structural gap to the 36-pass oracle)
-    "ql7_data_audit",
+    "q23_data_audit",
 ]
 
 
 def main() -> None:
+    # The committed BENCH_DETAIL.json is one half of the paired-run
+    # protocol (idle box, same session as the DuckDB oracle run) and is
+    # pinned byte-for-byte by the README block + bench_report --check.
+    # A bare `python bench.py` (the driver's per-round invocation, which
+    # runs under whatever co-tenant load exists) must therefore NOT
+    # overwrite it (VERDICT r7 "What's wrong" / task #7): the default
+    # detail sink is a gitignored .local file; the paired protocol
+    # passes --out BENCH_DETAIL.json explicitly.
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=os.path.join(REPO, "BENCH_DETAIL.local.json"),
+        help="where to write the detail JSON (paired-run protocol: "
+        "--out BENCH_DETAIL.json)",
+    )
+    out_path = ap.parse_args().out
+
     # Ambient loadavg BEFORE the session spins up its 32 threads — lets a
     # consumer tell a co-tenant-load artifact from a real regression
     # (README documents the measured ~20% swing; VERDICT r6 #1). The
@@ -200,7 +219,7 @@ def main() -> None:
         "cpus": int(cpus),
         "loadavg": loadavg,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # The ONE stdout line — compact (2-decimal cold map) so it fits the

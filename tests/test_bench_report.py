@@ -49,6 +49,47 @@ def test_block_builds_and_matches_artifacts():
     assert int(dense.group(1)) + int(floor.group(1)) == len(common)
 
 
+def test_block_survives_degenerate_artifact_shapes():
+    """ADVICE r7: an all-dense or all-floor pair (or a zero DuckDB
+    total) must emit placeholder cells, not raise from max()/division."""
+    base = {"sf": 0.1, "cpus": 32, "loadavg": [0.1, 0.1, 0.1]}
+    all_dense = {
+        **base,
+        "queries_cold": {"qx": 1.0},
+        "queries_warm": {"qx": 0.5},
+    }
+    all_floor = {
+        **base,
+        "queries_cold": {"qy": 1.0},
+        "queries_warm": {"qy": 0.5},
+    }
+    zero_duck = {**base, "queries": {"qx": 0.0}, "heavy": {}}
+    for bench, oracle in [
+        (all_dense, {**base, "queries": {"qx": 2.0}, "heavy": {}}),
+        (all_floor, {**base, "queries": {"qy": 0.1}, "heavy": {}}),
+        (all_dense, zero_duck),
+        ({**base, "queries_cold": {}, "queries_warm": {}}, zero_duck),
+    ]:
+        block = build_block(bench=bench, oracle=oracle)
+        assert block.startswith(BEGIN) and block.endswith(END)
+
+
+def test_heavy_lane_is_oracle_paired():
+    """VERDICT r7 #1: every heavy-lane Spark timing in the committed
+    pair carries a DuckDB oracle timing, and the block prints the
+    ratio for each."""
+    bench = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    oracle = json.load(open(os.path.join(REPO, "ORACLE_DETAIL.json")))
+    heavy = bench.get("heavy_cold", {})
+    assert heavy, "committed pair lost its heavy lane"
+    oheavy = oracle.get("heavy", {})
+    for q in heavy:
+        assert q in oheavy, f"{q} has no committed oracle timing"
+    block = build_block()
+    for q in heavy:
+        assert f"{q} {heavy[q]:.2f} s vs {oheavy[q]:.2f} s" in block
+
+
 def test_artifacts_carry_loadavg():
     for name in ("BENCH_DETAIL.json", "ORACLE_DETAIL.json"):
         d = json.load(open(os.path.join(REPO, name)))

@@ -636,6 +636,57 @@ def test_stream_profile_monitor_null_and_domain_alerts(spark, tmp_path):
     assert m[(2, "status")].domain_alert is True  # still unseen: static baseline
 
 
+def test_stream_heavy_hitters_store_growth_bounded(spark, tmp_path):
+    """VERDICT r7 #6: drive ~50 micro-batches through the heavy-hitters
+    monitor and pin the state-growth contract — the partial store stays
+    O(files·(k+1)) rows (k counters + one total row per source file,
+    times at most a few partition-partials), and the per-batch sink
+    work does not go superlinear (the replay-safety path re-reads the
+    store each batch; with k-bounded partials that read is
+    O(batches·k) rows, and the compaction lever in the docstring is the
+    answer when batches number in the millions). Timing is asserted
+    loosely (last-10 mean ≤ 3× first-10 mean) to catch a blowup without
+    flaking on load."""
+    from alaska_etl_spark.streaming.incremental import stream_heavy_hitters_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, metrics, ckpt = (
+        str(tmp_path / "store"), str(tmp_path / "metrics"), str(tmp_path / "ckpt"),
+    )
+    n_batches, k, wave = 50, 8, 10
+    import time as _time
+
+    # five waves of ten one-file micro-batches (maxFilesPerTrigger=1
+    # under availableNow): each wave's wall clock covers ten sink
+    # invocations at ever-larger store sizes, so a superlinear store
+    # re-read shows up as wave-over-wave growth.
+    wave_walls = []
+    for w in range(n_batches // wave):
+        for b in range(w * wave, (w + 1) * wave):
+            (src / f"b{b:03d}.json").write_text(
+                "\n".join('{"v": "hot"}' for _ in range(5))
+                + "\n"
+                + "\n".join(f'{{"v": "u{b}_{i}"}}' for i in range(10))
+                + "\n"
+            )
+        t0 = _time.perf_counter()
+        stream_heavy_hitters_monitor(
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            store, metrics, ckpt, col="v", k=k,
+        )
+        wave_walls.append(_time.perf_counter() - t0)
+    store_rows = spark.read.parquet(store).count()
+    assert store_rows <= n_batches * (k + 1) * 2, store_rows
+    m = spark.read.parquet(metrics).collect()
+    top = {r.item: (r.lb, r.n_total) for r in m if r.n_total == 15 * n_batches}
+    assert "hot" in top, "hot (250 > 750/9) must survive 50-batch merging"
+    assert top["hot"][0] <= 5 * n_batches
+    assert wave_walls[-1] <= max(3 * wave_walls[1], wave_walls[1] + 5.0), wave_walls
+
+
 def test_stream_heavy_hitters_guarantee_and_replay(spark, tmp_path):
     """The merged summary keeps every value with true count > n/(k+1)
     across batch splits, and a checkpoint-loss replay cannot
@@ -682,3 +733,25 @@ def test_stream_heavy_hitters_guarantee_and_replay(spark, tmp_path):
     m2 = spark.read.parquet(metrics).collect()
     top2 = {r.item for r in m2 if r.batch_id == max(r.batch_id for r in m2)}
     assert "hot" in top2
+
+    # recreated checkpoint + NEW data (ADVICE r7): batch ids restart at
+    # 0 and collide with stored partials from DIFFERENT content — the
+    # content signature must store (and count) them, not skip them as
+    # replays. The two original files replay as batches 0-1 (matched by
+    # signature, deduped) and the new file lands as batch 2 under this
+    # checkpoint — ids 0/1/2 all collide with already-stored ids.
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    write("b3.json", ["hot2"] * 40)
+    stream()
+    # this run's batch_id restarts at 0, so "latest" can't be read off
+    # max(batch_id) — identify the run by its n_total instead: exactly
+    # one emission must see the full 140-row stream (100 old + 40 new,
+    # new file counted ONCE), and 'hot2' (40 > 140/5) must be in it.
+    m3 = spark.read.parquet(metrics).collect()
+    totals = {r.n_total for r in m3}
+    assert 140 in totals, f"hot2 file must be counted exactly once: {totals}"
+    assert not {t for t in totals if t > 140}, "nothing may double-count"
+    top3 = {r.item for r in m3 if r.n_total == 140}
+    assert "hot2" in top3 and "hot" in top3

@@ -38,7 +38,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    from bench import HEADLINE
+    from bench import HEADLINE, HEAVY
     from alaska_etl_spark.plans.queries import ORACLES
 
     con = duckdb.connect()
@@ -59,11 +59,26 @@ def main() -> None:
         rows[name] = len(con.execute(sql).fetchall())
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The heavy lane gets the SAME oracle pairing as the headline
+    # (VERDICT r7 #1: qb0/q36/q40/ql7 are the most expensive queries and
+    # were the only timed ones whose 2×-vs-oracle status rested on
+    # prose) — one cold DuckDB run each, recorded under "heavy".
+    heavy_t: dict[str, float] = {}
+    for name in HEAVY:
+        sql = ORACLES.get(name)
+        if sql is None:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        rows[name] = len(con.execute(sql).fetchall())
+        heavy_t[name] = round(time.perf_counter() - t0, 3)
+
     line = {
         "metric": "oracle_headline_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "heavy": heavy_t,
         "rows": rows,
         "skipped_no_oracle": skipped,
         "sf_dir": sf_dir,

@@ -101,8 +101,15 @@ QUERIES_UNDER_TEST = [
     # exactly 10x (disjoint per-copy vocabularies).
     "qm0_ngram_diversity",
     "qm1_zipf_slope",
-    "qm5_cdc_chunks",
+    "q20_cdc_chunks",
     "qm3_blocking_quality",
+    # round-8 (VERDICT r7 #5): the unified audit over the key-offset
+    # ×10 TPC-H tables — per-copy FDs and inclusions are preserved
+    # exactly while key distinct counts (the persisted counts frame,
+    # the audit's cost driver) grow 10× and categorical domains stay
+    # constant (as real ones do). Expected ~linear: one scan + one
+    # counts aggregate per table, every report off the reduced frame.
+    "q23_data_audit",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
@@ -165,6 +172,36 @@ def build(spark) -> None:
     d10.write.mode("overwrite").parquet(f"{OUT}/x10/documents.parquet")
     e10.write.mode("overwrite").parquet(f"{OUT}/x10/embeddings.parquet")
 
+    # audit tables ×10 (q23_data_audit cell): copy k offsets every KEY
+    # column by k·10⁹, so per-copy functional dependencies and
+    # cross-table inclusions hold exactly, key distinct counts grow
+    # 10×, and categorical/date domains stay constant — the realistic
+    # growth shape for a warehouse audit.
+    keyed = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "customer": ["c_custkey"],
+    }
+    for t, keys in keyed.items():
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        base.write.mode("overwrite").parquet(f"{OUT}/x1/{t}.parquet")
+        parts = []
+        for k in range(COPIES):
+            parts.append(
+                base.select(
+                    *[
+                        (F.col(c) + F.lit(k * 1_000_000_000)).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in base.columns
+                    ]
+                )
+            )
+        t10 = parts[0]
+        for p in parts[1:]:
+            t10 = t10.unionByName(p)
+        t10.write.mode("overwrite").parquet(f"{OUT}/x10/{t}.parquet")
+
 
 def build_x100(spark) -> None:
     """Second decade for the inverted-index trio (VERDICT r6 #3): 10
@@ -222,8 +259,16 @@ def main() -> None:
         QUERIES[name](spark, f"{OUT}/x1").collect()
         release_tracked()
 
+    import gc
+
     results = []
     for name in names:
+        # all cells share one 8 GiB driver=executor JVM: force the
+        # py4j → ContextCleaner chain between cells so one cell's
+        # broadcast/cache remnants can't OOM a later cell (r8: q36
+        # x100 failed as the LAST cell but passed alone)
+        gc.collect()
+        spark._jvm.System.gc()
         row = {"query": name}
         scales = ("x1", "x10", "x100") if with_x100 and name in HUNDRED else ("x1", "x10")
         for scale in scales:
