@@ -47,6 +47,8 @@ from alaska_etl_spark.operators.bpe import (  # noqa: F401
 from alaska_etl_spark.operators.dedup import (  # noqa: F401
     blocking_quality,
     cdc_chunk_stats,
+    dup_cluster_sizes,
+    lsh_scurve,
     decontaminate,
     dedup_exact,
     dedup_keep_first,
@@ -101,6 +103,11 @@ from alaska_etl_spark.operators.ranking import (  # noqa: F401
     global_row_number,
     rank_biased_overlap,
 )
+from alaska_etl_spark.operators.classifier import (  # noqa: F401
+    lift_gains,
+    naive_bayes_scores,
+    roc_auc,
+)
 from alaska_etl_spark.operators.geo import knn_join  # noqa: F401
 from alaska_etl_spark.operators.graph import (  # noqa: F401
     bfs_distances,
@@ -111,6 +118,7 @@ from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join  # noqa: F
 from alaska_etl_spark.operators.similarity import (  # noqa: F401
     ann_ndcg,
     ann_recall,
+    cluster_separation,
 )
 from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     cosine_similarity_join,
@@ -124,13 +132,17 @@ from alaska_etl_spark.operators.sketch_store import (  # noqa: F401
 from alaska_etl_spark.operators.sketches import (  # noqa: F401
     decimal_quantiles,
     heavy_hitters,
+    misra_gries_partials_by,
 )
 from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
+    categorical_mutual_info,
     corr_matrix,
     cuped_adjustment,
+    histogram_profile,
     psi_drift,
     grouped_linreg,
+    winsorize_report,
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401
     mixture_report,

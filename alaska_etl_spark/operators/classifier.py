@@ -370,6 +370,73 @@ def roc_auc(
     )
 
 
+def lift_gains(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+    *,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Decile (k-bucket) lift & cumulative-gains table for an integer
+    scorer — the model-evaluation view a ranking-based data filter is
+    actually operated by ("keep the top 20% by classifier score: what
+    share of the good documents does that capture?"), complementing
+    the threshold-free AUC (:func:`roc_auc`) and the threshold-sweep
+    PR curve (:func:`pr_curve`).
+
+    Buckets come from :func:`~alaska_etl_spark.operators.ranking.
+    global_ntile` over (−score, id) — exact ANSI ntile semantics on a
+    range exchange, never a single-partition window, and the id
+    tiebreaker makes the bucketing a total order any SQL engine
+    replays. Per bucket: row and positive counts (exact BIGINTs),
+    positive rate and cumulative-gain share in half-up 4dp basis
+    points (``div_half_up``), and lift as ONE double division of the
+    two exact bp integers — engine-identical IEEE.
+
+    Returns (bucket, n, n_pos, pos_rate_bp, gain_bp, lift) ordered by
+    bucket. Empty input → empty frame; all-negative input emits NULL
+    gain/lift (0-denominator nullif convention, ADVICE r7)."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.ranking import global_ntile
+
+    keyed = scored.select(
+        F.col(id_col).alias("_id"),
+        (-F.col(score_col)).cast("bigint").alias("_nscore"),
+        F.col(pos_col).cast("boolean").alias("_pos"),
+    )
+    bucketed = global_ntile(keyed, ["_nscore", "_id"], buckets, bucket_col="bucket")
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    # cumulative + overall over the k-row bucket frame, not the data
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    enriched = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).cast("bigint").alias("_cum_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("_tot"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("_tot_pos"),
+    )
+    obp = div_half_up("_tot_pos", "_tot", 10000)
+    rbp = div_half_up("n_pos", "n", 10000)
+    return enriched.select(
+        "bucket",
+        "n",
+        "n_pos",
+        rbp.alias("pos_rate_bp"),
+        div_half_up("_cum_pos", "nullif(_tot_pos, 0)", 10000).alias("gain_bp"),
+        F.when(obp > 0, rbp.cast("double") / obp.cast("double")).alias("lift"),
+    ).orderBy("bucket")
+
+
 def chi2_features(
     df: DataFrame,
     id_col: str,

@@ -57,6 +57,44 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str | Column
     )
 
 
+def dup_cluster_sizes(
+    df: DataFrame, keys: list[str], *, group_col: "str | None" = None
+) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the dataset-card shape of
+    duplication that :func:`duplicate_report` (per-key multiplicities)
+    and the savings rollup (total reclaimable mass) both flatten: "are
+    dups mostly pairs, or a few giant clusters?" decides whether
+    keep-first dedup or cluster-level review is the right tool, and a
+    heavy tail here predicts a skewed shuffle key downstream.
+
+    Two hash aggregates, both on reduced frames: (keys[, group]) →
+    cluster sizes, then (size[, group]) → cluster counts; excess =
+    (size − 1)·n_clusters is the keep-first deletion count. Returns
+    (group_col?, cluster_size, n_clusters, n_rows, n_excess) ordered,
+    singleton clusters included (cluster_size = 1 row shows the
+    undeduplicated mass)."""
+    gcols = [group_col] if group_col else []
+    sizes = df.groupBy(*gcols, *keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy(*gcols, "cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            *gcols,
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_rows"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_excess"),
+        )
+        .orderBy(*gcols, "cluster_size")
+    )
+
+
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact full-row (or column-subset) distinct — hash-aggregate with
     map-side partial aggregation; the Spark form of hash-groupBy dedup."""
@@ -1661,6 +1699,112 @@ def blocking_quality(
                 "n_universe_pairs",
             ),
         ).alias("reduction_bp"),
+    )
+
+
+def lsh_scurve_constants(bands: int, rows: int, buckets: int = 10) -> "list[tuple]":
+    """The analytic MinHash-LSH detection curve 1 − (1 − s^r)^b at each
+    Jaccard-bucket midpoint s = (2i+1)/(2·buckets) — a constant lookup
+    table given (b, r), computed ONCE here and embedded as literals in
+    BOTH the Spark plan and the SQL oracle, so cross-engine parity of
+    the float column holds by construction (same driver-side doubles).
+    Returns [(bucket, s_mid, p_detect)]."""
+    out = []
+    for i in range(buckets):
+        s = (2 * i + 1) / (2.0 * buckets)
+        out.append((i, s, 1.0 - (1.0 - s**rows) ** bands))
+    return out
+
+
+def lsh_scurve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    buckets: int = 10,
+) -> DataFrame:
+    """Empirical-vs-analytic LSH S-curve: bucket every shared-gram pair
+    by its EXACT Jaccard and report, per bucket, how many pairs ≥1 band
+    actually caught next to the theory's 1 − (1 − s^r)^b at the bucket
+    midpoint. :func:`blocking_quality` gives the two-number verdict at
+    ONE threshold; the S-curve is how you pick ``bands`` — it shows
+    where the detection cliff sits and how much sub-threshold mass the
+    bands drag in (the candidate-volume cost the reduction ratio pays).
+
+    Same sampled-corpus contract and machinery as blocking_quality:
+    truth = exact Jaccard over the identical shingle sets via the
+    shared-gram inverted index (a J=0 pair shares no gram, so absent
+    pairs are bucket-0 by definition and excluded — the curve is over
+    comparable pairs). Buckets are exact integers:
+    ``(buckets·|∩|) div |∪|`` clamped to buckets−1. Detection ratio is
+    half-up 4dp bp; the analytic column joins from
+    :func:`lsh_scurve_constants` literals.
+
+    Returns (j_bucket, s_mid, n_pairs, n_detected, detect_bp,
+    analytic_detect) ordered by bucket; empty buckets absent."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    per_doc, banded = minhash_doc_tables(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        seed=seed, hash_fn=hash_fn,
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    grams = per_doc.select("_id", F.explode("_sh").alias("_g"))
+    sizes = per_doc.select("_id", F.size("_sh").cast("bigint").alias("_sz"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "_g")
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_ic"))
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least(
+                F.lit(buckets - 1),
+                F.expr(f"({buckets} * _ic) div (_sa + _sb - _ic)"),
+            )
+            .cast("int")
+            .alias("j_bucket"),
+        )
+    )
+    detected = pairs.join(cands, ["id_a", "id_b"], "left_semi").groupBy(
+        "j_bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))
+    curve = df.sparkSession.createDataFrame(
+        lsh_scurve_constants(bands, num_hashes // bands, buckets),
+        "j_bucket int, s_mid double, analytic_detect double",
+    )
+    return (
+        pairs.groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .join(detected, "j_bucket", "left")
+        .join(F.broadcast(curve), "j_bucket")
+        .select(
+            "j_bucket",
+            "s_mid",
+            "n_pairs",
+            F.coalesce("n_detected", F.lit(0)).cast("bigint").alias("n_detected"),
+            div_half_up(
+                "10000 * coalesce(n_detected, 0)", "n_pairs"
+            ).alias("detect_bp"),
+            "analytic_detect",
+        )
+        .orderBy("j_bucket")
     )
 
 

@@ -643,6 +643,96 @@ def kmeans_summary(
     )
 
 
+def cluster_separation(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-cell cluster SEPARATION report over
+    :func:`kmeans_replicable`: the centroid-based silhouette surrogate
+    — for each vector, its cosine to its OWN (best) centroid and the
+    margin to the runner-up centroid; per final cell, member count and
+    the two means. A cell whose mean margin ~0 sits on a boundary
+    (splitting/merging candidates for the IVF quantizer; nprobe must
+    cover its neighbors), which the within-cell cohesion number
+    (:func:`kmeans_summary`) cannot see.
+
+    Exactness protocol = the q50 pipeline's: ranking by the 6dp-rounded
+    cosine with ties to the smallest centroid_id, per-row micro units
+    round(1e6·cos) as BIGINTs, means as ONE double division. Top-2 is
+    native array algebra over the broadcast k-cell array (array_max,
+    array_remove, array_max again) — no join, no window, one narrow
+    pass. Requires k ≥ 2 and the module's non-null/non-zero-norm
+    corpus contract.
+
+    Returns (centroid_id, n_members, avg_best, avg_margin) ordered."""
+    assert k >= 2, "separation needs a runner-up cell"
+    spark = corpus.sparkSession
+    cents = kmeans_replicable(
+        corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+        round_digits=round_digits,
+    )
+    if not cents.head(1):
+        return spark.createDataFrame(
+            [], "centroid_id bigint, n_members bigint, avg_best double, avg_margin double"
+        )
+    cn = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+    carr = cents.select(
+        F.struct(
+            F.col("centroid_id"),
+            F.col("centroid"),
+            F.when(cn == 0.0, F.lit(1.0)).otherwise(cn).alias("_cn"),
+        ).alias("_c")
+    ).agg(F.sort_array(F.collect_list("_c")).alias("_cs"))
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(dot(v, v))
+    vn1 = F.when(vnorm == 0.0, F.lit(1.0)).otherwise(vnorm)
+    row_env = F.array(F.struct(v.alias("v"), vn1.alias("w")))
+
+    def _scores(env):
+        def per_cell(c):
+            cos = dot(env["v"], c["centroid"]) / (env["w"] * c["_cn"])
+            return F.struct(
+                F.round(cos, round_digits).alias("cos"),
+                (-c["centroid_id"]).alias("ncid"),
+                F.round(cos * F.lit(1000000.0)).cast("long").alias("mu"),
+            )
+
+        return F.transform(F.col("_cs"), per_cell)
+
+    scored = corpus.crossJoin(F.broadcast(carr)).select(
+        F.transform(row_env, _scores)[0].alias("_sc")
+    )
+    top1 = F.array_max(F.col("_sc"))
+    picked = scored.select(top1.alias("_t1"), F.array_max(
+        F.array_remove(F.col("_sc"), top1)
+    ).alias("_t2"))
+    per = picked.select(
+        (-F.col("_t1.ncid")).cast("bigint").alias("centroid_id"),
+        F.col("_t1.mu").alias("_mu1"),
+        (F.col("_t1.mu") - F.col("_t2.mu")).alias("_mg"),
+    )
+    return (
+        per.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("_mu1").cast("bigint").alias("_s1"),
+            F.sum("_mg").cast("bigint").alias("_sm"),
+        )
+        .select(
+            "centroid_id",
+            "n_members",
+            (F.col("_s1").cast("double") / (F.col("n_members") * F.lit(1000000.0))).alias("avg_best"),
+            (F.col("_sm").cast("double") / (F.col("n_members") * F.lit(1000000.0))).alias("avg_margin"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     *,

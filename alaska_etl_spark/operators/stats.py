@@ -1046,3 +1046,261 @@ def uplift_deciles(
         F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), uplift).alias("uplift"),
         F.when(F.col("_cnc") > 0, qini).alias("qini_cum"),
     )
+
+
+def categorical_mutual_info(
+    df: DataFrame, pairs: "list[tuple[str, str]]", *, scale: int = 10**8
+) -> DataFrame:
+    """Exact mutual information (and marginal entropies) between pairs
+    of categorical columns — the dependence strength the FD audit's
+    boolean `holds` can't express (a 99%-functional o_custkey→status
+    and pure noise both report holds=false; MI separates them), and the
+    number a feature-redundancy screen ranks columns by.
+
+    Per pair, MI = Σ_cells (n_xy/n)·ln(n·n_xy/(n_x·n_y)) in nats. The
+    float protocol is the PMI/qg5 per-term ln discipline: every ln
+    argument is an exact BIGINT count, the per-cell expression keeps
+    ONE pinned parenthesization, each cell's term is rounded
+    half-to-even by F.round to 1e-8 units (absorbing last-ulp libm
+    drift), and the BIGINT units sum order-free. Entropies get the
+    same treatment over the margin frames, so normalized variants are
+    one engine-identical double division away for the caller.
+
+    Scale shape (the r7 stage-floor lesson): ALL pairs ride ONE
+    pair-tagged explode + ONE hash aggregate to the (pair, x, y) cell
+    frame; margins and totals re-aggregate THAT reduced frame (bounded
+    by category cardinality, not rows). NULL categories count as their
+    own level on both engines.
+
+    Returns (subject, object, n_rows, n_cells, mi_nats, h_subject_nats,
+    h_object_nats) ordered by (subject, object)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("_sub"),
+                F.lit(y).alias("_obj"),
+                F.col(x).cast("string").alias("_x"),
+                F.col(y).cast("string").alias("_y"),
+            )
+            for x, y in pairs
+        ]
+    )
+    cells = (
+        df.select(F.explode(entries).alias("_e"))
+        .select("_e._sub", "_e._obj", "_e._x", "_e._y")
+        .groupBy("_sub", "_obj", "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nxy"))
+    )
+    from alaska_etl_spark.cache import tracked_persist
+
+    cells = tracked_persist(cells)
+    mx = cells.groupBy("_sub", "_obj", "_x").agg(
+        F.sum("_nxy").cast("bigint").alias("_nx")
+    )
+    my = cells.groupBy("_sub", "_obj", "_y").agg(
+        F.sum("_nxy").cast("bigint").alias("_ny")
+    )
+    tot = cells.groupBy("_sub", "_obj").agg(
+        F.sum("_nxy").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    term = (
+        F.col("_nxy").cast("double")
+        / F.col("_n")
+        * (
+            (
+                (F.log(F.col("_nxy")) - F.log(F.col("_nx")))
+                - F.log(F.col("_ny"))
+            )
+            + F.log(F.col("_n"))
+        )
+    )
+    mi = (
+        cells.join(mx, ["_sub", "_obj", "_x"])
+        .join(my, ["_sub", "_obj", "_y"])
+        .join(F.broadcast(tot.select("_sub", "_obj", "_n")), ["_sub", "_obj"])
+        .select(
+            "_sub",
+            "_obj",
+            F.round(F.lit(scale) * term).cast("long").alias("_u"),
+        )
+        .groupBy("_sub", "_obj")
+        .agg(F.sum("_u").cast("bigint").alias("_mi_u"))
+    )
+
+    def _entropy(margin: DataFrame, cnt: str, alias: str) -> DataFrame:
+        t = (
+            F.col(cnt).cast("double")
+            / F.col("_n")
+            * (F.log(F.col(cnt)) - F.log(F.col("_n")))
+        )
+        return (
+            margin.join(F.broadcast(tot.select("_sub", "_obj", "_n")), ["_sub", "_obj"])
+            .select(
+                "_sub",
+                "_obj",
+                F.round(F.lit(-scale) * t).cast("long").alias("_u"),
+            )
+            .groupBy("_sub", "_obj")
+            .agg(F.sum("_u").cast("bigint").alias(alias))
+        )
+
+    hx = _entropy(mx, "_nx", "_hx_u")
+    hy = _entropy(my, "_ny", "_hy_u")
+    s = float(scale)
+    return (
+        tot.join(mi, ["_sub", "_obj"])
+        .join(hx, ["_sub", "_obj"])
+        .join(hy, ["_sub", "_obj"])
+        .select(
+            F.col("_sub").alias("subject"),
+            F.col("_obj").alias("object"),
+            F.col("_n").alias("n_rows"),
+            "n_cells",
+            (F.col("_mi_u").cast("double") / s).alias("mi_nats"),
+            (F.col("_hx_u").cast("double") / s).alias("h_subject_nats"),
+            (F.col("_hy_u").cast("double") / s).alias("h_object_nats"),
+        )
+        .orderBy("subject", "object")
+    )
+
+
+def histogram_profile(
+    df: DataFrame, cols: "list[str]", *, nbins: int = 10
+) -> DataFrame:
+    """Equi-width histograms for numeric columns — the distribution
+    view the column profile (n/null/distinct/min/max) lacks: skew,
+    spikes, and empty ranges show here before they show as a skewed
+    shuffle. One pass: ALL columns ride one tagged explode + one hash
+    aggregate (the r7 stage-floor rule), then min/max margins come
+    from the same reduced frame.
+
+    Cross-engine exactness without a float protocol: bins are
+    ``least(nbins−1, floor(((v − mn) · nbins) / (mx − mn)))`` with one
+    pinned parenthesization — subtraction, multiplication, and
+    division are correctly-rounded IEEE (no libm), so identical
+    doubles give identical bins on any engine. Degenerate mx = mn puts
+    every row in bin 0. NULLs are excluded (profile reports them).
+
+    Two scans of the raw column values (min/max, then binning) — at
+    100 TB both are the SAME parquet scan; the alternative single-pass
+    t-digest trades exactness for one pass and belongs to the sketch
+    family. Returns (column_name, bin, lo, hi, n) ordered by
+    (column_name, bin); empty bins are absent (sparse)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("_c"), F.col(c).cast("double").alias("_v")
+            )
+            for c in cols
+        ]
+    )
+    vals = (
+        df.select(F.explode(entries).alias("_e"))
+        .select("_e._c", "_e._v")
+        .filter(F.col("_v").isNotNull())
+    )
+    ranges = vals.groupBy("_c").agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    v, mn, mx = F.col("_v"), F.col("_mn"), F.col("_mx")
+    raw_bin = F.floor(((v - mn) * F.lit(float(nbins))) / (mx - mn))
+    bin_ = (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(F.least(F.lit(nbins - 1), raw_bin))
+        .cast("int")
+    )
+    width = (mx - mn) / F.lit(float(nbins))
+    return (
+        vals.join(F.broadcast(ranges), "_c")
+        .groupBy(F.col("_c").alias("column_name"), bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("_mn").alias("_mn"),
+            F.first("_mx").alias("_mx"),
+        )
+        .select(
+            "column_name",
+            "bin",
+            (F.col("_mn") + F.col("bin") * (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))).alias("lo"),
+            (F.col("_mn") + (F.col("bin") + 1) * (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))).alias("hi"),
+            "n",
+        )
+        .orderBy("column_name", "bin")
+    )
+
+
+def winsorize_report(
+    df: DataFrame,
+    group_cols: "list[str]",
+    col: str,
+    *,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorization impact report: per group, the exact p_lo/p_hi
+    clip bounds (value-domain exact quantiles —
+    :func:`~alaska_etl_spark.operators.sketches.decimal_quantiles`,
+    whose state is bounded by the value domain, never the row count),
+    how much mass clipping would touch, and the mean before/after —
+    the robust-preprocessing decision table ("does tail-clipping move
+    this feature enough to matter?") that an outlier screen
+    (z/MAD flags) doesn't quantify.
+
+    Exact-integer protocol: values quantize once to ``scale`` units
+    (round·cast BIGINT — the fixed-precision-data contract of
+    decimal_quantiles), clip bounds come back as the same integers,
+    clamp/compare/sum stay BIGINT, and each mean is ONE double
+    division. NULLs excluded, as every SQL quantile does.
+
+    Returns (group…, n, lo, hi, n_clip_lo, n_clip_hi, clip_bp,
+    mean_before, mean_after) ordered by group."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
+    from alaska_etl_spark.operators.sketches import decimal_quantiles
+
+    small = input_fits_driver(df)
+    q = decimal_quantiles(df, group_cols, col, [p_lo, p_hi], scale=scale)
+    qc = F.round(F.col("value") * scale).cast("bigint")
+    lo = pin_corpus_agg(
+        q.filter(F.col("prob") == p_lo).select(*group_cols, qc.alias("_lo")), small
+    )
+    hi = pin_corpus_agg(
+        q.filter(F.col("prob") == p_hi).select(*group_cols, qc.alias("_hi")), small
+    )
+    cents = df.filter(F.col(col).isNotNull()).select(
+        *group_cols, F.round(F.col(col) * scale).cast("bigint").alias("_c")
+    )
+    clamped = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_c")))
+    s = float(scale)
+    return (
+        cents.join(lo, group_cols)
+        .join(hi, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("_lo").alias("_l"),
+            F.first("_hi").alias("_h"),
+            F.sum(F.when(F.col("_c") < F.col("_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("_c") > F.col("_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+            F.sum("_c").cast("bigint").alias("_sb"),
+            F.sum(clamped).cast("bigint").alias("_sa"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            (F.col("_l").cast("double") / s).alias("lo"),
+            (F.col("_h").cast("double") / s).alias("hi"),
+            "n_clip_lo",
+            "n_clip_hi",
+            div_half_up("10000 * (n_clip_lo + n_clip_hi)", "n").alias("clip_bp"),
+            (F.col("_sb").cast("double") / (F.col("n") * s)).alias("mean_before"),
+            (F.col("_sa").cast("double") / (F.col("n") * s)).alias("mean_after"),
+        )
+        .orderBy(*group_cols)
+    )

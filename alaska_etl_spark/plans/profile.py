@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
 
-__all__ = ["table_entry_counts", "profile_tables"]
+__all__ = ["table_entry_counts", "profile_tables", "format_validity"]
 
 _OUT_COLS = ["report", "table_name", "subject", "object", "metric", "value", "value_str"]
 
@@ -321,3 +321,67 @@ def profile_tables(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("report", "table_name", "subject", "object", "metric")
+
+
+def format_validity(
+    tables: "list[tuple[str, DataFrame, list[tuple[str, str, str, object]]]]",
+) -> DataFrame:
+    """Format/constraint validity audit — the rule-driven sibling of
+    the statistical profile: per (table, column, rule), how many
+    non-NULL values satisfy a declared format contract. Rules are
+    declarative so the DuckDB oracle can carry the identical
+    semantics: ``("regex", pattern)`` uses a conservative shared
+    dialect (anchors, classes, bounded quantifiers — valid in both
+    Java regex and DuckDB RE2), ``("non_negative", None)`` is the
+    numeric range form. NULLs are exempt (the profile's null_bp
+    reports them; validity is about malformed PRESENT values).
+
+    Each table's rules ride ONE tagged explode + ONE hash aggregate
+    (the r7 stage-floor rule); tables union. Returns (table_name,
+    subject, rule, n_checked, n_valid, valid_bp) ordered."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    outs = []
+    for name, df, rules in tables:
+        entries = []
+        for col, rule_name, kind, arg in rules:
+            if kind == "regex":
+                ok = F.col(col).cast("string").rlike(arg)
+            elif kind == "non_negative":
+                ok = F.col(col) >= 0
+            else:
+                raise ValueError(f"unknown rule kind {kind!r}")
+            entries.append(
+                F.struct(
+                    F.lit(col).alias("_c"),
+                    F.lit(rule_name).alias("_r"),
+                    F.col(col).isNotNull().alias("_nn"),
+                    F.coalesce(ok, F.lit(False)).alias("_ok"),
+                )
+            )
+        outs.append(
+            df.select(F.explode(F.array(*entries)).alias("_e"))
+            .select("_e._c", "_e._r", "_e._nn", "_e._ok")
+            .filter(F.col("_nn"))
+            .groupBy("_c", "_r")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                F.sum(F.when(F.col("_ok"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_valid"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("_c").alias("subject"),
+                F.col("_r").alias("rule"),
+                "n_checked",
+                "n_valid",
+                div_half_up("10000 * n_valid", "nullif(n_checked, 0)").alias(
+                    "valid_bp"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "subject", "rule")

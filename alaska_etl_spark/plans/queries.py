@@ -5785,9 +5785,10 @@ def qg0_kmeans_summary(spark, sf_dir):
     return kmeans_summary(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
-def _qg0_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled Lloyd replay: c0 -> (assign, integer-mean) x iters ->
-    final assignment + micro-summed cosine summary."""
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """The unrolled Lloyd CTE chain (c0 → assign/integer-mean × iters →
+    c{iters}) shared by the k-means summary oracle (qg0/q50) and the
+    cluster-separation oracle (qn7) — one replay spec, two tails."""
     parts = [f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5816,7 +5817,13 @@ WITH e AS MATERIALIZED (
   UNION ALL
   SELECT cid, c FROM c{i} WHERE cid NOT IN (SELECT cid FROM s{i})
 )""")
-    parts.append(f""", af AS (
+    return "".join(parts)
+
+
+def _qg0_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd replay: c0 -> (assign, integer-mean) x iters ->
+    final assignment + micro-summed cosine summary."""
+    return _lloyd_ctes(k, iters) + f""", af AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
@@ -5830,8 +5837,7 @@ SELECT a.cid AS centroid_id,
          / (count(*) * 1000000.0) AS avg_cosine
 FROM af a JOIN e ON e.vec_id = a.vec_id JOIN c{iters} c ON c.cid = a.cid
 GROUP BY a.cid
-""")
-    return "".join(parts)
+"""
 
 
 QG0_SQL = _qg0_sql()
@@ -9060,6 +9066,426 @@ ORDER BY n.source
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# round-8 families (X134-X142): evaluation, audit, and robustness reports
+# ---------------------------------------------------------------------------
+
+
+def qn3_lift_gains(spark, sf_dir):
+    """Decile lift & cumulative-gains table for the qg5 Naive Bayes
+    scorer (operators/classifier.py lift_gains) — the operating view of
+    a ranking-based data filter: keep the top-k% by score, read off the
+    captured share of good documents. Buckets are exact ANSI ntile over
+    (-score, doc_id) via the range-exchange global ranking (never a
+    single-partition window); rates in half-up 4dp bp; lift is one
+    double division of two exact bp integers."""
+    from alaska_etl_spark.operators.classifier import lift_gains, naive_bayes_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = naive_bayes_scores(d, "doc_id", "text", "lang").join(
+        d.select("doc_id", (F.col("lang") == "en").alias("_pos")), "doc_id"
+    )
+    return lift_gains(scores, "score_units", "_pos", id_col="doc_id", buckets=10)
+
+
+QN3_SQL = f"""
+WITH scored AS ({QG5_SQL.strip()}
+), labeled AS (
+  SELECT s.doc_id, s.score_units, d.lang = 'en' AS pos,
+         ntile(10) OVER (ORDER BY -s.score_units ASC, s.doc_id ASC) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+), per AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos
+  FROM labeled GROUP BY bucket
+), cum AS (
+  SELECT bucket, n, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER () AS BIGINT) AS tot,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM per
+)
+SELECT bucket, n, n_pos,
+       CAST((2 * 10000 * n_pos + n) // (2 * n) AS BIGINT) AS pos_rate_bp,
+       CAST((2 * 10000 * cum_pos + nullif(tot_pos, 0)) // (2 * nullif(tot_pos, 0)) AS BIGINT) AS gain_bp,
+       CASE WHEN (2 * 10000 * tot_pos + tot) // (2 * tot) > 0
+            THEN CAST((2 * 10000 * n_pos + n) // (2 * n) AS DOUBLE)
+                 / CAST((2 * 10000 * tot_pos + tot) // (2 * tot) AS DOUBLE)
+       END AS lift
+FROM cum ORDER BY bucket
+"""
+
+
+_QN4_PAIRS = {"orders": [("o_orderstatus", "o_orderpriority")],
+              "documents": [("lang", "source")]}
+
+
+def qn4_mutual_info(spark, sf_dir):
+    """Exact mutual information + marginal entropies between
+    categorical column pairs (operators/stats.py
+    categorical_mutual_info) — dependence STRENGTH where the FD audit
+    only answers holds/doesn't: status x priority on orders, lang x
+    source on documents. All pairs per table ride one tagged explode +
+    one aggregate; per-cell ln terms are the PMI 1e-8 fixed-point
+    discipline so the nats columns hash-match cross-engine."""
+    from alaska_etl_spark.operators.stats import categorical_mutual_info
+
+    outs = [
+        categorical_mutual_info(_t(spark, sf_dir, t), ps)
+        for t, ps in _QN4_PAIRS.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("subject", "object")
+
+
+def _qn4_sql() -> str:
+    parts = []
+    for t, ps in _QN4_PAIRS.items():
+        for x, y in ps:
+            parts.append(f"""
+SELECT '{x}' AS subject, '{y}' AS object, n_rows, n_cells, mi_nats,
+       h_subject_nats, h_object_nats
+FROM (
+  WITH cells AS MATERIALIZED (
+    SELECT CAST({x} AS VARCHAR) AS xv, CAST({y} AS VARCHAR) AS yv,
+           CAST(count(*) AS BIGINT) AS nxy
+    FROM {t} GROUP BY 1, 2
+  ), mx AS (SELECT xv, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY xv
+  ), my AS (SELECT yv, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY yv
+  ), tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS n_cells FROM cells
+  ), mi AS (
+    SELECT CAST(sum(CAST(round(100000000 * (CAST(nxy AS DOUBLE) / n *
+             (((ln(nxy) - ln(nx)) - ln(ny)) + ln(n)))) AS BIGINT)) AS BIGINT) AS u
+    FROM cells JOIN mx USING (xv) JOIN my USING (yv), tot
+  ), hx AS (
+    SELECT CAST(sum(CAST(round(-100000000 * (CAST(nx AS DOUBLE) / n *
+             (ln(nx) - ln(n)))) AS BIGINT)) AS BIGINT) AS u
+    FROM mx, tot
+  ), hy AS (
+    SELECT CAST(sum(CAST(round(-100000000 * (CAST(ny AS DOUBLE) / n *
+             (ln(ny) - ln(n)))) AS BIGINT)) AS BIGINT) AS u
+    FROM my, tot
+  )
+  SELECT tot.n AS n_rows, tot.n_cells,
+         CAST(mi.u AS DOUBLE) / 100000000.0 AS mi_nats,
+         CAST(hx.u AS DOUBLE) / 100000000.0 AS h_subject_nats,
+         CAST(hy.u AS DOUBLE) / 100000000.0 AS h_object_nats
+  FROM tot, mi, hx, hy
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY subject, object"
+
+
+QN4_SQL = _qn4_sql()
+
+
+_QN5_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def qn5_histograms(spark, sf_dir):
+    """Equi-width 10-bin histograms for lineitem's numeric columns
+    (operators/stats.py histogram_profile) — the distribution view the
+    q77/q23 profile lacks. One tagged explode + one aggregate serves
+    all columns; bin arithmetic is pure correctly-rounded IEEE (no
+    libm), so bins are engine-identical without a fixed-point lane."""
+    from alaska_etl_spark.operators.stats import histogram_profile
+
+    return histogram_profile(_t(spark, sf_dir, "lineitem"), _QN5_COLS, nbins=10)
+
+
+def _qn5_sql() -> str:
+    parts = []
+    for c in _QN5_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name, bin,
+       mn + (bin * (mx - mn)) / 10.0 AS lo,
+       mn + ((bin + 1) * (mx - mn)) / 10.0 AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(9, floor(((v - mn) * 10.0) / (mx - mn))) AS INT)
+         END AS bin, mn, mx
+  FROM (SELECT CAST({c} AS DOUBLE) AS v FROM lineitem WHERE {c} IS NOT NULL) x,
+       (SELECT min(CAST({c} AS DOUBLE)) AS mn, max(CAST({c} AS DOUBLE)) AS mx
+        FROM lineitem WHERE {c} IS NOT NULL) r
+)
+GROUP BY column_name, bin, mn, mx""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name, bin"
+
+
+QN5_SQL = _qn5_sql()
+
+
+def qn6_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster SIZE DISTRIBUTION over the events stream's
+    snapshot-dedup key (user_id, event_type) — operators/dedup.py
+    dup_cluster_sizes: pairs vs giant clusters decides keep-first vs
+    cluster review, and the tail predicts the dedup shuffle's skew.
+    Two reduced-frame aggregates; singleton row included (the
+    undeduplicated mass)."""
+    from alaska_etl_spark.operators.dedup import dup_cluster_sizes
+
+    return dup_cluster_sizes(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+QN6_SQL = """
+WITH sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS cluster_size
+  FROM events GROUP BY user_id, event_type
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_rows,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_excess
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def qn7_cluster_separation(spark, sf_dir):
+    """Per-cell cluster separation over the q50 k-means (k=8, 2 Lloyd
+    iterations): mean cosine to the OWN centroid and mean margin to the
+    runner-up (operators/similarity.py cluster_separation) — the
+    boundary-cell detector the within-cell cohesion summary can't see,
+    and the number that sizes IVF nprobe. Same exact protocol as q50
+    (6dp-rounded argmax, micro-unit BIGINT sums), so DuckDB replays
+    both Lloyd iterations AND the top-2 pick bit-for-bit."""
+    from alaska_etl_spark.operators.similarity import cluster_separation
+
+    return cluster_separation(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _qn7_sql(k: int = 8, iters: int = 2) -> str:
+    return _lloyd_ctes(k, iters) + f""", sc AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         CAST(round(list_cosine_similarity(e.v, c.c) * 1000000.0) AS BIGINT) AS mu,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.v, c.c), 6) DESC,
+                    c.cid ASC) AS rn
+  FROM e CROSS JOIN c{iters} c
+)
+SELECT t1.cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(t1.mu) AS DOUBLE) / (count(*) * 1000000.0) AS avg_best,
+       CAST(sum(t1.mu - t2.mu) AS DOUBLE) / (count(*) * 1000000.0) AS avg_margin
+FROM (SELECT * FROM sc WHERE rn = 1) t1
+JOIN (SELECT * FROM sc WHERE rn = 2) t2 USING (vec_id)
+GROUP BY t1.cid ORDER BY centroid_id
+"""
+
+
+QN7_SQL = _qn7_sql()
+
+
+def qn8_winsorize(spark, sf_dir):
+    """Winsorization impact report for l_extendedprice per return flag
+    (operators/stats.py winsorize_report): exact p01/p99 clip bounds
+    from the value-domain quantile counts, clipped-mass bp, and mean
+    before/after — the robust-preprocessing decision table. Values
+    quantize once to cents; everything to the final two divisions is
+    BIGINT."""
+    from alaska_etl_spark.operators.stats import winsorize_report
+
+    return winsorize_report(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice",
+        p_lo=0.01, p_hi=0.99, scale=100,
+    )
+
+
+QN8_SQL = """
+WITH cents AS MATERIALIZED (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), counts AS (
+  SELECT l_returnflag, c, count(*) AS cnt FROM cents GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, c, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+), lo AS (
+  SELECT l_returnflag, c AS lo_c FROM cum
+  WHERE cum >= ceil(0.01 * n) AND cum - cnt < ceil(0.01 * n)
+), hi AS (
+  SELECT l_returnflag, c AS hi_c FROM cum
+  WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n)
+)
+SELECT v.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(lo_c AS DOUBLE) / 100.0 AS lo,
+       CAST(hi_c AS DOUBLE) / 100.0 AS hi,
+       CAST(count(*) FILTER (WHERE c < lo_c) AS BIGINT) AS n_clip_lo,
+       CAST(count(*) FILTER (WHERE c > hi_c) AS BIGINT) AS n_clip_hi,
+       CAST((2 * 10000 * (count(*) FILTER (WHERE c < lo_c) + count(*) FILTER (WHERE c > hi_c))
+             + count(*)) // (2 * count(*)) AS BIGINT) AS clip_bp,
+       CAST(sum(c) AS DOUBLE) / (count(*) * 100.0) AS mean_before,
+       CAST(sum(greatest(lo_c, least(hi_c, c))) AS DOUBLE) / (count(*) * 100.0) AS mean_after
+FROM cents v JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
+GROUP BY v.l_returnflag, lo_c, hi_c
+ORDER BY v.l_returnflag
+"""
+
+
+_QN9_RULES = [
+    ("customer", [
+        ("c_name", "name_format", "regex", "^Customer#[0-9]{9}$"),
+        ("c_acctbal", "non_negative", "non_negative", None),
+    ]),
+    ("documents", [("lang", "lang_allowlist", "regex", "^(en|de|fr)$")]),
+    ("orders", [("o_orderpriority", "priority_format", "regex", "^[1-5]-[A-Z ]+$")]),
+]
+
+
+def qn9_format_validity(spark, sf_dir):
+    """Format/constraint validity audit (plans/profile.py
+    format_validity): declared per-column contracts — name pattern,
+    non-negative balance, language allowlist, priority format — scored
+    as valid-share bp over non-NULL values. Rules use a conservative
+    regex subset valid in both Java regex and RE2, so engine and
+    oracle run the SAME patterns."""
+    from alaska_etl_spark.plans.profile import format_validity
+
+    tables = [
+        (name, _t(spark, sf_dir, name), rules) for name, rules in _QN9_RULES
+    ]
+    return format_validity(tables)
+
+
+def _qn9_sql() -> str:
+    parts = []
+    for name, rules in _QN9_RULES:
+        for col, rule_name, kind, arg in rules:
+            ok = (
+                f"regexp_matches(CAST({col} AS VARCHAR), '{arg}')"
+                if kind == "regex"
+                else f"{col} >= 0"
+            )
+            parts.append(f"""
+SELECT '{name}' AS table_name, '{col}' AS subject, '{rule_name}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (WHERE coalesce({ok}, false)) AS BIGINT) AS n_valid,
+       CAST((2 * 10000 * count(*) FILTER (WHERE coalesce({ok}, false))
+             + nullif(count(*), 0)) // (2 * nullif(count(*), 0)) AS BIGINT) AS valid_bp
+FROM {name} WHERE {col} IS NOT NULL""")
+    return " UNION ALL ".join(parts) + " ORDER BY table_name, subject, rule"
+
+
+QN9_SQL = _qn9_sql()
+
+
+def qo0_lsh_scurve(spark, sf_dir):
+    """Empirical-vs-analytic LSH S-curve of the q29 banding scheme
+    (operators/dedup.py lsh_scurve): shared-gram pairs bucketed by
+    exact Jaccard, per bucket the band detection rate next to the
+    theoretical 1-(1-s^4)^16 at the bucket midpoint — how bands are
+    picked, where qm3 gives only the one-threshold verdict. md5 lane;
+    the analytic column joins from literals computed once and embedded
+    in BOTH plans (parity by construction)."""
+    from alaska_etl_spark.operators.dedup import lsh_scurve
+
+    return lsh_scurve(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=64, bands=16, hash_fn="md5",
+    )
+
+
+def _qo0_sql() -> str:
+    """qm3's md5-lane LSH + exact-Jaccard machinery with the S-curve
+    tail: bucket, detect share, analytic literal join."""
+    from alaska_etl_spark.operators.dedup import _hash_params, lsh_scurve_constants
+
+    sig_slots = ", ".join(
+        f"min(({a} * g + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(_hash_params(64, 42))
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=_dk_h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(s{b * 4 + i} AS VARCHAR)" for i in range(4))
+                + ")"
+            ),
+        )
+        for b in range(16)
+    )
+    # string-cast the double literals: DuckDB types a bare decimal
+    # literal DECIMAL and its decimal→double conversion can land one
+    # ulp off the repr round-trip; CAST(VARCHAR AS DOUBLE) is strtod,
+    # bit-identical to the Python float Spark embeds (measured: bucket
+    # 9's 1-(1-0.95^4)^16 differed in the last digit without this)
+    curve = ", ".join(
+        f"({i}, CAST('{s!r}' AS DOUBLE), CAST('{p!r}' AS DOUBLE))"
+        for i, s, p in lsh_scurve_constants(16, 4)
+    )
+    return _mat(rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, {_dk_h31('unnest(tk)')} AS th
+  FROM toks
+), full_grams AS (
+  SELECT doc_id,
+         ((th * 1000003 + lead(th,1) OVER w) % 2147483648 * 1000003
+            + lead(th,2) OVER w) % 2147483648 AS g
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(th,2) OVER w IS NOT NULL
+), shorts AS (
+  SELECT doc_id,
+         list_reduce(CAST(list(th ORDER BY pos) AS BIGINT[]),
+                     (a,b) -> (a*1000003 + b) % 2147483648) AS g
+  FROM tok_rows GROUP BY doc_id HAVING count(*) < 3
+), gram_all AS (
+  SELECT doc_id, g FROM full_grams UNION ALL SELECT doc_id, g FROM shorts
+), sig AS (
+  SELECT doc_id, {sig_slots} FROM gram_all GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), shingle AS (
+  SELECT DISTINCT doc_id, g FROM gram_all
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingle GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic
+  FROM shingle sa
+  JOIN shingle sb ON sb.g = sa.g AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+), pairs AS (
+  SELECT i.id_a, i.id_b,
+         CAST(least(9, (10 * i.ic) // (za.sz + zb.sz - i.ic)) AS INT) AS j_bucket
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+), det AS (
+  SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_detected
+  FROM pairs p
+  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.id_a = p.id_a AND c.id_b = p.id_b)
+  GROUP BY j_bucket
+), tot AS (
+  SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY j_bucket
+)
+SELECT t.j_bucket, curve.s_mid, t.n_pairs,
+       CAST(coalesce(d.n_detected, 0) AS BIGINT) AS n_detected,
+       CAST((2 * 10000 * coalesce(d.n_detected, 0) + t.n_pairs)
+            // (2 * t.n_pairs) AS BIGINT) AS detect_bp,
+       curve.analytic_detect
+FROM tot t
+LEFT JOIN det d USING (j_bucket)
+JOIN (VALUES {curve}) curve(j_bucket, s_mid, analytic_detect) USING (j_bucket)
+ORDER BY t.j_bucket
+""", "toks", "tok_rows", "full_grams", "gram_all", "sig", "banded", "cand",
+        "shingle", "pairs")
+
+
+QO0_SQL = _qo0_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -9194,6 +9620,14 @@ QUERIES = {
     "qm7_tokenizer_fertility": qm7_tokenizer_fertility,
     "qm8_langid_confusion": qm8_langid_confusion,
     "qm9_mixture_report": qm9_mixture_report,
+    "qn3_lift_gains": qn3_lift_gains,
+    "qn4_mutual_info": qn4_mutual_info,
+    "qn5_histograms": qn5_histograms,
+    "qn6_dup_cluster_sizes": qn6_dup_cluster_sizes,
+    "qn7_cluster_separation": qn7_cluster_separation,
+    "qn8_winsorize": qn8_winsorize,
+    "qn9_format_validity": qn9_format_validity,
+    "qo0_lsh_scurve": qo0_lsh_scurve,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9482,6 +9916,14 @@ ORACLES = {
     "qm7_tokenizer_fertility": QM7_SQL,
     "qm8_langid_confusion": QM8_SQL,
     "qm9_mixture_report": QM9_SQL,
+    "qn3_lift_gains": QN3_SQL,
+    "qn4_mutual_info": QN4_SQL,
+    "qn5_histograms": QN5_SQL,
+    "qn6_dup_cluster_sizes": QN6_SQL,
+    "qn7_cluster_separation": QN7_SQL,
+    "qn8_winsorize": QN8_SQL,
+    "qn9_format_validity": QN9_SQL,
+    "qo0_lsh_scurve": QO0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

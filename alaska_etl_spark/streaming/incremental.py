@@ -1439,6 +1439,49 @@ def stream_profile_monitor(
     q.awaitTermination()
 
 
+def _unseen_src_files(
+    spark, tagged: DataFrame, store_path: str, batch_id: int, content_col: str
+):
+    """Per-FILE replay dedup shared by the file-keyed monitor stores
+    (heavy hitters, quantiles): given a batch frame carrying
+    ``_src = input_file_name()``, return (tagged', new_files) where
+    tagged' has a non-empty ``_src`` key and new_files are the keys not
+    yet in the store. The file is the file source's atomic delivery
+    unit, so this dedup survives both recreated checkpoints (recycled
+    batch ids over NEW data are new files → counted) and rebatched
+    replays (a combined re-delivery decomposes into the same per-file
+    units → skipped). Non-file sources (empty input_file_name) fall
+    back to a (batch_id, order-free content signature) key — safe
+    against recycled-id undercounts only. The signature folds each
+    value's xxhash64 through pmod 2³¹ before the sum, so Σ over n rows
+    stays < n·2³¹ (no ANSI overflow) and any partitioning of a replay
+    matches."""
+    files = [r["_src"] for r in tagged.select("_src").distinct().collect()]
+    if files and all(not f for f in files):
+        s = tagged.agg(
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64(F.col(content_col).cast("string")), F.lit(1 << 31))),
+                F.lit(0),
+            ).alias("_h"),
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+        ).head(1)[0]
+        key = f"batch:{batch_id}:{int(s['_h'])}:{int(s['_c'])}"
+        tagged = tagged.withColumn("_src", F.lit(key))
+        files = [key]
+    if not files or not _hdfs_exists(spark, store_path):
+        return tagged, files
+    probe = spark.createDataFrame([(f,) for f in files], "_src string")
+    stored = {
+        r["_src"]
+        for r in spark.read.parquet(store_path)
+        .select("_src")
+        .join(F.broadcast(probe), "_src", "left_semi")
+        .distinct()
+        .collect()
+    }
+    return tagged, [f for f in files if f not in stored]
+
+
 def stream_heavy_hitters_monitor(
     stream_df: DataFrame,
     store_path: str,
@@ -1494,35 +1537,9 @@ def stream_heavy_hitters_monitor(
             F.col(col).cast("string").alias("item"),
             F.input_file_name().alias("_src"),
         )
-        files = [r["_src"] for r in tagged.select("_src").distinct().collect()]
-        if files and all(not f for f in files):
-            # non-file source: (batch_id, content-signature) fallback.
-            # pmod to 31 bits before the sum: Σ over n rows stays
-            # < n·2³¹ (no ANSI overflow), and the sum is order-free so
-            # any partitioning of a replayed batch matches.
-            s = tagged.agg(
-                F.coalesce(
-                    F.sum(F.pmod(F.xxhash64("item"), F.lit(1 << 31))),
-                    F.lit(0),
-                ).alias("_h"),
-                F.count(F.lit(1)).cast("bigint").alias("_c"),
-            ).head(1)[0]
-            key = f"batch:{batch_id}:{int(s['_h'])}:{int(s['_c'])}"
-            tagged = tagged.withColumn("_src", F.lit(key))
-            files = [key]
-        have = _hdfs_exists(spark, store_path)
-        new_files = files
-        if have and files:
-            probe = spark.createDataFrame([(f,) for f in files], "_src string")
-            stored = {
-                r["_src"]
-                for r in spark.read.parquet(store_path)
-                .select("_src")
-                .join(F.broadcast(probe), "_src", "left_semi")
-                .distinct()
-                .collect()
-            }
-            new_files = [f for f in files if f not in stored]
+        tagged, new_files = _unseen_src_files(
+            spark, tagged, store_path, batch_id, "item"
+        )
         if new_files:  # first delivery of these files: store partials
             sub = tagged.filter(F.col("_src").isin(new_files))
             partial = misra_gries_partials_by(sub, "_src", "item", k=k)
@@ -1534,6 +1551,8 @@ def stream_heavy_hitters_monitor(
                 .unionByName(n_rows) \
                 .withColumn("batch_id", F.lit(batch_id).cast("bigint")) \
                 .write.mode("append").parquet(store_path)
+        if not _hdfs_exists(spark, store_path):
+            return  # zero-row first batch: nothing stored yet, no metrics
         store = spark.read.parquet(store_path)
         n_total = (
             store.filter(F.col("item").isNull())
@@ -1554,6 +1573,96 @@ def stream_heavy_hitters_monitor(
                 [(batch_id, None, None, int(n_total))],
                 "batch_id bigint, item string, lb bigint, n_total bigint",
             )
+        out.write.mode("append").parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_quantile_monitor(
+    stream_df: DataFrame,
+    store_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    *,
+    col: str,
+    probs: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    scale: int = 100,
+) -> None:
+    """Streaming EXACT quantiles for fixed-precision values — the
+    latency/price/size-distribution monitor next to the heavy-hitters
+    one, with the same durable-store replay contract
+    (:func:`_unseen_src_files`: per-file partials, rebatch- and
+    recycled-id-safe). State is the VALUE-DOMAIN trade of the batch
+    operator (:func:`operators.sketches.decimal_quantiles`): each new
+    file appends its (value-in-``scale``-units, count) table — bounded
+    by the file's distinct quantized values, never its rows — and the
+    whole-stream quantile is a cumulative-count walk over the merged
+    counts frame. Exact at any number of batches (value counts are the
+    canonical mergeable summary: merge = integer add), where a KLL/GK
+    sketch would trade a rank-error budget for domain-independent
+    state; for unbounded-domain columns use that family instead.
+    Optional compaction = rewrite the store with the merged counts
+    under a sentinel ``_src``. Metrics rows: (batch_id, prob, value,
+    n_total) per trigger — type-1 lower quantiles, NULLs excluded, the
+    decimal_quantiles conventions."""
+    from pyspark.sql import Window
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tagged = batch_df.select(
+            F.round(F.col(col) * scale).cast("bigint").alias("_v"),
+            F.input_file_name().alias("_src"),
+        ).filter(F.col("_v").isNotNull())
+        tagged, new_files = _unseen_src_files(
+            spark, tagged, store_path, batch_id, "_v"
+        )
+        if new_files:
+            (
+                tagged.filter(F.col("_src").isin(new_files))
+                .groupBy("_src", "_v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+                .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("append")
+                .parquet(store_path)
+            )
+        if not _hdfs_exists(spark, store_path):
+            return  # zero-row first batch
+        merged = (
+            spark.read.parquet(store_path)
+            .groupBy("_v")
+            .agg(F.sum("_c").cast("bigint").alias("_c"))
+        )
+        # windows run over the value-domain-bounded counts frame, not
+        # the stream (the decimal_quantiles post-aggregation shape)
+        w = Window.orderBy("_v")
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = merged.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+            "_n", F.sum("_c").over(wall)
+        )
+        outs = []
+        for p in probs:
+            need = F.ceil(F.lit(p) * F.col("_n"))
+            outs.append(
+                cum.filter(
+                    (F.col("_cum") >= need) & (F.col("_cum") - F.col("_c") < need)
+                ).select(
+                    F.lit(batch_id).cast("bigint").alias("batch_id"),
+                    F.lit(p).alias("prob"),
+                    (F.col("_v") / F.lit(float(scale))).alias("value"),
+                    F.col("_n").cast("bigint").alias("n_total"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
         out.write.mode("append").parquet(metrics_path)
 
     q = (

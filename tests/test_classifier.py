@@ -552,3 +552,30 @@ def test_hashed_features_counts_and_lane_equivalence(spark):
             per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.cnt
             assert 0 <= r.bucket < 8
         assert per_doc == {0: 3, 1: 2}
+
+
+def test_lift_gains_hand_case(spark):
+    from alaska_etl_spark.operators.classifier import lift_gains
+
+    # 20 rows, scores descending by id; positives are the top 5 ids
+    rows = [(i, 100 - i, i <= 5) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id bigint, score bigint, pos boolean")
+    out = {r.bucket: r for r in lift_gains(
+        df, "score", "pos", id_col="id", buckets=4
+    ).collect()}
+    assert [out[b].n for b in (1, 2, 3, 4)] == [5, 5, 5, 5]
+    assert out[1].n_pos == 5 and out[2].n_pos == 0
+    assert out[1].pos_rate_bp == 10000 and out[1].gain_bp == 10000
+    assert out[1].lift == 10000 / 2500  # bucket rate / overall rate
+    assert out[4].gain_bp == 10000  # cumulative reaches 1 at the end
+
+
+def test_lift_gains_all_negative_emits_null_gain(spark):
+    from alaska_etl_spark.operators.classifier import lift_gains
+
+    df = spark.createDataFrame(
+        [(i, i, False) for i in range(1, 9)], "id bigint, score bigint, pos boolean"
+    )
+    rows = lift_gains(df, "score", "pos", id_col="id", buckets=2).collect()
+    assert all(r.gain_bp is None and r.lift is None for r in rows)
+    assert all(r.pos_rate_bp == 0 for r in rows)

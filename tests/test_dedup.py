@@ -605,3 +605,53 @@ def test_sorted_neighborhood_empty_texts_no_pairs(spark):
         sorted_neighborhood_pairs(df, "doc_id", "text", window=3, threshold_pct=0).count()
         == 0
     )
+
+
+def test_dup_cluster_sizes_hand_case(spark):
+    from alaska_etl_spark.operators.dedup import dup_cluster_sizes
+
+    df = spark.createDataFrame(
+        [("k1", "s"), ("k1", "s"), ("k1", "s"), ("k2", "s"), ("k3", "t"), ("k3", "t")],
+        "k string, src string",
+    )
+    out = {r.cluster_size: r for r in dup_cluster_sizes(df, ["k"]).collect()}
+    assert (out[1].n_clusters, out[1].n_rows, out[1].n_excess) == (1, 1, 0)
+    assert (out[2].n_clusters, out[2].n_rows, out[2].n_excess) == (1, 2, 1)
+    assert (out[3].n_clusters, out[3].n_rows, out[3].n_excess) == (1, 3, 2)
+    # grouped form partitions by source
+    g = dup_cluster_sizes(df, ["k"], group_col="src").collect()
+    assert {(r.src, r.cluster_size, r.n_clusters) for r in g} == {
+        ("s", 3, 1), ("s", 1, 1), ("t", 2, 1)
+    }
+
+
+def test_lsh_scurve_consistency_with_blocking_quality(spark):
+    """Bucket sums must reconcile with blocking_quality's totals over
+    the same corpus, detection shares are valid bp, and the analytic
+    curve is monotone in the bucket."""
+    from alaska_etl_spark.operators.dedup import blocking_quality, lsh_scurve
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),        # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),          # near dup
+        (4, "one two three four five six seven"),
+        (5, "one two three four nine ten eleven"),          # mid overlap
+        (6, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curve = lsh_scurve(df, "doc_id", "text", n=3, num_hashes=64, bands=16).collect()
+    bq = blocking_quality(df, "doc_id", "text", n=3, num_hashes=64, bands=16).collect()[0]
+    assert sum(r.n_pairs for r in curve) > 0
+    assert all(0 <= r.detect_bp <= 10000 for r in curve)
+    assert all(r.n_detected <= r.n_pairs for r in curve)
+    mids = [r for r in curve]
+    assert all(
+        a.analytic_detect <= b.analytic_detect
+        for a, b in zip(mids, mids[1:])
+    )
+    # the exact-dup pair lives in the top bucket and must be detected
+    top = max(curve, key=lambda r: r.j_bucket)
+    assert top.j_bucket == 9 and top.n_detected >= 1
+    # true pairs at J >= 1/2 caught by bands == blocking_quality's n_hit
+    assert bq.n_hit <= sum(r.n_detected for r in curve if r.j_bucket >= 5)

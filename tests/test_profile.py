@@ -177,3 +177,37 @@ def test_profile_and_fd_match_python_replica(spark, rows):
         mass[k] for k, f in fan.items() if f > 1
     )
     assert got[("fd", "a", "b", "max_fanout")][0] == max(fan.values())
+
+
+def test_format_validity_rules_and_null_exemption(spark):
+    import pytest
+
+    from alaska_etl_spark.plans.profile import format_validity
+
+    t = spark.createDataFrame(
+        [
+            ("Customer#000000001", 10.0),
+            ("Customer#0001", -5.0),       # bad name, negative balance
+            (None, None),                   # NULLs exempt from both rules
+        ],
+        "name string, bal double",
+    )
+    out = format_validity(
+        [
+            (
+                "t",
+                t,
+                [
+                    ("name", "name_format", "regex", "^Customer#[0-9]{9}$"),
+                    ("bal", "non_negative", "non_negative", None),
+                ],
+            )
+        ]
+    ).collect()
+    got = {(r.subject, r.rule): r for r in out}
+    nm = got[("name", "name_format")]
+    assert (nm.n_checked, nm.n_valid, nm.valid_bp) == (2, 1, 5000)
+    nn = got[("bal", "non_negative")]
+    assert (nn.n_checked, nn.n_valid, nn.valid_bp) == (2, 1, 5000)
+    with pytest.raises(ValueError):
+        format_validity([("t", t, [("name", "x", "nonsense", None)])])

@@ -647,3 +647,29 @@ def test_kmeans_summary_matches_numpy_replica(spark):
     for c in want:
         assert got[c][0] == want[c][0]
         assert abs(got[c][1] - want[c][1]) < 2e-6
+
+
+def test_cluster_separation_reconciles_with_summary(spark):
+    """Membership counts match kmeans_summary, avg_best matches its
+    avg_cosine (same protocol), and margins are non-negative (best is
+    best by construction)."""
+    from alaska_etl_spark.operators.similarity import (
+        cluster_separation,
+        kmeans_summary,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(0.1, 1.0) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sep = {r.centroid_id: r for r in cluster_separation(df, k=4, iters=2).collect()}
+    summ = {r.centroid_id: r for r in kmeans_summary(df, k=4, iters=2).collect()}
+    assert set(sep) == set(summ)
+    assert sum(r.n_members for r in sep.values()) == 60
+    for cid, r in sep.items():
+        assert r.n_members == summ[cid].n_members
+        assert abs(r.avg_best - summ[cid].avg_cosine) < 1e-9
+        assert r.avg_margin >= 0.0

@@ -564,3 +564,68 @@ def test_uplift_deciles_one_sided_decile_null(spark):
     df = spark.createDataFrame(rows, "id bigint, score double, t int, y int")
     out = uplift_deciles(df, "id", "score", "t", "y", k=2).collect()
     assert all(r.uplift is None and r.qini_cum is None for r in out)
+
+
+def test_categorical_mutual_info_dependence_extremes(spark):
+    """Perfect dependence: MI == H(X) == H(Y); independence: MI == 0
+    exactly in the fixed-point units (uniform 2x2 has rational terms).
+    NULL counts as its own level."""
+    import math
+
+    from alaska_etl_spark.operators.stats import categorical_mutual_info
+
+    # y == x (perfect copy), 2 levels x 2 rows each
+    dep = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")], "x string, y string"
+    )
+    r = categorical_mutual_info(dep, [("x", "y")]).collect()[0]
+    assert r.n_rows == 4 and r.n_cells == 2
+    assert abs(r.mi_nats - math.log(2)) < 1e-6
+    assert abs(r.h_subject_nats - math.log(2)) < 1e-6
+    assert r.mi_nats == r.h_subject_nats == r.h_object_nats
+
+    # independent uniform 2x2: every cell term ln(4*1/(2*2)) = ln 1 = 0
+    ind = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")], "x string, y string"
+    )
+    r2 = categorical_mutual_info(ind, [("x", "y")]).collect()[0]
+    assert r2.mi_nats == 0.0 and r2.n_cells == 4
+
+    # NULL level participates
+    withnull = spark.createDataFrame(
+        [("a", "u"), (None, "v"), (None, "v")], "x string, y string"
+    )
+    r3 = categorical_mutual_info(withnull, [("x", "y")]).collect()[0]
+    assert r3.n_cells == 2 and r3.n_rows == 3
+
+
+def test_histogram_profile_bins_and_edges(spark):
+    from alaska_etl_spark.operators.stats import histogram_profile
+
+    rows = [(float(v), 5.0) for v in range(11)]  # a: 0..10, b constant
+    rows.append((None, None))
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = histogram_profile(df, ["a", "b"], nbins=10)
+    got = {(r.column_name, r.bin): r for r in out.collect()}
+    # a: 0..9 land in bins 0..9; v=10 (the max) clamps into bin 9
+    assert got[("a", 9)].n == 2
+    assert all(got[("a", i)].n == 1 for i in range(9))
+    assert got[("a", 0)].lo == 0.0 and got[("a", 9)].hi == 10.0
+    # constant column: everything in bin 0, NULLs excluded
+    assert got[("b", 0)].n == 11
+    assert ("b", 1) not in got
+
+
+def test_winsorize_report_hand_case(spark):
+    from alaska_etl_spark.operators.stats import winsorize_report
+
+    # group g: values 1..100 (cents exact); p01 -> 1, p99 -> 99
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, v double"
+    )
+    r = winsorize_report(df, ["grp"], "v", p_lo=0.01, p_hi=0.99).collect()[0]
+    assert (r.n, r.lo, r.hi) == (100, 1.0, 99.0)
+    assert (r.n_clip_lo, r.n_clip_hi) == (0, 1)  # only 100 > 99
+    assert r.clip_bp == 100  # 1/100 in bp
+    assert abs(r.mean_before - 50.5) < 1e-9
+    assert abs(r.mean_after - 50.49) < 1e-9  # 100 clipped to 99

@@ -755,3 +755,51 @@ def test_stream_heavy_hitters_guarantee_and_replay(spark, tmp_path):
     assert not {t for t in totals if t > 140}, "nothing may double-count"
     top3 = {r.item for r in m3 if r.n_total == 140}
     assert "hot2" in top3 and "hot" in top3
+
+
+def test_stream_quantile_monitor_exact_and_replay_safe(spark, tmp_path):
+    """Exact whole-stream quantiles from per-file value-count partials:
+    batches merge exactly, a checkpoint-loss replay adds nothing, and
+    NEW data under recycled batch ids is counted once (the per-file
+    store contract shared with the heavy-hitters monitor)."""
+    import shutil
+
+    from alaska_etl_spark.streaming.incremental import stream_quantile_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, metrics, ckpt = (
+        str(tmp_path / "store"), str(tmp_path / "metrics"), str(tmp_path / "ckpt"),
+    )
+
+    def write(name, values):
+        (src / name).write_text(
+            "\n".join(f'{{"v": {x}}}' for x in values) + "\n"
+        )
+
+    stream = lambda: stream_quantile_monitor(  # noqa: E731
+        spark.readStream.schema("v double").json(str(src)),
+        store, metrics, ckpt, col="v", probs=(0.5, 0.9), scale=100,
+    )
+    write("b1.json", [float(x) for x in range(1, 51)])    # 1..50
+    stream()
+    write("b2.json", [float(x) for x in range(51, 101)])  # 51..100
+    stream()
+    m = spark.read.parquet(metrics).collect()
+    last = {r.prob: r for r in m if r.n_total == 100}
+    # type-1 lower quantiles over 1..100: p50 -> 50, p90 -> 90
+    assert last[0.5].value == 50.0 and last[0.9].value == 90.0
+
+    n_store = spark.read.parquet(store).count()
+    shutil.rmtree(ckpt)
+    stream()  # replay (possibly rebatched): nothing new stored
+    assert spark.read.parquet(store).count() == n_store
+
+    write("b3.json", [1000.0] * 25)  # recycled ids + new data
+    shutil.rmtree(ckpt)
+    stream()
+    m3 = spark.read.parquet(metrics).collect()
+    tail = {r.prob: r for r in m3 if r.n_total == 125}
+    assert tail, "new file must be counted exactly once"
+    assert tail[0.9].value == 1000.0  # 25 x 1000 shifts p90
+    assert tail[0.5].value == 63.0    # ceil(0.5*125)=63rd of 1..100,1000x25

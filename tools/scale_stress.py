@@ -230,7 +230,9 @@ def build_x100(spark) -> None:
     d100.write.mode("overwrite").parquet(f"{OUT}/x100/documents.parquet")
 
 
-def main() -> None:
+def _run_one(name: str, with_x100: bool) -> dict:
+    """Run one query's cells in THIS process (spawned fresh per query
+    by main — see its isolation note) and return the result row."""
     import math
 
     from alaska_etl_spark.cache import release_tracked
@@ -239,60 +241,109 @@ def main() -> None:
 
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark)
+
+    # warm plan shapes once at 1x so codegen/plan compilation doesn't
+    # land inside either timed run
+    QUERIES[name](spark, f"{OUT}/x1").collect()
+    release_tracked()
+
+    row = {"query": name}
+    scales = ("x1", "x10", "x100") if with_x100 and name in HUNDRED else ("x1", "x10")
+    for scale in scales:
+        best, rows = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                n = len(QUERIES[name](spark, f"{OUT}/{scale}").collect())
+            except Exception as e:  # report the cell, keep the table
+                # py4j errors bury the JVM cause lines deep in the
+                # message — surface the first few informative ones
+                # (r8: a bare "collectToPython" first line hid an OOM
+                # class for a whole round)
+                lines = [
+                    ln for ln in str(e).splitlines()
+                    if ln.strip() and not ln.startswith("\tat ")
+                ]
+                print(
+                    f"FAILED {name} {scale}: "
+                    + " | ".join(ln.strip()[:160] for ln in lines[:4]),
+                    file=sys.stderr,
+                )
+                release_tracked()
+                n = -1
+            dt = time.perf_counter() - t0
+            release_tracked()
+            best = dt if best is None else min(best, dt)
+            rows = n
+        row[scale] = best
+        row[f"{scale}_rows"] = rows
+    row["time_ratio"] = row["x10"] / row["x1"]
+    row["exponent"] = math.log10(max(row["time_ratio"], 1e-9))
+    if "x100" in row:
+        # exponent over TWO decades: log10(t100/t1) / 2
+        row["exponent_2dec"] = math.log10(max(row["x100"] / row["x1"], 1e-9)) / 2
+    return row
+
+
+def main() -> None:
+    import json
+    import subprocess
+
+    # child mode: one query, corpora already on disk, row as one JSON
+    # line for the parent to collect.
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        row = _run_one(sys.argv[2], "--x100" in sys.argv[3:])
+        print("ROW " + json.dumps(row))
+        return
 
     # optional subset: tools/scale_stress.py qg5_naive_bayes ... reruns
     # only those cells (the SCALE.md table merges by query name).
     # --x100 adds the second decade for the HUNDRED trio.
     argv = [a for a in sys.argv[1:] if a != "--x100"]
     with_x100 = "--x100" in sys.argv[1:]
-    if with_x100:
-        build_x100(spark)
     names = argv or QUERIES_UNDER_TEST
     unknown = [n for n in names if n not in QUERIES_UNDER_TEST]
     if unknown:
         raise SystemExit(f"not in QUERIES_UNDER_TEST: {unknown}")
 
-    # warm plan shapes once at 1x so codegen/plan compilation doesn't
-    # land inside either timed run
-    for name in names:
-        QUERIES[name](spark, f"{OUT}/x1").collect()
-        release_tracked()
+    from alaska_etl_spark.session import get_spark
 
-    import gc
+    spark = get_spark("scale-stress-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    if with_x100:
+        build_x100(spark)
+    spark.stop()
 
+    # PER-QUERY JVM ISOLATION: every query's cells run in a fresh
+    # subprocess. A shared 8 GiB driver=executor JVM accumulates
+    # broadcast/code-cache/py4j remnants across a 100x marathon and
+    # OOMs whichever query runs LAST (r8: q36 then q88 each failed
+    # only in the shared run, both passed solo twice) — that is a
+    # harness artifact, not a plan property, and the point of the
+    # stress tier is to measure PLAN scaling. Isolation makes every
+    # cell's memory claim per-query, the same claim the solo-repro
+    # protocol checks.
     results = []
     for name in names:
-        # all cells share one 8 GiB driver=executor JVM: force the
-        # py4j → ContextCleaner chain between cells so one cell's
-        # broadcast/cache remnants can't OOM a later cell (r8: q36
-        # x100 failed as the LAST cell but passed alone)
-        gc.collect()
-        spark._jvm.System.gc()
-        row = {"query": name}
-        scales = ("x1", "x10", "x100") if with_x100 and name in HUNDRED else ("x1", "x10")
-        for scale in scales:
-            best, rows = None, None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                try:
-                    n = len(QUERIES[name](spark, f"{OUT}/{scale}").collect())
-                except Exception as e:  # report the cell, keep the table
-                    print(f"FAILED {name} {scale}: {str(e).splitlines()[0][:200]}",
-                          file=sys.stderr)
-                    release_tracked()
-                    n = -1
-                dt = time.perf_counter() - t0
-                release_tracked()
-                best = dt if best is None else min(best, dt)
-                rows = n
-            row[scale] = best
-            row[f"{scale}_rows"] = rows
-        row["time_ratio"] = row["x10"] / row["x1"]
-        row["exponent"] = math.log10(max(row["time_ratio"], 1e-9))
-        if "x100" in row:
-            # exponent over TWO decades: log10(t100/t1) / 2
-            row["exponent_2dec"] = math.log10(max(row["x100"] / row["x1"], 1e-9)) / 2
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
+        if with_x100:
+            cmd.append("--x100")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        for line in proc.stderr.splitlines():
+            if line.startswith("FAILED"):
+                print(line, file=sys.stderr)
+        if row is None:
+            print(
+                f"FAILED {name}: subprocess rc={proc.returncode}: "
+                + (proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else "no output"),
+                file=sys.stderr,
+            )
+            continue
         results.append(row)
 
     print("| query | 1× wall (s) | 10× wall (s) | time ratio | exponent | 1× rows | 10× rows |")
