@@ -338,6 +338,24 @@ def assign_buckets(
     )
     ids = np.asarray([r.centroid_id for r in rows], dtype=np.int64)
     mat = np.asarray([r.centroid for r in rows], dtype=np.float64)  # ncells × dim
+    return _assign_with_matrix(
+        corpus, ids, mat, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def _assign_with_matrix(
+    corpus: DataFrame,
+    ids,
+    mat,
+    *,
+    id_col: str,
+    vec_col: str,
+    round_digits: "int | None",
+) -> DataFrame:
+    """The Arrow argmax core of :func:`assign_buckets`, for callers
+    that already hold the centroid matrix driver-side (kmeans_summary
+    via _lloyd_cents) — skips the frame collect job."""
     cnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
     cnorm[cnorm == 0] = 1.0
     dim = mat.shape[1]
@@ -424,7 +442,7 @@ def kmeans_refine(
     return spark.createDataFrame(out, "centroid_id bigint, centroid array<double>")
 
 
-def kmeans_replicable(
+def _lloyd_cents(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
@@ -432,7 +450,7 @@ def kmeans_replicable(
     k: int = 8,
     iters: int = 2,
     round_digits: int = 6,
-) -> DataFrame:
+) -> "dict[int, list[float]]":
     """Lloyd iterations an external engine can replay EXACTLY — the
     oracle-safe sibling of :func:`kmeans_refine`, whose float means are
     summation-order dependent (see its docstring). Three protocol moves
@@ -464,19 +482,24 @@ def kmeans_replicable(
     test_similarity). The init centroid values ride along the SAME
     collect as tagged union rows (for the empty-cell carryover), so
     the serial driver barriers drop from iters+1 to iters.
+
+    Returns the centroid DICT (the driver holds k·dim doubles anyway)
+    so downstream consumers — the frame-returning
+    :func:`kmeans_replicable`, :func:`kmeans_summary`,
+    :func:`cluster_separation` — can skip frame round-trips: the r8
+    anatomy showed kmeans_summary paying a whole Spark JOB for an
+    ``head(1)`` emptiness check of a frame whose rows the driver had
+    just built, plus assign_buckets re-collecting them.
     """
-    spark = corpus.sparkSession
     if iters <= 0:  # degenerate: the init frame IS the answer
-        cents0 = {
+        return {
             r.centroid_id: [float(x) for x in r.centroid]
             for r in centroids_by_id(
                 corpus, id_col=id_col, vec_col=vec_col, ncells=k
             ).collect()
         }
-        return spark.createDataFrame(
-            sorted(cents0.items()), "centroid_id bigint, centroid array<double>"
-        )
 
+    spark = corpus.sparkSession
     init = centroids_by_id(corpus, id_col=id_col, vec_col=vec_col, ncells=k)
     cn = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
     carr = (
@@ -551,7 +574,7 @@ def kmeans_replicable(
             acc.setdefault(r.centroid_id, {})[r._d] = r._s
             counts[r.centroid_id] = r._n
     if not init_vals:  # empty corpus: no cells
-        return spark.createDataFrame([], "centroid_id bigint, centroid array<double>")
+        return {}
     cents: dict[int, list[float]] = {}
     for cid, dims in sorted(init_vals.items()):
         if cid in acc:
@@ -583,8 +606,36 @@ def kmeans_replicable(
         for cid, dims_s in acc.items():
             n = counts[cid]
             cents[cid] = [dims_s[i] / (n * 1000000.0) for i in range(len(dims_s))]
+    return cents
+
+
+def _cents_frame(spark, cents: "dict[int, list[float]]") -> DataFrame:
+    if not cents:
+        return spark.createDataFrame(
+            [], "centroid_id bigint, centroid array<double>"
+        )
     return spark.createDataFrame(
         sorted(cents.items()), "centroid_id bigint, centroid array<double>"
+    )
+
+
+def kmeans_replicable(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Frame form of :func:`_lloyd_cents` (see its docstring for the
+    protocol and scale shape). Returns (centroid_id, centroid)."""
+    return _cents_frame(
+        corpus.sparkSession,
+        _lloyd_cents(
+            corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+            round_digits=round_digits,
+        ),
     )
 
 
@@ -605,7 +656,7 @@ def kmeans_summary(
     non-zero-norm vectors (a zero norm makes the cosine NULL here and
     NaN in a SQL replay — the corpus contract every cosine operator in
     this module shares). Columns: centroid_id, n_members, avg_cosine."""
-    cents = kmeans_replicable(
+    cents_d = _lloyd_cents(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
@@ -613,13 +664,22 @@ def kmeans_summary(
         iters=iters,
         round_digits=round_digits,
     )
-    if not cents.head(1):  # empty corpus: empty report, correct schema
+    if not cents_d:  # empty corpus: empty report, correct schema —
+        # checked on the dict the driver already holds, not via an
+        # head(1) JOB on a just-built local frame (r8 anatomy)
         return corpus.sparkSession.createDataFrame(
             [], "centroid_id bigint, n_members bigint, avg_cosine double"
         )
-    assigned = assign_buckets(
-        corpus, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    sorted_ids = sorted(cents_d)
+    assigned = _assign_with_matrix(
+        corpus,
+        np.asarray(sorted_ids, dtype=np.int64),
+        np.asarray([cents_d[i] for i in sorted_ids], dtype=np.float64),
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
     )
+    cents = _cents_frame(corpus.sparkSession, cents_d)
     return (
         assigned.join(F.broadcast(cents), "centroid_id")
         .select(
@@ -672,14 +732,20 @@ def cluster_separation(
     Returns (centroid_id, n_members, avg_best, avg_margin) ordered."""
     assert k >= 2, "separation needs a runner-up cell"
     spark = corpus.sparkSession
-    cents = kmeans_replicable(
+    cents_d = _lloyd_cents(
         corpus, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
         round_digits=round_digits,
     )
-    if not cents.head(1):
+    if not cents_d:  # dict check — no head(1) job (r8 anatomy)
         return spark.createDataFrame(
             [], "centroid_id bigint, n_members bigint, avg_best double, avg_margin double"
         )
+    # the k-cell array is built ENGINE-side from the local frame (one
+    # tiny LocalTableScan job) so the per-cell norm keeps the exact
+    # F.sqrt(dot(...)) float surface the 6dp oracle rounding was
+    # validated against — a driver-side Python norm could differ by an
+    # ulp and flip a rounding boundary
+    cents = _cents_frame(spark, cents_d)
     cn = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
     carr = cents.select(
         F.struct(

@@ -129,8 +129,12 @@ def cosine_similarity_join(
         )
         feats = feats.join(counts.filter(F.col("_df") <= max_df).select("_g"), "_g")
 
-    a = feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
-    b = feats.select(F.col("_id").alias("id_b"), "_g", F.col("_tf").alias("_tfb"))
+    # token-grain feature frame feeding the self-join: never a
+    # broadcast side (AQE runtime demotion sizes by compressed shuffle
+    # bytes — the q36 posting-frame OOM class, r8)
+    join_feats = pin_corpus_agg(feats, small)
+    a = join_feats.select(F.col("_id").alias("id_a"), "_g", F.col("_tf").alias("_tfa"))
+    b = join_feats.select(F.col("_id").alias("id_b"), "_g", F.col("_tf").alias("_tfb"))
     dots = (
         a.join(b, "_g")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -297,6 +301,14 @@ def jaccard_similarity_join(
         )
         .select("_id", "_t", "_n", "_rn")
     )
+    # token-grain posting frame: the same never-broadcast rule as the
+    # aggregates — AQE's RUNTIME join demotion sizes a finished shuffle
+    # by its COMPRESSED bytes, and at the 100× tier it converted this
+    # self-join to a broadcast whose build blew the driver ("Not enough
+    # memory to build and broadcast"), intermittently (r8, q36's
+    # sibling frame). Compressed posting bytes under-signal hash-table
+    # build size.
+    pref = pin_corpus_agg(pref, small)
     a = pref.select(
         F.col("_id").alias("id_a"), "_t", F.col("_n").alias("_na"), F.col("_rn").alias("_ra")
     )
@@ -309,6 +321,14 @@ def jaccard_similarity_join(
     required = F.expr(
         f"({num} * (_na + _nb) + {num + den} - 1) div {num + den}"
     )
+    # explicit repartition BEFORE the dedup, fused with it (the
+    # aggregate reuses the user exchange, so this is not an extra
+    # shuffle): the candidate frame is few MB but feeds the CPU-dense
+    # array_intersect verify, and AQE's byte-based coalescing
+    # serialized it onto 3 tasks (3.4 CPU-s, ~1.2 s wall measured at
+    # sf0.1) — bytes under-signal CPU on array rows. A user
+    # REPARTITION_BY_NUM is exempt from AQE coalescing.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, "_t")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -321,7 +341,8 @@ def jaccard_similarity_join(
             >= required
         )
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(n_par, "id_a", "id_b")
+        .dropDuplicates()
     )
     inter = _intersect_counts(cand, tok, "id_a", "id_b", small)
     sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
@@ -430,10 +451,18 @@ def containment_join(
         .withColumn("_rn", F.row_number().over(w))
         .join(sz, "_id")
     )
-    pref = ranked.filter(
-        F.col("_rn") <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
+    # token-grain posting frames: never a broadcast side — AQE's
+    # runtime demotion sized the finished shuffle by COMPRESSED bytes
+    # and broadcast the full posting rows at 100×, OOMing the build
+    # intermittently (r8; see jaccard's pref note)
+    pref = pin_corpus_agg(
+        ranked.filter(
+            F.col("_rn")
+            <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
+        ),
+        small,
     )
-    full = ranked
+    full = pin_corpus_agg(ranked, small)
     if max_dst_df is not None:
         full = full.filter(F.col("_df") <= max_dst_df)
     src = pref.select(
@@ -454,7 +483,11 @@ def containment_join(
             >= required
         )
         .select("src_id", "dst_id")
-        .distinct()
+        # fused repartition+dedup: AQE-proof parallelism for the
+        # CPU-dense verify (see jaccard_similarity_join's cand note)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     "src_id", "dst_id")
+        .dropDuplicates()
     )
     inter = _intersect_counts(cand, tok, "src_id", "dst_id", small)
     ss = sz.select(F.col("_id").alias("src_id"), F.col("_n").alias("_ns"))

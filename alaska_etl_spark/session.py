@@ -47,15 +47,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce floor 64k, not the 1 MiB default: compressed ARRAY
-        # shuffles under-signal CPU (a 4 MB post-distinct exchange
-        # feeding array_intersect verify was coalesced to 3 tasks —
-        # 3.4 CPU-seconds nearly serial on a 32-core box; measured on
-        # qb0, r8). With parallelismFirst=true the floor only binds
-        # when total/parallelism < 1 MiB, i.e. exactly the small-bytes
-        # CPU-dense regime — at real scale target size is data-driven
-        # and this setting is inert.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # The AQE coalesce floor stays at the 1 MiB default: lowering
+        # it to 64k fixed the simjoin verify (a 4 MB post-distinct
+        # exchange feeding CPU-dense array_intersect was coalesced to
+        # 3 tasks) but cost q50's k-row aggregates ~0.6 s (measured
+        # min-of-4 both ways, r8) — per-stage CPU density is not a
+        # session-level property. CPU-dense small-bytes stages get an
+        # explicit AQE-proof repartition instead (simjoin candidate
+        # frames, q92's Arrow recursion).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # 32 MiB, not 64: every star dim at test SFs is ≤ 11 MiB so
         # nothing is lost locally, while scan-derived frames of the

@@ -108,6 +108,10 @@ HEADLINE = [
     "q50_kmeans_summary",
     # round-7 flagship
     "q20_cdc_chunks",
+    # round-8 flagship: NB scoring + range-exchange global ntile +
+    # bp-exact gains — the model-operations shape (classifier score →
+    # operating table) none of the other headline rows exercise
+    "qn3_lift_gains",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
