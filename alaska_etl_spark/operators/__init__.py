@@ -46,6 +46,7 @@ from alaska_etl_spark.operators.bpe import (  # noqa: F401
 )
 from alaska_etl_spark.operators.dedup import (  # noqa: F401
     blocking_quality,
+    canonical_selection,
     cdc_chunk_stats,
     dup_cluster_sizes,
     lsh_scurve,
@@ -65,6 +66,7 @@ from alaska_etl_spark.operators.dedup import (  # noqa: F401
     write_lsh_index,
 )
 from alaska_etl_spark.operators.embeddings import (  # noqa: F401
+    anisotropy_report,
     l2_normalize,
     label_consistency,
     quantize_int8,
@@ -96,6 +98,11 @@ from alaska_etl_spark.operators.lm import (  # noqa: F401
     perplexity_gate,
     score_bigram_lm,
     train_bigram_lm,
+)
+from alaska_etl_spark.operators.skew import (  # noqa: F401
+    join_cardinality_forecast,
+    key_skew_report,
+    salted_aggregate,
 )
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism  # noqa: F401
 from alaska_etl_spark.operators.ranking import (  # noqa: F401
@@ -137,6 +144,7 @@ from alaska_etl_spark.operators.sketches import (  # noqa: F401
 from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
     categorical_mutual_info,
+    ks_two_sample,
     corr_matrix,
     cuped_adjustment,
     histogram_profile,
@@ -146,6 +154,7 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
 )
 from alaska_etl_spark.operators.splits import (  # noqa: F401
     mixture_report,
+    token_waterfill,
     stratified_sample,
     temperature_sample,
     weighted_sample,

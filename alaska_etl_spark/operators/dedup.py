@@ -1919,3 +1919,67 @@ def cdc_chunk_stats(
         )
         .orderBy(group_col)
     )
+
+
+def canonical_selection(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col,
+    *,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
+    """Keep-BEST canonical selection over near-dup components — the
+    decision step between detection and deletion that keep-FIRST
+    (min-id) dedup gets wrong for training data: within each
+    :func:`connected_components` group, the keeper is the member with
+    the highest quality ``score_col`` (ties → smallest id, so the
+    choice is deterministic and oracle-replayable), and the report
+    says what each cluster keeps vs discards. Members absent from any
+    pair are singletons and never appear (nothing to decide).
+
+    One window per COMPONENT (components are near-cliques — bounded
+    blocks, never a global sort) over the members frame joined to the
+    scores. Returns (component, keeper_id, n_members, keeper_score,
+    score_total, score_discarded) ordered by component; scores are
+    BIGINT (counts/chars/tokens — the caller picks the quality
+    integer)."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("bigint").alias("_s") if isinstance(score_col, str)
+            else score_col.cast("bigint").alias("_s"),
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_s").desc(), F.col("id").asc()
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    keep = ranked.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col("id").alias("keeper_id"),
+        F.col("_s").alias("keeper_score"),
+    )
+    return (
+        scored.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("_s").cast("bigint").alias("score_total"),
+        )
+        .join(keep, "component")
+        .select(
+            "component",
+            "keeper_id",
+            "n_members",
+            "keeper_score",
+            "score_total",
+            (F.col("score_total") - F.col("keeper_score"))
+            .cast("bigint")
+            .alias("score_discarded"),
+        )
+        .orderBy("component")
+    )

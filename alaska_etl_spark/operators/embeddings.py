@@ -349,3 +349,72 @@ def jl_project(
         .groupBy(id_col, "dim_out")
         .agg(F.sum(F.col("_s") * F.col("_q")).cast("bigint").alias("comp_units"))
     )
+
+
+def anisotropy_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    micros: int = 10**6,
+    dead_var: float = 1e-6,
+    unit_scale: int = 10**9,
+) -> DataFrame:
+    """Embedding-space health report: anisotropy + dead dimensions.
+
+    Anisotropy — the squared norm of the MEAN vector — equals the
+    average pairwise cosine of an L2-normalized corpus (E[xᵢ·xⱼ] =
+    ‖E[x]‖² for i≠j, up to the 1/n self term): the well-known
+    "narrow cone" pathology of embedding spaces (Ethayarajh '19) that
+    silently wrecks cosine-threshold dedup (everything looks similar)
+    and IVF cell balance. Dead dimensions (per-dim variance < eps)
+    measure wasted capacity and tell the matryoshka/JL truncation
+    operators what is free to drop.
+
+    Exactness: components quantize once to ``micros`` BIGINTs; per-dim
+    S = Σm and Q = Σm² are exact integers (|m| ≤ 1e6 → Q sums stay
+    < 2⁶³ up to ~9e6 vectors; beyond that lower ``micros``); each
+    per-dim float expression keeps ONE pinned parenthesization with
+    n/S/Q cast to double (products are correctly-rounded IEEE —
+    deterministic, no libm), and the two cross-dim SUMS are quantized
+    to 1e-9 units per dim BEFORE summing (order-free BIGINT — a raw
+    64-way double sum would be summation-order dependent). One
+    posexplode + one hash aggregate + 64-row arithmetic.
+
+    One row: (n_vecs, n_dims, anisotropy, total_variance, n_dead_dims,
+    min_dim_var, max_dim_var)."""
+    from pyspark.sql import functions as F
+
+    comp = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_v")
+    ).select("_d", F.round(F.col("_v") * micros).cast("bigint").alias("_m"))
+    per_dim = comp.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_m").cast("bigint").alias("_s"),
+        F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_q"),
+    )
+    mu2 = float(micros) * float(micros)
+    n_d, s_d, q_d = (
+        F.col("_n").cast("double"),
+        F.col("_s").cast("double"),
+        F.col("_q").cast("double"),
+    )
+    mean_sq = (s_d * s_d) / (n_d * n_d * F.lit(mu2))   # mean[d]²
+    var_d = (n_d * q_d - s_d * s_d) / (n_d * n_d * F.lit(mu2))
+    terms = per_dim.select(
+        "_n",
+        F.round(F.lit(unit_scale) * mean_sq).cast("long").alias("_a_u"),
+        F.round(F.lit(unit_scale) * var_d).cast("long").alias("_v_u"),
+        var_d.alias("_var"),
+    )
+    s = float(unit_scale)
+    return terms.agg(
+        F.max("_n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        (F.sum("_a_u").cast("double") / s).alias("anisotropy"),
+        (F.sum("_v_u").cast("double") / s).alias("total_variance"),
+        F.sum(F.when(F.col("_var") < dead_var, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dead_dims"),
+        F.min("_var").alias("min_dim_var"),
+        F.max("_var").alias("max_dim_var"),
+    )

@@ -185,3 +185,88 @@ def key_skew_report(
             div_half_up("_topn", "nullif(total_rows, 0)", scale) / float(scale)
         ).alias(f"top{top_n}_share"),
     )
+
+
+def join_cardinality_forecast(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+) -> DataFrame:
+    """EXACT join-output forecast before running the join: the output
+    of ``left ⋈ right`` on a key is Σ_k ca(k)·cb(k) over shared keys,
+    computable from the two per-key count tables at a fraction of the
+    join's cost — the planner-grade number that decides whether a
+    fact⋈fact join is runnable at all, plus its skew anatomy (the max
+    single-key product and its share of the output: one hot key owning
+    half the output rows means one reducer owns half the shuffle, the
+    salting trigger :func:`key_skew_report` diagnoses after the fact).
+
+    Everything is an exact BIGINT (products of per-key counts; caller
+    owns the < 2⁶³ envelope — a key pair needs ~3·10⁹ rows on EACH
+    side to overflow). The count frames are key-grain corpus
+    aggregates feeding a join: conditional shuffle_hash pin
+    (operators/hints.py). NULL keys never join (SQL semantics) and are
+    reported separately.
+
+    One row: (n_left, n_right, n_left_keys, n_right_keys,
+    n_shared_keys, n_null_left, n_null_right, predicted_rows,
+    max_key_product, top_share_bp)."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
+
+    la = pin_corpus_agg(
+        left.groupBy(F.col(left_key).alias("_k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ca")
+        ),
+        input_fits_driver(left),
+    )
+    rb = pin_corpus_agg(
+        right.groupBy(F.col(right_key).alias("_k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cb")
+        ),
+        input_fits_driver(right),
+    )
+    shared = la.filter(F.col("_k").isNotNull()).join(
+        rb.filter(F.col("_k").isNotNull()), "_k"
+    )
+    per_key = shared.select((F.col("_ca") * F.col("_cb")).alias("_p"))
+    agg = (
+        la.agg(
+            F.sum("_ca").cast("bigint").alias("n_left"),
+            F.count(F.lit(1)).cast("bigint").alias("n_left_keys"),
+            F.sum(F.when(F.col("_k").isNull(), F.col("_ca")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_left"),
+        )
+        .crossJoin(
+            rb.agg(
+                F.sum("_cb").cast("bigint").alias("n_right"),
+                F.count(F.lit(1)).cast("bigint").alias("n_right_keys"),
+                F.sum(F.when(F.col("_k").isNull(), F.col("_cb")).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_right"),
+            )
+        )
+        .crossJoin(
+            per_key.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+                F.coalesce(F.sum("_p"), F.lit(0)).cast("bigint").alias("predicted_rows"),
+                F.coalesce(F.max("_p"), F.lit(0)).cast("bigint").alias("max_key_product"),
+            )
+        )
+    )
+    return agg.select(
+        "n_left",
+        "n_right",
+        "n_left_keys",
+        "n_right_keys",
+        "n_shared_keys",
+        "n_null_left",
+        "n_null_right",
+        "predicted_rows",
+        "max_key_product",
+        div_half_up(
+            "10000 * max_key_product", "nullif(predicted_rows, 0)"
+        ).alias("top_share_bp"),
+    )

@@ -712,3 +712,95 @@ def mixture_report(
         )
         .orderBy(source_col)
     )
+
+
+def token_waterfill(
+    counts: DataFrame,
+    source_col: str,
+    count_col: str,
+    *,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Exact water-filling token-budget allocation — the "cap the big
+    sources, keep the small ones whole" mixing rule (the integer-exact
+    core of temperature/DoReMi-style rebalancing): given per-source
+    token counts and a budget = ⌊num·total/den⌋, sources below the
+    water level keep everything and the rest are capped at a common
+    level L (the r = remainder largest-capped slots get L+1, assigned
+    in (count, source) order so the split is deterministic and
+    oracle-replayable).
+
+    Exact by construction: with sources ascending, k = max i with
+    P_i + (n−i)·c_i ≤ budget (P = prefix sum); L = (budget−P_k) div
+    (n−k). Then c_k ≤ L < c_{k+1}, so capped allocations never exceed
+    their counts and Σ allocations = budget exactly (when budget ≤
+    total; otherwise everyone is full). All window passes run over the
+    SOURCE-grain frame — dozens of rows, never the corpus; the corpus
+    only pays the one count aggregate the caller provides.
+
+    Returns (source_col, tokens_available, tokens_allocated, capped)
+    ordered by source."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_c"), F.col("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = counts.select(
+        F.col(source_col).alias("_s"), F.col(count_col).cast("bigint").alias("_c")
+    )
+    ranked = base.select(
+        "_s",
+        "_c",
+        F.row_number().over(Window.orderBy("_c", "_s")).alias("_i"),
+        F.sum("_c").over(w).cast("bigint").alias("_P"),
+    )
+    staged = ranked.select(
+        "*",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("_n"),
+        F.expr(f"({budget_num} * sum(_c) OVER ()) div {budget_den}")
+        .cast("bigint")
+        .alias("_budget"),
+    ).select(
+        "*",
+        F.max(
+            F.when(
+                F.col("_P") + (F.col("_n") - F.col("_i")) * F.col("_c")
+                <= F.col("_budget"),
+                F.col("_i"),
+            )
+        )
+        .over(wall)
+        .alias("_k"),
+    )
+    staged = staged.select(
+        "*",
+        F.coalesce(
+            F.max(F.when(F.col("_i") == F.col("_k"), F.col("_P"))).over(wall),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_Pk"),
+    )
+    k = F.coalesce(F.col("_k"), F.lit(0))
+    m = F.col("_n") - k
+    rem = F.col("_budget") - F.col("_Pk")
+    level = F.expr("CASE WHEN _n > coalesce(_k, 0) THEN "
+                   "(_budget - _Pk) div (_n - coalesce(_k, 0)) END").cast("bigint")
+    r = F.expr("CASE WHEN _n > coalesce(_k, 0) THEN "
+               "(_budget - _Pk) % (_n - coalesce(_k, 0)) END").cast("bigint")
+    alloc = F.when(F.col("_i") <= k, F.col("_c")).otherwise(
+        F.least(
+            F.col("_c"),
+            level + F.when(F.col("_i") - k <= r, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return staged.select(
+        F.col("_s").alias(source_col),
+        F.col("_c").alias("tokens_available"),
+        alloc.cast("bigint").alias("tokens_allocated"),
+        (F.col("_i") > k).alias("capped"),
+    ).orderBy(source_col)

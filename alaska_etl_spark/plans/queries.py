@@ -9486,6 +9486,260 @@ ORDER BY t.j_bucket
 QO0_SQL = _qo0_sql()
 
 
+
+
+def qo1_join_forecast(spark, sf_dir):
+    """Exact join-output forecast for the lineitem⋈orders fact join
+    (operators/skew.py join_cardinality_forecast): predicted rows =
+    Σ ca·cb over shared keys from the two per-key count tables, plus
+    the skew anatomy (max single-key product and its output share) —
+    the planner-grade audit that decides whether a fact⋈fact join is
+    runnable and whether its hot key needs salting BEFORE the shuffle
+    is paid. All BIGINTs."""
+    from alaska_etl_spark.operators.skew import join_cardinality_forecast
+
+    return join_cardinality_forecast(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+    )
+
+
+QO1_SQL = """
+WITH la AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca FROM lineitem GROUP BY 1
+), rb AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb FROM orders GROUP BY 1
+), shared AS (
+  SELECT ca * cb AS p FROM la JOIN rb USING (k) WHERE k IS NOT NULL
+)
+SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM la) AS n_left,
+       (SELECT CAST(sum(cb) AS BIGINT) FROM rb) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM la) AS n_left_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM rb) AS n_right_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM shared) AS n_shared_keys,
+       (SELECT CAST(coalesce(sum(ca) FILTER (WHERE k IS NULL), 0) AS BIGINT) FROM la) AS n_null_left,
+       (SELECT CAST(coalesce(sum(cb) FILTER (WHERE k IS NULL), 0) AS BIGINT) FROM rb) AS n_null_right,
+       (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) FROM shared) AS predicted_rows,
+       (SELECT CAST(coalesce(max(p), 0) AS BIGINT) FROM shared) AS max_key_product,
+       CAST((2 * 10000 * (SELECT coalesce(max(p), 0) FROM shared)
+             + nullif((SELECT coalesce(sum(p), 0) FROM shared), 0))
+            // (2 * nullif((SELECT coalesce(sum(p), 0) FROM shared), 0)) AS BIGINT)
+         AS top_share_bp
+"""
+
+
+def qo2_canonical_keepers(spark, sf_dir):
+    """Keep-BEST canonical selection over the q42/q03 near-dup
+    components (operators/dedup.py canonical_selection): per cluster,
+    the longest-text member wins (ties → smallest id), and the report
+    carries kept vs discarded quality mass — the decision table between
+    detection and deletion that min-id keep-first gets wrong for
+    training data. Components replay through the same recursive-CTE
+    oracle as q03; one window per component (near-cliques, bounded
+    blocks)."""
+    from alaska_etl_spark.operators.dedup import (
+        canonical_selection,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_id=200
+    ).select("id_a", "id_b")
+    return canonical_selection(
+        d.filter(F.col("doc_id") < 200), pairs, "doc_id", F.length("text")
+    )
+
+
+QO2_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + _Q42_PAIRS_SQL
+    + """), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+), scored AS (
+  SELECT c.component, c.id, CAST(length(d.text) AS BIGINT) AS s
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+), keep AS (
+  SELECT component, id AS keeper_id, s AS keeper_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY component ORDER BY s DESC, id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT s.component, k.keeper_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       k.keeper_score,
+       CAST(sum(s.s) AS BIGINT) AS score_total,
+       CAST(sum(s.s) - k.keeper_score AS BIGINT) AS score_discarded
+FROM scored s JOIN keep k USING (component)
+GROUP BY s.component, k.keeper_id, k.keeper_score
+ORDER BY s.component
+"""
+)
+QO2_SQL = _mat(QO2_SQL, "toks", "sh", "pairs", "edges")
+
+
+def qo3_embedding_anisotropy(spark, sf_dir):
+    """Embedding-space health report (operators/embeddings.py
+    anisotropy_report): anisotropy = squared mean-vector norm = the
+    average pairwise cosine of the L2-normalized corpus (the
+    narrow-cone pathology that wrecks cosine-threshold dedup), plus
+    dead-dimension counts for the truncation operators. Per-dim exact
+    integer moments; cross-dim sums ride 1e-9 fixed-point units
+    (order-free); per-dim floats keep one pinned IEEE shape."""
+    from alaska_etl_spark.operators.embeddings import anisotropy_report
+
+    return anisotropy_report(_t(spark, sf_dir, "embeddings"))
+
+
+QO3_SQL = """
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT generate_subscripts(v, 1) AS d,
+         CAST(round(unnest(v) * 1000000) AS BIGINT) AS m
+  FROM e
+), per_dim AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+         CAST(sum(m * m) AS BIGINT) AS q
+  FROM comp GROUP BY d
+), terms AS (
+  SELECT n,
+    CAST(round(1000000000 * ((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0))) AS BIGINT) AS au,
+    CAST(round(1000000000 * ((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0))) AS BIGINT) AS vu,
+    (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0) AS var
+  FROM per_dim
+)
+SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(au) AS DOUBLE) / 1000000000.0 AS anisotropy,
+       CAST(sum(vu) AS DOUBLE) / 1000000000.0 AS total_variance,
+       CAST(count(*) FILTER (WHERE var < 1e-6) AS BIGINT) AS n_dead_dims,
+       min(var) AS min_dim_var,
+       max(var) AS max_dim_var
+FROM terms
+"""
+
+
+
+
+def qo4_ks_split_check(spark, sf_dir):
+    """Split-parity validation: exact two-sample Kolmogorov-Smirnov
+    statistic on n_chars between the q68 hash-split's train and test
+    halves (operators/stats.py ks_two_sample) — the binless classical
+    test PSI's fixed bins can miss. Integer to the last step: cumulative
+    counts over the distinct-value frame, CDF gaps on the common
+    n_a·n_b denominator, one final double division."""
+    from alaska_etl_spark.operators.splits import hash_split
+    from alaska_etl_spark.operators.stats import ks_two_sample
+
+    d = hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        weights={"train": 0.8, "test": 0.2}, seed=7,
+    )
+    return ks_two_sample(d, "split", "train", "test", "n_chars")
+
+
+def _qo4_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    split = hash_split_sql("doc_id", weights={"train": 0.8, "test": 0.2}, seed=7)
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT n_chars, ({split}) = 'train' AS a
+  FROM documents WHERE n_chars IS NOT NULL
+), counts AS (
+  SELECT CAST(round(n_chars * 1) AS BIGINT) AS v,
+         CAST(count(*) FILTER (WHERE a) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS cb
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n_b
+  FROM s
+), cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS CA,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS CB
+  FROM counts
+)
+SELECT n_a, n_b,
+       CAST(max(abs(CA * n_b - CB * n_a)) AS BIGINT) AS ks_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(max(abs(CA * n_b - CB * n_a)) AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE)
+       END AS ks
+FROM cum, tot GROUP BY n_a, n_b
+"""
+
+
+QO4_SQL = _qo4_sql()
+
+
+def qo5_token_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation across sources
+    (operators/splits.py token_waterfill): per-source token counts
+    from one corpus aggregate, budget = ⌊3·total/5⌋; sources under the
+    water level keep everything, the rest cap at a common integer
+    level with deterministic remainder slots — the integer-exact core
+    of cap-style rebalancing, summing to the budget EXACTLY. Window
+    passes run over the source-grain frame only."""
+    from alaska_etl_spark.operators.dedup import word_tokens
+    from alaska_etl_spark.operators.splits import token_waterfill
+
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(word_tokens("text"))).cast("bigint").alias("n_tokens"))
+    )
+    return token_waterfill(
+        counts, "source", "n_tokens", budget_num=3, budget_den=5
+    )
+
+
+QO5_SQL = r"""
+WITH counts AS MATERIALIZED (
+  SELECT source AS s,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS c
+  FROM documents GROUP BY source
+), ranked AS (
+  SELECT s, c,
+         CAST(row_number() OVER (ORDER BY c, s) AS BIGINT) AS i,
+         CAST(sum(c) OVER (ORDER BY c, s) AS BIGINT) AS P,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST((3 * sum(c) OVER ()) // 5 AS BIGINT) AS budget
+  FROM counts
+), staged AS (
+  SELECT *,
+         max(CASE WHEN P + (n - i) * c <= budget THEN i END) OVER () AS k
+  FROM ranked
+), staged2 AS (
+  SELECT *,
+         CAST(coalesce(max(CASE WHEN i = k THEN P END) OVER (), 0) AS BIGINT) AS Pk
+  FROM staged
+)
+SELECT s AS source,
+       c AS tokens_available,
+       CAST(CASE WHEN i <= coalesce(k, 0) THEN c
+            ELSE least(c, (budget - Pk) // (n - coalesce(k, 0))
+                          + CASE WHEN i - coalesce(k, 0)
+                                      <= (budget - Pk) % (n - coalesce(k, 0))
+                                 THEN 1 ELSE 0 END)
+       END AS BIGINT) AS tokens_allocated,
+       i > coalesce(k, 0) AS capped
+FROM staged2 ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -9628,6 +9882,11 @@ QUERIES = {
     "qn8_winsorize": qn8_winsorize,
     "qn9_format_validity": qn9_format_validity,
     "qo0_lsh_scurve": qo0_lsh_scurve,
+    "qo1_join_forecast": qo1_join_forecast,
+    "qo2_canonical_keepers": qo2_canonical_keepers,
+    "qo3_embedding_anisotropy": qo3_embedding_anisotropy,
+    "qo4_ks_split_check": qo4_ks_split_check,
+    "qo5_token_waterfill": qo5_token_waterfill,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -9924,6 +10183,11 @@ ORACLES = {
     "qn8_winsorize": QN8_SQL,
     "qn9_format_validity": QN9_SQL,
     "qo0_lsh_scurve": QO0_SQL,
+    "qo1_join_forecast": QO1_SQL,
+    "qo2_canonical_keepers": QO2_SQL,
+    "qo3_embedding_anisotropy": QO3_SQL,
+    "qo4_ks_split_check": QO4_SQL,
+    "qo5_token_waterfill": QO5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1672,3 +1672,81 @@ def stream_quantile_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_late_audit(
+    stream_df: DataFrame,
+    store_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str,
+    delay_seconds: int,
+) -> None:
+    """Late-data audit — the evidence a watermark delay is tuned BY:
+    per micro-batch, how many rows arrive with event time older than
+    the stream's high-watermark (max event ts over all PRIOR files)
+    minus ``delay_seconds``, i.e. exactly the rows a
+    ``withWatermark(delay)`` aggregate would have silently dropped.
+    Running it beside a windowed pipeline turns "pick 2 hours" from
+    folklore into a measured loss curve.
+
+    Durable-store contract of the monitor family
+    (:func:`_unseen_src_files`): per-file rows carry (max_ts, n_rows,
+    n_late-at-arrival), so replays and recycled batch ids dedup at the
+    file grain, and the high-watermark rebuilds from the store (one
+    max over O(files) rows) rather than checkpoint state. Metrics:
+    (batch_id, n_rows, n_late, hwm) per trigger with new files."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tagged = batch_df.select(
+            F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
+            F.input_file_name().alias("_src"),
+        ).filter(F.col("_ts").isNotNull())
+        tagged, new_files = _unseen_src_files(
+            spark, tagged, store_path, batch_id, "_ts"
+        )
+        if not new_files:
+            return
+        have = _hdfs_exists(spark, store_path)
+        hwm = None
+        if have:
+            hwm = (
+                spark.read.parquet(store_path)
+                .agg(F.max("_max_ts").alias("m"))
+                .head(1)[0]["m"]
+            )
+        sub = tagged.filter(F.col("_src").isin(new_files))
+        late = (
+            F.lit(False)
+            if hwm is None
+            else F.col("_ts")
+            < (F.lit(hwm) - F.expr(f"INTERVAL {delay_seconds} SECONDS"))
+        )
+        rows = sub.groupBy("_src").agg(
+            F.max("_ts").alias("_max_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("_n_late"),
+        )
+        rows = rows.localCheckpoint()  # compute once: store write + totals
+        rows.withColumn("batch_id", F.lit(batch_id).cast("bigint")) \
+            .write.mode("append").parquet(store_path)
+        # totals from THIS trigger's rows, not a batch_id filter over
+        # the store — recycled ids must not mix two batches' totals
+        tot = rows.agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.sum("_n_late").cast("bigint").alias("n_late"),
+        ).head(1)[0]
+        spark.createDataFrame(
+            [(batch_id, int(tot["n_rows"] or 0), int(tot["n_late"] or 0), hwm)],
+            "batch_id bigint, n_rows bigint, n_late bigint, hwm timestamp_ntz",
+        ).write.mode("append").parquet(metrics_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -655,3 +655,23 @@ def test_lsh_scurve_consistency_with_blocking_quality(spark):
     assert top.j_bucket == 9 and top.n_detected >= 1
     # true pairs at J >= 1/2 caught by bands == blocking_quality's n_hit
     assert bq.n_hit <= sum(r.n_detected for r in curve if r.j_bucket >= 5)
+
+
+def test_canonical_selection_keeps_best_with_ties(spark):
+    from alaska_etl_spark.operators.dedup import canonical_selection
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (10, 7), (11, 7)],
+        "doc_id bigint, quality bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = {r.component: r for r in canonical_selection(
+        docs, pairs, "doc_id", "quality"
+    ).collect()}
+    c1 = out[1]  # chain 1-2-3-4: best score 30 tied by ids 2,3 -> keep 2
+    assert (c1.keeper_id, c1.n_members, c1.keeper_score) == (2, 4, 30)
+    assert (c1.score_total, c1.score_discarded) == (75, 45)
+    c10 = out[10]  # pair 10-11 tied at 7 -> keep 10
+    assert (c10.keeper_id, c10.n_members, c10.score_discarded) == (10, 2, 7)

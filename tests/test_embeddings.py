@@ -161,3 +161,27 @@ def test_jl_project_null_embedding_emits_no_rows(spark):
     )
     out = jl_project(emb, in_dims=2, out_dims=2).collect()
     assert {r.vec_id for r in out} == {0}
+
+
+def test_anisotropy_report_extremes(spark):
+    from alaska_etl_spark.operators.embeddings import anisotropy_report
+
+    # degenerate cone: every vector identical and unit-norm -> mean
+    # vector has norm 1, anisotropy == 1, zero variance, all dims dead
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = anisotropy_report(same).collect()[0]
+    assert (r.n_vecs, r.n_dims) == (10, 4)
+    assert abs(r.anisotropy - 1.0) < 1e-6
+    assert r.total_variance == 0.0 and r.n_dead_dims == 4
+
+    # balanced orthogonal basis: mean = (1/4,..) -> anisotropy 4*(1/16)
+    basis = spark.createDataFrame(
+        [(i, [1.0 if d == i % 4 else 0.0 for d in range(4)]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r2 = anisotropy_report(basis).collect()[0]
+    assert abs(r2.anisotropy - 0.25) < 1e-6
+    assert r2.n_dead_dims == 0 and r2.total_variance > 0.5

@@ -101,3 +101,24 @@ def test_key_skew_report_matches_fraction_replica(spark):
     tu = (2 * 10**6 * top10 + t) // (2 * t)
     assert r.top10_share == tu / 1e6
     assert (r.n_keys, r.total_rows) == (n, t)
+
+
+def test_join_cardinality_forecast_exact(spark):
+    from alaska_etl_spark.operators.skew import join_cardinality_forecast
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (None,), (None,)], "k bigint"
+    )
+    r = join_cardinality_forecast(left, "k", right, "k").collect()[0]
+    assert (r.n_left, r.n_right) == (5, 5)
+    assert (r.n_left_keys, r.n_right_keys) == (3, 3)  # NULL is a key group
+    assert (r.n_null_left, r.n_null_right) == (1, 2)
+    assert r.n_shared_keys == 1  # only k=1 joins (NULLs never do)
+    assert r.predicted_rows == 6 and r.max_key_product == 6
+    assert r.top_share_bp == 10000
+    # the forecast IS the actual inner-join count
+    actual = left.join(right, "k").count()
+    assert actual == r.predicted_rows

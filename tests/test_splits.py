@@ -420,3 +420,35 @@ def test_target_encode_oof_singleton_category_gets_prior(spark):
     gn = 11
     exp = ((2 * 10000 * (10 * gs) + 10 * gn) // (2 * 10 * gn)) / 10000.0
     assert out[1].n_oof == 0 and out[1].enc == exp
+
+
+def test_token_waterfill_exact_budget(spark):
+    from alaska_etl_spark.operators.splits import token_waterfill
+
+    counts = spark.createDataFrame(
+        [("s1", 10), ("s2", 20), ("s3", 100), ("s4", 200)],
+        "source string, n bigint",
+    )
+    # total 330, budget = 330*3 div 5 = 198; s1,s2 full (30);
+    # remaining 168 over 2 -> level 84, remainder 0
+    out = {r.source: r for r in token_waterfill(
+        counts, "source", "n", budget_num=3, budget_den=5
+    ).collect()}
+    assert out["s1"].tokens_allocated == 10 and not out["s1"].capped
+    assert out["s2"].tokens_allocated == 20 and not out["s2"].capped
+    assert out["s3"].tokens_allocated == 84 and out["s3"].capped
+    assert out["s4"].tokens_allocated == 84 and out["s4"].capped
+    assert sum(r.tokens_allocated for r in out.values()) == 198
+
+    # remainder distribution: budget = 330 div 2 = 165; full 30,
+    # remaining 135 over 2 -> level 67 r 1 -> s3 gets 68 (smaller capped)
+    out2 = {r.source: r for r in token_waterfill(
+        counts, "source", "n", budget_num=1, budget_den=2
+    ).collect()}
+    assert out2["s3"].tokens_allocated == 68
+    assert out2["s4"].tokens_allocated == 67
+    assert sum(r.tokens_allocated for r in out2.values()) == 165
+
+    # budget >= total: everyone full, nobody capped
+    out3 = token_waterfill(counts, "source", "n", budget_num=2, budget_den=1).collect()
+    assert all(r.tokens_allocated == r.tokens_available and not r.capped for r in out3)

@@ -629,3 +629,22 @@ def test_winsorize_report_hand_case(spark):
     assert r.clip_bp == 100  # 1/100 in bp
     assert abs(r.mean_before - 50.5) < 1e-9
     assert abs(r.mean_after - 50.49) < 1e-9  # 100 clipped to 99
+
+
+def test_ks_two_sample_exact(spark):
+    from alaska_etl_spark.operators.stats import ks_two_sample
+
+    # a: 1,2,3,4  b: 3,4,5,6 -> max CDF gap at value 2: |2/4 - 0/4| = .5
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (3.0, 4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "g", "a", "b", "v").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.ks_num == 8  # |2*4 - 0*4|
+    assert r.ks == 0.5
+    # identical samples -> ks 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    assert ks_two_sample(same, "g", "a", "b", "v").collect()[0].ks == 0.0

@@ -803,3 +803,45 @@ def test_stream_quantile_monitor_exact_and_replay_safe(spark, tmp_path):
     assert tail, "new file must be counted exactly once"
     assert tail[0.9].value == 1000.0  # 25 x 1000 shifts p90
     assert tail[0.5].value == 63.0    # ceil(0.5*125)=63rd of 1..100,1000x25
+
+
+def test_stream_late_audit_counts_would_be_dropped_rows(spark, tmp_path):
+    """Rows older than (high-watermark − delay) are counted as late;
+    the first batch has no prior watermark so nothing is late; replay
+    after checkpoint loss adds nothing (per-file store)."""
+    import shutil
+
+    from alaska_etl_spark.streaming.incremental import stream_late_audit
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, metrics, ckpt = (
+        str(tmp_path / "store"), str(tmp_path / "metrics"), str(tmp_path / "ckpt"),
+    )
+
+    def write(name, stamps):
+        (src / name).write_text(
+            "\n".join(f'{{"ts": "{t}"}}' for t in stamps) + "\n"
+        )
+
+    stream = lambda: stream_late_audit(  # noqa: E731
+        spark.readStream.schema("ts timestamp").json(str(src)),
+        store, metrics, ckpt, ts_col="ts", delay_seconds=3600,
+    )
+    write("b1.json", ["2024-01-01 10:00:00", "2024-01-01 12:00:00"])
+    stream()
+    # hwm is now 12:00; delay 1h → cutoff 11:00. One row at 10:30 is
+    # fine... 10:30 < 11:00 → LATE; 11:30 is not.
+    write("b2.json", ["2024-01-01 10:30:00", "2024-01-01 11:30:00"])
+    stream()
+    m = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
+    first = min(m)
+    assert m[first].n_late == 0 and m[first].n_rows == 2
+    last = max(m)
+    assert m[last].n_rows == 2 and m[last].n_late == 1
+    assert m[last].hwm is not None
+
+    n_store = spark.read.parquet(store).count()
+    shutil.rmtree(ckpt)
+    stream()  # full replay: both files already stored → no-op
+    assert spark.read.parquet(store).count() == n_store
