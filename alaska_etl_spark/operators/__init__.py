@@ -79,6 +79,7 @@ from alaska_etl_spark.operators.layout import (  # noqa: F401
 )
 from alaska_etl_spark.operators.sessions import (  # noqa: F401
     concurrency_by_day,
+    last_touch_attribution,
     session_stats,
     sessionize,
 )

@@ -302,3 +302,75 @@ def episode_support(
             F.countDistinct("_k").cast("bigint").alias("support"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str,
+    touch_types: "list[str]",
+    window_days: int = 7,
+) -> DataFrame:
+    """Last-touch conversion attribution — the canonical marketing/
+    product-analytics credit rule: each conversion event credits the
+    user's most recent PRIOR attributable touch within
+    ``window_days``; conversions with no qualifying touch report as
+    ``(none)``. The missing sibling of sessionize/funnel in the
+    behavioral family: funnels ask "did the sequence happen",
+    attribution asks "which step gets the credit".
+
+    One exchange + one sort: the per-user window carries the last
+    attributable (ts, type) via ``last(..., ignorenulls=True)`` over
+    rows-up-to-previous — no self-join against the touch stream, which
+    is the naive O(conversions × touches-per-user) shape. The order is
+    (ts, id) so same-timestamp events resolve deterministically on any
+    engine. Returns (touch_type, n_conversions, share_bp) ordered."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(touch_types)
+    tagged = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        type_col,
+        F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("_tts"),
+        F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
+        .over(w)
+        .alias("_tty"),
+    ).filter(F.col(type_col) == conversion_type)
+    credit = F.when(
+        F.col("_tts").isNotNull()
+        & (
+            F.col("_tts")
+            >= F.col(ts_col) - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+        F.col("_tty"),
+    ).otherwise(F.lit("(none)"))
+    per = tagged.groupBy(credit.alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per.withColumn(
+            "_tot", F.sum("n_conversions").over(wall).cast("bigint")
+        )
+        .select(
+            "touch_type",
+            "n_conversions",
+            div_half_up("10000 * n_conversions", "_tot").alias("share_bp"),
+        )
+        .orderBy("touch_type")
+    )

@@ -9740,6 +9740,55 @@ FROM staged2 ORDER BY source
 """
 
 
+
+
+def qo6_attribution(spark, sf_dir):
+    """Attribution CREDIT-SHARE rollup (operators/sessions.py
+    last_touch_attribution) — the aggregated sibling of qd3's
+    per-purchase as-of attribution: same last-touch rule, but with an
+    explicit validity window (7 days; stale touches fall into a
+    '(none)' bucket qd3's inner as-of join drops), signup as a third
+    channel, and the report a campaign dashboard actually shows
+    (credit counts + half-up 4dp shares per channel). Physically the
+    OTHER strategy for the same semantics: one per-user window over
+    the unified stream (ordered (ts, event_id) — engine-deterministic
+    ties) instead of qd3's reduce-then-as-of join — the shared-sort
+    form wins when conversions are dense per user, the as-of join when
+    touches dwarf conversions."""
+    from alaska_etl_spark.operators.sessions import last_touch_attribution
+
+    return last_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        window_days=7,
+    )
+
+
+QO6_SQL = """
+WITH tagged AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type IN ('view','click','signup') THEN ts END IGNORE NULLS)
+           OVER w AS tts,
+         last_value(CASE WHEN event_type IN ('view','click','signup') THEN event_type END IGNORE NULLS)
+           OVER w AS tty
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT CASE WHEN tts IS NOT NULL AND tts >= ts - INTERVAL 7 DAY
+              THEN tty ELSE '(none)' END AS touch_type
+  FROM tagged WHERE event_type = 'purchase'
+), per AS (
+  SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions FROM conv GROUP BY 1
+)
+SELECT touch_type, n_conversions,
+       CAST((2 * 10000 * n_conversions + sum(n_conversions) OVER ())
+            // (2 * sum(n_conversions) OVER ()) AS BIGINT) AS share_bp
+FROM per ORDER BY touch_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -9887,6 +9936,7 @@ QUERIES = {
     "qo3_embedding_anisotropy": qo3_embedding_anisotropy,
     "qo4_ks_split_check": qo4_ks_split_check,
     "qo5_token_waterfill": qo5_token_waterfill,
+    "qo6_attribution": qo6_attribution,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10188,6 +10238,7 @@ ORACLES = {
     "qo3_embedding_anisotropy": QO3_SQL,
     "qo4_ks_split_check": QO4_SQL,
     "qo5_token_waterfill": QO5_SQL,
+    "qo6_attribution": QO6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "q30_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from alaska_etl_spark.operators.sessions import session_stats, sessionize
 
 
@@ -253,3 +255,36 @@ def test_episode_support_matches_bruteforce(spark):
                 sup[(sa, sb)].add(u)
     exp = {k: (occ[k], len(sup[k])) for k in occ}
     assert got == exp
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    from alaska_etl_spark.operators.sessions import last_touch_attribution
+
+    rows = [
+        # user 1: click at d1, purchase at d3 -> credited to click
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (2, 1, "2024-01-03 10:00:00", "purchase"),
+        # user 2: view 10 days before purchase -> outside 7d -> (none)
+        (3, 2, "2024-01-01 10:00:00", "view"),
+        (4, 2, "2024-01-11 10:00:00", "purchase"),
+        # user 3: view then click SAME ts as purchase-1s; last touch = click
+        (5, 3, "2024-01-02 09:00:00", "view"),
+        (6, 3, "2024-01-02 10:00:00", "click"),
+        (7, 3, "2024-01-02 10:00:01", "purchase"),
+        # user 4: purchase with no prior events at all -> (none)
+        (8, 4, "2024-01-05 10:00:00", "purchase"),
+        # non-conversion rows never appear in the report
+        (9, 5, "2024-01-06 10:00:00", "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r.touch_type: r for r in last_touch_attribution(
+        ev, conversion_type="purchase",
+        touch_types=["view", "click", "signup"], window_days=7,
+    ).collect()}
+    assert out["click"].n_conversions == 2   # users 1 and 3
+    assert out["(none)"].n_conversions == 2  # users 2 (stale) and 4 (none)
+    assert "view" not in out
+    assert sum(r.n_conversions for r in out.values()) == 4
+    assert out["click"].share_bp == 5000
