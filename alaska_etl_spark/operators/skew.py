@@ -187,6 +187,20 @@ def key_skew_report(
     )
 
 
+def _top_share_bp_expr() -> "F.Column":
+    """round_half_up(10000·max_key_product/predicted_rows) over
+    decimal(38,0) intermediates — the 2·10⁴·max term would overflow
+    BIGINT at max ≈ 4.6·10¹⁴ (ADVICE r8); decimal keeps the share
+    exact for the full < 2⁶³ product envelope, matching the oracle's
+    HUGEINT promotion. Spark ``div`` on decimals returns BIGINT."""
+    return F.expr(
+        "cast((2 * 10000 * cast(max_key_product as decimal(38,0))"
+        " + nullif(predicted_rows, 0))"
+        " div (2 * cast(nullif(predicted_rows, 0) as decimal(38,0)))"
+        " as bigint)"
+    )
+
+
 def join_cardinality_forecast(
     left: DataFrame,
     left_key: str,
@@ -204,7 +218,12 @@ def join_cardinality_forecast(
 
     Everything is an exact BIGINT (products of per-key counts; caller
     owns the < 2⁶³ envelope — a key pair needs ~3·10⁹ rows on EACH
-    side to overflow). The count frames are key-grain corpus
+    side to overflow). ``top_share_bp`` is computed over decimal(38,0)
+    intermediates (HUGEINT on the DuckDB twin) so the 2·10⁴·max term
+    keeps the SAME < 2⁶³ envelope as the products themselves — the raw
+    BIGINT form would overflow at max_key_product ≈ 4.6·10¹⁴, four
+    orders of magnitude before the documented bound (ADVICE r8). The
+    count frames are key-grain corpus
     aggregates feeding a join: conditional shuffle_hash pin
     (operators/hints.py). NULL keys never join (SQL semantics) and are
     reported separately.
@@ -212,7 +231,6 @@ def join_cardinality_forecast(
     One row: (n_left, n_right, n_left_keys, n_right_keys,
     n_shared_keys, n_null_left, n_null_right, predicted_rows,
     max_key_product, top_share_bp)."""
-    from alaska_etl_spark.functions.fixedpoint import div_half_up
     from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
 
     la = pin_corpus_agg(
@@ -266,7 +284,5 @@ def join_cardinality_forecast(
         "n_null_right",
         "predicted_rows",
         "max_key_product",
-        div_half_up(
-            "10000 * max_key_product", "nullif(predicted_rows, 0)"
-        ).alias("top_share_bp"),
+        _top_share_bp_expr().alias("top_share_bp"),
     )

@@ -727,9 +727,10 @@ def token_waterfill(
     core of temperature/DoReMi-style rebalancing): given per-source
     token counts and a budget = ⌊num·total/den⌋, sources below the
     water level keep everything and the rest are capped at a common
-    level L (the r = remainder largest-capped slots get L+1, assigned
-    in (count, source) order so the split is deterministic and
-    oracle-replayable).
+    level L (the r = remainder slots get L+1, assigned to the r
+    SMALLEST capped sources in ascending (count, source) order —
+    positions k+1..k+r of the ranking — so the split is deterministic
+    and oracle-replayable).
 
     Exact by construction: with sources ascending, k = max i with
     P_i + (n−i)·c_i ≤ budget (P = prefix sum); L = (budget−P_k) div
@@ -786,8 +787,6 @@ def token_waterfill(
         .alias("_Pk"),
     )
     k = F.coalesce(F.col("_k"), F.lit(0))
-    m = F.col("_n") - k
-    rem = F.col("_budget") - F.col("_Pk")
     level = F.expr("CASE WHEN _n > coalesce(_k, 0) THEN "
                    "(_budget - _Pk) div (_n - coalesce(_k, 0)) END").cast("bigint")
     r = F.expr("CASE WHEN _n > coalesce(_k, 0) THEN "

@@ -1070,7 +1070,11 @@ def categorical_mutual_info(
     pair-tagged explode + ONE hash aggregate to the (pair, x, y) cell
     frame; margins and totals re-aggregate THAT reduced frame (bounded
     by category cardinality, not rows). NULL categories count as their
-    own level on both engines.
+    own level on both engines: values are coalesced to a NUL-prefixed
+    sentinel BEFORE the cell aggregate, so the margin joins (which are
+    null-unsafe equi-joins) never drop a NULL-level cell from the MI
+    sum — without the sentinel, a NULL cell is counted in n_rows and
+    both entropies but silently excluded from mi_nats.
 
     Returns (subject, object, n_rows, n_cells, mi_nats, h_subject_nats,
     h_object_nats) ordered by (subject, object)."""
@@ -1079,8 +1083,8 @@ def categorical_mutual_info(
             F.struct(
                 F.lit(x).alias("_sub"),
                 F.lit(y).alias("_obj"),
-                F.col(x).cast("string").alias("_x"),
-                F.col(y).cast("string").alias("_y"),
+                F.coalesce(F.col(x).cast("string"), F.lit("\x00null")).alias("_x"),
+                F.coalesce(F.col(y).cast("string"), F.lit("\x00null")).alias("_y"),
             )
             for x, y in pairs
         ]

@@ -9151,7 +9151,8 @@ SELECT '{x}' AS subject, '{y}' AS object, n_rows, n_cells, mi_nats,
        h_subject_nats, h_object_nats
 FROM (
   WITH cells AS MATERIALIZED (
-    SELECT CAST({x} AS VARCHAR) AS xv, CAST({y} AS VARCHAR) AS yv,
+    SELECT coalesce(CAST({x} AS VARCHAR), chr(0) || 'null') AS xv,
+           coalesce(CAST({y} AS VARCHAR), chr(0) || 'null') AS yv,
            CAST(count(*) AS BIGINT) AS nxy
     FROM {t} GROUP BY 1, 2
   ), mx AS (SELECT xv, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY xv
@@ -9521,9 +9522,9 @@ SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM la) AS n_left,
        (SELECT CAST(coalesce(sum(cb) FILTER (WHERE k IS NULL), 0) AS BIGINT) FROM rb) AS n_null_right,
        (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) FROM shared) AS predicted_rows,
        (SELECT CAST(coalesce(max(p), 0) AS BIGINT) FROM shared) AS max_key_product,
-       CAST((2 * 10000 * (SELECT coalesce(max(p), 0) FROM shared)
+       CAST((2 * 10000 * (SELECT CAST(coalesce(max(p), 0) AS HUGEINT) FROM shared)
              + nullif((SELECT coalesce(sum(p), 0) FROM shared), 0))
-            // (2 * nullif((SELECT coalesce(sum(p), 0) FROM shared), 0)) AS BIGINT)
+            // (2 * CAST(nullif((SELECT coalesce(sum(p), 0) FROM shared), 0) AS HUGEINT)) AS BIGINT)
          AS top_share_bp
 """
 

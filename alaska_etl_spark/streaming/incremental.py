@@ -1450,15 +1450,20 @@ def _unseen_src_files(
     unit, so this dedup survives both recreated checkpoints (recycled
     batch ids over NEW data are new files → counted) and rebatched
     replays (a combined re-delivery decomposes into the same per-file
-    units → skipped). Non-file sources (empty input_file_name) fall
-    back to a (batch_id, order-free content signature) key — safe
-    against recycled-id undercounts only. The signature folds each
+    units → skipped). Non-file rows (empty input_file_name) fall back
+    to a (batch_id, order-free content signature) key — safe against
+    recycled-id undercounts only — and the fallback is PER ROW-GROUP,
+    not per batch: in a mixed batch (some rows file-tagged, some not)
+    only the blank rows are rekeyed to the signature key, so the empty
+    string is never stored as a "file" that silently marks every later
+    non-file row as already seen (ADVICE r8). The signature folds each
     value's xxhash64 through pmod 2³¹ before the sum, so Σ over n rows
     stays < n·2³¹ (no ANSI overflow) and any partitioning of a replay
     matches."""
+    blank = F.col("_src").isNull() | (F.col("_src") == "")
     files = [r["_src"] for r in tagged.select("_src").distinct().collect()]
-    if files and all(not f for f in files):
-        s = tagged.agg(
+    if any(not f for f in files):
+        s = tagged.filter(blank).agg(
             F.coalesce(
                 F.sum(F.pmod(F.xxhash64(F.col(content_col).cast("string")), F.lit(1 << 31))),
                 F.lit(0),
@@ -1466,8 +1471,10 @@ def _unseen_src_files(
             F.count(F.lit(1)).cast("bigint").alias("_c"),
         ).head(1)[0]
         key = f"batch:{batch_id}:{int(s['_h'])}:{int(s['_c'])}"
-        tagged = tagged.withColumn("_src", F.lit(key))
-        files = [key]
+        tagged = tagged.withColumn(
+            "_src", F.when(blank, F.lit(key)).otherwise(F.col("_src"))
+        )
+        files = [f for f in files if f] + [key]
     if not files or not _hdfs_exists(spark, store_path):
         return tagged, files
     probe = spark.createDataFrame([(f,) for f in files], "_src string")

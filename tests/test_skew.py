@@ -122,3 +122,34 @@ def test_join_cardinality_forecast_exact(spark):
     # the forecast IS the actual inner-join count
     actual = left.join(right, "k").count()
     assert actual == r.predicted_rows
+
+
+def test_join_cardinality_forecast_share_survives_huge_products(spark):
+    """top_share_bp at the DOCUMENTED envelope: key products near 2^63
+    (ADVICE r8 — the raw BIGINT 2*10000*max form overflowed at
+    max_key_product ~ 4.6e14; the decimal(38,0) lane must not). Counts
+    ~3e9 per side give a product ~8.9e18 < 2^63."""
+    from alaska_etl_spark.operators.skew import join_cardinality_forecast
+
+    import pyspark.sql.functions as F
+
+    from alaska_etl_spark.operators.skew import _top_share_bp_expr
+
+    big = 2_980_000_000  # ~3e9 rows per side for one key
+    # the arithmetic tail is the subject (3e9 real rows per side is
+    # infeasible in a unit test): feed the OPERATOR'S share expression
+    # pre-aggregated per-key count frames at the documented envelope
+    la = spark.createDataFrame([(1, big), (2, 7)], "k bigint, _ca bigint")
+    rb = spark.createDataFrame([(1, big), (3, 5)], "k bigint, _cb bigint")
+    shared = la.join(rb, "k").select((F.col("_ca") * F.col("_cb")).alias("_p"))
+    agg = shared.agg(
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("bigint").alias("predicted_rows"),
+        F.coalesce(F.max("_p"), F.lit(0)).cast("bigint").alias("max_key_product"),
+    )
+    r = agg.select(
+        "predicted_rows",
+        "max_key_product",
+        _top_share_bp_expr().alias("top_share_bp"),
+    ).collect()[0]
+    assert r.max_key_product == big * big  # ~8.9e18 > the old 4.6e14 cliff
+    assert r.top_share_bp == 10000  # one key owns the whole output

@@ -591,12 +591,20 @@ def test_categorical_mutual_info_dependence_extremes(spark):
     r2 = categorical_mutual_info(ind, [("x", "y")]).collect()[0]
     assert r2.mi_nats == 0.0 and r2.n_cells == 4
 
-    # NULL level participates
+    # NULL level participates IN THE MI SUM, not just the counts: x
+    # determines y perfectly here (a->u, NULL->v), so MI == H(X) ==
+    # -(1/3 ln 1/3 + 2/3 ln 2/3). Before the sentinel coalesce the
+    # null-unsafe margin joins dropped the NULL cells and reported
+    # mi_nats = 0.3662 instead (the r8 ADVICE bug).
     withnull = spark.createDataFrame(
         [("a", "u"), (None, "v"), (None, "v")], "x string, y string"
     )
     r3 = categorical_mutual_info(withnull, [("x", "y")]).collect()[0]
     assert r3.n_cells == 2 and r3.n_rows == 3
+    h = -(1 / 3 * math.log(1 / 3) + 2 / 3 * math.log(2 / 3))
+    assert abs(r3.mi_nats - h) < 1e-6
+    assert r3.mi_nats == r3.h_subject_nats
+    assert abs(r3.h_object_nats - h) < 1e-6
 
 
 def test_histogram_profile_bins_and_edges(spark):

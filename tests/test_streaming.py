@@ -845,3 +845,38 @@ def test_stream_late_audit_counts_would_be_dropped_rows(spark, tmp_path):
     shutil.rmtree(ckpt)
     stream()  # full replay: both files already stored → no-op
     assert spark.read.parquet(store).count() == n_store
+
+
+def test_unseen_src_files_mixed_batch_routes_blank_rows(spark, tmp_path):
+    """ADVICE r8: in a MIXED batch (some rows carrying a real
+    input_file_name, some blank), the blank rows must ride the content
+    signature key — the old all-or-nothing fallback stored '' once as a
+    file key and silently skipped every later non-file row."""
+    from alaska_etl_spark.streaming.incremental import _unseen_src_files
+
+    store = str(tmp_path / "store")
+    # store already knows file 'a' (and nothing else)
+    spark.createDataFrame([("a",)], "_src string").write.parquet(store)
+
+    mixed = spark.createDataFrame(
+        [("a", "v1"), ("", "v2"), ("", "v3")], "_src string, v string"
+    )
+    tagged, new = _unseen_src_files(spark, mixed, store, 7, "v")
+    # 'a' is seen; the blank rows became one signature key, and it is NEW
+    assert len(new) == 1 and new[0].startswith("batch:7:")
+    keys = {r["_src"] for r in tagged.select("_src").distinct().collect()}
+    assert keys == {"a", new[0]}  # '' never survives as a key
+
+    # append the signature key to the store; an exact replay of the
+    # same mixed batch is then fully seen
+    spark.createDataFrame([(new[0],)], "_src string").write.mode("append").parquet(store)
+    _, new2 = _unseen_src_files(spark, mixed, store, 7, "v")
+    assert new2 == []
+
+    # a LATER non-file batch with different content gets a DIFFERENT
+    # signature key (not swallowed by the stored one)
+    other = spark.createDataFrame(
+        [("", "z1"), ("", "z2")], "_src string, v string"
+    )
+    _, new3 = _unseen_src_files(spark, other, store, 8, "v")
+    assert len(new3) == 1 and new3[0] != new[0]
