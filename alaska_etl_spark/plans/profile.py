@@ -10,15 +10,25 @@ derives all four from ONE scan per table:
   (``kind='pair'``, carrying both values) — pairs cannot be recovered
   from a single-column unpivot (it destroys joint distributions), so
   they ride the same generator instead of a second scan;
-- one hash aggregate to ``(kind, name, va, vb) → row count``, persisted
-  (``tracked_persist``) — this reduced frame IS the shared input every
-  report reads (EXPLAINS shows InMemoryTableScan under all four);
+- the per-table entry frames UNION (tagged by table) into ONE hash
+  aggregate to ``(table, kind, name, va, _ha, _hb) → row count``,
+  persisted (``tracked_persist``) and materialized behind a one-job
+  barrier — this single reduced frame IS the shared input every report
+  reads (EXPLAINS shows one InMemoryRelation under all four). The r8
+  shape built a separate counts cache per table, which cost a full
+  explode→aggregate→cache chain (≈6 stages) per table AND let
+  concurrent report stages race to build each not-yet-materialized
+  cache (tasks of sibling stages recompute cache partitions — no
+  cross-task wait in BlockManager.getOrElseUpdate); the r9 anatomy
+  measured the orders counts reduce running twice. One union, one
+  aggregate, one cache, one barrier;
 - column profile (rows/nulls/distincts/min/max) and Shannon entropy
   (1e-9-unit BIGINT, the qi2/PSI quantized-term discipline) re-aggregate
-  the ``col`` entries; each FD direction of a pair re-aggregates the
-  SAME ``pair`` counts (A→B groups on ``va``, B→A on ``vb``); inclusion
-  dependencies anti-join the distinct ``col`` values of key columns
-  across tables (NULLs excluded per the SQL-FK convention, ADVICE r6).
+  the ``col`` entries FOR ALL TABLES IN ONE PASS (groupBy table+name);
+  each FD direction of a pair re-aggregates the SAME ``pair`` counts
+  (A→B groups on ``va``, B→A on ``vb``); inclusion dependencies
+  anti-join the distinct ``col`` values of key columns across tables
+  (NULLs excluded per the SQL-FK convention, ADVICE r6).
 
 Scale shape: the explode multiplies scan output by (|cols| + |pairs|),
 but everything downstream operates on the REDUCED counts frame (Σ
@@ -44,19 +54,19 @@ from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
 
-__all__ = ["table_entry_counts", "profile_tables", "format_validity"]
+__all__ = ["table_entries", "profile_tables", "format_validity"]
 
 _OUT_COLS = ["report", "table_name", "subject", "object", "metric", "value", "value_str"]
 
 
-def table_entry_counts(
+def table_entries(
     df: DataFrame, cols: list[str], pairs: list[tuple[str, str]]
 ) -> DataFrame:
-    """ONE scan → ``(kind, name, va, _ha, _hb, _c)``: per-column value
-    counts (``kind='col'``, string ``va`` — the profile needs real
-    min/max renderings and the IND report real cross-table values) and
-    per-unordered-pair joint counts (``kind='pair'``, ``name='a|b'``)
-    from a single explode.
+    """ONE scan → long entry frame ``(kind, name, va, _ha, _hb)``:
+    per-column value entries (``kind='col'``, string ``va`` — the
+    profile needs real min/max renderings and the IND report real
+    cross-table values) and per-unordered-pair joint entries
+    (``kind='pair'``, ``name='a|b'``) from a single explode.
 
     Pair entries carry xxhash64 IDENTITIES (8-byte longs), not string
     values: FD metrics are pure counts over groupings, so any injective
@@ -65,7 +75,16 @@ def table_entry_counts(
     A 64-bit collision would merge two determinant groups and surface
     as a mismatch against the value-keyed SQL oracle — the same
     accepted-and-checked stance as the simjoin gram hashing. NULLs hash
-    to the seed constant, preserving NULL-is-a-group semantics."""
+    to the seed constant, preserving NULL-is-a-group semantics.
+
+    The scan keeps its natural split parallelism: an r9 A/B measured a
+    pre-explode ``repartition(defaultParallelism)`` at 20× MORE
+    executor-CPU for the same rows (26 vs 1.2 CPU-s on sf0.1 orders) —
+    32 concurrent partial-agg hash maps contend in the shared local
+    JVM, while the single clustered split runs the codegen pipeline at
+    memory speed. At 100 TB the scan has thousands of splits and
+    parallelism is free."""
+    need = sorted({c for c in cols} | {c for p in pairs for c in p})
     entries = F.array(
         *[
             F.struct(
@@ -88,14 +107,11 @@ def table_entry_counts(
             for a, b in pairs
         ],
     )
-    long = df.select(F.explode(entries).alias("_e")).select("_e.*")
-    return long.groupBy("kind", "name", "va", "_ha", "_hb").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
+    return df.select(*need).select(F.explode(entries).alias("_e")).select("_e.*")
 
 
-def _profile_report(col_counts: DataFrame, table: str) -> DataFrame:
-    per_col = col_counts.groupBy("name").agg(
+def _profile_report(col_counts: DataFrame) -> DataFrame:
+    per_col = col_counts.groupBy("table_name", "name").agg(
         F.sum("_c").cast("bigint").alias("_n_rows"),
         F.sum(F.when(F.col("va").isNull(), F.col("_c")).otherwise(0))
         .cast("bigint")
@@ -115,17 +131,18 @@ def _profile_report(col_counts: DataFrame, table: str) -> DataFrame:
             "AS (metric, value, value_str)"
         ),
         F.lit("profile").alias("report"),
-        F.lit(table).alias("table_name"),
+        "table_name",
         F.col("name").alias("subject"),
         F.lit(None).cast("string").alias("object"),
     ).select(*_OUT_COLS)
 
 
-def _entropy_report(col_counts: DataFrame, table: str, scale: int) -> DataFrame:
-    totals = col_counts.groupBy("name").agg(
+def _entropy_report(col_counts: DataFrame, scale: int) -> DataFrame:
+    totals = col_counts.groupBy("table_name", "name").agg(
         F.sum("_c").cast("bigint").alias("_n")
     )
-    terms = col_counts.join(F.broadcast(totals), "name").select(
+    terms = col_counts.join(F.broadcast(totals), ["table_name", "name"]).select(
+        "table_name",
         "name",
         F.round(
             F.lit(scale)
@@ -136,11 +153,11 @@ def _entropy_report(col_counts: DataFrame, table: str, scale: int) -> DataFrame:
         .alias("_t"),
     )
     return (
-        terms.groupBy("name")
+        terms.groupBy("table_name", "name")
         .agg(F.sum("_t").cast("bigint").alias("value"))
         .select(
             F.lit("entropy").alias("report"),
-            F.lit(table).alias("table_name"),
+            "table_name",
             F.col("name").alias("subject"),
             F.lit(None).cast("string").alias("object"),
             F.lit("entropy_units").alias("metric"),
@@ -150,32 +167,31 @@ def _entropy_report(col_counts: DataFrame, table: str, scale: int) -> DataFrame:
     )
 
 
-def _fd_report(
-    pair_counts: DataFrame, table: str, pairs: list[tuple[str, str]]
-) -> DataFrame:
-    """ALL FD directions from TWO aggregates total (not two per
-    direction): the forward determinant is the pair's ``va``, the
-    reverse determinant its ``vb`` — one union doubles the pair counts
-    into (pair, direction, determinant-value) rows, one aggregate
-    computes per-determinant fan-out/mass, one more reduces to the
-    per-direction report. Per-direction sub-plans (the first cut) paid
-    the ~0.1 s stage floor 2·|pairs|·2 times — 24 driver-scheduled
-    stages for the 6-pair audit; this shape pays it twice."""
+def _fd_report(pair_counts: DataFrame) -> DataFrame:
+    """ALL FD directions of ALL tables from TWO aggregates total (not
+    two per direction): the forward determinant is the pair's ``va``,
+    the reverse determinant its ``vb`` — one union doubles the pair
+    counts into (table, pair, direction, determinant-value) rows, one
+    aggregate computes per-determinant fan-out/mass, one more reduces
+    to the per-direction report. Per-direction sub-plans (the first
+    cut) paid the ~0.1 s stage floor 2·|pairs|·2 times — 24
+    driver-scheduled stages for the 6-pair audit; this shape pays it
+    twice."""
     fwd = pair_counts.select(
-        "name", F.lit("f").alias("_dir"), F.col("_ha").alias("_k"), "_c"
+        "table_name", "name", F.lit("f").alias("_dir"), F.col("_ha").alias("_k"), "_c"
     )
     rev = pair_counts.select(
-        "name", F.lit("r").alias("_dir"), F.col("_hb").alias("_k"), "_c"
+        "table_name", "name", F.lit("r").alias("_dir"), F.col("_hb").alias("_k"), "_c"
     )
     per_det = (
         fwd.unionByName(rev)
-        .groupBy("name", "_dir", "_k")
+        .groupBy("table_name", "name", "_dir", "_k")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("_fan"),
             F.sum("_c").cast("bigint").alias("_mass"),
         )
     )
-    stats = per_det.groupBy("name", "_dir").agg(
+    stats = per_det.groupBy("table_name", "name", "_dir").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_groups"),
         F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0)).cast("bigint").alias("_vg"),
         F.sum(F.when(F.col("_fan") > 1, F.col("_mass")).otherwise(0))
@@ -194,7 +210,7 @@ def _fd_report(
             "'max_fanout', _mf) AS (metric, value)"
         ),
         F.lit("fd").alias("report"),
-        F.lit(table).alias("table_name"),
+        "table_name",
         F.when(F.col("_dir") == "f", left).otherwise(right).alias("subject"),
         F.when(F.col("_dir") == "f", right).otherwise(left).alias("object"),
         F.lit(None).cast("string").alias("value_str"),
@@ -202,22 +218,33 @@ def _fd_report(
 
 
 def _ind_report(
-    key_sets: "list[tuple[str, str, DataFrame]]", bp_scale: int = 10**4
+    col_counts: DataFrame, ind_keys: "list[tuple[str, str]]", bp_scale: int = 10**4
 ) -> DataFrame:
     """ALL inclusion pairs from ONE value self-join (not one anti-join
-    per ordered pair): the distinct key sets union into one
-    (column-id, value) frame; a single self-join on the value counts
-    |K_L ∩ K_R| for EVERY pair simultaneously, and
-    n_missing = |K_L| − |K_L ∩ K_R|. The per-pair anti-join cut paid
-    the stage floor 3·|pairs| times (36 stages for 4 key columns);
-    this is one join + two small aggregates, and at scale the shared
-    value frame shuffles once instead of once per pair."""
-    spark = key_sets[0][2].sparkSession
-    tagged = None
-    for lt, lc, lf in key_sets:
-        part = lf.select(F.lit(f"{lt}.{lc}").alias("_cid"), "_k")
-        tagged = part if tagged is None else tagged.unionByName(part)
-    tagged = tracked_persist(tagged)
+    per ordered pair): the key columns' distinct values (straight off
+    the shared counts cache) tag into one (column-id, value) frame; a
+    single self-join on the value counts |K_L ∩ K_R| for EVERY pair
+    simultaneously, and n_missing = |K_L| − |K_L ∩ K_R|. The per-pair
+    anti-join cut paid the stage floor 3·|pairs| times (36 stages for
+    4 key columns); this is one join + two small aggregates, and at
+    scale the shared value frame shuffles once instead of once per
+    pair. Join identity, not rendered value: the self-join only tests
+    cross-table equality, and 8-byte xxhash64 longs shuffle ~5×
+    lighter than rendered key strings (the value-keyed oracle still
+    checks the exact counts)."""
+    spark = col_counts.sparkSession
+    key_cond = None
+    for t, k in ind_keys:
+        c = (F.col("table_name") == t) & (F.col("name") == k)
+        key_cond = c if key_cond is None else (key_cond | c)
+    tagged = tracked_persist(
+        col_counts.filter(key_cond)
+        .filter(F.col("va").isNotNull())
+        .select(
+            F.concat_ws(".", "table_name", "name").alias("_cid"),
+            F.xxhash64(F.col("va")).alias("_k"),
+        )
+    )
     nd = tagged.groupBy("_cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("_nd")
     )
@@ -228,7 +255,7 @@ def _ind_report(
         .groupBy(F.col("a._cid").alias("_lcid"), F.col("b._cid").alias("_rcid"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
     )
-    ids = [(f"{t}.{c}", t, c) for t, c, _ in key_sets]
+    ids = [(f"{t}.{c}", t, c) for t, c in ind_keys]
     pairs_df = spark.createDataFrame(
         [
             (ln, lt, lc, rn, rt, rc)
@@ -282,41 +309,44 @@ def profile_tables(
     ``entropy_cols`` optionally restricts the entropy report per table
     (default: all profile cols). Returns the tall report frame ordered
     by (report, table_name, subject, object, metric)."""
-    reports = []
-    key_sets: list[tuple[str, str, DataFrame]] = []
+    parts = []
+    fd_any = False
+    ecol_cond = None
     for name, df, cols, pairs in tables:
-        counts = tracked_persist(table_entry_counts(df, cols, pairs))
-        col_counts = counts.filter(F.col("kind") == "col")
-        ecols = (entropy_cols or {}).get(name, cols)
-        reports.append(_profile_report(col_counts, name))
-        if ecols:
-            reports.append(
-                _entropy_report(
-                    col_counts.filter(F.col("name").isin(ecols)), name, scale
-                )
+        parts.append(
+            table_entries(df, cols, pairs).select(
+                F.lit(name).alias("table_name"), "*"
             )
-        if pairs:
-            reports.append(
-                _fd_report(counts.filter(F.col("kind") == "pair"), name, pairs)
-            )
-        for t, k in ind_keys:
-            if t == name:
-                assert k in cols, f"IND key {t}.{k} must be profiled"
-                # join identity, not rendered value: the IND self-join
-                # only tests cross-table equality, and 8-byte hashes
-                # shuffle ~5× lighter than rendered key strings (the
-                # value-keyed oracle still checks the exact counts)
-                key_sets.append(
-                    (
-                        t,
-                        k,
-                        col_counts.filter(
-                            (F.col("name") == k) & F.col("va").isNotNull()
-                        ).select(F.xxhash64(F.col("va")).alias("_k")),
-                    )
-                )
-    if key_sets:
-        reports.append(_ind_report(key_sets))
+        )
+        fd_any = fd_any or bool(pairs)
+        for c in (entropy_cols or {}).get(name, cols):
+            cond = (F.col("table_name") == name) & (F.col("name") == c)
+            ecol_cond = cond if ecol_cond is None else (ecol_cond | cond)
+    tcols = {n: cs for n, _, cs, _ in tables}
+    for t, k in ind_keys:
+        assert k in tcols.get(t, []), f"IND key {t}.{k} must be profiled"
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    counts = tracked_persist(
+        long.groupBy("table_name", "kind", "name", "va", "_ha", "_hb").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+    )
+    # One-job materialization barrier: the report union references this
+    # cache 4-5 times and Spark runs sibling stages of one job
+    # concurrently — tasks hitting a not-yet-built cache partition each
+    # recompute it (no cross-task wait in BlockManager), so without the
+    # barrier the whole explode+aggregate ran up to twice (r9 anatomy).
+    counts.count()
+    col_counts = counts.filter(F.col("kind") == "col")
+    reports = [_profile_report(col_counts)]
+    if ecol_cond is not None:
+        reports.append(_entropy_report(col_counts.filter(ecol_cond), scale))
+    if fd_any:
+        reports.append(_fd_report(counts.filter(F.col("kind") == "pair")))
+    if ind_keys:
+        reports.append(_ind_report(col_counts, ind_keys))
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -69,6 +69,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InMemoryRelation columnar compression is a per-build CPU tax
+        # (r9 A/B on the q23 counts frame: 24 CPU-s cold / 6.5 hot with
+        # compression vs 2.4 without — the build was 8× the aggregate
+        # it cached). The repo's persist discipline (cache.py) only
+        # caches REDUCED index-grain frames — postings, count tables,
+        # centroids — never raw corpus rows, so the memory saved by
+        # compressing is immaterial while the CPU cost is paid on every
+        # cold query. On a memory-tight cluster this is a deployment
+        # knob to flip back.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # local mode: the driver JVM IS the executor; Spark's 1g default
         # OOMs a 32-thread sf0.1 sweep (found by the full-registry gate)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
