@@ -115,6 +115,11 @@ def cosine_similarity_join(
     # and BOTH sides of the self-join — unpersisted, the tokenize →
     # gram-explode → aggregate subtree would execute up to four times.
     feats = tracked_persist(tf.select("_id", F.xxhash64("_g").alias("_g"), "_tf"))
+    # one-job barrier: norms, the optional df counts, and BOTH self-join
+    # sides consume this cache from sibling stages of one job — unbuilt
+    # cache partitions are recomputed per racing task (no cross-task
+    # wait in BlockManager), so materialize once up front (r9).
+    feats.count()
     # norms from the (pre-prune) features: hashing preserves rows, and
     # the norm must cover ALL grams even when max_df prunes join feats
     # corpus-grain: one row per document — shuffle_hash unless the
@@ -156,8 +161,27 @@ def cosine_similarity_join(
     )
 
 
+def _materialize_together(frames: "list[DataFrame]") -> None:
+    """Build several persisted frames' caches in ONE job: project each
+    to its first column, union, count. Separate count() barriers cost
+    one driver-scheduled job each (~0.15 s of plan+schedule latency at
+    sf0.1); a union materializes every cache partition in parallel.
+    Reading any column materializes the WHOLE cached partition, so the
+    single-column projection loses nothing."""
+    mats = [f.select(F.col(f.columns[0]).cast("string").alias("_m")) for f in frames]
+    u = mats[0]
+    for m in mats[1:]:
+        u = u.unionByName(m)
+    u.count()
+
+
 def _intersect_counts(
-    cand: DataFrame, tok: DataFrame, left: str, right: str, small: bool = False
+    cand: DataFrame,
+    tok: DataFrame,
+    left: str,
+    right: str,
+    small: bool = False,
+    materialize_with: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Exact |S_left ∩ S_right| per candidate pair, via per-document
     shingle-hash ARRAYS and one native ``array_intersect`` per pair —
@@ -182,9 +206,19 @@ def _intersect_counts(
     — and skips the sort a merge join would pay on array rows. When the
     input scan provably fits the driver, the broadcast is safe and
     worth ~0.5–0.9 s per join at sf0.1 (VERDICT r7 #2)."""
-    arr = pin_corpus_agg(
-        tok.groupBy("_id").agg(F.collect_list("_t").alias("_a")), small
+    # persist + barrier: the two cand-side joins each execute the arr
+    # subtree (collect_list over the cached tok table) — cache-source
+    # frames defeat exchange reuse (see jaccard's pref note), so
+    # without the persist the array build ran twice inside the verify
+    # stage. Doc-grain array rows, but the consumer reads the arrays
+    # AS arrays (array_intersect) — no re-explode, so the r6
+    # array-cache deserialization trap does not apply.
+    arr = tracked_persist(
+        pin_corpus_agg(
+            tok.groupBy("_id").agg(F.collect_list("_t").alias("_a")), small
+        )
     )
+    _materialize_together([arr] + (materialize_with or []))
     return (
         cand.join(
             arr.select(F.col("_id").alias(left), F.col("_a").alias("_al")), left
@@ -285,16 +319,22 @@ def jaccard_similarity_join(
     sz = pin_corpus_agg(
         tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
     )
-    dfreq = pin_corpus_agg(
-        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")), small
-    )
+    # document frequency and set size as WINDOW counts over the cached
+    # shingle table (r9): the former dfreq-aggregate + join + sz-join
+    # chain cost two extra join stages and their AQE materializations;
+    # the unbounded count windows need the same two exchanges (_t,
+    # then _id) the chain already paid, and the _n window shares the
+    # _id exchange + sort with the ranking window (the shared-exchange
+    # rule, SCALE.md).
+    wdf = Window.partitionBy("_t")
+    wid = Window.partitionBy("_id")
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
     # prefix length p = n - ceil(tau*n) + 1, in exact integers:
     # ceil(num*n/den) = (num*n + den - 1) div den
-    w = Window.partitionBy("_id").orderBy("_df", "_t")
     pref = (
-        tok.join(dfreq, "_t")
+        tok.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("_rn", F.row_number().over(w))
-        .join(sz, "_id")
+        .withColumn("_n", F.count(F.lit(1)).over(wid))
         .filter(
             F.col("_rn")
             <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
@@ -308,18 +348,25 @@ def jaccard_similarity_join(
     # memory to build and broadcast"), intermittently (r8, q36's
     # sibling frame). Compressed posting bytes under-signal hash-table
     # build size.
-    pref = pin_corpus_agg(pref, small)
-    a = pref.select(
-        F.col("_id").alias("id_a"), "_t", F.col("_n").alias("_na"), F.col("_rn").alias("_ra")
-    )
-    b = pref.select(
-        F.col("_id").alias("id_b"), "_t", F.col("_n").alias("_nb"), F.col("_rn").alias("_rb")
-    )
+    # PERSIST the prefix frame + one-job barrier (r9): the self-join
+    # executes its two children independently, so the whole prefix
+    # chain ran TWICE (two identical map stages in the r9 anatomy).
+    # Spark's exchange-reuse rule would dedup identical children, but
+    # an InMemoryRelation SOURCE defeats plan canonicalization
+    # (measured: the same self-join reuses its exchange on a raw
+    # source, never on a cached one — and tok is cached by design).
+    # The cache is the dedup instead: flat scalar token-grain rows
+    # (the persist-friendly class, SCALE.md "Persist-vs-recompute"),
+    # materialized together with the verify's array frame in ONE
+    # barrier job (see _materialize_together) so the join sides cannot
+    # race to build it.
+    pref = tracked_persist(pin_corpus_agg(pref, small))
+    pa, pb = pref.alias("a"), pref.alias("b")
     # required overlap t = ceil(num*(na+nb)/(num+den)); a collision at
     # prefix positions (ra, rb) bounds the overlap by
     # 1 + min(na-ra, nb-rb) — PPJoin positional filter (see docstring)
     required = F.expr(
-        f"({num} * (_na + _nb) + {num + den} - 1) div {num + den}"
+        f"({num} * (a._n + b._n) + {num + den} - 1) div {num + den}"
     )
     # explicit repartition BEFORE the dedup, fused with it (the
     # aggregate reuses the user exchange, so this is not an extra
@@ -330,21 +377,26 @@ def jaccard_similarity_join(
     # REPARTITION_BY_NUM is exempt from AQE coalescing.
     n_par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
-        a.join(b, "_t")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa.join(pb, F.col("a._t") == F.col("b._t"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .filter(
-            F.lit(den) * F.least("_na", "_nb") >= F.lit(num) * F.greatest("_na", "_nb")
+            F.lit(den) * F.least("a._n", "b._n")
+            >= F.lit(num) * F.greatest("a._n", "b._n")
         )
         .filter(
             F.lit(1)
-            + F.least(F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb"))
+            + F.least(
+                F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn")
+            )
             >= required
         )
-        .select("id_a", "id_b")
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .repartition(n_par, "id_a", "id_b")
         .dropDuplicates()
     )
-    inter = _intersect_counts(cand, tok, "id_a", "id_b", small)
+    inter = _intersect_counts(
+        cand, tok, "id_a", "id_b", small, materialize_with=[pref]
+    )
     sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     scored = (
@@ -442,27 +494,33 @@ def containment_join(
     sz = pin_corpus_agg(
         tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
     )
-    dfreq = pin_corpus_agg(
-        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")), small
-    )
+    # document frequency / set size / rank as WINDOW counts over the
+    # cached shingle table, and the ranked frame PERSISTED: the src
+    # (prefix-pruned) and dst (full) sides plus the verify all read it,
+    # and cache-source frames defeat exchange reuse (see jaccard's pref
+    # note) — without the persist the whole rank chain executed once
+    # per consumer. Flat scalar token-grain rows (the persist-friendly
+    # class). Materialized in the shared one-job barrier below.
+    wdf = Window.partitionBy("_t")
+    wid = Window.partitionBy("_id")
     w = Window.partitionBy("_id").orderBy("_df", "_t")
-    ranked = (
-        tok.join(dfreq, "_t")
-        .withColumn("_rn", F.row_number().over(w))
-        .join(sz, "_id")
+    ranked = tracked_persist(
+        pin_corpus_agg(
+            tok.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wid)),
+            small,
+        )
     )
     # token-grain posting frames: never a broadcast side — AQE's
     # runtime demotion sized the finished shuffle by COMPRESSED bytes
     # and broadcast the full posting rows at 100×, OOMing the build
     # intermittently (r8; see jaccard's pref note)
-    pref = pin_corpus_agg(
-        ranked.filter(
-            F.col("_rn")
-            <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
-        ),
-        small,
+    pref = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.expr(f"({num} * _n + {den} - 1) div {den}") + 1
     )
-    full = pin_corpus_agg(ranked, small)
+    full = ranked
     if max_dst_df is not None:
         full = full.filter(F.col("_df") <= max_dst_df)
     src = pref.select(
@@ -489,7 +547,9 @@ def containment_join(
                      "src_id", "dst_id")
         .dropDuplicates()
     )
-    inter = _intersect_counts(cand, tok, "src_id", "dst_id", small)
+    inter = _intersect_counts(
+        cand, tok, "src_id", "dst_id", small, materialize_with=[ranked]
+    )
     ss = sz.select(F.col("_id").alias("src_id"), F.col("_n").alias("_ns"))
     sd = sz.select(F.col("_id").alias("dst_id"), F.col("_n").alias("_nd"))
     scored = (

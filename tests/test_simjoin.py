@@ -166,7 +166,10 @@ def test_jaccard_join_no_unpartitioned_window_no_cartesian(spark):
     # every Window in the plan is partitioned (per-doc rarity rank)
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
-            assert "_id#" in line  # partition spec present
+            # partition spec present: per-doc (_id) for the rank/size
+            # windows, per-shingle (_t) for the document-frequency
+            # count — never a global window
+            assert "_id#" in line or "_t#" in line
 
 
 def test_jaccard_join_randomized_corpus_matches_brute_force(spark):
