@@ -9822,10 +9822,10 @@ QUERIES = {
     "q27_cosine_topk": q27_cosine_topk,
     "q28_embedding_near_dup": q28_embedding_near_dup,
     "q29_minhash_lsh": q29_minhash_lsh,
-    "q30_simhash": q30_simhash,
+    "qo7_simhash": q30_simhash,
     "q31_ivf_ann": q31_ivf_ann,
     "q32_media_decode": q32_media_decode,
-    "q33_frame_sample": q33_frame_sample,
+    "qo8_frame_sample": q33_frame_sample,
     "q34_sessionize": q34_sessionize,
     "q35_salted_agg": q35_salted_agg,
     # round-6 slot rotation (README "Driver query slots"): the TPC-H
@@ -9839,7 +9839,7 @@ QUERIES = {
     "qf4_supplier_counts": q36_supplier_counts,
     "q61_small_quantity_revenue": q61_small_quantity_revenue,
     "q38_percentiles": q38_percentiles,
-    "q39_ranking_suite": q39_ranking_suite,
+    "qo9_ranking_suite": q39_ranking_suite,
     "q40_bitext_margin": qf1_bitext_margin,
     "q41_novelty_rate": qf2_novelty_rate,
     "qf5_set_ops": q40_set_ops,
@@ -9925,17 +9925,17 @@ QUERIES = {
     "qm8_langid_confusion": qm8_langid_confusion,
     "qm9_mixture_report": qm9_mixture_report,
     "qn3_lift_gains": qn3_lift_gains,
-    "qn4_mutual_info": qn4_mutual_info,
+    "q30_mutual_info": qn4_mutual_info,
     "qn5_histograms": qn5_histograms,
     "qn6_dup_cluster_sizes": qn6_dup_cluster_sizes,
     "qn7_cluster_separation": qn7_cluster_separation,
     "qn8_winsorize": qn8_winsorize,
     "qn9_format_validity": qn9_format_validity,
     "qo0_lsh_scurve": qo0_lsh_scurve,
-    "qo1_join_forecast": qo1_join_forecast,
+    "q33_join_forecast": qo1_join_forecast,
     "qo2_canonical_keepers": qo2_canonical_keepers,
     "qo3_embedding_anisotropy": qo3_embedding_anisotropy,
-    "qo4_ks_split_check": qo4_ks_split_check,
+    "q39_ks_split_check": qo4_ks_split_check,
     "qo5_token_waterfill": qo5_token_waterfill,
     "qo6_attribution": qo6_attribution,
     "qg1_top_supplier": q50_top_supplier,
@@ -10060,14 +10060,14 @@ ORACLES = {
     "q28_embedding_near_dup": Q28_SQL,
     "q31_ivf_ann": Q31_SQL,
     "q32_media_decode": Q32_SQL,
-    "q33_frame_sample": Q33_SQL,
+    "qo8_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
     "q35_salted_agg": Q35_SQL,
     "q36_containment_join": QF0_SQL,
     "qf4_supplier_counts": Q36_SQL,
     "q61_small_quantity_revenue": Q61_SQL,
     "q38_percentiles": Q38_SQL,
-    "q39_ranking_suite": Q39_SQL,
+    "qo9_ranking_suite": Q39_SQL,
     "q40_bitext_margin": QF1_SQL,
     "q41_novelty_rate": QF2_SQL,
     "qf5_set_ops": Q40_SQL,
@@ -10227,21 +10227,21 @@ ORACLES = {
     "qm8_langid_confusion": QM8_SQL,
     "qm9_mixture_report": QM9_SQL,
     "qn3_lift_gains": QN3_SQL,
-    "qn4_mutual_info": QN4_SQL,
+    "q30_mutual_info": QN4_SQL,
     "qn5_histograms": QN5_SQL,
     "qn6_dup_cluster_sizes": QN6_SQL,
     "qn7_cluster_separation": QN7_SQL,
     "qn8_winsorize": QN8_SQL,
     "qn9_format_validity": QN9_SQL,
     "qo0_lsh_scurve": QO0_SQL,
-    "qo1_join_forecast": QO1_SQL,
+    "q33_join_forecast": QO1_SQL,
     "qo2_canonical_keepers": QO2_SQL,
     "qo3_embedding_anisotropy": QO3_SQL,
-    "qo4_ks_split_check": QO4_SQL,
+    "q39_ks_split_check": QO4_SQL,
     "qo5_token_waterfill": QO5_SQL,
     "qo6_attribution": QO6_SQL,
     "q29_minhash_lsh": Q29_SQL,
-    "q30_simhash": Q30_SQL,
+    "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by
     # design; each has an oracled exact companion (q46, q38, q27, q27,
     # qb0, q46+q38). q29/q30 became EXACTLY oracled in round 5 (md5

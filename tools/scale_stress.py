@@ -54,7 +54,7 @@ COPIES = 10
 QUERIES_UNDER_TEST = [
     "q26_ngram_jaccard",   # constant-work control (id-bounded by contract)
     "q29_minhash_lsh",
-    "q30_simhash",
+    "qo7_simhash",
     "q88_cosine_simjoin",
     "qb0_jaccard_simjoin",
     "q64_semantic_dedup",
