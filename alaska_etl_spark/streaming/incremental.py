@@ -1529,10 +1529,10 @@ def stream_heavy_hitters_monitor(
     recycled-id undercounts, but not against rebatched replays, which
     only a durable per-record key could catch there. Per-file totals
     ride the same store as ``item`` NULL rows, so φ-thresholding
-    against the exact stream length needs no extra state. Optional
-    compaction = rewrite the store with the merged summary under a
-    sentinel src key (same opt-in placement as
-    compact_gram_reference)."""
+    against the exact stream length needs no extra state. Compaction:
+    :func:`compact_partial_store` rewrites the store as the merged
+    summary + seen-file markers under a sentinel src key (same opt-in
+    placement as compact_gram_reference)."""
     from alaska_etl_spark.operators.sketches import (
         merge_mg_partials,
         misra_gries_partials_by,
@@ -1591,6 +1591,97 @@ def stream_heavy_hitters_monitor(
     q.awaitTermination()
 
 
+_COMPACT_SENTINEL = "\x00compact"
+
+
+def compact_partial_store(
+    spark: SparkSession, store_path: str, *, k: "int | None" = None
+) -> dict:
+    """Compact a monitor partial store (heavy hitters or quantiles) to
+    its merged summary — the million-batch-lifetime lever the growth
+    test's O(files·(k+1)) bound points at (VERDICT r8 #6). The store is
+    rewritten as:
+
+    - ONE merged summary under the sentinel key ``'\\x00compact'``
+      (NUL-prefixed — ``input_file_name()`` paths and the
+      ``batch:`` signature keys can never collide with it): the MG
+      partials merge under the PODS'12 rule into ≤ k rows (heavy
+      hitters), or the value-count tables integer-add into one counts
+      table bounded by the value domain (quantiles);
+    - ONE total row under the sentinel carrying the exact stream
+      length (heavy-hitters stores only — the ``item IS NULL`` lane);
+    - one zero-weight MARKER row per previously-seen source key
+      (``item``/``_v`` NULL, weight 0) — replay dedup is the
+      seen-key REGISTRY, and dropping it would make a replayed old
+      file look new and double-count, so compaction bounds the
+      per-file payload at O(1), not below O(files).
+
+    Correctness of re-merging: an MG summary with ≤ k items is a fixed
+    point of the merge rule (the (k+1)-th weight is 0), and merging it
+    with post-compaction per-file partials is the same PODS'12
+    associative merge the monitor already does; value-count tables are
+    trivially associative. The zero-weight markers ride the existing
+    NULL lanes: heavy-hitters totals gain +0, quantile merges filter
+    NULL values.
+
+    Must not race a concurrent sink append — run it between
+    ``availableNow`` invocations (same contract as
+    :func:`compact_gram_reference`). Returns
+    ``{"rows_before", "rows_after", "kind"}``."""
+    from alaska_etl_spark.operators.sketches import merge_mg_partials
+    from alaska_etl_spark.plans.warehouse import swap_in
+
+    if not _hdfs_exists(spark, store_path):
+        return {"rows_before": 0, "rows_after": 0, "kind": "empty"}
+    store = spark.read.parquet(store_path)
+    rows_before = store.count()
+    seen = store.select("_src").filter(
+        F.col("_src") != _COMPACT_SENTINEL
+    ).distinct()
+    if "item" in store.columns:  # heavy-hitters store
+        if k is None:
+            raise ValueError("heavy-hitters store compaction needs k")
+        summary = merge_mg_partials(
+            store.filter(F.col("item").isNotNull()), k=k
+        ).select(
+            F.lit(_COMPACT_SENTINEL).alias("_src"),
+            F.col("item").cast("string"),
+            F.col("lb").cast("bigint"),
+        )
+        total = store.filter(F.col("item").isNull()).agg(
+            F.lit(_COMPACT_SENTINEL).alias("_src"),
+            F.lit(None).cast("string").alias("item"),
+            F.coalesce(F.sum("lb"), F.lit(0)).cast("bigint").alias("lb"),
+        )
+        markers = seen.select(
+            "_src",
+            F.lit(None).cast("string").alias("item"),
+            F.lit(0).cast("bigint").alias("lb"),
+        )
+        compacted = summary.unionByName(total).unionByName(markers)
+        kind = "heavy_hitters"
+    else:  # quantile store: (_src, _v, _c)
+        merged = (
+            store.filter(F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.sum("_c").cast("bigint").alias("_c"))
+            .select(F.lit(_COMPACT_SENTINEL).alias("_src"), "_v", "_c")
+        )
+        markers = seen.select(
+            "_src",
+            F.lit(None).cast("bigint").alias("_v"),
+            F.lit(0).cast("bigint").alias("_c"),
+        )
+        compacted = merged.unionByName(markers)
+        kind = "quantiles"
+    compacted = compacted.withColumn("batch_id", F.lit(-1).cast("bigint"))
+    tmp = store_path + "__compact_tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    swap_in(spark, tmp, store_path)
+    return {"rows_before": rows_before, "rows_after": rows_after, "kind": kind}
+
+
 def stream_quantile_monitor(
     stream_df: DataFrame,
     store_path: str,
@@ -1614,8 +1705,8 @@ def stream_quantile_monitor(
     canonical mergeable summary: merge = integer add), where a KLL/GK
     sketch would trade a rank-error budget for domain-independent
     state; for unbounded-domain columns use that family instead.
-    Optional compaction = rewrite the store with the merged counts
-    under a sentinel ``_src``. Metrics rows: (batch_id, prob, value,
+    Compaction: :func:`compact_partial_store` rewrites the store as
+    the merged counts + seen-file markers under a sentinel ``_src``. Metrics rows: (batch_id, prob, value,
     n_total) per trigger — type-1 lower quantiles, NULLs excluded, the
     decimal_quantiles conventions."""
     from pyspark.sql import Window
@@ -1642,6 +1733,9 @@ def stream_quantile_monitor(
             return  # zero-row first batch
         merged = (
             spark.read.parquet(store_path)
+            # NULL _v rows are compaction's zero-weight seen-file
+            # markers (compact_partial_store), not values
+            .filter(F.col("_v").isNotNull())
             .groupBy("_v")
             .agg(F.sum("_c").cast("bigint").alias("_c"))
         )

@@ -880,3 +880,96 @@ def test_unseen_src_files_mixed_batch_routes_blank_rows(spark, tmp_path):
     )
     _, new3 = _unseen_src_files(spark, other, store, 8, "v")
     assert len(new3) == 1 and new3[0] != new[0]
+
+
+def test_compact_partial_store_preserves_monitor_output(spark, tmp_path):
+    """VERDICT r8 #6: compacting the heavy-hitters partial store to its
+    merged summary + seen-file markers changes NOTHING the monitor
+    emits — same top items and exact n_total — and replay dedup still
+    holds (a checkpoint-loss replay of pre-compaction files appends no
+    new partials)."""
+    import shutil
+
+    from alaska_etl_spark.streaming.incremental import (
+        compact_partial_store,
+        stream_heavy_hitters_monitor,
+    )
+
+    def drive(src, store, metrics, ckpt):
+        stream_heavy_hitters_monitor(
+            spark.readStream.schema("v string").json(str(src)),
+            store, metrics, ckpt, col="v", k=4,
+        )
+
+    def write(src, name, values):
+        (src / name).write_text("\n".join(f'{{"v": "{x}"}}' for x in values) + "\n")
+
+    def last_metrics(metrics):
+        m = spark.read.parquet(metrics).collect()
+        last = max(r.batch_id for r in m)
+        return {(r.item, r.lb, r.n_total) for r in m if r.batch_id == last}
+
+    pre = [
+        (f"b{j}.json", ["hot"] * 30 + [f"w{j}_{i}" for i in range(20)])
+        for j in range(5)
+    ]
+    b3 = ["hot"] * 10 + ["warm"] * 25 + [f"z{i}" for i in range(10)]
+
+    # lane A: no compaction
+    srcA = tmp_path / "srcA"; srcA.mkdir()
+    stA, meA, ckA = (str(tmp_path / n) for n in ("stA", "meA", "ckA"))
+    # lane B: compact between file 2 and file 3
+    srcB = tmp_path / "srcB"; srcB.mkdir()
+    stB, meB, ckB = (str(tmp_path / n) for n in ("stB", "meB", "ckB"))
+
+    for name, vals in pre:
+        write(srcA, name, vals); drive(srcA, stA, meA, ckA)
+        write(srcB, name, vals); drive(srcB, stB, meB, ckB)
+
+    info = compact_partial_store(spark, stB, k=4)
+    assert info["kind"] == "heavy_hitters"
+    assert info["rows_after"] < info["rows_before"]
+
+    write(srcA, "new.json", b3); drive(srcA, stA, meA, ckA)
+    write(srcB, "new.json", b3); drive(srcB, stB, meB, ckB)
+
+    # the monitor's output is identical with and without compaction
+    assert last_metrics(meA) == last_metrics(meB)
+    # exact stream length: 5 pre-files x 50 + 45
+    assert all(t[2] == 295 for t in last_metrics(meB))
+
+    # replay safety: checkpoint loss + full re-delivery appends nothing
+    n_store = spark.read.parquet(stB).count()
+    shutil.rmtree(ckB)
+    drive(srcB, stB, meB, ckB)
+    assert spark.read.parquet(stB).count() == n_store
+
+
+def test_compact_partial_store_quantiles(spark, tmp_path):
+    """Quantile-store compaction: merged value counts under the
+    sentinel + seen markers reproduce the exact quantiles."""
+    from alaska_etl_spark.streaming.incremental import (
+        compact_partial_store,
+        stream_quantile_monitor,
+    )
+
+    src = tmp_path / "src"; src.mkdir()
+    store, metrics, ckpt = (str(tmp_path / n) for n in ("st", "me", "ck"))
+
+    def drive():
+        stream_quantile_monitor(
+            spark.readStream.schema("v double").json(str(src)),
+            store, metrics, ckpt, col="v", probs=(0.5,), scale=100,
+        )
+
+    (src / "a.json").write_text("\n".join(f'{{"v": {i}.0}}' for i in range(1, 101)) + "\n")
+    drive()
+    info = compact_partial_store(spark, store, k=None)
+    assert info["kind"] == "quantiles"
+    (src / "b.json").write_text("\n".join('{"v": 200.0}' for _ in range(100)) + "\n")
+    drive()
+    m = spark.read.parquet(metrics).collect()
+    last = max(r.batch_id for r in m)
+    got = {(r.prob, r.value, r.n_total) for r in m if r.batch_id == last}
+    # 200 values total: median (type-1 lower, ceil(0.5*200)=100th) = 100.0
+    assert got == {(0.5, 100.0, 200)}
