@@ -58,6 +58,7 @@ __all__ = [
     "cosine_similarity_join",
     "jaccard_similarity_join",
     "containment_join",
+    "edit_distance_join",
 ]
 
 
@@ -566,4 +567,133 @@ def containment_join(
             div_half_up("_np", "_ns", scale)
             / F.lit(float(scale))
         ).alias("containment"),
+    )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    q: int = 2,
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs string EDIT-DISTANCE join: every pair
+    (id_a < id_b) with levenshtein(a, b) ≤ ``max_dist``, via positional
+    q-gram prefix filtering (Ed-Join, Xiao et al. VLDB'08; count/
+    position filtering after Gravano et al. VLDB'01) — the typo/OCR/
+    variant-spelling sibling of the set-similarity joins: Jaccard over
+    shingles cannot see that two strings differ by ONE character, and
+    canonical-name reconciliation (product titles, author names, URL
+    slugs) is thresholded on edits, not token overlap.
+
+    Candidate generation, never all-pairs: one edit operation destroys
+    at most ``q`` positional q-grams, so ed(a,b) ≤ d leaves a
+    gram-matching of size ≥ max(|G_a|,|G_b|) − d·q where matched grams
+    are equal AND |pos_a − pos_b| ≤ d. Ordering every string's grams by
+    the global (document-frequency, hash) rarity order, any qualifying
+    pair must therefore collide within both strings' first
+    ``L = d·q + 1`` grams (the prefix-filter argument on the shared
+    total order), at positions within d — the same
+    propose-superset/verify-exact contract as
+    :func:`jaccard_similarity_join`, with TWO extra per-collision
+    prunes in the same codegen stage: the position filter
+    |pos_a − pos_b| ≤ d and the length filter ||a| − |b|| ≤ d.
+
+    Short strings: the matching bound is VACUOUS when a string has
+    ≤ d·q grams (max(|G_a|,|G_b|) − d·q ≤ 0 — 'aa' vs 'ab' at d=1,
+    q=2 share zero grams yet qualify; caught by the hypothesis test),
+    so only strings with at least q·(d+1) characters (> d·q grams)
+    ride the gram path. Every true pair with a shorter member has its
+    partner within d of that length, so the short subset joins
+    all-pairs against strings up to q·(d+1) − 1 + d chars — bounded by
+    the length filter, disjoint from the gram path.
+
+    Verify is Spark's native banded ``levenshtein(a, b, threshold)``
+    (O(len·d) per pair, -1 when exceeded) on the deduped candidates —
+    exact, so the prefix filter only costs recall if the lemma is
+    wrong; a hypothesis test replays tiny hot-alphabet corpora against
+    brute force. The emitted distance is an exact integer; a DuckDB
+    brute-force twin (full-DP levenshtein over length-filtered pairs)
+    must produce the identical frame, so the driver's oracle compare
+    itself re-proves candidate completeness per run.
+
+    Scale: posting frames ride the rarity prefix (hot grams survive
+    only where they are a string's rarest), every corpus-grain frame
+    follows the never-broadcast pin (operators/hints.py), and the
+    candidate dedup repartitions by pair before the verify (AQE-proof
+    parallelism, the r8 simjoin lesson). Returns (id_a, id_b, dist).
+    """
+    from pyspark.sql import Window
+
+    d = int(max_dist)
+    small = input_fits_driver(df)
+    s = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).cast("string").alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    s = tracked_persist(
+        s.withColumn("_len", F.length("_s").cast("bigint"))
+    )
+
+    # --- gram path: both sides have > d*q grams (_len >= q*(d+1)) ---
+    min_gram_len = q * (d + 1)
+    grams_expr = F.expr(
+        f"CASE WHEN length(_s) >= {min_gram_len} THEN "
+        f"transform(sequence(1, length(_s) - {q} + 1), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, xxhash64(substring(_s, i, {q})) AS g)) "
+        "ELSE array() END"
+    )
+    tok = s.select("_id", "_len", F.explode(grams_expr).alias("_e")).select(
+        "_id", "_len", F.col("_e.pos").alias("_pos"), F.col("_e.g").alias("_g")
+    )
+    wdf = Window.partitionBy("_g")
+    wid = Window.partitionBy("_id").orderBy("_df", "_g", "_pos")
+    pref = (
+        tok.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .withColumn("_rn", F.row_number().over(wid))
+        .filter(F.col("_rn") <= d * q + 1)
+        .select("_id", "_len", "_pos", "_g")
+    )
+    pref = tracked_persist(pin_corpus_agg(pref, small))
+    pa, pb = pref.alias("a"), pref.alias("b")
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    cand_grams = (
+        pa.join(pb, F.col("a._g") == F.col("b._g"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(F.abs(F.col("a._pos") - F.col("b._pos")) <= d)
+        .filter(F.abs(F.col("a._len") - F.col("b._len")) <= d)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+
+    # --- short path: pairs where either side has too few grams ---
+    shorts = s.filter(F.col("_len") < min_gram_len)
+    partners = s.filter(F.col("_len") <= min_gram_len - 1 + d)
+    cand_short = (
+        shorts.alias("a")
+        .join(
+            partners.alias("b"),
+            F.abs(F.col("a._len") - F.col("b._len")) <= d,
+        )
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
+    )
+
+    cand = (
+        cand_grams.unionByName(cand_short)
+        .repartition(n_par, "id_a", "id_b")
+        .dropDuplicates()
+    )
+    sa = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    _materialize_together([s, pref])
+    dist = F.expr(f"levenshtein(_sa, _sb, {d})")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
+        .filter(F.col("dist") >= 0)
     )

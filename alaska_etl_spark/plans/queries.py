@@ -9790,6 +9790,44 @@ FROM per ORDER BY touch_type
 """
 
 
+def qp0_edit_distance_join(spark, sf_dir):
+    """Exact edit-distance similarity join (operators/simjoin.py
+    edit_distance_join, X150): all part-name pairs within Levenshtein
+    distance 1, via Ed-Join positional q-gram prefix filtering (the
+    d·q+1 rarest grams per string propose; native banded levenshtein
+    verifies) — the typo/variant-spelling reconciliation the
+    set-similarity joins cannot see (one character edit barely moves
+    shingle Jaccard). The DuckDB oracle is the BRUTE-FORCE join
+    (length-filtered full-DP levenshtein), so the driver compare
+    re-proves candidate completeness on every run. Keyed subset
+    (p_partkey % 10 = 0) keeps the quadratic oracle cheap at sf0.1;
+    the Spark side is the one that scales past it."""
+    from alaska_etl_spark.operators.simjoin import edit_distance_join
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    return edit_distance_join(parts, "p_partkey", "p_name", q=2, max_dist=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+QP0_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey % 10 = 0
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -9938,6 +9976,7 @@ QUERIES = {
     "q39_ks_split_check": qo4_ks_split_check,
     "qo5_token_waterfill": qo5_token_waterfill,
     "qo6_attribution": qo6_attribution,
+    "qp0_edit_distance_join": qp0_edit_distance_join,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10240,6 +10279,7 @@ ORACLES = {
     "q39_ks_split_check": QO4_SQL,
     "qo5_token_waterfill": QO5_SQL,
     "qo6_attribution": QO6_SQL,
+    "qp0_edit_distance_join": QP0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -266,3 +266,90 @@ def test_containment_max_dst_df_only_drops(spark):
     assert set(pruned) <= set(exact)
     for k, v in pruned.items():
         assert v == exact[k]
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_exact_vs_brute(spark):
+    """Ed-Join prefix filter + banded verify == brute-force Levenshtein
+    on a hot-alphabet corpus (tiny vocab = the pruning-heavy regime
+    where a recall bug in the prefix lemma would surface)."""
+    from alaska_etl_spark.operators.simjoin import edit_distance_join
+
+    rows = [
+        (1, "banana"), (2, "banane"), (3, "bananas"), (4, "bandana"),
+        (5, "cabana"), (6, "abanan"), (7, "banan"), (8, "nabana"),
+        (9, "banana"), (10, "xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "id", "s", q=2, max_dist=d).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and _lev(a, b) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_edit_distance_join_short_strings(spark):
+    """Strings shorter than q have no q-gram; the short path must still
+    pair them (the gram path alone would silently drop them)."""
+    from alaska_etl_spark.operators.simjoin import edit_distance_join
+
+    rows = [(1, "a"), (2, "b"), (3, ""), (4, "ab"), (5, "abc"), (6, "a")]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s", q=2, max_dist=1).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want
+    assert (1, 6, 0) in got  # identical 1-char strings
+
+
+def test_edit_distance_join_hypothesis_recall(spark):
+    """Property: on random hot-alphabet corpora the join equals brute
+    force — pins the prefix lemma (L = d*q + 1 rarest grams, position
+    and length filters) and the short-string routing."""
+    import random
+
+    from alaska_etl_spark.operators.simjoin import edit_distance_join
+
+    rng = random.Random(17)
+    for trial in range(3):
+        rows = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+            for i in range(1, 26)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, s string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "id", "s", q=2, max_dist=1).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and _lev(a, b) <= 1
+        }
+        assert got == want, f"trial {trial}"
