@@ -110,6 +110,15 @@ QUERIES_UNDER_TEST = [
     # constant (as real ones do). Expected ~linear: one scan + one
     # counts aggregate per table, every report off the reduced frame.
     "q23_data_audit",
+    # round-9 (VERDICT r8 #7): the r8 tail's two join-bearing shapes.
+    # Join forecast: two key-grain count aggregates + a key-frame join
+    # — its whole pitch is "cheaper than the join it predicts", and
+    # the keyed ×10 tables grow the key-count frames exactly 10×
+    # (expected ~linear). Categorical MI: ALL column pairs ride one
+    # tagged explode + one cell aggregate — the explode width is the
+    # risk; keyed/categorical domains constant, rows 10×.
+    "q33_join_forecast",
+    "q30_mutual_info",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
