@@ -220,6 +220,11 @@ def _intersect_counts(
         )
     )
     _materialize_together([arr] + (materialize_with or []))
+    # set sizes ride along for free (the arrays are per-doc DISTINCT
+    # shingles, so size(_a) IS |S(doc)|) — emitting them here lets the
+    # callers drop a separate corpus-grain size aggregate and its two
+    # post-verify joins (r9: two fewer shuffle/broadcast joins and one
+    # fewer pinned aggregate per similarity join).
     return (
         cand.join(
             arr.select(F.col("_id").alias(left), F.col("_a").alias("_al")), left
@@ -228,7 +233,11 @@ def _intersect_counts(
             arr.select(F.col("_id").alias(right), F.col("_a").alias("_ar")), right
         )
         .select(
-            left, right, F.size(F.array_intersect("_al", "_ar")).alias("_np")
+            left,
+            right,
+            F.size(F.array_intersect("_al", "_ar")).alias("_np"),
+            F.size("_al").alias("_nl"),
+            F.size("_ar").alias("_nr"),
         )
     )
 
@@ -297,11 +306,11 @@ def jaccard_similarity_join(
 
     num, den = threshold_num, threshold_den
     small = input_fits_driver(df)  # conditional pin — operators/hints.py
-    # four consumers read the shingle table (sizes, document
-    # frequencies, and both verify sides) — persist it once instead of
-    # re-running tokenize+explode per branch (the minhash signature
-    # table in operators/dedup.py follows the same rule). ~16 bytes/row
-    # after the hash compaction.
+    # three consumers read the shingle table (document frequencies and
+    # both verify sides) — persist it once instead of re-running
+    # tokenize+explode per branch (the minhash signature table in
+    # operators/dedup.py follows the same rule). ~16 bytes/row after
+    # the hash compaction.
     tok = (
         ensure_min_parallelism(df, id_col)
         .select(
@@ -311,15 +320,6 @@ def jaccard_similarity_join(
         .select("_id", F.xxhash64("_t").alias("_t"))
     )
     tok = tracked_persist(tok)
-    # corpus-grain (one row per doc) / vocab-grain (one row per
-    # shingle) aggregates: shuffle_hash for the same reason as
-    # _intersect_counts — Catalyst sizes aggregate outputs from
-    # row-count guesses, and at the 100x stress tier it picked a
-    # broadcast of the 100x vocabulary that blew the driver — UNLESS
-    # the raw input scan proves them small (operators/hints.py).
-    sz = pin_corpus_agg(
-        tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
-    )
     # document frequency and set size as WINDOW counts over the cached
     # shingle table (r9): the former dfreq-aggregate + join + sz-join
     # chain cost two extra join stages and their AQE materializations;
@@ -398,14 +398,11 @@ def jaccard_similarity_join(
     inter = _intersect_counts(
         cand, tok, "id_a", "id_b", small, materialize_with=[pref]
     )
-    sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    scored = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("_nq", F.col("_na") + F.col("_nb") - F.col("_np"))
-        .filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_nq"))
-    )
+    # set sizes come off the verify arrays (_intersect_counts) — no
+    # separate size aggregate, no post-verify joins
+    scored = inter.withColumn(
+        "_nq", F.col("_nl") + F.col("_nr") - F.col("_np")
+    ).filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_nq"))
     scale = 10**round_digits
     return scored.select(
         "id_a",
@@ -486,15 +483,6 @@ def containment_join(
         .select("_id", F.xxhash64("_t").alias("_t"))
     )
     tok = tracked_persist(tok)
-    # corpus-grain (one row per doc) / vocab-grain (one row per
-    # shingle) aggregates: shuffle_hash for the same reason as
-    # _intersect_counts — Catalyst sizes aggregate outputs from
-    # row-count guesses, and at the 100x stress tier it picked a
-    # broadcast of the 100x vocabulary that blew the driver — UNLESS
-    # the raw input scan proves them small (operators/hints.py).
-    sz = pin_corpus_agg(
-        tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")), small
-    )
     # document frequency / set size / rank as WINDOW counts over the
     # cached shingle table, and the ranked frame PERSISTED: the src
     # (prefix-pruned) and dst (full) sides plus the verify all read it,
@@ -551,20 +539,17 @@ def containment_join(
     inter = _intersect_counts(
         cand, tok, "src_id", "dst_id", small, materialize_with=[ranked]
     )
-    ss = sz.select(F.col("_id").alias("src_id"), F.col("_n").alias("_ns"))
-    sd = sz.select(F.col("_id").alias("dst_id"), F.col("_n").alias("_nd"))
-    scored = (
-        inter.join(ss, "src_id")
-        .join(sd, "dst_id")
-        .filter(F.lit(den) * F.col("_nd") >= F.lit(num) * F.col("_ns"))
-        .filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_ns"))
-    )
+    # set sizes come off the verify arrays (_intersect_counts) — no
+    # separate size aggregate, no post-verify joins
+    scored = inter.filter(
+        F.lit(den) * F.col("_nr") >= F.lit(num) * F.col("_nl")
+    ).filter(F.lit(den) * F.col("_np") >= F.lit(num) * F.col("_nl"))
     scale = 10**round_digits
     return scored.select(
         "src_id",
         "dst_id",
         (
-            div_half_up("_np", "_ns", scale)
+            div_half_up("_np", "_nl", scale)
             / F.lit(float(scale))
         ).alias("containment"),
     )
