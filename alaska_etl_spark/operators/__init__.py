@@ -51,6 +51,7 @@ from alaska_etl_spark.operators.dedup import (  # noqa: F401
     dup_cluster_sizes,
     lsh_scurve,
     decontaminate,
+    normalized_dedup_report,
     dedup_exact,
     dedup_keep_first,
     duplicate_report,
@@ -101,6 +102,7 @@ from alaska_etl_spark.operators.lm import (  # noqa: F401
     train_bigram_lm,
 )
 from alaska_etl_spark.operators.skew import (  # noqa: F401
+    index_build_forecast,
     join_cardinality_forecast,
     key_skew_report,
     salted_aggregate,
@@ -129,6 +131,7 @@ from alaska_etl_spark.operators.similarity import (  # noqa: F401
     cluster_separation,
 )
 from alaska_etl_spark.operators.simjoin import (  # noqa: F401
+    containment_spans,
     cosine_similarity_join,
     jaccard_similarity_join,
 )
@@ -162,6 +165,7 @@ from alaska_etl_spark.operators.splits import (  # noqa: F401
 )
 from alaska_etl_spark.operators.text import (  # noqa: F401
     bm25_topk,
+    boilerplate_grams,
     ngram_diversity,
     repetition_signals,
     zipf_slope,

@@ -1983,3 +1983,155 @@ def canonical_selection(
         )
         .orderBy("component")
     )
+
+
+def normalized_fingerprint(col: "Column | str") -> Column:
+    """Aggressive text-normalization fingerprint — the "fuzzy-exact"
+    dedup key most production pipelines (Dolma, RefinedWeb) run BEFORE
+    any near-dup machinery: lowercase, mask digit runs to ``0``, strip
+    everything but letters/digit-mask/spaces, collapse whitespace,
+    trim. Two documents differing only in case, punctuation, numbers,
+    or spacing collide exactly. Every step is in the Java-regex∩RE2
+    shared dialect so a SQL oracle replays the fingerprint literally
+    (the qn9 format-validity stance)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    s = F.regexp_replace(s, "[0-9]+", "0")
+    s = F.regexp_replace(s, "[^a-z0 ]+", " ")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
+def normalized_dedup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Normalization-gain dedup report: per source (or corpus-wide),
+    how much duplication exists under RAW exact matching vs under the
+    :func:`normalized_fingerprint` — the delta is what normalization
+    alone buys before MinHash/SimHash spend a single signature. The
+    decision number for pipeline ordering: a high ``norm_gain`` says
+    run the cheap fingerprint pass first and shrink the near-dup
+    input; a near-zero gain says skip straight to LSH.
+
+    ONE scan, one aggregate at (group, raw-hash, norm-hash) grain —
+    raw-distinct and norm-distinct then both reduce from the same
+    frame (a raw group never spans two norm groups: normalization is
+    a function of the text, so the pair-grain frame counts both
+    exactly). Hashes are xxhash64 identities (the simjoin stance: any
+    injective mapping gives identical counts; the value-keyed oracle
+    cross-checks). Returns (group?, n_docs, n_exact_distinct,
+    n_norm_distinct, exact_dupes, norm_dupes, norm_gain,
+    norm_savings_bp) ordered."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    gcols = [group_col] if group_col else []
+    pairs = df.select(
+        *gcols,
+        F.xxhash64(F.col(text_col)).alias("_hr"),
+        F.xxhash64(normalized_fingerprint(text_col)).alias("_hn"),
+    ).groupBy(*gcols, "_hr", "_hn").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    per_norm = pairs.groupBy(*gcols, "_hn").agg(
+        F.sum("_c").cast("bigint").alias("_cn"),
+        F.count(F.lit(1)).cast("bigint").alias("_raw_groups"),
+    )
+    out = per_norm.groupBy(*gcols).agg(
+        F.sum("_cn").cast("bigint").alias("n_docs"),
+        F.sum("_raw_groups").cast("bigint").alias("n_exact_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"),
+    )
+    out = out.select(
+        *gcols,
+        "n_docs",
+        "n_exact_distinct",
+        "n_norm_distinct",
+        (F.col("n_docs") - F.col("n_exact_distinct"))
+        .cast("bigint")
+        .alias("exact_dupes"),
+        (F.col("n_docs") - F.col("n_norm_distinct"))
+        .cast("bigint")
+        .alias("norm_dupes"),
+        (F.col("n_exact_distinct") - F.col("n_norm_distinct"))
+        .cast("bigint")
+        .alias("norm_gain"),
+        div_half_up(
+            "10000 * (n_docs - n_norm_distinct)", "nullif(n_docs, 0)"
+        ).alias("norm_savings_bp"),
+    )
+    return out.orderBy(*gcols) if gcols else out
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """Pairwise EXACT content overlap between sources — the dataset
+    card's "which crawls contain the same documents" matrix. The
+    Jensen-Shannon divergence family (X63) compares sources as token
+    DISTRIBUTIONS (two sources can be distributionally identical while
+    sharing zero documents); this counts shared CONTENT: distinct
+    fingerprints (:func:`normalized_fingerprint` by default, raw text
+    otherwise) present in both sources of every ordered pair, plus the
+    directional coverage share — how much of source A's distinct
+    content also lives in source B, the number that decides which
+    source is redundant when trimming a data mixture.
+
+    One fingerprint-distinct aggregate at (group, hash) grain, one
+    self-join on the hash (identity join — the simjoin stance: any
+    injective mapping counts identically, the value-keyed oracle
+    cross-checks), one per-pair count; per-source distinct totals ride
+    a window over the same reduced frame. Only pairs with ≥1 shared
+    fingerprint emit (the all-pairs zero matrix is output noise at
+    1000 sources; absent pair = 0 overlap by contract).
+
+    Returns (source_a, source_b, n_distinct_a, n_shared,
+    coverage_bp = round-half-up 10⁴·n_shared/n_distinct_a) for every
+    ordered pair with overlap, sorted."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+    key = (
+        normalized_fingerprint(text_col)
+        if normalized
+        else F.col(text_col)
+    )
+    fp = (
+        df.select(F.col(group_col).alias("_src"), F.xxhash64(key).alias("_h"))
+        .groupBy("_src", "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .drop("_c")
+    )
+    fp = fp.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("_src"))
+    )
+    shared = (
+        fp.alias("a")
+        .join(fp.alias("b"), "_h")
+        .filter(F.col("a._src") != F.col("b._src"))
+        .groupBy(
+            F.col("a._src").alias("source_a"),
+            F.col("b._src").alias("source_b"),
+        )
+        .agg(
+            F.max("a._nd").cast("bigint").alias("n_distinct_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_distinct_a",
+        "n_shared",
+        div_half_up("10000 * n_shared", "nullif(n_distinct_a, 0)").alias(
+            "coverage_bp"
+        ),
+    ).orderBy("source_a", "source_b")

@@ -58,6 +58,7 @@ __all__ = [
     "cosine_similarity_join",
     "jaccard_similarity_join",
     "containment_join",
+    "containment_spans",
     "edit_distance_join",
 ]
 
@@ -681,4 +682,92 @@ def edit_distance_join(
         .join(sb, "id_b")
         .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
         .filter(F.col("dist") >= 0)
+    )
+
+
+def containment_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 4,
+    round_digits: int = 4,
+    max_dst_df: "int | None" = None,
+) -> DataFrame:
+    """WHERE the excerpt sits: for every directed containment pair
+    (:func:`containment_join` — the quote/excerpt detector), localize
+    the match as first/last shared-shingle POSITIONS on both sides.
+    Detection says "src is quoted inside dst"; provenance review,
+    attribution, and surgical decontamination (cut the span, keep the
+    document) all need the offsets — this is the explanation operator
+    the boolean pair list lacks.
+
+    Positions are 1-based first-occurrence indices in each document's
+    shingle SEQUENCE (pre-dedup): a gram's position is where it first
+    appears in reading order, so ``dst_first..dst_last`` brackets the
+    quoted region of dst and ``src_first..src_last`` the matched part
+    of src (for a true excerpt, src_first ≈ 1 and src_last ≈ its
+    shingle count). Both engines compute min-position per (doc, gram)
+    from the same generate+zip construction, so the SQL twin replays
+    offsets exactly.
+
+    Scale shape: the pair frame is OUTPUT-grain (the containment
+    join's result, already verified); the two position joins key on
+    (id) then (id, gram) against the token-grain position table —
+    posting-list-sized joins, never all-pairs, and the per-pair
+    aggregate reduces |src| gram rows to one span row. Returns
+    (src_id, dst_id, n_shared, src_first, src_last, dst_first,
+    dst_last) ordered by (src_id, dst_id)."""
+    from alaska_etl_spark.operators.dedup import word_tokens
+
+    pairs = containment_join(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        round_digits=round_digits,
+        max_dst_df=max_dst_df,
+    ).select("src_id", "dst_id")
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    seq = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    pos = (
+        df.select(F.col(id_col).alias("_id"), seq.alias("_s"))
+        .filter(F.size("_s") > 0)
+        .select("_id", F.posexplode("_s").alias("_p0", "_g"))
+        .groupBy("_id", "_g")
+        .agg((F.min("_p0") + 1).cast("bigint").alias("_pos"))
+    )
+    pos = tracked_persist(pos)  # both span sides read it
+    j = (
+        pairs.join(
+            pos.select(
+                F.col("_id").alias("src_id"), "_g", F.col("_pos").alias("_ps")
+            ),
+            "src_id",
+        )
+        .join(
+            pos.select(
+                F.col("_id").alias("dst_id"), "_g", F.col("_pos").alias("_pd")
+            ),
+            ["dst_id", "_g"],
+        )
+    )
+    return (
+        j.groupBy("src_id", "dst_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.min("_ps").cast("bigint").alias("src_first"),
+            F.max("_ps").cast("bigint").alias("src_last"),
+            F.min("_pd").cast("bigint").alias("dst_first"),
+            F.max("_pd").cast("bigint").alias("dst_last"),
+        )
+        .orderBy("src_id", "dst_id")
     )

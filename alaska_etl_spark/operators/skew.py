@@ -286,3 +286,82 @@ def join_cardinality_forecast(
         "max_key_product",
         _top_share_bp_expr().alias("top_share_bp"),
     )
+
+
+def index_build_forecast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT inverted-index build forecast — the planner-grade audit
+    for every posting-list operator in the repo (BM25 retrieval, the
+    prefix-filtered similarity joins, LSH banding): BEFORE building the
+    index, one gram-grain aggregate answers "how big is the index, and
+    how bad is the unfiltered gram self-join this index exists to
+    avoid". The cost models SCALE.md argues from (Σdf, Σdf² candidate
+    terms) become a queryable operator instead of a prose claim —
+    the text-index sibling of :func:`join_cardinality_forecast` (the
+    same two-aggregates-before-the-shuffle discipline; VERDICT r8 #7's
+    planner-audit family).
+
+    From one shingle pass (``dedup.shingles``: distinct word n-grams
+    per document) and one gram-grain count table:
+
+    - ``n_docs`` — documents contributing ≥1 shingle;
+    - ``vocab_size`` / ``n_postings`` — distinct grams / Σdf (index
+      rows; postings bytes scale with this);
+    - ``max_df`` and ``singleton_grams`` — the hot-list and the
+      never-collides mass (df=1 grams produce zero candidates and can
+      be dropped from any self-join index);
+    - ``candidate_pairs`` = Σ df·(df−1)/2 — the EXACT unfiltered
+      gram-collision candidate count (what a prefix-less similarity
+      join would verify); computed over decimal(38,0) intermediates
+      (HUGEINT on the DuckDB twin) and emitted as BIGINT — the
+      documented envelope is candidate_pairs < 2⁶³, the same bound the
+      join itself would hit first;
+    - ``top_gram_share_bp`` — the hottest gram's share of the
+      candidate mass, round-half-up basis points (one gram owning half
+      the candidates means one reducer owns half the verify shuffle:
+      the ``max_df`` cap / salting trigger).
+
+    The gram count table is a vocab-grain aggregate feeding only
+    scalar reductions — no join, so no broadcast-pin is needed; the
+    whole forecast is two aggregates and costs a fraction of the index
+    build it sizes. One row."""
+    from alaska_etl_spark.operators.dedup import shingles
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("_g"),
+    )
+    dfreq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    pairs_dec = "cast(_df as decimal(38,0)) * (_df - 1) div 2"
+    gram_stats = dfreq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("_df").cast("bigint").alias("n_postings"),
+        F.max("_df").cast("bigint").alias("max_df"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_grams"),
+        F.expr(f"cast(sum({pairs_dec}) as bigint)").alias("candidate_pairs"),
+        F.expr(f"cast(max({pairs_dec}) as bigint)").alias("_max_pairs"),
+    )
+    docs = tok.agg(
+        F.count_distinct(F.col("_id")).cast("bigint").alias("n_docs")
+    )
+    return docs.crossJoin(gram_stats).select(
+        "n_docs",
+        "vocab_size",
+        "n_postings",
+        "max_df",
+        "singleton_grams",
+        "candidate_pairs",
+        F.expr(
+            "cast((2 * 10000 * cast(coalesce(_max_pairs, 0) as decimal(38,0))"
+            " + nullif(candidate_pairs, 0))"
+            " div (2 * cast(nullif(candidate_pairs, 0) as decimal(38,0)))"
+            " as bigint)"
+        ).alias("top_gram_share_bp"),
+    )

@@ -1298,3 +1298,94 @@ def zipf_slope(
         F.when(denom != 0.0, slope).alias("slope"),
         F.when(denom != 0.0, intercept).alias("intercept"),
     ).orderBy(group_col)
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    *,
+    n: int = 3,
+    min_share_bp: int = 5000,
+) -> DataFrame:
+    """Boilerplate stop-gram audit per source: an n-gram that appears
+    in ≥ ``min_share_bp``/10⁴ of a source's documents is template
+    text (headers, footers, navigation, license banners), not content
+    — the CCNet/RefinedWeb-style signal that a crawl source needs
+    boilerplate stripping before its token counts mean anything, and
+    the per-source complement of the corpus-wide repetition signals
+    (X26): repetition finds bad DOCUMENTS, this finds bad SOURCES.
+
+    One shingle pass (``dedup.shingles`` — distinct per doc, so gram
+    document-frequency is exact), one (source, gram) aggregate, one
+    per-source reduction:
+
+    - ``n_docs`` / ``vocab_size`` — source size and distinct grams;
+    - ``boiler_grams`` — grams with df·10⁴ ≥ min_share_bp·n_docs
+      (integer cross-multiplication, no division, no float);
+    - ``boiler_posting_bp`` — the share of the source's POSTING mass
+      (Σdf) owned by boilerplate grams, round-half-up basis points:
+      the fraction of index/shingle work that is template noise;
+    - ``top_gram`` / ``top_gram_df`` — the most document-frequent gram
+      (ties broken lexicographically — deterministic and
+      oracle-replayable).
+
+    Scale shape: (source, gram)-grain aggregate (one shuffle), then a
+    source-grain reduction; the threshold compare needs each source's
+    n_docs on every gram row — that rides a WINDOW over the source
+    partition of the already-reduced gram frame (vocab-grain, the same
+    exchange the reduction needs anyway), never a second scan. One row
+    per source."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.dedup import shingles
+
+    tok = df.select(
+        F.col(source_col).alias("_src"),
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("_g"),
+    )
+    gram = tok.groupBy("_src", "_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    wsrc = Window.partitionBy("_src")
+    ndocs = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.sum(
+            F.when(F.size(shingles(text_col, n)) > 0, 1).otherwise(0)
+        ).cast("bigint").alias("_n_docs")
+    )
+    g = gram.join(F.broadcast(ndocs), "_src").withColumn(
+        "_boiler",
+        F.col("_df") * F.lit(10**4) >= F.lit(min_share_bp) * F.col("_n_docs"),
+    )
+    # deterministic top gram: max (df, reversed-lexicographic gram) —
+    # expressed as a window rank so both engines order identically
+    wtop = wsrc.orderBy(F.col("_df").desc(), F.col("_g").asc())
+    ranked = g.withColumn("_rk", F.row_number().over(wtop))
+    out = ranked.groupBy("_src", "_n_docs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("boiler_grams"),
+        F.sum("_df").cast("bigint").alias("_postings"),
+        F.sum(F.when(F.col("_boiler"), F.col("_df")).otherwise(0))
+        .cast("bigint")
+        .alias("_boiler_postings"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_g"))).alias("top_gram"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_df")))
+        .cast("bigint")
+        .alias("top_gram_df"),
+    )
+    return out.select(
+        F.col("_src").alias("source"),
+        F.col("_n_docs").alias("n_docs"),
+        "vocab_size",
+        "boiler_grams",
+        div_half_up("10000 * _boiler_postings", "nullif(_postings, 0)").alias(
+            "boiler_posting_bp"
+        ),
+        "top_gram",
+        "top_gram_df",
+    ).orderBy("source")

@@ -9828,6 +9828,304 @@ ORDER BY id_a, id_b
 """
 
 
+def qp1_index_forecast(spark, sf_dir):
+    """EXACT inverted-index build forecast (operators/skew.py
+    index_build_forecast, X151): before building any posting-list
+    structure (BM25, prefix-filtered simjoins, LSH banding), one
+    gram-grain aggregate reports index size (vocab, Σdf), the hot-list
+    (max df), the prunable singleton mass, and the EXACT unfiltered
+    gram-collision candidate count Σ df·(df−1)/2 with its hottest
+    gram's share — the planner-audit number the SCALE.md simjoin cost
+    models argue from, as a queryable operator. Decimal(38,0)/HUGEINT
+    intermediates keep the documented < 2⁶³ output envelope."""
+    from alaska_etl_spark.operators.skew import index_build_forecast
+
+    return index_build_forecast(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+QP1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         )) AS s
+  FROM toks WHERE len(tk) > 0
+), t AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), dfreq AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1
+), gs AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         CAST(max(df) AS BIGINT) AS max_df,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_grams,
+         CAST(sum(CAST(df AS HUGEINT) * (df - 1) // 2) AS BIGINT) AS candidate_pairs,
+         CAST(max(CAST(df AS HUGEINT) * (df - 1) // 2) AS BIGINT) AS max_pairs
+  FROM dfreq
+)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM t) AS n_docs,
+       vocab_size, n_postings, max_df, singleton_grams, candidate_pairs,
+       CAST((2 * 10000 * CAST(coalesce(max_pairs, 0) AS HUGEINT)
+             + nullif(candidate_pairs, 0))
+            // (2 * CAST(nullif(candidate_pairs, 0) AS HUGEINT)) AS BIGINT)
+         AS top_gram_share_bp
+FROM gs
+"""
+
+
+def qp2_boilerplate_grams(spark, sf_dir):
+    """Boilerplate stop-gram audit per source (operators/text.py
+    boilerplate_grams, X152): trigrams present in ≥5% of a source's
+    documents are template text, not content — the per-SOURCE
+    complement of the per-document repetition signals. Integer
+    cross-multiplied threshold (no division), posting-mass share in
+    round-half-up bp, deterministic top gram (max df, lexicographic
+    tie-break)."""
+    from alaska_etl_spark.operators.text import boilerplate_grams
+
+    return boilerplate_grams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        n=3, min_share_bp=500,
+    )
+
+
+QP2_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         )) AS s
+  FROM toks WHERE len(tk) > 0
+), t AS (
+  SELECT source, doc_id, unnest(s) AS g FROM sh
+), gram AS (
+  SELECT source, g, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1, 2
+), nd AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t GROUP BY 1
+), ranked AS (
+  SELECT gram.source, g, df, n_docs,
+         row_number() OVER (PARTITION BY gram.source ORDER BY df DESC, g ASC) AS rk
+  FROM gram JOIN nd ON gram.source = nd.source
+)
+SELECT source,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN df * 10000 >= 500 * n_docs THEN 1 ELSE 0 END) AS BIGINT)
+         AS boiler_grams,
+       CAST((2 * 10000 * sum(CASE WHEN df * 10000 >= 500 * n_docs THEN df ELSE 0 END)
+             + nullif(sum(df), 0)) // (2 * nullif(sum(df), 0)) AS BIGINT)
+         AS boiler_posting_bp,
+       max(CASE WHEN rk = 1 THEN g END) AS top_gram,
+       CAST(max(CASE WHEN rk = 1 THEN df END) AS BIGINT) AS top_gram_df
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def qp3_norm_dedup(spark, sf_dir):
+    """Normalization-gain dedup report (operators/dedup.py
+    normalized_dedup_report, X153): raw-exact vs
+    normalization-fingerprint (lowercase, digit-mask, punctuation
+    strip, whitespace collapse — the Dolma/RefinedWeb "fuzzy-exact"
+    key) duplication per source. The input models a re-crawl merge:
+    the documents table unioned with a cased+punctuated variant of
+    itself (id offset 10⁶), so the gain the fingerprint buys over raw
+    exact matching is real and exactly known — both engines build the
+    identical union."""
+    from alaska_etl_spark.operators.dedup import normalized_dedup_report
+
+    d = _t(spark, sf_dir, "documents")
+    recrawl = d.select(
+        (F.col("doc_id") + F.lit(10**6)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(".")).alias("text"),
+        "source",
+    )
+    both = d.select("doc_id", "text", "source").unionByName(recrawl)
+    return normalized_dedup_report(both, "doc_id", "text", "source")
+
+
+QP3_SQL = r"""
+WITH both AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '.', source FROM documents
+), f AS (
+  SELECT source, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[0-9]+', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM both
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_exact_distinct,
+         CAST(count(DISTINCT norm) AS BIGINT) AS n_norm_distinct
+  FROM f GROUP BY 1
+)
+SELECT source, n_docs, n_exact_distinct, n_norm_distinct,
+       n_docs - n_exact_distinct AS exact_dupes,
+       n_docs - n_norm_distinct AS norm_dupes,
+       n_exact_distinct - n_norm_distinct AS norm_gain,
+       CAST((2 * 10000 * (n_docs - n_norm_distinct) + nullif(n_docs, 0))
+            // (2 * nullif(n_docs, 0)) AS BIGINT) AS norm_savings_bp
+FROM agg ORDER BY source
+"""
+
+
+def qp4_containment_spans(spark, sf_dir):
+    """Excerpt localization (operators/simjoin.py containment_spans,
+    X154): for every directed containment pair (the q36 quote/excerpt
+    detector at τ=3/4), the 1-based first/last shared-shingle
+    positions on both sides — detection says "src is quoted in dst",
+    this says WHERE, which is what provenance review and surgical
+    span-level decontamination act on. The oracle replays the full
+    containment join AND the position arithmetic from the same
+    generate+zip construction."""
+    from alaska_etl_spark.operators.simjoin import containment_spans
+
+    return containment_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold_num=3, threshold_den=4,
+    )
+
+
+QP4_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sq AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         ) AS s
+  FROM toks WHERE len(tk) > 0
+), pos AS (
+  SELECT doc_id, g, CAST(min(i) AS BIGINT) AS pos
+  FROM (SELECT doc_id, unnest(s) AS g,
+               unnest(generate_series(1, len(s))) AS i FROM sq)
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, CAST(count(*) AS BIGINT) AS np,
+         CAST(min(a.pos) AS BIGINT) AS src_first,
+         CAST(max(a.pos) AS BIGINT) AS src_last,
+         CAST(min(b.pos) AS BIGINT) AS dst_first,
+         CAST(max(b.pos) AS BIGINT) AS dst_last
+  FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, np AS n_shared,
+       src_first, src_last, dst_first, dst_last
+FROM inter JOIN sz ON src_id = sz.doc_id
+WHERE 4 * np >= 3 * n
+ORDER BY src_id, dst_id
+"""
+
+
+def qp5_source_overlap(spark, sf_dir):
+    """Pairwise exact content-overlap matrix between sources
+    (operators/dedup.py source_overlap_matrix, X155): distinct
+    normalized fingerprints shared per ordered source pair + the
+    directional coverage share — the dataset-card "which crawls carry
+    the same documents" view that the distributional JS divergence
+    (X63) cannot see. Input models a re-crawl merge: documents
+    unioned with a cased+punctuated variant under ``source || '_rc'``
+    — raw exact matching finds zero overlap, the normalization
+    fingerprint finds exactly each source's full content in its
+    re-crawl twin."""
+    from alaska_etl_spark.operators.dedup import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    recrawl = d.select(
+        (F.col("doc_id") + F.lit(10**6)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(".")).alias("text"),
+        F.concat(F.col("source"), F.lit("_rc")).alias("source"),
+    )
+    return source_overlap_matrix(
+        d.unionByName(recrawl), "doc_id", "text", "source"
+    )
+
+
+QP5_SQL = r"""
+WITH both AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '.', source || '_rc' FROM documents
+), fp AS (
+  SELECT DISTINCT source,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[0-9]+', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM both
+), nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM fp GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.norm = b.norm AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, nd.n_distinct AS n_distinct_a, n_shared,
+       CAST((2 * 10000 * n_shared + nullif(nd.n_distinct, 0))
+            // (2 * nullif(nd.n_distinct, 0)) AS BIGINT) AS coverage_bp
+FROM shared JOIN nd ON shared.source_a = nd.source
+ORDER BY source_a, source_b
+"""
+
+
+def qp6_rfm_segments(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation of the event
+    stream (operators/sessions.py rfm_segments, X156): per user, days
+    since last event vs the corpus high-watermark, event count, and
+    value total in exact cent units; each dimension quintile-bucketed
+    by the range-exchange global ntile with the user-id tiebreak, then
+    reduced to segment-grain counts — the behavioral heatmap next to
+    the q34 sessionization and qc3 cohort retention views."""
+    from alaska_etl_spark.operators.sessions import rfm_segments
+
+    return rfm_segments(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", buckets=5
+    )
+
+
+QP6_SQL = r"""
+WITH per_user AS (
+  SELECT user_id AS u, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM events GROUP BY 1
+), hwm AS (
+  SELECT max(ts) AS hwm FROM events
+), dims AS (
+  SELECT u, (epoch(hwm) - epoch(last_ts)) // 86400 AS rec_days, freq, mon
+  FROM per_user CROSS JOIN hwm
+), bucketed AS (
+  SELECT u, freq, mon,
+         ntile(5) OVER (ORDER BY rec_days ASC, u ASC) AS r_bucket,
+         ntile(5) OVER (ORDER BY -freq ASC, u ASC) AS f_bucket,
+         ntile(5) OVER (ORDER BY -mon ASC, u ASC) AS m_bucket
+  FROM dims
+)
+SELECT r_bucket, f_bucket, m_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(freq) AS BIGINT) AS total_events,
+       CAST(sum(mon) AS BIGINT) AS total_value_units
+FROM bucketed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -9977,6 +10275,12 @@ QUERIES = {
     "qo5_token_waterfill": qo5_token_waterfill,
     "qo6_attribution": qo6_attribution,
     "qp0_edit_distance_join": qp0_edit_distance_join,
+    "qp1_index_forecast": qp1_index_forecast,
+    "qp2_boilerplate_grams": qp2_boilerplate_grams,
+    "qp3_norm_dedup": qp3_norm_dedup,
+    "qp4_containment_spans": qp4_containment_spans,
+    "qp5_source_overlap": qp5_source_overlap,
+    "qp6_rfm_segments": qp6_rfm_segments,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10280,6 +10584,12 @@ ORACLES = {
     "qo5_token_waterfill": QO5_SQL,
     "qo6_attribution": QO6_SQL,
     "qp0_edit_distance_join": QP0_SQL,
+    "qp1_index_forecast": QP1_SQL,
+    "qp2_boilerplate_grams": QP2_SQL,
+    "qp3_norm_dedup": QP3_SQL,
+    "qp4_containment_spans": QP4_SQL,
+    "qp5_source_overlap": QP5_SQL,
+    "qp6_rfm_segments": QP6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1,0 +1,228 @@
+"""Round-9 corpus-audit operators: inverted-index build forecast
+(X151), boilerplate stop-grams (X152), normalization-fingerprint dedup
+(X153), containment span localization (X154), source overlap matrix
+(X155), and RFM segmentation (X156). Each test pins exact values on a
+hand-computable corpus — the same discipline as the driver's DuckDB
+oracles, which cover the sf-scale behavior."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.dedup import (
+    normalized_dedup_report,
+    normalized_fingerprint,
+    source_overlap_matrix,
+)
+from alaska_etl_spark.operators.sessions import rfm_segments
+from alaska_etl_spark.operators.simjoin import containment_spans
+from alaska_etl_spark.operators.skew import index_build_forecast
+from alaska_etl_spark.operators.text import boilerplate_grams
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# X151 index_build_forecast
+# ---------------------------------------------------------------------------
+
+
+def test_index_forecast_exact_counts(spark):
+    # bigrams (n=2): doc 1 "a b c" -> {"a b","b c"}; doc 2 "a b d" ->
+    # {"a b","b d"}; doc 3 "x" -> {"x"}  (short doc = whole-token gram)
+    df = _docs(spark, [(1, "a b c", "s"), (2, "a b d", "s"), (3, "x", "s")])
+    row = index_build_forecast(df, "doc_id", "text", n=2).head(1)[0]
+    assert row["n_docs"] == 3
+    assert row["vocab_size"] == 4          # "a b","b c","b d","x"
+    assert row["n_postings"] == 5
+    assert row["max_df"] == 2              # "a b"
+    assert row["singleton_grams"] == 3
+    assert row["candidate_pairs"] == 1     # only "a b": 2*1/2
+    assert row["top_gram_share_bp"] == 10000
+
+
+def test_index_forecast_no_collisions_null_share(spark):
+    df = _docs(spark, [(1, "p q", "s"), (2, "r s", "s")])
+    row = index_build_forecast(df, "doc_id", "text", n=2).head(1)[0]
+    assert row["candidate_pairs"] == 0
+    assert row["top_gram_share_bp"] is None  # 0/0 -> NULL, both engines
+
+
+# ---------------------------------------------------------------------------
+# X152 boilerplate_grams
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_threshold_and_top_gram(spark):
+    # source s1: 4 docs, every one starts with the same bigram
+    # "copyright foo" (df=4 = 100%); "alpha beta" df=1.
+    rows = [
+        (1, "copyright foo alpha", "s1"),
+        (2, "copyright foo beta", "s1"),
+        (3, "copyright foo gamma", "s1"),
+        (4, "copyright foo alpha beta", "s1"),
+    ]
+    out = boilerplate_grams(
+        _docs(spark, rows), "doc_id", "text", "source", n=2, min_share_bp=5000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 4
+    # grams: copyright-foo df=4, foo-alpha df=2 (docs 1 and 4), foo-beta,
+    # foo-gamma, alpha-beta df=1 → vocab 5; boiler at ≥50% of 4 docs =
+    # df≥2: copyright-foo AND foo-alpha
+    assert r["vocab_size"] == 5
+    assert r["boiler_grams"] == 2
+    assert r["top_gram"] == "copyright foo"
+    assert r["top_gram_df"] == 4
+    # postings 4+2+1+1+1 = 9; boiler mass (4+2)/9 → half-up 6667 bp
+    assert r["boiler_posting_bp"] == 6667
+
+
+def test_boilerplate_integer_threshold_edge(spark):
+    # df=1 of n_docs=2 at min_share_bp=5000: 1*10000 >= 5000*2 holds
+    # (>= is inclusive — the cross-multiplication has no float slack)
+    rows = [(1, "a b", "s"), (2, "c d", "s")]
+    r = boilerplate_grams(
+        _docs(spark, rows), "doc_id", "text", "source", n=2, min_share_bp=5000
+    ).head(1)[0]
+    assert r["boiler_grams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# X153 normalized_fingerprint / normalized_dedup_report
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_fingerprint_collapses_noise(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World! 42",), ("hello world 7",), ("different",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(normalized_fingerprint("text")).collect()]
+    assert got[0] == got[1] == "hello world 0"
+    assert got[2] == "different"
+
+
+def test_normalized_dedup_report_gain(spark):
+    rows = [
+        (1, "The cat.", "s1"),
+        (2, "the cat", "s1"),      # norm-dup of 1, not exact-dup
+        (3, "the cat", "s1"),      # exact dup of 2
+        (4, "a dog", "s1"),
+        (5, "bird", "s2"),
+    ]
+    out = {
+        r["source"]: r
+        for r in normalized_dedup_report(
+            _docs(spark, rows), "doc_id", "text", "source"
+        ).collect()
+    }
+    s1 = out["s1"]
+    assert s1["n_docs"] == 4
+    assert s1["n_exact_distinct"] == 3
+    assert s1["n_norm_distinct"] == 2      # {"the cat", "a dog"}
+    assert s1["exact_dupes"] == 1
+    assert s1["norm_dupes"] == 2
+    assert s1["norm_gain"] == 1
+    assert s1["norm_savings_bp"] == 5000
+    assert out["s2"]["norm_dupes"] == 0
+
+
+def test_normalized_dedup_report_corpus_wide(spark):
+    rows = [(1, "x y", "a"), (2, "X Y!", "b")]
+    r = normalized_dedup_report(_docs(spark, rows), "doc_id", "text").head(1)[0]
+    assert r["n_docs"] == 2 and r["n_norm_distinct"] == 1
+
+
+# ---------------------------------------------------------------------------
+# X154 containment_spans
+# ---------------------------------------------------------------------------
+
+
+def test_containment_spans_localizes_quote(spark):
+    # src 1 = tokens 4..8 of dst 2 (a verbatim quote); bigrams, tau=1/1
+    # (full containment). src shingle seq: 4 bigrams at positions 1-4;
+    # in dst they first occur at positions 4-7 of its bigram sequence.
+    quote = "q1 q2 q3 q4 q5"
+    rows = [
+        (1, quote, "s"),
+        (2, "w1 w2 w3 " + quote + " w4 w5", "s"),
+    ]
+    out = containment_spans(
+        _docs(spark, rows), "doc_id", "text",
+        n=2, threshold_num=1, threshold_den=1,
+    ).collect()
+    by = {(r["src_id"], r["dst_id"]): r for r in out}
+    assert (1, 2) in by
+    r = by[(1, 2)]
+    assert r["n_shared"] == 4
+    assert (r["src_first"], r["src_last"]) == (1, 4)
+    assert (r["dst_first"], r["dst_last"]) == (4, 7)
+    # the reverse direction fails tau=1 (dst has grams src lacks)
+    assert (2, 1) not in by
+
+
+# ---------------------------------------------------------------------------
+# X155 source_overlap_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_directional(spark):
+    rows = [
+        (1, "alpha beta", "a"),
+        (2, "gamma", "a"),
+        (3, "Alpha,  Beta!", "b"),   # normalized twin of 1
+        (4, "delta", "c"),           # no overlap with anyone
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(
+            _docs(spark, rows), "doc_id", "text", "source"
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n_distinct_a"] == 2
+    assert out[("a", "b")]["n_shared"] == 1
+    assert out[("a", "b")]["coverage_bp"] == 5000
+    assert out[("b", "a")]["coverage_bp"] == 10000
+
+
+def test_source_overlap_raw_mode_misses_normalized_twin(spark):
+    rows = [(1, "alpha beta", "a"), (2, "Alpha,  Beta!", "b")]
+    out = source_overlap_matrix(
+        _docs(spark, rows), "doc_id", "text", "source", normalized=False
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# X156 rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_buckets_and_units(spark):
+    ts = lambda d: datetime(2026, 1, d)  # noqa: E731
+    rows = [
+        # user 1: recent, frequent, big spender -> (1,1,1)
+        (1, ts(10), 5.00), (1, ts(10), 5.00), (1, ts(10), 2.50),
+        # user 2: old, single, small -> (2,2,2) with k=2
+        (2, ts(1), 0.99),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["r_bucket"], r["f_bucket"], r["m_bucket"]): r
+        for r in rfm_segments(ev, "user_id", "ts", "value", buckets=2).collect()
+    }
+    assert set(out) == {(1, 1, 1), (2, 2, 2)}
+    best = out[(1, 1, 1)]
+    assert best["n_users"] == 1
+    assert best["total_events"] == 3
+    assert best["total_value_units"] == 1250   # exact cents
+    assert out[(2, 2, 2)]["total_value_units"] == 99
