@@ -408,8 +408,10 @@ def rfm_segments(
     by construction), and the per-user frame is corpus-grain (one row
     per user). Returns (r_bucket, f_bucket, m_bucket, n_users,
     total_events, total_value_units) ordered."""
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
     from alaska_etl_spark.operators.ranking import global_ntile
 
+    events = ensure_min_parallelism(events, user_col)
     per_user = events.groupBy(F.col(user_col).alias("_u")).agg(
         F.max(F.col(ts_col)).alias("_last"),
         F.count(F.lit(1)).cast("bigint").alias("_freq"),

@@ -1341,7 +1341,9 @@ def boilerplate_grams(
 
     from alaska_etl_spark.functions.fixedpoint import div_half_up
     from alaska_etl_spark.operators.dedup import shingles
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
+    df = ensure_min_parallelism(df, id_col)  # single-split local files
     tok = df.select(
         F.col(source_col).alias("_src"),
         F.col(id_col).alias("_id"),

@@ -112,6 +112,11 @@ HEADLINE = [
     # bp-exact gains — the model-operations shape (classifier score →
     # operating table) none of the other headline rows exercise
     "qn3_lift_gains",
+    # r9: the corpus-audit tail's two scan-dense shapes — the index
+    # forecast (gram-grain planner audit) and the per-source
+    # boilerplate stop-gram audit
+    "qp1_index_forecast",
+    "qp2_boilerplate_grams",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
@@ -125,6 +130,9 @@ HEAVY = [
     # premise is trading CPU for single-read I/O; SCALE.md records the
     # measured anatomy and the structural gap to the 36-pass oracle)
     "q23_data_audit",
+    # r9: span localization — a strict superset of q36 (the containment
+    # join plus the match-grain position joins)
+    "qp4_containment_spans",
 ]
 
 
