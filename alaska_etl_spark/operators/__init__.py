@@ -74,12 +74,14 @@ from alaska_etl_spark.operators.embeddings import (  # noqa: F401
     truncate_dims,
 )
 from alaska_etl_spark.operators.layout import (  # noqa: F401
+    layout_skipping_audit,
     zorder_key,
     zorder_sql,
     zorder_write,
 )
 from alaska_etl_spark.operators.sessions import (  # noqa: F401
     concurrency_by_day,
+    rfm_segments,
     last_touch_attribution,
     session_stats,
     sessionize,
@@ -121,6 +123,7 @@ from alaska_etl_spark.operators.classifier import (  # noqa: F401
 from alaska_etl_spark.operators.geo import knn_join  # noqa: F401
 from alaska_etl_spark.operators.graph import (  # noqa: F401
     bfs_distances,
+    k_core,
     pagerank,
     triangle_counts,
 )
@@ -148,6 +151,7 @@ from alaska_etl_spark.operators.sketches import (  # noqa: F401
 from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
     categorical_mutual_info,
+    contingency_effect_sizes,
     ks_two_sample,
     corr_matrix,
     cuped_adjustment,

@@ -266,3 +266,83 @@ def bfs_sql(edges_cte: str, sources_cte: str, *, max_hops: int = 5) -> str:
             f") GROUP BY node)"
         )
     return "WITH " + ", ".join(parts) + f" SELECT node, dist FROM d{max_hops}"
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core peeling: iteratively delete nodes of degree < ``k`` (with
+    their edges) for ``iters`` rounds; return the surviving nodes and
+    their degree in the surviving subgraph. The k-core is the classic
+    "dense engaged kernel" cut of an interaction graph — spam/bot rings
+    and power-user communities survive, one-shot visitors peel away —
+    and the peel count itself is the coreness curve's raw material.
+
+    FIXED iteration count, not run-to-convergence: like
+    :func:`pagerank`, the loop is replayed verbatim by an unrolled CTE
+    chain (:func:`k_core_sql`) emitted from the same spec, so the
+    result is engine-exact whether or not round ``iters`` was a
+    fixpoint (peeling is monotone — once converged, further rounds are
+    identity; callers size ``iters`` ≥ the expected peel depth, and a
+    converged run is detectable as degree ≥ k on every output row).
+
+    Expects an edge list that already contains both directions of each
+    undirected edge (the qb6 trade-graph convention); self-loops are
+    dropped. Each round is one degree aggregate + two semi-joins, with
+    the lineage cut per round (checkpoint / localCheckpoint — the q42
+    pointer-jumping discipline) so the plan never stacks ``iters``
+    joins. Returns (node, degree) ordered by node."""
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if checkpoint_dir is not None:
+        e.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    surv = e
+    for _ in range(iters):
+        deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        pruned = surv.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        surv = (
+            pruned.checkpoint() if checkpoint_dir is not None
+            else pruned.localCheckpoint()
+        )
+    return (
+        surv.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .orderBy("node")
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, *, iters: int = 8) -> str:
+    """The DuckDB twin of :func:`k_core`: the same fixed peel unrolled
+    as a CTE chain. ``edges_cte`` must yield (src, dst) with both
+    directions present; self-loops are dropped here, matching the
+    engine."""
+    parts = [
+        f"e0 AS (SELECT DISTINCT src, dst FROM ({edges_cte}) WHERE src <> dst)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT src, count(*) AS c FROM e{i} GROUP BY src)"
+        )
+        parts.append(f"n{i} AS (SELECT src FROM d{i} WHERE c >= {k})")
+        parts.append(
+            f"e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN n{i} a ON e.src = a.src"
+            f" JOIN n{i} b ON e.dst = b.src)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree"
+        + f" FROM e{iters} GROUP BY src ORDER BY node"
+    )

@@ -92,3 +92,85 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def layout_skipping_audit(
+    df: DataFrame,
+    layouts: "dict[str, Column]",
+    probe_col: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """File-skipping effectiveness audit — the number a z-order /
+    sort-key decision is actually made by: simulate writing ``df`` in
+    each candidate layout order as ``n_buckets`` equal files, record
+    each file's (min, max) of the probe column, and replay the
+    point-lookup workload "one query per distinct probe value" against
+    the min-max index. ``files_touched`` per probe value = files whose
+    range covers it (exactly what parquet row-group / Delta file
+    min-max pruning would scan); a perfectly clustered layout touches
+    1, a random layout touches ~all. This makes X19's z-order claim
+    ("co-locates multi-column locality") a measured, comparable
+    number instead of prose — the layout sibling of the qp1/qo1
+    planner audits.
+
+    ``layouts`` maps a label to its ORDER expression (e.g. natural id,
+    the Morton :func:`zorder_key`, the probe column itself = the
+    clustered upper bound). Buckets are exact ANSI ntile over
+    (order-expr, probe, …) via the range-exchange
+    :func:`~alaska_etl_spark.operators.ranking.global_ntile` — a total
+    order, so both engines bucket identically. Per layout: one k-row
+    min/max frame joined to the distinct probe values on a RANGE
+    predicate (k·|values| candidate pairs with k = n_buckets — bounded
+    by construction, never data²).
+
+    Returns one row per layout: (layout, n_buckets, n_probe_values,
+    files_touched_total, avg_files_x100 = round-half-up
+    100·touched/values, skip_bp = round-half-up share of (file, value)
+    pairs PRUNED), ordered by layout."""
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.ranking import global_ntile
+
+    probes = df.select(F.col(probe_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).distinct()
+    outs = []
+    for label, order in sorted(layouts.items()):
+        keyed = df.select(
+            order.alias("_o"), F.col(probe_col).alias("_p")
+        )
+        # deterministic total order: layout expr, then probe, then a
+        # hash of the pair as the final tiebreak both engines share
+        bucketed = global_ntile(
+            keyed, ["_o", "_p"], n_buckets, bucket_col="_b"
+        )
+        franges = bucketed.groupBy("_b").agg(
+            F.min("_p").alias("_lo"), F.max("_p").alias("_hi")
+        )
+        hits = (
+            probes.join(
+                franges,
+                (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_hits"))
+        )
+        nv = probes.agg(F.count(F.lit(1)).cast("bigint").alias("_nv"))
+        outs.append(
+            hits.crossJoin(nv).select(
+                F.lit(label).alias("layout"),
+                F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+                F.col("_nv").alias("n_probe_values"),
+                F.col("_hits").alias("files_touched_total"),
+                div_half_up("100 * _hits", "nullif(_nv, 0)").alias(
+                    "avg_files_x100"
+                ),
+                div_half_up(
+                    f"10000 * ({n_buckets} * _nv - _hits)",
+                    f"nullif({n_buckets} * _nv, 0)",
+                ).alias("skip_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("layout")

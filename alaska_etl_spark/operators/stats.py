@@ -1384,3 +1384,116 @@ def ks_two_sample(
             ).alias("ks"),
         )
     )
+
+
+def contingency_effect_sizes(
+    df: DataFrame, pairs: "list[tuple[str, str]]", *, scale: int = 10**8
+) -> DataFrame:
+    """Pearson chi-squared and Cramér's V between pairs of categorical
+    columns — the EFFECT-SIZE companion to
+    :func:`categorical_mutual_info`: MI measures dependence in nats
+    (scale-dependent), V normalizes to [0, 1] so a 3-level and a
+    300-level pair rank on one axis; chi² itself is the significance
+    screen's raw statistic.
+
+    Per OBSERVED cell, the chi² contribution is (o−e)²/e − e =
+    (n·n_xy − n_x·n_y)²/(n·n_x·n_y) − n_x·n_y/n; the UNOBSERVED cells
+    (o = 0, e > 0) contribute Σ e over the full r×c grid minus the
+    observed e's — and since Σ_grid e = n, the whole statistic folds to
+    Σ_observed[(d/n_x)·(d/n_y)/n − n_x·n_y/n] + n with d = n·n_xy −
+    n_x·n_y exact BIGINT (caller envelope: n·n_xy < 2⁶³); zero cells
+    never materialize. One pinned double parenthesization per observed
+    cell, rounded half-to-even to 1e-8 units, plus the exact n·scale —
+    the categorical-MI float protocol: identical expression structure
+    on both engines, order-free BIGINT unit sums. V = sqrt(chi²/(n·min(r−1, c−1))) is one engine-identical
+    double expression over the exact unit sum; dof = (r−1)(c−1).
+
+    NULL categories count as their own level (the NUL-sentinel
+    coalesce, same as MI). ALL pairs ride ONE tagged explode + ONE cell
+    aggregate; margins re-aggregate the reduced cell frame. Returns
+    (subject, object, n_rows, n_cells, n_levels_subject,
+    n_levels_object, dof, chi2, cramers_v) ordered."""
+    from alaska_etl_spark.cache import tracked_persist
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("_sub"),
+                F.lit(y).alias("_obj"),
+                F.coalesce(F.col(x).cast("string"), F.lit("\x00null")).alias("_x"),
+                F.coalesce(F.col(y).cast("string"), F.lit("\x00null")).alias("_y"),
+            )
+            for x, y in pairs
+        ]
+    )
+    cells = (
+        df.select(F.explode(entries).alias("_e"))
+        .select("_e._sub", "_e._obj", "_e._x", "_e._y")
+        .groupBy("_sub", "_obj", "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nxy"))
+    )
+    cells = tracked_persist(cells)
+    mx = cells.groupBy("_sub", "_obj", "_x").agg(
+        F.sum("_nxy").cast("bigint").alias("_nx")
+    )
+    my = cells.groupBy("_sub", "_obj", "_y").agg(
+        F.sum("_nxy").cast("bigint").alias("_ny")
+    )
+    tot = cells.groupBy("_sub", "_obj").agg(
+        F.sum("_nxy").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    levels = (
+        mx.groupBy("_sub", "_obj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_rx"))
+        .join(
+            my.groupBy("_sub", "_obj").agg(
+                F.count(F.lit(1)).cast("bigint").alias("_ry")
+            ),
+            ["_sub", "_obj"],
+        )
+    )
+    d = F.col("_n") * F.col("_nxy") - F.col("_nx") * F.col("_ny")  # BIGINT
+    term = (
+        (d.cast("double") / F.col("_nx"))
+        * (d.cast("double") / F.col("_ny"))
+        / F.col("_n")
+        - (F.col("_nx") * F.col("_ny")).cast("double") / F.col("_n")
+    )
+    chi = (
+        cells.join(mx, ["_sub", "_obj", "_x"])
+        .join(my, ["_sub", "_obj", "_y"])
+        .join(F.broadcast(tot.select("_sub", "_obj", "_n")), ["_sub", "_obj"])
+        .select(
+            "_sub",
+            "_obj",
+            F.round(F.lit(scale) * term).cast("long").alias("_u"),
+        )
+        .groupBy("_sub", "_obj")
+        .agg(F.sum("_u").cast("bigint").alias("_chi_obs_u"))
+    )
+    s = float(scale)
+    mindof = F.least(F.col("_rx") - 1, F.col("_ry") - 1)
+    return (
+        tot.join(chi, ["_sub", "_obj"])
+        .join(F.broadcast(levels), ["_sub", "_obj"])
+        .withColumn("_chi_u", F.col("_chi_obs_u") + F.col("_n") * F.lit(scale))
+        .select(
+            F.col("_sub").alias("subject"),
+            F.col("_obj").alias("object"),
+            F.col("_n").alias("n_rows"),
+            "n_cells",
+            F.col("_rx").alias("n_levels_subject"),
+            F.col("_ry").alias("n_levels_object"),
+            ((F.col("_rx") - 1) * (F.col("_ry") - 1)).cast("bigint").alias("dof"),
+            (F.col("_chi_u").cast("double") / s).alias("chi2"),
+            F.when(
+                mindof > 0,
+                F.sqrt(
+                    (F.col("_chi_u").cast("double") / s)
+                    / (F.col("_n") * mindof).cast("double")
+                ),
+            ).alias("cramers_v"),
+        )
+        .orderBy("subject", "object")
+    )

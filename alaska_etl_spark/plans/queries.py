@@ -10126,6 +10126,175 @@ FROM bucketed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def qp7_effect_sizes(spark, sf_dir):
+    """Pearson chi-squared + Cramér's V between categorical column
+    pairs (operators/stats.py contingency_effect_sizes, X158) — the
+    [0,1]-normalized effect size next to qn4's mutual information
+    (nats): the same pairs rank on one axis regardless of level
+    counts. Per-cell terms keep the exact-BIGINT difference
+    n·n_xy − n_x·n_y and one pinned double parenthesization, rounded
+    to 1e-8 units (the MI float protocol), so chi2 and V hash-match
+    cross-engine."""
+    from alaska_etl_spark.operators.stats import contingency_effect_sizes
+
+    outs = [
+        contingency_effect_sizes(_t(spark, sf_dir, t), ps)
+        for t, ps in _QN4_PAIRS.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("subject", "object")
+
+
+def _qp7_sql() -> str:
+    parts = []
+    for t, ps in _QN4_PAIRS.items():
+        for x, y in ps:
+            parts.append(f"""
+SELECT '{x}' AS subject, '{y}' AS object, n_rows, n_cells,
+       n_levels_subject, n_levels_object, dof, chi2, cramers_v
+FROM (
+  WITH cells AS MATERIALIZED (
+    SELECT coalesce(CAST({x} AS VARCHAR), chr(0) || 'null') AS xv,
+           coalesce(CAST({y} AS VARCHAR), chr(0) || 'null') AS yv,
+           CAST(count(*) AS BIGINT) AS nxy
+    FROM {t} GROUP BY 1, 2
+  ), mx AS (SELECT xv, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY xv
+  ), my AS (SELECT yv, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY yv
+  ), tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS n_cells FROM cells
+  ), lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM mx) AS rx,
+                   (SELECT CAST(count(*) AS BIGINT) FROM my) AS ry
+  ), chi AS (
+    SELECT CAST(sum(CAST(round(100000000 * (
+             (CAST(n * nxy - nx * ny AS DOUBLE) / nx)
+             * (CAST(n * nxy - nx * ny AS DOUBLE) / ny) / n
+             - CAST(nx * ny AS DOUBLE) / n
+           )) AS BIGINT)) AS BIGINT)
+           + (SELECT n FROM tot) * 100000000 AS u
+    FROM cells JOIN mx USING (xv) JOIN my USING (yv), tot
+  )
+  SELECT tot.n AS n_rows, tot.n_cells, lv.rx AS n_levels_subject,
+         lv.ry AS n_levels_object,
+         CAST((lv.rx - 1) * (lv.ry - 1) AS BIGINT) AS dof,
+         CAST(chi.u AS DOUBLE) / 100000000.0 AS chi2,
+         CASE WHEN least(lv.rx - 1, lv.ry - 1) > 0 THEN
+           sqrt((CAST(chi.u AS DOUBLE) / 100000000.0)
+                / CAST(tot.n * least(lv.rx - 1, lv.ry - 1) AS DOUBLE))
+         END AS cramers_v
+  FROM tot, lv, chi
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY subject, object"
+
+
+QP7_SQL = _qp7_sql()
+
+
+def qp8_k_core(spark, sf_dir):
+    """k-core peeling (operators/graph.py k_core, X157) over the qb6
+    undirected customer⇄supplier trade graph: 6 fixed peel rounds at
+    k=25 — the dense engaged kernel that survives once casual trade
+    partners fall away. Fixed-iteration like qb6's PageRank, so the
+    DuckDB twin (k_core_sql) replays the peel verbatim as an unrolled
+    CTE chain whether or not round 6 was a fixpoint (peeling is
+    monotone; converged runs show degree ≥ k on every row)."""
+    from alaska_etl_spark.operators.graph import k_core
+
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    trade = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = trade.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        trade.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return k_core(edges, 25, iters=6)
+
+
+def _qp8_sql() -> str:
+    from alaska_etl_spark.operators.graph import k_core_sql
+
+    edges = (
+        "SELECT c AS src, s AS dst FROM ("
+        "SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey) "
+        "UNION ALL "
+        "SELECT s, c FROM ("
+        "SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+    )
+    return k_core_sql(edges, 25, iters=6)
+
+
+QP8_SQL = _mat(_qp8_sql(), "e0")
+
+
+def qp9_layout_audit(spark, sf_dir):
+    """File-skipping effectiveness audit (operators/layout.py
+    layout_skipping_audit, X159): simulate writing lineitem as 64
+    equal files under three candidate layouts — natural order
+    (l_orderkey), Morton z-order on (l_partkey, l_suppkey), and
+    clustered on the probe column itself — and replay a point-lookup
+    workload (one query per distinct l_partkey) against each layout's
+    per-file min-max index. Makes the X19 z-order claim a measured
+    skip rate; the layout sibling of the qp1/qo1 planner audits."""
+    from alaska_etl_spark.operators.layout import layout_skipping_audit, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return layout_skipping_audit(
+        li,
+        {
+            "natural": F.col("l_orderkey").cast("bigint"),
+            "zorder_part_supp": zorder_key(["l_partkey", "l_suppkey"], bits=16),
+            "clustered_part": F.col("l_partkey").cast("bigint"),
+        },
+        "l_partkey",
+        n_buckets=64,
+    )
+
+
+def _qp9_sql() -> str:
+    from alaska_etl_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["l_partkey", "l_suppkey"], bits=16)
+    parts = []
+    for label, order in [
+        ("natural", "CAST(l_orderkey AS BIGINT)"),
+        ("zorder_part_supp", z),
+        ("clustered_part", "CAST(l_partkey AS BIGINT)"),
+    ]:
+        parts.append(f"""
+SELECT '{label}' AS layout, CAST(64 AS BIGINT) AS n_buckets,
+       nv AS n_probe_values, hits AS files_touched_total,
+       CAST((2 * 100 * hits + nullif(nv, 0)) // (2 * nullif(nv, 0)) AS BIGINT)
+         AS avg_files_x100,
+       CAST((2 * 10000 * (64 * nv - hits) + nullif(64 * nv, 0))
+            // (2 * nullif(64 * nv, 0)) AS BIGINT) AS skip_bp
+FROM (
+  WITH bucketed AS (
+    SELECT ntile(64) OVER (ORDER BY ({order}) ASC, l_partkey ASC) AS b,
+           l_partkey AS p
+    FROM lineitem
+  ), franges AS MATERIALIZED (
+    SELECT b, min(p) AS lo, max(p) AS hi FROM bucketed GROUP BY b
+  ), probes AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL
+  )
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS nv,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM probes JOIN franges ON v >= lo AND v <= hi) AS hits
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY layout"
+
+
+QP9_SQL = _qp9_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10281,6 +10450,9 @@ QUERIES = {
     "qp4_containment_spans": qp4_containment_spans,
     "qp5_source_overlap": qp5_source_overlap,
     "qp6_rfm_segments": qp6_rfm_segments,
+    "qp7_effect_sizes": qp7_effect_sizes,
+    "qp8_k_core": qp8_k_core,
+    "qp9_layout_audit": qp9_layout_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10590,6 +10762,9 @@ ORACLES = {
     "qp4_containment_spans": QP4_SQL,
     "qp5_source_overlap": QP5_SQL,
     "qp6_rfm_segments": QP6_SQL,
+    "qp7_effect_sizes": QP7_SQL,
+    "qp8_k_core": QP8_SQL,
+    "qp9_layout_audit": QP9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -226,3 +226,92 @@ def test_rfm_segments_buckets_and_units(spark):
     assert best["total_events"] == 3
     assert best["total_value_units"] == 1250   # exact cents
     assert out[(2, 2, 2)]["total_value_units"] == 99
+
+
+# ---------------------------------------------------------------------------
+# X157 k_core / X158 contingency_effect_sizes / X159 layout_skipping_audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_peels_pendant_chain(spark):
+    from alaska_etl_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus pendant path 3-4-5: 2-core = the triangle
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["degree"] for r in k_core(edges, 2, iters=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_sql_twin_matches(spark):
+    import duckdb
+
+    from alaska_etl_spark.operators.graph import k_core, k_core_sql
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    eng = [(r["node"], r["degree"]) for r in k_core(edges, 2, iters=5).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", sym)
+    got = con.execute(k_core_sql("SELECT src, dst FROM e", 2, iters=5)).fetchall()
+    assert eng == [tuple(r) for r in got]
+
+
+def test_contingency_perfect_dependence(spark):
+    from alaska_etl_spark.operators.stats import contingency_effect_sizes
+
+    # x determines y exactly, 2x2, balanced -> chi2 = n, V = 1
+    rows = [("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_effect_sizes(df, [("x", "y")]).head(1)[0]
+    assert r["n_rows"] == 20 and r["n_cells"] == 2
+    assert r["dof"] == 1
+    assert abs(r["chi2"] - 20.0) < 1e-6
+    assert abs(r["cramers_v"] - 1.0) < 1e-6
+
+
+def test_contingency_independence_and_nulls(spark):
+    from alaska_etl_spark.operators.stats import contingency_effect_sizes
+
+    # perfectly independent 2x2 -> chi2 = 0; NULL is its own level
+    rows = [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_effect_sizes(df, [("x", "y")]).head(1)[0]
+    assert abs(r["chi2"]) < 1e-6 and abs(r["cramers_v"]) < 1e-6
+    rows2 = [("a", "u"), (None, "v"), (None, "v")]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = contingency_effect_sizes(df2, [("x", "y")]).head(1)[0]
+    assert r2["n_levels_subject"] == 2  # 'a' and the NULL level
+    assert r2["n_cells"] == 2
+
+
+def test_layout_audit_clustered_beats_shuffled(spark):
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.layout import layout_skipping_audit
+
+    # probe values 0..9 cycling by row id, written as 10 buckets:
+    # clustered-on-v -> each value in exactly 1 file; natural row order
+    # -> every file holds one full 0..9 cycle, so every value is in
+    # every file
+    rows = [(i, i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    out = {
+        r["layout"]: r
+        for r in layout_skipping_audit(
+            df,
+            {"clustered": F.col("v"), "interleaved": F.col("rid")},
+            "v",
+            n_buckets=10,
+        ).collect()
+    }
+    assert out["clustered"]["files_touched_total"] == 10   # 1 per value
+    assert out["clustered"]["avg_files_x100"] == 100
+    assert out["clustered"]["skip_bp"] == 9000
+    assert out["interleaved"]["files_touched_total"] == 100  # all files
+    assert out["interleaved"]["skip_bp"] == 0
