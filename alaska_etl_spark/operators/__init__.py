@@ -127,6 +127,7 @@ from alaska_etl_spark.operators.graph import (  # noqa: F401
     pagerank,
     triangle_counts,
 )
+from alaska_etl_spark.operators.linkage import fellegi_sunter_weights  # noqa: F401
 from alaska_etl_spark.operators.pruning import bloom_pruned_semi_join  # noqa: F401
 from alaska_etl_spark.operators.similarity import (  # noqa: F401
     ann_ndcg,
@@ -150,6 +151,7 @@ from alaska_etl_spark.operators.sketches import (  # noqa: F401
 )
 from alaska_etl_spark.operators.stats import (  # noqa: F401
     ab_test_report,
+    benford_audit,
     categorical_mutual_info,
     contingency_effect_sizes,
     ks_two_sample,

@@ -10295,6 +10295,143 @@ FROM (
 QP9_SQL = _qp9_sql()
 
 
+_QQ0_COLS = ["l_extendedprice", "l_quantity"]
+
+
+def qq0_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit (operators/stats.py
+    benford_audit, X160) over lineitem's price and quantity — the
+    fabricated-data / unit-mixing screen: natural multiplicative
+    quantities put ~30.1% of first digits at 1. Values quantize to
+    BIGINT cents and the digit is the first character of the INTEGER
+    rendering (engine-identical where double renderings diverge); the
+    Benford expectations ride as pre-quantized bp literals in BOTH
+    plans (the qo0 analytic-literal stance)."""
+    from alaska_etl_spark.operators.stats import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "lineitem"), _QQ0_COLS)
+
+
+def _qq0_sql() -> str:
+    import math
+
+    ben = ", ".join(
+        f"({d}, {int(round(10**4 * math.log10(1 + 1 / d)))})"
+        for d in range(1, 10)
+    )
+    parts = []
+    for c in _QQ0_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(substr(CAST(abs(CAST(round({c} * 100) AS BIGINT)) AS VARCHAR), 1, 1)
+            AS INT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE {c} IS NOT NULL AND abs(CAST(round({c} * 100) AS BIGINT)) > 0
+GROUP BY 1, 2""")
+    return f"""
+WITH digits AS ({' UNION ALL '.join(parts)}),
+tot AS (SELECT column_name, CAST(sum(n) AS BIGINT) AS t FROM digits GROUP BY 1),
+ben(digit, benford_bp) AS (VALUES {ben})
+SELECT d.column_name, d.digit, d.n,
+       CAST((2 * 10000 * d.n + nullif(t.t, 0)) // (2 * nullif(t.t, 0)) AS BIGINT)
+         AS share_bp,
+       CAST(ben.benford_bp AS BIGINT) AS benford_bp,
+       CAST((2 * 10000 * d.n + nullif(t.t, 0)) // (2 * nullif(t.t, 0))
+            - ben.benford_bp AS BIGINT) AS dev_bp
+FROM digits d JOIN tot t USING (column_name) JOIN ben USING (digit)
+ORDER BY column_name, digit
+"""
+
+
+QQ0_SQL = _qq0_sql()
+
+
+def qq1_linkage_weights(spark, sf_dir):
+    """Fellegi-Sunter match/unmatch weights (operators/linkage.py,
+    X161) calibrated on a labeled re-crawl corpus: true matches = each
+    document vs its cased+punctuated twin; negatives = each document
+    vs the NEXT document's twin (round-robin sources, so source/lang
+    mostly disagree). Agreement fields: source, lang, and the
+    length-div-100 bucket. Laplace-smoothed exact-integer m/u, PMI
+    fixed-point log₂ weights — the calibration table a linkage scorer
+    sums per candidate pair."""
+    from alaska_etl_spark.operators.linkage import fellegi_sunter_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    twin = d.select(
+        (F.col("doc_id") + F.lit(10**6)).alias("t_id"),
+        F.concat(F.upper("text"), F.lit(".")).alias("t_text"),
+        F.col("source").alias("t_source"),
+        F.col("lang").alias("t_lang"),
+    )
+    matches = d.join(
+        twin, F.col("doc_id") + F.lit(10**6) == F.col("t_id")
+    ).withColumn("is_match", F.lit(True))
+    negatives = d.join(
+        twin, F.col("doc_id") + F.lit(10**6) + 1 == F.col("t_id")
+    ).withColumn("is_match", F.lit(False))
+    pairs = matches.unionByName(negatives).select(
+        "is_match",
+        (F.col("source") == F.col("t_source")).alias("agree_source"),
+        (F.col("lang") == F.col("t_lang")).alias("agree_lang"),
+        (
+            F.expr("length(text) div 100") == F.expr("length(t_text) div 100")
+        ).alias("agree_len_bucket"),
+    )
+    return fellegi_sunter_weights(
+        pairs, "is_match", ["agree_source", "agree_lang", "agree_len_bucket"]
+    )
+
+
+QQ1_SQL = r"""
+WITH twin AS (
+  SELECT doc_id + 1000000 AS t_id, upper(text) || '.' AS t_text,
+         source AS t_source, lang AS t_lang
+  FROM documents
+), pairs AS (
+  SELECT TRUE AS is_match,
+         d.source = t.t_source AS agree_source,
+         d.lang = t.t_lang AS agree_lang,
+         length(d.text) // 100 = length(t.t_text) // 100 AS agree_len_bucket
+  FROM documents d JOIN twin t ON d.doc_id + 1000000 = t.t_id
+  UNION ALL
+  SELECT FALSE,
+         d.source = t.t_source,
+         d.lang = t.t_lang,
+         length(d.text) // 100 = length(t.t_text) // 100
+  FROM documents d JOIN twin t ON d.doc_id + 1000000 + 1 = t.t_id
+), tagged AS (
+  SELECT f, coalesce(a, FALSE) AS a, is_match AS m
+  FROM pairs, LATERAL (VALUES
+    ('agree_source', agree_source),
+    ('agree_lang', agree_lang),
+    ('agree_len_bucket', agree_len_bucket)) t(f, a)
+), counts AS (
+  SELECT f AS field,
+         CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_match,
+         CAST(count(*) FILTER (WHERE NOT m) AS BIGINT) AS n_nonmatch,
+         CAST(count(*) FILTER (WHERE m AND a) AS BIGINT) AS n_agree_match,
+         CAST(count(*) FILTER (WHERE NOT m AND a) AS BIGINT) AS n_agree_nonmatch
+  FROM tagged GROUP BY 1
+)
+SELECT field, n_match, n_nonmatch, n_agree_match, n_agree_nonmatch,
+       CAST((2 * 10000 * (n_agree_match + 1) + (n_match + 2))
+            // (2 * (n_match + 2)) AS BIGINT) AS m_bp,
+       CAST((2 * 10000 * (n_agree_nonmatch + 1) + (n_nonmatch + 2))
+            // (2 * (n_nonmatch + 2)) AS BIGINT) AS u_bp,
+       CAST(round(100000000 * ((((ln(n_agree_match + 1) - ln(n_match + 2))
+            - ln(n_agree_nonmatch + 1)) + ln(n_nonmatch + 2)) / ln(2))
+            AS BIGINT) AS w_agree_units,
+       CAST(round(100000000 * ((((ln(n_match + 2 - n_agree_match - 1)
+            - ln(n_match + 2)) - ln(n_nonmatch + 2 - n_agree_nonmatch - 1))
+            + ln(n_nonmatch + 2)) / ln(2)) AS BIGINT) AS w_disagree_units
+FROM counts ORDER BY field
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10453,6 +10590,8 @@ QUERIES = {
     "qp7_effect_sizes": qp7_effect_sizes,
     "qp8_k_core": qp8_k_core,
     "qp9_layout_audit": qp9_layout_audit,
+    "qq0_benford_audit": qq0_benford_audit,
+    "qq1_linkage_weights": qq1_linkage_weights,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10765,6 +10904,8 @@ ORACLES = {
     "qp7_effect_sizes": QP7_SQL,
     "qp8_k_core": QP8_SQL,
     "qp9_layout_audit": QP9_SQL,
+    "qq0_benford_audit": QQ0_SQL,
+    "qq1_linkage_weights": QQ1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -315,3 +315,40 @@ def test_layout_audit_clustered_beats_shuffled(spark):
     assert out["clustered"]["skip_bp"] == 9000
     assert out["interleaved"]["files_touched_total"] == 100  # all files
     assert out["interleaved"]["skip_bp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X160 benford_audit / X161 fellegi_sunter_weights
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_literals(spark):
+    from alaska_etl_spark.operators.stats import benford_audit
+
+    # cents units: 1.23 -> 123 -> digit 1; 0.05 -> 5 -> digit 5;
+    # -9.00 -> 900 -> digit 9 (|v|); 0.0 and NULL excluded
+    df = spark.createDataFrame(
+        [(1.23,), (0.05,), (-9.00,), (0.0,), (None,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_audit(df, ["v"]).collect()}
+    assert set(out) == {1, 5, 9}
+    assert all(r["n"] == 1 for r in out.values())
+    assert out[1]["benford_bp"] == 3010          # log10(2) quantized
+    assert out[1]["share_bp"] == 3333
+    assert out[1]["dev_bp"] == 323
+
+
+def test_fellegi_sunter_weights_exact(spark):
+    from alaska_etl_spark.operators.linkage import fellegi_sunter_weights
+
+    import math
+
+    # 8 matches (all agree), 8 non-matches (none agree):
+    # m = 9/10, u = 1/10 -> w_agree = log2(9), w_disagree = log2(1/9)
+    rows = [(True, True)] * 8 + [(False, False)] * 8
+    df = spark.createDataFrame(rows, "is_match boolean, agree_f boolean")
+    r = fellegi_sunter_weights(df, "is_match", ["agree_f"]).head(1)[0]
+    assert r["n_match"] == 8 and r["n_nonmatch"] == 8
+    assert r["m_bp"] == 9000 and r["u_bp"] == 1000
+    assert r["w_agree_units"] == round(10**8 * math.log2(9))
+    assert r["w_disagree_units"] == round(10**8 * math.log2(1 / 9))
