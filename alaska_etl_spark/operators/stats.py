@@ -1497,83 +1497,3 @@ def contingency_effect_sizes(
         )
         .orderBy("subject", "object")
     )
-
-
-def benford_audit(
-    df: DataFrame,
-    cols: "list[str]",
-    *,
-    unit_scale: int = 100,
-) -> DataFrame:
-    """Benford first-significant-digit audit — the classic
-    fabricated-data / unit-mixing screen: naturally occurring
-    multiplicative quantities (prices, populations, file sizes) put
-    ~30.1% of first digits at 1, and a column that deviates hard is
-    synthetic, truncated, clamped, or unit-mixed. One tagged explode +
-    one (column, digit) aggregate serves every audited column.
-
-    Exactness discipline: values quantize to BIGINT units
-    (``round(v·unit_scale)``, the cents stance) and the first digit is
-    the first character of the INTEGER's decimal rendering — engines
-    render BIGINTs identically, where double renderings diverge
-    (scientific notation). Zeros/NULLs are excluded (Benford is
-    defined on positive magnitudes; negatives audit by |v|). The
-    Benford expectation log10(1+1/d) is embedded as PRE-QUANTIZED
-    basis-point literals in BOTH plans (the qo0 analytic-literal
-    stance), so ``dev_bp`` is pure integer arithmetic.
-
-    Returns (column_name, digit, n, share_bp, benford_bp, dev_bp)
-    ordered — 9 rows per column with observed digits; absent digits
-    are absent (share 0 is visible as a missing row; the audit's
-    consumers read dev_bp of present rows and the row count)."""
-    import math
-
-    from pyspark.sql import Window
-
-    from alaska_etl_spark.functions.fixedpoint import div_half_up
-
-    benford = {
-        d: int(round(10**4 * math.log10(1 + 1 / d))) for d in range(1, 10)
-    }
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("_c"),
-                F.abs(F.round(F.col(c) * F.lit(unit_scale)).cast("bigint"))
-                .alias("_v"),
-            )
-            for c in cols
-        ]
-    )
-    digits = (
-        df.select(F.explode(entries).alias("_e"))
-        .select("_e._c", "_e._v")
-        .filter(F.col("_v").isNotNull() & (F.col("_v") > 0))
-        .select(
-            "_c",
-            F.substring(F.col("_v").cast("string"), 1, 1)
-            .cast("int")
-            .alias("digit"),
-        )
-        .groupBy("_c", "digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    w = Window.partitionBy("_c")
-    bmap = F.create_map(
-        *[x for d, bp in benford.items() for x in (F.lit(d), F.lit(bp))]
-    )
-    return (
-        digits.withColumn("_tot", F.sum("n").over(w).cast("bigint"))
-        .select(
-            F.col("_c").alias("column_name"),
-            "digit",
-            "n",
-            div_half_up("10000 * n", "nullif(_tot, 0)").alias("share_bp"),
-            bmap[F.col("digit")].cast("bigint").alias("benford_bp"),
-            (
-                div_half_up("10000 * n", "nullif(_tot, 0)")
-                - bmap[F.col("digit")]
-            ).cast("bigint").alias("dev_bp"),
-        )
-        .orderBy("column_name", "digit")
-    )

@@ -10295,58 +10295,6 @@ FROM (
 QP9_SQL = _qp9_sql()
 
 
-_QQ0_COLS = ["l_extendedprice", "l_quantity"]
-
-
-def qq0_benford_audit(spark, sf_dir):
-    """Benford first-significant-digit audit (operators/stats.py
-    benford_audit, X160) over lineitem's price and quantity — the
-    fabricated-data / unit-mixing screen: natural multiplicative
-    quantities put ~30.1% of first digits at 1. Values quantize to
-    BIGINT cents and the digit is the first character of the INTEGER
-    rendering (engine-identical where double renderings diverge); the
-    Benford expectations ride as pre-quantized bp literals in BOTH
-    plans (the qo0 analytic-literal stance)."""
-    from alaska_etl_spark.operators.stats import benford_audit
-
-    return benford_audit(_t(spark, sf_dir, "lineitem"), _QQ0_COLS)
-
-
-def _qq0_sql() -> str:
-    import math
-
-    ben = ", ".join(
-        f"({d}, {int(round(10**4 * math.log10(1 + 1 / d)))})"
-        for d in range(1, 10)
-    )
-    parts = []
-    for c in _QQ0_COLS:
-        parts.append(f"""
-SELECT '{c}' AS column_name,
-       CAST(substr(CAST(abs(CAST(round({c} * 100) AS BIGINT)) AS VARCHAR), 1, 1)
-            AS INT) AS digit,
-       CAST(count(*) AS BIGINT) AS n
-FROM lineitem
-WHERE {c} IS NOT NULL AND abs(CAST(round({c} * 100) AS BIGINT)) > 0
-GROUP BY 1, 2""")
-    return f"""
-WITH digits AS ({' UNION ALL '.join(parts)}),
-tot AS (SELECT column_name, CAST(sum(n) AS BIGINT) AS t FROM digits GROUP BY 1),
-ben(digit, benford_bp) AS (VALUES {ben})
-SELECT d.column_name, d.digit, d.n,
-       CAST((2 * 10000 * d.n + nullif(t.t, 0)) // (2 * nullif(t.t, 0)) AS BIGINT)
-         AS share_bp,
-       CAST(ben.benford_bp AS BIGINT) AS benford_bp,
-       CAST((2 * 10000 * d.n + nullif(t.t, 0)) // (2 * nullif(t.t, 0))
-            - ben.benford_bp AS BIGINT) AS dev_bp
-FROM digits d JOIN tot t USING (column_name) JOIN ben USING (digit)
-ORDER BY column_name, digit
-"""
-
-
-QQ0_SQL = _qq0_sql()
-
-
 def qq1_linkage_weights(spark, sf_dir):
     """Fellegi-Sunter match/unmatch weights (operators/linkage.py,
     X161) calibrated on a labeled re-crawl corpus: true matches = each
@@ -10590,7 +10538,6 @@ QUERIES = {
     "qp7_effect_sizes": qp7_effect_sizes,
     "qp8_k_core": qp8_k_core,
     "qp9_layout_audit": qp9_layout_audit,
-    "qq0_benford_audit": qq0_benford_audit,
     "qq1_linkage_weights": qq1_linkage_weights,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
@@ -10904,7 +10851,6 @@ ORACLES = {
     "qp7_effect_sizes": QP7_SQL,
     "qp8_k_core": QP8_SQL,
     "qp9_layout_audit": QP9_SQL,
-    "qq0_benford_audit": QQ0_SQL,
     "qq1_linkage_weights": QQ1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,

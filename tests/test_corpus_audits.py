@@ -318,24 +318,8 @@ def test_layout_audit_clustered_beats_shuffled(spark):
 
 
 # ---------------------------------------------------------------------------
-# X160 benford_audit / X161 fellegi_sunter_weights
+# X160 fellegi_sunter_weights
 # ---------------------------------------------------------------------------
-
-
-def test_benford_digit_extraction_and_literals(spark):
-    from alaska_etl_spark.operators.stats import benford_audit
-
-    # cents units: 1.23 -> 123 -> digit 1; 0.05 -> 5 -> digit 5;
-    # -9.00 -> 900 -> digit 9 (|v|); 0.0 and NULL excluded
-    df = spark.createDataFrame(
-        [(1.23,), (0.05,), (-9.00,), (0.0,), (None,)], "v double"
-    )
-    out = {r["digit"]: r for r in benford_audit(df, ["v"]).collect()}
-    assert set(out) == {1, 5, 9}
-    assert all(r["n"] == 1 for r in out.values())
-    assert out[1]["benford_bp"] == 3010          # log10(2) quantized
-    assert out[1]["share_bp"] == 3333
-    assert out[1]["dev_bp"] == 323
 
 
 def test_fellegi_sunter_weights_exact(spark):
