@@ -2040,9 +2040,13 @@ def normalized_dedup_report(
         F.count(F.lit(1)).cast("bigint").alias("_raw_groups"),
     )
     out = per_norm.groupBy(*gcols).agg(
-        F.sum("_cn").cast("bigint").alias("n_docs"),
-        F.sum("_raw_groups").cast("bigint").alias("n_exact_distinct"),
-        F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"),
+        # coalesce: the corpus-wide (no-group) aggregate of an empty
+        # input is one row of NULL sums — an empty corpus has 0 docs
+        F.coalesce(F.sum("_cn"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("_raw_groups"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_distinct"),
+        F.count("_hn").cast("bigint").alias("n_norm_distinct"),
     )
     out = out.select(
         *gcols,

@@ -347,12 +347,17 @@ def index_build_forecast(
     pairs_dec = "cast(_df as decimal(38,0)) * (_df - 1) div 2"
     gram_stats = dfreq.agg(
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
-        F.sum("_df").cast("bigint").alias("n_postings"),
+        # coalesce: SUM over zero rows is NULL, but an empty corpus has
+        # 0 postings/candidates, not unknown ones (max_df stays NULL —
+        # there is no hottest gram)
+        F.coalesce(F.sum("_df"), F.lit(0)).cast("bigint").alias("n_postings"),
         F.max("_df").cast("bigint").alias("max_df"),
-        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("singleton_grams"),
-        F.expr(f"cast(sum({pairs_dec}) as bigint)").alias("candidate_pairs"),
+        F.expr(f"cast(coalesce(sum({pairs_dec}), 0) as bigint)").alias(
+            "candidate_pairs"
+        ),
         F.expr(f"cast(max({pairs_dec}) as bigint)").alias("_max_pairs"),
     )
     docs = tok.agg(

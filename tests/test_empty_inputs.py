@@ -249,3 +249,42 @@ def test_kmeans_empty_corpus(spark):
     rep = kmeans_summary(empty, k=4, iters=2)
     assert rep.count() == 0
     assert rep.columns == ["centroid_id", "n_members", "avg_cosine"]
+
+
+def test_r9_corpus_audit_operators_empty(spark):
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.dedup import (
+        normalized_dedup_report,
+        source_overlap_matrix,
+    )
+    from alaska_etl_spark.operators.graph import k_core
+    from alaska_etl_spark.operators.linkage import fellegi_sunter_weights
+    from alaska_etl_spark.operators.layout import layout_skipping_audit
+    from alaska_etl_spark.operators.sessions import rfm_segments
+    from alaska_etl_spark.operators.simjoin import containment_spans
+    from alaska_etl_spark.operators.skew import index_build_forecast
+    from alaska_etl_spark.operators.stats import contingency_effect_sizes
+    from alaska_etl_spark.operators.text import boilerplate_grams
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    r = index_build_forecast(docs, "doc_id", "text").head(1)[0]
+    assert r["n_docs"] == 0 and r["candidate_pairs"] == 0
+    assert r["n_postings"] == 0 and r["top_gram_share_bp"] is None
+    assert boilerplate_grams(docs, "doc_id", "text", "source").count() == 0
+    r = normalized_dedup_report(docs, "doc_id", "text").head(1)[0]
+    assert r["n_docs"] == 0 and r["n_norm_distinct"] == 0
+    assert normalized_dedup_report(docs, "doc_id", "text", "source").count() == 0
+    assert source_overlap_matrix(docs, "doc_id", "text", "source").count() == 0
+    assert containment_spans(docs, "doc_id", "text").count() == 0
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert k_core(edges, 2, iters=2).count() == 0
+    pairs = spark.createDataFrame([], "is_match boolean, a boolean")
+    assert fellegi_sunter_weights(pairs, "is_match", ["a"]).count() == 0
+    cats = spark.createDataFrame([], "x string, y string")
+    assert contingency_effect_sizes(cats, [("x", "y")]).count() == 0
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp, value double")
+    assert rfm_segments(ev, "user_id", "ts", "value").count() == 0
+    d2 = spark.createDataFrame([], "rid bigint, v bigint")
+    out = layout_skipping_audit(d2, {"n": F.col("rid")}, "v", n_buckets=4).collect()
+    assert len(out) == 1 and out[0]["files_touched_total"] == 0
