@@ -422,9 +422,18 @@ def rfm_segments(
     hwm = events.agg(F.max(F.col(ts_col)).alias("_hwm"))
     u = per_user.crossJoin(F.broadcast(hwm)).select(
         "_u",
-        (
-            (F.unix_timestamp("_hwm") - F.unix_timestamp("_last"))
-            / F.lit(86400)
+        # exact integer MICROSECOND difference, floor-divided to days:
+        # unix_timestamp() truncates each value to whole seconds BEFORE
+        # subtracting while SQL epoch() keeps fractions — near a day
+        # boundary the two disagree by one, which reorders the recency
+        # ntile (caught by the sf0.001 sweep)
+        # cast through TIMESTAMP for unix_micros (parquet event times
+        # load as TIMESTAMP_NTZ; the session timezone is pinned UTC, so
+        # the NTZ -> TZ cast is wall-clock identity and the micros
+        # match DuckDB's epoch_us on the same naive values)
+        F.expr(
+            "(unix_micros(cast(_hwm as timestamp))"
+            " - unix_micros(cast(_last as timestamp))) div 86400000000"
         ).cast("bigint").alias("_rec_days"),
         "_freq",
         "_mon",

@@ -9956,7 +9956,7 @@ def qp3_norm_dedup(spark, sf_dir):
 
 
 QP3_SQL = r"""
-WITH both AS (
+WITH merged AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
   SELECT doc_id + 1000000, upper(text) || '.', source FROM documents
@@ -9964,7 +9964,7 @@ WITH both AS (
   SELECT source, text,
          trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
            '[0-9]+', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
-  FROM both
+  FROM merged
 ), agg AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
@@ -10060,7 +10060,7 @@ def qp5_source_overlap(spark, sf_dir):
 
 
 QP5_SQL = r"""
-WITH both AS (
+WITH merged AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
   SELECT doc_id + 1000000, upper(text) || '.', source || '_rc' FROM documents
@@ -10068,7 +10068,7 @@ WITH both AS (
   SELECT DISTINCT source,
          trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
            '[0-9]+', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
-  FROM both
+  FROM merged
 ), nd AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM fp GROUP BY 1
 ), shared AS (
@@ -10109,7 +10109,8 @@ WITH per_user AS (
 ), hwm AS (
   SELECT max(ts) AS hwm FROM events
 ), dims AS (
-  SELECT u, (epoch(hwm) - epoch(last_ts)) // 86400 AS rec_days, freq, mon
+  SELECT u, (epoch_us(hwm) - epoch_us(last_ts)) // 86400000000 AS rec_days,
+         freq, mon
   FROM per_user CROSS JOIN hwm
 ), bucketed AS (
   SELECT u, freq, mon,
@@ -10352,11 +10353,11 @@ WITH twin AS (
          length(d.text) // 100 = length(t.t_text) // 100
   FROM documents d JOIN twin t ON d.doc_id + 1000000 + 1 = t.t_id
 ), tagged AS (
-  SELECT f, coalesce(a, FALSE) AS a, is_match AS m
-  FROM pairs, LATERAL (VALUES
-    ('agree_source', agree_source),
-    ('agree_lang', agree_lang),
-    ('agree_len_bucket', agree_len_bucket)) t(f, a)
+  SELECT 'agree_source' AS f, coalesce(agree_source, FALSE) AS a, is_match AS m FROM pairs
+  UNION ALL
+  SELECT 'agree_lang', coalesce(agree_lang, FALSE), is_match FROM pairs
+  UNION ALL
+  SELECT 'agree_len_bucket', coalesce(agree_len_bucket, FALSE), is_match FROM pairs
 ), counts AS (
   SELECT f AS field,
          CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_match,
@@ -10371,11 +10372,11 @@ SELECT field, n_match, n_nonmatch, n_agree_match, n_agree_nonmatch,
        CAST((2 * 10000 * (n_agree_nonmatch + 1) + (n_nonmatch + 2))
             // (2 * (n_nonmatch + 2)) AS BIGINT) AS u_bp,
        CAST(round(100000000 * ((((ln(n_agree_match + 1) - ln(n_match + 2))
-            - ln(n_agree_nonmatch + 1)) + ln(n_nonmatch + 2)) / ln(2))
+            - ln(n_agree_nonmatch + 1)) + ln(n_nonmatch + 2)) / ln(2)))
             AS BIGINT) AS w_agree_units,
        CAST(round(100000000 * ((((ln(n_match + 2 - n_agree_match - 1)
             - ln(n_match + 2)) - ln(n_nonmatch + 2 - n_agree_nonmatch - 1))
-            + ln(n_nonmatch + 2)) / ln(2)) AS BIGINT) AS w_disagree_units
+            + ln(n_nonmatch + 2)) / ln(2))) AS BIGINT) AS w_disagree_units
 FROM counts ORDER BY field
 """
 

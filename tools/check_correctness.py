@@ -82,7 +82,17 @@ def frame_keys(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # extra args = query names to run (space- or comma-separated; a
+    # bare "--only" marker is tolerated). UNKNOWN names are an ERROR:
+    # a silent no-match run prints "all queries match" vacuously — the
+    # r9 footgun that let four broken oracles masquerade as verified.
+    only = {
+        n
+        for a in sys.argv[2:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
 
     import duckdb
 
@@ -97,6 +107,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown query names (nothing was checked): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
