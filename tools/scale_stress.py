@@ -119,6 +119,21 @@ QUERIES_UNDER_TEST = [
     # risk; keyed/categorical domains constant, rows 10×.
     "q33_join_forecast",
     "q30_mutual_info",
+    # round-9 (the r9 tail's join-bearing shapes): qp1 gram-grain index
+    # forecast (one vocab aggregate over the token-prefixed ×10 corpus:
+    # vocab and postings exactly 10×, candidate sum 10× by disjoint
+    # per-copy vocabularies); qp4 span localization (containment join +
+    # match-grain position joins — expected to track q36's exponent,
+    # the span tail being output-bounded at exactly 10× pairs); qp5
+    # source-overlap (copies keep the SAME source labels, so the matrix
+    # stays source-grain constant while per-pair counts grow 10× —
+    # prefixed copies share no fingerprints across copies); qp8 k-core
+    # (keyed ×10 trade graph preserves per-copy degrees, so survivors
+    # are exactly 10× and each peel round is edge-linear).
+    "qp1_index_forecast",
+    "qp4_containment_spans",
+    "qp5_source_overlap",
+    "qp8_k_core",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
@@ -188,7 +203,12 @@ def build(spark) -> None:
     # growth shape for a warehouse audit.
     keyed = {
         "orders": ["o_orderkey", "o_custkey"],
-        "lineitem": ["l_orderkey"],
+        # l_suppkey offset too (r9): without it the ×10 copies share
+        # one supplier population, so the qp8 trade graph merged
+        # supplier nodes across copies (10× degree hubs) instead of
+        # replicating per-copy subgraphs — survivors were 131 010, not
+        # the exact 140 010 the construction promises.
+        "lineitem": ["l_orderkey", "l_suppkey"],
         "customer": ["c_custkey"],
     }
     for t, keys in keyed.items():
