@@ -10389,7 +10389,7 @@ QUERIES = {
     "qn0_watermark_max": q05_watermark_max,
     "q06_skyline": qi7_skyline,
     "qj5_distinct_dims": q06_distinct_dims,
-    "q07_duplicate_report": q07_duplicate_report,
+    "qq2_duplicate_report": q07_duplicate_report,
     "q08_dedup_keep_first": q08_dedup_keep_first,
     "q09_target_encoding": qj3_target_encoding,
     "qj6_semi_join": q09_semi_join,
@@ -10409,7 +10409,7 @@ QUERIES = {
     "qn2_quality_score": q23_quality_score,
     "q24_lang_id": q24_lang_id,
     "q25_exact_dedup": q25_exact_dedup,
-    "q26_ngram_jaccard": q26_ngram_jaccard,
+    "qq3_ngram_jaccard": q26_ngram_jaccard,
     "q27_cosine_topk": q27_cosine_topk,
     "q28_embedding_near_dup": q28_embedding_near_dup,
     "q29_minhash_lsh": q29_minhash_lsh,
@@ -10533,12 +10533,12 @@ QUERIES = {
     "qp1_index_forecast": qp1_index_forecast,
     "qp2_boilerplate_grams": qp2_boilerplate_grams,
     "qp3_norm_dedup": qp3_norm_dedup,
-    "qp4_containment_spans": qp4_containment_spans,
+    "q07_span_localization": qp4_containment_spans,
     "qp5_source_overlap": qp5_source_overlap,
     "qp6_rfm_segments": qp6_rfm_segments,
     "qp7_effect_sizes": qp7_effect_sizes,
-    "qp8_k_core": qp8_k_core,
-    "qp9_layout_audit": qp9_layout_audit,
+    "q26_k_core": qp8_k_core,
+    "q47_layout_audit": qp9_layout_audit,
     "qq1_linkage_weights": qq1_linkage_weights,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
@@ -10548,7 +10548,7 @@ QUERIES = {
     "q55_approx_distinct": q55_approx_distinct,
     "q46_distinct_counts": q46_distinct_counts,
     "q57_approx_quantiles": q57_approx_quantiles,
-    "q47_duplicated_spans": q47_duplicated_spans,
+    "qq4_duplicated_spans": q47_duplicated_spans,
     "q64_semantic_dedup": q64_semantic_dedup,
     "q65_zorder_key": q65_zorder_key,
     "q66_quantize_int8": q66_quantize_int8,
@@ -10637,7 +10637,7 @@ ORACLES = {
     "qn0_watermark_max": Q05_SQL,
     "q06_skyline": QI7_SQL,
     "qj5_distinct_dims": Q06_SQL,
-    "q07_duplicate_report": Q07_SQL,
+    "qq2_duplicate_report": Q07_SQL,
     "q08_dedup_keep_first": Q08_SQL,
     "q09_target_encoding": QJ3_SQL,
     "qj6_semi_join": Q09_SQL,
@@ -10657,7 +10657,7 @@ ORACLES = {
     "qn2_quality_score": Q23_SQL,
     "q24_lang_id": Q24_SQL,
     "q25_exact_dedup": Q25_SQL,
-    "q26_ngram_jaccard": Q26_SQL,
+    "qq3_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
     "q28_embedding_near_dup": Q28_SQL,
     "q31_ivf_ann": Q31_SQL,
@@ -10691,7 +10691,7 @@ ORACLES = {
     "q14_range_join": Q14_SQL,
     "q37_pii_scrub": Q37_SQL,
     "q46_distinct_counts": Q46_SQL,
-    "q47_duplicated_spans": Q47_SQL,
+    "qq4_duplicated_spans": Q47_SQL,
     "q64_semantic_dedup": Q64_SQL,
     "q65_zorder_key": Q65_SQL,
     "q66_quantize_int8": Q66_SQL,
@@ -10846,12 +10846,12 @@ ORACLES = {
     "qp1_index_forecast": QP1_SQL,
     "qp2_boilerplate_grams": QP2_SQL,
     "qp3_norm_dedup": QP3_SQL,
-    "qp4_containment_spans": QP4_SQL,
+    "q07_span_localization": QP4_SQL,
     "qp5_source_overlap": QP5_SQL,
     "qp6_rfm_segments": QP6_SQL,
     "qp7_effect_sizes": QP7_SQL,
-    "qp8_k_core": QP8_SQL,
-    "qp9_layout_audit": QP9_SQL,
+    "q26_k_core": QP8_SQL,
+    "q47_layout_audit": QP9_SQL,
     "qq1_linkage_weights": QQ1_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,

@@ -132,7 +132,7 @@ HEAVY = [
     "q23_data_audit",
     # r9: span localization — a strict superset of q36 (the containment
     # join plus the match-grain position joins)
-    "qp4_containment_spans",
+    "q07_span_localization",
 ]
 
 

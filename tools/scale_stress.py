@@ -52,7 +52,7 @@ BASE = "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
 COPIES = 10
 QUERIES_UNDER_TEST = [
-    "q26_ngram_jaccard",   # constant-work control (id-bounded by contract)
+    "qq3_ngram_jaccard",   # constant-work control (id-bounded by contract; was q26)
     "q29_minhash_lsh",
     "qo7_simhash",
     "q88_cosine_simjoin",
@@ -131,9 +131,9 @@ QUERIES_UNDER_TEST = [
     # (keyed ×10 trade graph preserves per-copy degrees, so survivors
     # are exactly 10× and each peel round is edge-linear).
     "qp1_index_forecast",
-    "qp4_containment_spans",
+    "q07_span_localization",  # was qp4
     "qp5_source_overlap",
-    "qp8_k_core",
+    "q26_k_core",  # was qp8
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
