@@ -691,3 +691,74 @@ def test_spearman_midranks_match_bruteforce(spark, rows):
         math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
     )
     assert r.rho == round(want, 6)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_k_core_matches_reference_peel(spark, edges, k):
+    from alaska_etl_spark.operators.graph import k_core
+
+    und = {(a, b) for a, b in edges if a != b}
+    sym = sorted(und | {(b, a) for a, b in und})
+    # reference: peel to convergence in plain python
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    want = {n: len(adj[n] & nodes) for n in sorted(nodes)}
+    if not sym:
+        return
+    df = spark.createDataFrame(sym, "src long, dst long")
+    # iters = |nodes| always converges (each round removes >=1 node or stops)
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(df, k, iters=max(len(set(adj)), 1)).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="aB c.,!7\t", min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_normalized_fingerprint_idempotent_and_invariant(spark, texts):
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.operators.dedup import normalized_fingerprint
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        normalized_fingerprint("t").alias("f1"),
+        normalized_fingerprint(F.upper("t")).alias("f_case"),
+        normalized_fingerprint(F.concat(F.lit("  "), F.col("t"), F.lit("!!"))).alias(
+            "f_noise"
+        ),
+    ).collect()
+    for r in out:
+        # case- and punctuation/whitespace-noise-invariant
+        assert r["f1"] == r["f_case"] == r["f_noise"]
+    # idempotent: normalizing a fingerprint is the fingerprint
+    out2 = df.select(
+        normalized_fingerprint(normalized_fingerprint("t")).alias("f2"),
+        normalized_fingerprint("t").alias("f1"),
+    ).collect()
+    for r in out2:
+        assert r["f1"] == r["f2"]
