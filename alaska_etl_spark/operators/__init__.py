@@ -158,6 +158,7 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
     corr_matrix,
     cuped_adjustment,
     histogram_profile,
+    poisson_bootstrap_ci,
     psi_drift,
     grouped_linreg,
     winsorize_report,

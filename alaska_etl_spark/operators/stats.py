@@ -1497,3 +1497,116 @@ def contingency_effect_sizes(
         )
         .orderBy("subject", "object")
     )
+
+
+#: cumulative Poisson(1) CDF literals for the deterministic bootstrap —
+#: embedded identically in the SQL twin (the qo0 analytic-literal
+#: stance); resample weights clamp at 9 (P ≈ 1e-7 at n→∞ per row-draw).
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.999405815182418",
+    "0.9999167588507119",
+    "0.9999897508033253",
+    "0.9999988805191155",
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    *,
+    b: int = 100,
+    unit_scale: int = 100,
+    lo_bp: int = 250,
+    hi_bp: int = 9750,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the mean
+    — the at-scale bootstrap (per-row resample weights ~ Poisson(1),
+    the streaming/MapReduce classic) made REPRODUCIBLE: the weight of
+    row i in resample r comes from ``xxhash64(id, r)`` mapped to a
+    uniform and inverted through Poisson(1) CDF literals, so there is
+    no RNG anywhere, both engines draw the identical resamples, and the
+    CI is an exact artifact of (data, b) — rerunnable byte-for-byte on
+    any engine (``new Date()``-class nondeterminism is exactly what the
+    repo bans).
+
+    One ×b explode + one (resample) aggregate: values quantize to
+    BIGINT units (the cents stance), each resample's mean is ONE double
+    division of two exact BIGINTs, and the CI bounds are order
+    statistics of the b means (ceil-index convention:
+    idx = ⌈q·b⌉, 1-based) picked by a window over the b-ROW frame (the
+    k-row discipline — b is a constant, never data). Returns one row:
+    (n_rows, mean_units, ci_lo_mean_units, ci_hi_mean_units, b).
+
+    Scale shape: work is b·|rows| map-side with a b-row reduce — at
+    100 TB pick b to taste and the explode pipelines inside the scan;
+    there is no resample materialization and no driver-side data."""
+    from pyspark.sql import Window
+
+    if hash_fn == "md5":
+        # engine-portable lane (the q29/q30 md5-lane stance): DuckDB
+        # replays conv(substr(md5(...))) bit-for-bit; id and r render
+        # to the same decimal strings on both engines
+        from alaska_etl_spark.operators.dedup import md5_hash60
+
+        u = md5_hash60(
+            F.concat_ws("_", F.col(id_col), F.col("_r"))
+        ) / F.lit(float(1 << 60))
+    else:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.col("_r")), F.lit(1 << 53))
+            / F.lit(float(1 << 53))
+        )
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(_POISSON1_CDF[k])), F.lit(k)).otherwise(w)
+    drawn = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.round(F.col(val_col) * F.lit(unit_scale)).cast("bigint").alias("_v"),
+        )
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r"))
+        .select("_r", w.alias("_w"), "_v")
+    )
+    means = drawn.groupBy("_r").agg(
+        F.sum(F.col("_w") * F.col("_v")).cast("bigint").alias("_wv"),
+        F.sum("_w").cast("bigint").alias("_wn"),
+    ).select(
+        "_r",
+        (F.col("_wv").cast("double") / F.col("_wn")).alias("_mean"),
+    )
+    wr = Window.orderBy(F.col("_mean").asc(), F.col("_r").asc())
+    ranked = means.select("_mean", F.row_number().over(wr).alias("_rk"))
+    idx_lo = max(1, -(-lo_bp * b // 10**4))  # ceil
+    idx_hi = max(1, -(-hi_bp * b // 10**4))
+    base = df.agg(
+        F.count(val_col).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.round(F.col(val_col) * F.lit(unit_scale)).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("_sv"),
+    )
+    return (
+        base.crossJoin(
+            ranked.filter(F.col("_rk") == idx_lo).select(
+                F.col("_mean").alias("ci_lo_mean_units")
+            )
+        )
+        .crossJoin(
+            ranked.filter(F.col("_rk") == idx_hi).select(
+                F.col("_mean").alias("ci_hi_mean_units")
+            )
+        )
+        .select(
+            "n_rows",
+            (F.col("_sv").cast("double") / F.col("n_rows")).alias("mean_units"),
+            "ci_lo_mean_units",
+            "ci_hi_mean_units",
+            F.lit(b).cast("bigint").alias("b"),
+        )
+    )

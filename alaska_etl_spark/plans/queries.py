@@ -10381,6 +10381,62 @@ FROM counts ORDER BY field
 """
 
 
+def qq5_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    (operators/stats.py poisson_bootstrap_ci, X162): per-row resample
+    weights come from a hash-seeded uniform inverted through Poisson(1)
+    CDF literals — the at-scale bootstrap (per-row Poisson weights,
+    b independent resamples in one ×b explode) with NO RNG anywhere,
+    so both engines draw identical resamples and the CI is an exact
+    artifact of (data, b). md5 hash lane (the q29/q30 stance) so DuckDB
+    replays every draw bit-for-bit; b=100, cents units, ceil-index
+    order statistics."""
+    from alaska_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "event_id", "value",
+        b=100, hash_fn="md5",
+    )
+
+
+def _qq5_sql() -> str:
+    from alaska_etl_spark.operators.stats import _POISSON1_CDF
+
+    h60 = _dk_h60("event_id || '_' || r")
+    ladder = "CASE "
+    for k, c in enumerate(_POISSON1_CDF):
+        ladder += f"WHEN u < {c} THEN {k} "
+    ladder += "ELSE 9 END"
+    return f"""
+WITH drawn AS (
+  SELECT r, {ladder} AS w, v
+  FROM (
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+           unnest(generate_series(0, 99)) AS r
+    FROM events
+  ), LATERAL (SELECT ({h60}) / 1152921504606846976.0 AS u) uu
+), means AS (
+  SELECT r, CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+  FROM drawn GROUP BY r
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rk FROM means
+), base AS (
+  SELECT CAST(count(value) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS sv
+  FROM events
+)
+SELECT n_rows,
+       CAST(sv AS DOUBLE) / n_rows AS mean_units,
+       (SELECT m FROM ranked WHERE rk = 3) AS ci_lo_mean_units,
+       (SELECT m FROM ranked WHERE rk = 98) AS ci_hi_mean_units,
+       CAST(100 AS BIGINT) AS b
+FROM base
+"""
+
+
+QQ5_SQL = _qq5_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10540,6 +10596,7 @@ QUERIES = {
     "q26_k_core": qp8_k_core,
     "q47_layout_audit": qp9_layout_audit,
     "qq1_linkage_weights": qq1_linkage_weights,
+    "qq5_bootstrap_ci": qq5_bootstrap_ci,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10853,6 +10910,7 @@ ORACLES = {
     "q26_k_core": QP8_SQL,
     "q47_layout_audit": QP9_SQL,
     "qq1_linkage_weights": QQ1_SQL,
+    "qq5_bootstrap_ci": QQ5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -336,3 +336,40 @@ def test_fellegi_sunter_weights_exact(spark):
     assert r["m_bp"] == 9000 and r["u_bp"] == 1000
     assert r["w_agree_units"] == round(10**8 * math.log2(9))
     assert r["w_disagree_units"] == round(10**8 * math.log2(1 / 9))
+
+
+# ---------------------------------------------------------------------------
+# X162 poisson_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from alaska_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 8, 10, 11, 9, 10] * 10)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    r1 = poisson_bootstrap_ci(df, "rid", "v", b=50).head(1)[0]
+    r2 = poisson_bootstrap_ci(df, "rid", "v", b=50).head(1)[0]
+    assert r1 == r2  # no RNG anywhere
+    assert r1["n_rows"] == 100
+    assert abs(r1["mean_units"] - 1000.0) < 1e-9
+    # a tight, symmetric-ish sample: the CI must bracket the mean
+    assert r1["ci_lo_mean_units"] <= r1["mean_units"] <= r1["ci_hi_mean_units"]
+    # and be non-degenerate but narrow for this low-variance sample
+    width = r1["ci_hi_mean_units"] - r1["ci_lo_mean_units"]
+    assert 0 < width < 200
+
+
+def test_bootstrap_ci_hash_lanes_agree_in_shape(spark):
+    from alaska_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    rows = [(i, float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    a = poisson_bootstrap_ci(df, "rid", "v", b=40, hash_fn="md5").head(1)[0]
+    x = poisson_bootstrap_ci(df, "rid", "v", b=40).head(1)[0]
+    # different hash lanes draw different resamples but the same data
+    # statistics and both bracket the mean
+    assert a["n_rows"] == x["n_rows"] == 50
+    assert a["mean_units"] == x["mean_units"]
+    for r in (a, x):
+        assert r["ci_lo_mean_units"] <= r["mean_units"] <= r["ci_hi_mean_units"]
