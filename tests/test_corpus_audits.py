@@ -339,7 +339,7 @@ def test_fellegi_sunter_weights_exact(spark):
 
 
 # ---------------------------------------------------------------------------
-# X162 poisson_bootstrap_ci
+# X161 poisson_bootstrap_ci
 # ---------------------------------------------------------------------------
 
 
