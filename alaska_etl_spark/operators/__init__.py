@@ -154,6 +154,8 @@ from alaska_etl_spark.operators.stats import (  # noqa: F401
     benford_audit,
     categorical_mutual_info,
     contingency_effect_sizes,
+    eta_squared,
+    split_conformal,
     ks_two_sample,
     corr_matrix,
     cuped_adjustment,

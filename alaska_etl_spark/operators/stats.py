@@ -1610,3 +1610,199 @@ def poisson_bootstrap_ci(
             F.lit(b).cast("bigint").alias("b"),
         )
     )
+
+
+def eta_squared(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    *,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA effect size η² = SS_between / SS_total for a
+    numeric column against a categorical one — the third axis of the
+    association triptych (corr_matrix: num~num; categorical MI /
+    Cramér's V: cat~cat; this: num~cat), i.e. "how much of the value's
+    variance does the grouping explain", the feature-screening number
+    a mixed-type dataset card needs.
+
+    Exact-integer protocol, CENTERED: values quantize to BIGINT units
+    and shift by the global integer mean m = S div n before any
+    squaring — the raw Σ(S_g²/n_g) form needs 128-bit QUOTIENTS, and
+    an integer division whose quotient exceeds 2⁶³ silently wraps on
+    the Spark decimal ``div`` (measured: negative SS_between at sf0.001
+    — caught by the cross-engine gate). After centering, every
+    division is variance-scale: D_g² div n_g and (Σd)² div n, all
+    < 2⁶³ for any realistic corpus, while the SUMS (Σd² and the
+    per-group squares) ride exact decimal(38,0)/HUGEINT. Floor-div at
+    cent² resolution is a relative error ≤1e-15 here, identical on
+    both engines. Envelope: |Σ units| < 2⁶³ (≈10¹⁷ currency units), and
+    Σ units must be NON-NEGATIVE (Spark's decimal ``div`` truncates
+    toward zero while SQL ``//`` floors — they agree only where the
+    dividend is non-negative, which covers the squares by construction
+    and the mean via this documented input constraint).
+
+    NULL groups count as their own level (sentinel, the MI stance);
+    NULL values are excluded. Returns one row: (n_rows, n_groups,
+    ss_between_units, ss_total_units, eta_sq)."""
+    units = F.round(F.col(val_col) * F.lit(unit_scale)).cast("bigint")
+    raw = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")).alias("_g"),
+        units.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    m = raw.agg(
+        F.expr("sum(_v) div count(1)").cast("bigint").alias("_m"),
+    )
+    base = raw.crossJoin(F.broadcast(m)).select(
+        "_g", (F.col("_v") - F.col("_m")).cast("bigint").alias("_d")
+    )
+    per_g = base.groupBy("_g").agg(
+        F.sum("_d").cast("bigint").alias("_dg"),
+        F.count(F.lit(1)).cast("bigint").alias("_ng"),
+    )
+    terms = per_g.agg(
+        F.sum(
+            F.expr("(cast(_dg as decimal(38,0)) * _dg) div _ng")
+        ).cast("bigint").alias("_braw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    tot = base.agg(
+        F.sum("_d").cast("bigint").alias("_sd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("cast(sum(cast(_d as decimal(38,0)) * _d) as decimal(38,0))")
+        .alias("_sdd"),
+    )
+    corr = F.expr("(cast(_sd as decimal(38,0)) * _sd) div n_rows")
+    return (
+        tot.crossJoin(terms)
+        .select(
+            "n_rows",
+            "n_groups",
+            (F.col("_braw") - corr).cast("decimal(38,0)").alias("_ssb"),
+            (F.col("_sdd") - corr).cast("decimal(38,0)").alias("_sst"),
+        )
+        .select(
+            "n_rows",
+            "n_groups",
+            F.col("_ssb").cast("double").alias("ss_between_units"),
+            F.col("_sst").cast("double").alias("ss_total_units"),
+            F.when(
+                F.col("_sst") != 0,
+                F.col("_ssb").cast("double") / F.col("_sst").cast("double"),
+            ).alias("eta_sq"),
+        )
+    )
+
+
+def split_conformal(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    val_col: str,
+    *,
+    alpha_bp: int = 1000,
+    unit_scale: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Split-conformal prediction interval — distribution-free
+    uncertainty with finite-sample coverage: deterministically split by
+    the id hash (``hash_split``: same id + seed → same split on any
+    engine), fit the simplest predictor on TRAIN (per-group mean,
+    half-up units), take absolute residuals on CALIB, and the interval
+    half-width q̂ is the ⌈(n_c+1)·(1−α)⌉-th smallest calibration
+    residual — guaranteed ≥(1−α) coverage for exchangeable data. The
+    EVAL split then reports the empirical coverage, so the guarantee is
+    measured, not asserted.
+
+    Everything is exact integers: values and predictions in BIGINT
+    units, residuals integer absolute differences, and q̂ an order
+    statistic read off the residual VALUE-COUNT table (one window
+    cumsum over distinct residuals — never a data-wide sort). Rows
+    whose group never appears in TRAIN have no prediction and are
+    excluded from calib/eval (reported via the count columns). Returns
+    one row: (n_train, n_calib, n_eval, alpha_bp, q_hat_units,
+    n_covered, coverage_bp)."""
+    from pyspark.sql import Window
+
+    from alaska_etl_spark.cache import tracked_persist
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.splits import hash_split
+
+    units = F.round(F.col(val_col) * F.lit(unit_scale)).cast("bigint")
+    base = hash_split(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")).alias("_g"),
+            units.alias("_v"),
+        ).filter(F.col("_v").isNotNull()),
+        "_id",
+        weights={"train": 0.5, "calib": 0.25, "eval": 0.25},
+        seed=seed,
+        split_col="_sp",
+    )
+    base = tracked_persist(base)
+    pred = (
+        base.filter(F.col("_sp") == "train")
+        .groupBy("_g")
+        .agg(
+            F.sum("_v").cast("bigint").alias("_sg"),
+            F.count(F.lit(1)).cast("bigint").alias("_ng"),
+        )
+        .select("_g", div_half_up("_sg", "_ng").alias("_pred"))
+    )
+    scored = base.filter(F.col("_sp") != "train").join(pred, "_g").select(
+        "_sp", F.abs(F.col("_v") - F.col("_pred")).cast("bigint").alias("_r")
+    )
+    scored = tracked_persist(scored)
+    calib = scored.filter(F.col("_sp") == "calib")
+    counts = calib.groupBy("_r").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    wc = Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+    n_c = calib.agg(F.count(F.lit(1)).cast("bigint").alias("n_calib"))
+    # idx = ceil((n_c + 1) * (1 - alpha)) = ((n_c + 1) * (10^4 - alpha_bp)
+    #       + 10^4 - 1) div 10^4, clamped to n_c
+    qhat = (
+        counts.withColumn("_cum", F.sum("_c").over(wc).cast("bigint"))
+        .crossJoin(F.broadcast(n_c))
+        .withColumn(
+            "_idx",
+            F.least(
+                F.expr(
+                    f"((n_calib + 1) * ({10**4} - {alpha_bp}) + {10**4} - 1)"
+                    f" div {10**4}"
+                ),
+                F.col("n_calib"),
+            ),
+        )
+        .filter(F.col("_cum") >= F.col("_idx"))
+        .agg(F.min("_r").cast("bigint").alias("q_hat_units"))
+    )
+    ev = scored.filter(F.col("_sp") == "eval")
+    out = (
+        base.agg(
+            F.sum(F.when(F.col("_sp") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train")
+        )
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(
+            F.broadcast(
+                ev.crossJoin(F.broadcast(qhat.select(F.col("q_hat_units").alias("_q"))))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                    F.sum(F.when(F.col("_r") <= F.col("_q"), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_covered"),
+                )
+            )
+        )
+    )
+    return out.select(
+        "n_train",
+        "n_calib",
+        "n_eval",
+        F.lit(alpha_bp).cast("bigint").alias("alpha_bp"),
+        "q_hat_units",
+        "n_covered",
+        div_half_up("10000 * n_covered", "nullif(n_eval, 0)").alias("coverage_bp"),
+    )

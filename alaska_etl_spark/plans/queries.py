@@ -10437,6 +10437,116 @@ FROM base
 QQ5_SQL = _qq5_sql()
 
 
+def qq6_eta_squared(spark, sf_dir):
+    """One-way ANOVA effect size η² (operators/stats.py eta_squared,
+    X162): how much of lineitem's price variance the return flag
+    explains — the num~cat axis of the association triptych next to
+    corr_matrix (num~num) and MI / Cramér's V (cat~cat). Centered
+    integer arithmetic (see the operator docstring: raw-form quotients
+    overflow the 2⁶³ div), order-free decimal unit sums, η² as one
+    double division."""
+    from alaska_etl_spark.operators.stats import eta_squared
+
+    return eta_squared(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+QQ6_SQL = r"""
+WITH raw AS (
+  SELECT coalesce(CAST(l_returnflag AS VARCHAR), chr(0) || 'null') AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), m AS (
+  SELECT CAST(sum(v) // count(*) AS BIGINT) AS m FROM raw
+), base AS (
+  SELECT g, CAST(v - m AS BIGINT) AS d FROM raw, m
+), per_g AS (
+  SELECT g, CAST(sum(d) AS BIGINT) AS dg, CAST(count(*) AS BIGINT) AS ng
+  FROM base GROUP BY 1
+), terms AS (
+  SELECT CAST(sum((CAST(dg AS HUGEINT) * dg) // ng) AS BIGINT) AS braw,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM per_g
+), tot AS (
+  SELECT CAST(sum(d) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+  FROM base
+)
+SELECT n_rows, n_groups,
+       CAST(braw - (CAST(sd AS HUGEINT) * sd) // n_rows AS DOUBLE)
+         AS ss_between_units,
+       CAST(sdd - (CAST(sd AS HUGEINT) * sd) // n_rows AS DOUBLE)
+         AS ss_total_units,
+       CASE WHEN sdd - (CAST(sd AS HUGEINT) * sd) // n_rows <> 0
+            THEN CAST(braw - (CAST(sd AS HUGEINT) * sd) // n_rows AS DOUBLE)
+                 / CAST(sdd - (CAST(sd AS HUGEINT) * sd) // n_rows AS DOUBLE)
+       END AS eta_sq
+FROM tot, terms
+"""
+
+
+def qq7_split_conformal(spark, sf_dir):
+    """Split-conformal prediction interval for event values predicted
+    by the per-type mean (operators/stats.py split_conformal, X163):
+    deterministic hash split (train/calib/eval), q̂ = the
+    ⌈(n_c+1)(1−α)⌉-th smallest calibration residual read off a
+    value-count table, empirical coverage measured on the eval split —
+    distribution-free uncertainty with the finite-sample guarantee
+    checked, not asserted. All exact integers; α = 10%."""
+    from alaska_etl_spark.operators.stats import split_conformal
+
+    return split_conformal(
+        _t(spark, sf_dir, "events"), "event_id", "event_type", "value",
+        alpha_bp=1000,
+    )
+
+
+def _qq7_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_split_sql
+
+    split = hash_split_sql(
+        "event_id", weights={"train": 0.5, "calib": 0.25, "eval": 0.25}
+    )
+    return f"""
+WITH base AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), chr(0) || 'null') AS g,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         {split} AS sp
+  FROM events WHERE value IS NOT NULL
+), pred AS (
+  SELECT g, CAST((2 * sum(v) + count(*)) // (2 * count(*)) AS BIGINT) AS p
+  FROM base WHERE sp = 'train' GROUP BY 1
+), scored AS (
+  SELECT sp, abs(v - p) AS r
+  FROM base JOIN pred USING (g) WHERE sp <> 'train'
+), nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_calib FROM scored WHERE sp = 'calib'
+), qh AS (
+  SELECT CAST(min(r) AS BIGINT) AS q_hat_units
+  FROM (
+    SELECT r, sum(c) OVER (ORDER BY r) AS cum,
+           least(((n_calib + 1) * 9000 + 9999) // 10000, n_calib) AS idx
+    FROM (SELECT r, CAST(count(*) AS BIGINT) AS c
+          FROM scored WHERE sp = 'calib' GROUP BY r), nc
+  ) WHERE cum >= idx
+), ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(count(*) FILTER (WHERE r <= q_hat_units) AS BIGINT) AS n_covered
+  FROM scored, qh WHERE sp = 'eval'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base WHERE sp = 'train') AS n_train,
+       nc.n_calib, ev.n_eval, CAST(1000 AS BIGINT) AS alpha_bp,
+       qh.q_hat_units, ev.n_covered,
+       CAST((2 * 10000 * ev.n_covered + nullif(ev.n_eval, 0))
+            // (2 * nullif(ev.n_eval, 0)) AS BIGINT) AS coverage_bp
+FROM nc, qh, ev
+"""
+
+
+QQ7_SQL = _qq7_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10597,6 +10707,8 @@ QUERIES = {
     "q47_layout_audit": qp9_layout_audit,
     "qq1_linkage_weights": qq1_linkage_weights,
     "qq5_bootstrap_ci": qq5_bootstrap_ci,
+    "qq6_eta_squared": qq6_eta_squared,
+    "qq7_split_conformal": qq7_split_conformal,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -10911,6 +11023,8 @@ ORACLES = {
     "q47_layout_audit": QP9_SQL,
     "qq1_linkage_weights": QQ1_SQL,
     "qq5_bootstrap_ci": QQ5_SQL,
+    "qq6_eta_squared": QQ6_SQL,
+    "qq7_split_conformal": QQ7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

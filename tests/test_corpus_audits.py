@@ -373,3 +373,44 @@ def test_bootstrap_ci_hash_lanes_agree_in_shape(spark):
     assert a["mean_units"] == x["mean_units"]
     for r in (a, x):
         assert r["ci_lo_mean_units"] <= r["mean_units"] <= r["ci_hi_mean_units"]
+
+
+# ---------------------------------------------------------------------------
+# X162 eta_squared / X163 split_conformal
+# ---------------------------------------------------------------------------
+
+
+def test_eta_squared_extremes(spark):
+    from alaska_etl_spark.operators.stats import eta_squared
+
+    # groups fully determine the value -> eta^2 = 1
+    rows = [("a", 10.0)] * 5 + [("b", 20.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = eta_squared(df, "g", "v").head(1)[0]
+    assert r["n_groups"] == 2 and abs(r["eta_sq"] - 1.0) < 1e-12
+    # identical distribution in every group -> eta^2 = 0
+    rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = eta_squared(df, "g", "v").head(1)[0]
+    assert abs(r["eta_sq"]) < 1e-12
+    # constant value -> SS_total = 0 -> NULL eta (0/0 convention)
+    rows = [("a", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert eta_squared(df, "g", "v").head(1)[0]["eta_sq"] is None
+
+
+def test_split_conformal_exact_shape(spark):
+    from alaska_etl_spark.operators.stats import split_conformal
+
+    rows = [(i, "g" + str(i % 2), float(100 + (i % 2) * 50 + (i % 5))) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    r = split_conformal(df, "rid", "g", "v", alpha_bp=1000).head(1)[0]
+    assert r["n_train"] + r["n_calib"] + r["n_eval"] == 400
+    # per-group spread is 4 units of 100ths = 400; q_hat must be within it
+    assert 0 <= r["q_hat_units"] <= 400
+    # finite-sample guarantee holds on exchangeable synthetic data:
+    # empirical coverage should be near (1 - alpha); allow slack for
+    # the small eval split
+    assert r["coverage_bp"] >= 8000
+    # deterministic: same inputs -> same row
+    assert split_conformal(df, "rid", "g", "v", alpha_bp=1000).head(1)[0] == r
