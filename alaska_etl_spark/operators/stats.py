@@ -1779,7 +1779,9 @@ def split_conformal(
     ev = scored.filter(F.col("_sp") == "eval")
     out = (
         base.agg(
-            F.sum(F.when(F.col("_sp") == "train", 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_sp") == "train", 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_train")
         )

@@ -288,3 +288,15 @@ def test_r9_corpus_audit_operators_empty(spark):
     d2 = spark.createDataFrame([], "rid bigint, v bigint")
     out = layout_skipping_audit(d2, {"n": F.col("rid")}, "v", n_buckets=4).collect()
     assert len(out) == 1 and out[0]["files_touched_total"] == 0
+    from alaska_etl_spark.operators.stats import (
+        eta_squared,
+        poisson_bootstrap_ci,
+        split_conformal,
+    )
+    gv = spark.createDataFrame([], "rid bigint, g string, v double")
+    r = eta_squared(gv, "g", "v").head(1)[0]
+    assert r["n_rows"] == 0 and r["eta_sq"] is None
+    r = split_conformal(gv, "rid", "g", "v").head(1)[0]
+    assert r["n_train"] == 0 and r["q_hat_units"] is None
+    r = poisson_bootstrap_ci(gv, "rid", "v", b=10).collect()
+    assert r == [] or r[0]["n_rows"] == 0
