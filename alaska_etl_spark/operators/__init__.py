@@ -82,6 +82,7 @@ from alaska_etl_spark.operators.layout import (  # noqa: F401
 from alaska_etl_spark.operators.sessions import (  # noqa: F401
     concurrency_by_day,
     rfm_segments,
+    sequence_predictability,
     last_touch_attribution,
     session_stats,
     sessionize,
@@ -182,6 +183,7 @@ from alaska_etl_spark.operators.text import (  # noqa: F401
 from alaska_etl_spark.operators.timeseries import (  # noqa: F401
     activity_bitmap,
     ewma,
+    mase_report,
     mad_anomalies,
     sliding_distinct,
     zscore_anomalies,

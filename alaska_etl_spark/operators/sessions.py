@@ -456,3 +456,99 @@ def rfm_segments(
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+def sequence_predictability(
+    df: DataFrame,
+    part_col: str,
+    order_cols: "list[str]",
+    state_col: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """How predictable is the event process? From the SAME transition
+    pairs :func:`transition_matrix` estimates, compute the Markov-1
+    conditional entropy H(next|current), the marginal next-state
+    entropy H(next), and the information the current state carries
+    about the next one, I = H(next) − H(next|current) — one number per
+    corpus separating ritualized flows (checkout funnels, I → H) from
+    memoryless browsing (I → 0). The process-level summary the
+    transition MATRIX (|states|² rows) is too wide to read at a
+    glance.
+
+    Quantized-term discipline throughout (the qi2/MI stance): H(next|
+    current) = Σ_src (n_src/n)·H(next|src) decomposes into per-(src,
+    dst) terms (n_sd/n)·(ln n_src − ln n_sd), every ln argument an
+    exact BIGINT, each term rounded to 1e-9 units, BIGINT sums
+    order-free; H(next) gets the same treatment over the dst margin.
+    One lead window (the transition_matrix exchange), one pair
+    aggregate, reductions over the |states|²-bounded count frame.
+    Returns one row: (n_transitions, n_states, h_next_units,
+    h_cond_units, info_gain_units)."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("_src"),
+            F.lead(F.col(state_col)).over(w).alias("_dst"),
+        )
+        .filter(F.col("_dst").isNotNull())
+        .groupBy("_src", "_dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_sd"))
+    )
+    from alaska_etl_spark.cache import tracked_persist
+
+    pairs = tracked_persist(pairs)
+    src_m = pairs.groupBy("_src").agg(F.sum("_n_sd").cast("bigint").alias("_n_s"))
+    dst_m = pairs.groupBy("_dst").agg(F.sum("_n_sd").cast("bigint").alias("_n_d"))
+    tot = pairs.agg(
+        F.sum("_n_sd").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_cells"),
+    )
+    states = (
+        pairs.select(F.col("_src").alias("_st"))
+        .unionByName(pairs.select(F.col("_dst").alias("_st")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
+    )
+    cond = (
+        pairs.join(src_m, "_src")
+        .crossJoin(F.broadcast(tot.select("_n")))
+        .select(
+            F.round(
+                F.lit(scale)
+                * (F.col("_n_sd").cast("double") / F.col("_n"))
+                * (F.log(F.col("_n_s")) - F.log(F.col("_n_sd")))
+            )
+            .cast("long")
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("bigint").alias("h_cond_units"))
+    )
+    hnext = (
+        dst_m.crossJoin(F.broadcast(tot.select("_n")))
+        .select(
+            F.round(
+                F.lit(scale)
+                * (F.col("_n_d").cast("double") / F.col("_n"))
+                * (F.log(F.col("_n")) - F.log(F.col("_n_d")))
+            )
+            .cast("long")
+            .alias("_t")
+        )
+        .agg(F.sum("_t").cast("bigint").alias("h_next_units"))
+    )
+    return (
+        tot.select(F.col("_n").alias("n_transitions"))
+        .crossJoin(F.broadcast(states))
+        .crossJoin(F.broadcast(hnext))
+        .crossJoin(F.broadcast(cond))
+        .select(
+            "n_transitions",
+            "n_states",
+            "h_next_units",
+            "h_cond_units",
+            (F.col("h_next_units") - F.col("h_cond_units"))
+            .cast("bigint")
+            .alias("info_gain_units"),
+        )
+    )

@@ -847,3 +847,59 @@ def lag_correlation(
         "n_hours",
         F.when(denom != 0, (n * sxy - sx * sy) / denom).alias("corr"),
     )
+
+
+def mase_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    forecast_col: str,
+    *,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """MASE — mean absolute error scaled by the in-sample lag-1 naive
+    error (Hyndman & Koehler 2006), the scale-free forecast-accuracy
+    standard: MASE < 1 beats "predict the previous value", comparable
+    across series of any magnitude, defined where percentage errors
+    (MAPE) blow up on zeros. The evaluation half the q92/EWMA /
+    interpolation family produces forecasts for but could not score.
+
+    Exact integers end-to-end: values and forecasts in BIGINT units,
+    per-series absolute errors and naive |Δ| as integer sums, and the
+    two MAEs' ratio deferred — mase = (sae·n_naive)::double /
+    (snae·n_err) is ONE double division of exact BIGINT products (the
+    lift/gains discipline), so the ranking a model review reads is
+    engine-identical. One lead window per series (the shared-sort
+    rule), one aggregate. Series with < 2 points (no naive error) emit
+    NULL mase. Returns (key, n_points, sae_units, snae_units, mase)
+    ordered by key."""
+    from pyspark.sql import Window
+
+    units = lambda c: F.round(F.col(c) * F.lit(unit_scale)).cast("bigint")  # noqa: E731
+    rows = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        units(val_col).alias("_v"),
+        units(forecast_col).alias("_f"),
+    ).withColumn("_prev", F.lag("_v").over(Window.partitionBy("_k").orderBy("_ts")))
+    agg = rows.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.abs(F.col("_v") - F.col("_f"))).cast("bigint").alias("sae_units"),
+        F.count("_f").cast("bigint").alias("_n_err"),
+        F.coalesce(F.sum(F.abs(F.col("_v") - F.col("_prev"))), F.lit(0))
+        .cast("bigint")
+        .alias("snae_units"),
+        F.count("_prev").cast("bigint").alias("_n_naive"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_points",
+        "sae_units",
+        "snae_units",
+        F.when(
+            (F.col("snae_units") > 0) & (F.col("_n_err") > 0),
+            (F.col("sae_units") * F.col("_n_naive")).cast("double")
+            / (F.col("snae_units") * F.col("_n_err")).cast("double"),
+        ).alias("mase"),
+    ).orderBy(key_col)

@@ -10547,6 +10547,127 @@ FROM nc, qh, ev
 QQ7_SQL = _qq7_sql()
 
 
+def qq8_mase_report(spark, sf_dir):
+    """MASE forecast-accuracy scoring (operators/timeseries.py
+    mase_report, X164): per user, score the expanding-mean persistence
+    forecast (cumulative half-up mean of PRIOR values — the exact-
+    integer baseline every forecasting eval starts from) against the
+    lag-1 naive scale. MASE < 1 beats "predict the previous value";
+    scale-free, defined on zero-crossing series where MAPE is not.
+    Keyed to the 10 busiest users so the per-series frame is dense;
+    (ts, event_id) is the total order both engines share."""
+    from alaska_etl_spark.operators.timeseries import mase_report
+
+    ev = _t(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id")
+        .limit(10).select("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    scored = (
+        ev.join(busy, "user_id")
+        .withColumn("_vu", F.round(F.col("value") * 100).cast("bigint"))
+        .withColumn("_cs", F.sum("_vu").over(wp).cast("bigint"))
+        .withColumn("_cn", F.count("_vu").over(wp).cast("bigint"))
+        .withColumn(
+            "forecast",
+            F.expr("(2 * _cs + _cn) div (2 * _cn)").cast("double") / 100.0,
+        )
+        .filter(F.col("forecast").isNotNull())
+    )
+    return mase_report(scored, "user_id", "ts", "value", "forecast")
+
+
+QQ8_SQL = r"""
+WITH busy AS (
+  SELECT user_id FROM events GROUP BY 1
+  ORDER BY count(*) DESC, user_id ASC LIMIT 10
+), base AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CAST(round(e.value * 100) AS BIGINT) AS vu
+  FROM events e JOIN busy USING (user_id)
+), fc AS (
+  SELECT user_id, ts, event_id, vu,
+         sum(vu) OVER w AS cs, count(vu) OVER w AS cn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT user_id, ts, event_id, vu,
+         CAST(round((CAST((2 * cs + cn) // (2 * cn) AS DOUBLE) / 100.0)
+              * 100) AS BIGINT) AS fu
+  FROM fc WHERE cn > 0
+), rows_ AS (
+  SELECT user_id, vu, fu,
+         lag(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM scored
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(abs(vu - fu)) AS BIGINT) AS sae_units,
+         CAST(count(fu) AS BIGINT) AS n_err,
+         CAST(coalesce(sum(abs(vu - pv)), 0) AS BIGINT) AS snae_units,
+         CAST(count(pv) AS BIGINT) AS n_naive
+  FROM rows_ GROUP BY 1
+)
+SELECT user_id, n_points, sae_units, snae_units,
+       CASE WHEN snae_units > 0 AND n_err > 0
+            THEN CAST(sae_units * n_naive AS DOUBLE)
+                 / CAST(snae_units * n_err AS DOUBLE)
+       END AS mase
+FROM agg ORDER BY user_id
+"""
+
+
+def qq9_sequence_predictability(spark, sf_dir):
+    """Markov-1 sequence predictability of the event stream
+    (operators/sessions.py sequence_predictability, X165): H(next),
+    H(next|current), and the information gain I = H(next) −
+    H(next|current) from the same per-user transition pairs the qk2
+    transition matrix estimates — the one-row process summary
+    separating ritualized flows from memoryless browsing. Quantized
+    ln-term discipline (1e-9 units), (ts, event_id) total order."""
+    from alaska_etl_spark.operators.sessions import sequence_predictability
+
+    return sequence_predictability(
+        _t(spark, sf_dir, "events"), "user_id", ["ts", "event_id"],
+        "event_type",
+    )
+
+
+QQ9_SQL = r"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), pairs AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_sd
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), src_m AS (SELECT src, CAST(sum(n_sd) AS BIGINT) AS n_s FROM pairs GROUP BY 1),
+dst_m AS (SELECT dst, CAST(sum(n_sd) AS BIGINT) AS n_d FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(n_sd) AS BIGINT) AS n FROM pairs),
+states AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_states FROM (
+    SELECT src AS s FROM pairs UNION SELECT dst FROM pairs)
+), cond AS (
+  SELECT CAST(sum(CAST(round(1000000000 * (CAST(n_sd AS DOUBLE) / n)
+           * (ln(n_s) - ln(n_sd))) AS BIGINT)) AS BIGINT) AS h_cond_units
+  FROM pairs JOIN src_m USING (src), tot
+), hnext AS (
+  SELECT CAST(sum(CAST(round(1000000000 * (CAST(n_d AS DOUBLE) / n)
+           * (ln(n) - ln(n_d))) AS BIGINT)) AS BIGINT) AS h_next_units
+  FROM dst_m, tot
+)
+SELECT tot.n AS n_transitions, states.n_states,
+       hnext.h_next_units, cond.h_cond_units,
+       CAST(hnext.h_next_units - cond.h_cond_units AS BIGINT)
+         AS info_gain_units
+FROM tot, states, hnext, cond
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10709,6 +10830,8 @@ QUERIES = {
     "qq5_bootstrap_ci": qq5_bootstrap_ci,
     "qq6_eta_squared": qq6_eta_squared,
     "qq7_split_conformal": qq7_split_conformal,
+    "qq8_mase_report": qq8_mase_report,
+    "qq9_sequence_predictability": qq9_sequence_predictability,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11025,6 +11148,8 @@ ORACLES = {
     "qq5_bootstrap_ci": QQ5_SQL,
     "qq6_eta_squared": QQ6_SQL,
     "qq7_split_conformal": QQ7_SQL,
+    "qq8_mase_report": QQ8_SQL,
+    "qq9_sequence_predictability": QQ9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -414,3 +414,57 @@ def test_split_conformal_exact_shape(spark):
     assert r["coverage_bp"] >= 8000
     # deterministic: same inputs -> same row
     assert split_conformal(df, "rid", "g", "v", alpha_bp=1000).head(1)[0] == r
+
+
+# ---------------------------------------------------------------------------
+# X164 mase_report / X165 sequence_predictability
+# ---------------------------------------------------------------------------
+
+
+def test_mase_perfect_and_naive_forecasts(spark):
+    from datetime import datetime
+
+    from alaska_etl_spark.operators.timeseries import mase_report
+
+    ts = lambda i: datetime(2026, 1, 1, i)  # noqa: E731
+    # key 'p': forecast == value -> MASE 0; key 'n': forecast == lag-1
+    # value -> MASE exactly 1 (same n after the first row drops out of
+    # neither sum: sae counts all rows, naive counts n-1 — construct so
+    # the first row's forecast error is also 0)
+    rows = [("p", ts(i), float(i), float(i)) for i in range(5)]
+    rows += [("n", ts(0), 10.0, 10.0)] + [
+        ("n", ts(i), float(10 + i), float(10 + i - 1)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double, f double")
+    out = {r["k"]: r for r in mase_report(df, "k", "t", "v", "f").collect()}
+    assert out["p"]["mase"] == 0.0
+    # naive forecast: sae = 4 (unit diffs x4 in cents: 100 each -> 400),
+    # snae = 400 over 4 naive steps; n_err = 5, n_naive = 4:
+    # mase = (400*4)/(400*5) = 0.8
+    assert abs(out["n"]["mase"] - 0.8) < 1e-12
+    # single-point series -> NULL mase
+    one = spark.createDataFrame(
+        [("s", ts(0), 1.0, 2.0)], "k string, t timestamp, v double, f double"
+    )
+    assert mase_report(one, "k", "t", "v", "f").head(1)[0]["mase"] is None
+
+
+def test_sequence_predictability_extremes(spark):
+    from datetime import datetime
+
+    from alaska_etl_spark.operators.sessions import sequence_predictability
+
+    ts = lambda i: datetime(2026, 1, 1, 0, i)  # noqa: E731
+    # deterministic cycle a->b->a->b: H(next|cur) = 0, info gain = H(next)
+    rows = [(1, ts(i), "a" if i % 2 == 0 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "u long, t timestamp, s string")
+    r = sequence_predictability(df, "u", ["t"], "s").head(1)[0]
+    assert r["n_transitions"] == 9 and r["n_states"] == 2
+    assert r["h_cond_units"] == 0
+    assert r["info_gain_units"] == r["h_next_units"] > 0
+    # memoryless uniform alternation-free: every src goes to both dsts
+    # equally -> H(next|cur) == H(next), info gain ~ 0
+    rows = [(1, ts(i), s) for i, s in enumerate("aabb" * 5)]
+    df = spark.createDataFrame(rows, "u long, t timestamp, s string")
+    r = sequence_predictability(df, "u", ["t"], "s").head(1)[0]
+    assert abs(r["info_gain_units"]) < 0.02 * 10**9  # near-zero gain
