@@ -37,6 +37,13 @@ CASES = [
     "qf8_vocab_divergence",
     "q50_kmeans_summary",
     "qf9_embedding_drift",
+    # r9 float emitters: hash-seeded bootstrap order statistics, the
+    # centered eta^2 double division, MASE's product-ratio division,
+    # and the quantized conditional-entropy units
+    "qq5_bootstrap_ci",
+    "qq6_eta_squared",
+    "qq8_mase_report",
+    "qq9_sequence_predictability",
 ]
 
 
