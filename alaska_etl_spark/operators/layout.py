@@ -139,8 +139,10 @@ def layout_skipping_audit(
         keyed = df.select(
             order.alias("_o"), F.col(probe_col).alias("_p")
         )
-        # deterministic total order: layout expr, then probe, then a
-        # hash of the pair as the final tiebreak both engines share
+        # deterministic total order on (_o, _p): rows tied on both carry
+        # identical _p, so bucket min/max — the only thing read — is
+        # invariant to how ties land across buckets; no further tiebreak
+        # is needed (and the QP9 twin orders the same way)
         bucketed = global_ntile(
             keyed, ["_o", "_p"], n_buckets, bucket_col="_b"
         )

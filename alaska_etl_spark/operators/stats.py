@@ -1403,7 +1403,8 @@ def contingency_effect_sizes(
     Σ_observed[(d/n_x)·(d/n_y)/n − n_x·n_y/n] + n with d = n·n_xy −
     n_x·n_y exact BIGINT (caller envelope: n·n_xy < 2⁶³); zero cells
     never materialize. One pinned double parenthesization per observed
-    cell, rounded half-to-even to 1e-8 units, plus the exact n·scale —
+    cell, rounded half away from zero (F.round / DuckDB round — the
+    mode both engines share) to 1e-8 units, plus the exact n·scale —
     the categorical-MI float protocol: identical expression structure
     on both engines, order-free BIGINT unit sums. V = sqrt(chi²/(n·min(r−1, c−1))) is one engine-identical
     double expression over the exact unit sum; dof = (r−1)(c−1).
@@ -1541,7 +1542,10 @@ def poisson_bootstrap_ci(
     division of two exact BIGINTs, and the CI bounds are order
     statistics of the b means (ceil-index convention:
     idx = ⌈q·b⌉, 1-based) picked by a window over the b-ROW frame (the
-    k-row discipline — b is a constant, never data). Returns one row:
+    k-row discipline — b is a constant, never data). NULL ``val_col``
+    rows are dropped up front so the CI and the point estimate describe
+    the same population (a NULL row must not carry resample weight).
+    Returns one row:
     (n_rows, mean_units, ci_lo_mean_units, ci_hi_mean_units, b).
 
     Scale shape: work is b·|rows| map-side with a b-row reduce — at
@@ -1566,6 +1570,7 @@ def poisson_bootstrap_ci(
     w = F.lit(9)
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(float(_POISSON1_CDF[k])), F.lit(k)).otherwise(w)
+    df = df.filter(F.col(val_col).isNotNull())
     drawn = (
         df.select(
             F.col(id_col).alias(id_col),

@@ -1331,36 +1331,53 @@ def boilerplate_grams(
       (ties broken lexicographically — deterministic and
       oracle-replayable).
 
-    Scale shape: (source, gram)-grain aggregate (one shuffle), then a
-    source-grain reduction; the threshold compare needs each source's
-    n_docs on every gram row — that rides a WINDOW over the source
-    partition of the already-reduced gram frame (vocab-grain, the same
-    exchange the reduction needs anyway), never a second scan. One row
-    per source."""
+    Scale shape: ONE scan, one (source, gram)-grain aggregate, then a
+    source-grain reduction. The trick that keeps it one scan: each
+    doc's shingle array gets a ``\\x00docs`` SENTINEL gram appended, so
+    the same aggregate that counts gram document-frequency counts each
+    source's documents (the sentinel's df IS n_docs — every kept doc
+    contributes it exactly once); the threshold compare then needs each
+    source's n_docs on every gram row, and that rides a WINDOW over the
+    source partition of the already-reduced gram frame (vocab-grain,
+    the same exchange the reduction needs anyway), never a second scan.
+    The NUL byte cannot appear in a whitespace token unless the raw
+    text contains NUL itself — outside this operator's text domain.
+    One row per source."""
     from pyspark.sql import Window
 
     from alaska_etl_spark.functions.fixedpoint import div_half_up
     from alaska_etl_spark.operators.dedup import shingles
     from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df, id_col)  # single-split local files
-    tok = df.select(
-        F.col(source_col).alias("_src"),
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, n)).alias("_g"),
+    sent = "\x00docs"
+    # cheap row-identical pre-filter ("has a non-whitespace char" ⟺
+    # shingles non-empty) + posexplode_outer: a plain explode makes
+    # InferFiltersFromGenerate synthesize size()>0 and push it below the
+    # parallelizing exchange, re-tokenizing the corpus inside the single
+    # scan task (the q07 trap, operators/simjoin.py:766).
+    tok = (
+        ensure_min_parallelism(  # single-split local files
+            df.select(F.col(source_col).alias("_src"), F.col(text_col), F.col(id_col)),
+            id_col,
+        )
+        .filter(F.col(text_col).rlike(r"\S"))
+        .select("_src", F.concat(shingles(text_col, n), F.array(F.lit(sent))).alias("_gs"))
+        .select("_src", F.posexplode_outer("_gs").alias("_p0", "_g"))
     )
     gram = tok.groupBy("_src", "_g").agg(
         F.count(F.lit(1)).cast("bigint").alias("_df")
     )
     wsrc = Window.partitionBy("_src")
-    ndocs = df.groupBy(F.col(source_col).alias("_src")).agg(
-        F.sum(
-            F.when(F.size(shingles(text_col, n)) > 0, 1).otherwise(0)
-        ).cast("bigint").alias("_n_docs")
-    )
-    g = gram.join(F.broadcast(ndocs), "_src").withColumn(
-        "_boiler",
-        F.col("_df") * F.lit(10**4) >= F.lit(min_share_bp) * F.col("_n_docs"),
+    g = (
+        gram.withColumn(
+            "_n_docs",
+            F.max(F.when(F.col("_g") == sent, F.col("_df"))).over(wsrc),
+        )
+        .filter(F.col("_g") != sent)
+        .withColumn(
+            "_boiler",
+            F.col("_df") * F.lit(10**4) >= F.lit(min_share_bp) * F.col("_n_docs"),
+        )
     )
     # deterministic top gram: max (df, reversed-lexicographic gram) —
     # expressed as a window rank so both engines order identically

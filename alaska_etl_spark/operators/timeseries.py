@@ -857,6 +857,7 @@ def mase_report(
     forecast_col: str,
     *,
     unit_scale: int = 100,
+    order_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """MASE — mean absolute error scaled by the in-sample lag-1 naive
     error (Hyndman & Koehler 2006), the scale-free forecast-accuracy
@@ -871,18 +872,27 @@ def mase_report(
     (snae·n_err) is ONE double division of exact BIGINT products (the
     lift/gains discipline), so the ranking a model review reads is
     engine-identical. One lead window per series (the shared-sort
-    rule), one aggregate. Series with < 2 points (no naive error) emit
-    NULL mase. Returns (key, n_points, sae_units, snae_units, mase)
-    ordered by key."""
+    rule), one aggregate. ``order_cols`` (default ``[ts_col]``) is the
+    per-series sort that defines "previous value"; callers whose
+    ``ts_col`` can tie MUST pass a total order (e.g. ``["ts",
+    "event_id"]``) or snae_units is partition-dependent. Series with
+    < 2 points (no naive error) emit NULL mase. Returns (key,
+    n_points, sae_units, snae_units, mase) ordered by key."""
     from pyspark.sql import Window
 
+    order = list(order_cols) if order_cols else [ts_col]
     units = lambda c: F.round(F.col(c) * F.lit(unit_scale)).cast("bigint")  # noqa: E731
     rows = df.select(
         F.col(key_col).alias("_k"),
-        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order)],
         units(val_col).alias("_v"),
         units(forecast_col).alias("_f"),
-    ).withColumn("_prev", F.lag("_v").over(Window.partitionBy("_k").orderBy("_ts")))
+    ).withColumn(
+        "_prev",
+        F.lag("_v").over(
+            Window.partitionBy("_k").orderBy(*[f"_o{i}" for i in range(len(order))])
+        ),
+    )
     agg = rows.groupBy("_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.sum(F.abs(F.col("_v") - F.col("_f"))).cast("bigint").alias("sae_units"),

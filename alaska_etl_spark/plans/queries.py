@@ -10413,7 +10413,7 @@ WITH drawn AS (
   FROM (
     SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
            unnest(generate_series(0, 99)) AS r
-    FROM events
+    FROM events WHERE value IS NOT NULL
   ), LATERAL (SELECT ({h60}) / 1152921504606846976.0 AS u) uu
 ), means AS (
   SELECT r, CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
@@ -10576,7 +10576,10 @@ def qq8_mase_report(spark, sf_dir):
         )
         .filter(F.col("forecast").isNotNull())
     )
-    return mase_report(scored, "user_id", "ts", "value", "forecast")
+    return mase_report(
+        scored, "user_id", "ts", "value", "forecast",
+        order_cols=["ts", "event_id"],
+    )
 
 
 QQ8_SQL = r"""
