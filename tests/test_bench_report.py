@@ -94,3 +94,19 @@ def test_artifacts_carry_loadavg():
     for name in ("BENCH_DETAIL.json", "ORACLE_DETAIL.json"):
         d = json.load(open(os.path.join(REPO, name)))
         assert "loadavg" in d and len(d["loadavg"]) == 3, name
+
+
+def test_require_idle_guard():
+    """VERDICT r9 #8: the paired-protocol idle bar lives in the TOOL —
+    a committed artifact cannot be written from a busy box (start
+    loadavg >= 1.0) without an explicit --force."""
+    import pytest
+
+    from bench import require_idle
+
+    require_idle("BENCH_DETAIL.json", 0.34, force=False)  # idle: passes
+    require_idle("BENCH_DETAIL.json", 4.12, force=True)  # forced: passes
+    with pytest.raises(SystemExit):
+        require_idle("BENCH_DETAIL.json", 1.0, force=False)
+    with pytest.raises(SystemExit):
+        require_idle("ORACLE_DETAIL.json", 2.5, force=False)

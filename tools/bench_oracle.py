@@ -35,11 +35,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main() -> None:
     loadavg = [round(x, 2) for x in os.getloadavg()]  # ambient, pre-run
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    from bench import HEADLINE, HEAVY
+    from bench import HEADLINE, HEAVY, require_idle
     from alaska_etl_spark.plans.queries import ORACLES
+
+    # ORACLE_DETAIL.json is always the committed half of the pair —
+    # guard unconditionally (VERDICT r9 #8).
+    require_idle("ORACLE_DETAIL.json", loadavg[0], force)
 
     con = duckdb.connect()
     for t in TABLES:
