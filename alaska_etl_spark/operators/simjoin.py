@@ -425,6 +425,7 @@ def containment_join(
     threshold_den: int = 4,
     round_digits: int = 4,
     max_dst_df: int | None = None,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT directed shingle-set CONTAINMENT join: every ordered pair
     (src ≠ dst) with C(src→dst) = |Sh(src) ∩ Sh(dst)| / |Sh(src)| ≥
@@ -466,6 +467,14 @@ def containment_join(
     prefix could not reach (the r5 10× stress measured this operator
     closest to linear for exactly this reason).
 
+    ``tok`` (advanced, intra-query reuse): a pre-built, already-
+    PERSISTED distinct (``_id``, ``_t``) frame — per-document distinct
+    shingle xxhash64 values, exactly what this function would build —
+    lets a caller that needs the token table for ANOTHER pass too
+    (:func:`containment_spans` keeps gram positions on the same frame)
+    tokenize the corpus ONCE instead of twice. Semantics are unchanged;
+    the caller owns the persist.
+
     Returns (src_id, dst_id, containment), both directions as separate
     rows when both qualify.
     """
@@ -475,15 +484,15 @@ def containment_join(
 
     num, den = threshold_num, threshold_den
     small = input_fits_driver(df)  # conditional pin — operators/hints.py
-    tok = (
-        ensure_min_parallelism(df, id_col)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(text_col, n)).alias("_t"),
+    if tok is None:
+        tok = tracked_persist(
+            ensure_min_parallelism(df, id_col)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.explode(shingles(text_col, n)).alias("_t"),
+            )
+            .select("_id", F.xxhash64("_t").alias("_t"))
         )
-        .select("_id", F.xxhash64("_t").alias("_t"))
-    )
-    tok = tracked_persist(tok)
     # document frequency / set size / rank as WINDOW counts over the
     # cached shingle table, and the ranked frame PERSISTED: the src
     # (prefix-pruned) and dst (full) sides plus the verify all read it,
@@ -695,6 +704,7 @@ def containment_spans(
     threshold_den: int = 4,
     round_digits: int = 4,
     max_dst_df: "int | None" = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """WHERE the excerpt sits: for every directed containment pair
     (:func:`containment_join` — the quote/excerpt detector), localize
@@ -717,71 +727,129 @@ def containment_spans(
     join's result, already verified); the two position joins key on
     (id) then (id, gram) against the token-grain position table —
     posting-list-sized joins, never all-pairs, and the per-pair
-    aggregate reduces |src| gram rows to one span row. Returns
-    (src_id, dst_id, n_shared, src_first, src_last, dst_first,
+    aggregate reduces |src| gram rows to one span row.
+
+    One tokenize, not two (r10): detection and localization both need
+    the per-document distinct gram-hash table — the only thing the
+    span pass adds is each gram's first POSITION. So this builds ONE
+    position-keeping token table (min-position groupBy replaces
+    ``shingles``'s in-row array_distinct — same distinct row set), and
+    hands its (id, gram) projection to :func:`containment_join` via
+    ``tok``: the detector's whole tokenize→explode subtree and the
+    span pass's re-tokenize both collapse into the shared persisted
+    frame (was the repo's worst bench constant: the corpus was
+    tokenized twice per call, VERDICT r9 #1).
+
+    ``pairs`` (advanced): a precomputed containment pair frame
+    (src_id, dst_id[, ...]) — e.g. a persisted :func:`containment_join`
+    result the caller already paid for. The detector is then skipped
+    entirely and only the span pass runs, with the position table
+    pruned to the paired documents before the explode.
+
+    Returns (src_id, dst_id, n_shared, src_first, src_last, dst_first,
     dst_last) ordered by (src_id, dst_id)."""
     from alaska_etl_spark.operators.dedup import word_tokens
 
-    pairs = containment_join(
-        df,
-        id_col,
-        text_col,
-        n=n,
-        threshold_num=threshold_num,
-        threshold_den=threshold_den,
-        round_digits=round_digits,
-        max_dst_df=max_dst_df,
-    ).select("src_id", "dst_id")
     toks = F.filter(word_tokens(text_col), lambda t: t != "")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     seq = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    # token-grain position table on 8-byte GRAM HASHES (the simjoin
-    # compaction stance — positions only need gram identity, and the
-    # oracle replays positions on the string form), pre-PRUNED to the
-    # documents that actually appear in a pair: the pair frame is
-    # output-grain, so both prunes are broadcast semi-joins that cut
-    # the position shuffle from corpus-grain to match-grain.
-    pairs = tracked_persist(pairs)
-    # one-job barrier: the pair cache feeds the ids broadcast AND the
-    # span join — unmaterialized, each consumer recomputes the whole
-    # containment join (no cross-task wait in BlockManager; measured
-    # 18-74 s vs 3 s with the barrier)
-    pairs.count()
-    # prune BEFORE the explode: span localization only touches matched
-    # documents, and the pair frame is output-grain — one broadcast
-    # semi-join cuts the position pass from corpus-grain to match-grain
-    # (at sf0.1: ~3% of docs; the same factor at any scale where pairs
-    # are rare, which is the operating point of a τ=3/4 detector).
-    ids = (
-        pairs.select(F.col("src_id").alias("_id"))
-        .unionByName(pairs.select(F.col("dst_id").alias("_id")))
-        .distinct()
-    )
-    pos = (
-        ensure_min_parallelism(df, id_col)
-        .join(F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi")
-        # zero-token exclusion via the CHEAP equivalent predicate: a
-        # size(seq) > 0 filter gets pushed below the parallelizing
-        # exchange and re-evaluates the whole tokenize+gram transform
-        # inside the single scan task (measured: a 3.3 s one-task stage
-        # tokenizing the full corpus twice); "has any non-whitespace"
-        # is the same row set and pushes down for free. posexplode_OUTER
-        # because InferFiltersFromGenerate re-creates that exact
-        # size()>0 filter from a plain posexplode and pushes it below
-        # the exchange again — outer generators infer nothing, and with
-        # the rlike in place the sequence is never empty (kept docs
-        # have >=1 token), so outer is row-identical to inner.
-        .filter(F.col(text_col).rlike(r"\S"))
-        .select(F.col(id_col).alias("_id"), seq.alias("_s"))
-        .select("_id", F.posexplode_outer("_s").alias("_p0", "_g"))
-        .select("_id", F.xxhash64("_g").alias("_g"), "_p0")
-        .groupBy("_id", "_g")
-        .agg((F.min("_p0") + 1).cast("bigint").alias("_pos"))
-    )
-    pos = tracked_persist(pos)  # both span sides read it
+
+    def pos_table(base: DataFrame) -> DataFrame:
+        # token-grain position table on 8-byte GRAM HASHES (the simjoin
+        # compaction stance — positions only need gram identity, and
+        # the oracle replays positions on the string form). First
+        # occurrence per gram is computed IN-ROW — (hash, 1-based pos)
+        # structs, array_sort (hash asc, pos asc), keep each hash's
+        # first entry via an indexed filter — O(k log k) per document
+        # and NO shuffle: the explode emits already-distinct rows, so
+        # the corpus-grain min-position groupBy exchange disappears
+        # (the dedup.shingles array_distinct stance, kept positional).
+        ent = F.array_sort(
+            F.transform(
+                seq,
+                lambda g, i: F.struct(
+                    F.xxhash64(g).alias("h"),
+                    (i + 1).cast("bigint").alias("p"),
+                ),
+            )
+        )
+        firsts = F.filter(
+            F.col("_e"),
+            # when/otherwise, not boolean OR: element_at is 1-based and
+            # ANSI mode faults on index 0, so the i == 0 arm must never
+            # evaluate the lookup (CASE WHEN is lazy per-row; OR isn't
+            # guaranteed to short-circuit under codegen)
+            lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(F.col("_e"), i)["h"] != x["h"]
+            ),
+        )
+        return (
+            base
+            # zero-token exclusion via the CHEAP equivalent predicate: a
+            # size(seq) > 0 filter gets pushed below the parallelizing
+            # exchange and re-evaluates the whole tokenize+gram transform
+            # inside the single scan task (measured: a 3.3 s one-task stage
+            # tokenizing the full corpus twice); "has any non-whitespace"
+            # is the same row set and pushes down for free. posexplode_OUTER
+            # because InferFiltersFromGenerate re-creates that exact
+            # size()>0 filter from a plain posexplode and pushes it below
+            # the exchange again — outer generators infer nothing, and with
+            # the rlike in place the sequence is never empty (kept docs
+            # have >=1 token), so outer is row-identical to inner.
+            .filter(F.col(text_col).rlike(r"\S"))
+            .select(F.col(id_col).alias("_id"), ent.alias("_e"))
+            .select("_id", F.posexplode_outer(firsts).alias("_p0", "_f"))
+            .select(
+                "_id",
+                F.col("_f.h").alias("_g"),
+                F.col("_f.p").alias("_pos"),
+            )
+        )
+
+    if pairs is None:
+        # shared corpus-grain table: positions for the span pass, and
+        # (projected to (_id, _t)) the detector's distinct gram table
+        pos = tracked_persist(pos_table(ensure_min_parallelism(df, id_col)))
+        pairs = containment_join(
+            df,
+            id_col,
+            text_col,
+            n=n,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            round_digits=round_digits,
+            max_dst_df=max_dst_df,
+            tok=pos.select("_id", F.col("_g").alias("_t")),
+        ).select("src_id", "dst_id")
+        pairs = tracked_persist(pairs)
+        # one-job barrier: unmaterialized, each span-side consumer
+        # recomputes the whole containment join (no cross-task wait in
+        # BlockManager; measured 18-74 s vs 3 s with the barrier)
+        pairs.count()
+    else:
+        pairs = tracked_persist(pairs.select("src_id", "dst_id"))
+        pairs.count()  # the ids broadcast AND the span join read it
+        # prune BEFORE the explode: span localization only touches
+        # matched documents, and the pair frame is output-grain — one
+        # broadcast semi-join cuts the position pass from corpus-grain
+        # to match-grain (at sf0.1: ~3% of docs; the same factor at any
+        # scale where pairs are rare, which is the operating point of a
+        # τ=3/4 detector).
+        ids = (
+            pairs.select(F.col("src_id").alias("_id"))
+            .unionByName(pairs.select(F.col("dst_id").alias("_id")))
+            .distinct()
+        )
+        pos = tracked_persist(
+            pos_table(
+                ensure_min_parallelism(df, id_col).join(
+                    F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi"
+                )
+            )
+        )
     j = (
         pairs.join(
             pos.select(

@@ -167,6 +167,28 @@ def test_containment_spans_localizes_quote(spark):
     assert (2, 1) not in by
 
 
+def test_containment_spans_accepts_precomputed_pairs(spark):
+    # r10: a caller who already paid for the containment join can feed
+    # its pair frame; the span pass alone must produce the identical
+    # frame the self-detecting path does.
+    from alaska_etl_spark.operators.simjoin import containment_join
+
+    quote = "q1 q2 q3 q4 q5"
+    rows = [
+        (1, quote, "s"),
+        (2, "w1 w2 w3 " + quote + " w4 w5", "s"),
+        (3, "u1 u2 u3 u4", "s"),
+    ]
+    docs = _docs(spark, rows)
+    kw = dict(n=2, threshold_num=1, threshold_den=1)
+    full = containment_spans(docs, "doc_id", "text", **kw).collect()
+    pre = containment_join(docs, "doc_id", "text", **kw)
+    given = containment_spans(docs, "doc_id", "text", pairs=pre, **kw).collect()
+    key = lambda r: (r["src_id"], r["dst_id"])  # noqa: E731
+    assert sorted(map(tuple, full), key=None) == sorted(map(tuple, given), key=None)
+    assert {key(r) for r in full} == {(1, 2)}
+
+
 # ---------------------------------------------------------------------------
 # X155 source_overlap_matrix
 # ---------------------------------------------------------------------------
