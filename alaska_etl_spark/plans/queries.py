@@ -10701,7 +10701,7 @@ QUERIES = {
     "q25_exact_dedup": q25_exact_dedup,
     "qq3_ngram_jaccard": q26_ngram_jaccard,
     "q27_cosine_topk": q27_cosine_topk,
-    "q28_embedding_near_dup": q28_embedding_near_dup,
+    "qr0_embedding_near_dup": q28_embedding_near_dup,
     "q29_minhash_lsh": q29_minhash_lsh,
     "qo7_simhash": q30_simhash,
     "q31_ivf_ann": q31_ivf_ann,
@@ -10722,7 +10722,7 @@ QUERIES = {
     "q38_percentiles": q38_percentiles,
     "qo9_ranking_suite": q39_ranking_suite,
     "q40_bitext_margin": qf1_bitext_margin,
-    "q41_novelty_rate": qf2_novelty_rate,
+    "qr1_novelty_rate": qf2_novelty_rate,
     "qf5_set_ops": q40_set_ops,
     "qf6_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
@@ -10733,7 +10733,7 @@ QUERIES = {
     # BM25, CUPED, and the interval sweep — round-3/4 flagships the
     # driver never saw — take their slots.
     "q44_bm25": qd5_bm25,
-    "q45_cuped": qe2_cuped,
+    "qr2_cuped": qe2_cuped,
     "qe5_priority_shipping": q44_priority_shipping,
     "qe6_order_count_distribution": q45_order_count_distribution,
     "q62_promo_revenue": q62_promo_revenue,
@@ -10822,7 +10822,7 @@ QUERIES = {
     "qp0_edit_distance_join": qp0_edit_distance_join,
     "qp1_index_forecast": qp1_index_forecast,
     "qp2_boilerplate_grams": qp2_boilerplate_grams,
-    "qp3_norm_dedup": qp3_norm_dedup,
+    "q41_norm_dedup": qp3_norm_dedup,
     "q07_span_localization": qp4_containment_spans,
     "qp5_source_overlap": qp5_source_overlap,
     "qp6_rfm_segments": qp6_rfm_segments,
@@ -10830,9 +10830,9 @@ QUERIES = {
     "q26_k_core": qp8_k_core,
     "q47_layout_audit": qp9_layout_audit,
     "qq1_linkage_weights": qq1_linkage_weights,
-    "qq5_bootstrap_ci": qq5_bootstrap_ci,
+    "q28_bootstrap_ci": qq5_bootstrap_ci,
     "qq6_eta_squared": qq6_eta_squared,
-    "qq7_split_conformal": qq7_split_conformal,
+    "q45_split_conformal": qq7_split_conformal,
     "qq8_mase_report": qq8_mase_report,
     "qq9_sequence_predictability": qq9_sequence_predictability,
     "qg1_top_supplier": q50_top_supplier,
@@ -10954,7 +10954,7 @@ ORACLES = {
     "q25_exact_dedup": Q25_SQL,
     "qq3_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
-    "q28_embedding_near_dup": Q28_SQL,
+    "qr0_embedding_near_dup": Q28_SQL,
     "q31_ivf_ann": Q31_SQL,
     "q32_media_decode": Q32_SQL,
     "qo8_frame_sample": Q33_SQL,
@@ -10966,13 +10966,13 @@ ORACLES = {
     "q38_percentiles": Q38_SQL,
     "qo9_ranking_suite": Q39_SQL,
     "q40_bitext_margin": QF1_SQL,
-    "q41_novelty_rate": QF2_SQL,
+    "qr1_novelty_rate": QF2_SQL,
     "qf5_set_ops": Q40_SQL,
     "qf6_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
     "q43_winnow_fingerprint": Q43_SQL,
     "q44_bm25": QD5_SQL,
-    "q45_cuped": QE2_SQL,
+    "qr2_cuped": QE2_SQL,
     "qe5_priority_shipping": Q44_SQL,
     "qe6_order_count_distribution": Q45_SQL,
     "q62_promo_revenue": Q62_SQL,
@@ -11140,7 +11140,7 @@ ORACLES = {
     "qp0_edit_distance_join": QP0_SQL,
     "qp1_index_forecast": QP1_SQL,
     "qp2_boilerplate_grams": QP2_SQL,
-    "qp3_norm_dedup": QP3_SQL,
+    "q41_norm_dedup": QP3_SQL,
     "q07_span_localization": QP4_SQL,
     "qp5_source_overlap": QP5_SQL,
     "qp6_rfm_segments": QP6_SQL,
@@ -11148,9 +11148,9 @@ ORACLES = {
     "q26_k_core": QP8_SQL,
     "q47_layout_audit": QP9_SQL,
     "qq1_linkage_weights": QQ1_SQL,
-    "qq5_bootstrap_ci": QQ5_SQL,
+    "q28_bootstrap_ci": QQ5_SQL,
     "qq6_eta_squared": QQ6_SQL,
-    "qq7_split_conformal": QQ7_SQL,
+    "q45_split_conformal": QQ7_SQL,
     "qq8_mase_report": QQ8_SQL,
     "qq9_sequence_predictability": QQ9_SQL,
     "q29_minhash_lsh": Q29_SQL,

@@ -22,7 +22,7 @@ CASES = [
     "qd4_winsorize",
     "qa7_mad_anomalies",
     "q92_ewma",
-    "q45_cuped",
+    "qr2_cuped",
     "qe3_psi_drift",
     "q44_bm25",
     "q89_lm_perplexity",
@@ -40,7 +40,7 @@ CASES = [
     # r9 float emitters: hash-seeded bootstrap order statistics, the
     # centered eta^2 double division, MASE's product-ratio division,
     # and the quantized conditional-entropy units
-    "qq5_bootstrap_ci",
+    "q28_bootstrap_ci",
     "qq6_eta_squared",
     "qq8_mase_report",
     "qq9_sequence_predictability",
