@@ -23,6 +23,9 @@
   Jaccard-threshold join via prefix filtering
 - pruning: Bloom-filter join pruning (drop non-matching fact rows
   before the shuffle)
+- urls: URL canonicalization key, registrable-domain rollup,
+  blocklist audit/filter via the host suffix-chain equi-join
+  (the WARC path's address-side normalization)
 - geo: grid-blocked haversine radius/kNN join
 - graph: fixed-point PageRank, degree-oriented triangle counting,
   bounded-hop BFS (engine-exact integer iteration; CC lives in dedup)
@@ -179,6 +182,15 @@ from alaska_etl_spark.operators.text import (  # noqa: F401
     ngram_diversity,
     repetition_signals,
     zipf_slope,
+)
+from alaska_etl_spark.operators.urls import (  # noqa: F401
+    blocklist_audit,
+    blocklist_filter,
+    canonical_url,
+    domain_rollup,
+    host_suffix_chain,
+    registrable_domain,
+    url_host,
 )
 from alaska_etl_spark.operators.timeseries import (  # noqa: F401
     activity_bitmap,

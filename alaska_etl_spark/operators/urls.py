@@ -1,0 +1,305 @@
+"""URL canonicalization and domain-grain corpus operators — the first
+things a CommonCrawl-style web ingest does after WARC framing
+(sources/warc.py emits ``target_uri``; X153 normalizes *content* —
+this family normalizes the ADDRESS):
+
+- :func:`canonical_url` — one deterministic canonical form per URL, as
+  a pure Column expression: scheme/host lowercased, userinfo dropped,
+  default ports (http:80 / https:443) stripped, empty path → ``/``,
+  query parameters tracking-stripped (``utm_*`` prefix + the click-id
+  set) and SORTED, fragment dropped. Case variants, param order,
+  tracking junk, ``#fragments`` and redundant ``:443`` all collapse to
+  one string — the crawl dedup key (a re-crawl of the same resource
+  through an ad link must hash identically).
+- :func:`registrable_domain` — last-two-label heuristic with an
+  optional caller-supplied multi-label public-suffix set. DECLARED
+  BOUNDARY: without a Public Suffix List, ``foo.co.uk`` collapses to
+  ``co.uk``; callers with PSL data pass the two-label suffixes they
+  care about via ``extra_suffixes`` (checked before the default).
+- :func:`host_suffix_chain` — every dot-suffix of a host
+  (``a.b.c → [a.b.c, b.c, c]``), the expansion that turns "host is
+  under blocked domain" into an EQUI-join: ≤ label-count rows per
+  host, so a blocklist of any size joins hash-partitioned or
+  broadcast — never a theta/nested-loop join over |corpus|×|rules|.
+- :func:`domain_rollup` — registrable-domain-grain corpus report
+  (pages, distinct canonical URLs, distinct hosts, duplicate share).
+- :func:`blocklist_audit` / :func:`blocklist_filter` — per-rule match
+  counts + corpus share, and the filtered frame (anti-join on matched
+  ids).
+
+Everything is built from shared string/array primitives (regexp
+extraction with RE2-safe patterns, split/sort/filter/join) so DuckDB
+replays each step bit-for-bit — the whole family is exactly oracled
+(qr3/qr4/qr5).
+
+Scale shape: canonicalization is a per-row projection (codegen, no
+UDF); the rollup is one hash aggregate on the domain key; the
+blocklist join explodes ≤5 suffix rows per host and equi-joins. At
+100 TB the only shuffle is the rollup's domain key — web corpora skew
+on big domains, which is exactly what the salting/AQE-skew machinery
+(operators/skew.py) exists for; counts here are distinct-aggregates
+per domain, which Spark executes as partial expand + two-level
+aggregate (no single hot reducer holds raw rows).
+
+Reference parity: the reference repo has no web-corpus layer; this is
+part of the BASELINE.md training-data extension family (VERDICT r9
+Missing #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.functions.fixedpoint import div_half_up
+
+__all__ = [
+    "TRACKING_PARAM_KEYS",
+    "canonical_url",
+    "url_host",
+    "registrable_domain",
+    "host_suffix_chain",
+    "domain_rollup",
+    "blocklist_audit",
+    "blocklist_filter",
+]
+
+# Exact-match click/campaign identifier keys stripped by
+# canonical_url, on top of the utm_ prefix family. Deliberately short
+# and conservative: stripping a content-bearing param changes the
+# resource; these are pure attribution noise by specification.
+TRACKING_PARAM_KEYS = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+
+# RE2- and Java-regex-safe URL part patterns (no lookaround, no
+# backrefs) — the SQL oracles use the same literals.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# [^#?]* before the \? pins the FIRST ? outside the fragment (greedy
+# [^#]* would pin the last).
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _auth(url: Column) -> Column:
+    # authority minus userinfo: everything after the last '@'
+    return F.element_at(F.split(F.regexp_extract(url, _AUTH_RE, 1), "@"), -1)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL (userinfo and port dropped); empty
+    string when the value does not look like a scheme://… URL."""
+    url = _c(col)
+    return F.lower(F.element_at(F.split(_auth(url), ":"), 1))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL (see module docstring for the exact
+    rule set). NULL for NULL input and for strings without a
+    ``scheme://`` prefix — a crawl frame routes those to its bad-row
+    side, it does not guess."""
+    url = _c(col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = _auth(url)
+    host = F.lower(F.element_at(F.split(auth, ":"), 1))
+    port = F.when(
+        F.size(F.split(auth, ":")) > 1, F.element_at(F.split(auth, ":"), 2)
+    ).otherwise(F.lit(""))
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rawpath = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    rawq = F.regexp_extract(url, _QUERY_RE, 1)
+    keep = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & (F.substring(p, 1, 4) != "utm_")
+            & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAM_KEYS),
+        )
+    )
+    qpart = F.when(
+        F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        url.rlike(_SCHEME_RE),
+        F.concat(scheme, F.lit("://"), host, portpart, path, qpart),
+    )
+
+
+def registrable_domain(
+    host: Column | str, *, extra_suffixes: "tuple[str, ...]" = ()
+) -> Column:
+    """Registrable domain of a lowercase host: last two dot-labels,
+    or last THREE when the last two equal a caller-supplied multi-label
+    public suffix (``extra_suffixes=("co.uk", ...)``). Hosts with one
+    label pass through. Heuristic boundary documented in the module
+    docstring."""
+    h = _c(host)
+    labels = F.split(h, r"\.")
+    nlab = F.size(labels)
+    last2 = F.when(nlab >= 2, F.array_join(F.slice(labels, -2, 2), ".")).otherwise(h)
+    if not extra_suffixes:
+        return last2
+    last3 = F.when(nlab >= 3, F.array_join(F.slice(labels, -3, 3), ".")).otherwise(
+        last2
+    )
+    return F.when(last2.isin(*extra_suffixes), last3).otherwise(last2)
+
+
+def host_suffix_chain(host: Column | str) -> Column:
+    """Array of every dot-suffix of a host, longest first:
+    ``a.b.c → [a.b.c, b.c, c]``. Empty host → empty array."""
+    h = _c(host)
+    labels = F.split(h, r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels) - i + 1), "."),
+    )
+    return F.when(h == "", F.array().cast("array<string>")).otherwise(chain)
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str,
+    *,
+    extra_suffixes: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Registrable-domain-grain corpus report: per domain the page
+    count, distinct canonical URLs, distinct hosts, and the duplicate
+    share ``dup_bp`` = round-half-up 10⁴·(pages − urls)/pages — the
+    re-crawl/alias mass URL canonicalization reclaims before any
+    content pass runs. Rows whose URL fails to canonicalize (NULL —
+    no scheme) are EXCLUDED; a crawl pipeline routes those to its
+    bad-row frame (sources/wind.py stance), they have no domain.
+
+    One projection + one hash aggregate on the domain key; distinct
+    counts ride Spark's two-level distinct-aggregate expansion, so a
+    hot domain never concentrates raw rows on one reducer. Returns
+    (domain, n_pages, n_urls, n_hosts, dup_bp) ordered by domain."""
+    canon = canonical_url(url_col)
+    base = (
+        df.select(canon.alias("_cu"))
+        .filter(F.col("_cu").isNotNull())
+        .select(
+            "_cu",
+            F.element_at(
+                F.split(F.regexp_extract(F.col("_cu"), _AUTH_RE, 1), ":"), 1
+            ).alias("_h"),
+        )
+        .select(
+            "_cu",
+            "_h",
+            registrable_domain("_h", extra_suffixes=extra_suffixes).alias("_d"),
+        )
+    )
+    agg = base.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.count_distinct(F.col("_cu")).cast("bigint").alias("n_urls"),
+        F.count_distinct(F.col("_h")).cast("bigint").alias("n_hosts"),
+    )
+    return agg.select(
+        F.col("_d").alias("domain"),
+        "n_pages",
+        "n_urls",
+        "n_hosts",
+        div_half_up("10000 * (n_pages - n_urls)", "n_pages").alias("dup_bp"),
+    ).orderBy("domain")
+
+
+def _matched(df: DataFrame, id_col: str, url_col: str, rules: DataFrame) -> DataFrame:
+    """(id, host, rule, domain) rows for every page whose canonical
+    host falls under a blocked domain — suffix-chain explode + one
+    EQUI-join against the (rule, domain) frame (broadcast: a blocklist
+    is config-scale)."""
+    hosts = (
+        df.select(F.col(id_col).alias("_bid"), canonical_url(url_col).alias("_cu"))
+        .filter(F.col("_cu").isNotNull())
+        .select(
+            "_bid",
+            F.element_at(
+                F.split(F.regexp_extract(F.col("_cu"), _AUTH_RE, 1), ":"), 1
+            ).alias("_h"),
+        )
+        .select("_bid", "_h", F.explode(host_suffix_chain("_h")).alias("_sfx"))
+    )
+    return hosts.join(
+        F.broadcast(rules.select(F.col("rule"), F.col("domain"))),
+        hosts["_sfx"] == F.col("domain"),
+    )
+
+
+def blocklist_audit(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    rules: DataFrame,
+) -> DataFrame:
+    """Per-rule blocklist match report over a URL-bearing frame:
+    for each (rule, domain) row the matched page count, distinct
+    matched hosts, and corpus share in round-half-up basis points;
+    plus one leading ``_total`` row with the DISTINCT blocked page
+    count (a page matching two rules is blocked once). Rules that
+    match nothing emit 0-rows — an auditor needs to see dead rules.
+    Returns (rule, domain, n_pages, n_hosts, share_bp) ordered by
+    rule, the ``_total`` row first (underscore sorts before
+    alphanumerics in both engines' binary collation)."""
+    m = _matched(df, id_col, url_col, rules)
+    total = df.select(canonical_url(url_col).alias("_cu")).filter(
+        F.col("_cu").isNotNull()
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    per_rule = (
+        rules.join(
+            m.groupBy("rule").agg(
+                F.count_distinct("_bid").cast("bigint").alias("n_pages"),
+                F.count_distinct("_h").cast("bigint").alias("n_hosts"),
+            ),
+            "rule",
+            "left",
+        )
+        .select(
+            "rule",
+            "domain",
+            F.coalesce("n_pages", F.lit(0)).cast("bigint").alias("n_pages"),
+            F.coalesce("n_hosts", F.lit(0)).cast("bigint").alias("n_hosts"),
+        )
+    )
+    tot_row = m.agg(
+        F.count_distinct("_bid").cast("bigint").alias("n_pages"),
+        F.count_distinct("_h").cast("bigint").alias("n_hosts"),
+    ).select(
+        F.lit("_total").alias("rule"),
+        F.lit("").alias("domain"),
+        "n_pages",
+        "n_hosts",
+    )
+    out = per_rule.unionByName(tot_row).crossJoin(F.broadcast(total))
+    return out.select(
+        "rule",
+        "domain",
+        "n_pages",
+        "n_hosts",
+        div_half_up("10000 * n_pages", "nullif(_n, 0)").alias("share_bp"),
+    ).orderBy("rule")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    rules: DataFrame,
+) -> DataFrame:
+    """``df`` minus every row whose canonical host falls under a
+    blocked domain — the suffix-chain match distinct-projected to ids,
+    then one anti-join (rows that fail to canonicalize are KEPT: the
+    blocklist only speaks about hosts it can see; malformed-URL
+    routing is the bad-row frame's job)."""
+    ids = _matched(df, id_col, url_col, rules).select("_bid").distinct()
+    return df.join(ids, df[id_col] == ids["_bid"], "left_anti")

@@ -10671,6 +10671,243 @@ FROM tot, states, hnext, cond
 """
 
 
+def _messy_url() -> "F.Column":
+    """Deterministic messy-URL column over documents (both engines
+    build the identical corpus — the fixture-less-domain pattern, qq1
+    stance): 40 underlying resources (u = doc_id % 40 → subdomain,
+    site{u%7}.com, /p/{u}, b={u%5}), wrapped in variant noise driven by
+    v = doc_id div 40 — scheme/host case, a redundant :443, tracking
+    params (utm_/fbclid), param order, #fragments — every one of which
+    :func:`operators.urls.canonical_url` must collapse."""
+    u = F.col("doc_id") % 40
+    v = F.expr("doc_id div 40")
+    hostlc = F.concat(
+        F.when(u % 3 == 0, F.lit("www."))
+        .when(u % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (u % 7).cast("string"),
+        F.lit(".com"),
+    )
+    b = (u % 5).cast("string")
+    return F.concat(
+        F.when(v % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(v % 3 == 0, F.upper(hostlc)).otherwise(hostlc),
+        F.when(v % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        u.cast("string"),
+        F.when(v % 2 == 0, F.concat(F.lit("?a=1&b="), b)).otherwise(
+            F.concat(F.lit("?b="), b, F.lit("&a=1"))
+        ),
+        F.when(v % 4 == 0, F.lit("&utm_campaign=x"))
+        .when(v % 4 == 1, F.concat(F.lit("&fbclid=F"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+        F.when(v % 3 == 1, F.concat(F.lit("#s"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+    )
+
+
+# Shared oracle CTE: the identical messy-URL corpus plus the SQL twin
+# of canonical_url (same regex literals, same filter/sort/join steps —
+# operators/urls.py module docstring).
+_URLS_SQL_CTE = r"""
+WITH b_ AS (
+  SELECT doc_id, source, doc_id % 40 AS u, doc_id // 40 AS v FROM documents
+), parts_ AS (
+  SELECT doc_id, source, u, v,
+         (CASE WHEN u % 3 = 0 THEN 'www.' WHEN u % 3 = 1 THEN 'cdn.'
+               ELSE '' END)
+           || 'site' || CAST(u % 7 AS VARCHAR) || '.com' AS hostlc
+  FROM b_
+), urls AS (
+  SELECT doc_id, source,
+    (CASE WHEN v % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+    || (CASE WHEN v % 3 = 0 THEN upper(hostlc) ELSE hostlc END)
+    || (CASE WHEN v % 5 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(u AS VARCHAR)
+    || (CASE WHEN v % 2 = 0 THEN '?a=1&b=' || CAST(u % 5 AS VARCHAR)
+             ELSE '?b=' || CAST(u % 5 AS VARCHAR) || '&a=1' END)
+    || (CASE WHEN v % 4 = 0 THEN '&utm_campaign=x'
+             WHEN v % 4 = 1 THEN '&fbclid=F' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN v % 3 = 1 THEN '#s' || CAST(doc_id AS VARCHAR)
+             ELSE '' END) AS url
+  FROM parts_
+), canon AS (
+  SELECT doc_id, source, url,
+         CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN scheme || '://' || host || portpart || path || qpart
+         END AS canonical,
+         host
+  FROM (
+    SELECT doc_id, source, url, scheme, host, path,
+           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END AS portpart,
+           CASE WHEN len(keep) > 0
+                THEN '?' || array_to_string(keep, '&') ELSE '' END AS qpart
+    FROM (
+      SELECT doc_id, source, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(hparts[1]) AS host,
+             CASE WHEN len(hparts) > 1 THEN hparts[2] ELSE '' END AS port,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             list_sort(list_filter(string_split(rawq, '&'),
+               p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+                    AND (list_extract(string_split(p, '='), 1)
+                         NOT IN ('gclid', 'fbclid', 'msclkid', 'igshid',
+                                 'mc_eid')))) AS keep
+      FROM (
+        SELECT doc_id, source, url,
+               string_split(list_extract(string_split(
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@'), -1), ':')
+                 AS hparts,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+               regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
+        FROM urls
+      )
+    )
+  )
+)
+"""
+
+
+def qr3_url_canonical(spark, sf_dir):
+    """URL canonicalization collapse report (operators/urls.py
+    canonical_url, X166): per source, how many raw crawl URLs collapse
+    into each canonical form once scheme/host case, default ports,
+    tracking parameters, query order and fragments are normalized —
+    the address-side dedup gain, measured the way qp3 measures the
+    content-side one. collapse_bp = round-half-up 10⁴·(raw −
+    canonical)/raw distinct URLs."""
+    from alaska_etl_spark.operators.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _messy_url().alias("url")
+    )
+    agg = docs.select(
+        "source", "url", canonical_url("url").alias("_cu")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.count_distinct("url").cast("bigint").alias("n_raw"),
+        F.count_distinct("_cu").cast("bigint").alias("n_canon"),
+    )
+    return agg.select(
+        "source",
+        "n_pages",
+        "n_raw",
+        "n_canon",
+        div_half_up("10000 * (n_raw - n_canon)", "n_raw").alias("collapse_bp"),
+    ).orderBy("source")
+
+
+QR3_SQL = _URLS_SQL_CTE + r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canon,
+       CAST((2 * 10000 * (count(DISTINCT url) - count(DISTINCT canonical))
+             + count(DISTINCT url)) // (2 * count(DISTINCT url)) AS BIGINT)
+         AS collapse_bp
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
+def qr4_domain_rollup(spark, sf_dir):
+    """Registrable-domain rollup of the crawl frame (operators/urls.py
+    domain_rollup, X167): per domain the page count, distinct canonical
+    URLs, distinct hosts, and the duplicate share reclaimed by URL
+    canonicalization — the domain-grain census a CommonCrawl-style
+    ingest reads before deciding quotas and blocklists."""
+    from alaska_etl_spark.operators.urls import domain_rollup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    return domain_rollup(docs, "url")
+
+
+QR4_SQL = _URLS_SQL_CTE + r"""
+SELECT CASE WHEN len(hl) >= 2
+            THEN array_to_string(list_slice(hl, len(hl) - 1, len(hl)), '.')
+            ELSE host END AS domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST((2 * 10000 * (count(*) - count(DISTINCT canonical)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS dup_bp
+FROM (SELECT canonical, host, string_split(host, '.') AS hl
+      FROM canon WHERE canonical IS NOT NULL)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_BLOCK_RULES = [
+    ("r1_site3", "site3.com"),
+    ("r2_cdn4", "cdn.site4.com"),
+    ("r3_dead", "example.net"),
+]
+
+
+def qr5_blocklist_audit(spark, sf_dir):
+    """Blocklist-filter audit (operators/urls.py blocklist_audit,
+    X168): per (rule, blocked-domain) the matched pages, distinct
+    matched hosts and corpus share, plus the distinct-blocked total —
+    host matching via the suffix-chain EQUI-join (a.b.c → [a.b.c, b.c,
+    c]), never a theta join, so the same plan holds when the blocklist
+    is 100k rules and the corpus is 100 TB. The rule set covers the
+    three audit shapes: a registrable domain (all subdomains), one
+    specific subdomain, and a dead rule that must emit its 0-row."""
+    from alaska_etl_spark.operators.urls import blocklist_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    rules = spark.createDataFrame(_BLOCK_RULES, "rule string, domain string")
+    return blocklist_audit(docs, "doc_id", "url", rules)
+
+
+QR5_SQL = _URLS_SQL_CTE + r"""
+, rules AS (
+  SELECT * FROM (VALUES ('r1_site3', 'site3.com'),
+                        ('r2_cdn4', 'cdn.site4.com'),
+                        ('r3_dead', 'example.net')) AS t(rule, domain)
+), sfx AS (
+  SELECT doc_id, host,
+         unnest(list_transform(generate_series(1, len(hl)),
+           i -> array_to_string(list_slice(hl, i, len(hl)), '.'))) AS s
+  FROM (SELECT doc_id, host, string_split(host, '.') AS hl
+        FROM canon WHERE canonical IS NOT NULL)
+), m AS (
+  SELECT r.rule, f.doc_id, f.host FROM rules r JOIN sfx f ON f.s = r.domain
+), agg AS (
+  SELECT rule, CAST(count(DISTINCT doc_id) AS BIGINT) AS np,
+         CAST(count(DISTINCT host) AS BIGINT) AS nh
+  FROM m GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM canon WHERE canonical IS NOT NULL
+)
+SELECT rule, domain, n_pages, n_hosts,
+       CAST((2 * 10000 * n_pages + nullif(n, 0))
+            // (2 * nullif(n, 0)) AS BIGINT) AS share_bp
+FROM (
+  SELECT r.rule, r.domain,
+         CAST(coalesce(a.np, 0) AS BIGINT) AS n_pages,
+         CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hosts
+  FROM rules r LEFT JOIN agg a USING (rule)
+  UNION ALL
+  SELECT '_total', '',
+         CAST(coalesce((SELECT count(DISTINCT doc_id) FROM m), 0) AS BIGINT),
+         CAST(coalesce((SELECT count(DISTINCT host) FROM m), 0) AS BIGINT)
+), tot
+ORDER BY rule
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -10835,6 +11072,9 @@ QUERIES = {
     "q45_split_conformal": qq7_split_conformal,
     "qq8_mase_report": qq8_mase_report,
     "qq9_sequence_predictability": qq9_sequence_predictability,
+    "qr3_url_canonical": qr3_url_canonical,
+    "qr4_domain_rollup": qr4_domain_rollup,
+    "qr5_blocklist_audit": qr5_blocklist_audit,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11153,6 +11393,9 @@ ORACLES = {
     "q45_split_conformal": QQ7_SQL,
     "qq8_mase_report": QQ8_SQL,
     "qq9_sequence_predictability": QQ9_SQL,
+    "qr3_url_canonical": QR3_SQL,
+    "qr4_domain_rollup": QR4_SQL,
+    "qr5_blocklist_audit": QR5_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1,0 +1,131 @@
+"""URL canonicalization + domain family (operators/urls.py): the
+canonical form's exact rule set on hand-built URLs, the registrable-
+domain heuristic and its PSL escape hatch, the suffix chain, and the
+rollup/blocklist operators on a hand-computed corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alaska_etl_spark.operators.urls import (
+    blocklist_audit,
+    blocklist_filter,
+    canonical_url,
+    domain_rollup,
+    host_suffix_chain,
+    registrable_domain,
+    url_host,
+)
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, url string")
+
+
+def _canon(spark, url):
+    df = _urls(spark, [(1, url)])
+    return df.select(canonical_url("url").alias("c")).collect()[0]["c"]
+
+
+def test_canonical_collapses_case_port_tracking_order_fragment(spark):
+    variants = [
+        "HTTPS://User:pw@WWW.Site3.COM:443/p/1?b=2&utm_source=x&a=1#frag",
+        "https://www.site3.com/p/1?a=1&b=2",
+        "https://www.site3.com:443/p/1?b=2&a=1&fbclid=abc123",
+        "https://www.site3.com/p/1?a=1&utm_campaign=y&b=2#other",
+    ]
+    got = {_canon(spark, u) for u in variants}
+    assert got == {"https://www.site3.com/p/1?a=1&b=2"}
+
+
+def test_canonical_keeps_what_matters(spark):
+    # non-default port, path, non-tracking params all survive
+    assert _canon(spark, "http://cdn.a.com:8080") == "http://cdn.a.com:8080/"
+    assert _canon(spark, "http://a.com:80/x?gclid=1") == "http://a.com/x"
+    # http:443 is NOT a default port pair — kept
+    assert _canon(spark, "http://a.com:443/") == "http://a.com:443/"
+    # all params tracking -> no query part at all
+    assert _canon(spark, "https://a.com/p?utm_a=1&utm_b=2") == "https://a.com/p"
+    # duplicate keys are preserved (sorted), not merged
+    assert _canon(spark, "https://a.com/q?z=1&z=0") == "https://a.com/q?z=0&z=1"
+
+
+def test_canonical_rejects_non_urls(spark):
+    df = _urls(spark, [(1, "not a url"), (2, None), (3, "www.a.com/x")])
+    got = df.select(canonical_url("url").alias("c")).collect()
+    assert [r["c"] for r in got] == [None, None, None]
+
+
+def test_registrable_domain_and_suffix_chain(spark):
+    df = spark.createDataFrame(
+        [("www.site3.com",), ("a.b.co.uk",), ("localhost",)], "h string"
+    )
+    rows = df.select(
+        registrable_domain("h").alias("d"),
+        registrable_domain("h", extra_suffixes=("co.uk",)).alias("d2"),
+        host_suffix_chain("h").alias("ch"),
+    ).collect()
+    assert (rows[0]["d"], rows[0]["d2"]) == ("site3.com", "site3.com")
+    assert rows[0]["ch"] == ["www.site3.com", "site3.com", "com"]
+    # without PSL data co.uk collapses (the documented boundary);
+    # with it the registrable domain is b.co.uk
+    assert (rows[1]["d"], rows[1]["d2"]) == ("co.uk", "b.co.uk")
+    assert rows[1]["ch"] == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    # single-label hosts pass through
+    assert (rows[2]["d"], rows[2]["d2"]) == ("localhost", "localhost")
+    assert rows[2]["ch"] == ["localhost"]
+
+
+def test_url_host(spark):
+    df = _urls(spark, [(1, "HTTPS://U@WWW.A.COM:8443/p"), (2, "junk")])
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["www.a.com", ""]
+
+
+def test_domain_rollup_hand_computed(spark):
+    df = _urls(
+        spark,
+        [
+            (1, "https://WWW.a.com/p?utm_x=1"),   # canon https://www.a.com/p
+            (2, "https://www.a.com:443/p"),       # same canonical
+            (3, "https://cdn.a.com/q"),           # a.com, second host
+            (4, "http://b.org/"),
+            (5, "garbage"),                        # excluded (no domain)
+        ],
+    )
+    got = {r["domain"]: r for r in domain_rollup(df, "url").collect()}
+    assert set(got) == {"a.com", "b.org"}
+    a = got["a.com"]
+    assert (a["n_pages"], a["n_urls"], a["n_hosts"]) == (3, 2, 2)
+    assert a["dup_bp"] == 3333  # half-up 10^4 * 1/3
+    b = got["b.org"]
+    assert (b["n_pages"], b["n_urls"], b["n_hosts"], b["dup_bp"]) == (1, 1, 1, 0)
+
+
+def test_blocklist_audit_and_filter(spark):
+    df = _urls(
+        spark,
+        [
+            (1, "https://www.site3.com/p"),
+            (2, "https://CDN.site3.com/q"),    # case-folds into site3.com
+            (3, "https://cdn.site4.com/r"),
+            (4, "https://www.site4.com/s"),    # NOT under cdn.site4.com
+            (5, "https://other.net/t"),
+            (6, "junk"),                        # kept by filter, invisible to audit
+        ],
+    )
+    rules = spark.createDataFrame(
+        [("r1", "site3.com"), ("r2", "cdn.site4.com"), ("r3", "example.net")],
+        "rule string, domain string",
+    )
+    audit = {r["rule"]: r for r in blocklist_audit(df, "id", "url", rules).collect()}
+    assert audit["r1"]["n_pages"] == 2 and audit["r1"]["n_hosts"] == 2
+    assert audit["r2"]["n_pages"] == 1
+    assert audit["r3"]["n_pages"] == 0 and audit["r3"]["share_bp"] == 0
+    assert audit["_total"]["n_pages"] == 3
+    assert audit["_total"]["share_bp"] == 6000  # 3 of 5 canonicalizable
+    # ordered output: _total leads (underscore sorts first)
+    first = blocklist_audit(df, "id", "url", rules).collect()[0]
+    assert first["rule"] == "_total"
+    kept = sorted(r["id"] for r in blocklist_filter(df, "id", "url", rules).collect())
+    assert kept == [4, 5, 6]
