@@ -142,6 +142,7 @@ from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     containment_spans,
     cosine_similarity_join,
     jaccard_similarity_join,
+    longest_shared_runs,
 )
 from alaska_etl_spark.operators.sketch_store import (  # noqa: F401
     merged_distinct_count,

