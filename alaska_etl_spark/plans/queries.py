@@ -10976,6 +10976,52 @@ FROM best GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def qr7_domain_quota(spark, sf_dir):
+    """Per-domain crawl quota (X170): cap every registrable domain at
+    K pages with the EXACT deterministic quota sampler — the
+    politeness/budget step a crawl ingest runs right after the domain
+    rollup (big domains would otherwise own the corpus mix). Pure
+    composition: canonical_url → registrable_domain (X166/X167) feeds
+    splits.stratified_sample (hash-bucket + key total order, the
+    engine-replayable lane), so the kept set is a pure function of
+    (doc_id, domain, seed) — any engine, any partitioning, forever.
+    Returns the kept (domain, doc_id) pairs ordered."""
+    from alaska_etl_spark.operators.splits import stratified_sample
+    from alaska_etl_spark.operators.urls import canonical_url, registrable_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    framed = (
+        docs.select("doc_id", canonical_url("url").alias("_cu"), url_host("url").alias("_h"))
+        .filter(F.col("_cu").isNotNull())
+        .select("doc_id", registrable_domain("_h").alias("domain"))
+    )
+    kept = stratified_sample(framed, ["domain"], "doc_id", 20, seed=7)
+    return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
+
+
+def _qr7_sql() -> str:
+    from alaska_etl_spark.operators.splits import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", seed=7)
+    return _URLS_SQL_CTE + f"""
+SELECT domain, doc_id FROM (
+  SELECT doc_id,
+         CASE WHEN len(hl) >= 2
+              THEN array_to_string(list_slice(hl, len(hl) - 1, len(hl)), '.')
+              ELSE host END AS domain
+  FROM (SELECT doc_id, host, string_split(host, '.') AS hl
+        FROM canon WHERE canonical IS NOT NULL)
+)
+QUALIFY row_number() OVER (PARTITION BY domain ORDER BY {b}, doc_id) <= 20
+ORDER BY domain, doc_id
+"""
+
+
+QR7_SQL = _qr7_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11144,6 +11190,7 @@ QUERIES = {
     "qr4_domain_rollup": qr4_domain_rollup,
     "qr5_blocklist_audit": qr5_blocklist_audit,
     "qr6_longest_runs": qr6_longest_runs,
+    "qr7_domain_quota": qr7_domain_quota,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11466,6 +11513,7 @@ ORACLES = {
     "qr4_domain_rollup": QR4_SQL,
     "qr5_blocklist_audit": QR5_SQL,
     "qr6_longest_runs": QR6_SQL,
+    "qr7_domain_quota": QR7_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -44,6 +44,10 @@ CASES = [
     "qq6_eta_squared",
     "qq8_mase_report",
     "qq9_sequence_predictability",
+    # r10: hash-bucket quota ordering (the deterministic-sample lane)
+    # and the longest-run island windows
+    "qr7_domain_quota",
+    "qr6_longest_runs",
 ]
 
 
