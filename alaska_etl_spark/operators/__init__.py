@@ -122,6 +122,7 @@ from alaska_etl_spark.operators.ranking import (  # noqa: F401
 from alaska_etl_spark.operators.classifier import (  # noqa: F401
     lift_gains,
     naive_bayes_scores,
+    reliability_diagram,
     roc_auc,
 )
 from alaska_etl_spark.operators.geo import knn_join  # noqa: F401

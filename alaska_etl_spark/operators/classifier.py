@@ -656,3 +656,82 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def reliability_diagram(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    score_scale: int = 10**8,
+    unit_scale: int = 10**6,
+    order_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for a
+    log-odds scorer — the calibration axis the evaluation tier lacked:
+    ROC AUC (X?) ranks, PR curves trade off, lift/gains prioritize,
+    but none of them say whether "score 0.9" MEANS 90% — and a data
+    -quality gate that thresholds on a miscalibrated score admits the
+    wrong mass. Guo et al. '17's equal-COUNT binning variant (score
+    deciles, not fixed-width probability bins), which keeps every bin
+    populated and makes the whole computation exact-integer-friendly.
+
+    Float protocol: scores arrive as exact BIGINT log-odds units (the
+    qg5 convention, ``score_scale`` units per nat); each row's
+    confidence is ONE pinned double chain ``1/(1+exp(−score/scale))``
+    quantized to ``unit_scale`` units (round half away from zero — the
+    quantized-ln discipline, so the per-bin SUM is an order-free BIGINT
+    reduction); bin membership comes from the DISTRIBUTED global ntile
+    over the exact (score, *order_cols) total order (``order_cols``
+    must break score ties or bins are partition-dependent — same
+    contract as mase_report). Per bin: n, mean confidence and
+    empirical accuracy via the shared half-up division, |conf − acc|
+    gap; one ``_total`` row (bin −1) carries ECE = Σ n_b·gap_b / N —
+    an exact BIGINT dot product over bins, divided once.
+
+    Returns (bin, n_rows, conf_units, acc_units, gap_units) ordered by
+    bin, the −1 ECE row first (conf/acc NULL there: a weighted-average
+    confidence would restate the corpus mean, not calibration).
+    """
+    from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.ranking import global_ntile
+
+    order = [score_col] + list(order_cols or [])
+    s = F.col(score_col).cast("double") / F.lit(float(score_scale))
+    conf = F.round(
+        F.lit(float(unit_scale)) * (F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))
+    ).cast("bigint")
+    binned = global_ntile(
+        df.select(
+            *[F.col(c) for c in dict.fromkeys(order)],
+            conf.alias("_conf"),
+            F.col(label_col).cast("boolean").alias("_pos"),
+        ),
+        order,
+        n_bins,
+        bucket_col="_bin",
+    )
+    per_bin = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_conf").cast("bigint").alias("_sc"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_np"),
+    ).select(
+        F.col("_bin").cast("bigint").alias("bin"),
+        "n_rows",
+        div_half_up("_sc", "n_rows").alias("conf_units"),
+        div_half_up(f"{unit_scale} * _np", "n_rows").alias("acc_units"),
+    ).withColumn(
+        "gap_units", F.abs(F.col("conf_units") - F.col("acc_units")).cast("bigint")
+    )
+    total = per_bin.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_rows") * F.col("gap_units")).cast("bigint").alias("_w"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("bin"),
+        "n_rows",
+        F.lit(None).cast("bigint").alias("conf_units"),
+        F.lit(None).cast("bigint").alias("acc_units"),
+        div_half_up("_w", "n_rows").alias("gap_units"),
+    )
+    return per_bin.unionByName(total).orderBy("bin")

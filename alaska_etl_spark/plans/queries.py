@@ -11022,6 +11022,90 @@ ORDER BY domain, doc_id
 QR7_SQL = _qr7_sql()
 
 
+def qr8_calibration(spark, sf_dir):
+    """Reliability diagram + ECE of the qg5 Naive Bayes scorer
+    (operators/classifier.py reliability_diagram, X171): per score
+    DECILE (distributed global ntile over the exact (score, doc_id)
+    total order) the mean sigmoid confidence vs the empirical positive
+    rate, plus the −1 ECE row — the calibration axis next to qg7's AUC
+    (ranking) and qh0's PR sweep (operating points): does "score 0.9"
+    MEAN 90%? Confidence is one pinned double chain quantized to 1e-6
+    units (order-free BIGINT sums); everything after is exact."""
+    from alaska_etl_spark.operators.classifier import (
+        naive_bayes_scores,
+        reliability_diagram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scores = naive_bayes_scores(d, "doc_id", "text", "lang")
+    scored = scores.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("score_units").alias("_score"),
+        (F.col("lang") == "en").alias("_pos"),
+    )
+    return reliability_diagram(
+        scored, "_score", "_pos", n_bins=10, order_cols=["doc_id"]
+    )
+
+
+QR8_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS pos,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT w,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tk GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), pri AS (
+  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pd,
+         CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS nd
+  FROM documents
+), terms AS MATERIALIZED (
+  SELECT w,
+         CAST(round(100000000 * (ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(np + v AS DOUBLE))
+                                 - ln(CAST(cn + 1 AS DOUBLE)) + ln(CAST(nn + v AS DOUBLE)))) AS BIGINT) AS t
+  FROM vocab, tot
+), prior AS (
+  SELECT CAST(round(100000000 * (ln(CAST(pd + 1 AS DOUBLE)) - ln(CAST(nd + 1 AS DOUBLE)))) AS BIGINT) AS p
+  FROM pri
+), sc AS (
+  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM tk JOIN terms USING (w) GROUP BY doc_id
+), scored AS (
+  SELECT sc.doc_id, CAST(sc.s + prior.p AS BIGINT) AS score, d.lang = 'en' AS pos
+  FROM sc CROSS JOIN prior JOIN documents d ON sc.doc_id = d.doc_id
+), binned AS (
+  SELECT CAST(round(1000000.0 * (1.0 / (1.0 + exp(-(CAST(score AS DOUBLE) / 100000000.0))))) AS BIGINT) AS conf,
+         pos,
+         ntile(10) OVER (ORDER BY score, doc_id) AS bin
+  FROM scored
+), per_bin AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST((2 * sum(conf) + count(*)) // (2 * count(*)) AS BIGINT) AS conf_units,
+         CAST((2 * 1000000 * sum(CASE WHEN pos THEN 1 ELSE 0 END) + count(*))
+              // (2 * count(*)) AS BIGINT) AS acc_units
+  FROM binned GROUP BY 1
+), gapped AS (
+  SELECT bin, n_rows, conf_units, acc_units,
+         CAST(abs(conf_units - acc_units) AS BIGINT) AS gap_units
+  FROM per_bin
+)
+SELECT * FROM gapped
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST((2 * sum(n_rows * gap_units) + sum(n_rows)) // (2 * sum(n_rows)) AS BIGINT)
+FROM gapped
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11191,6 +11275,7 @@ QUERIES = {
     "qr5_blocklist_audit": qr5_blocklist_audit,
     "qr6_longest_runs": qr6_longest_runs,
     "qr7_domain_quota": qr7_domain_quota,
+    "qr8_calibration": qr8_calibration,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11514,6 +11599,7 @@ ORACLES = {
     "qr5_blocklist_audit": QR5_SQL,
     "qr6_longest_runs": QR6_SQL,
     "qr7_domain_quota": QR7_SQL,
+    "qr8_calibration": QR8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

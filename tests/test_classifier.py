@@ -579,3 +579,32 @@ def test_lift_gains_all_negative_emits_null_gain(spark):
     rows = lift_gains(df, "score", "pos", id_col="id", buckets=2).collect()
     assert all(r.gain_bp is None and r.lift is None for r in rows)
     assert all(r.pos_rate_bp == 0 for r in rows)
+
+
+def test_reliability_diagram_hand_computed(spark):
+    # r10 X171: 4 rows, 2 bins over the exact (score, id) order.
+    # scores in 1e-8 log-odds units: 0 -> conf 0.5; big +/- saturate.
+    from alaska_etl_spark.operators.classifier import reliability_diagram
+
+    rows = [
+        (1, -10**10, False),   # sigmoid(-100) ~ 0      -> bin 1
+        (2, 0, False),         # 0.5                    -> bin 1
+        (3, 0, True),          # 0.5 (tie, id breaks)   -> bin 2
+        (4, 10**10, True),     # sigmoid(100) ~ 1       -> bin 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, s bigint, y boolean")
+    out = reliability_diagram(
+        df, "s", "y", n_bins=2, order_cols=["doc_id"]
+    ).collect()
+    by = {r["bin"]: r for r in out}
+    assert set(by) == {-1, 1, 2}
+    # bin 1: confs {0, 500000} -> mean 250000; acc 0
+    assert by[1]["n_rows"] == 2 and by[1]["conf_units"] == 250000
+    assert by[1]["acc_units"] == 0 and by[1]["gap_units"] == 250000
+    # bin 2: confs {500000, 1000000} -> 750000; acc 1000000
+    assert by[2]["conf_units"] == 750000 and by[2]["acc_units"] == 1000000
+    assert by[2]["gap_units"] == 250000
+    # ECE row: weighted gap = (2*250000 + 2*250000)/4 = 250000
+    t = by[-1]
+    assert t["n_rows"] == 4 and t["gap_units"] == 250000
+    assert t["conf_units"] is None and t["acc_units"] is None

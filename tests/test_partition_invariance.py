@@ -48,6 +48,7 @@ CASES = [
     # and the longest-run island windows
     "qr7_domain_quota",
     "qr6_longest_runs",
+    "qr8_calibration",
 ]
 
 
