@@ -141,6 +141,7 @@ from alaska_etl_spark.operators.similarity import (  # noqa: F401
 )
 from alaska_etl_spark.operators.simjoin import (  # noqa: F401
     containment_spans,
+    excise_spans,
     cosine_similarity_join,
     jaccard_similarity_join,
     longest_shared_runs,

@@ -61,6 +61,7 @@ __all__ = [
     "containment_spans",
     "edit_distance_join",
     "longest_shared_runs",
+    "excise_spans",
 ]
 
 
@@ -1007,4 +1008,96 @@ def longest_shared_runs(
             F.max(F.when(F.col("_rk") == 1, F.col("_d0"))).cast("bigint").alias("dst_start"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def excise_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Surgical span EXCISION — the cut that :func:`containment_spans`
+    localizes (its docstring promises "cut the span, keep the
+    document"; this delivers it): given a spans frame with (dst_id,
+    dst_first, dst_last) rows in shingle-sequence coordinates, remove
+    the matched token range from each affected document and emit the
+    cleaned text. Several spans per document compose as their UNION
+    (a token goes if ANY span covers it — no interval-merge pass
+    needed: the removed set is one range-predicate join + distinct).
+
+    Coordinates: ``dst_first..dst_last`` are 1-based FIRST-OCCURRENCE
+    positions of n-gram shingles, so the covered TOKEN range is
+    ``dst_first .. dst_last + n − 1``. The cut operates on the
+    NORMALIZED token stream (lowercase, whitespace-collapsed —
+    ``dedup.word_tokens``, the domain the offsets are defined in);
+    mapping back to raw bytes would need offset-preserving
+    tokenization, a declared boundary documented here rather than
+    approximated.
+
+    Scale shape: the spans frame is output-grain; documents prune to
+    AFFECTED ids via one broadcast semi-join before the token explode
+    (match-grain, the containment_spans stance); the removed-position
+    set is a hash join on the doc id with a range residual (never a
+    theta join); reassembly is one per-doc aggregate whose order comes
+    from sorting the (position, token) structs IN-ROW — deterministic
+    on any partitioning. Returns (id, n_tokens, n_removed, text_clean)
+    for affected documents, ordered by id; n_removed counts tokens,
+    text_clean is '' when the spans cover the whole document."""
+    sp = spans.select(
+        F.col("dst_id").alias("_sid"),
+        F.col("dst_first").cast("bigint").alias("_f"),
+        (F.col("dst_last").cast("bigint") + F.lit(n - 1)).alias("_l"),
+    )
+    sp = tracked_persist(sp)
+    sp.count()  # ids broadcast + range join both read it (barrier stance)
+    ids = sp.select(F.col("_sid").alias("_id")).distinct()
+    toks = (
+        ensure_min_parallelism(df, id_col)
+        .join(F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi")
+        # pre-filter + posexplode_outer: the InferFiltersFromGenerate
+        # dodge (operators/simjoin.py:766)
+        .filter(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col).alias("_id"), word_tokens(text_col).alias("_tk"))
+        .select("_id", F.posexplode_outer("_tk").alias("_p0", "_w"))
+        .select("_id", (F.col("_p0") + 1).alias("_i"), "_w")
+    )
+    toks = tracked_persist(toks)  # the removed join AND the rebuild read it
+    removed = (
+        toks.join(
+            sp,
+            (F.col("_id") == F.col("_sid"))
+            & (F.col("_i") >= F.col("_f"))
+            & (F.col("_i") <= F.col("_l")),
+        )
+        .select("_id", "_i")
+        .distinct()
+    )
+    kept = toks.join(removed, ["_id", "_i"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_w"))),
+                lambda e: e["_w"],
+            ),
+            " ",
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+    )
+    totals = toks.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_kept_text"), F.lit("")).alias("text_clean"),
+        )
+        .orderBy(id_col)
     )

@@ -11106,6 +11106,82 @@ ORDER BY bin
 """
 
 
+def qr9_span_excision(spark, sf_dir):
+    """Surgical decontamination (operators/simjoin.py excise_spans,
+    X172): the cut that closes the X154 loop — containment_spans says
+    WHERE the excerpt sits; this removes exactly that token range from
+    every affected destination document and emits the cleaned text
+    ("cut the span, keep the document" — the decontamination action
+    published eval-overlap audits recommend over whole-doc drops).
+    Spans from the q07 detector (n=3, τ=3/4); multiple spans per doc
+    compose as their union; output on the normalized token stream (the
+    offsets' domain, boundary documented in the operator)."""
+    from alaska_etl_spark.operators.simjoin import containment_spans, excise_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = containment_spans(
+        d, "doc_id", "text", n=3, threshold_num=3, threshold_den=4
+    ).select("dst_id", "dst_first", "dst_last")
+    return excise_spans(d, "doc_id", "text", spans, n=3)
+
+
+QR9_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sq AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+         ) AS s
+  FROM toks WHERE len(tk) > 0
+), pos AS MATERIALIZED (
+  SELECT doc_id, g, CAST(min(i) AS BIGINT) AS pos
+  FROM (SELECT doc_id, unnest(s) AS g,
+               unnest(generate_series(1, len(s))) AS i FROM sq)
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, CAST(count(*) AS BIGINT) AS np,
+         CAST(min(b.pos) AS BIGINT) AS dst_first,
+         CAST(max(b.pos) AS BIGINT) AS dst_last
+  FROM pos a JOIN pos b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), spans AS MATERIALIZED (
+  SELECT dst_id, dst_first, dst_last + 2 AS dst_cut
+  FROM inter JOIN sz ON src_id = sz.doc_id
+  WHERE 4 * np >= 3 * n
+), aff AS (
+  SELECT DISTINCT dst_id FROM spans
+), t AS MATERIALIZED (
+  SELECT doc_id, unnest(tk) AS w,
+         unnest(generate_series(1, len(tk))) AS i
+  FROM toks JOIN aff ON doc_id = dst_id
+  WHERE len(tk) > 0
+), removed AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM t JOIN spans s
+    ON t.doc_id = s.dst_id AND t.i BETWEEN s.dst_first AND s.dst_cut
+), kept AS (
+  SELECT doc_id, i, w FROM t ANTI JOIN removed USING (doc_id, i)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY i) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT tt.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - coalesce(max(r.n_kept), 0) AS BIGINT) AS n_removed,
+       coalesce(max(r.kept_text), '') AS text_clean
+FROM t tt LEFT JOIN rebuilt r ON tt.doc_id = r.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11276,6 +11352,7 @@ QUERIES = {
     "qr6_longest_runs": qr6_longest_runs,
     "qr7_domain_quota": qr7_domain_quota,
     "qr8_calibration": qr8_calibration,
+    "qr9_span_excision": qr9_span_excision,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11600,6 +11677,7 @@ ORACLES = {
     "qr6_longest_runs": QR6_SQL,
     "qr7_domain_quota": QR7_SQL,
     "qr8_calibration": QR8_SQL,
+    "qr9_span_excision": QR9_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

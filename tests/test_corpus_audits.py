@@ -490,3 +490,29 @@ def test_sequence_predictability_extremes(spark):
     df = spark.createDataFrame(rows, "u long, t timestamp, s string")
     r = sequence_predictability(df, "u", ["t"], "s").head(1)[0]
     assert abs(r["info_gain_units"]) < 0.02 * 10**9  # near-zero gain
+
+
+def test_excise_spans_hand_computed(spark):
+    # r10 X172: spans in shingle coordinates; n=2 means shingle span
+    # [4, 6] covers tokens 4..7; union of overlapping spans; full-doc
+    # excision yields '' with n_removed = n_tokens.
+    from alaska_etl_spark.operators.simjoin import excise_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c QUOTE1 quote2 quote3 quote4 d e"),
+            (2, "x y z"),                # unaffected: not in output
+            (3, "q1 q2 q3 q4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 4, 5), (1, 5, 6), (3, 1, 3)],  # doc 1: overlapping spans
+        "dst_id bigint, dst_first bigint, dst_last bigint",
+    )
+    out = {r["doc_id"]: r for r in
+           excise_spans(docs, "doc_id", "text", spans, n=2).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 4
+    assert out[1]["text_clean"] == "a b c d e"  # normalized stream
+    assert out[3]["n_removed"] == 4 and out[3]["text_clean"] == ""
