@@ -449,6 +449,63 @@ def stream_documents_gate(
     q.awaitTermination()
 
 
+def stream_url_frontier(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    rules: "DataFrame | None" = None,
+    rejects_table: "str | None" = None,
+) -> None:
+    """Streaming crawl-FRONTIER gate (r10, the URL family's streaming
+    form): every micro-batch's URLs are canonicalized
+    (``operators.urls.canonical_url`` — case, default ports, tracking
+    params, query order, fragments all collapse), optionally
+    blocklist-filtered (``rules`` = (rule, domain), the suffix-chain
+    equi-join), collapsed within-batch to the smallest id per
+    canonical URL, then landed via the idempotent warehouse append
+    KEYED ON THE CANONICAL URL — so a re-crawl of the same resource
+    through an ad link, a different case, or a ``#fragment`` is
+    admitted exactly once across batches, restarts, and replays with
+    ZERO streaming state (the main table already is the seen-set; the
+    sink's hash anti-join does the dedup — the
+    :func:`stream_documents_gate` contract, address-side).
+
+    Rows whose URL does not canonicalize (no scheme) are routed to
+    ``rejects_table`` (idempotent on the row id) rather than dropped
+    silently — the bad-row discipline of ``sources/wind.py``."""
+    from alaska_etl_spark.operators.urls import blocklist_filter, canonical_url
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        tagged = batch_df.withColumn("canonical_url", canonical_url(url_col))
+        bad = tagged.filter(F.col("canonical_url").isNull()).drop("canonical_url")
+        good = tagged.filter(F.col("canonical_url").isNotNull())
+        if rules is not None:
+            good = blocklist_filter(good, id_col, url_col, rules)
+        w = Window.partitionBy("canonical_url").orderBy(id_col)
+        first = (
+            good.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        warehouse.load(first, table, key_cols=["canonical_url"])
+        if rejects_table is not None:
+            warehouse.load(bad, rejects_table, key_cols=[id_col])
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _hdfs_exists(spark, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API — works for any
     scheme Spark can read (file://, hdfs://, gs://), unlike os.path."""

@@ -129,3 +129,54 @@ def test_blocklist_audit_and_filter(spark):
     assert first["rule"] == "_total"
     kept = sorted(r["id"] for r in blocklist_filter(df, "id", "url", rules).collect())
     assert kept == [4, 5, 6]
+
+
+def _write_url_file(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        for doc_id, url in rows:
+            f.write(json.dumps({"doc_id": doc_id, "url": url}) + "\n")
+
+
+def test_stream_url_frontier_dedups_blocks_and_routes(spark, tmp_path):
+    # r10: crawl-frontier gate — canonical dedup across batches with
+    # zero streaming state, blocklist filter, malformed-URL routing.
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_url_frontier
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    rules = spark.createDataFrame([("r1", "blocked.com")], "rule string, domain string")
+    schema = "doc_id bigint, url string"
+
+    _write_url_file(
+        src / "b1.json",
+        [
+            (5, "https://A.com/p?utm_x=1"),       # canon https://a.com/p
+            (2, "https://a.com:443/p"),           # same canonical, smaller id
+            (3, "http://sub.blocked.com/x"),      # blocklisted
+            (4, "not a url"),                     # -> rejects
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_url_frontier(
+        stream, wh, "frontier", ckpt, rules=rules, rejects_table="bad_urls"
+    )
+    landed = {r.doc_id for r in wh.read("frontier").collect()}
+    assert landed == {2}  # within-batch keep-first on canonical
+    assert {r.doc_id for r in wh.read("bad_urls").collect()} == {4}
+
+    # batch 2: a re-crawl variant of the same resource + one new URL
+    _write_url_file(
+        src / "b2.json",
+        [(9, "HTTPS://a.com/p#frag"), (10, "https://b.org/q")],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_url_frontier(
+        stream, wh, "frontier", ckpt, rules=rules, rejects_table="bad_urls"
+    )
+    landed = {r.doc_id for r in wh.read("frontier").collect()}
+    assert landed == {2, 10}  # doc 9 deduped against doc 2 CROSS-batch
