@@ -192,6 +192,7 @@ from alaska_etl_spark.operators.urls import (  # noqa: F401
     canonical_url,
     domain_rollup,
     host_suffix_chain,
+    path_prefix_chain,
     registrable_domain,
     url_host,
 )

@@ -670,7 +670,7 @@ def reliability_diagram(
 ) -> DataFrame:
     """Reliability diagram + expected calibration error (ECE) for a
     log-odds scorer — the calibration axis the evaluation tier lacked:
-    ROC AUC (X?) ranks, PR curves trade off, lift/gains prioritize,
+    ROC AUC ranks, PR curves trade off, lift/gains prioritize,
     but none of them say whether "score 0.9" MEANS 90% — and a data
     -quality gate that thresholds on a miscalibrated score admits the
     wrong mass. Guo et al. '17's equal-COUNT binning variant (score

@@ -23,14 +23,17 @@ this family normalizes the ADDRESS):
   broadcast — never a theta/nested-loop join over |corpus|×|rules|.
 - :func:`domain_rollup` — registrable-domain-grain corpus report
   (pages, distinct canonical URLs, distinct hosts, duplicate share).
+- :func:`path_prefix_chain` — host+path prefixes at ``/``
+  boundaries, the path-axis twin (robots/section-level rules).
 - :func:`blocklist_audit` / :func:`blocklist_filter` — per-rule match
-  counts + corpus share, and the filtered frame (anti-join on matched
-  ids).
+  counts + corpus share and the filtered frame (anti-join on matched
+  ids); rules carry a ``kind`` (``domain`` or ``path_prefix``) and
+  both kinds ride ONE kind-tagged equi-join.
 
 Everything is built from shared string/array primitives (regexp
 extraction with RE2-safe patterns, split/sort/filter/join) so DuckDB
 replays each step bit-for-bit — the whole family is exactly oracled
-(qr3/qr4/qr5).
+(qr3/qr4/qr5/qs0).
 
 Scale shape: canonicalization is a per-row projection (codegen, no
 UDF); the rollup is one hash aggregate on the domain key; the
@@ -59,6 +62,7 @@ __all__ = [
     "url_host",
     "registrable_domain",
     "host_suffix_chain",
+    "path_prefix_chain",
     "domain_rollup",
     "blocklist_audit",
     "blocklist_filter",
@@ -214,12 +218,42 @@ def domain_rollup(
     ).orderBy("domain")
 
 
+def path_prefix_chain(host: Column | str, path: Column | str) -> Column:
+    """Array of host+path prefixes at ``/`` boundaries:
+    ``(a.com, /x/y) → [a.com, a.com/x, a.com/x/y]`` — the expansion
+    that turns "URL is under a blocked path" into an EQUI-join, the
+    path-axis twin of :func:`host_suffix_chain`. Path-prefix patterns
+    anchor at the FULL host (no subdomain wildcard — pair with a
+    ``domain`` rule for that); the bare host is level one, so a
+    host-only pattern matches every path under exactly that host."""
+    h = _c(host)
+    segs = F.filter(F.split(_c(path), "/"), lambda x: x != "")
+    deeper = F.transform(
+        F.sequence(F.lit(1), F.size(segs)),
+        lambda i: F.concat(h, F.lit("/"), F.array_join(F.slice(segs, 1, i), "/")),
+    )
+    return F.when(F.size(segs) > 0, F.concat(F.array(h), deeper)).otherwise(
+        F.array(h)
+    )
+
+
+def _with_kind(rules: DataFrame) -> DataFrame:
+    """Rules frame with the ``kind`` column defaulted to ``domain``
+    (backward compatible: the r10 blocklist began domain-only) and the
+    pattern aliased to one name regardless of which axis a rule uses."""
+    if "kind" not in rules.columns:
+        rules = rules.withColumn("kind", F.lit("domain"))
+    pat = F.col("pattern") if "pattern" in rules.columns else F.col("domain")
+    return rules.select("rule", "kind", pat.alias("pattern"))
+
+
 def _matched(df: DataFrame, id_col: str, url_col: str, rules: DataFrame) -> DataFrame:
-    """(id, host, rule, domain) rows for every page whose canonical
-    host falls under a blocked domain — suffix-chain explode + one
-    EQUI-join against the (rule, domain) frame (broadcast: a blocklist
-    is config-scale)."""
-    hosts = (
+    """(id, host, rule) rows for every page matching a blocklist rule —
+    BOTH rule kinds ride ONE equi-join: ``domain`` rules match the
+    host suffix-chain, ``path_prefix`` rules the host+path prefix
+    chain; each page explodes both chains kind-tagged and joins the
+    (kind, pattern) frame (broadcast: a blocklist is config-scale)."""
+    base = (
         df.select(F.col(id_col).alias("_bid"), canonical_url(url_col).alias("_cu"))
         .filter(F.col("_cu").isNotNull())
         .select(
@@ -227,13 +261,28 @@ def _matched(df: DataFrame, id_col: str, url_col: str, rules: DataFrame) -> Data
             F.element_at(
                 F.split(F.regexp_extract(F.col("_cu"), _AUTH_RE, 1), ":"), 1
             ).alias("_h"),
+            F.regexp_extract(F.col("_cu"), _PATH_RE, 1).alias("_p"),
         )
-        .select("_bid", "_h", F.explode(host_suffix_chain("_h")).alias("_sfx"))
     )
-    return hosts.join(
-        F.broadcast(rules.select(F.col("rule"), F.col("domain"))),
-        hosts["_sfx"] == F.col("domain"),
-    )
+    keys = base.select(
+        "_bid",
+        "_h",
+        F.explode(
+            F.concat(
+                F.transform(
+                    host_suffix_chain("_h"),
+                    lambda s: F.struct(F.lit("domain").alias("kind"), s.alias("pattern")),
+                ),
+                F.transform(
+                    path_prefix_chain("_h", "_p"),
+                    lambda s: F.struct(
+                        F.lit("path_prefix").alias("kind"), s.alias("pattern")
+                    ),
+                ),
+            )
+        ).alias("_k"),
+    ).select("_bid", "_h", F.col("_k.kind").alias("kind"), F.col("_k.pattern").alias("pattern"))
+    return keys.join(F.broadcast(_with_kind(rules)), ["kind", "pattern"])
 
 
 def blocklist_audit(
@@ -242,21 +291,26 @@ def blocklist_audit(
     url_col: str,
     rules: DataFrame,
 ) -> DataFrame:
-    """Per-rule blocklist match report over a URL-bearing frame:
-    for each (rule, domain) row the matched page count, distinct
-    matched hosts, and corpus share in round-half-up basis points;
-    plus one leading ``_total`` row with the DISTINCT blocked page
-    count (a page matching two rules is blocked once). Rules that
-    match nothing emit 0-rows — an auditor needs to see dead rules.
-    Returns (rule, domain, n_pages, n_hosts, share_bp) ordered by
-    rule, the ``_total`` row first (underscore sorts before
-    alphanumerics in both engines' binary collation)."""
+    """Per-rule blocklist match report over a URL-bearing frame: for
+    each rule — ``kind`` ``domain`` (host suffix match, subdomains
+    included) or ``path_prefix`` (host + path-at-/-boundaries match,
+    exact host) — the matched page count, distinct matched hosts, and
+    corpus share in round-half-up basis points; plus one leading
+    ``_total`` row with the DISTINCT blocked page count (a page
+    matching two rules is blocked once). Rules that match nothing emit
+    0-rows — an auditor needs to see dead rules. Rules frames without
+    a ``kind`` column are domain-only (``domain`` is then the pattern
+    column name — the r10 original form). Returns (rule, kind,
+    pattern, n_pages, n_hosts, share_bp) ordered by rule, the
+    ``_total`` row first (underscore sorts before alphanumerics in
+    both engines' binary collation)."""
+    rk = _with_kind(rules)
     m = _matched(df, id_col, url_col, rules)
     total = df.select(canonical_url(url_col).alias("_cu")).filter(
         F.col("_cu").isNotNull()
     ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     per_rule = (
-        rules.join(
+        rk.join(
             m.groupBy("rule").agg(
                 F.count_distinct("_bid").cast("bigint").alias("n_pages"),
                 F.count_distinct("_h").cast("bigint").alias("n_hosts"),
@@ -266,7 +320,8 @@ def blocklist_audit(
         )
         .select(
             "rule",
-            "domain",
+            "kind",
+            "pattern",
             F.coalesce("n_pages", F.lit(0)).cast("bigint").alias("n_pages"),
             F.coalesce("n_hosts", F.lit(0)).cast("bigint").alias("n_hosts"),
         )
@@ -276,14 +331,16 @@ def blocklist_audit(
         F.count_distinct("_h").cast("bigint").alias("n_hosts"),
     ).select(
         F.lit("_total").alias("rule"),
-        F.lit("").alias("domain"),
+        F.lit("").alias("kind"),
+        F.lit("").alias("pattern"),
         "n_pages",
         "n_hosts",
     )
     out = per_rule.unionByName(tot_row).crossJoin(F.broadcast(total))
     return out.select(
         "rule",
-        "domain",
+        "kind",
+        "pattern",
         "n_pages",
         "n_hosts",
         div_half_up("10000 * n_pages", "nullif(_n, 0)").alias("share_bp"),

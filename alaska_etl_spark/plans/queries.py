@@ -10873,9 +10873,9 @@ def qr5_blocklist_audit(spark, sf_dir):
 
 QR5_SQL = _URLS_SQL_CTE + r"""
 , rules AS (
-  SELECT * FROM (VALUES ('r1_site3', 'site3.com'),
-                        ('r2_cdn4', 'cdn.site4.com'),
-                        ('r3_dead', 'example.net')) AS t(rule, domain)
+  SELECT * FROM (VALUES ('r1_site3', 'domain', 'site3.com'),
+                        ('r2_cdn4', 'domain', 'cdn.site4.com'),
+                        ('r3_dead', 'domain', 'example.net')) AS t(rule, kind, pattern)
 ), sfx AS (
   SELECT doc_id, host,
          unnest(list_transform(generate_series(1, len(hl)),
@@ -10883,7 +10883,7 @@ QR5_SQL = _URLS_SQL_CTE + r"""
   FROM (SELECT doc_id, host, string_split(host, '.') AS hl
         FROM canon WHERE canonical IS NOT NULL)
 ), m AS (
-  SELECT r.rule, f.doc_id, f.host FROM rules r JOIN sfx f ON f.s = r.domain
+  SELECT r.rule, f.doc_id, f.host FROM rules r JOIN sfx f ON f.s = r.pattern
 ), agg AS (
   SELECT rule, CAST(count(DISTINCT doc_id) AS BIGINT) AS np,
          CAST(count(DISTINCT host) AS BIGINT) AS nh
@@ -10891,16 +10891,16 @@ QR5_SQL = _URLS_SQL_CTE + r"""
 ), tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM canon WHERE canonical IS NOT NULL
 )
-SELECT rule, domain, n_pages, n_hosts,
+SELECT rule, kind, pattern, n_pages, n_hosts,
        CAST((2 * 10000 * n_pages + nullif(n, 0))
             // (2 * nullif(n, 0)) AS BIGINT) AS share_bp
 FROM (
-  SELECT r.rule, r.domain,
+  SELECT r.rule, r.kind, r.pattern,
          CAST(coalesce(a.np, 0) AS BIGINT) AS n_pages,
          CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hosts
   FROM rules r LEFT JOIN agg a USING (rule)
   UNION ALL
-  SELECT '_total', '',
+  SELECT '_total', '', '',
          CAST(coalesce((SELECT count(DISTINCT doc_id) FROM m), 0) AS BIGINT),
          CAST(coalesce((SELECT count(DISTINCT host) FROM m), 0) AS BIGINT)
 ), tot
@@ -11182,6 +11182,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_QS0_RULES = [
+    ("r1_dom", "domain", "site1.com"),
+    ("r2_res", "path_prefix", "www.site2.com/p/16"),
+    ("r3_sec", "path_prefix", "site5.com/p"),
+    ("r4_dead", "path_prefix", "www.site9.com/x"),
+]
+
+
+def qs0_path_blocklist(spark, sf_dir):
+    """Mixed-kind blocklist audit (X174): ``domain`` rules (host
+    suffix-chain, subdomains included) and ``path_prefix`` rules
+    (host + path-at-/-boundary chain, exact host) ride ONE kind-tagged
+    equi-join — the robots/section-level filter axis the domain-grain
+    r10 blocklist lacked, same never-a-theta-join contract. Rule set
+    covers a registrable domain, one specific resource, a host
+    section, and a dead rule's 0-row."""
+    from alaska_etl_spark.operators.urls import blocklist_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    rules = spark.createDataFrame(
+        _QS0_RULES, "rule string, kind string, pattern string"
+    )
+    return blocklist_audit(docs, "doc_id", "url", rules)
+
+
+QS0_SQL = _URLS_SQL_CTE + r"""
+, rules AS (
+  SELECT * FROM (VALUES ('r1_dom', 'domain', 'site1.com'),
+                        ('r2_res', 'path_prefix', 'www.site2.com/p/16'),
+                        ('r3_sec', 'path_prefix', 'site5.com/p'),
+                        ('r4_dead', 'path_prefix', 'www.site9.com/x'))
+         AS t(rule, kind, pattern)
+), base AS (
+  SELECT doc_id, host,
+         regexp_extract(canonical,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM canon WHERE canonical IS NOT NULL
+), keys AS (
+  SELECT doc_id, host, 'domain' AS kind,
+         unnest(list_transform(generate_series(1, len(hl)),
+           i -> array_to_string(list_slice(hl, i, len(hl)), '.'))) AS pattern
+  FROM (SELECT doc_id, host, string_split(host, '.') AS hl FROM base)
+  UNION ALL
+  SELECT doc_id, host, 'path_prefix', host FROM base
+  UNION ALL
+  SELECT doc_id, host, 'path_prefix',
+         unnest(list_transform(generate_series(1, len(sg)),
+           i -> host || '/' || array_to_string(list_slice(sg, 1, i), '/')))
+  FROM (SELECT doc_id, host,
+               list_filter(string_split(path, '/'), x -> x <> '') AS sg
+        FROM base)
+), m AS (
+  SELECT r.rule, k.doc_id, k.host
+  FROM rules r JOIN keys k ON k.kind = r.kind AND k.pattern = r.pattern
+), agg AS (
+  SELECT rule, CAST(count(DISTINCT doc_id) AS BIGINT) AS np,
+         CAST(count(DISTINCT host) AS BIGINT) AS nh
+  FROM m GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM base
+)
+SELECT rule, kind, pattern, n_pages, n_hosts,
+       CAST((2 * 10000 * n_pages + nullif(n, 0))
+            // (2 * nullif(n, 0)) AS BIGINT) AS share_bp
+FROM (
+  SELECT r.rule, r.kind, r.pattern,
+         CAST(coalesce(a.np, 0) AS BIGINT) AS n_pages,
+         CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hosts
+  FROM rules r LEFT JOIN agg a USING (rule)
+  UNION ALL
+  SELECT '_total', '', '',
+         CAST(coalesce((SELECT count(DISTINCT doc_id) FROM m), 0) AS BIGINT),
+         CAST(coalesce((SELECT count(DISTINCT host) FROM m), 0) AS BIGINT)
+), tot
+ORDER BY rule
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11353,6 +11433,7 @@ QUERIES = {
     "qr7_domain_quota": qr7_domain_quota,
     "qr8_calibration": qr8_calibration,
     "qr9_span_excision": qr9_span_excision,
+    "qs0_path_blocklist": qs0_path_blocklist,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11678,6 +11759,7 @@ ORACLES = {
     "qr7_domain_quota": QR7_SQL,
     "qr8_calibration": QR8_SQL,
     "qr9_span_excision": QR9_SQL,
+    "qs0_path_blocklist": QS0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

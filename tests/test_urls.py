@@ -180,3 +180,37 @@ def test_stream_url_frontier_dedups_blocks_and_routes(spark, tmp_path):
     )
     landed = {r.doc_id for r in wh.read("frontier").collect()}
     assert landed == {2, 10}  # doc 9 deduped against doc 2 CROSS-batch
+
+
+def test_path_prefix_chain_and_mixed_kind_audit(spark):
+    # r10 X174: path_prefix rules anchor at the exact host and match at
+    # / boundaries only; domain rules still match subdomains.
+    from alaska_etl_spark.operators.urls import path_prefix_chain
+
+    df = spark.createDataFrame(
+        [("a.com", "/x/y"), ("a.com", "/")], "h string, p string"
+    )
+    got = [r["c"] for r in df.select(path_prefix_chain("h", "p").alias("c")).collect()]
+    assert got[0] == ["a.com", "a.com/x", "a.com/x/y"]
+    assert got[1] == ["a.com"]
+
+    docs = _urls(
+        spark,
+        [
+            (1, "https://a.com/private/doc"),
+            (2, "https://a.com/public/doc"),
+            (3, "https://sub.a.com/private/doc"),   # different host: no path match
+            (4, "https://a.com/privateer"),          # NOT under /private (boundary)
+            (5, "https://b.org/x"),
+        ],
+    )
+    rules = spark.createDataFrame(
+        [("p1", "path_prefix", "a.com/private"), ("d1", "domain", "b.org")],
+        "rule string, kind string, pattern string",
+    )
+    audit = {r["rule"]: r for r in blocklist_audit(docs, "id", "url", rules).collect()}
+    assert audit["p1"]["n_pages"] == 1          # only doc 1
+    assert audit["d1"]["n_pages"] == 1          # doc 5
+    assert audit["_total"]["n_pages"] == 2
+    kept = sorted(r["id"] for r in blocklist_filter(docs, "id", "url", rules).collect())
+    assert kept == [2, 3, 4]
