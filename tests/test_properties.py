@@ -762,3 +762,142 @@ def test_normalized_fingerprint_idempotent_and_invariant(spark, texts):
     ).collect()
     for r in out2:
         assert r["f1"] == r["f2"]
+
+
+# --- r10 URL canonicalization: Python replica + idempotence -----------------
+
+_TRACKING = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+
+
+def _py_canonical(url):
+    """Single-process replica of operators.urls.canonical_url."""
+    import re
+
+    if url is None or not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", url):
+        return None
+    scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url).group(1).lower()
+    auth = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url).group(1)
+    auth = auth.split("@")[-1]
+    hp = auth.split(":")
+    host = hp[0].lower()
+    port = hp[1] if len(hp) > 1 else ""
+    default = (scheme == "http" and port == "80") or (
+        scheme == "https" and port == "443"
+    )
+    portpart = "" if (port == "" or default) else ":" + port
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = m.group(1) or "/"
+    qm = re.match(r"^[^#?]*\?([^#]*)", url)
+    rawq = qm.group(1) if qm else ""
+    keep = sorted(
+        p
+        for p in rawq.split("&")
+        if p != "" and p[:4] != "utm_" and p.split("=")[0] not in _TRACKING
+    )
+    qpart = "?" + "&".join(keep) if keep else ""
+    return scheme + "://" + host + portpart + path + qpart
+
+
+_urlpart = st.text(
+    alphabet="abcXY09._-~%", min_size=0, max_size=6
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    user=st.sampled_from(["", "u:p@", "U@"]),
+    host=st.lists(
+        st.sampled_from(["A", "b", "Cd", "e0"]), min_size=1, max_size=4
+    ).map(".".join),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(_urlpart, min_size=0, max_size=3).map(
+        lambda segs: "".join("/" + s for s in segs)
+    ),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z", "utm_src=x", "fbclid=Q", "gclid=1", "a=0", ""]
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    frag=st.sampled_from(["", "#f", "#a?b=1"]),
+)
+@settings(**_SETTINGS)
+def test_canonical_url_matches_python_and_is_idempotent(
+    spark, scheme, user, host, port, path, params, frag
+):
+    from alaska_etl_spark.operators.urls import canonical_url
+
+    url = f"{scheme}://{user}{host}{port}{path}"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    got = df.select(canonical_url("url").alias("c")).collect()[0]["c"]
+    assert got == _py_canonical(url)
+    # idempotence: the canonical form is its own canonical form
+    df2 = spark.createDataFrame([(got,)], "url string")
+    again = df2.select(canonical_url("url").alias("c")).collect()[0]["c"]
+    assert again == got
+
+
+# --- r10 longest shared runs vs brute force ----------------------------------
+
+
+def _py_longest_runs(texts, n, min_run):
+    """Brute-force reference: max shared verbatim token run per pair."""
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    out = {}
+    ids = sorted(toks)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = toks[ids[x]], toks[ids[y]]
+            best = 0
+            runs = 0
+            for i in range(len(a)):
+                for j in range(len(b)):
+                    # maximal run starting at (i, j)
+                    if i > 0 and j > 0 and a[i - 1] == b[j - 1]:
+                        continue
+                    L = 0
+                    while i + L < len(a) and j + L < len(b) and a[i + L] == b[j + L]:
+                        L += 1
+                    if L >= min_run:
+                        runs += 1
+                        best = max(best, L)
+            if best >= min_run:
+                out[(ids[x], ids[y])] = best
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_longest_shared_runs_matches_brute_force(spark, texts):
+    """Hot 4-token alphabet → dense accidental runs; every pair's
+    longest verbatim run must equal the O(n²·m²) reference (max_pair_df
+    high enough that the rare-gram block proposes every sharing pair —
+    the exactness claim is about the verify, recall is the generator's
+    documented contract)."""
+    from alaska_etl_spark.operators.simjoin import longest_shared_runs
+
+    n, min_run = 2, 2
+    rows = [(str(i), t) for i, t in enumerate(texts)]
+    got = {
+        (r["id_a"], r["id_b"]): r["longest_run_tokens"]
+        for r in longest_shared_runs(
+            spark.createDataFrame(rows, "doc_id string, text string"),
+            "doc_id",
+            "text",
+            n=n,
+            min_run_tokens=min_run,
+            max_pair_df=100,
+        ).collect()
+    }
+    want = _py_longest_runs(dict(rows), n, min_run)
+    assert got == want
