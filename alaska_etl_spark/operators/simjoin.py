@@ -912,7 +912,9 @@ def longest_shared_runs(
     suffix array and no quadratic DP anywhere.
 
     ``pairs`` scopes the measurement (any recall lane: containment
-    join, MinHash-LSH components, a provenance list). With
+    join, MinHash-LSH components, a provenance list) — a frame with
+    ``id_a``/``id_b`` columns; rows are measured as given (runs are
+    symmetric, so orientation only names the sides). With
     ``pairs=None`` a built-in generator proposes every unordered pair
     sharing at least one RARE gram (document frequency ≤
     ``max_pair_df``) — the blocked-candidate stance: at web scale

@@ -37,7 +37,7 @@ replays each step bit-for-bit — the whole family is exactly oracled
 
 Scale shape: canonicalization is a per-row projection (codegen, no
 UDF); the rollup is one hash aggregate on the domain key; the
-blocklist join explodes ≤5 suffix rows per host and equi-joins. At
+blocklist join explodes one row per host-suffix level plus one per path segment (≈5–10 per URL) and equi-joins. At
 100 TB the only shuffle is the rollup's domain key — web corpora skew
 on big domains, which is exactly what the salting/AQE-skew machinery
 (operators/skew.py) exists for; counts here are distinct-aggregates
@@ -353,10 +353,11 @@ def blocklist_filter(
     url_col: str,
     rules: DataFrame,
 ) -> DataFrame:
-    """``df`` minus every row whose canonical host falls under a
-    blocked domain — the suffix-chain match distinct-projected to ids,
-    then one anti-join (rows that fail to canonicalize are KEPT: the
-    blocklist only speaks about hosts it can see; malformed-URL
+    """``df`` minus every row matching any blocklist rule of either
+    kind (``domain`` host-suffix or ``path_prefix`` — see
+    :func:`blocklist_audit`) — the chain match distinct-projected to
+    ids, then one anti-join (rows that fail to canonicalize are KEPT:
+    the blocklist only speaks about URLs it can parse; malformed-URL
     routing is the bad-row frame's job)."""
     ids = _matched(df, id_col, url_col, rules).select("_bid").distinct()
     return df.join(ids, df[id_col] == ids["_bid"], "left_anti")
