@@ -134,6 +134,17 @@ QUERIES_UNDER_TEST = [
     "q07_span_localization",  # was qp4
     "qp5_source_overlap",
     "q26_k_core",  # was qp8
+    # round-10: the two new join-bearing shapes. Longest shared runs:
+    # token prefixing keeps per-copy positional-gram structure exact
+    # and per-copy df distributions identical with disjoint cross-copy
+    # vocabularies, so the rare-gram (df<=3) candidate pairs and the
+    # true run set are both exactly 10x; the diagonal-island windows
+    # run at candidate-pair grain. Span excision: the q07 containment
+    # construction argument (directed pair set exactly 10x) plus a
+    # match-grain token explode and the cut — output rows (affected
+    # dst docs) exactly 10x.
+    "qr6_longest_runs",
+    "qr9_span_excision",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
