@@ -506,6 +506,82 @@ def stream_url_frontier(
     q.awaitTermination()
 
 
+def stream_domain_quota(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint: str,
+    *,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Streaming per-domain admission quota on the crawl frontier
+    (r10, the batch X170 quota's streaming form): every micro-batch is
+    canonicalized and deduplicated like :func:`stream_url_frontier`,
+    then each registrable domain admits only up to ``max_per_domain``
+    pages TOTAL across the stream's life — the politeness/budget cap
+    enforced at ingest, not in a later compaction.
+
+    State discipline: the warehouse main table IS the per-domain
+    ledger (one count aggregate over already-landed rows per batch —
+    domain-grain, tiny), so there is no streaming state store to grow
+    or to drift from the data; a replayed batch re-admits the same
+    rows idempotently (canonical-URL keyed append) and the headroom
+    arithmetic sees them already landed. Within a batch, headroom is
+    filled deterministically by the exact hash-ordered quota sampler's
+    total order (smallest id first after canonical dedup — replay
+    gives the same admitted set, any partitioning)."""
+    from alaska_etl_spark.operators.urls import canonical_url, registrable_domain, url_host
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        good = (
+            batch_df.withColumn("canonical_url", canonical_url(url_col))
+            .filter(F.col("canonical_url").isNotNull())
+            .withColumn("domain", registrable_domain(url_host(url_col)))
+        )
+        w = Window.partitionBy("canonical_url").orderBy(id_col)
+        first = (
+            good.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            landed = warehouse.read(table)
+        except Exception:  # first batch: the table does not exist yet
+            landed = batch_df.sparkSession.createDataFrame([], first.schema)
+        used = landed.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_used")
+        )
+        # never re-admit a landed canonical URL's quota slot: the
+        # idempotent append would drop the row but the rank below must
+        # not count it against this batch's headroom either
+        fresh = first.join(
+            landed.select("canonical_url"), "canonical_url", "left_anti"
+        )
+        wq = Window.partitionBy("domain").orderBy(id_col)
+        admitted = (
+            fresh.withColumn("_rk", F.row_number().over(wq))
+            .join(F.broadcast(used), "domain", "left")
+            .filter(
+                F.col("_rk") + F.coalesce(F.col("_used"), F.lit(0))
+                <= F.lit(max_per_domain)
+            )
+            .drop("_rk", "_used")
+        )
+        warehouse.load(admitted, table, key_cols=["canonical_url"])
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _hdfs_exists(spark, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API — works for any
     scheme Spark can read (file://, hdfs://, gs://), unlike os.path."""

@@ -214,3 +214,45 @@ def test_path_prefix_chain_and_mixed_kind_audit(spark):
     assert audit["_total"]["n_pages"] == 2
     kept = sorted(r["id"] for r in blocklist_filter(docs, "id", "url", rules).collect())
     assert kept == [2, 3, 4]
+
+
+def test_stream_domain_quota_caps_across_batches(spark, tmp_path):
+    # r10 X175: per-domain lifetime cap with the warehouse as the only
+    # ledger — deterministic fill order (smallest id), canonical dedup
+    # still applies, quota survives across batches.
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_domain_quota
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, url string"
+
+    _write_url_file(
+        src / "b1.json",
+        [
+            (7, "https://a.com/p1"),
+            (3, "https://www.a.com/p2"),   # same registrable domain
+            (5, "https://A.com/p1#x"),     # canonical dup of doc 7
+            (9, "https://a.com/p3"),
+            (1, "https://b.org/q1"),
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(stream, wh, "quota", ckpt, max_per_domain=2)
+    landed = {r.doc_id for r in wh.read("quota").collect()}
+    # a.com candidates after canonical dedup: ids {3, 5, 9} (7 collapses
+    # into 5 — keep-first takes the smaller id); cap 2 fills
+    # smallest-first -> {3, 5}; b.org admits 1
+    assert landed == {1, 3, 5}
+
+    # batch 2: a.com is full; b.org has headroom for one more
+    _write_url_file(
+        src / "b2.json",
+        [(2, "https://cdn.a.com/p9"), (4, "https://b.org/q2"), (6, "https://b.org/q3")],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(stream, wh, "quota", ckpt, max_per_domain=2)
+    landed = {r.doc_id for r in wh.read("quota").collect()}
+    assert landed == {1, 3, 5, 4}  # a.com rejected, b.org admits id 4 only
