@@ -941,18 +941,30 @@ def longest_shared_runs(
         raise ValueError(f"min_run_tokens={min_run} below gram width n={n}")
     small = input_fits_driver(df)
     toks = F.filter(word_tokens(text_col), lambda t: t != "")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    k = F.size(toks) - F.lit(n - 1)
     seq = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    # documents with < n tokens carry NO gram here — the dedup.shingles
+    # whole-text-gram convention would make a t-token doc's single gram
+    # count as an n-token run (island + n − 1 assumes every gram spans
+    # exactly n tokens; the hypothesis test caught two 1-token docs
+    # reporting a 2-token "run"). Sound because min_run_tokens ≥ n: a
+    # doc with t < n tokens can share at most t < min_run tokens, so no
+    # reportable run is lost. NULL seq (not empty array) keeps the
+    # posexplode_OUTER trap-dodge valid; the one NULL row it emits per
+    # short doc is dropped right after the generator (a filter on
+    # generator OUTPUT cannot be pushed below it).
+    seqn = F.when(F.size(toks) >= n, seq)
     # ALL positions (multi-occurrence grams keep every diagonal), the
     # pre-filter + posexplode_outer trap-dodge as containment_spans
     tokpos = (
         ensure_min_parallelism(df, id_col)
         .filter(F.col(text_col).rlike(r"\S"))
-        .select(F.col(id_col).alias("_id"), seq.alias("_s"))
+        .select(F.col(id_col).alias("_id"), seqn.alias("_s"))
         .select("_id", F.posexplode_outer("_s").alias("_p0", "_g"))
+        .filter(F.col("_g").isNotNull())
         .select("_id", F.xxhash64("_g").alias("_g"), (F.col("_p0") + 1).alias("_p"))
     )
     tokpos = tracked_persist(pin_corpus_agg(tokpos, small))

@@ -10932,11 +10932,14 @@ WITH toks AS (
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
   FROM documents
 ), tok AS (
+  -- docs with < n tokens carry no gram (min_run >= n makes their
+  -- runs unreportable; the whole-text-gram convention would inflate
+  -- island arithmetic — r10 hypothesis catch)
   SELECT doc_id,
-         unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS p,
-         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+         unnest(generate_series(1, len(tk) - 2)) AS p,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
                 i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
-  FROM toks WHERE len(tk) > 0
+  FROM toks WHERE len(tk) >= 3
 ), dist AS (
   SELECT DISTINCT doc_id, g FROM tok
 ), rare AS (
