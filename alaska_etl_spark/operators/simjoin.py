@@ -957,18 +957,34 @@ def longest_shared_runs(
     # short doc is dropped right after the generator (a filter on
     # generator OUTPUT cannot be pushed below it).
     seqn = F.when(F.size(toks) >= n, seq)
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    base = ensure_min_parallelism(df, id_col)
+    if pairs is not None:
+        # prune BEFORE the explode (the containment_spans pairs= stance):
+        # a caller-supplied pair frame is match-grain, so the positional
+        # gram table only needs the paired documents — one broadcast
+        # semi-join cuts the token explode from corpus-grain to
+        # match-grain (ADVICE r10: the advertised scoping was lost here).
+        pairs = tracked_persist(
+            pairs.select("id_a", "id_b").repartition(n_par, "id_a", "id_b").dropDuplicates()
+        )
+        pairs.count()  # the ids broadcast AND the diagonal join read it
+        ids = (
+            pairs.select(F.col("id_a").alias("_w"))
+            .unionByName(pairs.select(F.col("id_b").alias("_w")))
+            .distinct()
+        )
+        base = base.join(F.broadcast(ids), F.col(id_col) == F.col("_w"), "left_semi")
     # ALL positions (multi-occurrence grams keep every diagonal), the
     # pre-filter + posexplode_outer trap-dodge as containment_spans
     tokpos = (
-        ensure_min_parallelism(df, id_col)
-        .filter(F.col(text_col).rlike(r"\S"))
+        base.filter(F.col(text_col).rlike(r"\S"))
         .select(F.col(id_col).alias("_id"), seqn.alias("_s"))
         .select("_id", F.posexplode_outer("_s").alias("_p0", "_g"))
         .filter(F.col("_g").isNotNull())
         .select("_id", F.xxhash64("_g").alias("_g"), (F.col("_p0") + 1).alias("_p"))
     )
     tokpos = tracked_persist(pin_corpus_agg(tokpos, small))
-    n_par = df.sparkSession.sparkContext.defaultParallelism
     if pairs is None:
         dist = tokpos.select("_id", "_g").distinct()
         rare = dist.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).filter(
@@ -976,17 +992,17 @@ def longest_shared_runs(
         )
         posting = dist.join(rare.select("_g"), "_g")
         pa, pb = posting.alias("a"), posting.alias("b")
-        pairs = (
+        gen = (
             pa.join(pb, F.col("a._g") == F.col("b._g"))
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         )
+        pairs = tracked_persist(
+            gen.repartition(n_par, "id_a", "id_b").dropDuplicates()
+        )
+        _materialize_together([tokpos, pairs])
     else:
-        pairs = pairs.select("id_a", "id_b")
-    pairs = tracked_persist(
-        pairs.repartition(n_par, "id_a", "id_b").dropDuplicates()
-    )
-    _materialize_together([tokpos, pairs])
+        _materialize_together([tokpos])
     j = (
         pairs.join(
             tokpos.select(F.col("_id").alias("id_a"), "_g", F.col("_p").alias("_ps")),
@@ -1022,6 +1038,109 @@ def longest_shared_runs(
             F.max(F.when(F.col("_rk") == 1, F.col("_d0"))).cast("bigint").alias("dst_start"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def longest_repeat_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_run_tokens: int | None = None,
+) -> DataFrame:
+    """EXACT longest INTRA-document repeated verbatim token run at
+    ARBITRARY length — the within-example half of the Lee et al. '22
+    exact-substring story (X169/:func:`longest_shared_runs` measures
+    CROSS-document runs; the published suffix-array tool also removes
+    repeats WITHIN a document: periodic boilerplate, table dumps,
+    degenerate generation loops). Same positional-gram diagonal
+    gaps-and-islands frame, SELF-paired with diagonal > 0: a token
+    range repeated at offset d is exactly a maximal chain of
+    consecutive positional n-gram matches on diagonal d (the X169
+    exactness argument with a == b), and overlapping occurrences
+    (period < run length, ``x x x x``) fall out of the same
+    arithmetic — each period is its own diagonal.
+
+    No pair generator and no recall boundary: every document pairs
+    with itself, so unlike the cross-document form there is no
+    rare-gram block to miss anything — the measurement is EXACT over
+    the whole corpus by construction. Work per document is Σ per-gram
+    multiplicity² (hot-gram documents are exactly the degenerate-repeat
+    documents the operator exists to flag); the island windows key on
+    (id, diagonal), so a document's work never concentrates beyond its
+    own row.
+
+    Returns one row per document with a repeat of ≥ ``min_run_tokens``
+    (default n): (``id_col``, longest_run_tokens, n_runs, src_start,
+    dst_start) — 1-based token positions of THE longest run's two
+    occurrences (ties: smallest src_start, then dst_start); n_runs
+    counts maximal runs ≥ the threshold across all diagonals."""
+    from pyspark.sql import Window
+
+    min_run = n if min_run_tokens is None else int(min_run_tokens)
+    if min_run < n:
+        raise ValueError(f"min_run_tokens={min_run} below gram width n={n}")
+    small = input_fits_driver(df)
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    k = F.size(toks) - F.lit(n - 1)
+    seq = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # the short-document guard of longest_shared_runs (< n tokens ⇒ no
+    # gram; sound because min_run ≥ n)
+    seqn = F.when(F.size(toks) >= n, seq)
+    tokpos = (
+        ensure_min_parallelism(df, id_col)
+        .filter(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col).alias("_id"), seqn.alias("_s"))
+        .select("_id", F.posexplode_outer("_s").alias("_p0", "_g"))
+        .filter(F.col("_g").isNotNull())
+        .select("_id", F.xxhash64("_g").alias("_g"), (F.col("_p0") + 1).alias("_p"))
+    )
+    tokpos = tracked_persist(pin_corpus_agg(tokpos, small))
+    _materialize_together([tokpos])
+    j = (
+        tokpos.select("_id", "_g", F.col("_p").alias("_ps"))
+        .join(
+            tokpos.select("_id", "_g", F.col("_p").alias("_pd")),
+            ["_id", "_g"],
+        )
+        .filter(F.col("_pd") > F.col("_ps"))
+        .select("_id", "_ps", (F.col("_pd") - F.col("_ps")).alias("_dg"), "_pd")
+    )
+    wrun = Window.partitionBy("_id", "_dg").orderBy("_ps")
+    islands = (
+        j.withColumn("_k", F.col("_ps") - F.row_number().over(wrun))
+        .groupBy("_id", "_dg", "_k")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("_run"),
+            F.min("_ps").cast("bigint").alias("_s0"),
+            F.min("_pd").cast("bigint").alias("_d0"),
+        )
+        .filter(F.col("_run") >= min_run)
+    )
+    wbest = Window.partitionBy("_id").orderBy(
+        F.col("_run").desc(), F.col("_s0").asc(), F.col("_d0").asc()
+    )
+    return (
+        islands.withColumn("_rk", F.row_number().over(wbest))
+        .groupBy("_id")
+        .agg(
+            F.max("_run").cast("bigint").alias("longest_run_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_s0"))).cast("bigint").alias("src_start"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_d0"))).cast("bigint").alias("dst_start"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "longest_run_tokens",
+            "n_runs",
+            "src_start",
+            "dst_start",
+        )
+        .orderBy(id_col)
     )
 
 

@@ -6,11 +6,24 @@ this family normalizes the ADDRESS):
 - :func:`canonical_url` — one deterministic canonical form per URL, as
   a pure Column expression: scheme/host lowercased, userinfo dropped,
   default ports (http:80 / https:443) stripped, empty path → ``/``,
-  query parameters tracking-stripped (``utm_*`` prefix + the click-id
-  set) and SORTED, fragment dropped. Case variants, param order,
-  tracking junk, ``#fragments`` and redundant ``:443`` all collapse to
-  one string — the crawl dedup key (a re-crawl of the same resource
-  through an ad link must hash identically).
+  percent-encoding normalized in path and query (RFC 3986 §6.2.2:
+  ``%XX`` hex uppercased, unreserved octets — ALPHA / DIGIT /
+  ``-._~`` — decoded, malformed ``%`` left verbatim), path
+  dot-segments resolved and duplicate slashes collapsed (§6.2.2.3:
+  ``/a/./b`` → ``/a/b``, ``/a/../b`` → ``/b``, ``//a//b`` → ``/a/b``;
+  a trailing ``/``, ``/.`` or ``/..`` keeps the directory form's
+  trailing slash), query parameters tracking-stripped (``utm_*``
+  prefix + the click-id set) and SORTED, fragment dropped. Case
+  variants, ``%7e``/``%7E``/``~`` spellings, dot-segments, param
+  order, tracking junk, ``#fragments`` and redundant ``:443`` all
+  collapse to one string — the crawl dedup key (a re-crawl of the
+  same resource through an ad link must hash identically).
+  DECLARED BOUNDARIES, address axis: IPv6 literal authorities
+  (``[::1]:8080``) canonicalize to NULL — the colon-split port rule
+  cannot parse them, so they route to the caller's bad-row frame
+  (sources/wind.py stance) rather than emit a corrupt key;
+  percent-encoding in the HOST is not normalized (rare in practice —
+  IDNA hosts arrive punycoded).
 - :func:`registrable_domain` — last-two-label heuristic with an
   optional caller-supplied multi-label public-suffix set. DECLARED
   BOUNDARY: without a Public Suffix List, ``foo.co.uk`` collapses to
@@ -100,11 +113,67 @@ def url_host(col: Column | str) -> Column:
     return F.lower(F.element_at(F.split(_auth(url), ":"), 1))
 
 
+# Hex pairs of the RFC 3986 unreserved set (ALPHA / DIGIT / -._~):
+# 2D 2E (-.), 30-39 (DIGIT), 41-5A + 5F (ALPHA upper + _),
+# 61-7A + 7E (ALPHA lower + ~). Anchored full-match on the UPPERCASED
+# two-hex-digit prefix of a %-piece.
+_UNRESERVED_HEX_RE = r"^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+
+def _pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure Column
+    over ASCII URL text: split on ``%``; every piece opening with two
+    hex digits either decodes (when the octet is unreserved) or keeps
+    the ``%`` with the hex UPPERCASED; pieces without a valid hex
+    prefix keep their ``%`` verbatim (malformed input round-trips).
+    The SQL twin replays the identical split/transform/join."""
+    parts = F.split(s, "%")
+
+    def _piece(p: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        rest = F.substring(p, 3, 2147483647)
+        return (
+            F.when(~p.rlike(r"^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
+            .when(
+                hx.rlike(_UNRESERVED_HEX_RE),
+                F.concat(F.char(F.conv(hx, 16, 10).cast("int")), rest),
+            )
+            .otherwise(F.concat(F.lit("%"), hx, rest))
+        )
+
+    normed = F.transform(
+        parts, lambda p, i: F.when(i == F.lit(0), p).otherwise(_piece(p))
+    )
+    return F.array_join(normed, "")
+
+
+def _norm_path(rawpath: Column) -> Column:
+    """RFC 3986 §6.2.2.3 remove_dot_segments plus duplicate-slash
+    collapse, as one string fold: split on ``/``; empty and ``.``
+    segments vanish, ``..`` pops the previous segment (excess ``..``
+    at the root is dropped — absolute-path semantics), everything else
+    appends. A path ending in ``/``, ``/.`` or ``/..`` keeps a
+    trailing slash (the directory form); an empty result is ``/``."""
+    segs = F.split(rawpath, "/")
+    folded = F.aggregate(
+        segs,
+        F.lit(""),
+        lambda acc, x: F.when((x == "") | (x == "."), acc)
+        .when(x == "..", F.regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(F.concat(acc, F.lit("/"), x)),
+    )
+    trailing = rawpath.rlike(r"/(\.\.?)?$")
+    return F.when(folded == "", F.lit("/")).otherwise(
+        F.concat(folded, F.when(trailing, F.lit("/")).otherwise(F.lit("")))
+    )
+
+
 def canonical_url(col: Column | str) -> Column:
     """Canonical form of a URL (see module docstring for the exact
-    rule set). NULL for NULL input and for strings without a
-    ``scheme://`` prefix — a crawl frame routes those to its bad-row
-    side, it does not guess."""
+    rule set). NULL for NULL input, for strings without a
+    ``scheme://`` prefix, and for IPv6 literal authorities (``[…]`` —
+    unparseable by the colon port rule) — a crawl frame routes those
+    to its bad-row side, it does not guess."""
     url = _c(col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = _auth(url)
@@ -119,8 +188,8 @@ def canonical_url(col: Column | str) -> Column:
         (port == "") | default_port, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     rawpath = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
-    rawq = F.regexp_extract(url, _QUERY_RE, 1)
+    path = _norm_path(_pct_normalize(rawpath))
+    rawq = _pct_normalize(F.regexp_extract(url, _QUERY_RE, 1))
     keep = F.array_sort(
         F.filter(
             F.split(rawq, "&"),
@@ -133,7 +202,7 @@ def canonical_url(col: Column | str) -> Column:
         F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))
     ).otherwise(F.lit(""))
     return F.when(
-        url.rlike(_SCHEME_RE),
+        url.rlike(_SCHEME_RE) & ~auth.contains("["),
         F.concat(scheme, F.lit("://"), host, portpart, path, qpart),
     )
 
@@ -301,9 +370,11 @@ def blocklist_audit(
     0-rows — an auditor needs to see dead rules. Rules frames without
     a ``kind`` column are domain-only (``domain`` is then the pattern
     column name — the r10 original form). Returns (rule, kind,
-    pattern, n_pages, n_hosts, share_bp) ordered by rule, the
-    ``_total`` row first (underscore sorts before alphanumerics in
-    both engines' binary collation)."""
+    pattern, n_pages, n_hosts, share_bp) ordered by
+    ``(rule != '_total', rule)`` — the ``_total`` row first BY
+    CONSTRUCTION, for any rule naming (ADVICE r10: ``_`` 0x5F sorts
+    AFTER digits and uppercase in binary collation, so a rule named
+    ``0-ads`` or ``Ads`` would otherwise displace the total row)."""
     rk = _with_kind(rules)
     m = _matched(df, id_col, url_col, rules)
     total = df.select(canonical_url(url_col).alias("_cu")).filter(
@@ -344,7 +415,7 @@ def blocklist_audit(
         "n_pages",
         "n_hosts",
         div_half_up("10000 * n_pages", "nullif(_n, 0)").alias("share_bp"),
-    ).orderBy("rule")
+    ).orderBy(F.col("rule") != "_total", "rule")
 
 
 def blocklist_filter(

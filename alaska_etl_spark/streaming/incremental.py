@@ -515,6 +515,7 @@ def stream_domain_quota(
     max_per_domain: int,
     id_col: str = "doc_id",
     url_col: str = "url",
+    ledger_table: "str | None" = None,
 ) -> None:
     """Streaming per-domain admission quota on the crawl frontier
     (r10, the batch X170 quota's streaming form): every micro-batch is
@@ -523,15 +524,36 @@ def stream_domain_quota(
     pages TOTAL across the stream's life — the politeness/budget cap
     enforced at ingest, not in a later compaction.
 
-    State discipline: the warehouse main table IS the per-domain
-    ledger (one count aggregate over already-landed rows per batch —
-    domain-grain, tiny), so there is no streaming state store to grow
+    State discipline, default form: the warehouse main table IS the
+    per-domain ledger (one count aggregate over already-landed rows
+    per batch — domain-grain output, but a ROW-GRAIN scan of the main
+    table every batch), so there is no streaming state store to grow
     or to drift from the data; a replayed batch re-admits the same
     rows idempotently (canonical-URL keyed append) and the headroom
     arithmetic sees them already landed. Within a batch, headroom is
     filled deterministically by the exact hash-ordered quota sampler's
     total order (smallest id first after canonical dedup — replay
-    gives the same admitted set, any partitioning)."""
+    gives the same admitted set, any partitioning).
+
+    ``ledger_table`` (r11, the R12 IVM stance applied to the frontier):
+    at frontier scale the per-batch headroom aggregate re-scans the
+    whole landed table — a 10⁹-row frontier pays a full scan per
+    micro-batch. With a ledger table the used counts are maintained
+    INCREMENTALLY: each batch appends one (domain, _batch_id,
+    n_admitted) row per admitting domain, keyed on (domain,
+    _batch_id) through the same hash-anti-join idempotent append (a
+    replayed batch cannot double-count), and headroom reads the
+    LEDGER's sum — domain×batch grain, thousands of rows where the
+    main table has billions. Write ordering is ledger FIRST, rows
+    second: a crash between the two writes leaves the ledger
+    OVERcounting by one batch, which is the safe side for a cap (the
+    quota invariant is never violated; the lost headroom is one
+    batch's worth, and the admitted rows of the interrupted batch were
+    never landed so a replay re-admits within what headroom remains).
+    The per-batch canonical-URL anti-join still reads the landed
+    table — exactness requires the true seen-set; the cost envelope
+    and the Bloom/bucketed-seen-set mitigation for THAT scan are
+    measured in SCALE.md ("Frontier per-batch scan cost")."""
     from alaska_etl_spark.operators.urls import canonical_url, registrable_domain, url_host
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -548,13 +570,31 @@ def stream_domain_quota(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
+        # explicit existence probe, NOT a try/except around read():
+        # a transient read failure must fail the batch (replay-safe),
+        # never silently reset the per-domain ledger to empty — that
+        # would re-admit up to max_per_domain rows per domain and break
+        # the lifetime quota invariant (ADVICE r10).
+        spark = batch_df.sparkSession
+        if _hdfs_exists(spark, warehouse._spec(table)["target"]):
             landed = warehouse.read(table)
-        except Exception:  # first batch: the table does not exist yet
-            landed = batch_df.sparkSession.createDataFrame([], first.schema)
-        used = landed.groupBy("domain").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_used")
-        )
+        else:  # first batch: the table does not exist yet
+            landed = spark.createDataFrame([], first.schema)
+        if ledger_table is not None:
+            # incremental headroom: the domain×batch-grain ledger sum
+            # replaces the row-grain main-table aggregate
+            if _hdfs_exists(spark, warehouse._spec(ledger_table)["target"]):
+                used = (
+                    warehouse.read(ledger_table)
+                    .groupBy("domain")
+                    .agg(F.sum("n_admitted").cast("bigint").alias("_used"))
+                )
+            else:
+                used = spark.createDataFrame([], "domain string, _used bigint")
+        else:
+            used = landed.groupBy("domain").agg(
+                F.count(F.lit(1)).cast("bigint").alias("_used")
+            )
         # never re-admit a landed canonical URL's quota slot: the
         # idempotent append would drop the row but the rank below must
         # not count it against this batch's headroom either
@@ -571,7 +611,25 @@ def stream_domain_quota(
             )
             .drop("_rk", "_used")
         )
-        warehouse.load(admitted, table, key_cols=["canonical_url"])
+        if ledger_table is not None:
+            # materialize admitted to STAGING before touching the ledger:
+            # admitted's plan reads the ledger path (used), and Spark
+            # invalidates path-reading cached/lazy plans when that path
+            # is written — a lazy admitted would silently recompute
+            # against the post-write ledger and admit nothing. The
+            # staging file is the stable snapshot both writes read.
+            warehouse.write_staging(admitted, table)
+            stable = warehouse.read_staging(table)
+            counts = (
+                stable.groupBy("domain")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
+                .withColumn("_batch_id", F.lit(int(_batch_id)).cast("bigint"))
+            )
+            # ledger before rows: overcount-on-crash is the safe side
+            warehouse.load(counts, ledger_table, key_cols=["domain", "_batch_id"])
+            warehouse.append_main(table, key_cols=["canonical_url"])
+        else:
+            warehouse.load(admitted, table, key_cols=["canonical_url"])
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)

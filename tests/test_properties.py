@@ -769,6 +769,50 @@ def test_normalized_fingerprint_idempotent_and_invariant(spark, texts):
 _TRACKING = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
 
 
+def _py_pct(s):
+    """Replica of operators.urls._pct_normalize: uppercase %XX hex,
+    decode unreserved octets, malformed % verbatim."""
+    import re
+
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        if not re.match(r"^[0-9A-Fa-f]{2}", p):
+            out.append("%" + p)
+            continue
+        hx = p[:2].upper()
+        code = int(hx, 16)
+        if (
+            48 <= code <= 57
+            or 65 <= code <= 90
+            or 97 <= code <= 122
+            or code in (45, 46, 95, 126)
+        ):
+            out.append(chr(code) + p[2:])
+        else:
+            out.append("%" + hx + p[2:])
+    return "".join(out)
+
+
+def _py_norm_path(rawpath):
+    """Replica of operators.urls._norm_path: the dot-segment /
+    duplicate-slash string fold with the trailing-slash rule."""
+    import re
+
+    acc = ""
+    for x in rawpath.split("/"):
+        if x in ("", "."):
+            continue
+        if x == "..":
+            acc = re.sub(r"/[^/]*$", "", acc)
+        else:
+            acc = acc + "/" + x
+    if acc == "":
+        return "/"
+    trailing = re.search(r"/(\.\.?)?$", rawpath) is not None
+    return acc + ("/" if trailing else "")
+
+
 def _py_canonical(url):
     """Single-process replica of operators.urls.canonical_url."""
     import re
@@ -778,6 +822,8 @@ def _py_canonical(url):
     scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url).group(1).lower()
     auth = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url).group(1)
     auth = auth.split("@")[-1]
+    if "[" in auth:  # IPv6 literal authority: bad-row side
+        return None
     hp = auth.split(":")
     host = hp[0].lower()
     port = hp[1] if len(hp) > 1 else ""
@@ -786,9 +832,9 @@ def _py_canonical(url):
     )
     portpart = "" if (port == "" or default) else ":" + port
     m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
-    path = m.group(1) or "/"
+    path = _py_norm_path(_py_pct(m.group(1)))
     qm = re.match(r"^[^#?]*\?([^#]*)", url)
-    rawq = qm.group(1) if qm else ""
+    rawq = _py_pct(qm.group(1)) if qm else ""
     keep = sorted(
         p
         for p in rawq.split("&")
@@ -798,24 +844,31 @@ def _py_canonical(url):
     return scheme + "://" + host + portpart + path + qpart
 
 
-_urlpart = st.text(
-    alphabet="abcXY09._-~%", min_size=0, max_size=6
+_urlpart = st.one_of(
+    st.text(alphabet="abcXY09._-~%", min_size=0, max_size=6),
+    # r11: dot-segments, duplicate slashes, percent-encoded unreserved
+    # (%7e ~, %2E ., %41 A), reserved-stays-encoded (%2F), malformed %
+    st.sampled_from([".", "..", "", "%7e", "%2E", "%41", "%2F", "%zz", "a%", "%2e%2e"]),
 )
 
 
 @given(
     scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
     user=st.sampled_from(["", "u:p@", "U@"]),
-    host=st.lists(
-        st.sampled_from(["A", "b", "Cd", "e0"]), min_size=1, max_size=4
-    ).map(".".join),
+    host=st.one_of(
+        st.lists(
+            st.sampled_from(["A", "b", "Cd", "e0"]), min_size=1, max_size=4
+        ).map(".".join),
+        st.sampled_from(["[::1]", "[2001:db8::1]"]),  # IPv6 -> NULL route
+    ),
     port=st.sampled_from(["", ":80", ":443", ":8080"]),
-    path=st.lists(_urlpart, min_size=0, max_size=3).map(
+    path=st.lists(_urlpart, min_size=0, max_size=4).map(
         lambda segs: "".join("/" + s for s in segs)
     ),
     params=st.lists(
         st.sampled_from(
-            ["a=1", "b=2", "z", "utm_src=x", "fbclid=Q", "gclid=1", "a=0", ""]
+            ["a=1", "b=2", "z", "utm_src=x", "fbclid=Q", "gclid=1", "a=0", "",
+             "%61=1", "c=%31", "d=%2F"]
         ),
         min_size=0,
         max_size=5,
@@ -900,4 +953,57 @@ def test_longest_shared_runs_matches_brute_force(spark, texts):
         ).collect()
     }
     want = _py_longest_runs(dict(rows), n, min_run)
+    assert got == want
+
+
+# --- r11 intra-document repeat runs vs brute force ---------------------------
+
+
+def _py_repeat_runs(text, min_run):
+    """Brute-force reference: longest maximal repeated token run WITHIN
+    one document (pairs of start positions i < j, left-maximality as in
+    _py_longest_runs with a == b)."""
+    a = text.lower().split()
+    best = 0
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            if i > 0 and a[i - 1] == a[j - 1]:
+                continue
+            L = 0
+            while j + L < len(a) and a[i + L] == a[j + L]:
+                L += 1
+            if L >= min_run:
+                best = max(best, L)
+    return best if best >= min_run else None
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("pq"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_longest_repeat_runs_matches_brute_force(spark, texts):
+    """2-token alphabet → dense periodic/overlapping self-repeats; the
+    per-document longest intra-run must equal the O(m⁴) reference (no
+    generator, no recall boundary — the self-pairing is exhaustive)."""
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+
+    n, min_run = 2, 2
+    rows = [(str(i), t) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: r["longest_run_tokens"]
+        for r in longest_repeat_runs(
+            spark.createDataFrame(rows, "doc_id string, text string"),
+            "doc_id",
+            "text",
+            n=n,
+            min_run_tokens=min_run,
+        ).collect()
+    }
+    want = {
+        i: L for i, t in rows if (L := _py_repeat_runs(t, min_run)) is not None
+    }
     assert got == want

@@ -50,6 +50,55 @@ def test_canonical_keeps_what_matters(spark):
     assert _canon(spark, "https://a.com/q?z=1&z=0") == "https://a.com/q?z=0&z=1"
 
 
+def test_canonical_percent_encoding_normalization(spark):
+    # RFC 3986 §6.2.2: unreserved octets decode, hex uppercases,
+    # reserved stays encoded, malformed % round-trips verbatim
+    assert _canon(spark, "https://a.com/%7efoo") == "https://a.com/~foo"
+    assert _canon(spark, "https://a.com/%7Efoo") == "https://a.com/~foo"
+    assert _canon(spark, "https://a.com/a%2fb") == "https://a.com/a%2Fb"
+    assert _canon(spark, "https://a.com/x%") == "https://a.com/x%"
+    assert _canon(spark, "https://a.com/x%zz") == "https://a.com/x%zz"
+    # query side too — %61=1 IS a=1 (sorted and merged with the rest)
+    assert _canon(spark, "https://a.com/p?%61=1&b=2") == "https://a.com/p?a=1&b=2"
+    # a percent-spelled tracking key is still a tracking key
+    assert _canon(spark, "https://a.com/p?%75tm_x=1&a=1") == "https://a.com/p?a=1"
+
+
+def test_canonical_dot_segments_and_duplicate_slashes(spark):
+    assert _canon(spark, "https://a.com//x//y") == "https://a.com/x/y"
+    assert _canon(spark, "https://a.com/x/./y") == "https://a.com/x/y"
+    assert _canon(spark, "https://a.com/x/../y") == "https://a.com/y"
+    assert _canon(spark, "https://a.com/../y") == "https://a.com/y"
+    assert _canon(spark, "https://a.com/x/..") == "https://a.com/"
+    # directory form keeps its trailing slash; decode feeds the fold
+    assert _canon(spark, "https://a.com/x/y/..") == "https://a.com/x/"
+    assert _canon(spark, "https://a.com/x/") == "https://a.com/x/"
+    assert _canon(spark, "https://a.com/%2E%2E/p/9") == "https://a.com/p/9"
+
+
+def test_canonical_ipv6_routes_to_bad_rows(spark):
+    # the colon port rule cannot parse bracket authorities: NULL, never
+    # a corrupt key (ADVICE r10)
+    df = _urls(
+        spark,
+        [(1, "https://[::1]:8080/p"), (2, "https://[2001:db8::1]/p")],
+    )
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [None, None]
+
+
+def test_blocklist_total_first_for_any_rule_name(spark):
+    # '_' sorts AFTER digits/uppercase in binary collation — the total
+    # row must lead by construction, not by naming luck (ADVICE r10)
+    df = _urls(spark, [(1, "https://x.com/a"), (2, "https://y.org/b")])
+    rules = spark.createDataFrame(
+        [("0-ads", "x.com"), ("Ads", "y.org")], "rule string, domain string"
+    )
+    rows = blocklist_audit(df, "id", "url", rules).collect()
+    assert rows[0]["rule"] == "_total"
+    assert [r["rule"] for r in rows[1:]] == ["0-ads", "Ads"]
+
+
 def test_canonical_rejects_non_urls(spark):
     df = _urls(spark, [(1, "not a url"), (2, None), (3, "www.a.com/x")])
     got = df.select(canonical_url("url").alias("c")).collect()
@@ -256,3 +305,71 @@ def test_stream_domain_quota_caps_across_batches(spark, tmp_path):
     stream_domain_quota(stream, wh, "quota", ckpt, max_per_domain=2)
     landed = {r.doc_id for r in wh.read("quota").collect()}
     assert landed == {1, 3, 5, 4}  # a.com rejected, b.org admits id 4 only
+
+
+def test_stream_domain_quota_incremental_ledger(spark, tmp_path):
+    # r11 X176: ledger_table mode — headroom comes from the
+    # incrementally-maintained (domain, _batch_id, n_admitted) ledger,
+    # never a row-grain main-table aggregate; admitted sets must be
+    # IDENTICAL to the zero-state form, and the ledger must reconcile
+    # exactly with the landed table.
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_domain_quota
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, url string"
+
+    _write_url_file(
+        src / "b1.json",
+        [
+            (7, "https://a.com/p1"),
+            (3, "https://www.a.com/p2"),
+            (5, "https://A.com/p1#x"),   # canonical dup of doc 7
+            (9, "https://a.com/p3"),
+            (1, "https://b.org/q1"),
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(
+        stream, wh, "quota", ckpt, max_per_domain=2, ledger_table="quota_ledger"
+    )
+    assert {r.doc_id for r in wh.read("quota").collect()} == {1, 3, 5}
+
+    # batch 2: a.com full per the LEDGER; a re-crawl of a landed URL
+    # (id 8 = id 5's resource) must not eat b.org-style headroom either
+    _write_url_file(
+        src / "b2.json",
+        [
+            (2, "https://cdn.a.com/p9"),
+            (8, "https://a.com/p1"),        # landed canonical: anti-joined away
+            (4, "https://b.org/q2"),
+            (6, "https://b.org/q3"),
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(
+        stream, wh, "quota", ckpt, max_per_domain=2, ledger_table="quota_ledger"
+    )
+    assert {r.doc_id for r in wh.read("quota").collect()} == {1, 3, 5, 4}
+
+    # ledger reconciles with the landed table exactly
+    led = {
+        (r.domain, r._batch_id): r.n_admitted
+        for r in wh.read("quota_ledger").collect()
+    }
+    assert led[("a.com", 0)] == 2 and led[("b.org", 0)] == 1
+    assert led[("b.org", 1)] == 1 and ("a.com", 1) not in led
+    landed_counts = {
+        r.domain: r.n
+        for r in wh.read("quota")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ledger_counts = {}
+    for (d, _b), n in led.items():
+        ledger_counts[d] = ledger_counts.get(d, 0) + n
+    assert ledger_counts == landed_counts
