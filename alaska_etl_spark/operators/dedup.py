@@ -618,6 +618,96 @@ def duplicated_spans(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-grain corpus dedup, CCNet-style (Wenzek et al. '19;
+    RefinedWeb runs the same first pass): hash every LINE of every
+    document, drop lines occurring in ≥ ``min_docs`` DISTINCT documents
+    corpus-wide, and emit the cleaned document plus its removal stats —
+    the standard public-pipeline boilerplate cut (headers, footers,
+    nav bars, cookie banners repeat verbatim across a site's pages)
+    that runs BEFORE any document-grain dedup (VERDICT r10 Missing #2).
+
+    Grain ladder context: X25 dedups whole documents, X6/X169 measure
+    cross-document token spans, X152 audits per-source hot GRAMS —
+    this is the line axis: membership is per trimmed line, removal is
+    in-place, and the document survives (the X172 "cut, keep the
+    document" stance, reassembled the same way: order keys carried
+    through the explode, in-row struct sort, join).
+
+    Rules: line boundary is ``\\n``; the dedup key is the TRIMMED line
+    (indentation variants of one boilerplate line are one key); lines
+    empty after trim are never counted and never removed (they are
+    document structure, not content); a line repeated WITHIN one
+    document counts that document once (distinct-doc grain). NULL text
+    reads as empty.
+
+    Plan shape at 100 TB: one posexplode (narrow), one hash aggregate
+    on the 8-byte line hash (partial combine; the distinct-doc count
+    rides Spark's two-level expansion), one key-grain hash join back
+    (hot lines are corpus-grain-bounded, never broadcast-assumed), one
+    per-document aggregate for reassembly. No windows, no driver state.
+
+    Returns (``id_col``, n_lines, n_removed, removed_bp, cleaned_text)
+    ordered by id; removed_bp = round-half-up 10⁴·removed/lines."""
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df, id_col)
+    lines = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_ln", "_line"
+        ),
+    ).select(
+        "_id",
+        "_ln",
+        "_line",
+        # NULL key for blank-after-trim lines: they never join hot (and
+        # a NULL join key matches nothing), so they are kept verbatim
+        F.when(F.trim(F.col("_line")) != "", F.xxhash64(F.trim(F.col("_line")))).alias(
+            "_k"
+        ),
+    )
+    hot = (
+        lines.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k", F.lit(1).alias("_hot"))
+    )
+    flagged = lines.join(hot, "_k", "left")
+    out = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum("_hot"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_hot").isNull(),
+                            F.struct(F.col("_ln").alias("p"), F.col("_line").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        "n_removed",
+        div_half_up("10000 * n_removed", "n_lines").alias("removed_bp"),
+        "cleaned_text",
+    ).orderBy(id_col)
+
+
 def minhash_doc_tables(
     df: DataFrame,
     id_col: str,

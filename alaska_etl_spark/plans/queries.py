@@ -10677,8 +10677,15 @@ def _messy_url() -> "F.Column":
     stance): 40 underlying resources (u = doc_id % 40 → subdomain,
     site{u%7}.com, /p/{u}, b={u%5}), wrapped in variant noise driven by
     v = doc_id div 40 — scheme/host case, a redundant :443, tracking
-    params (utm_/fbclid), param order, #fragments — every one of which
-    :func:`operators.urls.canonical_url` must collapse."""
+    params (utm_/fbclid), param order, #fragments, and (r11) the
+    RFC 3986 §6.2.2 spellings: dot-segments (``/p/./u``,
+    ``/x/../p/u``), duplicate slashes, percent-encoded unreserved
+    octets in path (``%70`` = ``p``, ``%2E%2E`` = ``..``) and query
+    (``%61=1`` = ``a=1``) — every one of which
+    :func:`operators.urls.canonical_url` must collapse. Resource
+    u = 39 is an IPv6-literal authority — canonical_url must route
+    ALL its variants to NULL (the bad-row side), never emit a corrupt
+    key."""
     u = F.col("doc_id") % 40
     v = F.expr("doc_id div 40")
     hostlc = F.concat(
@@ -10690,15 +10697,24 @@ def _messy_url() -> "F.Column":
         F.lit(".com"),
     )
     b = (u % 5).cast("string")
-    return F.concat(
+    pathpre = (
+        F.when(v % 7 == 1, F.lit("/p/./"))
+        .when(v % 7 == 2, F.lit("//p//"))
+        .when(v % 7 == 3, F.lit("/x/../p/"))
+        .when(v % 7 == 4, F.lit("/%70/"))
+        .when(v % 7 == 5, F.lit("/%2E%2E/p/"))
+        .otherwise(F.lit("/p/"))
+    )
+    aparam = F.when(v % 11 == 0, F.lit("%61=1")).otherwise(F.lit("a=1"))
+    normal = F.concat(
         F.when(v % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
         F.lit("://"),
         F.when(v % 3 == 0, F.upper(hostlc)).otherwise(hostlc),
         F.when(v % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/p/"),
+        pathpre,
         u.cast("string"),
-        F.when(v % 2 == 0, F.concat(F.lit("?a=1&b="), b)).otherwise(
-            F.concat(F.lit("?b="), b, F.lit("&a=1"))
+        F.when(v % 2 == 0, F.concat(F.lit("?"), aparam, F.lit("&b="), b)).otherwise(
+            F.concat(F.lit("?b="), b, F.lit("&"), aparam)
         ),
         F.when(v % 4 == 0, F.lit("&utm_campaign=x"))
         .when(v % 4 == 1, F.concat(F.lit("&fbclid=F"), F.col("doc_id").cast("string")))
@@ -10706,11 +10722,45 @@ def _messy_url() -> "F.Column":
         F.when(v % 3 == 1, F.concat(F.lit("#s"), F.col("doc_id").cast("string")))
         .otherwise(F.lit("")),
     )
+    return F.when(
+        u == 39, F.concat(F.lit("https://[2001:db8::1]:8080/p/39?b="), b)
+    ).otherwise(normal)
+
+
+def _pct_sql(parts: str) -> str:
+    """DuckDB twin of ``operators.urls._pct_normalize`` over a
+    pre-split VARCHAR[] column (the URL text split on ``%``): piece 1
+    verbatim; pieces opening with two hex digits decode when the octet
+    is RFC 3986 unreserved, else keep ``%`` + UPPERCASED hex;
+    malformed pieces keep their ``%`` verbatim."""
+    p = f"{parts}[i]"
+    return (
+        f"array_to_string(list_transform(generate_series(1, len({parts})), i -> "
+        f"CASE WHEN i = 1 THEN {p} "
+        f"WHEN NOT regexp_matches({p}, '^[0-9A-Fa-f]{{2}}') THEN '%' || {p} "
+        f"WHEN regexp_matches(upper(substring({p}, 1, 2)), "
+        f"'^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$') "
+        f"THEN chr(CAST((strpos('0123456789ABCDEF', upper({p})[1]) - 1) * 16 "
+        f"+ strpos('0123456789ABCDEF', upper({p})[2]) - 1 AS INTEGER)) "
+        f"|| substring({p}, 3) "
+        f"ELSE '%' || upper(substring({p}, 1, 2)) || substring({p}, 3) END), '')"
+    )
+
+
+# DuckDB twin of operators.urls._norm_path's string fold (list_reduce
+# seeds from the prepended '' element; '' and '.' segments vanish,
+# '..' pops, else append).
+_FOLD_SQL = (
+    "list_reduce(list_prepend('', string_split(npath, '/')), (a, x) -> "
+    "CASE WHEN x = '' OR x = '.' THEN a "
+    "WHEN x = '..' THEN regexp_replace(a, '/[^/]*$', '') "
+    "ELSE a || '/' || x END)"
+)
 
 
 # Shared oracle CTE: the identical messy-URL corpus plus the SQL twin
-# of canonical_url (same regex literals, same filter/sort/join steps —
-# operators/urls.py module docstring).
+# of canonical_url (same regex literals, same pct/fold/filter/sort
+# steps — operators/urls.py module docstring).
 _URLS_SQL_CTE = r"""
 WITH b_ AS (
   SELECT doc_id, source, doc_id % 40 AS u, doc_id // 40 AS v FROM documents
@@ -10722,54 +10772,73 @@ WITH b_ AS (
   FROM b_
 ), urls AS (
   SELECT doc_id, source,
+    CASE WHEN u = 39
+         THEN 'https://[2001:db8::1]:8080/p/39?b=' || CAST(u % 5 AS VARCHAR)
+    ELSE
     (CASE WHEN v % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
     || (CASE WHEN v % 3 = 0 THEN upper(hostlc) ELSE hostlc END)
     || (CASE WHEN v % 5 = 0 THEN ':443' ELSE '' END)
-    || '/p/' || CAST(u AS VARCHAR)
-    || (CASE WHEN v % 2 = 0 THEN '?a=1&b=' || CAST(u % 5 AS VARCHAR)
-             ELSE '?b=' || CAST(u % 5 AS VARCHAR) || '&a=1' END)
+    || (CASE WHEN v % 7 = 1 THEN '/p/./' WHEN v % 7 = 2 THEN '//p//'
+             WHEN v % 7 = 3 THEN '/x/../p/' WHEN v % 7 = 4 THEN '/%70/'
+             WHEN v % 7 = 5 THEN '/%2E%2E/p/' ELSE '/p/' END)
+    || CAST(u AS VARCHAR)
+    || (CASE WHEN v % 2 = 0
+             THEN '?' || (CASE WHEN v % 11 = 0 THEN '%61=1' ELSE 'a=1' END)
+                  || '&b=' || CAST(u % 5 AS VARCHAR)
+             ELSE '?b=' || CAST(u % 5 AS VARCHAR) || '&'
+                  || (CASE WHEN v % 11 = 0 THEN '%61=1' ELSE 'a=1' END) END)
     || (CASE WHEN v % 4 = 0 THEN '&utm_campaign=x'
              WHEN v % 4 = 1 THEN '&fbclid=F' || CAST(doc_id AS VARCHAR)
              ELSE '' END)
     || (CASE WHEN v % 3 = 1 THEN '#s' || CAST(doc_id AS VARCHAR)
-             ELSE '' END) AS url
+             ELSE '' END)
+    END AS url
   FROM parts_
+), ext_ AS (
+  SELECT doc_id, source, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         list_extract(string_split(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@'), -1) AS auth,
+         string_split(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '%') AS pp,
+         string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '%') AS pq
+  FROM urls
+), pct_ AS (
+  SELECT doc_id, source, url, scheme, auth,
+         string_split(auth, ':') AS hparts,
+         """ + _pct_sql("pp") + r""" AS npath,
+         """ + _pct_sql("pq") + r""" AS nq
+  FROM ext_
 ), canon AS (
   SELECT doc_id, source, url,
          CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                   AND NOT contains(auth, '[')
               THEN scheme || '://' || host || portpart || path || qpart
          END AS canonical,
          host
   FROM (
-    SELECT doc_id, source, url, scheme, host, path,
+    SELECT doc_id, source, url, auth, scheme,
+           lower(hparts[1]) AS host,
            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                      OR (scheme = 'https' AND port = '443')
                 THEN '' ELSE ':' || port END AS portpart,
+           CASE WHEN folded = '' THEN '/'
+                ELSE folded || (CASE WHEN regexp_matches(npath,
+                                       '/(\.\.?)?$')
+                                THEN '/' ELSE '' END) END AS path,
            CASE WHEN len(keep) > 0
                 THEN '?' || array_to_string(keep, '&') ELSE '' END AS qpart
     FROM (
-      SELECT doc_id, source, url,
-             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-               AS scheme,
-             lower(hparts[1]) AS host,
+      SELECT doc_id, source, url, auth, scheme, npath, hparts,
              CASE WHEN len(hparts) > 1 THEN hparts[2] ELSE '' END AS port,
-             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
-             list_sort(list_filter(string_split(rawq, '&'),
+             """ + _FOLD_SQL + r""" AS folded,
+             list_sort(list_filter(string_split(nq, '&'),
                p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
                     AND (list_extract(string_split(p, '='), 1)
                          NOT IN ('gclid', 'fbclid', 'msclkid', 'igshid',
                                  'mc_eid')))) AS keep
-      FROM (
-        SELECT doc_id, source, url,
-               string_split(list_extract(string_split(
-                 regexp_extract(url,
-                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@'), -1), ':')
-                 AS hparts,
-               regexp_extract(url,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-               regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
-        FROM urls
-      )
+      FROM pct_
     )
   )
 )
@@ -10904,7 +10973,7 @@ FROM (
          CAST(coalesce((SELECT count(DISTINCT doc_id) FROM m), 0) AS BIGINT),
          CAST(coalesce((SELECT count(DISTINCT host) FROM m), 0) AS BIGINT)
 ), tot
-ORDER BY rule
+ORDER BY (rule <> '_total'), rule
 """
 
 
@@ -11261,7 +11330,154 @@ FROM (
          CAST(coalesce((SELECT count(DISTINCT doc_id) FROM m), 0) AS BIGINT),
          CAST(coalesce((SELECT count(DISTINCT host) FROM m), 0) AS BIGINT)
 ), tot
-ORDER BY rule
+ORDER BY (rule <> '_total'), rule
+"""
+
+
+def qs1_line_dedup(spark, sf_dir):
+    """CCNet-style line-grain corpus dedup (operators/dedup.py
+    line_dedup, X177): drop every trimmed line occurring in ≥ 2
+    distinct documents corpus-wide, emit per-document removal stats +
+    the cleaned text — the standard public-pipeline first pass
+    (CCNet/RefinedWeb) that runs BEFORE document-grain dedup, the
+    grain the X25/X6/X152 ladder lacked (VERDICT r10 Missing #2). The
+    corpus has no newlines, so both engines deterministically re-line
+    each document at 5-token boundaries first (the fixture-less
+    construction stance): at that width ~10% of lines are corpus-hot —
+    a realistic boilerplate rate."""
+    from alaska_etl_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    stop = F.floor((F.size(tk) - F.lit(1)) / F.lit(5)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), stop),
+                lambda i: F.array_join(F.slice(tk, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text", min_docs=2)
+
+
+QS1_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), lines AS (
+  SELECT doc_id, i AS ln,
+         array_to_string(list_slice(t, i*5+1, i*5+5), ' ') AS line
+  FROM tk, unnest(generate_series(0, CAST(floor((len(t)-1)/5) AS INT))) AS u(i)
+), hot AS (
+  SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT l.doc_id, l.ln, l.line,
+         CASE WHEN h.key IS NOT NULL THEN 1 END AS hot
+  FROM lines l LEFT JOIN hot h ON trim(l.line) = h.key AND trim(l.line) <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(hot), 0) AS BIGINT) AS n_removed,
+       CAST((2 * 10000 * coalesce(sum(hot), 0) + count(*))
+            // (2 * count(*)) AS BIGINT) AS removed_bp,
+       coalesce(string_agg(CASE WHEN hot IS NULL THEN line END,
+                           chr(10) ORDER BY ln), '') AS cleaned_text
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def qs2_repeat_runs(spark, sf_dir):
+    """Exact intra-document repeated verbatim runs (operators/
+    simjoin.py longest_repeat_runs, X178): the within-example half of
+    the Lee et al. '22 exact-substring story next to qr6's
+    cross-document half — longest token range occurring at least twice
+    INSIDE one document (periodic boilerplate, table dumps, generation
+    loops), measured exactly at any length via the same positional-gram
+    diagonal islands, self-paired. The corpus has no natural ≥6-token
+    self-repeats, so both engines deterministically inject the two
+    published failure shapes (fixture-less stance): doc_id % 4 == 0
+    re-appends its own 12-token opening (a straight self-quote);
+    doc_id % 4 == 1 appends its 6-token opening twice (an OVERLAPPING
+    periodic repeat — each period its own diagonal)."""
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    inj = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "), F.array_join(F.slice(tk, 1, 12), " ")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(F.slice(tk, 1, 6), " "),
+                F.lit(" "),
+                F.array_join(F.slice(tk, 1, 6), " "),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    docs = d.select("doc_id", inj.alias("text"))
+    return longest_repeat_runs(docs, "doc_id", "text", n=3, min_run_tokens=6)
+
+
+QS2_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' ' || array_to_string(
+                     list_slice(string_split(text, ' '), 1, 12), ' ')
+              WHEN doc_id % 4 = 1
+              THEN text || ' ' || array_to_string(
+                     list_slice(string_split(text, ' '), 1, 6), ' ')
+                   || ' ' || array_to_string(
+                     list_slice(string_split(text, ' '), 1, 6), ' ')
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM base
+), tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(tk) - 2)) AS p,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+  FROM toks WHERE len(tk) >= 3
+), m AS (
+  SELECT a.doc_id, a.p AS ps, b.p - a.p AS dg, b.p AS pd
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.g = a.g AND b.p > a.p
+), rn AS (
+  SELECT doc_id, dg, ps, pd,
+         ps - row_number() OVER (PARTITION BY doc_id, dg ORDER BY ps) AS k
+  FROM m
+), isl AS (
+  SELECT doc_id, dg, k,
+         CAST(count(*) + 2 AS BIGINT) AS run,
+         CAST(min(ps) AS BIGINT) AS s0,
+         CAST(min(pd) AS BIGINT) AS d0
+  FROM rn GROUP BY 1, 2, 3
+  HAVING count(*) + 2 >= 6
+), best AS (
+  SELECT doc_id, run, s0, d0,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY run DESC, s0 ASC, d0 ASC) AS rk
+  FROM isl
+)
+SELECT doc_id,
+       CAST(max(run) AS BIGINT) AS longest_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(CASE WHEN rk = 1 THEN s0 END) AS BIGINT) AS src_start,
+       CAST(max(CASE WHEN rk = 1 THEN d0 END) AS BIGINT) AS dst_start
+FROM best GROUP BY 1 ORDER BY 1
 """
 
 
@@ -11279,8 +11495,10 @@ QUERIES = {
     "qj6_semi_join": q09_semi_join,
     "q59_anti_join": q59_anti_join,
     "q11_topk_per_group": q11_topk_per_group,
-    "q12_forward_fill": q12_forward_fill,
-    "q13_pivot": q13_pivot,
+    "qs3_forward_fill": q12_forward_fill,
+    "q12_domain_rollup": qr4_domain_rollup,
+    "qs4_pivot": q13_pivot,
+    "q13_path_blocklist": qs0_path_blocklist,
     "q60_union_all": q60_union_all,
     "q15_sentinel_conversion": q15_sentinel_conversion,
     "q16_hourly_rollup": q16_hourly_rollup,
@@ -11289,9 +11507,11 @@ QUERIES = {
     "q19_rollup": q19_rollup,
     "qn1_json_extract": q20_json_extract,
     "q21_geo_clusters": qk8_geo_clusters,
-    "q22_token_stats": q22_token_stats,
+    "qs5_token_stats": q22_token_stats,
+    "q22_longest_runs": qr6_longest_runs,
     "qn2_quality_score": q23_quality_score,
-    "q24_lang_id": q24_lang_id,
+    "qs6_lang_id": q24_lang_id,
+    "q24_calibration": qr8_calibration,
     "q25_exact_dedup": q25_exact_dedup,
     "qq3_ngram_jaccard": q26_ngram_jaccard,
     "q27_cosine_topk": q27_cosine_topk,
@@ -11320,7 +11540,8 @@ QUERIES = {
     "qf5_set_ops": q40_set_ops,
     "qf6_cube": q41_cube,
     "q42_dup_groups": q42_dup_groups,
-    "q43_winnow_fingerprint": q43_winnow_fingerprint,
+    "qs7_winnow_fingerprint": q43_winnow_fingerprint,
+    "q43_span_excision": qr9_span_excision,
     # round-5 slot rotation (README "Driver query slots"): the TPC-H
     # Q12/Q13 shapes and the idle-customers anti-join move to qe5-qe7
     # (families multiply covered inside the window by q36/q48/q10/q59);
@@ -11430,13 +11651,10 @@ QUERIES = {
     "qq8_mase_report": qq8_mase_report,
     "qq9_sequence_predictability": qq9_sequence_predictability,
     "qr3_url_canonical": qr3_url_canonical,
-    "qr4_domain_rollup": qr4_domain_rollup,
     "qr5_blocklist_audit": qr5_blocklist_audit,
-    "qr6_longest_runs": qr6_longest_runs,
     "qr7_domain_quota": qr7_domain_quota,
-    "qr8_calibration": qr8_calibration,
-    "qr9_span_excision": qr9_span_excision,
-    "qs0_path_blocklist": qs0_path_blocklist,
+    "qs1_line_dedup": qs1_line_dedup,
+    "qs2_repeat_runs": qs2_repeat_runs,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11540,8 +11758,10 @@ ORACLES = {
     "qj6_semi_join": Q09_SQL,
     "q59_anti_join": Q59_SQL,
     "q11_topk_per_group": Q11_SQL,
-    "q12_forward_fill": Q12_SQL,
-    "q13_pivot": Q13_SQL,
+    "qs3_forward_fill": Q12_SQL,
+    "q12_domain_rollup": QR4_SQL,
+    "qs4_pivot": Q13_SQL,
+    "q13_path_blocklist": QS0_SQL,
     "q60_union_all": Q60_SQL,
     "q15_sentinel_conversion": Q15_SQL,
     "q16_hourly_rollup": Q16_SQL,
@@ -11550,9 +11770,11 @@ ORACLES = {
     "q19_rollup": Q19_SQL,
     "qn1_json_extract": Q20_SQL,
     "q21_geo_clusters": QK8_SQL,
-    "q22_token_stats": Q22_SQL,
+    "qs5_token_stats": Q22_SQL,
+    "q22_longest_runs": QR6_SQL,
     "qn2_quality_score": Q23_SQL,
-    "q24_lang_id": Q24_SQL,
+    "qs6_lang_id": Q24_SQL,
+    "q24_calibration": QR8_SQL,
     "q25_exact_dedup": Q25_SQL,
     "qq3_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
@@ -11572,7 +11794,8 @@ ORACLES = {
     "qf5_set_ops": Q40_SQL,
     "qf6_cube": Q41_SQL,
     "q42_dup_groups": Q42_SQL,
-    "q43_winnow_fingerprint": Q43_SQL,
+    "qs7_winnow_fingerprint": Q43_SQL,
+    "q43_span_excision": QR9_SQL,
     "q44_bm25": QD5_SQL,
     "qr2_cuped": QE2_SQL,
     "qe5_priority_shipping": Q44_SQL,
@@ -11756,13 +11979,10 @@ ORACLES = {
     "qq8_mase_report": QQ8_SQL,
     "qq9_sequence_predictability": QQ9_SQL,
     "qr3_url_canonical": QR3_SQL,
-    "qr4_domain_rollup": QR4_SQL,
     "qr5_blocklist_audit": QR5_SQL,
-    "qr6_longest_runs": QR6_SQL,
     "qr7_domain_quota": QR7_SQL,
-    "qr8_calibration": QR8_SQL,
-    "qr9_span_excision": QR9_SQL,
-    "qs0_path_blocklist": QS0_SQL,
+    "qs1_line_dedup": QS1_SQL,
+    "qs2_repeat_runs": QS2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

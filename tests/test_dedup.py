@@ -675,3 +675,46 @@ def test_canonical_selection_keeps_best_with_ties(spark):
     assert (c1.score_total, c1.score_discarded) == (75, 45)
     c10 = out[10]  # pair 10-11 tied at 7 -> keep 10
     assert (c10.keeper_id, c10.n_members, c10.score_discarded) == (10, 2, 7)
+
+
+def test_line_dedup_hand_computed(spark):
+    # r11 X177: CCNet-style line-grain dedup — hot = trimmed line in
+    # >= 2 distinct docs; removal hits EVERY occurrence; blank lines
+    # are structure (kept, never counted); within-doc repeats count
+    # their document once toward hotness.
+    from alaska_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello\nshared line\nunique one"),
+            (2, "shared line\nother text\n  shared line  "),
+            (3, "nothing common\n\nblank kept"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_removed"], r1["removed_bp"]) == (3, 1, 3333)
+    assert r1["cleaned_text"] == "Hello\nunique one"
+    r2 = got[2]  # indented variant is the same key; both occurrences cut
+    assert (r2["n_lines"], r2["n_removed"], r2["removed_bp"]) == (3, 2, 6667)
+    assert r2["cleaned_text"] == "other text"
+    r3 = got[3]  # untouched, blank line preserved in place
+    assert (r3["n_removed"], r3["cleaned_text"]) == (0, "nothing common\n\nblank kept")
+    r4 = got[4]  # empty text reads as one blank line, kept
+    assert (r4["n_lines"], r4["n_removed"], r4["cleaned_text"]) == (1, 0, "")
+
+
+def test_line_dedup_min_docs_threshold_and_all_removed(spark):
+    from alaska_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y\nonly mine"), (2, "x y"), (3, "x y")],
+        "doc_id bigint, text string",
+    )
+    # min_docs=3: the 3-doc line goes, the 2-doc threshold not reached
+    got = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text", min_docs=3).collect()}
+    assert got[1]["cleaned_text"] == "only mine" and got[1]["n_removed"] == 1
+    # docs 2/3 lose their only line: empty cleaned text, 10000 bp
+    assert got[2]["cleaned_text"] == "" and got[2]["removed_bp"] == 10000

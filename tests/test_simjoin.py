@@ -414,3 +414,46 @@ def test_longest_shared_runs_accepts_pairs_and_guards_min_run(spark):
 
     with pytest.raises(ValueError):
         longest_shared_runs(df, "doc_id", "text", n=3, min_run_tokens=2)
+
+
+def test_longest_repeat_runs_hand_computed(spark):
+    # r11 X178: intra-document exact repeats — straight self-quote,
+    # overlapping periodic repeat (each period its own diagonal), and
+    # a repeat-free doc emitting nothing.
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),   # "a b c" at 1 and 5
+            (2, "x x x x"),          # periodic: "x x x" at (1,2); "x x" at (1,3)
+            (3, "a b c"),            # no repeat
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in longest_repeat_runs(
+            df, "doc_id", "text", n=2, min_run_tokens=2
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["longest_run_tokens"], r1["src_start"], r1["dst_start"]) == (3, 1, 5)
+    assert r1["n_runs"] == 1
+    r2 = got[2]
+    assert (r2["longest_run_tokens"], r2["src_start"], r2["dst_start"]) == (3, 1, 2)
+    assert r2["n_runs"] == 2  # the dg=2 "x x" island is its own maximal run
+
+
+def test_longest_repeat_runs_guards_min_run(spark):
+    import pytest
+
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        longest_repeat_runs(df, "doc_id", "text", n=3, min_run_tokens=2)
+    # docs shorter than n carry no gram and report nothing
+    short = spark.createDataFrame([(1, "a"), (2, "a a a a")], "doc_id bigint, text string")
+    got = longest_repeat_runs(short, "doc_id", "text", n=3, min_run_tokens=3).collect()
+    assert [r["doc_id"] for r in got] == [2]
