@@ -73,7 +73,7 @@ HEADLINE = [
     "q04_filtered_sum",
     "q16_hourly_rollup",
     "q17_asof_join",
-    "q22_token_stats",
+    "qs5_token_stats",  # r11 rotation: was q22_token_stats (same plan)
     "q25_exact_dedup",
     "q27_cosine_topk",
     "q29_minhash_lsh",
@@ -81,7 +81,7 @@ HEADLINE = [
     "q32_media_decode",
     "q34_sessionize",
     "q35_salted_agg",
-    "q43_winnow_fingerprint",
+    "qs7_winnow_fingerprint",  # r11 rotation: was q43_winnow_fingerprint (same plan)
     "qe6_order_count_distribution",
     "q48_volume_shipping",
     "q10_sole_blame_supplier",

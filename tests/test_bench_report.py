@@ -110,3 +110,26 @@ def test_require_idle_guard():
         require_idle("BENCH_DETAIL.json", 1.0, force=False)
     with pytest.raises(SystemExit):
         require_idle("ORACLE_DETAIL.json", 2.5, force=False)
+
+
+def test_anchor_line_renders_when_present():
+    """r11: the cross-round drift anchor (tools/bench_anchor.py) renders
+    inside the block with its median factor and per-query pairs, and is
+    absent when no ANCHOR.json accompanies the pair."""
+    base = {"sf": 0.1, "cpus": 32, "loadavg": [0.1, 0.1, 0.1]}
+    bench = {**base, "queries_cold": {"qx": 1.0}, "queries_warm": {"qx": 0.5}}
+    oracle = {**base, "queries": {"qx": 2.0}, "heavy": {}}
+    anchor = {
+        "prev_commit": "deadbeefcafe",
+        "drift_median": 1.42,
+        "queries": {
+            "qb0_jaccard_simjoin": {"prev_committed": 2.46, "rerun_now": 3.54, "drift": 1.439},
+            "q92_ewma": {"prev_committed": 1.0, "rerun_now": 1.42, "drift": 1.42},
+        },
+    }
+    block = build_block(bench=bench, oracle=oracle, anchor=anchor)
+    assert "1.42×" in block and "deadbeef" in block
+    assert "qb0_jaccard_simjoin 3.54 s vs 2.46 s committed" in block
+    block_no = build_block(bench=bench, oracle=oracle, anchor={})
+    # explicit empty dict suppresses the repo-root file fallback
+    assert "drift anchor" not in block_no
