@@ -231,10 +231,23 @@ class Warehouse:
         key_cols: list[str],
         partition_col: str | None = None,
         staging_df: DataFrame | None = None,
+        store_row_hash: bool = False,
     ) -> None:
         """staging → main with ``date_added_utc`` audit column and
         hash-anti-join idempotence (FIXTURES §5 invariant 5: re-running a
-        load must not duplicate rows)."""
+        load must not duplicate rows).
+
+        ``store_row_hash=True`` persists the ``_row_hash`` key digest as
+        a table column, so every LATER append's existing-side read is a
+        column-pruned scan of a precomputed hash instead of
+        re-evaluating sha2 over every landed row — the measured
+        dominant per-batch term of a high-frequency idempotent sink
+        once the main table is large (SCALE.md "Frontier per-batch scan
+        cost": at 10⁷ rows the recompute is whole seconds per batch,
+        growing linearly forever). Once a table carries the column it
+        is maintained on every subsequent append regardless of the
+        flag (schema consistency); tables created without it keep the
+        original recompute path."""
         staged = staging_df if staging_df is not None else self.read_staging(table)
         staged = row_hash(staged, key_cols)
 
@@ -245,13 +258,22 @@ class Warehouse:
         if staged.isEmpty():
             return
 
+        keep_hash = store_row_hash
         if self.table_exists(table):
-            existing = row_hash(self.read(table), key_cols).select("_row_hash")
+            main = self.read(table)
+            if "_row_hash" in main.columns:
+                keep_hash = True  # never fork an existing table's schema
+                existing = main.select("_row_hash")
+            else:
+                keep_hash = False
+                existing = row_hash(main, key_cols).select("_row_hash")
             # staging batch is the small side → broadcast it; main-side
             # scan reads only the hash column (column pruning).
             staged = staged.join(existing, "_row_hash", "left_anti")
 
-        out = staged.drop("_row_hash").withColumn(AUDIT_COL, F.current_timestamp())
+        if not keep_hash:
+            staged = staged.drop("_row_hash")
+        out = staged.withColumn(AUDIT_COL, F.current_timestamp())
         self._write_spec(out, self._spec(table), "append", partition_col=partition_col)
 
     def load(
@@ -261,10 +283,16 @@ class Warehouse:
         *,
         key_cols: list[str],
         partition_col: str | None = None,
+        store_row_hash: bool = False,
     ) -> None:
         """Full protocol: staging overwrite then idempotent append."""
         self.write_staging(df, table)
-        self.append_main(table, key_cols=key_cols, partition_col=partition_col)
+        self.append_main(
+            table,
+            key_cols=key_cols,
+            partition_col=partition_col,
+            store_row_hash=store_row_hash,
+        )
 
     # -- bucketed catalog tables (the co-located-join path, SURVEY §4) ---
 

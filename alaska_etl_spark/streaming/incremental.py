@@ -493,9 +493,12 @@ def stream_url_frontier(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        warehouse.load(first, table, key_cols=["canonical_url"])
+        # store the key digest: a frontier sink appends forever, and the
+        # idempotent anti-join must not re-hash the whole seen-set per
+        # batch (SCALE.md "Frontier per-batch scan cost")
+        warehouse.load(first, table, key_cols=["canonical_url"], store_row_hash=True)
         if rejects_table is not None:
-            warehouse.load(bad, rejects_table, key_cols=[id_col])
+            warehouse.load(bad, rejects_table, key_cols=[id_col], store_row_hash=True)
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -626,10 +629,17 @@ def stream_domain_quota(
                 .withColumn("_batch_id", F.lit(int(_batch_id)).cast("bigint"))
             )
             # ledger before rows: overcount-on-crash is the safe side
-            warehouse.load(counts, ledger_table, key_cols=["domain", "_batch_id"])
-            warehouse.append_main(table, key_cols=["canonical_url"])
+            warehouse.load(
+                counts, ledger_table, key_cols=["domain", "_batch_id"],
+                store_row_hash=True,
+            )
+            warehouse.append_main(
+                table, key_cols=["canonical_url"], store_row_hash=True
+            )
         else:
-            warehouse.load(admitted, table, key_cols=["canonical_url"])
+            warehouse.load(
+                admitted, table, key_cols=["canonical_url"], store_row_hash=True
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -143,8 +143,19 @@ QUERIES_UNDER_TEST = [
     # construction argument (directed pair set exactly 10x) plus a
     # match-grain token explode and the cut — output rows (affected
     # dst docs) exactly 10x.
-    "qr6_longest_runs",
-    "qr9_span_excision",
+    "q22_longest_runs",  # was qr6 (r11 driver-window rotation)
+    "q43_span_excision",  # was qr9
+    # round-11: the two new join-bearing shapes. Line dedup: injective
+    # token prefixing keeps every copy's 5-token line set identical in
+    # structure and disjoint across copies, so the corpus-hot line set
+    # and the removal set are both exactly 10x; work is one explode +
+    # one line-hash aggregate + one key-grain join (expected ~linear).
+    # Intra-doc repeat runs: the self-pair frame is per-document, and
+    # copy offsets are multiples of 4 so each copy injects the same
+    # doc_id%4 repeat shapes — true run set exactly 10x, diagonal
+    # windows at document grain.
+    "qs1_line_dedup",
+    "qs2_repeat_runs",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
