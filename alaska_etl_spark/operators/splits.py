@@ -803,3 +803,101 @@ def token_waterfill(
         alloc.cast("bigint").alias("tokens_allocated"),
         (F.col("_i") > k).alias("capped"),
     ).orderBy(source_col)
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    *,
+    n: int = 2,
+    buckets: int = 4096,
+    scale: int = 10**8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashed-n-gram importance weights for data selection — DSIR (Xie
+    et al. '23, "Data Selection for Language Models via Importance
+    Resampling"): estimate the target and raw feature distributions
+    over ``buckets`` hashed word-n-gram buckets, then score every RAW
+    document by its importance log-weight
+
+        log ŵ(x) = Σ_b count_x(b) · ( ln((c_T(b)+1)/(N_T+B))
+                                    − ln((c_R(b)+1)/(N_R+B)) )
+
+    (add-1 smoothing over the B buckets on both sides). The published
+    pipeline then resamples raw documents ∝ ŵ with Gumbel noise; this
+    operator is the deterministic lane — it emits the exact quantized
+    log-weight per raw document and leaves selection to the caller
+    (rank by (weight, id) for deterministic top-K, or feed
+    :func:`weighted_sample` for the hash-seeded stochastic form) —
+    DECLARED BOUNDARY: Gumbel-noise resampling itself is not
+    replicated; every published ablation in the paper also reports the
+    top-K variant.
+
+    Float discipline: the :func:`~alaska_etl_spark.operators.classifier.
+    naive_bayes_scores` protocol exactly — each bucket's log-ratio is
+    one JVM-libm double chain on integer-rational inputs, rounded
+    half-away to ``1/scale`` units and stored BIGINT, so per-document
+    scores are order-free integer sums and DuckDB replays them
+    bit-for-bit (the ln-of-identical-rationals contract).
+
+    Scale shape: one (bucket) aggregate whose output is ≤ ``buckets``
+    rows regardless of corpus size (THE point of hashed features —
+    DSIR's own reason for existing at web scale), one broadcast-sized
+    terms join back onto the raw token stream, one doc-grain sum. The
+    token stream is deliberately not persisted (the NB
+    persist-vs-recompute finding). Zero-n-gram documents emit no row
+    (no evidence). ``hash_fn='md5'`` is the engine-portable oracle
+    lane; xxhash64 is the production default.
+
+    Returns (``id_col``, weight_units BIGINT) for raw (non-target)
+    documents, ordered by id."""
+    from alaska_etl_spark.cache import tracked_persist
+    from alaska_etl_spark.operators.dedup import md5_hash31, word_tokens
+
+    tgt = F.col(target_col).cast("boolean")
+    # occurrence-grain n-grams (NOT the dedup family's distinct
+    # shingles): DSIR's feature vector is hashed n-gram COUNTS, so a
+    # gram occurring twice counts twice; documents shorter than n
+    # contribute their whole token string once (the shingles short-doc
+    # convention), zero-token documents contribute nothing.
+    toks_arr = word_tokens(text_col)
+    k = F.greatest(F.size(toks_arr) - F.lit(n - 1), F.lit(1))
+    seq = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks_arr, i + 1, n)),
+    )
+    gram = F.explode(F.when(F.size(toks_arr) > 0, seq))
+    toks = df.select(F.col(id_col).alias("_id"), tgt.alias("_tgt"), gram.alias("_g"))
+    if hash_fn == "md5":
+        bcol = F.pmod(md5_hash31(F.col("_g")), F.lit(buckets))
+    else:
+        bcol = F.pmod(F.xxhash64(F.col("_g")), F.lit(buckets))
+    toks = toks.select("_id", "_tgt", bcol.alias("_b"))
+    counts = toks.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("bigint").alias("_ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).cast("bigint").alias("_cr"),
+    )
+    counts = tracked_persist(counts)
+    tot = counts.agg(
+        F.sum("_ct").alias("nt"), F.sum("_cr").alias("nr")
+    ).collect()[0]
+    nt, nr = int(tot["nt"] or 0), int(tot["nr"] or 0)
+    term = (
+        F.log(F.col("_ct") + 1)
+        - F.log(F.lit(float(nt + buckets)))
+        - F.log(F.col("_cr") + 1)
+        + F.log(F.lit(float(nr + buckets)))
+    )
+    terms = counts.select(
+        "_b", F.round(F.lit(scale) * term).cast("long").alias("_t")
+    )
+    return (
+        toks.filter(~F.col("_tgt"))
+        .join(terms, "_b")
+        .groupBy("_id")
+        .agg(F.sum("_t").cast("bigint").alias("weight_units"))
+        .select(F.col("_id").alias(id_col), "weight_units")
+        .orderBy(id_col)
+    )

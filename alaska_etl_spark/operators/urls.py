@@ -42,6 +42,14 @@ this family normalizes the ADDRESS):
   counts + corpus share and the filtered frame (anti-join on matched
   ids); rules carry a ``kind`` (``domain`` or ``path_prefix``) and
   both kinds ride ONE kind-tagged equi-join.
+- :func:`parse_robots` / :func:`robots_check` — RFC 9309 robots.txt
+  politeness: per-host bodies → agent-applicable rules (UA-group
+  windows, exact-agent-beats-star, same-UA groups merged), per-URL
+  verdicts by longest-matching plain path prefix with allow winning
+  ties (r11, X181).
+- :func:`sitemap_urls` — sitemaps.org ``<loc>`` extraction (urlset vs
+  sitemapindex kinds), entries canonicalized, malformed → bad-row
+  (r11, X182) — the discovery loop's third leg.
 
 Everything is built from shared string/array primitives (regexp
 extraction with RE2-safe patterns, split/sort/filter/join) so DuckDB
@@ -79,6 +87,9 @@ __all__ = [
     "domain_rollup",
     "blocklist_audit",
     "blocklist_filter",
+    "parse_robots",
+    "robots_check",
+    "sitemap_urls",
 ]
 
 # Exact-match click/campaign identifier keys stripped by
@@ -432,3 +443,197 @@ def blocklist_filter(
     routing is the bad-row frame's job)."""
     ids = _matched(df, id_col, url_col, rules).select("_bid").distinct()
     return df.join(ids, df[id_col] == ids["_bid"], "left_anti")
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt content into the rule rows that apply
+    to ``agent`` — the crawl-politeness input the URL family's
+    blocklists come from in a real pipeline (RFC 9309). Pure
+    Column/window relational form, no UDF:
+
+    lines → strip ``#`` comments → extract ``key: value`` directives →
+    GROUPS (one or more consecutive ``User-agent`` lines followed by
+    rules; a UA line after a rule line starts a new group — one lag +
+    one running sum per host) → group-to-agent resolution per RFC 9309
+    §2.2.1: groups naming the agent EXACTLY (case-insensitive product
+    token) are merged and win; only when no group names it do the
+    ``*`` groups apply; crawlers must merge same-UA groups — the
+    running-sum group ids keep every matching group's rules.
+
+    DECLARED BOUNDARIES: UA matching is exact-token-or-star (no
+    longest-prefix product-token matching — pass the product token you
+    crawl with); ``*``/``$`` wildcard PATHS (a Google extension RFC
+    9309 adopted as optional) are emitted with ``is_wildcard=true`` and
+    excluded by :func:`robots_check` — surfaced for audit, not
+    silently dropped; non-group directives (Sitemap, Crawl-delay) are
+    ignored here (they are metadata, not match rules).
+
+    Returns (host, rule_kind 'allow'|'disallow', path, is_wildcard),
+    one row per applicable rule; empty-path rules are kept (an empty
+    ``Disallow:`` matches nothing by RFC — :func:`robots_check`
+    implements that). Scale shape: one explode + two windows keyed on
+    (host, line), one tiny group join — robots files are KB-sized, so
+    everything is host-keyed and narrow."""
+    h = F.col(host_col)
+    lines = df.select(
+        F.lower(h).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_ln", "_raw"
+        ),
+    ).select(
+        "host",
+        "_ln",
+        F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", "")).alias("_line"),
+    )
+    d = lines.select(
+        "host",
+        "_ln",
+        F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "_key"
+        ),
+        F.trim(F.regexp_extract(F.col("_line"), r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "_val"
+        ),
+    ).filter(F.col("_key").isin("user-agent", "allow", "disallow"))
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("host").orderBy("_ln")
+    ua = F.col("_key") == "user-agent"
+    grouped = d.withColumn(
+        "_gid",
+        F.sum(
+            F.when(
+                ua & ~F.coalesce(F.lag(ua).over(wl), F.lit(False)), 1
+            ).otherwise(0)
+        ).over(wl),
+    )
+    # group → agents named in it (lowercased product tokens)
+    agents = (
+        grouped.filter(ua)
+        .groupBy("host", "_gid")
+        .agg(F.collect_set(F.lower(F.col("_val"))).alias("_agents"))
+    )
+    rules = grouped.filter(~ua).join(agents, ["host", "_gid"])
+    target = agent.lower()
+    named = rules.filter(F.array_contains("_agents", target))
+    # hosts with at least one group naming the agent: star groups lose there
+    named_hosts = named.select("host").distinct()
+    star = rules.filter(F.array_contains("_agents", "*")).join(
+        named_hosts, "host", "left_anti"
+    )
+    applicable = named.unionByName(star) if target != "*" else rules.filter(
+        F.array_contains("_agents", "*")
+    )
+    return applicable.select(
+        "host",
+        F.col("_key").alias("rule_kind"),
+        F.col("_val").alias("path"),
+        F.col("_val").rlike(r"[*$]").alias("is_wildcard"),
+    ).distinct()
+
+
+def robots_check(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    rules: DataFrame,
+) -> DataFrame:
+    """Per-URL robots verdict against :func:`parse_robots` output —
+    RFC 9309 §2.2.2 precedence: the rule with the LONGEST matching
+    path prefix decides; ``allow`` wins exact ties; no matching rule
+    (or an empty-path rule, which matches nothing) means allowed.
+    Matching is plain string prefix on the canonical PATH (RFC
+    semantics — ``/p`` matches ``/page``; the /-boundary section rules
+    of X174 are the blocklist axis, not this one). Wildcard rules are
+    excluded (parse_robots' declared boundary) — audit them via
+    ``is_wildcard`` before trusting a verdict on hosts that use them.
+
+    URLs that fail to canonicalize route to the bad-row side (NULL
+    verdict row is NOT emitted — they never reach a fetcher anyway).
+    Plan: one host-keyed equi-join (per-host rule lists are KB-scale)
+    + a prefix filter, one max-struct aggregate per URL — no theta
+    join, no window. Returns (``id_col``, host, path, allowed)."""
+    base = (
+        df.select(F.col(id_col).alias("_uid"), canonical_url(url_col).alias("_cu"))
+        .filter(F.col("_cu").isNotNull())
+        .select(
+            "_uid",
+            F.element_at(
+                F.split(F.regexp_extract(F.col("_cu"), _AUTH_RE, 1), ":"), 1
+            ).alias("host"),
+            F.regexp_extract(F.col("_cu"), _PATH_RE, 1).alias("path"),
+        )
+    )
+    r = rules.filter(~F.col("is_wildcard") & (F.col("path") != "")).select(
+        "host", F.col("rule_kind").alias("_rk"), F.col("path").alias("_rp")
+    )
+    m = (
+        base.join(r, "host")
+        .filter(F.col("path").startswith(F.col("_rp")))
+        .groupBy("_uid", "host", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_rp").alias("l"),
+                    (F.col("_rk") == "allow").alias("a"),
+                )
+            ).alias("_best")
+        )
+        .select("_uid", "host", "path", F.col("_best.a").alias("_allowed"))
+    )
+    return (
+        base.join(m.select("_uid", "_allowed"), "_uid", "left")
+        .select(
+            F.col("_uid").alias(id_col),
+            "host",
+            "path",
+            F.coalesce("_allowed", F.lit(True)).alias("allowed"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def sitemap_urls(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Extract URL entries from sitemap XML bodies (sitemaps.org
+    protocol) — the third leg of the discovery path next to
+    :func:`parse_robots` (what may be fetched) and the canonical-URL
+    frontier (what has been fetched): one ``<loc>`` value per row,
+    with the entry kind (``url`` from urlset files, ``sitemap`` from
+    sitemapindex files — index entries point at MORE sitemaps and go
+    back to the fetch queue, not the frontier) and the canonical form
+    of the location (NULL = malformed, the bad-row side).
+
+    Pure Column form: one ``regexp_extract_all`` over the body for
+    ``<loc>`` values (the protocol requires entity-escaped URLs, so
+    ``[^<]*`` is exact), a second for the enclosing element kind by
+    document type, one explode. DECLARED BOUNDARY: per-URL metadata
+    (``<lastmod>``, ``<priority>``) and XML namespace validation are
+    not parsed — published crawl pipelines treat sitemaps as untrusted
+    URL hints, and the gate that matters (robots, blocklist, quota)
+    runs downstream on the canonical key anyway.
+
+    Returns (host, kind, loc, canonical_url) ordered by (host, loc)."""
+    h = F.lower(_c(host_col))
+    body = F.coalesce(_c(text_col), F.lit(""))
+    kind = F.when(
+        F.lower(body).contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    locs = F.expr(
+        f"regexp_extract_all({text_col}, '<loc>([^<]*)</loc>', 1)"
+    )
+    out = (
+        df.select(h.alias("host"), kind.alias("kind"), F.explode(locs).alias("_l"))
+        .select("host", "kind", F.trim(F.col("_l")).alias("loc"))
+        .select("host", "kind", "loc", canonical_url("loc").alias("canonical_url"))
+    )
+    return out.orderBy("host", "loc")

@@ -11481,6 +11481,302 @@ FROM best GROUP BY 1 ORDER BY 1
 """
 
 
+def qs8_dsir_selection(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights (operators/splits.py
+    dsir_weights, X180; Xie et al. '23): score every raw document by
+    how target-like its hashed-bigram distribution is — the published
+    data-selection step between quality filtering and mixing. Target =
+    source 'src0'; md5 hash lane so DuckDB replays every bucket
+    assignment; weights are quantized-ln BIGINT sums (the qg5 NB
+    discipline — order-free, engine-exact). ``keep`` is the
+    threshold-form decision (log-weight > 0 ⇔ ŵ > 1, "more
+    target-like than raw"); rank-based top-K composes with the exact
+    quota/stratified samplers (X170) instead of a corpus-grain global
+    sort window."""
+    from alaska_etl_spark.operators.splits import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("source") == "src0").alias("is_target")
+    )
+    w = dsir_weights(
+        d, "doc_id", "text", "is_target", n=2, buckets=4096, hash_fn="md5"
+    )
+    return w.select(
+        "doc_id", "weight_units", (F.col("weight_units") > 0).alias("keep")
+    ).orderBy("doc_id")
+
+
+def _qs8_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS tgt,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, tgt,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(tk) > 0
+), tb AS (
+  SELECT doc_id, tgt, {_dk_h31('g')} % 4096 AS b FROM grams
+), counts AS (
+  SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM tb GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM counts
+), terms AS (
+  SELECT b,
+         CAST(round(100000000 * (ln(CAST(ct + 1 AS DOUBLE))
+                                 - ln(CAST(nt + 4096 AS DOUBLE))
+                                 - ln(CAST(cr + 1 AS DOUBLE))
+                                 + ln(CAST(nr + 4096 AS DOUBLE)))) AS BIGINT) AS t
+  FROM counts, tot
+)
+SELECT doc_id, weight_units, weight_units > 0 AS keep
+FROM (
+  SELECT doc_id, CAST(sum(t) AS BIGINT) AS weight_units
+  FROM tb JOIN terms USING (b) WHERE NOT tgt GROUP BY 1
+)
+ORDER BY doc_id
+"""
+
+
+QS8_SQL = _qs8_sql()
+
+
+# Shared robots.txt fixture (fixture-less stance: both engines build
+# the identical per-host bodies). Site 1: an exact-agent group that
+# must beat the star group, with allow-overrides-shorter-disallow;
+# site 2: star-only with an empty Disallow (matches nothing by RFC);
+# site 3: a wildcard path — parse_robots flags it, robots_check
+# ignores it (the declared boundary).
+_ROBOTS_BODIES = {
+    1: [
+        "User-agent: trainbot",
+        "Disallow: /p/1",
+        "Allow: /p/15",
+        "User-agent: *",
+        "Disallow: /p",
+    ],
+    2: ["User-agent: *", "Disallow: /p/16", "Disallow:"],
+    3: ["# wildcards only", "User-agent: *", "Disallow: /p/*3"],
+}
+
+
+def _robots_rows() -> "list[tuple[str, str]]":
+    return [
+        (f"{pre}site{site}.com", "\n".join(lines))
+        for site, lines in _ROBOTS_BODIES.items()
+        for pre in ("", "www.", "cdn.")
+    ]
+
+
+def qs9_robots_gate(spark, sf_dir):
+    """robots.txt politeness gate (operators/urls.py parse_robots +
+    robots_check, X181; RFC 9309): parse per-host robots.txt bodies
+    into the rule rows that apply to the crawler's product token
+    (group windows, exact-agent-beats-star, same-UA groups merged),
+    then give every corpus URL its verdict — longest matching path
+    prefix decides, allow wins exact ties, plain RFC prefix matching
+    (``/p`` matches ``/page``), no rule or an unparseable URL never
+    reaches the fetcher. Wildcard paths are parse-flagged and excluded
+    from verdicts (declared boundary). One host-keyed equi-join + one
+    max-struct aggregate — no theta join, no window in the check."""
+    from alaska_etl_spark.operators.urls import parse_robots, robots_check
+
+    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    rules = parse_robots(robots, "host", "body", agent="trainbot")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    return robots_check(docs, "doc_id", "url", rules)
+
+
+def _robots_rules_sql() -> str:
+    """DuckDB twin of parse_robots(agent='trainbot') over the shared
+    fixture: emits the CTE chain ending in rules(rhost, rule_kind,
+    rpath) — appended after a WITH chain (leading comma included)."""
+    vals = ",\n                        ".join(
+        "('{h}', concat_ws(chr(10), {body}))".format(
+            h=h, body=", ".join("'" + ln + "'" for ln in _ROBOTS_BODIES[site])
+        )
+        for site, _lines in _ROBOTS_BODIES.items()
+        for pre in ("", "www.", "cdn.")
+        for h in [f"{pre}site{site}.com"]
+    )
+    return rf"""
+, rb AS (
+  SELECT * FROM (VALUES {vals}) AS t(rhost, body)
+), rl AS (
+  SELECT rhost, i,
+         trim(regexp_replace(list_extract(ls, i), '#.*$', '')) AS line
+  FROM (SELECT rhost, string_split(body, chr(10)) AS ls FROM rb),
+       unnest(generate_series(1, len(ls))) AS u(i)
+), dirs AS (
+  SELECT rhost, i, key, val FROM (
+    SELECT rhost, i,
+           lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
+           trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS val
+    FROM rl
+  ) WHERE key IN ('user-agent', 'allow', 'disallow')
+), marks AS (
+  SELECT rhost, i, key, val,
+         CASE WHEN key = 'user-agent'
+                   AND NOT coalesce(lag(key = 'user-agent')
+                       OVER (PARTITION BY rhost ORDER BY i), false)
+              THEN 1 ELSE 0 END AS newg
+  FROM dirs
+), grp AS (
+  SELECT rhost, i, key, val,
+         sum(newg) OVER (PARTITION BY rhost ORDER BY i) AS gid
+  FROM marks
+), agents AS (
+  SELECT rhost, gid, list(DISTINCT lower(val)) AS ags
+  FROM grp WHERE key = 'user-agent' GROUP BY 1, 2
+), rules0 AS (
+  SELECT g.rhost, g.key AS rule_kind, g.val AS rpath, a.ags
+  FROM grp g JOIN agents a USING (rhost, gid) WHERE g.key <> 'user-agent'
+), named AS (
+  SELECT DISTINCT rhost, rule_kind, rpath FROM rules0
+  WHERE list_contains(ags, 'trainbot')
+), rules AS (
+  SELECT rhost, rule_kind, rpath FROM named
+  UNION
+  SELECT DISTINCT rhost, rule_kind, rpath FROM rules0
+  WHERE list_contains(ags, '*')
+    AND rhost NOT IN (SELECT rhost FROM named)
+)"""
+
+
+def _qs9_sql() -> str:
+    return _URLS_SQL_CTE + _robots_rules_sql() + r"""
+, base AS (
+  SELECT doc_id, host,
+         regexp_extract(canonical,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM canon WHERE canonical IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         -- composite precedence key 2·len + allow: longest match wins,
+         -- allow wins exact ties (allow adds 1)
+         arg_max(CAST(rule_kind = 'allow' AS INTEGER),
+                 2 * CAST(length(rpath) AS BIGINT)
+                 + CASE WHEN rule_kind = 'allow' THEN 1 ELSE 0 END) = 1
+           AS verdict
+  FROM base b JOIN rules r ON r.rhost = b.host
+  WHERE NOT regexp_matches(rpath, '[*$]') AND rpath <> ''
+    AND starts_with(b.path, r.rpath)
+  GROUP BY 1
+)
+SELECT b.doc_id, b.host, b.path, coalesce(m.verdict, true) AS allowed
+FROM base b LEFT JOIN m USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+QS9_SQL = _qs9_sql()
+
+
+def qt0_sitemap_frontier(spark, sf_dir):
+    """Sitemap-fed frontier admission (operators/urls.py sitemap_urls +
+    robots_check, X182): the discovery path end-to-end — each host's
+    sitemap body (built from its own corpus URLs, entries sorted and
+    deduplicated: a round-trip of the extraction) is parsed for
+    ``<loc>`` entries, every entry canonicalized, and the RFC 9309
+    robots gate (trainbot, the shared fixture rules) decides admission;
+    per host the entry count, malformed (bad-row) count, and
+    allowed/blocked split. Composes X182 → X166 → X181 exactly the way
+    a crawler's URL discovery loop runs."""
+    from alaska_etl_spark.operators.urls import (
+        parse_robots,
+        robots_check,
+        sitemap_urls,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
+    bodies = (
+        docs.select(url_host("url").alias("h"), "url")
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.array_distinct(F.collect_list("url"))),
+                        lambda u: F.concat(F.lit("<loc>"), u, F.lit("</loc>")),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    sm = sitemap_urls(bodies, "h", "body")
+    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    rules = parse_robots(robots, "host", "body", agent="trainbot")
+    verdicts = robots_check(sm, "loc", "loc", rules).select("loc", "allowed")
+    return (
+        sm.join(verdicts, "loc", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_locs"),
+            F.sum(F.when(F.col("canonical_url").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad"),
+            F.sum(F.when(F.col("allowed") == True, 1).otherwise(0))  # noqa: E712
+            .cast("bigint")
+            .alias("n_allowed"),
+            F.sum(F.when(F.col("allowed") == False, 1).otherwise(0))  # noqa: E712
+            .cast("bigint")
+            .alias("n_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
+def _qt0_sql() -> str:
+    return _URLS_SQL_CTE + _robots_rules_sql() + r"""
+, hu AS (
+  SELECT DISTINCT host, url, canonical FROM canon
+), hb AS (
+  SELECT host, url, canonical,
+         regexp_extract(canonical,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM hu
+), mv AS (
+  SELECT h.url,
+         arg_max(CAST(rule_kind = 'allow' AS INTEGER),
+                 2 * CAST(length(rpath) AS BIGINT)
+                 + CASE WHEN rule_kind = 'allow' THEN 1 ELSE 0 END) = 1
+           AS verdict
+  FROM hb h JOIN rules r ON r.rhost = h.host
+  WHERE h.canonical IS NOT NULL
+    AND NOT regexp_matches(rpath, '[*$]') AND rpath <> ''
+    AND starts_with(h.path, r.rpath)
+  GROUP BY 1
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_locs,
+       CAST(sum(CASE WHEN canonical IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad,
+       CAST(sum(CASE WHEN canonical IS NOT NULL
+                          AND coalesce(verdict, true) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN canonical IS NOT NULL
+                          AND NOT coalesce(verdict, true) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked
+FROM hb LEFT JOIN mv USING (url)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QT0_SQL = _qt0_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -11655,6 +11951,9 @@ QUERIES = {
     "qr7_domain_quota": qr7_domain_quota,
     "qs1_line_dedup": qs1_line_dedup,
     "qs2_repeat_runs": qs2_repeat_runs,
+    "qs8_dsir_selection": qs8_dsir_selection,
+    "qs9_robots_gate": qs9_robots_gate,
+    "qt0_sitemap_frontier": qt0_sitemap_frontier,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -11983,6 +12282,9 @@ ORACLES = {
     "qr7_domain_quota": QR7_SQL,
     "qs1_line_dedup": QS1_SQL,
     "qs2_repeat_runs": QS2_SQL,
+    "qs8_dsir_selection": QS8_SQL,
+    "qs9_robots_gate": QS9_SQL,
+    "qt0_sitemap_frontier": QT0_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -452,3 +452,27 @@ def test_token_waterfill_exact_budget(spark):
     # budget >= total: everyone full, nobody capped
     out3 = token_waterfill(counts, "source", "n", budget_num=2, budget_den=1).collect()
     assert all(r.tokens_allocated == r.tokens_available and not r.capped for r in out3)
+
+
+def test_dsir_weights_semantics(spark):
+    # r11 X180: raw docs made of target-heavy grams score positive,
+    # raw-only grams score negative; target docs and zero-token docs
+    # emit no row; both hash lanes agree on sign/order.
+    from alaska_etl_spark.operators.splits import dsir_weights
+
+    rows = [
+        (1, "good tokens good tokens", True),
+        (2, "good tokens good tokens", True),
+        (3, "good tokens good stuff", False),   # target-like raw doc
+        (4, "junk noise junk noise", False),     # raw-only grams
+        (5, "", False),                           # zero-token: no row
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string, tgt boolean")
+    for lane in ("xxhash64", "md5"):
+        got = {
+            r["id"]: r["weight_units"]
+            for r in dsir_weights(df, "id", "text", "tgt", n=2, hash_fn=lane).collect()
+        }
+        assert set(got) == {3, 4}
+        assert got[3] > got[4]
+        assert got[3] > 0 > got[4]

@@ -373,3 +373,111 @@ def test_stream_domain_quota_incremental_ledger(spark, tmp_path):
     for (d, _b), n in led.items():
         ledger_counts[d] = ledger_counts.get(d, 0) + n
     assert ledger_counts == landed_counts
+
+
+def test_parse_robots_groups_and_agent_resolution(spark):
+    # r11 X181: RFC 9309 group semantics — consecutive UA lines share a
+    # group; a UA line after a rule line starts a new one; exact-name
+    # groups beat star groups and same-UA groups merge; comments strip;
+    # wildcard paths surface flagged.
+    from alaska_etl_spark.operators.urls import parse_robots
+
+    txt = "\n".join(
+        [
+            "# site robots",
+            "User-agent: *",
+            "Disallow: /private",
+            "",
+            "User-agent: trainbot",
+            "User-agent: otherbot",
+            "Disallow: /p/1   # tail comment",
+            "Allow: /p/15",
+            "User-agent: trainbot",
+            "Disallow: /dup",
+            "Disallow: /img/*.gif",
+            "Sitemap: https://a.com/sitemap.xml",
+        ]
+    )
+    df = spark.createDataFrame([("A.com", txt)], "host string, body string")
+    got = {
+        (r["rule_kind"], r["path"], r["is_wildcard"])
+        for r in parse_robots(df, "host", "body", agent="TrainBot").collect()
+    }
+    # star group excluded (a named group exists); both trainbot groups merge
+    assert got == {
+        ("disallow", "/p/1", False),
+        ("allow", "/p/15", False),
+        ("disallow", "/dup", False),
+        ("disallow", "/img/*.gif", True),
+    }
+    # unknown agent: falls back to the star group
+    star = {
+        (r["rule_kind"], r["path"])
+        for r in parse_robots(df, "host", "body", agent="nobody").collect()
+    }
+    assert star == {("disallow", "/private")}
+
+
+def test_robots_check_precedence_and_defaults(spark):
+    # RFC 9309 §2.2.2: longest match decides, allow wins ties, plain
+    # string prefix (no /-boundary), no match => allowed, empty
+    # Disallow matches nothing, wildcard rules excluded from verdicts.
+    from alaska_etl_spark.operators.urls import parse_robots, robots_check
+
+    txt = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /p",
+            "Allow: /p/ok",
+            "Disallow: /p/okx",   # longer than the allow: wins on /p/okx*
+            "Allow: /q",
+            "Disallow: /q",       # exact tie: allow wins
+            "Disallow:",          # empty: matches nothing
+            "Disallow: /w*z",     # wildcard: flagged, not matched
+        ]
+    )
+    robots = spark.createDataFrame([("a.com", txt)], "host string, body string")
+    rules = parse_robots(robots, "host", "body", agent="anybot")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/page"),       # '/p' prefix-matches '/page' (RFC!)
+            (2, "https://a.com/p/ok/deep"),
+            (3, "https://a.com/p/okxfile"),
+            (4, "https://a.com/q/x"),
+            (5, "https://a.com/other"),
+            (6, "https://a.com/wyz"),        # only the wildcard would hit
+            (7, "junk"),                      # bad row: no verdict emitted
+        ],
+        "id bigint, url string",
+    )
+    got = {r["id"]: r["allowed"] for r in robots_check(urls, "id", "url", rules).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+
+
+def test_sitemap_urls_extraction(spark):
+    # r11 X182: urlset vs sitemapindex kinds, whitespace trim,
+    # canonicalization of entries, malformed loc -> NULL canonical.
+    from alaska_etl_spark.operators.urls import sitemap_urls
+
+    urlset = (
+        "<?xml version='1.0'?><urlset><url><loc>https://A.com/p/1?utm_x=1</loc>"
+        "</url><url><loc>  https://a.com/p/2  </loc></url>"
+        "<url><loc>junk</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.org/maps/2.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.org", index)], "host string, body string"
+    )
+    got = [
+        (r["host"], r["kind"], r["loc"], r["canonical_url"])
+        for r in sitemap_urls(df, "host", "body").collect()
+    ]
+    assert got == [
+        ("a.com", "url", "https://A.com/p/1?utm_x=1", "https://a.com/p/1"),
+        ("a.com", "url", "https://a.com/p/2", "https://a.com/p/2"),
+        ("a.com", "url", "junk", None),
+        ("b.org", "sitemap", "https://b.org/maps/2.xml", "https://b.org/maps/2.xml"),
+    ]
