@@ -30,7 +30,7 @@ CASES = [
     "qb3_corr_matrix",
     "qd7_perplexity_gate",
     "qe1_ab_test",
-    "q43_winnow_fingerprint",
+    "qs7_winnow_fingerprint",  # was q43 (r11 rotation)
     "q36_containment_join",
     "q40_bitext_margin",
     "q03_dedup_savings",
@@ -47,8 +47,15 @@ CASES = [
     # r10: hash-bucket quota ordering (the deterministic-sample lane)
     # and the longest-run island windows
     "qr7_domain_quota",
-    "qr6_longest_runs",
-    "qr8_calibration",
+    "q22_longest_runs",  # was qr6 (r11 rotation)
+    "q24_calibration",  # was qr8 (r11 rotation)
+    # r11: the intra-doc island windows, the line-dedup reassembly
+    # aggregate, the DSIR quantized-ln sums, and the robots
+    # longest-prefix max-struct verdicts
+    "qs2_repeat_runs",
+    "qs1_line_dedup",
+    "qs8_dsir_selection",
+    "qs9_robots_gate",
 ]
 
 
