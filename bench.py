@@ -117,6 +117,9 @@ HEADLINE = [
     # boilerplate stop-gram audit
     "qp1_index_forecast",
     "qp2_boilerplate_grams",
+    # r11 flagship: CCNet-style line-grain corpus dedup — one explode +
+    # one 8-byte-hash aggregate + one key join + the in-row reassembly
+    "qs1_line_dedup",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,

@@ -12,10 +12,12 @@ code in this same session, and compare those times to the numbers that
 round actually committed. The ratio is the box-session drift factor;
 divide by it before reading anything into cross-round pair deltas.
 
-Protocol: run this IMMEDIATELY AFTER the paired run (oracle →
-bench --out BENCH_DETAIL.json → this), same box-session, still idle.
-Writes ANCHOR.json; `tools/bench_report.py --write` then renders the
-drift line inside the README paired-run block.
+Protocol: run this FIRST in the paired run's box-session (this →
+oracle → bench --out BENCH_DETAIL.json), while the box is still idle —
+running it after the bench would trip the idle guard on the bench's
+own just-decayed loadavg. Writes ANCHOR.json;
+`tools/bench_report.py --write` then renders the drift line inside
+the README paired-run block.
 
 Usage: python tools/bench_anchor.py [--force]
 """
