@@ -1007,3 +1007,109 @@ def test_longest_repeat_runs_matches_brute_force(spark, texts):
         i: L for i, t in rows if (L := _py_repeat_runs(t, min_run)) is not None
     }
     assert got == want
+
+
+# --- r11 line-grain dedup vs brute force -------------------------------------
+
+
+def _py_line_dedup(docs, min_docs):
+    """Single-process replica of operators.dedup.line_dedup."""
+    from collections import defaultdict
+
+    hot_docs = defaultdict(set)
+    for i, t in docs:
+        for ln in (t or "").split("\n"):
+            k = ln.strip()
+            if k != "":
+                hot_docs[k].add(i)
+    hot = {k for k, ids in hot_docs.items() if len(ids) >= min_docs}
+    out = {}
+    for i, t in docs:
+        lines = (t or "").split("\n")
+        kept = [ln for ln in lines if ln.strip() == "" or ln.strip() not in hot]
+        removed = len(lines) - len(kept)
+        out[i] = (len(lines), removed, "\n".join(kept))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x y", "  x y ", "z", "", "  ", "q r s"]),
+            min_size=0,
+            max_size=5,
+        ).map("\n".join),
+        min_size=1,
+        max_size=5,
+    ),
+    min_docs=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_line_dedup_matches_brute_force(spark, docs, min_docs):
+    """Tiny line alphabet → dense cross-doc collisions; trimmed-key
+    hotness, blank-line preservation, every-occurrence removal and the
+    in-order reassembly must all equal the reference."""
+    from alaska_etl_spark.operators.dedup import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["cleaned_text"])
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            min_docs=min_docs,
+        ).collect()
+    }
+    assert got == _py_line_dedup(rows, min_docs)
+
+
+# --- r11 robots precedence vs reference --------------------------------------
+
+
+def _py_robots_verdict(path, rules):
+    """RFC 9309 §2.2.2 reference: rules = [(kind, rpath)] non-wildcard,
+    non-empty; longest prefix wins, allow wins ties, no match = allow."""
+    best = None  # (len, allow)
+    for kind, rp in rules:
+        if rp and "*" not in rp and "$" not in rp and path.startswith(rp):
+            cand = (len(rp), kind == "allow")
+            if best is None or cand > best:
+                best = cand
+    return best[1] if best is not None else True
+
+
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.sampled_from(["/a", "/a/", "/a/b", "/ab", "/b", "", "/a*", "/a$"]),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    paths=st.lists(
+        st.sampled_from(["/a", "/a/b", "/a/bc", "/ab", "/abc", "/b/x", "/c"]),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_robots_check_matches_reference(spark, rules, paths):
+    from alaska_etl_spark.operators.urls import robots_check
+
+    rules_df = spark.createDataFrame(
+        [("a.com", k, p, ("*" in p) or ("$" in p)) for k, p in rules],
+        "host string, rule_kind string, path string, is_wildcard boolean",
+    )
+    urls = spark.createDataFrame(
+        [(i, f"https://a.com{p}") for i, p in enumerate(paths)],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_check(urls, "id", "url", rules_df).collect()
+    }
+    want = {i: _py_robots_verdict(p, rules) for i, p in enumerate(paths)}
+    assert got == want
