@@ -459,25 +459,38 @@ def stream_url_frontier(
     url_col: str = "url",
     rules: "DataFrame | None" = None,
     rejects_table: "str | None" = None,
+    robots_rules: "DataFrame | None" = None,
 ) -> None:
     """Streaming crawl-FRONTIER gate (r10, the URL family's streaming
     form): every micro-batch's URLs are canonicalized
     (``operators.urls.canonical_url`` — case, default ports, tracking
     params, query order, fragments all collapse), optionally
     blocklist-filtered (``rules`` = (rule, domain), the suffix-chain
-    equi-join), collapsed within-batch to the smallest id per
-    canonical URL, then landed via the idempotent warehouse append
-    KEYED ON THE CANONICAL URL — so a re-crawl of the same resource
-    through an ad link, a different case, or a ``#fragment`` is
-    admitted exactly once across batches, restarts, and replays with
-    ZERO streaming state (the main table already is the seen-set; the
-    sink's hash anti-join does the dedup — the
+    equi-join), optionally robots-gated (``robots_rules`` =
+    :func:`~alaska_etl_spark.operators.urls.parse_robots` output for
+    the crawler's product token — RFC 9309 longest-prefix verdicts,
+    r11/X181's streaming composition), collapsed within-batch to the
+    smallest id per canonical URL, then landed via the idempotent
+    warehouse append KEYED ON THE CANONICAL URL — so a re-crawl of the
+    same resource through an ad link, a different case, or a
+    ``#fragment`` is admitted exactly once across batches, restarts,
+    and replays with ZERO streaming state (the main table already is
+    the seen-set; the sink's hash anti-join does the dedup — the
     :func:`stream_documents_gate` contract, address-side).
 
     Rows whose URL does not canonicalize (no scheme) are routed to
     ``rejects_table`` (idempotent on the row id) rather than dropped
-    silently — the bad-row discipline of ``sources/wind.py``."""
-    from alaska_etl_spark.operators.urls import blocklist_filter, canonical_url
+    silently — the bad-row discipline of ``sources/wind.py``.
+    Robots-DISALLOWED rows are dropped, not rejected: they are
+    well-formed URLs the crawler must simply not fetch now — a later
+    robots change can legitimately re-propose them, and the frontier
+    admits only what is fetchable TODAY (per-URL deny audits are
+    :func:`robots_check`'s batch job)."""
+    from alaska_etl_spark.operators.urls import (
+        blocklist_filter,
+        canonical_url,
+        robots_check,
+    )
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window
@@ -487,6 +500,15 @@ def stream_url_frontier(
         good = tagged.filter(F.col("canonical_url").isNotNull())
         if rules is not None:
             good = blocklist_filter(good, id_col, url_col, rules)
+        if robots_rules is not None:
+            allowed = robots_check(good, id_col, url_col, robots_rules).filter(
+                F.col("allowed")
+            )
+            good = good.join(
+                allowed.select(F.col(id_col).alias("_ok")),
+                good[id_col] == F.col("_ok"),
+                "left_semi",
+            )
         w = Window.partitionBy("canonical_url").orderBy(id_col)
         first = (
             good.withColumn("_rn", F.row_number().over(w))

@@ -1113,3 +1113,80 @@ def test_robots_check_matches_reference(spark, rules, paths):
     }
     want = {i: _py_robots_verdict(p, rules) for i, p in enumerate(paths)}
     assert got == want
+
+
+# --- r11 robots group resolution vs reference ---------------------------------
+
+
+def _py_parse_robots(body, agent):
+    """Reference for parse_robots: RFC 9309 group semantics with the
+    operator's declared boundaries (exact-token-or-star UA matching)."""
+    import re
+
+    groups = []  # list of (set_of_agents, [(kind, path)])
+    cur_agents, cur_rules, in_ua_run = None, None, False
+    for raw in body.split("\n"):
+        line = re.sub(r"#.*$", "", raw).strip()
+        m = re.match(r"^([A-Za-z-]+)\s*:(.*)$", line)
+        if not m:
+            continue
+        key, val = m.group(1).lower(), m.group(2).strip()
+        if key == "user-agent":
+            if not in_ua_run:
+                cur_agents, cur_rules = set(), []
+                groups.append((cur_agents, cur_rules))
+            cur_agents.add(val.lower())
+            in_ua_run = True
+        elif key in ("allow", "disallow"):
+            if cur_rules is not None:
+                cur_rules.append((key, val))
+            in_ua_run = False
+    target = agent.lower()
+    named = [g for g in groups if target in g[0]]
+    use = named if (target != "*" and named) else [
+        g for g in groups if "*" in g[0]
+    ]
+    out = set()
+    for _, rules in use:
+        for kind, path in rules:
+            out.add((kind, path, ("*" in path) or ("$" in path)))
+    return out
+
+
+@given(
+    lines=st.lists(
+        st.sampled_from(
+            [
+                "User-agent: *",
+                "User-agent: botA",
+                "User-agent: botB",
+                "Disallow: /x",
+                "Disallow: /x/y",
+                "Allow: /x/ok",
+                "Disallow:",
+                "Disallow: /w*",
+                "# comment",
+                "",
+                "Sitemap: https://a.com/s.xml",
+                "Disallow: /z   # tail",
+            ]
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    agent=st.sampled_from(["botA", "botB", "nobody", "*"]),
+)
+@settings(**_SETTINGS)
+def test_parse_robots_matches_reference(spark, lines, agent):
+    """Arbitrary interleavings of UA runs, rules, comments and noise:
+    group formation, same-UA merging and exact-beats-star resolution
+    must equal the reference."""
+    from alaska_etl_spark.operators.urls import parse_robots
+
+    body = "\n".join(lines)
+    df = spark.createDataFrame([("a.com", body)], "host string, body string")
+    got = {
+        (r["rule_kind"], r["path"], r["is_wildcard"])
+        for r in parse_robots(df, "host", "body", agent=agent).collect()
+    }
+    assert got == _py_parse_robots(body, agent)

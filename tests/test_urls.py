@@ -481,3 +481,41 @@ def test_sitemap_urls_extraction(spark):
         ("a.com", "url", "junk", None),
         ("b.org", "sitemap", "https://b.org/maps/2.xml", "https://b.org/maps/2.xml"),
     ]
+
+
+def test_stream_url_frontier_robots_gated(spark, tmp_path):
+    # r11 X181 streaming composition: robots_rules drops DISALLOWED
+    # URLs at admission (they are fetchable-later, not bad rows — the
+    # rejects table stays malformed-only); allow-overrides, canonical
+    # dedup and blocklist still compose.
+    from alaska_etl_spark.operators.urls import parse_robots
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_url_frontier
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, url string"
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+        "host string, body string",
+    )
+    rr = parse_robots(robots, "host", "body", agent="trainbot")
+
+    _write_url_file(
+        src / "b1.json",
+        [
+            (1, "https://a.com/public/x"),
+            (2, "https://a.com/private/x"),      # robots-denied: dropped
+            (3, "https://a.com/private/ok/y"),   # allow overrides
+            (4, "not a url"),                     # malformed: rejected
+            (5, "https://A.com/public/x#f"),     # canonical dup of 1
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_url_frontier(
+        stream, wh, "frontier", ckpt, robots_rules=rr, rejects_table="bad"
+    )
+    assert {r.doc_id for r in wh.read("frontier").collect()} == {1, 3}
+    assert {r.doc_id for r in wh.read("bad").collect()} == {4}
