@@ -1068,8 +1068,10 @@ def longest_repeat_runs(
     the whole corpus by construction. Work per document is Σ per-gram
     multiplicity² (hot-gram documents are exactly the degenerate-repeat
     documents the operator exists to flag); the island windows key on
-    (id, diagonal), so a document's work never concentrates beyond its
-    own row.
+    (id, diagonal), so one document's rows spread across its diagonals
+    rather than concentrating on a single reducer — only a giant
+    single-period repeat keeps one hot diagonal, and the document's own
+    length bounds that partition.
 
     Returns one row per document with a repeat of ≥ ``min_run_tokens``
     (default n): (``id_col``, longest_run_tokens, n_runs, src_start,

@@ -519,3 +519,54 @@ def test_stream_url_frontier_robots_gated(spark, tmp_path):
     )
     assert {r.doc_id for r in wh.read("frontier").collect()} == {1, 3}
     assert {r.doc_id for r in wh.read("bad").collect()} == {4}
+
+
+def test_stream_domain_quota_ledger_replay_idempotent(spark, tmp_path):
+    # r11 X176: a FULL REPLAY (checkpoint wiped, same source files, so
+    # every batch re-runs with recycled batch ids) must leave the
+    # landed table AND the ledger bit-identical — the keyed appends
+    # dedup the rows, the (domain, _batch_id) key dedups the counts,
+    # and headroom arithmetic sees nothing new.
+    import shutil
+
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_domain_quota
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, url string"
+    _write_url_file(
+        src / "b1.json",
+        [(7, "https://a.com/p1"), (3, "https://a.com/p2"), (1, "https://b.org/q1")],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(
+        stream, wh, "quota", ckpt, max_per_domain=2, ledger_table="led"
+    )
+    _write_url_file(src / "b2.json", [(9, "https://a.com/p3"), (4, "https://b.org/q2")])
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(
+        stream, wh, "quota", ckpt, max_per_domain=2, ledger_table="led"
+    )
+    before_rows = sorted(
+        (r.doc_id, r.domain, r.canonical_url) for r in wh.read("quota").collect()
+    )
+    before_led = sorted(
+        (r.domain, r._batch_id, r.n_admitted) for r in wh.read("led").collect()
+    )
+    # full replay: wipe the checkpoint, stream the SAME files again
+    shutil.rmtree(ckpt)
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_domain_quota(
+        stream, wh, "quota", ckpt, max_per_domain=2, ledger_table="led"
+    )
+    after_rows = sorted(
+        (r.doc_id, r.domain, r.canonical_url) for r in wh.read("quota").collect()
+    )
+    after_led = sorted(
+        (r.domain, r._batch_id, r.n_admitted) for r in wh.read("led").collect()
+    )
+    assert after_rows == before_rows
+    assert after_led == before_led
