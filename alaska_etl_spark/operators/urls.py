@@ -42,11 +42,16 @@ this family normalizes the ADDRESS):
   counts + corpus share and the filtered frame (anti-join on matched
   ids); rules carry a ``kind`` (``domain`` or ``path_prefix``) and
   both kinds ride ONE kind-tagged equi-join.
-- :func:`parse_robots` / :func:`robots_check` — RFC 9309 robots.txt
-  politeness: per-host bodies → agent-applicable rules (UA-group
-  windows, exact-agent-beats-star, same-UA groups merged), per-URL
-  verdicts by longest-matching plain path prefix with allow winning
-  ties (r11, X181).
+- :func:`parse_robots` / :func:`robots_check` /
+  :func:`robots_directives` — RFC 9309 robots.txt politeness:
+  per-host bodies → agent-applicable rules (UA-group windows,
+  exact-agent-beats-star at GROUP grain — an empty named group means
+  unrestricted, same-UA groups merged), per-URL verdicts by
+  most-octets matching pattern with allow winning ties; rule paths
+  percent-normalized (+ dot-segment folded in the plain lane) before
+  matching, ``*``/``$`` wildcards matched via anchored-regex
+  translation (r11 X181, upgraded r12); Sitemap/Crawl-delay metadata
+  surfaced separately.
 - :func:`sitemap_urls` — sitemaps.org ``<loc>`` extraction (urlset vs
   sitemapindex kinds), entries canonicalized, malformed → bad-row
   (r11, X182) — the discovery loop's third leg.
@@ -88,6 +93,7 @@ __all__ = [
     "blocklist_audit",
     "blocklist_filter",
     "parse_robots",
+    "robots_directives",
     "robots_check",
     "sitemap_urls",
 ]
@@ -445,41 +451,17 @@ def blocklist_filter(
     return df.join(ids, df[id_col] == ids["_bid"], "left_anti")
 
 
-def parse_robots(
-    df: DataFrame,
-    host_col: str,
-    text_col: str,
-    *,
-    agent: str = "*",
-) -> DataFrame:
-    """Parse per-host robots.txt content into the rule rows that apply
-    to ``agent`` — the crawl-politeness input the URL family's
-    blocklists come from in a real pipeline (RFC 9309). Pure
-    Column/window relational form, no UDF:
+# Directive keys that belong to a UA group (RFC 9309 rules plus the
+# de-facto Crawl-delay extension): any of these after a User-agent run
+# ENDS the run — the next User-agent line starts a new group. Sitemap
+# is host-global (§2.3 "other records") and never breaks a run.
+_ROBOTS_GROUP_KEYS = ("allow", "disallow", "crawl-delay")
 
-    lines → strip ``#`` comments → extract ``key: value`` directives →
-    GROUPS (one or more consecutive ``User-agent`` lines followed by
-    rules; a UA line after a rule line starts a new group — one lag +
-    one running sum per host) → group-to-agent resolution per RFC 9309
-    §2.2.1: groups naming the agent EXACTLY (case-insensitive product
-    token) are merged and win; only when no group names it do the
-    ``*`` groups apply; crawlers must merge same-UA groups — the
-    running-sum group ids keep every matching group's rules.
 
-    DECLARED BOUNDARIES: UA matching is exact-token-or-star (no
-    longest-prefix product-token matching — pass the product token you
-    crawl with); ``*``/``$`` wildcard PATHS (a Google extension RFC
-    9309 adopted as optional) are emitted with ``is_wildcard=true`` and
-    excluded by :func:`robots_check` — surfaced for audit, not
-    silently dropped; non-group directives (Sitemap, Crawl-delay) are
-    ignored here (they are metadata, not match rules).
-
-    Returns (host, rule_kind 'allow'|'disallow', path, is_wildcard),
-    one row per applicable rule; empty-path rules are kept (an empty
-    ``Disallow:`` matches nothing by RFC — :func:`robots_check`
-    implements that). Scale shape: one explode + two windows keyed on
-    (host, line), one tiny group join — robots files are KB-sized, so
-    everything is host-keyed and narrow."""
+def _robots_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """Per-host robots.txt bodies → one directive row per parseable
+    line: (host, _ln, _key lowercased, _val trimmed). ``#`` comments
+    stripped first; lines without a ``key: value`` shape drop."""
     h = F.col(host_col)
     lines = df.select(
         F.lower(h).alias("host"),
@@ -491,7 +473,7 @@ def parse_robots(
         "_ln",
         F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", "")).alias("_line"),
     )
-    d = lines.select(
+    return lines.select(
         "host",
         "_ln",
         F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1)).alias(
@@ -500,12 +482,30 @@ def parse_robots(
         F.trim(F.regexp_extract(F.col("_line"), r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
             "_val"
         ),
-    ).filter(F.col("_key").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("_key") != "")
+
+
+def _resolved_rules(
+    d: DataFrame, keys: "tuple[str, ...]", agent: str
+) -> DataFrame:
+    """Group-member rows of the UA groups that apply to ``agent``
+    under RFC 9309 §2.2.1 resolution, from a :func:`_robots_lines`
+    frame: GROUPS (one or more consecutive ``User-agent`` lines
+    followed by group-member directives; a UA line after a member
+    line starts a new group — one lag + one running sum per host) →
+    groups naming the agent EXACTLY (case-insensitive product token)
+    are merged and win; only when NO group names it do the ``*``
+    groups apply. The named-group test is at GROUP grain, not rule
+    grain: a named group with zero rules still claims the agent and
+    means "unrestricted" (r11 verdict bug — deriving named hosts from
+    rule rows let the ``*`` rules leak into empty named groups).
+    Returns (host, _key, _val) filtered to ``keys``."""
     from pyspark.sql import Window
 
+    member = d.filter(F.col("_key").isin("user-agent", *_ROBOTS_GROUP_KEYS))
     wl = Window.partitionBy("host").orderBy("_ln")
     ua = F.col("_key") == "user-agent"
-    grouped = d.withColumn(
+    grouped = member.withColumn(
         "_gid",
         F.sum(
             F.when(
@@ -519,23 +519,123 @@ def parse_robots(
         .groupBy("host", "_gid")
         .agg(F.collect_set(F.lower(F.col("_val"))).alias("_agents"))
     )
-    rules = grouped.filter(~ua).join(agents, ["host", "_gid"])
+    rules = grouped.filter(F.col("_key").isin(*keys)).join(
+        agents, ["host", "_gid"]
+    )
     target = agent.lower()
+    if target == "*":
+        return rules.filter(F.array_contains("_agents", "*")).select(
+            "host", "_key", "_val"
+        )
+    # hosts with at least one GROUP naming the agent: star groups lose
+    # there even when the named group carries no rules of `keys` kind
+    named_hosts = (
+        agents.filter(F.array_contains("_agents", target))
+        .select("host")
+        .distinct()
+    )
     named = rules.filter(F.array_contains("_agents", target))
-    # hosts with at least one group naming the agent: star groups lose there
-    named_hosts = named.select("host").distinct()
     star = rules.filter(F.array_contains("_agents", "*")).join(
         named_hosts, "host", "left_anti"
     )
-    applicable = named.unionByName(star) if target != "*" else rules.filter(
-        F.array_contains("_agents", "*")
-    )
+    return named.unionByName(star).select("host", "_key", "_val")
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt content into the rule rows that apply
+    to ``agent`` — the crawl-politeness input the URL family's
+    blocklists come from in a real pipeline (RFC 9309). Pure
+    Column/window relational form, no UDF: lines → strip ``#``
+    comments → ``key: value`` directives → UA-group formation and
+    §2.2.1 agent resolution (:func:`_resolved_rules`; exact-agent
+    groups merged and beating ``*``, a named group with ZERO rules
+    still claiming the agent).
+
+    DECLARED BOUNDARIES: UA matching is exact-token-or-star (no
+    longest-prefix product-token matching — pass the product token you
+    crawl with); non-rule directives are not emitted here — Sitemap
+    and Crawl-delay surface through :func:`robots_directives`.
+
+    Returns (host, rule_kind 'allow'|'disallow', path, is_wildcard),
+    one row per applicable rule; empty-path rules are kept (an empty
+    ``Disallow:`` matches nothing by RFC — :func:`robots_check`
+    implements that); ``*``/``$`` wildcard paths (RFC 9309 §2.2.3)
+    are flagged ``is_wildcard=true`` and MATCHED by
+    :func:`robots_check` via anchored-regex translation (r12 — they
+    were verdict-excluded in r11). Scale shape: one explode + two
+    windows keyed on (host, line), one tiny group join — robots files
+    are KB-sized, so everything is host-keyed and narrow."""
+    d = _robots_lines(df, host_col, text_col)
+    applicable = _resolved_rules(d, ("allow", "disallow"), agent)
     return applicable.select(
         "host",
         F.col("_key").alias("rule_kind"),
         F.col("_val").alias("path"),
         F.col("_val").rlike(r"[*$]").alias("is_wildcard"),
     ).distinct()
+
+
+def robots_directives(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    *,
+    agent: str = "*",
+) -> DataFrame:
+    """Non-rule robots.txt metadata (host, directive, value): every
+    ``Sitemap:`` record (host-global per RFC 9309 §2.3 — they live
+    outside UA groups, so they surface for ANY agent) plus the
+    ``Crawl-delay:`` values of the UA groups that apply to ``agent``
+    (the de-facto extension most large crawlers honor; group-resolved
+    exactly like :func:`parse_robots` rules). parse_robots sees and
+    drops both — this is their surfacing point; consumers are the
+    politeness throttle (X131's per-host admission quota — see
+    qt1_crawl_delay_budget) and the sitemap fetch leg (X182).
+    Duplicate (host, directive, value) rows collapse."""
+    d = _robots_lines(df, host_col, text_col)
+    sitemaps = d.filter(F.col("_key") == "sitemap").select(
+        "host",
+        F.lit("sitemap").alias("directive"),
+        F.col("_val").alias("value"),
+    )
+    delays = _resolved_rules(d, ("crawl-delay",), agent).select(
+        "host",
+        F.lit("crawl-delay").alias("directive"),
+        F.col("_val").alias("value"),
+    )
+    return sitemaps.unionByName(delays).distinct()
+
+
+def _rule_regex(rpn: Column) -> Column:
+    """RE2- and Java-safe anchored regex of a percent-normalized
+    wildcard rule path (RFC 9309 §2.2.3): ``*`` → ``.*`` (any char
+    run, ``/`` included), a TRAILING ``$`` anchors at end-of-path
+    (elsewhere it is literal), every other char is literal via
+    ``\\Q…\\E`` quoting (an embedded literal ``\\E`` is re-quoted as
+    ``\\E\\\\E\\Q`` — the standard escape). The regex is ``^``-anchored
+    and right-open, so a non-anchored pattern prefix-matches exactly
+    like the plain-rule lane."""
+    anchor = rpn.endswith("$")
+    body = F.when(anchor, rpn.substr(F.lit(1), F.length(rpn) - 1)).otherwise(rpn)
+    quoted = F.transform(
+        F.split(body, r"\*"),
+        lambda p: F.concat(
+            F.lit("\\Q"),
+            F.replace(p, F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+            F.lit("\\E"),
+        ),
+    )
+    return F.concat(
+        F.lit("^"),
+        F.array_join(quoted, ".*"),
+        F.when(anchor, F.lit("$")).otherwise(F.lit("")),
+    )
 
 
 def robots_check(
@@ -545,20 +645,34 @@ def robots_check(
     rules: DataFrame,
 ) -> DataFrame:
     """Per-URL robots verdict against :func:`parse_robots` output —
-    RFC 9309 §2.2.2 precedence: the rule with the LONGEST matching
-    path prefix decides; ``allow`` wins exact ties; no matching rule
+    RFC 9309 §2.2.2 precedence: the rule with the MOST-OCTETS matching
+    path pattern decides; ``allow`` wins exact ties; no matching rule
     (or an empty-path rule, which matches nothing) means allowed.
-    Matching is plain string prefix on the canonical PATH (RFC
-    semantics — ``/p`` matches ``/page``; the /-boundary section rules
-    of X174 are the blocklist axis, not this one). Wildcard rules are
-    excluded (parse_robots' declared boundary) — audit them via
-    ``is_wildcard`` before trusting a verdict on hosts that use them.
+
+    Rule paths are normalized before matching the way the URL side
+    already is (RFC 9309 §2.2.2 requires comparing after consistent
+    percent-encoding normalization — r12, closing the r11 fail-open
+    where ``Disallow: /a%7Eb`` never matched the canonical ``/a~b``):
+    every rule is percent-normalized (:func:`_pct_normalize`), and
+    plain rules are additionally dot-segment/duplicate-slash folded
+    (:func:`_norm_path` — the same fold :func:`canonical_url` applies
+    to the URL path). Plain rules then match by string prefix (RFC
+    semantics — ``/p`` matches ``/page``); ``*``/``$`` wildcard rules
+    (§2.2.3) match via :func:`_rule_regex` anchored-regex translation
+    (r12 — verdict-excluded in r11). Precedence length is measured in
+    octets of the normalized pattern (wildcard chars count, per the
+    common Googlebot convention). DECLARED BOUNDARY: dot-segments
+    INSIDE a wildcard pattern are not folded (fold semantics across
+    ``*`` are undefined); rules not opening with ``/`` fold to a
+    ``/``-rooted form in the plain lane but match nothing in the
+    wildcard lane.
 
     URLs that fail to canonicalize route to the bad-row side (NULL
     verdict row is NOT emitted — they never reach a fetcher anyway).
     Plan: one host-keyed equi-join (per-host rule lists are KB-scale)
-    + a prefix filter, one max-struct aggregate per URL — no theta
-    join, no window. Returns (``id_col``, host, path, allowed)."""
+    + a prefix/regex filter, one max-struct aggregate per URL — no
+    theta join, no window. Returns (``id_col``, host, path,
+    allowed)."""
     base = (
         df.select(F.col(id_col).alias("_uid"), canonical_url(url_col).alias("_cu"))
         .filter(F.col("_cu").isNotNull())
@@ -570,17 +684,36 @@ def robots_check(
             F.regexp_extract(F.col("_cu"), _PATH_RE, 1).alias("path"),
         )
     )
-    r = rules.filter(~F.col("is_wildcard") & (F.col("path") != "")).select(
-        "host", F.col("rule_kind").alias("_rk"), F.col("path").alias("_rp")
+    r = (
+        rules.filter(F.col("path") != "")
+        .select(
+            "host",
+            F.col("rule_kind").alias("_rk"),
+            F.col("is_wildcard").alias("_w"),
+            _pct_normalize(F.col("path")).alias("_rpn"),
+        )
+        .select(
+            "host",
+            "_rk",
+            "_w",
+            F.when(F.col("_w"), F.col("_rpn"))
+            .otherwise(_norm_path(F.col("_rpn")))
+            .alias("_rp"),
+        )
+        .withColumn("_rx", F.when(F.col("_w"), _rule_regex(F.col("_rp"))))
+        .distinct()  # normalization can collapse spellings
     )
     m = (
         base.join(r, "host")
-        .filter(F.col("path").startswith(F.col("_rp")))
+        .filter(
+            F.when(F.col("_w"), F.regexp_like(F.col("path"), F.col("_rx")))
+            .otherwise(F.col("path").startswith(F.col("_rp")))
+        )
         .groupBy("_uid", "host", "path")
         .agg(
             F.max(
                 F.struct(
-                    F.length("_rp").alias("l"),
+                    F.octet_length("_rp").alias("l"),
                     (F.col("_rk") == "allow").alias("a"),
                 )
             ).alias("_best")
@@ -615,25 +748,50 @@ def sitemap_urls(
 
     Pure Column form: one ``regexp_extract_all`` over the body for
     ``<loc>`` values (the protocol requires entity-escaped URLs, so
-    ``[^<]*`` is exact), a second for the enclosing element kind by
-    document type, one explode. DECLARED BOUNDARY: per-URL metadata
-    (``<lastmod>``, ``<priority>``) and XML namespace validation are
-    not parsed — published crawl pipelines treat sitemaps as untrusted
-    URL hints, and the gate that matters (robots, blocklist, quota)
-    runs downstream on the canonical key anyway.
+    ``[^<]*`` is exact), the document kind from the ROOT element
+    (first real tag after comment stripping — ``contains`` anywhere
+    misclassified a urlset whose text mentions ``<sitemapindex`` in a
+    comment; r12), one explode. Extracted values are XML-entity
+    unescaped (the five predefined entities, ``&amp;`` LAST so
+    ``&amp;lt;`` round-trips to the literal ``&lt;`` — the protocol
+    REQUIRES ``&`` in URLs to arrive as ``&amp;``, so a multi-param
+    query would otherwise canonicalize with a bogus ``amp;b=…`` key;
+    r12). DECLARED BOUNDARY: per-URL metadata (``<lastmod>``,
+    ``<priority>``) and XML namespace validation are not parsed —
+    published crawl pipelines treat sitemaps as untrusted URL hints,
+    and the gate that matters (robots, blocklist, quota) runs
+    downstream on the canonical key anyway.
 
     Returns (host, kind, loc, canonical_url) ordered by (host, loc)."""
     h = F.lower(_c(host_col))
     body = F.coalesce(_c(text_col), F.lit(""))
-    kind = F.when(
-        F.lower(body).contains("<sitemapindex"), F.lit("sitemap")
-    ).otherwise(F.lit("url"))
-    locs = F.expr(
-        f"regexp_extract_all({text_col}, '<loc>([^<]*)</loc>', 1)"
+    # root element: strip <!-- … --> comments ((?s): dot spans lines),
+    # then the first <tag whose name starts alphabetic — <?xml and
+    # <!DOCTYPE don't match, stripped comments can't fool it
+    root = F.lower(
+        F.regexp_extract(
+            F.regexp_replace(body, r"(?s)<!--.*?-->", ""),
+            r"<\s*([A-Za-z][A-Za-z0-9]*)",
+            1,
+        )
     )
+    kind = F.when(root == "sitemapindex", F.lit("sitemap")).otherwise(F.lit("url"))
+    locs = F.regexp_extract_all(body, F.lit("<loc>([^<]*)</loc>"), 1)
+
+    def _unescape(s: Column) -> Column:
+        for ent, ch in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            s = F.replace(s, F.lit(ent), F.lit(ch))
+        return s
+
     out = (
         df.select(h.alias("host"), kind.alias("kind"), F.explode(locs).alias("_l"))
-        .select("host", "kind", F.trim(F.col("_l")).alias("loc"))
+        .select("host", "kind", _unescape(F.trim(F.col("_l"))).alias("loc"))
         .select("host", "kind", "loc", canonical_url("loc").alias("canonical_url"))
     )
     return out.orderBy("host", "loc")

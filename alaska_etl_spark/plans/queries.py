@@ -10747,15 +10747,19 @@ def _pct_sql(parts: str) -> str:
     )
 
 
-# DuckDB twin of operators.urls._norm_path's string fold (list_reduce
-# seeds from the prepended '' element; '' and '.' segments vanish,
-# '..' pops, else append).
-_FOLD_SQL = (
-    "list_reduce(list_prepend('', string_split(npath, '/')), (a, x) -> "
-    "CASE WHEN x = '' OR x = '.' THEN a "
-    "WHEN x = '..' THEN regexp_replace(a, '/[^/]*$', '') "
-    "ELSE a || '/' || x END)"
-)
+def _fold_sql(col: str) -> str:
+    """DuckDB twin of operators.urls._norm_path's string fold over a
+    named column (list_reduce seeds from the prepended '' element; ''
+    and '.' segments vanish, '..' pops, else append)."""
+    return (
+        f"list_reduce(list_prepend('', string_split({col}, '/')), (a, x) -> "
+        "CASE WHEN x = '' OR x = '.' THEN a "
+        "WHEN x = '..' THEN regexp_replace(a, '/[^/]*$', '') "
+        "ELSE a || '/' || x END)"
+    )
+
+
+_FOLD_SQL = _fold_sql("npath")
 
 
 # Shared oracle CTE: the identical messy-URL corpus plus the SQL twin
@@ -11547,20 +11551,35 @@ QS8_SQL = _qs8_sql()
 
 # Shared robots.txt fixture (fixture-less stance: both engines build
 # the identical per-host bodies). Site 1: an exact-agent group that
-# must beat the star group, with allow-overrides-shorter-disallow;
-# site 2: star-only with an empty Disallow (matches nothing by RFC);
-# site 3: a wildcard path — parse_robots flags it, robots_check
-# ignores it (the declared boundary).
+# must beat the star group, with allow-overrides-shorter-disallow,
+# plus Crawl-delay/Sitemap metadata (consumed by robots_directives —
+# qt1); site 2: star-only with an empty Disallow (matches nothing by
+# RFC) and a star crawl-delay; site 3: wildcard paths — a `*` disallow
+# with an anchored longer `$` allow winning back exactly one URL
+# (RFC 9309 §2.2.3, matched since r12); site 4: the r11 verdict bug
+# pinned in the oracle — a named group with ZERO rules claims
+# trainbot, so the star Disallow must NOT leak in; site 5: rule-path
+# normalization (percent-encoded and dot-segment rule spellings must
+# match canonical URL paths — r12).
 _ROBOTS_BODIES = {
     1: [
         "User-agent: trainbot",
         "Disallow: /p/1",
         "Allow: /p/15",
+        "Crawl-delay: 2",
         "User-agent: *",
         "Disallow: /p",
+        "Sitemap: https://site1.com/sm.xml",
     ],
-    2: ["User-agent: *", "Disallow: /p/16", "Disallow:"],
-    3: ["# wildcards only", "User-agent: *", "Disallow: /p/*3"],
+    2: ["User-agent: *", "Disallow: /p/16", "Disallow:", "Crawl-delay: 10"],
+    3: [
+        "# wildcards",
+        "User-agent: *",
+        "Disallow: /p/*3",
+        "Allow: /p/31$",
+    ],
+    4: ["User-agent: *", "Disallow: /p", "User-agent: trainbot"],
+    5: ["User-agent: *", "Disallow: /%70/5", "Disallow: /x/../p/33"],
 }
 
 
@@ -11576,13 +11595,16 @@ def qs9_robots_gate(spark, sf_dir):
     """robots.txt politeness gate (operators/urls.py parse_robots +
     robots_check, X181; RFC 9309): parse per-host robots.txt bodies
     into the rule rows that apply to the crawler's product token
-    (group windows, exact-agent-beats-star, same-UA groups merged),
-    then give every corpus URL its verdict — longest matching path
-    prefix decides, allow wins exact ties, plain RFC prefix matching
-    (``/p`` matches ``/page``), no rule or an unparseable URL never
-    reaches the fetcher. Wildcard paths are parse-flagged and excluded
-    from verdicts (declared boundary). One host-keyed equi-join + one
-    max-struct aggregate — no theta join, no window in the check."""
+    (group windows, exact-agent-beats-star at GROUP grain — fixture
+    site 4 pins the empty-named-group case, same-UA groups merged),
+    then give every corpus URL its verdict — the most-octets matching
+    pattern decides, allow wins exact ties, plain RFC prefix matching
+    (``/p`` matches ``/page``), rule paths percent-normalized and
+    dot-segment folded before matching (site 5), ``*``/``$`` wildcard
+    rules matched via anchored-regex translation (site 3; r12 — they
+    were verdict-excluded in r11), no rule or an unparseable URL never
+    reaches the fetcher. One host-keyed equi-join + one max-struct
+    aggregate — no theta join, no window in the check."""
     from alaska_etl_spark.operators.urls import parse_robots, robots_check
 
     robots = spark.createDataFrame(_robots_rows(), "host string, body string")
@@ -11594,9 +11616,17 @@ def qs9_robots_gate(spark, sf_dir):
 
 
 def _robots_rules_sql() -> str:
-    """DuckDB twin of parse_robots(agent='trainbot') over the shared
-    fixture: emits the CTE chain ending in rules(rhost, rule_kind,
-    rpath) — appended after a WITH chain (leading comma included)."""
+    """DuckDB twin of parse_robots(agent='trainbot') + robots_check's
+    rule normalization over the shared fixture: emits the CTE chain
+    ending in rr(rhost, rule_kind, w, rp, rx) — appended after a WITH
+    chain (leading comma included). Mirrors the r12 semantics exactly:
+    crawl-delay rows participate in group-run detection (group-member
+    key), the named-group test is at GROUP grain (an empty named group
+    still claims the agent — the r11 verdict bug, pinned by fixture
+    site 4), rule paths percent-normalize (+ dot-segment fold in the
+    plain lane), and ``*``/``$`` wildcard rules translate to anchored
+    RE2 regexes (``\\Q…\\E``-quoted literals, ``*`` → ``.*``, trailing
+    ``$`` → end anchor)."""
     vals = ",\n                        ".join(
         "('{h}', concat_ws(chr(10), {body}))".format(
             h=h, body=", ".join("'" + ln + "'" for ln in _ROBOTS_BODIES[site])
@@ -11619,7 +11649,7 @@ def _robots_rules_sql() -> str:
            lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
            trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS val
     FROM rl
-  ) WHERE key IN ('user-agent', 'allow', 'disallow')
+  ) WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ), marks AS (
   SELECT rhost, i, key, val,
          CASE WHEN key = 'user-agent'
@@ -11636,16 +11666,39 @@ def _robots_rules_sql() -> str:
   FROM grp WHERE key = 'user-agent' GROUP BY 1, 2
 ), rules0 AS (
   SELECT g.rhost, g.key AS rule_kind, g.val AS rpath, a.ags
-  FROM grp g JOIN agents a USING (rhost, gid) WHERE g.key <> 'user-agent'
-), named AS (
+  FROM grp g JOIN agents a USING (rhost, gid)
+  WHERE g.key IN ('allow', 'disallow')
+), nhost AS (
+  -- GROUP grain: a named group with zero rules still claims the agent
+  SELECT DISTINCT rhost FROM agents WHERE list_contains(ags, 'trainbot')
+), rules AS (
   SELECT DISTINCT rhost, rule_kind, rpath FROM rules0
   WHERE list_contains(ags, 'trainbot')
-), rules AS (
-  SELECT rhost, rule_kind, rpath FROM named
   UNION
   SELECT DISTINCT rhost, rule_kind, rpath FROM rules0
   WHERE list_contains(ags, '*')
-    AND rhost NOT IN (SELECT rhost FROM named)
+    AND rhost NOT IN (SELECT rhost FROM nhost)
+), rpct AS (
+  SELECT rhost, rule_kind, w, {_pct_sql("rpp")} AS rpn
+  FROM (SELECT rhost, rule_kind,
+               regexp_matches(rpath, '[*$]') AS w,
+               string_split(rpath, '%') AS rpp
+        FROM rules WHERE rpath <> '')
+), rr AS (
+  SELECT rhost, rule_kind, w,
+         CASE WHEN w THEN rpn
+              WHEN f = '' THEN '/'
+              ELSE f || (CASE WHEN regexp_matches(rpn, '/(\.\.?)?$')
+                              THEN '/' ELSE '' END) END AS rp,
+         CASE WHEN w THEN
+           '^' || array_to_string(list_transform(
+                    string_split(CASE WHEN ends_with(rpn, '$')
+                                      THEN substring(rpn, 1, length(rpn) - 1)
+                                      ELSE rpn END, '*'),
+                    p -> '\Q' || replace(p, '\E', '\E\\E\Q') || '\E'), '.*')
+               || (CASE WHEN ends_with(rpn, '$') THEN '$' ELSE '' END)
+         END AS rx
+  FROM (SELECT rhost, rule_kind, w, rpn, {_fold_sql("rpn")} AS f FROM rpct)
 )"""
 
 
@@ -11658,15 +11711,15 @@ def _qs9_sql() -> str:
   FROM canon WHERE canonical IS NOT NULL
 ), m AS (
   SELECT doc_id,
-         -- composite precedence key 2·len + allow: longest match wins,
-         -- allow wins exact ties (allow adds 1)
+         -- composite precedence key 2·octets + allow: most-octets
+         -- pattern wins, allow wins exact ties (allow adds 1)
          arg_max(CAST(rule_kind = 'allow' AS INTEGER),
-                 2 * CAST(length(rpath) AS BIGINT)
+                 2 * CAST(strlen(rp) AS BIGINT)
                  + CASE WHEN rule_kind = 'allow' THEN 1 ELSE 0 END) = 1
            AS verdict
-  FROM base b JOIN rules r ON r.rhost = b.host
-  WHERE NOT regexp_matches(rpath, '[*$]') AND rpath <> ''
-    AND starts_with(b.path, r.rpath)
+  FROM base b JOIN rr r ON r.rhost = b.host
+  WHERE CASE WHEN r.w THEN regexp_matches(b.path, r.rx)
+             ELSE starts_with(b.path, r.rp) END
   GROUP BY 1
 )
 SELECT b.doc_id, b.host, b.path, coalesce(m.verdict, true) AS allowed
@@ -11707,7 +11760,13 @@ def qt0_sitemap_frontier(spark, sf_dir):
                 F.array_join(
                     F.transform(
                         F.array_sort(F.array_distinct(F.collect_list("url"))),
-                        lambda u: F.concat(F.lit("<loc>"), u, F.lit("</loc>")),
+                        # protocol-required entity escaping (r12):
+                        # sitemap_urls unescapes — an exact round-trip
+                        lambda u: F.concat(
+                            F.lit("<loc>"),
+                            F.replace(u, F.lit("&"), F.lit("&amp;")),
+                            F.lit("</loc>"),
+                        ),
                     ),
                     "",
                 ),
@@ -11750,13 +11809,13 @@ def _qt0_sql() -> str:
 ), mv AS (
   SELECT h.url,
          arg_max(CAST(rule_kind = 'allow' AS INTEGER),
-                 2 * CAST(length(rpath) AS BIGINT)
+                 2 * CAST(strlen(rp) AS BIGINT)
                  + CASE WHEN rule_kind = 'allow' THEN 1 ELSE 0 END) = 1
            AS verdict
-  FROM hb h JOIN rules r ON r.rhost = h.host
+  FROM hb h JOIN rr r ON r.rhost = h.host
   WHERE h.canonical IS NOT NULL
-    AND NOT regexp_matches(rpath, '[*$]') AND rpath <> ''
-    AND starts_with(h.path, r.rpath)
+    AND CASE WHEN r.w THEN regexp_matches(h.path, r.rx)
+             ELSE starts_with(h.path, r.rp) END
   GROUP BY 1
 )
 SELECT host,
@@ -11775,6 +11834,204 @@ GROUP BY 1 ORDER BY 1
 
 
 QT0_SQL = _qt0_sql()
+
+
+def qt1_crawl_delay_budget(spark, sf_dir):
+    """Crawl-delay politeness budget (operators/urls.py
+    robots_directives, r12 — VERDICT r11 next #7): surface the
+    Sitemap/Crawl-delay metadata parse_robots sees and drops, then
+    compose it into the per-host admission budget the X131
+    token-window throttle consumes — for each corpus host, the
+    trainbot-resolved crawl delay (max when a host states several;
+    1 s default when it states none — fixture site 4's named-but-empty
+    trainbot group resolves to NO delay directive, pinning group-grain
+    resolution on the metadata axis too), the distinct canonical URLs
+    waiting, the 60-second-window fetch budget ⌊60/delay⌋, the
+    admitted count min(waiting, budget), and the host's sitemap-record
+    count. One tiny directives frame joined to a host-grain aggregate
+    — the metadata side is KB-scale, the corpus side is one hash
+    aggregate on host."""
+    from alaska_etl_spark.operators.urls import canonical_url, robots_directives, url_host
+
+    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    d = robots_directives(robots, "host", "body", agent="trainbot")
+    delays = (
+        d.filter(F.col("directive") == "crawl-delay")
+        .groupBy("host")
+        .agg(F.max(F.col("value").cast("int")).alias("_delay"))
+    )
+    sitemaps = (
+        d.filter(F.col("directive") == "sitemap")
+        .groupBy("host")
+        .agg(F.count_distinct("value").cast("bigint").alias("_sm"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(_messy_url().alias("url"))
+    hosts = (
+        docs.select(
+            url_host("url").alias("host"), canonical_url("url").alias("cu")
+        )
+        .filter(F.col("cu").isNotNull())
+        .groupBy("host")
+        .agg(F.count_distinct("cu").cast("bigint").alias("n_waiting"))
+    )
+    return (
+        hosts.join(delays, "host", "left")
+        .join(sitemaps, "host", "left")
+        .select(
+            "host",
+            F.coalesce("_delay", F.lit(1)).cast("int").alias("crawl_delay"),
+            "n_waiting",
+            F.floor(F.lit(60) / F.coalesce("_delay", F.lit(1)))
+            .cast("bigint")
+            .alias("budget"),
+            F.least(
+                F.col("n_waiting"),
+                F.floor(F.lit(60) / F.coalesce("_delay", F.lit(1))).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.coalesce("_sm", F.lit(0)).cast("bigint").alias("n_sitemaps"),
+        )
+        .orderBy("host")
+    )
+
+
+def _qt1_sql() -> str:
+    """DuckDB twin: the directives side re-parses the fixture bodies
+    with sitemap records host-global and crawl-delay group-resolved
+    (same group machinery as _robots_rules_sql, with sitemap rows kept
+    OUT of group-run detection, mirroring the operator)."""
+    vals = ",\n                        ".join(
+        "('{h}', concat_ws(chr(10), {body}))".format(
+            h=h, body=", ".join("'" + ln + "'" for ln in _ROBOTS_BODIES[site])
+        )
+        for site, _lines in _ROBOTS_BODIES.items()
+        for pre in ("", "www.", "cdn.")
+        for h in [f"{pre}site{site}.com"]
+    )
+    return _URLS_SQL_CTE + rf"""
+, rb AS (
+  SELECT * FROM (VALUES {vals}) AS t(rhost, body)
+), rl AS (
+  SELECT rhost, i,
+         trim(regexp_replace(list_extract(ls, i), '#.*$', '')) AS line
+  FROM (SELECT rhost, string_split(body, chr(10)) AS ls FROM rb),
+       unnest(generate_series(1, len(ls))) AS u(i)
+), dirs0 AS (
+  SELECT rhost, i, key, val FROM (
+    SELECT rhost, i,
+           lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
+           trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS val
+    FROM rl
+  ) WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay',
+                  'sitemap')
+), marks AS (
+  SELECT rhost, i, key, val,
+         CASE WHEN key = 'user-agent'
+                   AND NOT coalesce(lag(key = 'user-agent')
+                       OVER (PARTITION BY rhost ORDER BY i), false)
+              THEN 1 ELSE 0 END AS newg
+  FROM dirs0 WHERE key <> 'sitemap'
+), grp AS (
+  SELECT rhost, i, key, val,
+         sum(newg) OVER (PARTITION BY rhost ORDER BY i) AS gid
+  FROM marks
+), agents AS (
+  SELECT rhost, gid, list(DISTINCT lower(val)) AS ags
+  FROM grp WHERE key = 'user-agent' GROUP BY 1, 2
+), cd0 AS (
+  SELECT g.rhost, g.val, a.ags
+  FROM grp g JOIN agents a USING (rhost, gid)
+  WHERE g.key = 'crawl-delay'
+), nhost AS (
+  SELECT DISTINCT rhost FROM agents WHERE list_contains(ags, 'trainbot')
+), delays AS (
+  SELECT rhost, max(CAST(val AS INTEGER)) AS delay FROM (
+    SELECT DISTINCT rhost, val FROM cd0 WHERE list_contains(ags, 'trainbot')
+    UNION
+    SELECT DISTINCT rhost, val FROM cd0
+    WHERE list_contains(ags, '*') AND rhost NOT IN (SELECT rhost FROM nhost)
+  ) GROUP BY 1
+), sm AS (
+  SELECT rhost, CAST(count(DISTINCT val) AS BIGINT) AS n_sm
+  FROM dirs0 WHERE key = 'sitemap' GROUP BY 1
+), hosts AS (
+  SELECT host, CAST(count(DISTINCT canonical) AS BIGINT) AS n_waiting
+  FROM canon WHERE canonical IS NOT NULL GROUP BY 1
+)
+SELECT h.host,
+       CAST(coalesce(d.delay, 1) AS INTEGER) AS crawl_delay,
+       h.n_waiting,
+       CAST(floor(60 / coalesce(d.delay, 1)) AS BIGINT) AS budget,
+       CAST(least(h.n_waiting, CAST(floor(60 / coalesce(d.delay, 1)) AS BIGINT))
+            AS BIGINT) AS n_admitted,
+       coalesce(s.n_sm, CAST(0 AS BIGINT)) AS n_sitemaps
+FROM hosts h
+LEFT JOIN delays d ON d.rhost = h.host
+LEFT JOIN sm s ON s.rhost = h.host
+ORDER BY 1
+"""
+
+
+QT1_SQL = _qt1_sql()
+
+
+def qt2_line_savings(spark, sf_dir):
+    """Per-source line-dedup savings card (operators/dedup.py
+    line_savings, r12 — VERDICT r11 next #8): the X62 dataset-card
+    stance at LINE grain — for each source, the line and character
+    mass qs1's CCNet-style cut would reclaim (corpus-wide ≥2
+    distinct-doc trimmed-line key, blank lines never removable, raw
+    char mass), WITHOUT building any cleaned text. Same deterministic
+    5-token re-lining as qs1 (the corpus has no newlines — the
+    fixture-less construction stance)."""
+    from alaska_etl_spark.operators.dedup import line_savings
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    stop = F.floor((F.size(tk) - F.lit(1)) / F.lit(5)).cast("int")
+    lined = d.select(
+        "source",
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), stop),
+                lambda i: F.array_join(F.slice(tk, i * 5 + 1, 5), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_savings(lined, "source", "doc_id", "text", min_docs=2)
+
+
+QT2_SQL = r"""
+WITH tk AS (
+  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+), lines AS (
+  SELECT source, doc_id,
+         array_to_string(list_slice(t, i*5+1, i*5+5), ' ') AS line
+  FROM tk, unnest(generate_series(0, CAST(floor((len(t)-1)/5) AS INT))) AS u(i)
+), hot AS (
+  SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT l.source, l.doc_id, length(l.line) AS chars,
+         CASE WHEN h.key IS NOT NULL THEN 1 END AS hot
+  FROM lines l LEFT JOIN hot h ON trim(l.line) = h.key AND trim(l.line) <> ''
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(hot), 0) AS BIGINT) AS n_removed,
+       CAST((2 * 10000 * coalesce(sum(hot), 0) + count(*))
+            // (2 * count(*)) AS BIGINT) AS removed_line_bp,
+       CAST(sum(chars) AS BIGINT) AS chars_total,
+       CAST(coalesce(sum(CASE WHEN hot = 1 THEN chars END), 0) AS BIGINT)
+         AS chars_removed,
+       CAST((2 * 10000 * coalesce(sum(CASE WHEN hot = 1 THEN chars END), 0)
+             + sum(chars)) // (2 * sum(chars)) AS BIGINT) AS removed_char_bp
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
 
 
 QUERIES = {
@@ -11954,6 +12211,8 @@ QUERIES = {
     "qs8_dsir_selection": qs8_dsir_selection,
     "qs9_robots_gate": qs9_robots_gate,
     "qt0_sitemap_frontier": qt0_sitemap_frontier,
+    "qt1_crawl_delay_budget": qt1_crawl_delay_budget,
+    "qt2_line_savings": qt2_line_savings,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "q14_range_join": q14_range_join,
@@ -12285,6 +12544,8 @@ ORACLES = {
     "qs8_dsir_selection": QS8_SQL,
     "qs9_robots_gate": QS9_SQL,
     "qt0_sitemap_frontier": QT0_SQL,
+    "qt1_crawl_delay_budget": QT1_SQL,
+    "qt2_line_savings": QT2_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -1068,12 +1068,34 @@ def test_line_dedup_matches_brute_force(spark, docs, min_docs):
 
 
 def _py_robots_verdict(path, rules):
-    """RFC 9309 §2.2.2 reference: rules = [(kind, rpath)] non-wildcard,
-    non-empty; longest prefix wins, allow wins ties, no match = allow."""
-    best = None  # (len, allow)
+    """RFC 9309 §2.2.2/§2.2.3 reference: rules = [(kind, rpath)];
+    empty paths match nothing; rule paths percent-normalize (and
+    dot-segment fold in the plain lane) before matching; wildcard
+    rules (* / trailing $) match via anchored-regex translation;
+    most-octets pattern wins, allow wins ties, no match = allow."""
+    import re
+
+    best = None  # (octets, allow)
     for kind, rp in rules:
-        if rp and "*" not in rp and "$" not in rp and path.startswith(rp):
-            cand = (len(rp), kind == "allow")
+        if rp == "":
+            continue
+        rpn = _py_pct(rp)
+        if "*" in rp or "$" in rp:
+            anchor = rpn.endswith("$")
+            body = rpn[:-1] if anchor else rpn
+            rx = (
+                "^"
+                + ".*".join(re.escape(p) for p in body.split("*"))
+                + ("$" if anchor else "")
+            )
+            ok = re.search(rx, path) is not None
+            plen = len(rpn.encode())
+        else:
+            rpn = _py_norm_path(rpn)
+            ok = path.startswith(rpn)
+            plen = len(rpn.encode())
+        if ok:
+            cand = (plen, kind == "allow")
             if best is None or cand > best:
                 best = cand
     return best[1] if best is not None else True
@@ -1083,19 +1105,39 @@ def _py_robots_verdict(path, rules):
     rules=st.lists(
         st.tuples(
             st.sampled_from(["allow", "disallow"]),
-            st.sampled_from(["/a", "/a/", "/a/b", "/ab", "/b", "", "/a*", "/a$"]),
+            st.sampled_from(
+                [
+                    "/a",
+                    "/a/",
+                    "/a/b",
+                    "/ab",
+                    "/b",
+                    "",
+                    "/a*",
+                    "/a$",
+                    "/a/b$",
+                    "/*c",
+                    "/a*b*c",
+                    "/a%7Eb",
+                    "/a/./b",
+                    "//a//b",
+                    "/x/../a",
+                ]
+            ),
         ),
         min_size=0,
         max_size=6,
     ),
     paths=st.lists(
-        st.sampled_from(["/a", "/a/b", "/a/bc", "/ab", "/abc", "/b/x", "/c"]),
+        st.sampled_from(
+            ["/a", "/a/b", "/a/bc", "/ab", "/abc", "/b/x", "/c", "/a~b", "/a/xc"]
+        ),
         min_size=1,
         max_size=5,
         unique=True,
     ),
 )
-@settings(**_SETTINGS)
+@settings(**dict(_SETTINGS, max_examples=25))
 def test_robots_check_matches_reference(spark, rules, paths):
     from alaska_etl_spark.operators.urls import robots_check
 
@@ -1137,8 +1179,10 @@ def _py_parse_robots(body, agent):
                 groups.append((cur_agents, cur_rules))
             cur_agents.add(val.lower())
             in_ua_run = True
-        elif key in ("allow", "disallow"):
-            if cur_rules is not None:
+        elif key in ("allow", "disallow", "crawl-delay"):
+            # any group-member directive (crawl-delay included — the
+            # de-facto group extension) ends a User-agent run
+            if key != "crawl-delay" and cur_rules is not None:
                 cur_rules.append((key, val))
             in_ua_run = False
     target = agent.lower()
@@ -1168,6 +1212,7 @@ def _py_parse_robots(body, agent):
                 "# comment",
                 "",
                 "Sitemap: https://a.com/s.xml",
+                "Crawl-delay: 2",
                 "Disallow: /z   # tail",
             ]
         ),
@@ -1176,7 +1221,7 @@ def _py_parse_robots(body, agent):
     ),
     agent=st.sampled_from(["botA", "botB", "nobody", "*"]),
 )
-@settings(**_SETTINGS)
+@settings(**dict(_SETTINGS, max_examples=30))
 def test_parse_robots_matches_reference(spark, lines, agent):
     """Arbitrary interleavings of UA runs, rules, comments and noise:
     group formation, same-UA merging and exact-beats-star resolution
@@ -1190,3 +1235,93 @@ def test_parse_robots_matches_reference(spark, lines, agent):
         for r in parse_robots(df, "host", "body", agent=agent).collect()
     }
     assert got == _py_parse_robots(body, agent)
+
+
+def test_parse_robots_empty_named_group_is_unrestricted(spark):
+    """r11 verdict falsifying example, pinned explicitly: a named UA
+    group with ZERO rules still claims the agent (RFC 9309 §2.2.1) —
+    the * group's rules must NOT leak in. The r11 operator derived
+    named-hosts from rule rows, so the empty group fell through to *."""
+    from alaska_etl_spark.operators.urls import parse_robots
+
+    body = "User-agent: *\nDisallow: /x\nUser-agent: botA"
+    df = spark.createDataFrame([("a.com", body)], "host string, body string")
+    assert parse_robots(df, "host", "body", agent="botA").collect() == []
+    # the * agent (and an unnamed one) still sees the star rules
+    got = {
+        (r["rule_kind"], r["path"])
+        for r in parse_robots(df, "host", "body", agent="nobody").collect()
+    }
+    assert got == {("disallow", "/x")}
+
+
+def _py_robots_directives(body, agent):
+    """Reference for robots_directives: Sitemap records are
+    host-global; Crawl-delay values resolve through the same §2.2.1
+    group resolution as rules (exact-agent groups beat *, group
+    grain)."""
+    import re
+
+    groups = []  # (set_of_agents, [delay_values])
+    sitemaps = set()
+    cur_agents, cur_delays, in_ua_run = None, None, False
+    for raw in body.split("\n"):
+        line = re.sub(r"#.*$", "", raw).strip()
+        m = re.match(r"^([A-Za-z-]+)\s*:(.*)$", line)
+        if not m:
+            continue
+        key, val = m.group(1).lower(), m.group(2).strip()
+        if key == "sitemap":
+            sitemaps.add(val)
+        elif key == "user-agent":
+            if not in_ua_run:
+                cur_agents, cur_delays = set(), []
+                groups.append((cur_agents, cur_delays))
+            cur_agents.add(val.lower())
+            in_ua_run = True
+        elif key in ("allow", "disallow", "crawl-delay"):
+            if key == "crawl-delay" and cur_delays is not None:
+                cur_delays.append(val)
+            in_ua_run = False
+    target = agent.lower()
+    named = [g for g in groups if target in g[0]]
+    use = named if (target != "*" and named) else [
+        g for g in groups if "*" in g[0]
+    ]
+    out = {("sitemap", s) for s in sitemaps}
+    for _, delays in use:
+        out |= {("crawl-delay", v) for v in delays}
+    return out
+
+
+@given(
+    lines=st.lists(
+        st.sampled_from(
+            [
+                "User-agent: *",
+                "User-agent: botA",
+                "Crawl-delay: 2",
+                "Crawl-delay: 10",
+                "Disallow: /x",
+                "Sitemap: https://a.com/s.xml",
+                "Sitemap: https://a.com/t.xml",
+                "# comment",
+                "",
+            ]
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    agent=st.sampled_from(["botA", "nobody", "*"]),
+)
+@settings(**dict(_SETTINGS, max_examples=20))
+def test_robots_directives_matches_reference(spark, lines, agent):
+    from alaska_etl_spark.operators.urls import robots_directives
+
+    body = "\n".join(lines)
+    df = spark.createDataFrame([("a.com", body)], "host string, body string")
+    got = {
+        (r["directive"], r["value"])
+        for r in robots_directives(df, "host", "body", agent=agent).collect()
+    }
+    assert got == _py_robots_directives(body, agent)

@@ -419,9 +419,11 @@ def test_parse_robots_groups_and_agent_resolution(spark):
 
 
 def test_robots_check_precedence_and_defaults(spark):
-    # RFC 9309 §2.2.2: longest match decides, allow wins ties, plain
-    # string prefix (no /-boundary), no match => allowed, empty
-    # Disallow matches nothing, wildcard rules excluded from verdicts.
+    # RFC 9309 §2.2.2/§2.2.3: most-octets pattern decides, allow wins
+    # ties, plain string prefix (no /-boundary), no match => allowed,
+    # empty Disallow matches nothing, wildcard rules MATCH via
+    # anchored-regex translation (r12), rule paths percent-normalize
+    # and dot-fold before matching (r12).
     from alaska_etl_spark.operators.urls import parse_robots, robots_check
 
     txt = "\n".join(
@@ -433,7 +435,10 @@ def test_robots_check_precedence_and_defaults(spark):
             "Allow: /q",
             "Disallow: /q",       # exact tie: allow wins
             "Disallow:",          # empty: matches nothing
-            "Disallow: /w*z",     # wildcard: flagged, not matched
+            "Disallow: /w*z",     # wildcard: matches /w…z…
+            "Allow: /wyz$",       # anchored + longer: exactly /wyz wins back
+            "Disallow: /%74ok",   # percent-normalized: /tok
+            "Disallow: /u/../v",  # dot-segment folded: /v
         ]
     )
     robots = spark.createDataFrame([("a.com", txt)], "host string, body string")
@@ -445,13 +450,26 @@ def test_robots_check_precedence_and_defaults(spark):
             (3, "https://a.com/p/okxfile"),
             (4, "https://a.com/q/x"),
             (5, "https://a.com/other"),
-            (6, "https://a.com/wyz"),        # only the wildcard would hit
+            (6, "https://a.com/wyz"),        # wildcard hits; anchored allow wins
             (7, "junk"),                      # bad row: no verdict emitted
+            (8, "https://a.com/wyzx"),       # anchor fails: wildcard disallow
+            (9, "https://a.com/tokens"),     # percent-normalized rule hits
+            (10, "https://a.com/v/w"),       # dot-folded rule hits
         ],
         "id bigint, url string",
     )
     got = {r["id"]: r["allowed"] for r in robots_check(urls, "id", "url", rules).collect()}
-    assert got == {1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+    assert got == {
+        1: False,
+        2: True,
+        3: False,
+        4: True,
+        5: True,
+        6: True,
+        8: False,
+        9: False,
+        10: False,
+    }
 
 
 def test_sitemap_urls_extraction(spark):
@@ -468,8 +486,16 @@ def test_sitemap_urls_extraction(spark):
         "<sitemapindex><sitemap><loc>https://b.org/maps/2.xml</loc>"
         "</sitemap></sitemapindex>"
     )
+    # r12: kind comes from the ROOT element — a urlset whose comment
+    # mentions <sitemapindex stays a urlset; &amp; in loc values (the
+    # protocol-required escaping) unescapes before canonicalization
+    tricky = (
+        "<!-- not a <sitemapindex> --><urlset><url>"
+        "<loc>https://c.net/p?a=1&amp;b=2</loc></url></urlset>"
+    )
     df = spark.createDataFrame(
-        [("a.com", urlset), ("b.org", index)], "host string, body string"
+        [("a.com", urlset), ("b.org", index), ("c.net", tricky)],
+        "host string, body string",
     )
     got = [
         (r["host"], r["kind"], r["loc"], r["canonical_url"])
@@ -480,7 +506,41 @@ def test_sitemap_urls_extraction(spark):
         ("a.com", "url", "https://a.com/p/2", "https://a.com/p/2"),
         ("a.com", "url", "junk", None),
         ("b.org", "sitemap", "https://b.org/maps/2.xml", "https://b.org/maps/2.xml"),
+        ("c.net", "url", "https://c.net/p?a=1&b=2", "https://c.net/p?a=1&b=2"),
     ]
+
+
+def test_robots_directives_sitemap_and_crawl_delay(spark):
+    # r12: Sitemap records are host-global (they surface for ANY
+    # agent); Crawl-delay resolves through the same exact-beats-star
+    # group resolution as rules; duplicates collapse.
+    from alaska_etl_spark.operators.urls import robots_directives
+
+    txt = "\n".join(
+        [
+            "Sitemap: https://a.com/sm1.xml",
+            "User-agent: trainbot",
+            "Crawl-delay: 2",
+            "User-agent: *",
+            "Crawl-delay: 10",
+            "Sitemap: https://a.com/sm2.xml",
+        ]
+    )
+    df = spark.createDataFrame([("A.com", txt)], "host string, body string")
+
+    def run(agent):
+        return {
+            (r["host"], r["directive"], r["value"])
+            for r in robots_directives(df, "host", "body", agent=agent).collect()
+        }
+
+    sitemaps = {
+        ("a.com", "sitemap", "https://a.com/sm1.xml"),
+        ("a.com", "sitemap", "https://a.com/sm2.xml"),
+    }
+    assert run("TrainBot") == sitemaps | {("a.com", "crawl-delay", "2")}
+    assert run("nobody") == sitemaps | {("a.com", "crawl-delay", "10")}
+    assert run("*") == sitemaps | {("a.com", "crawl-delay", "10")}
 
 
 def test_stream_url_frontier_robots_gated(spark, tmp_path):
