@@ -77,3 +77,23 @@ def pin_corpus_agg(agg: DataFrame, input_small: bool) -> DataFrame:
     :func:`input_fits_driver` — never trust Catalyst's own estimate of
     an aggregate output (the round-7 100× broadcast-OOM class)."""
     return agg if input_small else agg.hint("shuffle_hash")
+
+
+# Upper bound on the ROW COUNT of a distinct-id frame we will force-
+# broadcast (pairs-lane semi-join prune). Each row is one id (an 8-byte
+# hash or a short string) → 2 M rows is ≲tens of MB materialized, two
+# orders of magnitude under the driver, yet far above any pair frame a
+# similarity detector emits at its operating point (pairs are RARE).
+PAIR_IDS_BROADCAST_MAX = 2_000_000
+
+
+def broadcast_if_bounded(ids: DataFrame, n_rows_bound: int) -> DataFrame:
+    """Broadcast-hint ``ids`` only when a MEASURED row-count bound says
+    it is safe (``n_rows_bound`` ≥ the true row count — e.g. 2× the
+    materialized pair count for a union of both pair sides). Above the
+    bound, return unhinted and let AQE pick the strategy from runtime
+    sizes — a caller-supplied match-grain pair frame must never be able
+    to force a driver-OOM broadcast (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(ids) if n_rows_bound <= PAIR_IDS_BROADCAST_MAX else ids

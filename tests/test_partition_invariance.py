@@ -52,10 +52,10 @@ CASES = [
     # r11: the intra-doc island windows, the line-dedup reassembly
     # aggregate, the DSIR quantized-ln sums, and the robots
     # longest-prefix max-struct verdicts
-    "qs2_repeat_runs",
-    "qs1_line_dedup",
-    "qs8_dsir_selection",
-    "qs9_robots_gate",
+    "q42_repeat_runs",
+    "q25_line_dedup",
+    "q48_dsir_selection",
+    "q14_robots_gate",
 ]
 
 

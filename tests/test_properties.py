@@ -825,7 +825,9 @@ def _py_canonical(url):
     if "[" in auth:  # IPv6 literal authority: bad-row side
         return None
     hp = auth.split(":")
-    host = hp[0].lower()
+    # r12 _norm_host replica: pct-normalize, lowercase AFTER the
+    # decode, strip trailing root-label dots
+    host = re.sub(r"\.+$", "", _py_pct(hp[0]).lower())
     port = hp[1] if len(hp) > 1 else ""
     default = (scheme == "http" and port == "80") or (
         scheme == "https" and port == "443"
@@ -857,9 +859,15 @@ _urlpart = st.one_of(
     user=st.sampled_from(["", "u:p@", "U@"]),
     host=st.one_of(
         st.lists(
-            st.sampled_from(["A", "b", "Cd", "e0"]), min_size=1, max_size=4
+            # r12 host axis: percent-encoded unreserved (%41 A, %53 S),
+            # non-unreserved stays encoded (%C3), malformed %, and
+            # trailing-dot labels (the "" tail via the final sample)
+            st.sampled_from(["A", "b", "Cd", "e0", "%41", "%53x", "%C3%A9", "%zz"]),
+            min_size=1,
+            max_size=4,
         ).map(".".join),
         st.sampled_from(["[::1]", "[2001:db8::1]"]),  # IPv6 -> NULL route
+        st.sampled_from(["example.com.", "a.b..", "%73ite.com."]),
     ),
     port=st.sampled_from(["", ":80", ":443", ":8080"]),
     path=st.lists(_urlpart, min_size=0, max_size=4).map(

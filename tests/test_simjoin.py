@@ -445,6 +445,52 @@ def test_longest_repeat_runs_hand_computed(spark):
     assert r2["n_runs"] == 2  # the dg=2 "x x" island is its own maximal run
 
 
+def test_longest_repeat_runs_hot_gram_cap(spark):
+    # r12 VERDICT #5: the degenerate-document guard. A doc whose gram
+    # multiplicity exceeds the cap routes to the adjacent-occurrence
+    # lane (linear, flagged capped=true); cold docs keep the exact lane
+    # bit-for-bit and read capped=false.
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+
+    degen = "x " * 50  # one token 50×: multiplicity 49 at n=2
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c"), (2, degen.strip()), (3, "a b c")],
+        "doc_id bigint, text string",
+    )
+    capped = {
+        r["doc_id"]: r
+        for r in longest_repeat_runs(
+            df, "doc_id", "text", n=2, min_run_tokens=2, hot_gram_cap=8
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: r
+        for r in longest_repeat_runs(
+            df, "doc_id", "text", n=2, min_run_tokens=2
+        ).collect()
+    }
+    # cold doc: identical to the exact lane, flagged false
+    assert capped[1]["capped"] is False
+    for c in ("longest_run_tokens", "n_runs", "src_start", "dst_start"):
+        assert capped[1][c] == exact[1][c]
+    # hot doc: flagged, and EXACT on the pure-degenerate shape
+    # (longest run = diagonal 1 = the adjacent pairs: 49 tokens)
+    assert capped[2]["capped"] is True
+    assert capped[2]["longest_run_tokens"] == 49
+    assert exact[2]["longest_run_tokens"] == 49
+    assert (capped[2]["src_start"], capped[2]["dst_start"]) == (1, 2)
+    # lower-bound invariant holds on every reported doc
+    for d, r in capped.items():
+        assert r["longest_run_tokens"] <= exact[d]["longest_run_tokens"]
+    # default (cap=None) keeps the pre-r12 schema: no capped column
+    base = longest_repeat_runs(df, "doc_id", "text", n=2, min_run_tokens=2)
+    assert "capped" not in base.columns
+    import pytest
+
+    with pytest.raises(ValueError):
+        longest_repeat_runs(df, "doc_id", "text", n=2, hot_gram_cap=0)
+
+
 def test_longest_repeat_runs_guards_min_run(spark):
     import pytest
 

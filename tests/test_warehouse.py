@@ -396,3 +396,37 @@ def test_append_main_store_row_hash(spark, tmp_path):
     assert "_row_hash" not in wh.read("u").columns
     wh.load(df1, "u", key_cols=["id"])
     assert wh.read("u").count() == 2
+
+
+def test_probe_exists_path_and_table_kinds(spark, tmp_path, monkeypatch):
+    """r12 (ADVICE r11): the streaming existence probe is KIND-aware.
+    Path sinks ask the Hadoop FS; table sinks attempt a schema read and
+    re-raise unless the connector error clearly says not-found — a
+    transient failure must FAIL the batch, never read as 'absent' (the
+    silent ledger-reset class)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.probe_exists("t") is False
+    wh.load(_batch(spark, [(1, "a", "p1")]), "t", key_cols=["k"])
+    assert wh.probe_exists("t") is True
+
+    # table-kind spec: simulate the connector's read outcomes
+    twh = Warehouse(spark, str(tmp_path / "wh2"))
+    monkeypatch.setattr(
+        twh, "_spec", lambda table: {
+            "format": "bigquery", "kind": "table",
+            "target": f"p.d.{table}", "options": {},
+        },
+    )
+
+    def _missing(spec):
+        raise RuntimeError(f"Table {spec['target']} not found")
+
+    monkeypatch.setattr(twh, "_read_spec", _missing)
+    assert twh.probe_exists("t") is False
+
+    def _transient(spec):
+        raise RuntimeError("connection reset by peer")
+
+    monkeypatch.setattr(twh, "_read_spec", _transient)
+    with pytest.raises(RuntimeError, match="connection reset"):
+        twh.probe_exists("t")  # transient error RAISES, never 'absent'

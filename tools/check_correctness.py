@@ -81,14 +81,24 @@ def frame_keys(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    # --json PATH writes the per-query verdicts as a committed artifact
+    # (ADVICE r11: the repo carried no auditable record that non-
+    # headline oracles were gated at all sfs — now every sweep can
+    # leave one).
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # extra args = query names to run (space- or comma-separated; a
     # bare "--only" marker is tolerated). UNKNOWN names are an ERROR:
     # a silent no-match run prints "all queries match" vacuously — the
     # r9 footgun that let four broken oracles masquerade as verified.
     only = {
         n
-        for a in sys.argv[2:]
+        for a in argv[1:]
         if a != "--only"
         for n in a.split(",")
         if n
@@ -111,6 +121,7 @@ def main():
     if unknown:
         sys.exit(f"unknown query names (nothing was checked): {sorted(unknown)}")
     failures = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -123,12 +134,14 @@ def main():
         spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(spdf)} rows")
+            record[name] = {"status": "rows_only", "rows": len(spdf)}
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name:28s} ORACLE ERROR: {e}")
             failures.append(name)
+            record[name] = {"status": "oracle_error", "rows": len(spdf)}
             continue
         ok = True
         if sorted(spdf.columns) != sorted(opdf.columns):
@@ -154,8 +167,22 @@ def main():
                 ok = False
         if ok:
             print(f"{name:28s} OK ({len(spdf)} rows)")
+            record[name] = {"status": "ok", "rows": len(spdf)}
         else:
             failures.append(name)
+            record[name] = {"status": "fail", "rows": len(spdf)}
+
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(record), "results": record},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_path}")
 
     print()
     if failures:

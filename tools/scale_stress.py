@@ -154,8 +154,8 @@ QUERIES_UNDER_TEST = [
     # copy offsets are multiples of 4 so each copy injects the same
     # doc_id%4 repeat shapes — true run set exactly 10x, diagonal
     # windows at document grain.
-    "qs1_line_dedup",
-    "qs2_repeat_runs",
+    "q25_line_dedup",
+    "q42_repeat_runs",
 ]
 
 # Second-decade (100×) tier: only the inverted-index trio whose Σdf² /
@@ -336,9 +336,60 @@ def _run_one(name: str, with_x100: bool) -> dict:
     return row
 
 
+def run_degenerate() -> None:
+    """Adversarial X178 cell (VERDICT r11 #3): ONE pathological document
+    — 10⁵ repetitions of a single token — dropped into the sf0.1 corpus.
+    Uncapped, that document alone owns a (id, gram) join key with
+    multiplicity ~10⁵ → ~5·10⁹ pairs on one task; the ``hot_gram_cap``
+    lane must keep the whole-corpus run at interactive wall-clock by
+    routing it to the linear adjacent-occurrence lane. The uncapped
+    contrast runs at m = 3 000 and m = 10 000 (big enough to show the
+    ~m² trend, small enough to finish) — extrapolating that trend to
+    10⁵ is the honest statement of what the guard prevents; running it
+    would be the task the guard exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from alaska_etl_spark.cache import release_tracked
+    from alaska_etl_spark.operators.simjoin import longest_repeat_runs
+    from alaska_etl_spark.session import get_spark
+
+    spark = get_spark("scale-stress-degenerate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").select("doc_id", "text")
+
+    def corpus(m: int):
+        degen = spark.range(1).select(
+            F.lit(999_999_999).alias("doc_id"),
+            F.array_repeat(F.lit("z"), m).alias("_t"),
+        ).select("doc_id", F.concat_ws(" ", "_t").alias("text"))
+        return docs.unionByName(degen)
+
+    print("| lane | degenerate m | wall (s) | degen longest_run |")
+    print("|---|---|---|---|")
+    for lane, cap, m in (
+        ("exact (uncapped)", None, 3_000),
+        ("exact (uncapped)", None, 10_000),
+        ("hot_gram_cap=256", 256, 100_000),
+    ):
+        t0 = time.perf_counter()
+        out = longest_repeat_runs(
+            corpus(m), "doc_id", "text", n=3, hot_gram_cap=cap
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        dt = time.perf_counter() - t0
+        release_tracked()
+        run = got[999_999_999]["longest_run_tokens"]
+        assert run == m - 1, (m, run)  # both lanes exact on this shape
+        print(f"| {lane} | {m} | {dt:.2f} | {run} |")
+
+
 def main() -> None:
     import json
     import subprocess
+
+    if "--degenerate" in sys.argv[1:]:
+        run_degenerate()
+        return
 
     # child mode: one query, corpora already on disk, row as one JSON
     # line for the parent to collect.
