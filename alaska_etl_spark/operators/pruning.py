@@ -45,6 +45,11 @@ __all__ = [
     "bloom_pruned_semi_join",
     "bloom_sidecar_read",
     "bloom_sidecar_write",
+    "bloom_sidecar_load",
+    "bloom_sidecar_compact",
+    "bloom_delta_append",
+    "bloom_positions_pdf",
+    "bloom_or_positions",
     "bloom_add",
     "bloom_split",
 ]
@@ -72,21 +77,34 @@ def build_bloom(
     keys: DataFrame, col: str, *, m_bits: int, n_hashes: int
 ) -> np.ndarray:
     """Build the bit array from the build side's keys: one distributed
-    projection to positions, one distinct, one bounded collect (at most
-    min(m_bits, n_hashes·|keys|) ints). Returns a packed uint8 array of
-    m_bits/8 bytes."""
-    pos_rows = (
+    projection to positions, folded to BYTE grain with a distributed
+    ``bit_or`` (at most m_bits/8 result rows regardless of key count —
+    a 10⁷-key rebuild collects byte rows, never 10⁸ position rows),
+    fetched via Arrow. Bit-within-byte layout matches
+    ``np.unpackbits`` (big-endian per byte), the probe's indexing.
+    Returns a packed uint8 array of m_bits/8 bytes."""
+    byte_rows = (
         keys.select(
             F.explode(_positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)).alias(
                 "p"
             )
         )
-        .distinct()
-        .collect()
+        .select(
+            F.shiftright(F.col("p"), 3).alias("i"),
+            # SQL shiftleft: the Python API only takes literal shift
+            # counts; unpackbits layout = big-endian within the byte
+            F.expr("CAST(shiftleft(1, CAST(7 - pmod(p, 8) AS INT)) AS INT)").alias(
+                "b"
+            ),
+        )
+        .groupBy("i")
+        .agg(F.bit_or("b").alias("b"))
+        .toPandas()
     )
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[[r.p for r in pos_rows]] = True
-    return np.packbits(bits)
+    arr = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    if len(byte_rows):
+        arr[byte_rows["i"].to_numpy()] = byte_rows["b"].to_numpy().astype(np.uint8)
+    return arr
 
 
 def bloom_prune(
@@ -99,20 +117,41 @@ def bloom_prune(
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT be in the filter — a superset of
     the true matches (no false negatives: every inserted key sets
-    exactly the bits the probe checks). The packed array rides the
-    pandas_udf closure (one copy per executor, m_bits/8 bytes)."""
-    bits = np.unpackbits(packed_bits).astype(bool)
+    exactly the bits the probe checks). The PACKED array ships as a
+    SPARK BROADCAST (once per executor), never a closure capture (a
+    closure is re-serialized per task — at 10⁷-key filters that was
+    ~GBs of shipping per job, the measured r12 cost); the probe tests
+    bits IN the packed bytes (byte-index + mask), no 8× unpack."""
+    return _bloom_filter_rows(fact, packed_bits, col, m_bits, n_hashes, True).drop(
+        "_bf_pos"
+    )
+
+
+def _bloom_filter_rows(
+    fact: DataFrame,
+    packed_bits: np.ndarray,
+    col: str,
+    m_bits: int,
+    n_hashes: int,
+    keep_maybe: bool,
+) -> DataFrame:
+    sc = fact.sparkSession.sparkContext
+    bcast = sc.broadcast(packed_bits)
 
     @pandas_udf(BooleanType())
     def _might_contain(pos: pd.Series) -> pd.Series:
         if len(pos) == 0:
             return pd.Series([], dtype="bool")
+        b = bcast.value  # packed uint8, np.unpackbits bit order
         arr = np.stack(pos.to_numpy())  # batch × n_hashes
-        return pd.Series(bits[arr].all(axis=1))
+        hit = (b[arr >> 3] & (128 >> (arr & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
 
-    return fact.withColumn(
+    tagged = fact.withColumn(
         "_bf_pos", _positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)
-    ).filter(_might_contain(F.col("_bf_pos"))).drop("_bf_pos")
+    )
+    cond = _might_contain(F.col("_bf_pos"))
+    return tagged.filter(cond if keep_maybe else ~cond)
 
 
 def bloom_pruned_semi_join(
@@ -152,21 +191,39 @@ def bloom_pruned_semi_join(
 # ZERO reads of the seen-set, which is what makes the per-batch cost
 # flat in |landed|.
 #
-# CRASH-SAFETY INVARIANT (the ledger-before-rows stance): the sidecar
-# is written BEFORE the rows land, so the filter is always a SUPERSET
-# of the landed keys. A crash between the two writes leaves keys in
-# the filter that never landed — those route to the maybe lane on
-# replay, where the exact anti-join re-admits them (correct). The
-# reverse order would let a landed key read as definitely-new and
-# re-admit a duplicate. An unreadable/missing sidecar recovers by
-# rebuilding from the landed keys (one full scan — the cost the
-# sidecar normally avoids), which restores the superset exactly.
+# CRASH-SAFETY INVARIANT (the ledger-before-rows stance): the batch's
+# bits reach DISK (the delta log) BEFORE the rows land, so the on-disk
+# filter is always a SUPERSET of the landed keys. A crash between the
+# two writes leaves keys in the filter that never landed — those route
+# to the maybe lane on replay, where the exact anti-join re-admits
+# them (correct). The reverse order would let a landed key read as
+# definitely-new and re-admit a duplicate. An unreadable/missing
+# sidecar recovers by rebuilding from the landed keys (one full scan —
+# the cost the sidecar normally avoids), which restores the superset
+# exactly.
+#
+# LAYOUT (r12): ``{path}/base`` (one-row parquet: m_bits, n_hashes,
+# packed bytes) + ``{path}/delta`` (appended parquet of bit
+# positions). Per batch the sink appends the batch's positions —
+# O(|batch|) bytes — instead of rewriting the whole filter
+# (O(capacity) bytes: at a 10⁷-key filter that full rewrite was 36 MB
+# per batch, a term LINEAR in the seen-set that would have crept back
+# in at 10⁹). The live filter stays in driver memory across a stream
+# run (foreachBatch closure state); a restart loads base, re-ORs the
+# delta log (idempotent), and continues. Compaction folds deltas into
+# base at BLOOM_COMPACT_POSITIONS — base-then-delete ordering, safe at
+# every crash point because OR is idempotent.
 #
 # Sizing: m_bits is FIXED at creation from (capacity, fpp) and stored
 # in the sidecar; inserting beyond capacity only degrades fpp (more
-# maybe-lane traffic, never a wrong result). At 10⁹ keys and 1% fpp
-# the filter is ~1.2 GB — the honest trade written down: per-batch
-# closure shipping at that size is real, vs. minutes of landed scan.
+# maybe-lane traffic, never a wrong result). PICK fpp ≲ 0.01/|batch|
+# (default 1e-6): the thing fpp buys is P(no false positive in a
+# batch) — only then does an all-new batch skip the landed read
+# entirely; at 1% fpp a 10⁴-row batch carries ~100 false positives
+# and the maybe-lane full scan fires EVERY batch, burying the win
+# (measured, r12). 1e-6 is ~29 bits/key: 3.6 MB per 10⁶ keys, ~3.6 GB
+# at 10⁹ — the honest trade written down: per-batch closure shipping
+# at that size is real, vs. minutes of landed scan.
 
 _BLOOM_SCHEMA = "m_bits bigint, n_hashes int, packed binary"
 
@@ -183,9 +240,14 @@ def bloom_sidecar_read(spark, path: str):
     )
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
         return None
-    row = spark.read.schema(_BLOOM_SCHEMA).parquet(path).collect()[0]
-    return np.frombuffer(row["packed"], dtype=np.uint8), int(row["m_bits"]), int(
-        row["n_hashes"]
+    # toPandas (Arrow), not collect: a 10⁷-key filter is ~36 MB of
+    # binary — the py4j row path shuttles that through the gateway
+    pdf = spark.read.schema(_BLOOM_SCHEMA).parquet(path).toPandas()
+    row = pdf.iloc[0]
+    return (
+        np.frombuffer(row["packed"], dtype=np.uint8),
+        int(row["m_bits"]),
+        int(row["n_hashes"]),
     )
 
 
@@ -195,29 +257,124 @@ def bloom_sidecar_write(
     """Persist the filter as a one-row parquet (overwrite). A crash
     mid-write can leave the sidecar unreadable; readers treat that as
     missing-and-rebuild (see module comment), so the write needs no
-    rename dance."""
-    spark.createDataFrame(
-        [(int(m_bits), int(n_hashes), bytes(packed.tobytes()))], _BLOOM_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    rename dance. The frame is built from pandas (Arrow path) — the
+    plain-list route pickles the MB-scale binary through py4j."""
+    pdf = pd.DataFrame(
+        {
+            "m_bits": np.array([m_bits], dtype=np.int64),
+            "n_hashes": np.array([n_hashes], dtype=np.int32),
+            "packed": [bytes(packed.tobytes())],
+        }
+    )
+    spark.createDataFrame(pdf, _BLOOM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
-def bloom_add(
-    keys: DataFrame, col: str, packed: np.ndarray, *, m_bits: int, n_hashes: int
-) -> np.ndarray:
-    """New packed array with ``keys``' bits OR'd in (one distributed
-    projection + one bounded collect of distinct positions — at most
-    min(m_bits, n_hashes·|keys|) ints, same envelope as build_bloom)."""
-    pos_rows = (
+_DELTA_SCHEMA = "p bigint"
+
+#: compact the delta log into the base once this many positions have
+#: accumulated — bounds restart replay at ~16 MB of delta reads while
+#: keeping the per-batch write O(|batch|), never O(filter)
+BLOOM_COMPACT_POSITIONS = 2_000_000
+
+
+def bloom_positions_pdf(
+    keys: DataFrame, col: str, *, m_bits: int, n_hashes: int
+) -> pd.DataFrame:
+    """Distinct bit positions of ``keys`` as a pandas frame (Arrow
+    fetch; at most n_hashes·|keys| ints — batch-bounded)."""
+    return (
         keys.select(
             F.explode(
                 _positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)
             ).alias("p")
         )
         .distinct()
-        .collect()
+        .toPandas()
     )
-    bits = np.unpackbits(packed).astype(bool)
-    bits[[r.p for r in pos_rows]] = True
+
+
+def bloom_or_positions(packed: np.ndarray, pos: pd.DataFrame) -> np.ndarray:
+    """New packed array with the position rows OR'd in."""
+    bits = np.unpackbits(packed)
+    if len(pos):
+        bits[pos["p"].to_numpy()] = 1
+    return np.packbits(bits)
+
+
+def bloom_delta_append(spark, path: str, pos: pd.DataFrame) -> None:
+    """Append one batch's positions to the delta log — the O(|batch|)
+    per-batch disk write that replaces rewriting the whole filter
+    (O(capacity) bytes — at a 10⁷-key filter that was 36 MB per batch,
+    linear in the seen-set; the delta is ~KBs). OR is idempotent, so a
+    replayed batch's duplicate delta rows are harmless."""
+    if not len(pos):
+        return
+    spark.createDataFrame(pos, _DELTA_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/delta")
+
+
+def bloom_sidecar_load(spark, path: str):
+    """(packed, m_bits, n_hashes, n_delta) from ``{path}/base`` with
+    the delta log OR'd in; None when no base exists (a delta without a
+    base also reads as missing → the caller rebuilds from landed keys,
+    which restores the superset — every crash ordering is safe because
+    OR is idempotent and base-then-delete is the compaction order)."""
+    got = bloom_sidecar_read(spark, f"{path}/base")
+    if got is None:
+        return None
+    packed, m_bits, n_hashes = got
+    n_delta = 0
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dpath = f"{path}/delta"
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(dpath), conf)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(dpath)):
+        pos = spark.read.schema(_DELTA_SCHEMA).parquet(dpath).toPandas()
+        n_delta = len(pos)
+        if n_delta:
+            packed = bloom_or_positions(packed, pos)
+    return packed, m_bits, n_hashes, n_delta
+
+
+def bloom_sidecar_compact(
+    spark, path: str, packed: np.ndarray, m_bits: int, n_hashes: int
+) -> None:
+    """Fold the delta log into the base: write base (already containing
+    the delta bits), then drop the delta dir. A crash between the two
+    leaves base ⊇ deltas and the deltas still present — the next load
+    re-ORs them into the same filter (idempotent), never loses a bit."""
+    bloom_sidecar_write(spark, f"{path}/base", packed, m_bits, n_hashes)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dpath = f"{path}/delta"
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(dpath), conf)
+    p = jvm.org.apache.hadoop.fs.Path(dpath)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def bloom_add(
+    keys: DataFrame, col: str, packed: np.ndarray, *, m_bits: int, n_hashes: int
+) -> np.ndarray:
+    """New packed array with ``keys``' bits OR'd in (one distributed
+    projection + one bounded Arrow fetch of distinct positions — at
+    most min(m_bits, n_hashes·|keys|) ints; per streaming batch that
+    is n_hashes·|batch|, never the landed size)."""
+    pos = (
+        keys.select(
+            F.explode(
+                _positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)
+            ).alias("p")
+        )
+        .distinct()
+        .toPandas()
+    )
+    bits = np.unpackbits(packed)
+    if len(pos):
+        bits[pos["p"].to_numpy()] = 1
     return np.packbits(bits)
 
 
@@ -232,15 +389,24 @@ def bloom_split(
     """(maybe_seen, definitely_new) split of ``df`` on the filter: the
     first frame holds rows whose key might be in the filter (needs the
     exact check), the second rows that provably are not (no false
-    negatives — safe to treat as new without touching the seen-set)."""
-    bits = np.unpackbits(packed).astype(bool)
+    negatives — safe to treat as new without touching the seen-set).
+
+    Callers that consume both sides more than once should persist the
+    frames (or a tagged parent): each evaluation re-runs the membership
+    UDF. The filter ships as one SPARK BROADCAST shared by both sides
+    (never a per-task closure — the measured r12 cost) and is probed
+    packed (byte-index + mask, no 8× unpack)."""
+    sc = df.sparkSession.sparkContext
+    bcast = sc.broadcast(packed)
 
     @pandas_udf(BooleanType())
     def _might_contain(pos: pd.Series) -> pd.Series:
         if len(pos) == 0:
             return pd.Series([], dtype="bool")
+        b = bcast.value
         arr = np.stack(pos.to_numpy())
-        return pd.Series(bits[arr].all(axis=1))
+        hit = (b[arr >> 3] & (128 >> (arr & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
 
     tagged = df.withColumn(
         "_bf_pos", _positions(F.col(col), m_bits=m_bits, n_hashes=n_hashes)

@@ -449,22 +449,28 @@ def stream_documents_gate(
     q.awaitTermination()
 
 
-def _frontier_bloom(spark, warehouse, table, bloom_path, capacity, fpp, key_col):
-    """(packed, m_bits, n_hashes) for the frontier's seen-set filter:
-    the sidecar when present, else a rebuild from the landed keys (the
-    one full scan that restores the superset invariant — recovery and
-    enable-on-existing), else an empty filter sized for ``capacity``."""
+def _bloom_init(spark, warehouse, table, bloom_path, capacity, fpp, key_col) -> dict:
+    """Driver-side filter state for a stream run, loaded ONCE and then
+    kept in the foreachBatch closure across batches (re-reading a
+    10⁷-key filter per batch is MBs of IO per batch — the r12 measured
+    term). Sources, in order: the base+delta sidecar; else a rebuild
+    from the landed keys (the one full scan that restores the superset
+    — recovery and enable-on-existing); else an empty filter sized for
+    ``capacity``. The base is materialized on first init so later
+    delta appends have an anchor."""
     import numpy as np
 
     from alaska_etl_spark.operators.pruning import (
         bloom_params,
-        bloom_sidecar_read,
+        bloom_sidecar_load,
+        bloom_sidecar_write,
         build_bloom,
     )
 
-    got = bloom_sidecar_read(spark, bloom_path)
+    got = bloom_sidecar_load(spark, bloom_path)
     if got is not None:
-        return got
+        packed, m_bits, n_hashes, n_delta = got
+        return {"packed": packed, "m": m_bits, "k": n_hashes, "n_delta": n_delta}
     m_bits, n_hashes = bloom_params(capacity, fpp)
     if warehouse.probe_exists(table):
         packed = build_bloom(
@@ -475,20 +481,36 @@ def _frontier_bloom(spark, warehouse, table, bloom_path, capacity, fpp, key_col)
         )
     else:
         packed = np.packbits(np.zeros(m_bits, dtype=bool))
-    return packed, m_bits, n_hashes
+    bloom_sidecar_write(spark, f"{bloom_path}/base", packed, m_bits, n_hashes)
+    return {"packed": packed, "m": m_bits, "k": n_hashes, "n_delta": 0}
 
 
-def _bloom_commit(spark, bloom_path, keys_df, packed, m_bits, n_hashes) -> None:
-    """OR ``keys_df``'s canonical URLs into the filter and write the
-    sidecar — called BEFORE any row lands, so the filter stays a
-    SUPERSET of the landed keys across every crash point."""
-    from alaska_etl_spark.operators.pruning import bloom_add, bloom_sidecar_write
-
-    packed = bloom_add(
-        keys_df.select("canonical_url"), "canonical_url", packed,
-        m_bits=m_bits, n_hashes=n_hashes,
+def _bloom_commit(spark, bloom_path, keys_df, state: dict) -> None:
+    """Append the batch keys' bit positions to the DELTA log — called
+    BEFORE any row lands, so the on-disk filter stays a SUPERSET of
+    the landed keys across every crash point — update the in-memory
+    filter, and compact base+delta when the log is due. Per-batch disk
+    cost is O(|batch|) positions, never O(filter) bytes."""
+    from alaska_etl_spark.operators.pruning import (
+        BLOOM_COMPACT_POSITIONS,
+        bloom_delta_append,
+        bloom_or_positions,
+        bloom_positions_pdf,
+        bloom_sidecar_compact,
     )
-    bloom_sidecar_write(spark, bloom_path, packed, m_bits, n_hashes)
+
+    pos = bloom_positions_pdf(
+        keys_df.select("canonical_url"), "canonical_url",
+        m_bits=state["m"], n_hashes=state["k"],
+    )
+    state["packed"] = bloom_or_positions(state["packed"], pos)
+    bloom_delta_append(spark, bloom_path, pos)
+    state["n_delta"] += len(pos)
+    if state["n_delta"] > BLOOM_COMPACT_POSITIONS:
+        bloom_sidecar_compact(
+            spark, bloom_path, state["packed"], state["m"], state["k"]
+        )
+        state["n_delta"] = 0
 
 
 def stream_url_frontier(
@@ -504,7 +526,7 @@ def stream_url_frontier(
     robots_rules: "DataFrame | None" = None,
     bloom_path: "str | None" = None,
     bloom_capacity: int = 1_000_000,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 1e-6,
 ) -> None:
     """Streaming crawl-FRONTIER gate (r10, the URL family's streaming
     form): every micro-batch's URLs are canonicalized
@@ -551,6 +573,8 @@ def stream_url_frontier(
         robots_check,
     )
 
+    bloom_state: dict = {}  # driver-cached filter, one load per stream run
+
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window
 
@@ -585,17 +609,24 @@ def stream_url_frontier(
             from alaska_etl_spark.operators.pruning import bloom_split
 
             spark = batch_df.sparkSession
-            packed, m_bits, n_hashes = _frontier_bloom(
-                spark, warehouse, table, bloom_path,
-                bloom_capacity, bloom_fpp, "canonical_url",
-            )
+            if "packed" not in bloom_state:  # once per stream run
+                bloom_state.update(
+                    _bloom_init(
+                        spark, warehouse, table, bloom_path,
+                        bloom_capacity, bloom_fpp, "canonical_url",
+                    )
+                )
             first = tracked_persist(first)
             maybe, new = bloom_split(
-                first, packed, "canonical_url", m_bits=m_bits, n_hashes=n_hashes
+                first, bloom_state["packed"], "canonical_url",
+                m_bits=bloom_state["m"], n_hashes=bloom_state["k"],
             )
-            # sidecar BEFORE rows: the filter must stay a superset of
-            # the landed keys across any crash point
-            _bloom_commit(spark, bloom_path, first, packed, m_bits, n_hashes)
+            # maybe is consumed twice (emptiness probe + load) — persist
+            # so the membership UDF runs once over the cached batch
+            maybe = tracked_persist(maybe)
+            # delta BEFORE rows: the on-disk filter must stay a superset
+            # of the landed keys across any crash point
+            _bloom_commit(spark, bloom_path, first, bloom_state)
             # maybe lane: exact keyed append (the normal anti-join);
             # new lane: provably-unlanded fast append, zero seen reads
             if not maybe.isEmpty():
@@ -606,6 +637,7 @@ def stream_url_frontier(
                 new, table, key_cols=["canonical_url"],
                 store_row_hash=True, assume_new=True,
             )
+            maybe.unpersist()
             first.unpersist()
         if rejects_table is not None:
             warehouse.load(bad, rejects_table, key_cols=[id_col], store_row_hash=True)
@@ -631,7 +663,7 @@ def stream_domain_quota(
     ledger_table: "str | None" = None,
     bloom_path: "str | None" = None,
     bloom_capacity: int = 1_000_000,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 1e-6,
 ) -> None:
     """Streaming per-domain admission quota on the crawl frontier
     (r10, the batch X170 quota's streaming form): every micro-batch is
@@ -678,6 +710,8 @@ def stream_domain_quota(
     is measured by tools/frontier_envelope.py into SCALE.md
     ("Frontier per-batch scan cost")."""
     from alaska_etl_spark.operators.urls import canonical_url, registrable_domain, url_host
+
+    bloom_state: dict = {}  # driver-cached filter, one load per stream run
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window
@@ -739,14 +773,20 @@ def stream_domain_quota(
             # ordering: operators/pruning.py module comment.
             from alaska_etl_spark.operators.pruning import bloom_split
 
-            packed, m_bits, n_hashes = _frontier_bloom(
-                spark, warehouse, table, bloom_path,
-                bloom_capacity, bloom_fpp, "canonical_url",
-            )
+            if "packed" not in bloom_state:  # once per stream run
+                bloom_state.update(
+                    _bloom_init(
+                        spark, warehouse, table, bloom_path,
+                        bloom_capacity, bloom_fpp, "canonical_url",
+                    )
+                )
+            packed = bloom_state["packed"]
             first = tracked_persist(first)
             maybe, new = bloom_split(
-                first, packed, "canonical_url", m_bits=m_bits, n_hashes=n_hashes
+                first, packed, "canonical_url",
+                m_bits=bloom_state["m"], n_hashes=bloom_state["k"],
             )
+            maybe = tracked_persist(maybe)
             if maybe.isEmpty():
                 fresh = new
             else:
@@ -775,7 +815,7 @@ def stream_domain_quota(
             warehouse.write_staging(admitted, table)
             stable = warehouse.read_staging(table)
             if packed is not None:
-                _bloom_commit(spark, bloom_path, stable, packed, m_bits, n_hashes)
+                _bloom_commit(spark, bloom_path, stable, bloom_state)
             counts = (
                 stable.groupBy("domain")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
@@ -796,7 +836,7 @@ def stream_domain_quota(
                 # snapshot of admitted (same staging stance as above)
                 warehouse.write_staging(admitted, table)
                 stable = warehouse.read_staging(table)
-                _bloom_commit(spark, bloom_path, stable, packed, m_bits, n_hashes)
+                _bloom_commit(spark, bloom_path, stable, bloom_state)
                 warehouse.append_main(
                     table, key_cols=["canonical_url"], store_row_hash=True,
                     assume_new=True,
@@ -807,6 +847,7 @@ def stream_domain_quota(
                     store_row_hash=True,
                 )
         if bloom_path is not None:
+            maybe.unpersist()
             first.unpersist()
 
     q = (

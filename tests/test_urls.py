@@ -657,7 +657,7 @@ def test_stream_domain_quota_bloom_matches_zero_state(spark, tmp_path):
     # EXACTLY the zero-state form's rows — across batches, with
     # canonical dups, cross-batch re-crawls, and the ledger carrying
     # headroom (the zero-landed-reads configuration).
-    from alaska_etl_spark.operators.pruning import bloom_sidecar_read
+    from alaska_etl_spark.operators.pruning import bloom_sidecar_load
     from alaska_etl_spark.plans.warehouse import Warehouse
     from alaska_etl_spark.streaming.incremental import stream_domain_quota
 
@@ -684,7 +684,7 @@ def test_stream_domain_quota_bloom_matches_zero_state(spark, tmp_path):
         ledger_table="quota_ledger", bloom_path=bloom,
     )
     assert {r.doc_id for r in wh.read("quota").collect()} == {1, 3, 5}
-    assert bloom_sidecar_read(spark, bloom) is not None  # sidecar landed
+    assert bloom_sidecar_load(spark, bloom) is not None  # sidecar landed
 
     # batch 2: re-crawl of a landed canonical (maybe lane must catch
     # it), a full domain, and fresh b.org headroom
@@ -714,7 +714,7 @@ def test_stream_url_frontier_bloom_superset_and_recovery(spark, tmp_path):
 
     from alaska_etl_spark.operators.pruning import (
         bloom_add,
-        bloom_sidecar_read,
+        bloom_sidecar_load,
         bloom_sidecar_write,
     )
     from alaska_etl_spark.plans.warehouse import Warehouse
@@ -738,12 +738,12 @@ def test_stream_url_frontier_bloom_superset_and_recovery(spark, tmp_path):
 
     # (a) crash-sim: put a NOT-landed key into the filter (the state a
     # crash between sidecar write and row land leaves behind)
-    packed, m_bits, n_hashes = bloom_sidecar_read(spark, bloom)
+    packed, m_bits, n_hashes, _nd = bloom_sidecar_load(spark, bloom)
     ghost = spark.createDataFrame(
         [("https://c.net/ghost",)], "canonical_url string"
     )
     packed = bloom_add(ghost, "canonical_url", packed, m_bits=m_bits, n_hashes=n_hashes)
-    bloom_sidecar_write(spark, bloom, packed, m_bits, n_hashes)
+    bloom_sidecar_write(spark, f"{bloom}/base", packed, m_bits, n_hashes)
     _write_url_file(
         src / "b2.json",
         [
@@ -770,7 +770,7 @@ def test_stream_url_frontier_bloom_superset_and_recovery(spark, tmp_path):
         stream, wh, "frontier", str(tmp_path / "c3"), bloom_path=bloom
     )
     assert {r.doc_id for r in wh.read("frontier").collect()} == {1, 2, 3, 5, 7}
-    assert bloom_sidecar_read(spark, bloom) is not None  # rebuilt
+    assert bloom_sidecar_load(spark, bloom) is not None  # rebuilt
 
 
 def test_psl_registrable_domain(spark):
@@ -811,3 +811,43 @@ def test_psl_registrable_domain(spark):
     assert all(
         r["public_suffix"] is None and r["registrable_domain"] is None for r in out
     )
+
+
+def test_bloom_delta_compaction(spark, tmp_path, monkeypatch):
+    # r12: the delta log folds into the base at the compaction
+    # threshold (base-then-delete — OR-idempotent at any crash point),
+    # and the filter keeps blocking re-crawls across the fold.
+    import alaska_etl_spark.operators.pruning as pruning
+    from alaska_etl_spark.operators.pruning import bloom_sidecar_load
+    from alaska_etl_spark.plans.warehouse import Warehouse
+    from alaska_etl_spark.streaming.incremental import stream_url_frontier
+
+    monkeypatch.setattr(pruning, "BLOOM_COMPACT_POSITIONS", 10)  # force it
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bloom = str(tmp_path / "bloom")
+    schema = "doc_id bigint, url string"
+
+    _write_url_file(
+        src / "b1.json", [(1, "https://a.com/p1"), (2, "https://b.org/q1")]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_url_frontier(
+        stream, wh, "frontier", str(tmp_path / "c1"), bloom_path=bloom
+    )
+    # 2 urls x 20 hashes > 10 positions -> compacted: delta gone
+    import os
+
+    assert not os.path.exists(f"{bloom}/delta")
+    _packed, _m, _k, n_delta = bloom_sidecar_load(spark, bloom)
+    assert n_delta == 0
+    # post-compaction the filter still blocks the re-crawl
+    _write_url_file(
+        src / "b2.json", [(3, "https://a.com/p1"), (4, "https://c.net/r1")]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    stream_url_frontier(
+        stream, wh, "frontier", str(tmp_path / "c2"), bloom_path=bloom
+    )
+    assert {r.doc_id for r in wh.read("frontier").collect()} == {1, 2, 4}

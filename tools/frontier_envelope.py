@@ -72,16 +72,21 @@ def _seed(spark, wh, n_rows: int) -> None:
     wh._write_spec(df, wh._spec("quota"), "overwrite")
 
 
-def _batch_file(path: str, *, recrawl: bool) -> None:
+def _batch_file(path: str, *, recrawl: bool, salt: str = "") -> None:
     import json
 
     with open(path, "w") as f:
         for i in range(BATCH):
             if recrawl and i % 100 == 0:  # 1% true re-crawls of seeds
                 url = f"https://d{i % 1000}.com/seed/{i}"
-            else:
-                url = f"https://n{i % 1000}.net/new/{i}"
-            f.write(json.dumps({"doc_id": 10**12 + i, "url": url}) + "\n")
+            else:  # salt keeps the second batch's new URLs disjoint
+                url = f"https://n{i % 1000}.net/new/{salt}{i}"
+            f.write(
+                json.dumps(
+                    {"doc_id": 10**12 + (10**10 if salt else 0) + i, "url": url}
+                )
+                + "\n"
+            )
 
 
 def _run_cell(n_rows: int, mode: str, recrawl: bool) -> float:
@@ -109,16 +114,26 @@ def _run_cell(n_rows: int, mode: str, recrawl: bool) -> float:
     if mode == "ledger+bloom":
         bloom_path = os.path.join(root, "bloom")
         # pre-built sidecar: the rebuild-from-landed scan is the
-        # RECOVERY cost, not the steady-state per-batch cost
-        m_bits, n_hashes = bloom_params(max(n_rows, 1_000_000), 0.01)
+        # RECOVERY cost, not the steady-state per-batch cost. fpp is
+        # the sink default (1e-6): sized so fpp·batch ≈ 0 — a typical
+        # all-new batch has NO false positive and skips the landed
+        # read entirely (at 1% the ~100 FPs/batch fired the maybe-lane
+        # full scan every batch, burying the win — measured r12)
+        m_bits, n_hashes = bloom_params(max(n_rows, 1_000_000), 1e-6)
         packed = build_bloom(
             wh.read("quota").select("canonical_url"), "canonical_url",
             m_bits=m_bits, n_hashes=n_hashes,
         )
-        bloom_sidecar_write(spark, bloom_path, packed, m_bits, n_hashes)
+        bloom_sidecar_write(spark, f"{bloom_path}/base", packed, m_bits, n_hashes)
         kwargs["bloom_path"] = bloom_path
         kwargs["bloom_capacity"] = max(n_rows, 1_000_000)
 
+    # TWO sequential availableNow RUNS of one batch each — the
+    # reference's cron model: every run pays one state load (for the
+    # bloom lane, base+delta once per run — driver-cached across the
+    # run's batches, amortized to zero in a continuous stream), so run
+    # 2's wall is the honest recurring-cron cost against an
+    # already-populated table. Both walls are reported.
     _batch_file(os.path.join(root, "src", "b1.json"), recrawl=recrawl)
     stream = spark.readStream.schema("doc_id bigint, url string").json(
         os.path.join(root, "src")
@@ -128,12 +143,23 @@ def _run_cell(n_rows: int, mode: str, recrawl: bool) -> float:
         stream, wh, "quota", os.path.join(root, "ckpt"),
         max_per_domain=MAX_PER_DOMAIN, **kwargs,
     )
-    dt = time.perf_counter() - t0
+    t1 = time.perf_counter() - t0
+    _batch_file(os.path.join(root, "src", "b2.json"), recrawl=recrawl, salt="m")
+    stream = spark.readStream.schema("doc_id bigint, url string").json(
+        os.path.join(root, "src")
+    )
+    t0 = time.perf_counter()
+    stream_domain_quota(
+        stream, wh, "quota", os.path.join(root, "ckpt"),
+        max_per_domain=MAX_PER_DOMAIN, **kwargs,
+    )
+    t2 = time.perf_counter() - t0
+    per_batch = BATCH - BATCH // 100 if recrawl else BATCH
     n_landed = wh.read("quota").count()
-    expect = n_rows + (BATCH - BATCH // 100 if recrawl else BATCH)
+    expect = n_rows + 2 * per_batch
     assert n_landed == expect, (n_landed, expect)  # exactness first
     shutil.rmtree(root, ignore_errors=True)
-    return dt
+    return t1, t2
 
 
 def main() -> None:
@@ -141,18 +167,17 @@ def main() -> None:
     import subprocess
 
     if len(sys.argv) > 3 and sys.argv[1] == "--one":
-        dt = _run_cell(int(sys.argv[2]), sys.argv[3], "--recrawl" in sys.argv)
-        print("ROW " + json.dumps({"dt": dt}))
+        t1, t2 = _run_cell(int(sys.argv[2]), sys.argv[3], "--recrawl" in sys.argv)
+        print("ROW " + json.dumps({"t1": t1, "t2": t2}))
         return
 
-    decades = [6, 7]
-    for a in sys.argv[1:]:
-        if a.isdigit():
-            decades.append(int(a))
+    given = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    decades = given or [6, 7]
     recrawl = "--recrawl" in sys.argv[1:]
     modes = ["zero-state", "ledger", "ledger+bloom"]
     print(f"| landed rows | {' | '.join(modes)} |"
-          + ("  (batch: 1% re-crawls)" if recrawl else "  (batch: all new)"))
+          + ("  (batch: 1% re-crawls" if recrawl else "  (batch: all new")
+          + "; run1 / run2 walls, one batch per availableNow run)")
     print("|---|" + "---|" * len(modes))
     for d in sorted(set(decades)):
         cells = []
@@ -172,7 +197,7 @@ def main() -> None:
                 tail = proc.stderr.strip().splitlines()[-3:]
                 cells.append("FAIL: " + " | ".join(t[:120] for t in tail))
             else:
-                cells.append(f"{row['dt']:.1f} s")
+                cells.append(f"{row['t1']:.1f} / {row['t2']:.1f} s")
         print(f"| 10^{d} | " + " | ".join(cells) + " |")
 
 
