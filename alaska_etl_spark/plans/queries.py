@@ -12348,6 +12348,21 @@ QUERIES = {
     "qt1_crawl_delay_budget": qt1_crawl_delay_budget,
     "qt2_line_savings": qt2_line_savings,
     "qt8_psl_domains": qt8_psl_domains,
+    # r12 optimization-phase compatibility aliases: the r12 slot
+    # rotation renamed ten registry keys; a declared query name must
+    # never disappear between rounds, so every pre-rotation name stays
+    # registered as an exact alias (same function object, same oracle
+    # SQL under the same name in ORACLES below).
+    "qs1_line_dedup": qs1_line_dedup,
+    "qs2_repeat_runs": qs2_repeat_runs,
+    "qs8_dsir_selection": qs8_dsir_selection,
+    "qs9_robots_gate": qs9_robots_gate,
+    "qt0_sitemap_frontier": qt0_sitemap_frontier,
+    "q25_exact_dedup": q25_exact_dedup,
+    "q42_dup_groups": q42_dup_groups,
+    "q35_salted_agg": q35_salted_agg,
+    "q48_volume_shipping": q48_volume_shipping,
+    "q14_range_join": q14_range_join,
     "qg1_top_supplier": q50_top_supplier,
     "q10_sole_blame_supplier": q10_sole_blame_supplier,
     "qt6_range_join": q14_range_join,
@@ -12682,6 +12697,18 @@ ORACLES = {
     "qt1_crawl_delay_budget": QT1_SQL,
     "qt2_line_savings": QT2_SQL,
     "qt8_psl_domains": QT8_SQL,
+    # r12 compatibility aliases (see QUERIES): pre-rotation names keep
+    # their oracles registered verbatim.
+    "qs1_line_dedup": QS1_SQL,
+    "qs2_repeat_runs": QS2_SQL,
+    "qs8_dsir_selection": QS8_SQL,
+    "qs9_robots_gate": QS9_SQL,
+    "qt0_sitemap_frontier": QT0_SQL,
+    "q25_exact_dedup": Q25_SQL,
+    "q42_dup_groups": Q42_SQL,
+    "q35_salted_agg": Q35_SQL,
+    "q48_volume_shipping": Q48_SQL,
+    "q14_range_join": Q14_SQL,
     "q29_minhash_lsh": Q29_SQL,
     "qo7_simhash": Q30_SQL,
     # q55, q57, q76, q91, qb2, qc5: approximate ops — rows-only by

@@ -74,18 +74,18 @@ HEADLINE = [
     "q16_hourly_rollup",
     "q17_asof_join",
     "qs5_token_stats",  # r11 rotation: was q22_token_stats (same plan)
-    "qt3_exact_dedup",
+    "q25_exact_dedup",
     "q27_cosine_topk",
     "q29_minhash_lsh",
     "q31_ivf_ann",
     "q32_media_decode",
     "q34_sessionize",
-    "qt7_salted_agg",
+    "q35_salted_agg",
     "qs7_winnow_fingerprint",  # r11 rotation: was q43_winnow_fingerprint (same plan)
     "qe6_order_count_distribution",
-    "qt5_volume_shipping",
+    "q48_volume_shipping",
     "q10_sole_blame_supplier",
-    "qt6_range_join",
+    "q14_range_join",
     "q64_semantic_dedup",
     "q70_repetition_signals",
     "q71_decontaminate",
@@ -119,7 +119,7 @@ HEADLINE = [
     "qp2_boilerplate_grams",
     # r11 flagship: CCNet-style line-grain corpus dedup — one explode +
     # one 8-byte-hash aggregate + one key join + the in-row reassembly
-    "q25_line_dedup",
+    "qs1_line_dedup",
 ]
 
 # Cold-only secondary table: too floor-bound at sf0.1 for the headline,
