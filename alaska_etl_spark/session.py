@@ -67,6 +67,29 @@ def get_spark(
         # is what guards the misestimated-aggregate class.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-parallelism floor (r12, guide §6): Spark's split size is
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
+        # so the 4 MiB openCost default caps a 10 MiB table at ~3 scan
+        # tasks on a 32-core box — measured 3-task scan+join+agg stages
+        # with 29 cores idle (q49 1.84→1.22 s, q16 0.47→0.32 s, q17
+        # 0.95→0.84 s, ABAB same-session). Floor the task count at
+        # 2×cores and drop openCost to 512 KiB: scale-adaptive by
+        # construction — at cluster scale files are ≥128 MiB so neither
+        # knob changes split sizes (bytes/minPartitionNum ≥ maxPartition
+        # Bytes), while openCost keeps modelling per-file open latency
+        # (an object-store GET is ~ms ≈ well under 512 KiB of scan
+        # bandwidth, not 4 MiB). Both overridable via env for deploys.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
+        )
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_MIN_PARTITIONS",
+                str(2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # InMemoryRelation columnar compression is a per-build CPU tax

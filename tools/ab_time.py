@@ -62,7 +62,11 @@ def main() -> None:
 
     for name in args.queries:
         colds, warms = [], []
-        jobs0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        def _next_job_id():
+            jid = sc._jsc.sc().dagScheduler().nextJobId()
+            return jid if isinstance(jid, int) else jid.get()
+
+        jobs0 = _next_job_id()
         for _ in range(args.reps):
             sc.setJobDescription(f"{name} cold")
             t0 = time.perf_counter()
@@ -73,7 +77,7 @@ def main() -> None:
             run(name)
             warms.append(time.perf_counter() - t0)
             release_tracked()
-        jobs1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        jobs1 = _next_job_id()
         sc.setJobDescription(None)
         n_jobs = (jobs1 - jobs0) / (2 * args.reps)
         print(
