@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.functions.localrel import local_df
+
 
 def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — the ONE corpus-sized reduction."""
@@ -121,8 +123,8 @@ def train_bpe(
         if step % checkpoint_every == 0:
             words = words.localCheckpoint()
 
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count bigint"
+    return local_df(
+        spark, merges, "step int, left string, right string, merged string, pair_count bigint"
     )
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.functions.localrel import local_df
 from alaska_etl_spark.operators.dedup import word_tokens
 
 # the five integer features (plus y) — shared by the Spark path and the
@@ -121,7 +122,7 @@ def perceptron_train(feats: DataFrame, *, iters: int = 3) -> DataFrame:
     schema = "iter int, misclassified bigint, " + ", ".join(
         f"w{j} bigint" for j in range(k)
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def perceptron_apply(feats: DataFrame, w: list[int], *, id_col: str = "_id") -> DataFrame:
@@ -300,7 +301,8 @@ def perceptron_cv(
         total = tp + fp + tn + fn
         acc = div_half_up_py(tp + tn, total, 10000) / 10000.0 if total else None
         rows.append((fold, tp, fp, tn, fn, acc))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "fold int, tp bigint, fp bigint, tn bigint, fn bigint, accuracy double",
     )

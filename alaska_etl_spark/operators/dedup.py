@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
 from alaska_etl_spark.functions.fixedpoint import div_half_up
+from alaska_etl_spark.functions.localrel import local_df
 from alaska_etl_spark.operators.similarity import _np_round_half_away
 
 # ---------------------------------------------------------------------------
@@ -1972,7 +1973,8 @@ def lsh_scurve(
     detected = pairs.join(cands, ["id_a", "id_b"], "left_semi").groupBy(
         "j_bucket"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))
-    curve = df.sparkSession.createDataFrame(
+    curve = local_df(
+        df.sparkSession,
         lsh_scurve_constants(bands, num_hashes // bands, buckets),
         "j_bucket int, s_mid double, analytic_detect double",
     )

@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
+from alaska_etl_spark.functions.localrel import local_df
 
 __all__ = ["global_row_number", "global_ntile", "ntile_from_rank"]
 
@@ -292,7 +293,8 @@ def rank_biased_overlap(
         F.count(F.lit(1)).cast("bigint").alias("_x")
     )
     spark = a.sparkSession
-    powers = spark.createDataFrame(
+    powers = local_df(
+        spark,
         [(i, p_num ** (i - 1), p_den**i) for i in range(1, depth + 1)],
         "_i bigint, _pn bigint, _pd bigint",
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alaska_etl_spark.functions.localrel import local_df
+
 #: ordered — earlier patterns must not leave fragments later ones match.
 #: RE2-safe (no lookaround/backrefs): portable across Spark (Java regex)
 #: and RE2 engines.
@@ -140,7 +142,7 @@ def k_anonymity_audit(
     sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_sz"))
     hist = sizes.groupBy("_sz").agg(F.count(F.lit(1)).cast("bigint").alias("_ng"))
     spark = df.sparkSession
-    kf = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
+    kf = local_df(spark, [(int(k),) for k in ks], "k bigint")
     return (
         hist.crossJoin(F.broadcast(kf))
         .groupBy("k")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
 from alaska_etl_spark.functions.fixedpoint import div_half_up
+from alaska_etl_spark.functions.localrel import local_df
 
 
 def _np_round_half_away(x, digits: int):
@@ -419,7 +420,8 @@ def kmeans_refine(
     cents = {r.centroid_id: list(r.centroid) for r in rows}
     spark = corpus.sparkSession
     for _ in range(iters):
-        cdf = spark.createDataFrame(
+        cdf = local_df(
+            spark,
             [(k, v) for k, v in sorted(cents.items())],
             "centroid_id bigint, centroid array<double>",
         )
@@ -439,7 +441,7 @@ def kmeans_refine(
             n = counts[cid]
             cents[cid] = [dims[i] / n for i in range(len(dims))]
     out = [(k, v) for k, v in sorted(cents.items())]
-    return spark.createDataFrame(out, "centroid_id bigint, centroid array<double>")
+    return local_df(spark, out, "centroid_id bigint, centroid array<double>")
 
 
 def _lloyd_cents(
@@ -583,8 +585,8 @@ def _lloyd_cents(
         else:  # empty cell keeps its init centroid, exact doubles
             cents[cid] = [dims[i] for i in range(len(dims))]
     for _ in range(iters - 1):
-        cdf = spark.createDataFrame(
-            sorted(cents.items()), "centroid_id bigint, centroid array<double>"
+        cdf = local_df(
+            spark, sorted(cents.items()), "centroid_id bigint, centroid array<double>"
         )
         assigned = assign_buckets(
             corpus, cdf, id_col=id_col, vec_col=vec_col, round_digits=round_digits
@@ -614,8 +616,8 @@ def _cents_frame(spark, cents: "dict[int, list[float]]") -> DataFrame:
         return spark.createDataFrame(
             [], "centroid_id bigint, centroid array<double>"
         )
-    return spark.createDataFrame(
-        sorted(cents.items()), "centroid_id bigint, centroid array<double>"
+    return local_df(
+        spark, sorted(cents.items()), "centroid_id bigint, centroid array<double>"
     )
 
 
@@ -1235,7 +1237,8 @@ def ivfpq_topk(
 
     assigned = assign_buckets(corpus, cents, id_col=id_col, vec_col=vec_col)
     cdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_df(
+            corpus.sparkSession,
             [(int(i), [float(x) for x in v]) for i, v in zip(cids, cmat)],
             "centroid_id bigint, _cent array<double>",
         )

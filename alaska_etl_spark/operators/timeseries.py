@@ -136,16 +136,33 @@ def ewma(
     ``ewm(alpha, adjust=False)`` semantics). ``order_tiebreak`` must
     make (ts, tiebreak) a total order per key for reproducible results.
 
-    One exchange (the groupBy), linear per-key work, constant state —
-    the 100 TB shape for any recursive per-key scan. The exchange is an
-    EXPLICIT repartition on the key: ``REPARTITION_BY_NUM`` both feeds
-    ``applyInPandas``'s required hash partitioning and is exempt from
-    AQE's byte-based coalescing, which would otherwise shrink this
-    Python-CPU-heavy stage to a couple of tasks because its shuffle
-    BYTES are small (measured 2 tasks on 32 cores at sf0.1)."""
+    One exchange (the explicit key repartition), linear per-key work,
+    constant state — the 100 TB shape for any recursive per-key scan.
+    The exchange is an EXPLICIT repartition on the key:
+    ``REPARTITION_BY_NUM`` both co-locates every key's rows in one
+    partition and is exempt from AQE's byte-based coalescing, which
+    would otherwise shrink this Python-CPU-heavy stage to a couple of
+    tasks because its shuffle BYTES are small (measured 2 tasks on 32
+    cores at sf0.1).
+
+    Python boundary shape (r12, guide §4.2/§4.5): ONE ``mapInPandas``
+    call per partition, not ``applyInPandas``'s one call per key group.
+    The grouped form paid per-GROUP pandas overhead (frame slice, sort,
+    numpy round-trip ~0.1-0.3 ms × thousands of keys); the stage
+    profile read 17.7 executor-s at 0.8 s JVM CPU — the JVM blocked on
+    the worker protocol per group. The partition form sorts once by
+    (keys, order), detects group starts with a vectorized
+    boundary mask, and runs the SAME per-step recurrence over the whole
+    partition (reset at starts) — identical doubles, one worker
+    round-trip per partition. Memory: the partition is concatenated in
+    the worker (shuffle partition sizing bounds it; the grouped form
+    already materialized whole key groups). Key columns must not carry
+    NULLs (upstream contract; a NaN≠NaN boundary test would split a
+    NULL key into singleton runs)."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     df = df.repartition(nparts, *key_cols)
-    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    keys = list(key_cols)
+    order = keys + [ts_col] + ([order_tiebreak] if order_tiebreak else [])
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -153,8 +170,12 @@ def ewma(
 
     a, b = float(alpha), 1.0 - float(alpha)
 
-    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def _smooth_part(batches) -> "pd.DataFrame":
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
         # explicit per-step recurrence, NOT pandas.ewm: y = a·x + b·y is
         # two correctly-rounded multiplies + one add, so any engine
         # evaluating the same expression gets the identical double each
@@ -162,10 +183,18 @@ def ewma(
         # a trailing divide) drifts by an ulp on long chains — found as
         # 19/100k rows crossing the 6dp rounding boundary at sf0.1.
         vals = pdf[val_col].to_numpy(dtype="float64")
-        out = np.empty(len(vals))
+        n = len(vals)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            same = np.ones(n - 1, dtype=bool)
+            for k in keys:
+                kv = pdf[k].to_numpy()
+                same &= kv[1:] == kv[:-1]
+            first[1:] = ~same
+        out = np.empty(n)
         y = 0.0
-        for i in range(len(vals)):
-            y = vals[i] if i == 0 else a * vals[i] + b * y
+        for i in range(n):
+            y = vals[i] if first[i] else a * vals[i] + b * y
             out[i] = y
         # round half AWAY from zero (SQL semantics), not numpy's
         # half-to-even: long chains do land on exact .5 scaled values
@@ -173,9 +202,9 @@ def ewma(
         # from zero while np.round breaks them to even
         scale = 10.0 ** round_digits
         pdf[out_col] = np.sign(out) * np.floor(np.abs(out) * scale + 0.5) / scale
-        return pdf
+        yield pdf
 
-    return df.groupBy(*key_cols).applyInPandas(_smooth, schema)
+    return df.mapInPandas(_smooth_part, schema)
 
 
 def zscore_anomalies(

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
+from alaska_etl_spark.functions.localrel import local_df
 
 __all__ = ["table_entries", "profile_tables", "format_validity"]
 
@@ -139,8 +140,10 @@ def _subject_df(spark, rows, schema):
     """Tiny driver-side decode frame (≤ subjects × tables rows) — the
     only place names exist at value grain is the explode literal; all
     report-side decodes broadcast-join this frame onto already-reduced
-    (≤48-row) aggregates."""
-    return F.broadcast(spark.createDataFrame(rows, schema))
+    (≤48-row) aggregates. Literal relation (localrel, r12): the
+    createDataFrame form scanned a Python-backed RDD — 32 tasks ×
+    ~250 ms Python-worker round-trip per materialization (guide §4)."""
+    return F.broadcast(local_df(spark, rows, schema))
 
 
 def _profile_report(col_counts: DataFrame, dec: DataFrame) -> DataFrame:

@@ -25,6 +25,7 @@ from alaska_etl_spark.operators import sketches as S
 from alaska_etl_spark.operators import text as T
 from alaska_etl_spark.operators.asof import asof_join
 from alaska_etl_spark.functions.fixedpoint import div_half_up
+from alaska_etl_spark.functions.localrel import local_df
 from alaska_etl_spark.operators.dedup import (
     dedup_keep_first,
     duplicate_report,
@@ -1883,7 +1884,8 @@ def q14_range_join(spark, sf_dir):
     same idea). Revenue per (band, returnflag) proves the join fed an
     aggregate, not just a filter."""
     li = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("B1", 0.0, 10.0), ("B2", 10.0, 20.0), ("B3", 20.0, 30.0),
          ("B4", 30.0, 40.0), ("B5", 40.0, 51.0)],
         "band string, lo double, hi double",
@@ -4989,7 +4991,7 @@ def qd5_bm25(spark, sf_dir):
     from alaska_etl_spark.operators.text import bm25_topk
 
     d = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    qs = local_df(spark, _BM25_QUERIES, "query_id int, query_text string")
     return bm25_topk(d, qs, "doc_id", "text", k=10)
 
 
@@ -8181,7 +8183,7 @@ def ql3_truncation_audit(spark, sf_dir):
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     ).cast("bigint")
     d = _t(spark, sf_dir, "documents").select(toks.alias("_n"))
-    ctx = spark.createDataFrame([(c,) for c in _QL3_CTX], "ctx bigint")
+    ctx = local_df(spark, [(c,) for c in _QL3_CTX], "ctx bigint")
     agg = (
         d.crossJoin(F.broadcast(ctx))
         .groupBy("ctx")
@@ -8669,7 +8671,7 @@ def qm4_rbo(spark, sf_dir):
     from alaska_etl_spark.operators.text import bm25_topk
 
     d = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    qs = local_df(spark, _BM25_QUERIES, "query_id int, query_text string")
     std = bm25_topk(d, qs, "doc_id", "text", k=10, b=0.75)
     nolen = bm25_topk(d, qs, "doc_id", "text", k=10, b=0.0)
     return rank_biased_overlap(
@@ -10957,7 +10959,7 @@ def qr5_blocklist_audit(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _messy_url().alias("url")
     )
-    rules = spark.createDataFrame(_BLOCK_RULES, "rule string, domain string")
+    rules = local_df(spark, _BLOCK_RULES, "rule string, domain string")
     return blocklist_audit(docs, "doc_id", "url", rules)
 
 
@@ -11296,8 +11298,8 @@ def qs0_path_blocklist(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _messy_url().alias("url")
     )
-    rules = spark.createDataFrame(
-        _QS0_RULES, "rule string, kind string, pattern string"
+    rules = local_df(
+        spark, _QS0_RULES, "rule string, kind string, pattern string"
     )
     return blocklist_audit(docs, "doc_id", "url", rules)
 
@@ -11624,7 +11626,7 @@ def qs9_robots_gate(spark, sf_dir):
     aggregate — no theta join, no window in the check."""
     from alaska_etl_spark.operators.urls import parse_robots, robots_check
 
-    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    robots = local_df(spark, _robots_rows(), "host string, body string")
     rules = parse_robots(robots, "host", "body", agent="trainbot")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _messy_url().alias("url")
@@ -11792,7 +11794,7 @@ def qt0_sitemap_frontier(spark, sf_dir):
         )
     )
     sm = sitemap_urls(bodies, "h", "body")
-    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    robots = local_df(spark, _robots_rows(), "host string, body string")
     rules = parse_robots(robots, "host", "body", agent="trainbot")
     verdicts = robots_check(sm, "loc", "loc", rules).select("loc", "allowed")
     return (
@@ -11870,7 +11872,7 @@ def qt1_crawl_delay_budget(spark, sf_dir):
     aggregate on host."""
     from alaska_etl_spark.operators.urls import canonical_url, robots_directives, url_host
 
-    robots = spark.createDataFrame(_robots_rows(), "host string, body string")
+    robots = local_df(spark, _robots_rows(), "host string, body string")
     d = robots_directives(robots, "host", "body", agent="trainbot")
     delays = (
         d.filter(F.col("directive") == "crawl-delay")
@@ -12067,7 +12069,7 @@ def qt8_psl_domains(spark, sf_dir):
     the hosts that ARE public suffixes (no registrable domain)."""
     from alaska_etl_spark.operators.urls import psl_registrable_domain
 
-    rules = spark.createDataFrame([(p,) for p in _PSL_RULES], "pattern string")
+    rules = local_df(spark, [(p,) for p in _PSL_RULES], "pattern string")
     d = _t(spark, sf_dir, "documents")
     v = (F.col("doc_id") % 97).cast("string")
     u = F.col("doc_id") % 6
