@@ -86,12 +86,24 @@ def merged_distinct_count(
 ) -> DataFrame:
     """Distinct-entity estimate over a bucket range by UNIONING the
     stored HLL sketches — the range filter prunes at the partition
-    level; the union is one tiny aggregate over ≤ |days| rows."""
+    level; the union is one tiny aggregate over ≤ |days| rows.
+
+    The union runs in ONE partition, sorted by bucket (r12): an HLL
+    union's estimate is not bit-invariant to how partial unions are
+    grouped (sparse→dense promotion paths differ), so letting the scan
+    planner's file packing pick the grouping made the merged estimate a
+    function of the store's FILE LAYOUT — the same store answered
+    differently as ``spark.sql.files.*`` split sizing changed (caught
+    by test_incremental_append_equals_one_shot when the r12 scan floor
+    landed). Sketch rows are KB-per-bucket; even a decade of daily
+    buckets is a few thousand rows, so the single-task merge is the
+    100 TB shape anyway."""
     sk = spark.read.parquet(path)
     if start is not None:
         sk = sk.filter(F.col("bucket") >= start)
     if end is not None:
         sk = sk.filter(F.col("bucket") < end)
+    sk = sk.coalesce(1).sortWithinPartitions("bucket")
     return sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_ids")).alias("n_distinct_est"),
         F.sum("n_rows").alias("n_rows"),
@@ -107,12 +119,15 @@ def merged_quantiles(
     end=None,
 ) -> DataFrame:
     """Value quantile estimates over a bucket range by MERGING the
-    stored KLL sketches."""
+    stored KLL sketches — single sorted partition for the same
+    layout-invariance reason as :func:`merged_distinct_count` (KLL
+    merge is rank-error-bounded but not grouping-invariant either)."""
     sk = spark.read.parquet(path)
     if start is not None:
         sk = sk.filter(F.col("bucket") >= start)
     if end is not None:
         sk = sk.filter(F.col("bucket") < end)
+    sk = sk.coalesce(1).sortWithinPartitions("bucket")
     merged = sk.agg(F.kll_merge_agg_double("kll_vals").alias("_m"))
     return merged.select(
         *[

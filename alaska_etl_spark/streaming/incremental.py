@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alaska_etl_spark.cache import tracked_persist
+from alaska_etl_spark.functions.localrel import local_df
 from alaska_etl_spark.sources.uscrn import parse_uscrn_lines
 from alaska_etl_spark.sources.wind import parse_wind_lines
 
@@ -1207,14 +1208,15 @@ def stream_vocab_drift(
             "js_nats",
             (F.col("js_nats") > F.lit(threshold)).alias("drifted"),
         ).collect()
-        if rows:
-            out = spark.createDataFrame(rows)
-        else:  # empty batch: no batch-side distribution at all
-            out = spark.createDataFrame(
-                [(batch_id, 0, 0, 0, None, None)],
-                "batch_id bigint, tokens_batch bigint, tokens_ref bigint, "
-                "shared_vocab bigint, js_nats double, drifted boolean",
-            )
+        # literal relation either way (localrel, r12): this sink runs
+        # PER BATCH, and a Python-RDD frame scan costs 32 worker
+        # round-trips per materialization (guide §4)
+        out = local_df(
+            spark,
+            [tuple(r) for r in rows] or [(batch_id, 0, 0, 0, None, None)],
+            "batch_id bigint, tokens_batch bigint, tokens_ref bigint, "
+            "shared_vocab bigint, js_nats double, drifted boolean",
+        )
         out.write.mode("append").parquet(metrics_path)
 
     q = (
@@ -1349,8 +1351,8 @@ def stream_perceptron_train(
         )
         m, g = train_step(feats, w)
         w = [w[j] + g[j] for j in range(k)]
-        spark.createDataFrame(
-            [(it + 1, batch_id, m, *w)], schema
+        local_df(
+            spark, [(it + 1, batch_id, m, *w)], schema
         ).write.mode("append").parquet(history_path)
 
     q = (
@@ -1457,7 +1459,7 @@ def stream_model_monitor(
                 row = (batch_id, it, tp, fp, tn, fn, acc, acc < min_accuracy)
             else:
                 row = (batch_id, it, 0, 0, 0, 0, None, None)
-        batch_df.sparkSession.createDataFrame([row], schema).write.mode(
+        local_df(batch_df.sparkSession, [row], schema).write.mode(
             "append"
         ).parquet(metrics_path)
 
@@ -1831,15 +1833,15 @@ def stream_profile_monitor(
             )
             .collect()
         )
-        if rows:
-            out = spark.createDataFrame(rows)
-        else:  # row-less batch: keep the series gap visible per column
-            out = spark.createDataFrame(
-                [(batch_id, c, 0, 0, None, 0, 0, None, None) for c in cols],
-                "batch_id bigint, column_name string, n_rows bigint, "
-                "n_null bigint, null_bp bigint, n_distinct bigint, "
-                "n_unseen_values bigint, null_alert boolean, domain_alert boolean",
-            )
+        # literal relation either way (localrel, r12, per-batch sink)
+        out = local_df(
+            spark,
+            [tuple(r) for r in rows]
+            or [(batch_id, c, 0, 0, None, 0, 0, None, None) for c in cols],
+            "batch_id bigint, column_name string, n_rows bigint, "
+            "n_null bigint, null_bp bigint, n_distinct bigint, "
+            "n_unseen_values bigint, null_alert boolean, domain_alert boolean",
+        )
         out.write.mode("append").parquet(metrics_path)
 
     q = (
@@ -1889,7 +1891,7 @@ def _unseen_src_files(
         files = [f for f in files if f] + [key]
     if not files or not _hdfs_exists(spark, store_path):
         return tagged, files
-    probe = spark.createDataFrame([(f,) for f in files], "_src string")
+    probe = local_df(spark, [(f,) for f in files], "_src string")
     stored = {
         r["_src"]
         for r in spark.read.parquet(store_path)
@@ -1988,7 +1990,8 @@ def stream_heavy_hitters_monitor(
             F.lit(int(n_total)).cast("bigint").alias("n_total"),
         )
         if not out.head(1):
-            out = spark.createDataFrame(
+            out = local_df(
+                spark,
                 [(batch_id, None, None, int(n_total))],
                 "batch_id bigint, item string, lb bigint, n_total bigint",
             )
@@ -2251,7 +2254,8 @@ def stream_late_audit(
             F.sum("_n").cast("bigint").alias("n_rows"),
             F.sum("_n_late").cast("bigint").alias("n_late"),
         ).head(1)[0]
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(batch_id, int(tot["n_rows"] or 0), int(tot["n_late"] or 0), hwm)],
             "batch_id bigint, n_rows bigint, n_late bigint, hwm timestamp_ntz",
         ).write.mode("append").parquet(metrics_path)
