@@ -33,7 +33,16 @@ def sessionize(
     order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Attach ``session_id`` (1-based per key, in time order) and
-    ``session_start`` to every row."""
+    ``session_start`` to every row.
+
+    The key exchange is an EXPLICIT repartition (r12, the q92/ewma
+    pattern): session rows are narrow, so AQE's byte-based coalescing
+    shrank the window stage to ONE task at sf0.1 (1.4 MB post-shuffle,
+    0.5 s of single-threaded lag+cumsum; stage profile) — repartition
+    by key is exempt from coalescing and the window needs exactly this
+    hash clustering anyway, at any scale."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartition(nparts, *key_cols)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_tiebreak or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
