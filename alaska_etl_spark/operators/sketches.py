@@ -152,13 +152,19 @@ def heavy_hitters(
 
     The answer is exact, so the DuckDB oracle is plain
     ``HAVING count(*) > φ·(SELECT count(*) …)`` (qa6)."""
+    from alaska_etl_spark.cache import tracked_persist
+
     if k is None:
         k = int(1.0 / phi) + 1
     cand = misra_gries_candidates(df, col, k=k).select(
         F.col("item").alias(col)
     ).distinct().withColumn("_cand", F.lit(1))
     tagged = df.select(col).join(F.broadcast(cand), [col], "left")
-    counted = (
+    # ≤ |candidates|+1 rows, but its subtree is the WHOLE pipeline (both
+    # token-stream scans + the MG mapInPandas pass); unpersisted, the
+    # total-count consumer below re-executed all of it (r12 plan audit:
+    # 4 parquet scans / 2 MapInPandas where 2 / 1 suffice).
+    counted = tracked_persist(
         tagged.groupBy(
             F.when(F.col("_cand") == 1, F.col(col)).alias("item")
         )
@@ -204,7 +210,13 @@ def decimal_quantiles(
     # NULLs are excluded, as every SQL quantile does (and Spark/DuckDB
     # disagree on NULL sort position, so letting them through would
     # also break engine parity)
-    counts = (
+    from alaska_etl_spark.cache import tracked_persist
+
+    # value-domain-bounded (≤ groups × distinct cents rows) while its
+    # subtree is the full input scan+aggregate; every per-prob union
+    # branch below re-filters it, so unpersisted it re-scanned the
+    # input |probs| times (r12 plan audit).
+    counts = tracked_persist(
         df.filter(F.col(col).isNotNull())
         .groupBy(*group_cols, cents.alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -339,20 +339,53 @@ def index_build_forecast(
     # injective mapping; a 64-bit collision would under-count vocab and
     # surface against the string-keyed oracle). Measured 3.1 → ~1.5 s
     # at sf0.1.
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, n)).alias("_g"),
-    ).select("_id", F.xxhash64("_g").alias("_g"))
-    dfreq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    pairs_dec = "cast(_df as decimal(38,0)) * (_df - 1) div 2"
+    #
+    # ONE pass (r12): n_docs used to be a count_distinct(id) over a
+    # SECOND copy of the scan+shingle+explode subtree (the unpersisted
+    # diamond — the plan carried 2 Generates and a crossJoin). Instead,
+    # boilerplate_grams' sentinel idiom: every doc with ≥1 token (⟺ ≥1
+    # shingle — ``shingles`` contract) appends one sentinel gram, and a
+    # flag carried PAST the hash keeps sentinel rows out of every gram
+    # statistic, so the sentinel's df IS n_docs and the whole forecast
+    # is one scan + one gram aggregate + one scalar reduction. The NUL
+    # byte cannot appear in a whitespace token unless the raw text
+    # contains NUL itself — outside this operator's text domain (the
+    # qp2 caveat, operators/text.py boilerplate_grams).
+    sent = "\x00docs"
+    tok = (
+        df.filter(F.col(text_col).rlike(r"\S"))
+        .select(
+            F.explode(
+                F.concat(shingles(text_col, n), F.array(F.lit(sent)))
+            ).alias("_gs")
+        )
+        .select(
+            (F.col("_gs") == sent).alias("_is_doc"),
+            F.xxhash64("_gs").alias("_g"),
+        )
+    )
+    dfreq = tok.groupBy("_is_doc", "_g").agg(F.count(F.lit(1)).alias("_df"))
+    pairs_dec = (
+        "cast(case when not _is_doc then _df end as decimal(38,0))"
+        " * (_df - 1) div 2"
+    )
     gram_stats = dfreq.agg(
-        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
         # coalesce: SUM over zero rows is NULL, but an empty corpus has
-        # 0 postings/candidates, not unknown ones (max_df stays NULL —
-        # there is no hottest gram)
-        F.coalesce(F.sum("_df"), F.lit(0)).cast("bigint").alias("n_postings"),
-        F.max("_df").cast("bigint").alias("max_df"),
-        F.coalesce(F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)), F.lit(0))
+        # 0 docs/postings/candidates, not unknown ones (max_df stays
+        # NULL — there is no hottest gram)
+        F.coalesce(F.sum(F.when(F.col("_is_doc"), F.col("_df"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.coalesce(F.sum(F.when(~F.col("_is_doc"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("vocab_size"),
+        F.coalesce(F.sum(F.when(~F.col("_is_doc"), F.col("_df"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_postings"),
+        F.max(F.when(~F.col("_is_doc"), F.col("_df"))).cast("bigint").alias("max_df"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_is_doc") & (F.col("_df") == 1), 1)), F.lit(0)
+        )
         .cast("bigint")
         .alias("singleton_grams"),
         F.expr(f"cast(coalesce(sum({pairs_dec}), 0) as bigint)").alias(
@@ -360,10 +393,7 @@ def index_build_forecast(
         ),
         F.expr(f"cast(max({pairs_dec}) as bigint)").alias("_max_pairs"),
     )
-    docs = tok.agg(
-        F.count_distinct(F.col("_id")).cast("bigint").alias("n_docs")
-    )
-    return docs.crossJoin(gram_stats).select(
+    return gram_stats.select(
         "n_docs",
         "vocab_size",
         "n_postings",
