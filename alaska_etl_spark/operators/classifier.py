@@ -589,6 +589,12 @@ def pr_curve(
 
     from alaska_etl_spark.functions.fixedpoint import div_half_up
 
+    # Totals read off the by_score frame instead of a second pass over
+    # `scored` (r12): Σ per-score positives IS the positives total, and
+    # both consumers of by_score sit above its aggregation Exchange, so
+    # runtime exchange reuse computes the scoring chain once — no
+    # persist needed (a tracked_persist here A/B'd slightly slower on
+    # cold, med 1.17 → 1.26 s at sf0.1).
     by_score = scored.groupBy(F.col(score_col).alias("threshold")).agg(
         F.sum(F.when(F.col(pos_col), 1).otherwise(0)).cast("bigint").alias("_cp"),
         F.sum(F.when(F.col(pos_col), 0).otherwise(1)).cast("bigint").alias("_cn"),
@@ -601,8 +607,8 @@ def pr_curve(
         F.sum("_cp").over(w).cast("bigint").alias("tp"),
         F.sum("_cn").over(w).cast("bigint").alias("fp"),
     )
-    totals = scored.agg(
-        F.sum(F.when(F.col(pos_col), 1).otherwise(0)).cast("bigint").alias("_np")
+    totals = by_score.agg(
+        F.coalesce(F.sum("_cp"), F.lit(0)).cast("bigint").alias("_np")
     )
     out = cum.crossJoin(F.broadcast(totals)).select(
         "threshold",

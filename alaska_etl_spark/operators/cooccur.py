@@ -50,6 +50,11 @@ def copurchase_similarity(
     incidence. Returns ``(item_a, item_b, co, n_a, n_b, cosine)`` for
     pairs with ``co >= min_co``; ``item_a < item_b``.
     """
+    # NOT persisted (r12, measured): the plan prints base's source-join
+    # subtree once per consumer, but base is a distinct (an aggregate)
+    # — every copy sits above its Exchange and runtime exchange reuse
+    # computes it once; persisting base/kept A/B'd slower on cold
+    # (med 2.39 → 2.94 s, exec-run 7.3 → 54.1 s at sf0.1).
     base = df.select(
         F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
     ).distinct()

@@ -1669,6 +1669,11 @@ def bag_jaccard_pairs(
     from alaska_etl_spark.functions.fixedpoint import div_half_up
 
     block = df.filter(F.col(id_col) < max_id)
+    # NOT persisted (r12, measured): the self-join sides and totals
+    # re-plan the tokenize subtree, but counts is an aggregate — every
+    # copy sits above its Exchange and runtime exchange reuse computes
+    # it once (persisting A/B'd slower, cold med 0.53 → 0.76 s at
+    # sf0.1).
     counts = (
         block.select(F.col(id_col).alias("_id"), F.explode(word_tokens(text_col)).alias("_w"))
         .groupBy("_id", "_w")
@@ -1839,6 +1844,11 @@ def blocking_quality(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # pair-grain over the sampled corpus; unpersisted, cands was
+    # re-planned by its two consumers (count + semi-join probe) and
+    # truth's shared-gram join ran twice (truth count + hit) — the r12
+    # diamond audit read the cached-shingle explode 4× in qm3's plan.
+    cands = tracked_persist(cands)
     grams = per_doc.select("_id", F.explode("_sh").alias("_g"))
     sizes = per_doc.select("_id", F.size("_sh").cast("bigint").alias("_sz"))
     ic = (
@@ -1859,6 +1869,7 @@ def blocking_quality(
         )
         .select("id_a", "id_b")
     )
+    truth = tracked_persist(truth)
     hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
     agg = (
         per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -1970,6 +1981,11 @@ def lsh_scurve(
             .alias("j_bucket"),
         )
     )
+    # bucketed pair grain (sample-bounded); unpersisted, the detected
+    # semi-join and the per-bucket totals each re-ran the shared-gram
+    # self-join (the r12 diamond audit read the shingle explode 4× in
+    # qo0's plan).
+    pairs = tracked_persist(pairs)
     detected = pairs.join(cands, ["id_a", "id_b"], "left_semi").groupBy(
         "j_bucket"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))

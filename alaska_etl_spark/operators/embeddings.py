@@ -220,6 +220,11 @@ def embedding_drift(
         )
 
     base = comps(a, True).unionByName(comps(b, False))
+    # NOT persisted (r12, measured): the plan prints the component
+    # explode once per consumer of mm/binned, but both are aggregates —
+    # every copy sits above their Exchanges, so runtime exchange reuse
+    # computes each once; persisting them A/B'd SLOWER (cold med
+    # 0.91 → 1.26 s, exec-run 2.6 → 7.3 s at sf0.1).
     mm = base.groupBy("dim").agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
     binned = (
         base.join(mm, "dim")

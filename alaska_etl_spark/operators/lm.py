@@ -116,6 +116,11 @@ def train_bigram_lm(df: DataFrame, id_col: str, text_col: str) -> BigramLM:
     tokens (uniform-ish; the hot-token reduce side is one row per
     distinct key after map-side partial aggregation)."""
     rows = _bigram_rows(df, id_col, text_col)
+    # NOT persisted (r12, measured): contexts and every scorer join
+    # re-plan the bigram-count subtree, but it is an aggregate — the
+    # copies sit above its Exchange and runtime exchange reuse computes
+    # it once (persisting A/B'd slower on q94, cold med 1.29 → 1.95 s
+    # at sf0.1: the cache build serializes what reuse ran shared).
     bigrams = rows.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
     contexts = bigrams.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (

@@ -1243,10 +1243,20 @@ def ivfpq_topk(
             "centroid_id bigint, _cent array<double>",
         )
     )
-    resid = assigned.join(cdf, "centroid_id").select(
-        F.col(id_col),
-        "centroid_id",
-        F.zip_with(F.col(vec_col), F.col("_cent"), lambda a, b: a - b).alias("_resid"),
+    from alaska_etl_spark.cache import tracked_persist
+
+    # resid's subtree contains the assign_buckets Arrow pass over the
+    # whole corpus; unpersisted, its three consumers (pq_train,
+    # pq_encode, the centroid_id join-back) re-ran that pandas UDF —
+    # the r12 diamond audit read 3 distinct ArrowEvalPython[_nearest]
+    # nodes in q91's plan. Materialize the residuals once (the same
+    # trade write_ivf_index makes durable).
+    resid = tracked_persist(
+        assigned.join(cdf, "centroid_id").select(
+            F.col(id_col),
+            "centroid_id",
+            F.zip_with(F.col(vec_col), F.col("_cent"), lambda a, b: a - b).alias("_resid"),
+        )
     )
     books = pq_train(resid, id_col=id_col, vec_col="_resid", m=m, k=kcode, dim=dim, iters=iters)
     codes = pq_encode(resid, books, id_col=id_col, vec_col="_resid").join(
@@ -1310,7 +1320,13 @@ def ivfpq_topk(
                 F.col("centroid_id").cast("bigint"), F.col("pq_code")
             ).alias("_ds"),
         )
-        .select("neighbor_id", F.posexplode("_ds").alias("_qi", "adist"))
+        # posexplode_OUTER on purpose: _ds is always an nq-length array,
+        # so outer vs inner emit identical rows — but a plain explode
+        # lets InferFiltersFromGenerate synthesize size(_ds)>0 and push
+        # it below the Generate, re-evaluating the _adists pandas UDF a
+        # second time (the q07 trap; r12 diamond audit read 2
+        # ArrowEvalPython[_adists] nodes here).
+        .select("neighbor_id", F.posexplode_outer("_ds").alias("_qi", "adist"))
         .filter(F.col("adist").isNotNull())
         .select(
             F.element_at(F.lit(qids.tolist()), F.col("_qi") + 1).alias("query_id"),
@@ -1812,6 +1828,11 @@ def ann_recall(
     """
     from alaska_etl_spark.functions.fixedpoint import div_half_up
 
+    # NOT persisted (r12, measured): the semi-join probe and the
+    # n_truth aggregate re-plan the brute-force pass, but its top-k
+    # window sits above an Exchange, so runtime exchange reuse shares
+    # the heavy work — persisting truth A/B'd slightly slower on cold
+    # (med 1.40 → 1.50 s at sf0.1).
     truth = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col, round_digits=3
     ).select("query_id", "neighbor_id")

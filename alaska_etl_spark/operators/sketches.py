@@ -152,28 +152,37 @@ def heavy_hitters(
 
     The answer is exact, so the DuckDB oracle is plain
     ``HAVING count(*) > φ·(SELECT count(*) …)`` (qa6)."""
-    from alaska_etl_spark.cache import tracked_persist
-
     if k is None:
         k = int(1.0 / phi) + 1
     cand = misra_gries_candidates(df, col, k=k).select(
         F.col("item").alias(col)
     ).distinct().withColumn("_cand", F.lit(1))
     tagged = df.select(col).join(F.broadcast(cand), [col], "left")
-    # ≤ |candidates|+1 rows, but its subtree is the WHOLE pipeline (both
-    # token-stream scans + the MG mapInPandas pass); unpersisted, the
-    # total-count consumer below re-executed all of it (r12 plan audit:
-    # 4 parquet scans / 2 MapInPandas where 2 / 1 suffice).
-    counted = tracked_persist(
+    counted = (
         tagged.groupBy(
             F.when(F.col("_cand") == 1, F.col(col)).alias("item")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counted.agg(F.sum("cnt").alias("_n"))
+    from pyspark.sql import Window
+
+    # The exact total n rides a GLOBAL window over the counted frame
+    # (≤ |candidates|+1 rows — single-partition by construction, the
+    # same bounded envelope as the MG summary itself), so counted has
+    # ONE consumer. The previous split (total = counted.agg + filtered
+    # join-back) re-planned the whole scan+MG pipeline for the total:
+    # the item-IS-NOT-NULL filter pushed below the aggregate on one
+    # branch only, the two Exchanges stopped matching, and runtime
+    # exchange reuse could not share them (r12 plan audit: 4 scans /
+    # 2 MapInPandas where 2 / 1 suffice; a tracked_persist fixed the
+    # duplication but its build barrier cost ~0.2-0.4 s cold — the
+    # window form needs neither).
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        counted.filter(F.col("item").isNotNull())
-        .join(F.broadcast(total))
+        counted.withColumn("_n", F.sum("cnt").over(w))
+        .filter(F.col("item").isNotNull())
         .filter(F.col("cnt") > F.lit(phi) * F.col("_n"))
         .select("item", "cnt")
         .orderBy(F.col("cnt").desc(), "item")
@@ -210,13 +219,7 @@ def decimal_quantiles(
     # NULLs are excluded, as every SQL quantile does (and Spark/DuckDB
     # disagree on NULL sort position, so letting them through would
     # also break engine parity)
-    from alaska_etl_spark.cache import tracked_persist
-
-    # value-domain-bounded (≤ groups × distinct cents rows) while its
-    # subtree is the full input scan+aggregate; every per-prob union
-    # branch below re-filters it, so unpersisted it re-scanned the
-    # input |probs| times (r12 plan audit).
-    counts = tracked_persist(
+    counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(*group_cols, cents.alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))

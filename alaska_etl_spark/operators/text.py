@@ -582,6 +582,11 @@ def vocab_divergence_from_counts(
     micro-batch (:func:`~alaska_etl_spark.streaming.incremental.stream_vocab_drift`),
     two warehouse snapshots, etc. Same emit contract and fixed-point
     protocol as the document-level form (which delegates here)."""
+    # NOT persisted (r12, measured): the plan prints cnt's tokenize
+    # subtree once per consumer, but every copy sits above cnt's
+    # aggregation Exchange, so runtime exchange reuse computes it once
+    # — persisting cnt/tot here A/B'd SLOWER (cold med 1.20 → 1.32 s,
+    # exec-run 0.5 → 10.8 s at sf0.1: pure cache-build barrier cost).
     tot = cnt.groupBy("_g").agg(F.sum("_c").alias("_n"))
     a = cnt.join(tot, "_g").select(
         F.col("_g").alias("_ga"), "_w", F.col("_c").alias("_ca"), F.col("_n").alias("_na")
@@ -700,6 +705,14 @@ def pmi_collocations(
         F.col(id_col).alias("_id"),
         F.posexplode_outer(word_tokens(text_col)).alias("_pos", "_w"),
     ).filter(F.col("_w").isNotNull())
+    # Totals derive from the two count tables instead of a third
+    # tokenize pass (r12): Σuni._c is the token count and Σpair_count
+    # over the unfiltered pair table is the bigram count (per doc,
+    # #bigrams = #tokens − 1 — the same number the old _pos>0 count
+    # read). The count tables themselves are NOT persisted: every
+    # consumer sits above their aggregation Exchanges, so runtime
+    # exchange reuse already computes each once (persisting A/B'd
+    # slower — cold med 0.67 → 1.08 s at sf0.1, cache-build barrier).
     uni = toks.groupBy(F.col("_w")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
@@ -707,14 +720,18 @@ def pmi_collocations(
     pairs_raw = toks.select(
         F.col("_w").alias("w1"), F.lead("_w", 1).over(w).alias("w2")
     ).filter(F.col("w2").isNotNull())
-    pairs = (
-        pairs_raw.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
-        .filter(F.col("pair_count") >= min_pair)
+    pairs_all = pairs_raw.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
     )
-    totals = toks.select(
-        F.count(F.lit(1)).cast("bigint").alias("_n_uni"),
-        F.sum(F.when(F.col("_pos") > 0, 1).otherwise(0)).cast("bigint").alias("_n_bi"),
+    pairs = pairs_all.filter(F.col("pair_count") >= min_pair)
+    totals = uni.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("_n_uni")
+    ).crossJoin(
+        pairs_all.agg(
+            F.coalesce(F.sum("pair_count"), F.lit(0))
+            .cast("bigint")
+            .alias("_n_bi")
+        )
     )
     ca = uni.select(F.col("_w").alias("w1"), F.col("_c").alias("_ca"))
     cb = uni.select(F.col("_w").alias("w2"), F.col("_c").alias("_cb"))
@@ -1082,6 +1099,12 @@ def inclusion_audit(
     """
     from alaska_etl_spark.functions.fixedpoint import div_half_up
 
+    # NOT persisted (r12, measured): each distinct set is REPLANNED at
+    # every pair, but distinct() is an aggregate — every copy sits
+    # above the same Exchange and runtime exchange reuse computes it
+    # once (before/after exec-run 8.9 vs 40.3 s, cold med 2.42 vs
+    # 3.43 s at sf0.1 — the persisted form paid a cache-build barrier
+    # per table for work reuse was already sharing).
     distincts = [
         (
             name,

@@ -4486,6 +4486,11 @@ def qc4_funnel(spark, sf_dir):
             F.min("ts").alias(f"_t_{evt}")
         )
 
+    # NOT persisted (r12, measured): each later step's join-back
+    # re-plans the earlier chain, but every step is a keyed aggregate —
+    # the copies sit above the same Exchanges and runtime exchange
+    # reuse computes each once (persisting per step A/B'd slower on
+    # cold, med 0.83 → 1.05 s at sf0.1 — four cache-build barriers).
     steps = step_time(None, "view")
     for prev, evt in [("_t_view", "click"), ("_t_click", "signup"), ("_t_signup", "purchase")]:
         steps = steps.join(step_time(prev, evt), "user_id", "left")
