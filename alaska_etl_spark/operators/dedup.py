@@ -2074,10 +2074,25 @@ def cdc_chunk_stats(
             F.lit(0),
         ),
     )
+    # Chunk fold over PACKED LONGS, not structs (r12): pos and h are
+    # both < 2³¹, so (pos << 31) | h is one non-negative bigint that
+    # sorts by pos and still carries h — the ObjectHashAggregate
+    # buffers/sorts primitive longs instead of (pos, h) structs and
+    # the fold extracts h with one AND. (A full codegen rewrite —
+    # order-free Σ hᵢ·P⁻ⁱ terms with per-row 31-step modpow chains —
+    # was implemented, oracle-matched at all three sfs, and REVERTED:
+    # ABAB measured it 0.6-1.0 s SLOWER cold at sf0.1; at the ~16-token
+    # expected chunk length the per-row square-and-multiply costs more
+    # than the small-array buffering it removes.)
     chunks = (
         marked.groupBy("_grp", "_id", "_ck")
         .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "_h"))).alias("_ph"),
+            F.array_sort(
+                F.collect_list(
+                    F.shiftleft(F.col("pos").cast("bigint"), 31)
+                    .bitwiseOR(F.col("_h"))
+                )
+            ).alias("_ph"),
             F.count(F.lit(1)).cast("bigint").alias("_n_tok"),
         )
         .select(
@@ -2086,8 +2101,9 @@ def cdc_chunk_stats(
             F.aggregate(
                 "_ph",
                 F.lit(0).cast("bigint"),
-                lambda acc, s: F.pmod(
-                    acc * F.lit(1_000_003) + s.getField("_h"), F.lit(1 << 31)
+                lambda acc, x: F.pmod(
+                    acc * F.lit(1_000_003) + x.bitwiseAND(F.lit((1 << 31) - 1)),
+                    F.lit(1 << 31),
                 ),
             ).alias("_ch"),
         )
