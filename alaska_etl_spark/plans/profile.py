@@ -396,7 +396,14 @@ def profile_tables(
         # shared local JVM — the r9 A/B at 32 was a wash). At 100 TB
         # the scan has thousands of splits and the gate never fires.
         target = max(2, spark.sparkContext.defaultParallelism // 4)
-        if src.rdd.getNumPartitions() < target:
+        from alaska_etl_spark.operators.parallelism import plan_scan_partitions
+
+        # driver-side split count, no RDD conversion (r13): the .rdd
+        # probe cost ~0.12-1.1 s per table of pure driver time here
+        nsrc = plan_scan_partitions(src)
+        if nsrc is None:
+            nsrc = src.rdd.getNumPartitions()
+        if nsrc < target:
             src = src.repartition(target)
         parts.append(
             src.select(F.explode(_entry_array(ids)).alias("_e")).select("_e.*")

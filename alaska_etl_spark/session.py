@@ -116,6 +116,20 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame debugging wraps EVERY DataFrame/Column
+        # API call with call-site capture: a Python stack walk plus 3
+        # py4j round-trips (conf read, PySparkCurrentOrigin.set/clear)
+        # per operation, only consumed when an error needs a query
+        # context. Plan construction here is thousands of API calls per
+        # query (cProfile: 0.45 s of 4.98 s on q07's build alone, ~4 ms
+        # per wrapped call), so the default costs seconds per bench run
+        # for a debug feature. Off by default, env-overridable for
+        # debugging sessions (r13, guide §5 "the driver should do
+        # almost no data work" — this was pure driver-side overhead).
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
     )
     if master:
         builder = builder.master(master)

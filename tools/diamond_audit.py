@@ -86,7 +86,9 @@ def main() -> None:
         if dup:
             score = sum(len(v) - 1 for v in dup.values())
             rows.append((score, name, dup))
-    rows.sort(reverse=True)
+    # key off (score desc, name) only — comparing the dup dict would
+    # raise TypeError on a (score, name) tie (ADVICE r12)
+    rows.sort(key=lambda r: (-r[0], r[1]))
     for score, name, dup in rows:
         print(f"== {name}  (extra plans: {score})")
         for sig, ids in sorted(dup.items(), key=lambda kv: -len(kv[1])):
