@@ -40,9 +40,22 @@ def sessionize(
     shrank the window stage to ONE task at sf0.1 (1.4 MB post-shuffle,
     0.5 s of single-threaded lag+cumsum; stage profile) — repartition
     by key is exempt from coalescing and the window needs exactly this
-    hash clustering anyway, at any scale."""
+    hash clustering anyway, at any scale.
+
+    The WIDTH tracks the input's own scan parallelism (r13, settling
+    the r12-verdict q34 regression): a flat ``shuffle.partitions``
+    width pays ~30 per-task floors over kilobyte partitions at small
+    SF. ``plan_scan_partitions`` is Spark's byte-derived estimate of
+    the input's parallelism — at cluster scale it is ≥ nparts so the
+    width IS nparts (the r12 behavior); locally it right-sizes the
+    window stage. Same-session ABAB at sf0.1 (2×2 reps, cold med):
+    scan-width 1.52-1.57 s < rep(32) 1.78-1.91 s < none/AQE-coalesced
+    1.98-2.09 s."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = df.repartition(nparts, *key_cols)
+    from alaska_etl_spark.operators.parallelism import plan_scan_partitions
+
+    width = plan_scan_partitions(df) or nparts
+    df = df.repartition(max(2, min(nparts, width)), *key_cols)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_tiebreak or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)

@@ -474,16 +474,22 @@ def _lloyd_cents(
     — this serves the IVF / SemDeDup quantizer path (SURVEY §2.14
     X30/X8) in oracle-checkable form. Returns (centroid_id, centroid).
 
-    Iteration 1 is FUSED with the init (VERDICT r6 #6): instead of a
-    separate ``centroids_by_id().collect()`` job before the loop, the
-    k-row init frame enters iteration 1's plan as a broadcast subtree
-    (``crossJoin(broadcast(sort_array(collect_list(...))))``) and the
-    assignment argmax runs as native higher-order functions over that
-    array — same rounded-cosine / smallest-id-tie protocol as
-    :func:`assign_buckets`, identical results (pinned by
-    test_similarity). The init centroid values ride along the SAME
-    collect as tagged union rows (for the empty-cell carryover), so
-    the serial driver barriers drop from iters+1 to iters.
+    Per-iteration shape (r13, replacing the r6 HOF-fused form): the
+    init centroids come from ONE ``centroids_by_id().collect()``
+    (TakeOrderedAndProject, k rows, no Exchange), and EVERY iteration —
+    including the first — assigns via :func:`_assign_with_matrix`, the
+    Arrow batch-matmul argmax over the matrix the driver already holds
+    (no ``local_df`` scan, no per-iteration centroid-frame collect).
+    The r6 fusion inlined iteration 1's argmax as interpreted
+    higher-order functions to save the init collect; the stage profile
+    showed that HOF stage as q50's dominant wall (1.26 s of a 1.38 s
+    execution at sf0.1: interpreted per-row·per-cell scoring) while the
+    init collect it saved is a ~0.1 s k-row TakeOrdered job — the
+    trade inverted once everything else got cheap. Protocol unchanged:
+    rounded-cosine argmax, ties to the smallest centroid_id, NULL/zero-
+    norm rows to the smallest cell (``_assign_with_matrix`` ≡ the HOF
+    form ≡ ``assign_buckets``, pinned by test_similarity), fixed-point
+    mean update, empty cells keep their previous centroid exactly.
 
     Returns the centroid DICT (the driver holds k·dim doubles anyway)
     so downstream consumers — the frame-returning
@@ -493,103 +499,23 @@ def _lloyd_cents(
     ``head(1)`` emptiness check of a frame whose rows the driver had
     just built, plus assign_buckets re-collecting them.
     """
-    if iters <= 0:  # degenerate: the init frame IS the answer
-        return {
-            r.centroid_id: [float(x) for x in r.centroid]
-            for r in centroids_by_id(
-                corpus, id_col=id_col, vec_col=vec_col, ncells=k
-            ).collect()
-        }
-
-    spark = corpus.sparkSession
-    init = centroids_by_id(corpus, id_col=id_col, vec_col=vec_col, ncells=k)
-    cn = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
-    carr = (
-        init.select(
-            F.struct(
-                F.col("centroid_id"),
-                F.col("centroid"),
-                F.when(cn == 0.0, F.lit(1.0)).otherwise(cn).alias("_cn"),
-            ).alias("_c")
-        )
-        # sort_array orders structs by leading field = centroid_id, so
-        # the fold visits cells smallest-id-first (argmax-first ties)
-        .agg(F.sort_array(F.collect_list("_c")).alias("_cs"))
-    )
-    v = F.col(vec_col).cast("array<double>")
-    vnorm = F.sqrt(dot(v, v))
-    vn1 = F.when(vnorm == 0.0, F.lit(1.0)).otherwise(vnorm)
-    # HOF lambdas run interpreted and duplicated expressions re-evaluate
-    # per element — bind (v, ‖v‖) ONCE per row via a 1-element array
-    # binder, then score each cell exactly once; array_max over
-    # (cos, -cid) structs is the argmax with ties to the SMALLEST
-    # centroid_id (max of -cid), matching assign_buckets' first-max.
-    row_env = F.array(F.struct(v.alias("v"), vn1.alias("w")))
-
-    def _score(env):
-        def per_cell(c):
-            cos = F.round(
-                dot(env["v"], c["centroid"]) / (env["w"] * c["_cn"]), round_digits
-            )
-            return F.struct(
-                cos.alias("cos"), (-c["centroid_id"]).alias("ncid")
-            )
-
-        return F.array_max(F.transform(F.col("_cs"), per_cell))
-
-    best = -F.transform(row_env, _score)[0]["ncid"]
-    assigned1 = corpus.crossJoin(F.broadcast(carr)).select(
-        v.alias(vec_col),
-        F.when(v.isNull(), F.col("_cs")[0]["centroid_id"])
-        .otherwise(best)
-        .alias("centroid_id"),
-    )
-    sums1 = (
-        assigned1.select("centroid_id", F.posexplode(vec_col).alias("_d", "_v"))
-        .groupBy("centroid_id", "_d")
-        .agg(
-            F.sum(F.round(F.col("_v") * F.lit(1000000.0)).cast("long")).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .select(
-            "centroid_id", "_d", "_s", "_n", F.lit(None).cast("double").alias("_iv")
-        )
-    )
-    init_side = init.select(
-        "centroid_id", F.posexplode("centroid").alias("_d", "_v")
-    ).select(
-        "centroid_id",
-        "_d",
-        F.lit(None).cast("long").alias("_s"),
-        F.lit(0).cast("long").alias("_n"),
-        F.col("_v").cast("double").alias("_iv"),
-    )
-    combined = sums1.unionByName(init_side).collect()
-
-    init_vals: dict[int, dict[int, float]] = {}
-    acc: dict[int, dict[int, int]] = {}
-    counts: dict[int, int] = {}
-    for r in combined:
-        if r._n == 0:
-            init_vals.setdefault(r.centroid_id, {})[r._d] = float(r._iv)
-        else:
-            acc.setdefault(r.centroid_id, {})[r._d] = r._s
-            counts[r.centroid_id] = r._n
-    if not init_vals:  # empty corpus: no cells
+    cents: dict[int, list[float]] = {
+        r.centroid_id: [float(x) for x in r.centroid]
+        for r in centroids_by_id(
+            corpus, id_col=id_col, vec_col=vec_col, ncells=k
+        ).collect()
+    }
+    if not cents:  # empty corpus: no cells
         return {}
-    cents: dict[int, list[float]] = {}
-    for cid, dims in sorted(init_vals.items()):
-        if cid in acc:
-            n = counts[cid]
-            cents[cid] = [acc[cid][i] / (n * 1000000.0) for i in range(len(dims))]
-        else:  # empty cell keeps its init centroid, exact doubles
-            cents[cid] = [dims[i] for i in range(len(dims))]
-    for _ in range(iters - 1):
-        cdf = local_df(
-            spark, sorted(cents.items()), "centroid_id bigint, centroid array<double>"
-        )
-        assigned = assign_buckets(
-            corpus, cdf, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    for _ in range(max(iters, 0)):
+        sorted_ids = sorted(cents)
+        assigned = _assign_with_matrix(
+            corpus,
+            np.asarray(sorted_ids, dtype=np.int64),
+            np.asarray([cents[i] for i in sorted_ids], dtype=np.float64),
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
         )
         sums = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("_d", "_v"))
@@ -600,8 +526,8 @@ def _lloyd_cents(
             )
             .collect()
         )
-        acc = {}
-        counts = {}
+        acc: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
         for r in sums:
             acc.setdefault(r.centroid_id, {})[r._d] = r._s
             counts[r.centroid_id] = r._n
