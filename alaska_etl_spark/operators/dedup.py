@@ -2052,9 +2052,15 @@ def cdc_chunk_stats(
     from pyspark.sql import Window
 
     from alaska_etl_spark.functions.fixedpoint import div_half_up
+    from alaska_etl_spark.operators.parallelism import ensure_min_parallelism
 
+    # compact corpus files scan as 2 splits at sf0.1 and the fused
+    # tokenize+hash map side ran there (stage profile r13: 2 tasks,
+    # 0.74 s wall, ~30% of the critical path) — the lm.py/simjoin
+    # guard, no-op at scale (operators/parallelism.py)
     tok = (
-        df.select(
+        ensure_min_parallelism(df, id_col)
+        .select(
             F.col(group_col).alias("_grp"),
             F.col(id_col).alias("_id"),
             F.posexplode_outer(word_tokens(text_col)).alias("pos", "_t"),
