@@ -219,16 +219,41 @@ def naive_bayes_scores(
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_cn"),
     )
     vocab = tracked_persist(vocab)
-    tot = vocab.agg(
-        F.sum("_cp").alias("np"), F.sum("_cn").alias("nn"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    npos, nneg, v = int(tot["np"] or 0), int(tot["nn"] or 0), int(tot["v"] or 0)
-    pri = df.agg(
-        F.sum(F.when(pos, 1).otherwise(0)).alias("pd"),
-        F.sum(F.when(~pos, 1).otherwise(0)).alias("nd"),
-    ).collect()[0]
-    pd_, nd_ = int(pri["pd"] or 0), int(pri["nd"] or 0)
-    # ln on the JVM (F.log), never in Python: one libm surface per engine
+    # ONE driver round-trip for vocabulary totals + document priors +
+    # the quantized prior (r13; was three serial jobs — tot, pri, and
+    # a Range(1) job just to take the prior's ln on the JVM). The two
+    # aggregates union into one collect whose branches run as sibling
+    # stages of one job (vocab-cache build ∥ raw-document scan, guide
+    # §2.6), and the prior rides the priors branch as a column —
+    # F.log over the aggregate output evaluates the same JVM StrictMath
+    # on the same exact doubles as the old literal form (doc counts are
+    # far below 2^53, so the bigint+1 → double cast is exact).
+    tot_b = vocab.agg(
+        F.sum("_cp").cast("bigint").alias("_a"),
+        F.sum("_cn").cast("bigint").alias("_b"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    ).select(
+        F.lit(0).alias("_k"), "_a", "_b", "_c",
+        F.lit(None).cast("long").alias("_prior"),
+    )
+    pri_b = df.agg(
+        F.count(F.when(pos, True)).cast("bigint").alias("_a"),
+        F.count(F.when(~pos, True)).cast("bigint").alias("_b"),
+    ).select(
+        F.lit(1).alias("_k"), "_a", "_b",
+        F.lit(None).cast("bigint").alias("_c"),
+        # ln on the JVM (F.log), never in Python: one libm surface per engine
+        F.round(
+            F.lit(scale)
+            * (F.log(F.col("_a") + F.lit(1)) - F.log(F.col("_b") + F.lit(1)))
+        )
+        .cast("long")
+        .alias("_prior"),
+    )
+    got = {r["_k"]: r for r in tot_b.unionByName(pri_b).collect()}
+    tot = got[0]
+    npos, nneg, v = int(tot["_a"] or 0), int(tot["_b"] or 0), int(tot["_c"] or 0)
+    prior = int(got[1]["_prior"])
     term = (
         F.log(F.col("_cp") + 1)
         - F.log(F.lit(float(npos + v)))
@@ -238,14 +263,6 @@ def naive_bayes_scores(
     terms = vocab.select(
         "_w", F.round(F.lit(scale) * term).cast("long").alias("_t")
     )
-    prior_df = df.sparkSession.range(1).select(
-        F.round(
-            F.lit(scale) * (F.log(F.lit(float(pd_ + 1))) - F.log(F.lit(float(nd_ + 1))))
-        )
-        .cast("long")
-        .alias("_prior")
-    )
-    prior = prior_df.collect()[0]["_prior"]
     out = (
         toks.join(terms, "_w")
         .groupBy("_id")

@@ -233,6 +233,15 @@ def build(spark) -> None:
         "lineitem": ["l_orderkey", "l_suppkey"],
         "customer": ["c_custkey"],
     }
+    # r13 (VERDICT r12 #7): every remaining bench table, so
+    # SPARK_GRAFT_SF_DIR can point bench.py at the ×10 corpus for the
+    # paired c8/c32 scaling rows. Facts scale by key offset (events:
+    # 10× users over the same time window; supplier ×10 matches the
+    # offset l_suppkey); the small dims (nation/region/part) pass
+    # through unscaled — the realistic warehouse growth shape, and
+    # lineitem's un-offset l_partkey keeps part joins consistent.
+    keyed["events"] = ["event_id", "user_id"]
+    keyed["supplier"] = ["s_suppkey"]
     for t, keys in keyed.items():
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
         base.write.mode("overwrite").parquet(f"{OUT}/x1/{t}.parquet")
@@ -252,6 +261,10 @@ def build(spark) -> None:
         for p in parts[1:]:
             t10 = t10.unionByName(p)
         t10.write.mode("overwrite").parquet(f"{OUT}/x10/{t}.parquet")
+    for t in ("nation", "region", "part"):
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        base.write.mode("overwrite").parquet(f"{OUT}/x1/{t}.parquet")
+        base.write.mode("overwrite").parquet(f"{OUT}/x10/{t}.parquet")
 
 
 def build_x100(spark) -> None:
@@ -401,8 +414,10 @@ def main() -> None:
     # optional subset: tools/scale_stress.py qg5_naive_bayes ... reruns
     # only those cells (the SCALE.md table merges by query name).
     # --x100 adds the second decade for the HUNDRED trio.
-    argv = [a for a in sys.argv[1:] if a != "--x100"]
+    argv = [a for a in sys.argv[1:] if a not in ("--x100", "--build-only")]
     with_x100 = "--x100" in sys.argv[1:]
+    build_only = "--build-only" in sys.argv[1:]  # r13: corpus for the
+    # bench's ×10 scaling rows (SPARK_GRAFT_SF_DIR=.scale_stress/x10)
     names = argv or QUERIES_UNDER_TEST
     unknown = [n for n in names if n not in QUERIES_UNDER_TEST]
     if unknown:
@@ -416,6 +431,9 @@ def main() -> None:
     if with_x100:
         build_x100(spark)
     spark.stop()
+    if build_only:
+        print(f"built {OUT}/x1 and {OUT}/x10")
+        return
 
     # PER-QUERY JVM ISOLATION: every query's cells run in a fresh
     # subprocess. A shared 8 GiB driver=executor JVM accumulates
