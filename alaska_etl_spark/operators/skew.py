@@ -351,6 +351,16 @@ def index_build_forecast(
     # byte cannot appear in a whitespace token unless the raw text
     # contains NUL itself — outside this operator's text domain (the
     # qp2 caveat, operators/text.py boilerplate_grams).
+    #
+    # Contract notes (ADVICE r12): n_docs is ROW-grain — one sentinel
+    # per input row with ≥1 token, so a corpus that repeats the same id
+    # across rows counts each row as a document (the planner-audit
+    # reading: postings/candidates also scale per row, so row grain is
+    # the consistent denominator; the DuckDB twin counts the same way).
+    # And a raw-text token exactly equal to "\x00docs" would be counted
+    # as a doc marker — accepted as documented (NUL is outside the
+    # text domain), kept unguarded because a filter here would have to
+    # be mirrored in the SQL twin for data that cannot occur.
     sent = "\x00docs"
     tok = (
         df.filter(F.col(text_col).rlike(r"\S"))
